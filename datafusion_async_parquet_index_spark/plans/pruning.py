@@ -1,0 +1,242 @@
+"""Refutation-sound rewrite: data-space predicate -> stats-space predicate.
+
+Re-implements (from scratch, in Python, against our own catalog schema)
+the behavior the reference gets from DataFusion's ``PruningPredicate``
+(``/root/reference/sqlx-sqlite/src/index.rs:102-176`` and the CTE example
+in its module doc ``index.rs:55-67``): a predicate over data columns is
+rewritten into a predicate over per-row-group statistics columns
+``{col}_min``, ``{col}_max``, ``{col}_null_count`` and the shared
+``row_count`` column, such that
+
+    stats-predicate is FALSE  =>  NO row in the row group can match.
+
+The rewrite may answer TRUE spuriously (the scan re-applies the original
+predicate — pruning is *Inexact*, reference ``main.rs:307-316``) but must
+never answer FALSE spuriously.  Every construct we cannot reason about
+degrades to constant TRUE, mirroring ``conversions.rs:32,71,83``.
+
+Rules (v = literal, m = col_min, M = col_max, n = col_null_count,
+r = row_count; all leaf terms are null-guarded, see ``_guard``):
+
+    c =  v   ->  m <= v AND M >= v
+    c != v   ->  NOT (m = v AND M = v)
+    c <  v   ->  m <  v
+    c <= v   ->  m <= v
+    c >  v   ->  M >  v
+    c >= v   ->  M >= v
+    c LIKE 'p%...'  ->  M >= 'p' AND m < next('p')   (literal prefix only)
+    c IS NULL       ->  n > 0
+    c IS NOT NULL   ->  n < r
+    c IN (v1..vk)   ->  OR of equality rewrites
+    a AND b  ->  rw(a) AND rw(b)
+    a OR  b  ->  rw(a) OR  rw(b)
+    NOT x    ->  rw(negate(x)) when x has an exact negation, else TRUE
+    anything else (arithmetic over columns, col-col compare, CASE, ...)
+             ->  TRUE
+
+Null-safety: a leaf term over m/M must not prune a row group whose stats
+are merely *missing*.  ``_guard`` ORs in ``m IS NULL AND (n IS NULL OR
+n < r)`` — stats absent but rows possibly non-null => keep.  An all-null
+row group (n = r, m/M NULL) is correctly prunable for value predicates
+(SQL NULL comparison -> not TRUE -> pruned) and correctly kept for
+IS NULL via the null_count term.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from .expr import (
+    BinOp, Case, Col, Expr, InList, IsNull, Like, Lit, Not,
+    COMPARISONS, BOOLEAN_OPS,
+)
+
+TRUE = Lit(True)
+
+
+def _min(c: str) -> Col:
+    return Col(f"{c}_min")
+
+
+def _max(c: str) -> Col:
+    return Col(f"{c}_max")
+
+
+def _nulls(c: str) -> Col:
+    return Col(f"{c}_null_count")
+
+
+ROW_COUNT = Col("row_count")
+
+
+def _is_true(e: Expr) -> bool:
+    return isinstance(e, Lit) and e.value is True
+
+
+def _guard(c: str, term: Expr) -> Expr:
+    """Keep the row group when stats for c are missing-but-rows-nonnull."""
+    missing = _min(c).is_null() & (_nulls(c).is_null() | (_nulls(c) < ROW_COUNT))
+    return missing | term
+
+
+def _next_prefix(prefix: str) -> Optional[str]:
+    """Smallest string greater than every string starting with prefix.
+    Returns None when no such bound exists (all chars are U+10FFFF)."""
+    s = prefix
+    while s:
+        last = s[-1]
+        if ord(last) < 0x10FFFF:
+            return s[:-1] + chr(ord(last) + 1)
+        s = s[:-1]
+    return None
+
+
+class PruningRewriter:
+    """Rewrites a data-space Expr into a stats-space Expr.
+
+    indexed_columns: {column_name: type_category} where type_category in
+    {"int", "float", "string", "binary", "timestamp", "date"} — columns
+    absent from the map are unindexed and any leaf over them is TRUE
+    (reference skips unsupported types at index.rs:213-217).
+    """
+
+    def __init__(self, indexed_columns: Dict[str, str]):
+        self.indexed = indexed_columns
+
+    # -- public --------------------------------------------------------
+    def rewrite(self, e: Expr) -> Expr:
+        out = self._rw(e)
+        return out
+
+    # -- internals -----------------------------------------------------
+    def _rw(self, e: Expr) -> Expr:
+        if isinstance(e, Lit):
+            # A literal predicate passes through: FALSE prunes everything
+            # (reference Q5: contradictory AND answered from index alone).
+            if isinstance(e.value, bool):
+                return Lit(e.value)
+            return TRUE
+        if isinstance(e, BinOp):
+            if e.op in BOOLEAN_OPS:
+                l, r = self._rw(e.left), self._rw(e.right)
+                if e.op == "AND":
+                    if _is_true(l):
+                        return r
+                    if _is_true(r):
+                        return l
+                    return l & r
+                # OR: TRUE absorbs
+                if _is_true(l) or _is_true(r):
+                    return TRUE
+                return l | r
+            if e.op in COMPARISONS:
+                return self._rw_cmp(e)
+            return TRUE  # arithmetic at the top level is not a predicate
+        if isinstance(e, Not):
+            return self._rw_not(e.child)
+        if isinstance(e, IsNull):
+            return self._rw_isnull(e)
+        if isinstance(e, Like):
+            return self._rw_like(e)
+        if isinstance(e, InList):
+            return self._rw_inlist(e)
+        if isinstance(e, Case):
+            return TRUE
+        return TRUE
+
+    def _leaf(self, e: BinOp):
+        """Normalize to (column_name, op, literal_value) or None."""
+        l, r = e.left, e.right
+        if isinstance(l, Lit) and isinstance(r, Col):
+            e = e.flipped()
+            l, r = e.left, e.right
+        if not (isinstance(l, Col) and isinstance(r, Lit)):
+            return None
+        if l.name not in self.indexed:
+            return None
+        v = r.value
+        if v is None:
+            return None  # c = NULL is never TRUE; conservatively keep
+        if not isinstance(v, (int, float, str, bytes)) or isinstance(v, bool):
+            import datetime as _dt
+            if not isinstance(v, (_dt.date, _dt.datetime)):
+                return None
+        return l.name, e.op, r
+
+    def _rw_cmp(self, e: BinOp) -> Expr:
+        leaf = self._leaf(e)
+        if leaf is None:
+            return TRUE
+        c, op, v = leaf
+        if op == "=":
+            term = (_min(c) <= v) & (_max(c) >= v)
+        elif op == "!=":
+            term = Not((_min(c) == v) & (_max(c) == v))
+        elif op == "<":
+            term = _min(c) < v
+        elif op == "<=":
+            term = _min(c) <= v
+        elif op == ">":
+            term = _max(c) > v
+        elif op == ">=":
+            term = _max(c) >= v
+        else:
+            return TRUE
+        return _guard(c, term)
+
+    def _rw_not(self, child: Expr) -> Expr:
+        """NOT pushed down via De Morgan / comparison negation; TRUE when
+        the child has no exact negation (conservative)."""
+        if isinstance(child, Not):
+            return self._rw(child.child)
+        if isinstance(child, BinOp) and child.op == "AND":
+            return self._rw(Not(child.left) | Not(child.right))
+        if isinstance(child, BinOp) and child.op == "OR":
+            return self._rw(Not(child.left) & Not(child.right))
+        if isinstance(child, BinOp) and child.op in COMPARISONS:
+            return self._rw(BinOp(child.negated_op(), child.left, child.right))
+        if isinstance(child, IsNull):
+            return self._rw(IsNull(child.child, negated=not child.negated))
+        if isinstance(child, Like):
+            return self._rw(Like(child.child, child.pattern, negated=not child.negated))
+        if isinstance(child, Lit) and isinstance(child.value, bool):
+            return Lit(not child.value)
+        return TRUE
+
+    def _rw_isnull(self, e: IsNull) -> Expr:
+        if not isinstance(e.child, Col) or e.child.name not in self.indexed:
+            return TRUE
+        c = e.child.name
+        if e.negated:  # IS NOT NULL: some non-null value exists
+            return _nulls(c).is_null() | (_nulls(c) < ROW_COUNT)
+        return _nulls(c).is_null() | (_nulls(c) > Lit(0))
+
+    def _rw_like(self, e: Like) -> Expr:
+        if not isinstance(e.child, Col) or e.child.name not in self.indexed:
+            return TRUE
+        c = e.child.name
+        if self.indexed.get(c) != "string":
+            return TRUE
+        if e.negated:
+            if e.is_exact():  # NOT LIKE with no wildcard == !=
+                return self._rw(BinOp("!=", e.child, Lit(e.literal_prefix())))
+            return TRUE
+        if e.is_exact():
+            return self._rw(BinOp("=", e.child, Lit(e.pattern)))
+        prefix = e.literal_prefix()
+        if not prefix:
+            return TRUE
+        term: Expr = _max(c) >= prefix
+        nxt = _next_prefix(prefix)
+        if nxt is not None:
+            term = term & (_min(c) < nxt)
+        return _guard(c, term)
+
+    def _rw_inlist(self, e: InList) -> Expr:
+        out: Optional[Expr] = None
+        for v in e.values:
+            sub = self._rw_cmp(BinOp("=", e.child, v))
+            if _is_true(sub):
+                return TRUE
+            out = sub if out is None else (out | sub)
+        return out if out is not None else TRUE

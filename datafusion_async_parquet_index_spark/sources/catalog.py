@@ -1,0 +1,287 @@
+"""External statistics catalog: SQLite stand-in for a remote DB.
+
+Re-expresses the reference's catalog layer
+(``/root/reference/sqlx-sqlite/src/index.rs:332-415`` DDL,
+``index.rs:242-329`` transactional upsert, ``index.rs:102-176`` lookup)
+for the PySpark engine.  SQLite (stdlib ``sqlite3``) plays the role sqlx
+plays in the reference — the module doc there notes the same schema
+"could be stored in any database that SQLx supports, including a remote
+Postgres database" (``main.rs:89-90``); swapping ``sqlite3`` for a JDBC /
+server DB connection changes nothing in the schema or SQL emitted here.
+
+Two tables (DDL mirrors ``index.rs:333-390``):
+
+    file_statistics(file_id PK AUTOINCREMENT, file_name UNIQUE NOT NULL,
+                    file_size_bytes, row_group_count, row_count)
+    row_group_statistics(file_id FK CASCADE, row_group, row_count,
+                         {c}_null_count, {c}_min, {c}_max  per indexed col,
+                         PK (file_id, row_group))
+
+Type mapping (``index.rs:396-415``): ints -> INTEGER, floats -> REAL,
+strings -> TEXT, binary -> BLOB.  Extension beyond the reference:
+timestamps/dates are stored as INTEGER (epoch micros / epoch days) so the
+index can prune on time-range predicates — essential for log-structured
+100 TB corpora.  Unsupported types are *not indexed at all* (the
+reference silently skips them, ``index.rs:213-217``), so predicates on
+them can never prune — the conservative-TRUE rule upstream guarantees
+that.
+
+Scale posture: catalog size is O(files x row_groups), independent of data
+volume; the lookup query touches only the catalog, never Parquet. At
+1000-executor scale this lives in Postgres/MySQL; the per-query planning
+cost stays a single indexed SQL query.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import sqlite3
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from ..plans.expr import BinOp, Case, Col, Expr, InList, IsNull, Like, Lit, Not
+
+# type-category -> SQLite storage class (reference index.rs:396-415)
+_SQL_TYPE = {
+    "int": "INTEGER",
+    "float": "REAL",
+    "string": "TEXT",
+    "binary": "BLOB",
+    "timestamp": "INTEGER",  # epoch microseconds (extension)
+    "date": "INTEGER",       # epoch days (extension)
+}
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def encode_value(category: str, v: Any) -> Any:
+    """Convert a Python stats/literal value into its catalog storage form."""
+    if v is None:
+        return None
+    if category == "timestamp":
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        if isinstance(v, _dt.date):
+            return int((_dt.datetime(v.year, v.month, v.day)
+                        - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        return int(v)
+    if category == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _EPOCH).days
+        return int(v)
+    if category == "binary":
+        return sqlite3.Binary(v) if isinstance(v, (bytes, bytearray)) else v
+    return v
+
+
+@dataclass
+class FileStats:
+    file_name: str
+    file_size_bytes: int
+    row_group_count: int
+    row_count: int
+
+
+@dataclass
+class RowGroupStats:
+    """One row of row_group_statistics (reference index.rs:424-446)."""
+    row_group: int
+    row_count: int
+    # per indexed column: name -> (null_count, min, max); min/max None when
+    # the footer carries no stats for that column chunk
+    columns: Dict[str, Tuple[Optional[int], Any, Any]] = field(default_factory=dict)
+
+
+class _SqliteStatsSql:
+    """Render a *stats-space* Expr to SQLite SQL + bind params.
+
+    The stats-space expr only references catalog columns and literals, so
+    this renderer is total where the pruning rewriter's output is concerned.
+    Datetime/date literals are encoded to the catalog integer forms using
+    the per-column category map.
+    """
+
+    def __init__(self, column_categories: Dict[str, str]):
+        self.cats = column_categories
+        self.params: List[Any] = []
+
+    def render(self, e: Expr) -> str:
+        return self._r(e, None)
+
+    def _r(self, e: Expr, ctx_col: Optional[str]) -> str:
+        if isinstance(e, Lit):
+            if isinstance(e.value, bool):
+                return "1" if e.value else "0"
+            self.params.append(encode_value(self.cats.get(ctx_col or "", ""), e.value)
+                               if ctx_col else e.value)
+            return "?"
+        if isinstance(e, Col):
+            return f'"{e.name}"'
+        if isinstance(e, BinOp):
+            # thread the column context so literals compared to a stats
+            # column get encoded with that column's category
+            ctx = self._context_col(e) or ctx_col
+            op = "<>" if e.op == "!=" else e.op
+            return f"({self._r(e.left, ctx)} {op} {self._r(e.right, ctx)})"
+        if isinstance(e, Not):
+            return f"(NOT {self._r(e.child, ctx_col)})"
+        if isinstance(e, IsNull):
+            suffix = "IS NOT NULL" if e.negated else "IS NULL"
+            return f"({self._r(e.child, ctx_col)} {suffix})"
+        if isinstance(e, Like):
+            kw = "NOT LIKE" if e.negated else "LIKE"
+            self.params.append(e.pattern)
+            return f"({self._r(e.child, ctx_col)} {kw} ?)"
+        if isinstance(e, InList):
+            ctx = e.child.name if isinstance(e.child, Col) else ctx_col
+            vals = ", ".join(self._r(v, ctx) for v in e.values)
+            return f"({self._r(e.child, ctx)} IN ({vals}))"
+        raise TypeError(f"non-stats-space expr node {type(e)!r}")
+
+    def _context_col(self, e: BinOp) -> Optional[str]:
+        for side in (e.left, e.right):
+            if isinstance(side, Col) and side.name in self.cats:
+                return side.name
+        return None
+
+
+class SqliteIndexCatalog:
+    """The external index over a directory of Parquet files."""
+
+    def __init__(self, db_path: str = ":memory:"):
+        # check_same_thread=False: Spark tests may touch the catalog from
+        # pytest fixtures and worker callbacks; guarded by a lock.
+        self._conn = sqlite3.connect(db_path, check_same_thread=False)
+        self._conn.execute("PRAGMA foreign_keys = ON")
+        self._lock = threading.Lock()
+        self.index_schema: Dict[str, str] = {}
+
+    # -- EP3: catalog bootstrap (reference index.rs:332-393) ----------
+    def initialize(self, index_schema: Dict[str, str]) -> None:
+        """Idempotent DDL. index_schema: {column: type_category}; columns
+        with unsupported categories must already be filtered out by the
+        caller (sources/stats.py does this)."""
+        self.index_schema = dict(index_schema)
+        cols = []
+        for name, cat in self.index_schema.items():
+            sql_t = _SQL_TYPE[cat]
+            cols.append(f'"{name}_null_count" INTEGER')
+            cols.append(f'"{name}_min" {sql_t}')
+            cols.append(f'"{name}_max" {sql_t}')
+        extra = (", " + ", ".join(cols)) if cols else ""
+        with self._lock, self._conn:
+            self._conn.execute(
+                """CREATE TABLE IF NOT EXISTS file_statistics (
+                       file_id INTEGER PRIMARY KEY AUTOINCREMENT,
+                       file_name TEXT NOT NULL UNIQUE,
+                       file_size_bytes INTEGER NOT NULL,
+                       row_group_count INTEGER NOT NULL,
+                       row_count INTEGER NOT NULL)""")
+            self._conn.execute(
+                f"""CREATE TABLE IF NOT EXISTS row_group_statistics (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       row_count INTEGER NOT NULL{extra},
+                       PRIMARY KEY (file_id, row_group))""")
+
+    # -- EP2: transactional upsert (reference index.rs:242-329) -------
+    def upsert_file(self, fs: FileStats, rgs: Sequence[RowGroupStats]) -> None:
+        """Idempotent per file: upsert file row, replace its row-group rows.
+        Re-adding a changed file replaces its stats — the incremental
+        maintenance story of the reference (ON CONFLICT DO UPDATE +
+        delete-then-insert, index.rs:249-285)."""
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                """INSERT INTO file_statistics
+                       (file_name, file_size_bytes, row_group_count, row_count)
+                   VALUES (?, ?, ?, ?)
+                   ON CONFLICT(file_name) DO UPDATE SET
+                       file_size_bytes = excluded.file_size_bytes,
+                       row_group_count = excluded.row_group_count,
+                       row_count = excluded.row_count
+                   RETURNING file_id""",
+                (fs.file_name, fs.file_size_bytes, fs.row_group_count, fs.row_count))
+            file_id = cur.fetchone()[0]
+            self._conn.execute(
+                "DELETE FROM row_group_statistics WHERE file_id = ?", (file_id,))
+            stat_cols = []
+            for name in self.index_schema:
+                stat_cols += [f'"{name}_null_count"', f'"{name}_min"', f'"{name}_max"']
+            all_cols = ["file_id", "row_group", "row_count"] + stat_cols
+            placeholders = ", ".join("?" for _ in all_cols)
+            rows = []
+            for rg in rgs:
+                row: List[Any] = [file_id, rg.row_group, rg.row_count]
+                for name, cat in self.index_schema.items():
+                    nc, mn, mx = rg.columns.get(name, (None, None, None))
+                    row += [nc, encode_value(cat, mn), encode_value(cat, mx)]
+                rows.append(row)
+            if rows:
+                self._conn.executemany(
+                    f"INSERT INTO row_group_statistics ({', '.join(all_cols)}) "
+                    f"VALUES ({placeholders})", rows)
+
+    def remove_file(self, file_name: str) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "DELETE FROM file_statistics WHERE file_name = ?", (file_name,))
+
+    # -- S3: index lookup (reference index.rs:102-176) ----------------
+    def get_files(self, stats_predicate: Expr) -> List[Tuple[str, List[int]]]:
+        """Evaluate a stats-space predicate against the catalog.
+
+        Returns [(file_name, [row_group, ...])] for row groups that MAY
+        contain matching rows — the same CTE + INNER JOIN + DISTINCT shape
+        the reference emits (index.rs:127-156, doc index.rs:55-67).
+        Files with zero surviving row groups are absent from the result.
+        """
+        cats: Dict[str, str] = {"row_count": "int"}
+        for name, cat in self.index_schema.items():
+            cats[f"{name}_min"] = cat
+            cats[f"{name}_max"] = cat
+            cats[f"{name}_null_count"] = "int"
+        renderer = _SqliteStatsSql(cats)
+        where = renderer.render(stats_predicate)
+        sql = f"""
+            WITH row_groups AS (
+                SELECT file_id, row_group
+                FROM row_group_statistics
+                WHERE {where}
+            )
+            SELECT DISTINCT f.file_name, rg.row_group
+            FROM file_statistics f
+            INNER JOIN row_groups rg ON f.file_id = rg.file_id
+            ORDER BY f.file_name, rg.row_group
+        """
+        with self._lock:
+            rows = self._conn.execute(sql, renderer.params).fetchall()
+        out: Dict[str, List[int]] = {}
+        for file_name, row_group in rows:
+            out.setdefault(file_name, []).append(row_group)
+        return sorted(out.items())
+
+    # -- introspection -------------------------------------------------
+    def all_files(self) -> List[Tuple[str, int, int, int]]:
+        """[(file_name, file_size_bytes, row_group_count, row_count)]"""
+        with self._lock:
+            return list(self._conn.execute(
+                """SELECT file_name, file_size_bytes, row_group_count, row_count
+                   FROM file_statistics ORDER BY file_name"""))
+
+    def row_group_count(self, file_name: str) -> int:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT row_group_count FROM file_statistics WHERE file_name = ?",
+                (file_name,)).fetchone()
+        if row is None:
+            raise KeyError(file_name)
+        return row[0]
+
+    def close(self) -> None:
+        self._conn.close()

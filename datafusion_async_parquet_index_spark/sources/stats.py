@@ -1,0 +1,140 @@
+"""Parquet footer statistics extraction (no data pages read).
+
+Re-expresses the reference's ``add_file``
+(``/root/reference/sqlx-sqlite/src/index.rs:179-240``): open the Parquet
+footer, pull per-row-group row counts and per-indexed-column
+null_count / min / max, skipping columns whose statistics the index
+cannot represent (the reference ``continue``s on unsupported converted
+stats, ``index.rs:213-217`` — same semantic here: unsupported column =>
+never indexed => never pruned on).
+
+Scale posture: a footer read is a few KB of I/O regardless of file size;
+indexing 100 TB of Parquet touches only footers.  ``build_index`` offers
+a distributed path (``spark.sparkContext.parallelize(files)``) so the
+footer reads fan out across executors while the catalog write stays a
+driver-side transaction per file.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .catalog import FileStats, RowGroupStats, SqliteIndexCatalog
+
+# Arrow type -> index type-category. Mirrors the reference's supported set
+# (index.rs:396-415: all int widths, floats, Utf8, Binary) plus the
+# timestamp/date extension. Spark has no unsigned ints — uint32 widens to
+# long, uint64 to decimal at read time, but footer stats stay numeric so
+# "int" covers them for pruning purposes.
+def type_category(t: pa.DataType) -> Optional[str]:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    return None  # unsupported => not indexable (reference index.rs:413 todo!)
+
+
+def index_schema_for(schema: pa.Schema, columns: Sequence[str]) -> Dict[str, str]:
+    """{column: category} for the requested columns, silently dropping
+    unsupported types (conservative: they can simply never prune)."""
+    out: Dict[str, str] = {}
+    for name in columns:
+        idx = schema.get_field_index(name)
+        if idx < 0:
+            continue
+        cat = type_category(schema.field(idx).type)
+        if cat is not None:
+            out[name] = cat
+    return out
+
+
+def extract_file_stats(
+    path: str, index_schema: Dict[str, str]
+) -> Tuple[FileStats, List[RowGroupStats]]:
+    """Footer-only extraction for one file (reference index.rs:179-240)."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    fs = FileStats(
+        file_name=os.path.basename(path),
+        file_size_bytes=os.path.getsize(path),
+        row_group_count=md.num_row_groups,
+        row_count=md.num_rows,
+    )
+    rgs: List[RowGroupStats] = []
+    for i in range(md.num_row_groups):
+        rg_md = md.row_group(i)
+        rg = RowGroupStats(row_group=i, row_count=rg_md.num_rows)
+        for col in index_schema:
+            ci = name_to_idx.get(col)
+            if ci is None:
+                continue
+            st = rg_md.column(ci).statistics
+            if st is None:
+                rg.columns[col] = (None, None, None)
+                continue
+            nc = st.null_count if st.has_null_count else None
+            mn = st.min if st.has_min_max else None
+            mx = st.max if st.has_min_max else None
+            rg.columns[col] = (nc, mn, mx)
+        rgs.append(rg)
+    return fs, rgs
+
+
+def list_parquet_files(data_dir: str) -> List[str]:
+    """Sorted directory listing (reference main.rs:409-423 sorts entries
+    by file name for deterministic index order)."""
+    return sorted(str(p) for p in Path(data_dir).glob("*.parquet"))
+
+
+def build_index(
+    catalog: SqliteIndexCatalog,
+    files: Iterable[str],
+    index_columns: Sequence[str],
+    spark=None,
+    distributed_threshold: int = 64,
+) -> Dict[str, str]:
+    """Index every file into the catalog; returns the index schema used.
+
+    The index schema is derived from the first file's footer ("assume they
+    all have the same schema", reference main.rs:228-237). When a
+    SparkSession is supplied and the file count is large, footer
+    extraction is distributed across executors; stats rows come back to
+    the driver (tiny: O(row_groups)) for the transactional catalog write.
+    """
+    files = list(files)
+    if not files:
+        catalog.initialize({})
+        return {}
+    first = pq.ParquetFile(files[0])
+    schema = index_schema_for(first.schema_arrow, index_columns)
+    catalog.initialize(schema)
+
+    if spark is not None and len(files) >= distributed_threshold:
+        sc = spark.sparkContext
+        schema_b = sc.broadcast(schema)
+        results = (
+            sc.parallelize(files, min(len(files), 256))
+            .map(lambda p: extract_file_stats(p, schema_b.value))
+            .collect()
+        )
+        for fs, rgs in results:
+            catalog.upsert_file(fs, rgs)
+    else:
+        for path in files:
+            fs, rgs = extract_file_stats(path, schema)
+            catalog.upsert_file(fs, rgs)
+    return schema

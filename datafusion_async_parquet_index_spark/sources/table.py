@@ -1,0 +1,183 @@
+"""IndexedParquetTable: index-driven pruned scans on Spark.
+
+Re-expresses the reference's ``IndexTableProvider``
+(``/root/reference/sqlx-sqlite/src/main.rs:195-323``) Spark-first: the
+index lookup happens on the driver *before* ``spark.read``, producing a
+pruned file list (and row-group sets); Catalyst then plans the actual
+scan with its native vectorized Parquet reader, pushed filters, column
+pruning and whole-stage codegen.
+
+Query lifecycle (cf. SURVEY §3 / reference main.rs:256-305):
+
+  1. predicate (our Expr AST) --PruningRewriter--> stats-space predicate
+  2. catalog.get_files(stats predicate)  -> {file -> [row groups]}
+  3a. mode="files"      : spark.read.parquet(*surviving_files)
+  3b. mode="rowgroups"  : Python DataSource partitions = (file, rg list)
+  4. .filter(original predicate)  — ALWAYS re-applied: pruning is
+     Inexact (reference main.rs:307-316); over-approximation is the core
+     semantic invariant.
+  5. the decision is recorded in ``last_scan`` (reference
+     SimpleExecutionLog, main.rs:426-445) so pruning is testable.
+
+Scale posture: mode="files" is the default at scale — surviving files go
+through Spark's native reader (task splitting via maxPartitionBytes,
+row-group skipping from pushed filters, codegen), and the only
+driver-side cost is one catalog query + building the path list.
+mode="rowgroups" gives exact ParquetAccessPlan semantics
+(reference index.rs:163-175) via pyarrow, at Python-reader speed — use it
+when row groups are huge and footer-stat skipping in the native reader
+is insufficient.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.expr import Expr, Lit, and_all
+from ..plans.pruning import PruningRewriter
+from .catalog import SqliteIndexCatalog
+from .stats import build_index, list_parquet_files
+
+
+@dataclass
+class ScanDecision:
+    """The pruning decision for one query — first-class, testable output
+    (reference main.rs:426-445 SimpleExecutionLog + README golden traces)."""
+
+    predicate: str
+    files_scanned: Dict[str, List[int]]   # file -> row groups to scan
+    total_files: int
+    total_row_groups: int
+
+    @property
+    def file_names(self) -> List[str]:
+        return sorted(self.files_scanned)
+
+    @property
+    def row_groups_scanned(self) -> int:
+        return sum(len(v) for v in self.files_scanned.values())
+
+    def describe(self) -> str:
+        """Human-readable trace like the reference README ("Files scanned:
+        ... row_groups: Scan/Skip", sqlx-sqlite/README.md:38-70)."""
+        lines = [f"Predicate: {self.predicate}",
+                 f"Files scanned: {self.file_names} "
+                 f"({len(self.files_scanned)}/{self.total_files} files, "
+                 f"{self.row_groups_scanned}/{self.total_row_groups} row groups)"]
+        for f, rgs in sorted(self.files_scanned.items()):
+            lines.append(f"  {f}: row_groups={rgs}")
+        return "\n".join(lines)
+
+
+class IndexedParquetTable:
+    """A directory of Parquet files exposed as one queryable table with an
+    external statistics index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        index_columns: Sequence[str],
+        catalog: Optional[SqliteIndexCatalog] = None,
+        name: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.data_dir = data_dir
+        self.catalog = catalog or SqliteIndexCatalog()
+        self.name = name or os.path.basename(data_dir.rstrip("/"))
+        self._files = list_parquet_files(data_dir)
+        self.index_schema = build_index(
+            self.catalog, self._files, index_columns, spark=spark)
+        self._rewriter = PruningRewriter(self.index_schema)
+        # schema inferred from data ("assume all files share it",
+        # reference main.rs:228-237)
+        self._schema = (
+            spark.read.parquet(self._files[0]).schema if self._files else None)
+        self.last_scan: Optional[ScanDecision] = None
+        self.scan_history: List[ScanDecision] = []
+
+    # -- maintenance (EP2) --------------------------------------------
+    def refresh(self) -> None:
+        """Re-list the directory and (re-)index new or changed files.
+        Idempotent per file — the catalog upsert replaces stale stats."""
+        self._files = list_parquet_files(self.data_dir)
+        build_index(self.catalog, self._files,
+                    list(self.index_schema), spark=self.spark)
+
+    # -- planning ------------------------------------------------------
+    def plan_scan(self, predicate: Optional[Expr]) -> ScanDecision:
+        """Steps 1-2: compile the predicate to stats space and consult the
+        catalog. Does not touch Parquet."""
+        total_rgs = sum(f[2] for f in self.catalog.all_files())
+        if predicate is None:
+            files = {os.path.basename(p): list(range(self.catalog.row_group_count(os.path.basename(p))))
+                     for p in self._files}
+            decision = ScanDecision("TRUE", files, len(self._files), total_rgs)
+        else:
+            stats_pred = self._rewriter.rewrite(predicate)
+            survivors = self.catalog.get_files(stats_pred)
+            decision = ScanDecision(
+                predicate.to_sql(), dict(survivors), len(self._files), total_rgs)
+        self.last_scan = decision
+        self.scan_history.append(decision)
+        return decision
+
+    # -- reading -------------------------------------------------------
+    def query(
+        self,
+        predicate: Optional[Expr] = None,
+        columns: Optional[Sequence[str]] = None,
+        mode: str = "files",
+    ) -> DataFrame:
+        """Pruned scan + mandatory residual filter.
+
+        columns: optional projection pushed into the scan (Catalyst prunes
+        Parquet columns natively; reference main.rs:283-284).
+        """
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
+            df = self.spark.createDataFrame([], self._schema)
+        elif mode == "rowgroups":
+            df = self._read_rowgroups(decision)
+        else:
+            paths = [os.path.join(self.data_dir, f) for f in decision.file_names]
+            df = self.spark.read.schema(self._schema).parquet(*paths)
+        if predicate is not None:
+            df = df.filter(predicate.to_spark())  # Inexact => residual filter
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def query_filters(self, filters: Sequence[Expr], **kw) -> DataFrame:
+        """Conjoin a pushed-filter list (reference main.rs:265-272)."""
+        pred = and_all(list(filters))
+        if isinstance(pred, Lit):
+            return self.query(None, **kw)
+        return self.query(pred, **kw)
+
+    def _read_rowgroups(self, decision: ScanDecision) -> DataFrame:
+        """Exact row-group scan via the Python DataSource (Spark 4)."""
+        from .rowgroup_source import ensure_registered
+        ensure_registered(self.spark)
+        plan = {os.path.join(self.data_dir, f): rgs
+                for f, rgs in decision.files_scanned.items()}
+        return (
+            self.spark.read.format("rowgroup_parquet")
+            .schema(self._schema)
+            .option("access_plan", json.dumps(plan))
+            .load()
+        )
+
+    # -- convenience ---------------------------------------------------
+    def to_df(self) -> DataFrame:
+        """Unpruned full-table scan through Spark's native reader."""
+        return self.spark.read.schema(self._schema).parquet(
+            os.path.join(self.data_dir, "*.parquet"))
+
+    def create_temp_view(self, view_name: Optional[str] = None) -> None:
+        self.to_df().createOrReplaceTempView(view_name or self.name)

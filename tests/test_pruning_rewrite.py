@@ -1,0 +1,138 @@
+"""Unit tests for the refutation-sound stats-space rewrite (SURVEY §4).
+
+Evaluation strategy: render the stats-space expr to SQLite SQL and run it
+against a tiny in-memory stats table, checking which row groups survive.
+"""
+
+import sqlite3
+
+import pytest
+
+from datafusion_async_parquet_index_spark.plans.expr import Case, Lit, col, lit, and_all
+from datafusion_async_parquet_index_spark.plans.pruning import PruningRewriter
+from datafusion_async_parquet_index_spark.sources.catalog import _SqliteStatsSql
+
+SCHEMA = {"value": "int", "text": "string"}
+
+# (rg id, row_count, value_null_count, value_min, value_max,
+#  text_null_count, text_min, text_max)
+ROWS = [
+    (0, 50, 0, 0, 49, 0, "", "y"),          # values 0..49
+    (1, 50, 0, 50, 99, 0, "ax", "z"),       # values 50..99
+    (2, 50, 0, 100, 149, 0, "cv", "eo"),    # values 100..149
+    (3, 50, 5, None, None, 0, "a", "b"),    # value stats missing, some non-null
+    (4, 50, 50, None, None, 0, "a", "b"),   # value all-null
+]
+
+
+def survivors(pred):
+    rw = PruningRewriter(SCHEMA)
+    stats = rw.rewrite(pred)
+    cats = {"row_count": "int"}
+    for n, c in SCHEMA.items():
+        cats.update({f"{n}_min": c, f"{n}_max": c, f"{n}_null_count": "int"})
+    r = _SqliteStatsSql(cats)
+    sql = r.render(stats)
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        """CREATE TABLE s (rg INTEGER, row_count INTEGER,
+           value_null_count INTEGER, value_min INTEGER, value_max INTEGER,
+           text_null_count INTEGER, text_min TEXT, text_max TEXT)""")
+    conn.executemany("INSERT INTO s VALUES (?,?,?,?,?,?,?,?)", ROWS)
+    return [row[0] for row in conn.execute(f"SELECT rg FROM s WHERE {sql}", r.params)]
+
+
+def test_point_equality():
+    # rg1 contains 75; rg3 kept (stats missing); rg4 pruned (all null)
+    assert survivors(col("value") == 75) == [1, 3]
+
+
+def test_equality_out_of_range():
+    assert survivors(col("value") == 5000) == [3]
+
+
+def test_less_than():
+    assert survivors(col("value") < 20) == [0, 3]
+
+
+def test_greater_than():
+    assert survivors(col("value") > 120) == [2, 3]
+
+
+def test_ge_boundary():
+    assert survivors(col("value") >= 149) == [2, 3]
+
+
+def test_or_of_ranges():
+    assert survivors((col("value") < 20) | (col("value") > 500)) == [0, 3]
+
+
+def test_and_across_columns():
+    assert survivors((col("value") < 20) & (col("text") == "a")) == [0, 3]
+
+
+def test_contradictory_and():
+    assert survivors((col("value") > 500) & (col("text") == "a")) == [3]
+
+
+def test_not_equal():
+    # a rg can only be refuted when min=max=v; rg4 (all null) is also
+    # refutable since NULL != 75 is never TRUE
+    assert survivors(col("value") != 75) == [0, 1, 2, 3]
+
+
+def test_not_pushdown():
+    # NOT(value < 50) == value >= 50
+    assert survivors(~(col("value") < 50)) == [1, 2, 3]
+
+
+def test_demorgan():
+    assert survivors(~((col("value") < 50) | (col("value") > 99))) == [1, 3]
+
+
+def test_is_null():
+    assert survivors(col("value").is_null()) == [3, 4]
+
+
+def test_is_not_null():
+    assert survivors(col("value").is_not_null()) == [0, 1, 2, 3]
+
+
+def test_like_prefix():
+    # text LIKE 'c%' -> only rgs whose [min,max] range can contain 'c*';
+    # rg3/rg4 have text_max='b' < 'c' and are refuted
+    assert survivors(col("text").like("c%")) == [0, 1, 2]
+
+
+def test_like_no_prefix_keeps_all():
+    assert survivors(col("text").like("%c")) == [0, 1, 2, 3, 4]
+
+
+def test_in_list():
+    assert survivors(col("value").isin(75, 120)) == [1, 2, 3]
+
+
+def test_unindexed_column_keeps_all():
+    assert survivors(col("file_name") == "x") == [0, 1, 2, 3, 4]
+
+
+def test_arithmetic_keeps_all():
+    assert survivors((col("value") + 1) == 76) == [0, 1, 2, 3, 4]
+
+
+def test_case_keeps_all():
+    pred = Case([(col("value") > 10, lit(True))], lit(False)) == True
+    assert survivors(pred) == [0, 1, 2, 3, 4]
+
+
+def test_literal_false_prunes_all():
+    assert survivors(lit(False)) == []
+
+
+def test_and_all_empty_is_true():
+    assert survivors(and_all([])) == [0, 1, 2, 3, 4]
+
+
+def test_col_on_right_side():
+    assert survivors(lit(75) == col("value")) == [1, 3]
+    assert survivors(lit(20) > col("value")) == [0, 3]

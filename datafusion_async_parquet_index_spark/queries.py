@@ -1,0 +1,402 @@
+"""Relational query suite over the driver's testdata tables.
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; the
+matching ``ORACLE[name]`` is the ANSI-SQL equivalent DuckDB runs on the
+same parquet files (driver correctness gate).  Column names are aliased
+identically on both sides — the driver's compare hashes values after
+sorting columns by name.
+
+The five ``q1..q5`` mirror the reference's demo queries
+(``/root/reference/sqlx-sqlite/src/main.rs:135-182``: select+limit, point
+equality, OR-range + count/group-by, AND across an int and a string
+column, contradictory AND) re-targeted at the ``lineitem`` table and
+routed through the external-index scan path (IndexedParquetTable), so the
+correctness gate exercises pruning + residual filtering, not just plain
+reads.  The rest cover the inherited relational layer (SURVEY §2.3-2.5):
+joins, aggregation, DISTINCT, windows, LIKE, CASE, IN, set ops.
+
+Scale notes are inline per query: broadcast for dimension joins, partial
+aggregation shapes, and why each plan survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .plans.expr import col as xcol
+from .sources.catalog import SqliteIndexCatalog
+from .sources.table import IndexedParquetTable
+
+# Cache of per-directory indexed tables: the index build is footer-only
+# (O(files), not O(data)) but there is no reason to repeat it per query.
+_TABLES: Dict[tuple, IndexedParquetTable] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _make_table(spark, sf_dir, table, index_columns):
+    """IndexedParquetTable scoped to one table's parquet file (the
+    testdata dir holds every table, so the ctor's glob would mix them)."""
+    key = (sf_dir, table, tuple(index_columns))
+    t = _TABLES.get(key)
+    if t is None:
+        t = IndexedParquetTable.__new__(IndexedParquetTable)
+        t.spark = spark
+        t.data_dir = sf_dir
+        t.catalog = SqliteIndexCatalog()
+        t.name = table
+        t._files = [os.path.join(sf_dir, f"{table}.parquet")]
+        from .sources.stats import build_index
+        t.index_schema = build_index(t.catalog, t._files, index_columns, spark=None)
+        from .plans.pruning import PruningRewriter
+        t._rewriter = PruningRewriter(t.index_schema)
+        t._schema = spark.read.parquet(t._files[0]).schema
+        t.last_scan = None
+        t.scan_history = []
+        _TABLES[key] = t
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Reference demo-query parity (indexed scan path)
+# ---------------------------------------------------------------------------
+
+def q1_select_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT + projection + deterministic ORDER BY + LIMIT through the
+    indexed table (reference Q1, main.rs:135). No predicate => no pruning
+    possible; projection is pushed (Parquet column pruning)."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    return (
+        t.query(None, columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+def q2_point_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point equality on an indexed numeric column (reference Q2)."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    return t.query(
+        xcol("l_quantity") == 25.0,
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+def q3_or_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR of two ranges + count GROUP BY (reference Q3). The groupBy is a
+    map-side-combinable hash aggregate on a low-cardinality key — the
+    shuffle moves one row per (partition, flag) at any scale."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    df = t.query((xcol("l_quantity") < 5.0) | (xcol("l_quantity") > 45.0))
+    return df.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("cnt_qty"))
+
+
+def q4_and_mixed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND across an indexed numeric and an indexed string column
+    (reference Q4)."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
+    df = t.query((xcol("l_quantity") < 5.0) & (xcol("l_returnflag") == "A"))
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q5_contradictory_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contradictory AND (reference Q5) — at multi-file scale the index
+    answers this with zero Parquet I/O; result must be empty either way."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    return t.query(
+        (xcol("l_quantity") > 40.0) & (xcol("l_quantity") < 2.0),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inherited relational layer (Catalyst built-ins, wired + tested)
+# ---------------------------------------------------------------------------
+
+def q6_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate hash agg with
+    map-side partial aggregation; 6 groups regardless of scale."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q7_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ nation revenue rollup. nation (25 rows) and
+    customer (small vs orders) are broadcast — no shuffle of the fact
+    table on a real cluster; AQE picks broadcast automatically but we
+    declare it for plan stability at 100 TB."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+def q8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (reference exercises it inside the index CTE,
+    index.rs:151). Partial-aggregate shape: dedup before shuffle."""
+    return _read(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority").distinct()
+
+
+def q9_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price: ranking window. The
+    partitionBy key (custkey) is high-cardinality => scales; rank ties
+    broken by orderkey for determinism."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q10_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with literal prefix through the indexed scan path: the index
+    prunes on the prefix range (plans/pruning.py LIKE rule)."""
+    t = _make_table(spark, sf_dir, "part", ["p_name", "p_size"])
+    df = t.query(xcol("p_name").like("a%"))
+    return df.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q11_case_when_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation (reference conversions.rs:73-81
+    translates CASE; here it is the Catalyst expression)."""
+    orders = _read(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, F.lit("small"))
+        .when(F.col("o_totalprice") < 150000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def q12_in_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate + broadcast semi-join style lookup."""
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name").isin("UNITED STATES", "FRANCE", "GERMANY", "CHINA"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q13_union_set_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + dedup via DISTINCT (set-op surface)."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q14_not_null_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT / IS NOT NULL / arithmetic predicate surface (conversions.rs
+    arithmetic + NOT translation) through the indexed path; arithmetic
+    over a column degrades to conservative no-prune, results stay exact."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    pred = (~(xcol("l_quantity") >= 10.0)) & xcol("l_discount").is_not_null() \
+        & ((xcol("l_extendedprice") * 1.1) > 1000.0)
+    df = t.query(pred)
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q15_multi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact-dimension join: lineitem ⋈ part ⋈ supplier with
+    broadcast dims, revenue per p_type. At 100 TB the only shuffle is the
+    final tiny group-by."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supplier = _read(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def q16_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range predicate through the indexed path (timestamp
+    stats are the catalog extension beyond the reference's type set)."""
+    import datetime as dt
+    t = _make_table(spark, sf_dir, "lineitem", ["l_shipdate"])
+    df = t.query(
+        (xcol("l_shipdate") >= dt.datetime(1995, 1, 1))
+        & (xcol("l_shipdate") < dt.datetime(1996, 1, 1)))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_select_limit": q1_select_limit,
+    "q2_point_equality": q2_point_equality,
+    "q3_or_range_agg": q3_or_range_agg,
+    "q4_and_mixed_columns": q4_and_mixed_columns,
+    "q5_contradictory_and": q5_contradictory_and,
+    "q6_pricing_summary": q6_pricing_summary,
+    "q7_join_revenue_by_nation": q7_join_revenue_by_nation,
+    "q8_distinct": q8_distinct,
+    "q9_window_topn": q9_window_topn,
+    "q10_like_prefix": q10_like_prefix,
+    "q11_case_when_agg": q11_case_when_agg,
+    "q12_in_filter_join": q12_in_filter_join,
+    "q13_union_set_op": q13_union_set_op,
+    "q14_not_null_arith": q14_not_null_arith,
+    "q15_multi_join_lineitem": q15_multi_join_lineitem,
+    "q16_date_range": q16_date_range,
+}
+
+
+RELATIONAL_ORACLE: Dict[str, str] = {
+    "q1_select_limit": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10
+    """,
+    "q2_point_equality": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity = 25.0
+    """,
+    "q3_or_range_agg": """
+        SELECT l_returnflag, CAST(COUNT(l_quantity) AS BIGINT) AS cnt_qty
+        FROM lineitem WHERE l_quantity < 5.0 OR l_quantity > 45.0
+        GROUP BY l_returnflag
+    """,
+    "q4_and_mixed_columns": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem WHERE l_quantity < 5.0 AND l_returnflag = 'A'
+    """,
+    "q5_contradictory_and": """
+        SELECT l_orderkey, l_quantity
+        FROM lineitem WHERE l_quantity > 40.0 AND l_quantity < 2.0
+    """,
+    "q6_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q7_join_revenue_by_nation": """
+        SELECT n_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS order_cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q8_distinct": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "q9_window_topn": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+            FROM orders) t
+        WHERE rn <= 3
+    """,
+    "q10_like_prefix": """
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM part WHERE p_name LIKE 'a%' GROUP BY p_brand
+    """,
+    "q11_case_when_agg": """
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM (
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 150000 THEN 'medium'
+                        ELSE 'large' END AS bucket,
+                   o_totalprice
+            FROM orders) t
+        GROUP BY bucket
+    """,
+    "q12_in_filter_join": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('UNITED STATES', 'FRANCE', 'GERMANY', 'CHINA')
+    """,
+    "q13_union_set_op": """
+        SELECT DISTINCT nationkey FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier) t
+    """,
+    "q14_not_null_arith": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        WHERE NOT (l_quantity >= 10.0) AND l_discount IS NOT NULL
+          AND (l_extendedprice * 1.1) > 1000.0
+    """,
+    "q15_multi_join_lineitem": """
+        SELECT p_type,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_type
+    """,
+    "q16_date_range": """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+}

@@ -1,0 +1,26 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, event analytics, multimodal columns."""
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import DEDUP_ORACLE, DEDUP_QUERIES
+from .events import EVENTS_ORACLE, EVENTS_QUERIES
+from .multimodal import MULTIMODAL_ORACLE, MULTIMODAL_QUERIES
+from .similarity import SIMILARITY_ORACLE, SIMILARITY_QUERIES
+from .text import TEXT_ORACLE, TEXT_QUERIES
+
+PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PIPELINE_ORACLE: Dict[str, str] = {}
+for _q, _o in [
+    (TEXT_QUERIES, TEXT_ORACLE),
+    (DEDUP_QUERIES, DEDUP_ORACLE),
+    (SIMILARITY_QUERIES, SIMILARITY_ORACLE),
+    (EVENTS_QUERIES, EVENTS_ORACLE),
+    (MULTIMODAL_QUERIES, MULTIMODAL_ORACLE),
+]:
+    PIPELINE_QUERIES.update(_q)
+    PIPELINE_ORACLE.update(_o)
+
+__all__ = ["PIPELINE_QUERIES", "PIPELINE_ORACLE"]

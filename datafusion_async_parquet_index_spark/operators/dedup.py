@@ -1,0 +1,334 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Five dedup families a large-scale training-data pipeline needs, each
+Spark-first and each with an exact DuckDB oracle built from the shared
+deterministic hash primitives (functions/__init__.py):
+
+- exact:            content-hash groupBy (one shuffle on the hash)
+- MinHash + LSH:    shingle -> K minhashes -> B bands -> bucket join.
+                    Signatures are computed WITHOUT a shuffle
+                    (array_min over the shingle array, map-only); the
+                    only shuffles are the band self-join and dedup —
+                    the standard scalable shape for 100 TB corpora.
+- SimHash:          60-bit sign-aggregated token-hash fingerprint;
+                    near-dup candidates share band prefixes.
+- n-gram Jaccard:   exact pairwise set similarity (bounded subset —
+                    the all-pairs form is quadratic by nature; at scale
+                    it runs AFTER an LSH prefilter, never standalone)
+- embedding cosine: near-duplicate pairs above a cosine threshold
+                    (bounded subset; the scale path is the LSH/IVF
+                    variant in operators/similarity.py)
+
+K/B/R below: K=16 minhashes, B=4 bands of R=4 rows — the classic
+(1/B)^(1/R) ≈ 0.5 similarity knee.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    char_shingles, hash60, sql_char_shingles, sql_hash60, sql_tokens, tokens,
+)
+from .util import read_table
+
+K = 16          # minhash signature length
+R = 4           # rows per band
+B = K // R      # bands
+SIM_BITS = 60   # simhash width (hash60 budget)
+NGRAM_MOD = 25  # doc_id % NGRAM_MOD == 0 subset for exact pairwise ops
+EMB_MOD = 4     # vec_id % EMB_MOD == 0 subset for cosine pairs
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash the raw content, keep the lowest doc_id per
+    hash. Map-side partial agg => single small shuffle on the hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{K-1}): minhash i = min over shingles of
+    md5('{i}|' || shingle). array_min over the per-row shingle array —
+    no explode, no shuffle; embarrassingly parallel."""
+    sh = char_shingles(F.col("text"))
+
+    def seed_hash(i):
+        # one-arg lambda: a two-arg lambda would make transform() bind
+        # the second parameter to the array index
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig_cols = [
+        F.array_min(F.transform(sh, seed_hash(i))).alias(f"s{i}")
+        for i in range(K)
+    ]
+    return docs.select("doc_id", *sig_cols)
+
+
+def _band_hashes(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — md5 of the concatenated band rows."""
+    stack_args = []
+    for b in range(B):
+        cols = [f"s{b * R + r}" for r in range(R)]
+        stack_args.append(f"{b}, md5(concat({', '.join(cols)}))")
+    expr = f"stack({B}, {', '.join(stack_args)}) as (band_idx, band_hash)"
+    return sigs.selectExpr("doc_id", expr)
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """MinHash/LSH near-dup pairs over any (doc_id, text) DataFrame:
+    (doc_a, doc_b, est_jaccard) for pairs sharing at least one LSH band,
+    est_jaccard = matching signature fraction >= threshold. The band
+    self-join shuffles only (doc_id, hash) pairs — tiny vs the corpus;
+    skew on a hot bucket is handled by AQE."""
+    sigs = _minhash_signatures(docs).cache()
+    bands = _band_hashes(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"s{i}").alias(f"a{i}") for i in range(K)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"s{i}").alias(f"b{i}") for i in range(K)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(K))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("_est", matches / F.lit(K))
+        .filter(F.col("_est") >= threshold)
+        .select("doc_a", "doc_b", F.round(F.col("_est"), 4).alias("est_jaccard"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sql() -> str:
+    sh = sql_char_shingles("text")
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform({sh}, s -> md5('{i}|' || s))) AS s{i}"
+        for i in range(K))
+    band_exprs = ",\n               ".join(
+        f"md5(s{b * R} || s{b * R + 1} || s{b * R + 2} || s{b * R + 3}) AS b{b}"
+        for b in range(B))
+    band_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands"
+        for b in range(B))
+    match_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(K))
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id,
+               {sig_exprs}
+            FROM documents
+        ), bands AS (
+            SELECT doc_id, {band_exprs} FROM sigs
+        ), band_rows AS (
+            {band_union}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band_rows a JOIN band_rows b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(({match_sum}) AS DOUBLE) / {K}, 4) AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+        WHERE CAST(({match_sum}) AS DOUBLE) / {K} >= 0.25
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document: token hash votes per bit, sign =>
+    bit. Explode + 60 partial-agg sums: one map-side-combined shuffle on
+    doc_id; at scale the combine keeps shuffle volume = docs x 60 ints."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = hash60(F.col("tok"))
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(SIM_BITS)
+    ])
+    simhash = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIM_BITS)
+    ).cast("bigint")
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    toks = sql_tokens("text")
+    h = sql_hash60("t.tok")
+    vote_exprs = ",\n               ".join(
+        f"SUM((({h} >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIM_BITS))
+    sim_sum = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIM_BITS))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM documents
+        ), t AS (SELECT doc_id, tok FROM tok), votes AS (
+            SELECT doc_id,
+               {vote_exprs}
+            FROM t GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(({sim_sum}) AS BIGINT) AS simhash FROM votes
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, bounded subset)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs over any (doc_id, text)
+    DataFrame: distinct shingle sets, self-join on shingle,
+    |A∩B| / |A∪B| >= threshold. Quadratic by nature — at scale this runs
+    only on LSH candidates, never standalone."""
+    sh = docs.select(
+        "doc_id", F.explode(char_shingles(F.col("text"))).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+        .withColumn("_j", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % NGRAM_MOD == 0)
+    return ngram_jaccard_pairs(docs)
+
+
+def _ngram_jaccard_sql() -> str:
+    sh = sql_char_shingles("text")
+    return f"""
+        WITH sub AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % {NGRAM_MOD} = 0
+        ), shingle AS (
+            SELECT DISTINCT doc_id, unnest({sh}) AS sh FROM sub
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM shingle GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM shingle a JOIN shingle b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (bounded subset)
+# ---------------------------------------------------------------------------
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate vectors over any (vec_id, embedding) DataFrame:
+    cosine >= threshold among all pairs. One side broadcast; at full
+    scale use the LSH variant in operators/similarity.py."""
+    from ..functions import cosine_similarity
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("_c", cos)
+        .filter(F.col("_c") >= threshold)
+        .select("vec_a", "vec_b", F.round(F.col("_c"), 4).alias("cosine"))
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % EMB_MOD == 0)
+    return cosine_pairs(emb)
+
+
+def _embedding_cosine_sql() -> str:
+    return f"""
+        WITH sub AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e
+            FROM embeddings WHERE vec_id % {EMB_MOD} = 0
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.95
+    """
+
+
+DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+DEDUP_ORACLE: Dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "dedup_embedding_cosine": _embedding_cosine_sql(),
+}

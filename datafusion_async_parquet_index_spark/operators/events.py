@@ -1,0 +1,172 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+The streaming forms (readStream + watermark + windowed aggregation /
+applyInPandasWithState sessionization) live in ``streaming/``; these are
+the batch-equivalent queries so the exact same semantics are
+oracle-checkable. Window starts are expressed as epoch seconds (BIGINT)
+to keep cross-engine hashing timestamp-repr-free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import read_table
+
+WINDOW_SEC = 300        # 5-minute tumbling windows
+SESSION_GAP_SEC = 1800  # 30-minute session gap
+
+
+def _ts_seconds(col):
+    """events.ts arrives as epoch NANOS in a long (the session reads
+    TIMESTAMP(NANOS) parquet via nanosAsLong); truncate to whole epoch
+    seconds with integer math — no double round-trip, no precision loss."""
+    from pyspark.sql.types import LongType
+    return F.floor(col / F.lit(1_000_000_000)).cast("long")
+
+
+def ev_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate per event type: count + value stats.
+    Uses Spark's native window() operator (the same operator the
+    streaming path uses), emitting the window start as epoch seconds.
+    Map-side combinable; shuffle is (window x type) — tiny at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window(F.timestamp_seconds(_ts_seconds(F.col("ts"))),
+                   f"{WINDOW_SEC} seconds")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt", "sum_value", "avg_value",
+        )
+    )
+
+
+EV_TUMBLING_SQL = f"""
+    SELECT CAST(floor(epoch(ts::TIMESTAMP) / {WINDOW_SEC}) * {WINDOW_SEC} AS BIGINT)
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    gap from the previous event exceeds 30 minutes. Classic
+    lag + cumulative-sum window; per-user partitions scale with user
+    cardinality. Output: per-user session count + max session length."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = _ts_seconds(F.col("ts"))
+    with_gap = ev.select(
+        "user_id", "event_id", F.col("ts"),
+        (ts_sec - F.lag(ts_sec).over(w)).alias("gap"))
+    with_session = with_gap.withColumn(
+        "new_session",
+        F.when(F.col("gap").isNull() | (F.col("gap") > SESSION_GAP_SEC), 1)
+        .otherwise(0))
+    with_id = with_session.withColumn(
+        "session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_session = with_id.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("session_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+EV_SESSIONIZE_SQL = f"""
+    WITH g AS (
+        -- floor(epoch) matches Spark's unix_timestamp second truncation
+        SELECT user_id, event_id, ts,
+               floor(epoch(ts::TIMESTAMP)) - lag(floor(epoch(ts::TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id,
+               CASE WHEN gap IS NULL OR gap > {SESSION_GAP_SEC}
+                    THEN 1 ELSE 0 END AS new_session,
+               ts
+        FROM g
+    ), sid AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM s
+    ), per_session AS (
+        SELECT user_id, session_seq, COUNT(*) AS session_events
+        FROM sid GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(session_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+"""
+
+
+def ev_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts pivoted into a compact funnel row —
+    conditional aggregation (the scalable form of PIVOT)."""
+    ev = read_table(spark, sf_dir, "events")
+    agg_per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase")
+        ],
+    )
+    return agg_per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("total").alias("events"),
+        F.sum("n_click").alias("clicks"),
+        F.sum("n_view").alias("views"),
+        F.sum("n_purchase").alias("purchases"),
+        F.sum(F.when((F.col("n_view") > 0) & (F.col("n_purchase") > 0), 1)
+              .otherwise(0)).alias("view_and_purchase_users"),
+    )
+
+
+EV_FUNNEL_SQL = """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS total,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(total) AS BIGINT) AS events,
+           CAST(SUM(n_click) AS BIGINT) AS clicks,
+           CAST(SUM(n_view) AS BIGINT) AS views,
+           CAST(SUM(n_purchase) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN n_view > 0 AND n_purchase > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS view_and_purchase_users
+    FROM per_user
+"""
+
+
+EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_tumbling_agg": ev_tumbling_agg,
+    "ev_sessionize": ev_sessionize,
+    "ev_type_funnel": ev_type_funnel,
+}
+
+EVENTS_ORACLE: Dict[str, str] = {
+    "ev_tumbling_agg": EV_TUMBLING_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
+    "ev_type_funnel": EV_FUNNEL_SQL,
+}

@@ -1,0 +1,170 @@
+"""Multimodal-column operators: opaque ``binary`` payloads + typed
+metadata, processed through Arrow-batched ``mapInPandas``.
+
+Design (the part that must be right at 100 TB):
+- media lives in a ``binary`` column next to a typed metadata struct —
+  schema-on-read, co-partitioned with the rest of the row, no separate
+  blob store round-trip inside the job;
+- decode / feature-extract / resize / frame-sample run as Pandas UDFs
+  over ``mapInPandas`` so bytes move driver-free, Arrow-batched, one
+  Python worker per core;
+- the actual image/audio decode is STUBBED here (no codec libs in this
+  container): ``decode_image_stub`` raises ``NotImplementedError`` when
+  asked for a real decode and offers a deterministic fake
+  (``fake_decode=True``) so the Spark-side plumbing — schema,
+  partitioning, UDF signature, batch shapes — is real and tested.
+
+The ``mm_metadata_extract`` query() entry is the SQL-expressible
+projection (payload synthesis + metadata) so the oracle can check the
+column plumbing; the mapInPandas path is exercised in tests/.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from .util import read_table
+
+MM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("media_type", StringType()),
+    StructField("byte_len", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("byte_len", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("feature", ArrayType(IntegerType())),
+])
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded as the opaque binary payload, with a
+    deterministic media_type — the stand-in corpus for the binary-column
+    plumbing (no real media in the container)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        media_type.alias("media_type"),
+        F.octet_length(F.col("text")).alias("byte_len"),
+    )
+
+
+def decode_image_stub(payload: bytes, media_type: str, fake_decode: bool = False):
+    """Decode stub: the real path needs codec libraries not present in
+    this container. With fake_decode, derives deterministic dimensions
+    from the payload so downstream plumbing is testable."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "media decode requires codec libraries (PIL/ffmpeg) not "
+            "available in this environment; pass fake_decode=True for the "
+            "deterministic test double")
+    n = len(payload)
+    return {
+        "width": 16 + (n % 64),
+        "height": 16 + ((n // 64) % 64),
+        "n_frames": 1 + (n % 7) if media_type.startswith("video") else 1,
+    }
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: decode
+    (stubbed), size metadata, and a tiny deterministic byte-histogram
+    feature. Arrow-batched; scales linearly, no shuffle."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                meta = decode_image_stub(payload, row.media_type, fake_decode=True)
+                hist = [0] * 8
+                for byte in payload[:256]:
+                    hist[byte % 8] += 1
+                out.append({
+                    "doc_id": row.doc_id,
+                    "media_type": row.media_type,
+                    "byte_len": len(payload),
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "n_frames": meta["n_frames"],
+                    "feature": hist,
+                })
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+    """Frame sampling stand-in: emit (doc_id, frame_idx, offset) rows per
+    payload — one row per sampled frame, the explode-shaped output a real
+    video pipeline produces."""
+    n_frames = (F.col("byte_len") / every_n_bytes).cast("int") + 1
+    return media.select(
+        "doc_id", "media_type",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "offset_unit"),
+    ).select(
+        "doc_id", "media_type", "frame_idx",
+        (F.col("offset_unit") * every_n_bytes).alias("byte_offset"),
+    )
+
+
+def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the multimodal plumbing: payload
+    synthesis + typed metadata + content hash, grouped per media type."""
+    media = synthesize_media(spark, sf_dir)
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("byte_len").cast("bigint")).alias("total_bytes"),
+        F.max("byte_len").alias("max_bytes"),
+        F.min(F.md5(F.col("payload"))).alias("min_payload_md5"),
+    )
+
+
+MM_METADATA_SQL = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS payload_md5
+        FROM documents
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           CAST(MAX(byte_len) AS INT) AS max_bytes,
+           MIN(payload_md5) AS min_payload_md5
+    FROM media GROUP BY media_type
+"""
+
+
+MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mm_metadata_extract": mm_metadata_extract,
+}
+
+MULTIMODAL_ORACLE: Dict[str, str] = {
+    "mm_metadata_extract": MM_METADATA_SQL,
+}

@@ -1,0 +1,141 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Everything here is pure built-in-function Spark (JVM-side, whole-stage
+codegen, zero Python in the hot path): language ID via stopword-hit
+heuristic, quality scoring (length / punctuation / stopword ratios),
+token counting (whitespace-ish + a BPE-ish regex), and document
+fingerprinting (normalized-content hash).  At 100 TB these are
+embarrassingly parallel map-only operators — no shuffle at all until an
+explicit aggregation.
+
+Each query has an exact DuckDB oracle generated from the same shared
+constants (functions/__init__.py), so Spark and the oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    BPE_TOKEN_RE, STOPWORDS, TOKEN_SPLIT_RE,
+    hash60, norm_text, sql_hash60, sql_norm_text, sql_stopword_list,
+    sql_tokens, tokens,
+)
+from .util import read_table
+
+
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, average token length,
+    stopword ratio, punctuation ratio, digit ratio. Map-only."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    text_len = F.length(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(punct / F.greatest(text_len, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(digits / F.greatest(text_len, F.lit(1)), 4).alias("digit_ratio"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: English stopword hit-rate
+    over tokens; >= 0.05 => 'en'. Returns the guess next to the labeled
+    ``lang`` column for accuracy auditing downstream."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) \
+        / F.greatest(F.size(toks), F.lit(1))
+    guess = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id", "lang",
+        guess.alias("lang_guess"),
+        F.round(ratio, 4).alias("en_score"),
+    )
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace-ish split and a BPE-ish regex
+    (words + isolated non-alphanumerics), aggregated per source."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws_count = F.size(tokens(F.col("text")))
+    bpe_count = F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE))
+    per_doc = docs.select("doc_id", "source", ws_count.alias("ws_tokens"),
+                          bpe_count.alias("bpe_tokens"))
+    return per_doc.groupBy("source").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("doc_cnt"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text plus a 60-bit
+    rolling-hash-style integer fingerprint usable for banding."""
+    docs = read_table(spark, sf_dir, "documents")
+    normed = norm_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(normed).alias("fingerprint"),
+        hash60(normed).alias("fingerprint60"),
+    )
+
+
+TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality_metrics": text_quality_metrics,
+    "text_langid": text_langid,
+    "text_token_counts": text_token_counts,
+    "text_fingerprint": text_fingerprint,
+}
+
+_TOKS = sql_tokens("text")
+_STOPS = sql_stopword_list()
+
+TEXT_ORACLE: Dict[str, str] = {
+    "text_quality_metrics": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INT) AS n_tokens,
+               ROUND(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), 4) AS avg_token_len,
+               ROUND(CAST(len(list_filter({_TOKS}, t -> t IN {_STOPS})) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), 4) AS stopword_ratio,
+               ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 4) AS digit_ratio
+        FROM documents
+    """,
+    "text_langid": f"""
+        SELECT doc_id, lang,
+               CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN {_STOPS})) AS DOUBLE)
+                         / greatest(len({_TOKS}), 1) >= 0.05
+                    THEN 'en' ELSE 'other' END AS lang_guess,
+               ROUND(CAST(len(list_filter({_TOKS}, t -> t IN {_STOPS})) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), 4) AS en_score
+        FROM documents
+    """,
+    "text_token_counts": f"""
+        SELECT source,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) ) AS BIGINT)
+                   AS total_bpe_tokens,
+               CAST(COUNT(*) AS BIGINT) AS doc_cnt
+        FROM documents GROUP BY source
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5({sql_norm_text('text')}) AS fingerprint,
+               {sql_hash60(sql_norm_text('text'))} AS fingerprint60
+        FROM documents
+    """,
+}

@@ -1,0 +1,7 @@
+from .events_stream import (
+    sessionize_stream, stream_events_from_dir, tumbling_counts_stream,
+)
+
+__all__ = [
+    "stream_events_from_dir", "tumbling_counts_stream", "sessionize_stream",
+]

@@ -1,0 +1,155 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2.5: streaming entirely absent), so
+this module is pure extension: the same event-analytics semantics as
+``operators/events.py`` expressed as streams — ``readStream`` sources,
+watermarks for late data, tumbling-window aggregation, and gap-based
+sessionization via ``applyInPandasWithState`` (the custom-stateful-
+operator escape hatch).
+
+Scale posture: windowed aggregation state is (window x type) rows —
+bounded by the watermark horizon; sessionization state is one row per
+active user, dropped on timeout. Both shapes run unchanged on a real
+cluster with a durable checkpoint location.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # epoch nanos (nanosAsLong read)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+])
+
+SESSION_GAP_SEC = 1800
+
+
+def stream_events_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files —
+    each new file becomes a micro-batch (the local stand-in for a
+    Kafka/queue source; swap ``format`` only)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+        .withColumn("event_ts", F.timestamp_seconds(
+            F.floor(F.col("ts") / F.lit(1_000_000_000))))
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window_sec: int = 300, watermark_sec: int = 3600
+) -> DataFrame:
+    """Tumbling-window count/sum per event type with a late-data
+    watermark — the streaming twin of operators.events.ev_tumbling_agg;
+    on identical input the results must match the batch form exactly."""
+    return (
+        events.withWatermark("event_ts", f"{watermark_sec} seconds")
+        .groupBy(
+            F.window(F.col("event_ts"), f"{window_sec} seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = StructType([
+    StructField("session_start_sec", LongType()),
+    StructField("last_seen_sec", LongType()),
+    StructField("n_events", LongType()),
+    StructField("n_sessions", LongType()),
+])
+
+_SESSION_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_seq", LongType()),
+    StructField("session_events", LongType()),
+    StructField("session_start_sec", LongType()),
+    StructField("session_end_sec", LongType()),
+])
+
+
+def _make_sessionize_fn(gap_sec: int, timeout_ms: int):
+    cols = [f.name for f in _SESSION_OUT_SCHEMA]
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user gap sessionizer: emits a row per CLOSED session; open
+        sessions stay in state until the gap or the timeout closes them.
+        Events arriving out of order across micro-batches only extend the
+        current session (production deployments should pre-sort within a
+        watermark; this operator never crashes on disorder)."""
+        (user_id,) = key
+        if state.exists:
+            start, last, n_events, n_sessions = state.get
+        else:
+            start = last = None
+            n_events = 0
+            n_sessions = 0
+
+        if state.hasTimedOut:
+            out = []
+            if n_events:
+                n_sessions += 1
+                out.append((user_id, n_sessions, n_events, start, last))
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for sec in sorted(int(s) for s in pdf["sec"].tolist()):
+                if last is not None and sec - last > gap_sec:
+                    n_sessions += 1
+                    rows.append((user_id, n_sessions, n_events, start, last))
+                    start, n_events = sec, 0
+                if start is None:
+                    start = sec
+                if last is None or sec > last:
+                    last = sec
+                if sec < start:  # out-of-order arrival: extend backwards
+                    start = sec
+                n_events += 1
+        state.update((start, last, n_events, n_sessions))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return _fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    timeout_ms: int = SESSION_GAP_SEC * 1000,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState): one state row per active user, dropped on
+    processing-time timeout."""
+    prepared = events.select(
+        "user_id",
+        F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("sec"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_fn(gap_sec, timeout_ms),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,85 @@
+"""Structured Streaming tests: the streaming operators must agree with
+their batch twins on identical input."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.streaming import (
+    sessionize_stream, stream_events_from_dir, tumbling_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Split the events table into 3 time-ordered parquet files written
+    sequentially, so the file-source stream replays micro-batches in
+    (roughly) event-time order like a real queue."""
+    import time
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        (ev.filter((F.col("ts") >= lo + i * step) & (F.col("ts") < lo + (i + 1) * step))
+         .coalesce(1).write.mode("append").parquet(d))
+        time.sleep(1.1)  # distinct mtimes => deterministic replay order
+    return d
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    events = stream_events_from_dir(spark, events_stream_dir)
+    out = tumbling_counts_stream(events)
+    q = (out.writeStream.format("memory").queryName("tumbling_test")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.window_start, r.event_type): r.cnt
+               for r in spark.sql("select * from tumbling_test").collect()}
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .withColumn("event_ts", F.timestamp_seconds(
+            F.floor(F.col("ts") / F.lit(1_000_000_000))))
+        .groupBy(F.window("event_ts", "300 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+    want = {(r.ws, r.event_type): r.cnt for r in batch.collect()}
+    assert got == want
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir, tmp_path):
+    import time
+
+    events = stream_events_from_dir(spark, events_stream_dir)
+    out = sessionize_stream(events)
+    q = (out.writeStream.format("memory").queryName("sessions_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .start())
+    try:
+        # processAllAvailable does not settle for stateful queries with
+        # processing-time timeouts; poll the sink instead
+        rows = []
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql("select * from sessions_test").collect()
+            if rows and q.status["isDataAvailable"] is False:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    # closed sessions must respect the gap invariant and be non-empty
+    assert rows, "expected at least one closed session"
+    for r in rows:
+        assert r.session_events > 0
+        assert r.session_end_sec >= r.session_start_sec

@@ -16,6 +16,8 @@ compute bit-identical values:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -54,18 +56,35 @@ def hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine over array<float>/array<double> columns, computed in double
-    with per-element order preserved (matches the oracle's formula)."""
+def dot_double(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product of two equal-length arrays —
+    the element/accumulation order matches the oracle's list_dot_product
+    formula so values are reproducible across engines."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    """sqrt(a·a) in double. Precompute this per vector BEFORE any pair
+    join: it turns 3 array aggregations per candidate pair into 1."""
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over array<float>/array<double> columns, computed in double
+    with per-element order preserved (matches the oracle's formula).
+    Prefer dot_double/l2_norm with norms precomputed per side when this
+    appears inside a pair join."""
+    return dot_double(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def py_hash60(s: str) -> int:
+    """Driver-side twin of hash60(): int of the first 15 md5 hex chars.
+    Used to fold deterministic pseudo-random constants (e.g. LSH plane
+    weights) into literal arrays instead of per-row md5 evaluation."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 # -- SQL (DuckDB oracle) side ---------------------------------------------

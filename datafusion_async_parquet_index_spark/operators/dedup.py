@@ -178,10 +178,11 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per document: token hash votes per bit, sign =>
     bit. Explode + 60 partial-agg sums: one map-side-combined shuffle on
     doc_id; at scale the combine keeps shuffle volume = docs x 60 ints."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    h = hash60(F.col("tok"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", hash60(F.col("tok")).alias("h"))
     votes = tok.groupBy("doc_id").agg(*[
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
         for b in range(SIM_BITS)
     ])
     simhash = sum(
@@ -280,13 +281,19 @@ def _ngram_jaccard_sql() -> str:
 
 def cosine_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Near-duplicate vectors over any (vec_id, embedding) DataFrame:
-    cosine >= threshold among all pairs. One side broadcast; at full
-    scale use the LSH variant in operators/similarity.py."""
-    from ..functions import cosine_similarity
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cosine >= threshold among all pairs. Norms precomputed per side so
+    the pair join does one array aggregation, not three. One side
+    broadcast; at full scale use the LSH/IVF variants in
+    operators/similarity.py."""
+    from ..functions import dot_double, l2_norm
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"),
+                   l2_norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"),
+                   l2_norm(F.col("embedding")).alias("nb"))
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    cos = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("_c", cos)
         .filter(F.col("_c") >= threshold)

@@ -27,12 +27,20 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity, hash60
+from ..functions import dot_double, l2_norm, py_hash60
 from .util import read_table
 
 TOPK = 5
 N_QUERIES_MOD = 100   # vec_id % 100 == 0 => query set (5 at sf0.01)
 N_PLANES = 8          # LSH hyperplanes => 256 buckets
+IVF_CENTROID_MOD = 50  # vec_id % 50 == 1 => centroid set (IVF coarse quantizer)
+
+
+def _pair_cosine(qe: str, ce: str, qn: str, cn: str) -> F.Column:
+    """dot(qe,ce) / (qn*cn) with the norms precomputed per side — one
+    array aggregation per pair instead of three. Numerically identical
+    to cosine_similarity (same element order, same double math)."""
+    return dot_double(F.col(qe), F.col(ce)) / (F.col(qn) * F.col(cn))
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,10 +48,13 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding to 6 decimals keeps rank deterministic across engines."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"),
+                   l2_norm(F.col("embedding")).alias("cn"))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
-    cos = F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6)
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
     scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id"))
@@ -80,26 +91,34 @@ SIM_BRUTEFORCE_SQL = f"""
 
 # -- LSH-bucketed variant ---------------------------------------------------
 # plane p, dim d weight: (hash60('p|d') % 2001 - 1000) / 1000  in [-1, 1]
+#
+# The weights depend only on (plane, dim), so they are folded driver-side
+# (py_hash60 == hash60 == the oracle's md5 formula, verified by test) into
+# literal arrays: the per-row cost drops from N_PLANES*dim md5 calls to
+# N_PLANES zip_with/sum passes.
 
-def _plane_weight(p: int, d_col):
-    h = hash60(F.concat(F.lit(f"{p}|"), d_col.cast("string")))
-    return (h % 2001 - 1000) / F.lit(1000.0)
+
+def _plane_weights(p: int, dim: int) -> list:
+    return [(py_hash60(f"{p}|{d}") % 2001 - 1000) / 1000.0 for d in range(dim)]
 
 
-def _bucket_key(e_col):
+def _bucket_key(e_col, dim: int):
     """Sign-bit bucket key over N_PLANES deterministic hyperplanes.
     dot_p = sum_d e[d] * w(p, d); bit p = dot_p >= 0."""
+    ed = F.transform(e_col, lambda x: x.cast("double"))
     bits = []
     for p in range(N_PLANES):
-        dot = F.aggregate(
-            F.zip_with(
-                F.transform(e_col, lambda x: x.cast("double")),
-                F.sequence(F.lit(0), F.size(e_col) - 1),
-                lambda x, i: x * _plane_weight(p, i),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x)
+        w = F.array(*[F.lit(x) for x in _plane_weights(p, dim)])
+        dot = F.aggregate(F.zip_with(ed, w, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits).cast("int")
+
+
+def _embedding_dim(emb: DataFrame) -> int:
+    """Fixed model dimension; read from one row (footer-cheap probe)."""
+    row = emb.select(F.size("embedding").alias("d")).head()
+    return int(row["d"]) if row else 0
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,17 +127,20 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it moves (bucket, vec) pairs — at scale, bucket the corpus once
     (write bucketed) and this becomes a co-located join."""
     emb = read_table(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb)
     bucketed = emb.select(
-        "vec_id", "embedding", _bucket_key(F.col("embedding")).alias("bucket"))
+        "vec_id", "embedding",
+        _bucket_key(F.col("embedding"), dim).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"))
     q = bucketed.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qb"))
+        F.col("bucket").alias("qb"), F.col("nrm").alias("qn"))
     c = bucketed.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
-        F.col("bucket").alias("cb"))
+        F.col("bucket").alias("cb"), F.col("nrm").alias("cn"))
     pairs = c.join(F.broadcast(q), (F.col("qb") == F.col("cb"))
                    & (F.col("query_id") != F.col("cand_id")))
-    cos = F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6)
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
     scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -127,6 +149,107 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cosine",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+# -- IVF-bucketed variant ---------------------------------------------------
+# Coarse quantizer: vectors with vec_id % IVF_CENTROID_MOD == 1 act as the
+# "trained" centroid set (deterministic stand-in for k-means — at 100 TB the
+# centroids come from an offline training job and are broadcast the same
+# way). Every vector is assigned to its nearest centroid by rounded cosine;
+# a query probes only its own cell (nprobe=1) and re-ranks exactly inside.
+
+
+def _ivf_cells(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, ties to the lower
+    centroid id. Broadcast the centroid set, map-side-combined max_by —
+    the only shuffle moves one (vec_id, cell) row per vector. At larger
+    centroid counts swap the expression for a numpy pandas_udf; the plan
+    shape (broadcast + map-only assign) stays the same."""
+    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e"),
+        l2_norm(F.col("embedding")).alias("cent_n"))
+    vec = emb.select("vec_id", F.col("embedding").alias("e"),
+                     l2_norm(F.col("embedding")).alias("vn"))
+    cos = F.round(dot_double(F.col("e"), F.col("cent_e"))
+                  / (F.col("vn") * F.col("cent_n")), 6)
+    scored = vec.join(F.broadcast(cent), F.lit(True)).select(
+        "vec_id", cos.alias("cos"), "cent_id")
+    # max over (cos, -cent_id): highest cosine, then lowest centroid id
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cent_id",
+                 F.struct(F.col("cos").alias("c"),
+                          (-F.col("cent_id")).alias("nid"))).alias("cell"))
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: assign every vector to its nearest broadcast
+    centroid, probe the query's cell only, exact cosine re-rank inside
+    the cell. Recall < 1 by design; deterministic and oracle-checked
+    against the same assignment formula in SQL."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(emb)
+    assigned = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    ).join(cells, "vec_id")
+    q = assigned.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("cell").alias("qc"))
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), F.col("cell").alias("cc"))
+    pairs = c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
+                   & (F.col("query_id") != F.col("cand_id")))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SIM_IVF_SQL = f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+        FROM n WHERE vec_id % {IVF_CENTROID_MOD} = 1
+    ), assign_scored AS (
+        SELECT n.vec_id, cent_id,
+               ROUND(list_dot_product(e, ce) / (nrm * cn), 6) AS cos
+        FROM n CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id ASC) AS rn
+            FROM assign_scored) t
+        WHERE rn = 1
+    ), q AS (
+        SELECT n.vec_id AS query_id, e AS qe, nrm AS qn, cell AS qc
+        FROM n JOIN cells ON cells.vec_id = n.vec_id
+        WHERE n.vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT n.vec_id AS cand_id, e AS ce, nrm AS cn, cell AS cc
+        FROM n JOIN cells ON cells.vec_id = n.vec_id
+    ), scored AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine
+        FROM c JOIN q ON qc = cc AND query_id != cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+"""
 
 
 def _lsh_sql() -> str:
@@ -170,9 +293,11 @@ def _lsh_sql() -> str:
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_lsh_topk": _lsh_sql(),
+    "sim_ivf_topk": SIM_IVF_SQL,
 }

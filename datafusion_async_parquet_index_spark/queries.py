@@ -274,6 +274,83 @@ def q16_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP hierarchy totals: (flag, status) -> (flag) ->
+    grand total, computed in one pass (Spark expands grouping sets,
+    partial-aggregates map-side; no extra scan per level)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_price", "cnt")
+    )
+
+
+def q18_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one high-value
+    order. Semi join ships only the join key of the right side and
+    stops at first match — strictly cheaper than join+distinct."""
+    customer = _read(spark, sf_dir, "customer")
+    big = _read(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0).select("o_custkey")
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q19_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def q20_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: for every purchase event, the user's most
+    recent click at-or-before the purchase timestamp. Implemented as a
+    union of tagged streams + one running `last(ignorenulls)` window —
+    a single shuffle on user_id, no per-key lateral scan, no range
+    explosion; this is the scalable shape for temporal alignment at
+    100 TB (same trick backs point-in-time feature joins). Ties:
+    click-at-same-ts counts (side orders right before left), equal-ts
+    clicks resolve to the highest event_id."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("ev_id"),
+        F.lit(0).alias("side"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("ev_id"),
+        F.lit(1).alias("side"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.asc("side"), F.asc("ev_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_click = F.last(
+        F.when(F.col("side") == 0, F.col("ev_id")), ignorenulls=True).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", last_click)
+        .filter(F.col("side") == 1)
+        .select(F.col("ev_id").alias("purchase_id"), "user_id",
+                "last_click_id")
+    )
+
+
+def q21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Spark plans expand + two-phase
+    aggregate; distinct customers per order priority."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("uniq_custs"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -291,6 +368,11 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_not_null_arith": q14_not_null_arith,
     "q15_multi_join_lineitem": q15_multi_join_lineitem,
     "q16_date_range": q16_date_range,
+    "q17_rollup": q17_rollup,
+    "q18_semi_join": q18_semi_join,
+    "q19_anti_join": q19_anti_join,
+    "q20_asof_join": q20_asof_join,
+    "q21_count_distinct": q21_count_distinct,
 }
 
 
@@ -398,5 +480,45 @@ RELATIONAL_ORACLE: Dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         GROUP BY l_returnflag
+    """,
+    "q17_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "q18_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+    "q19_anti_join": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q20_asof_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, c.last_click_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+            SELECT e.event_id AS last_click_id
+            FROM events e
+            WHERE e.event_type = 'click'
+              AND e.user_id = p.user_id AND e.ts <= p.ts
+            ORDER BY e.ts DESC, e.event_id DESC
+            LIMIT 1
+        ) c ON TRUE
+    """,
+    "q21_count_distinct": """
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uniq_custs,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderpriority
     """,
 }

@@ -101,3 +101,54 @@ def test_frame_sample_counts(spark, sf_dir):
     lens = {r.doc_id: r.byte_len for r in media.collect()}
     for r in got:
         assert r.n == lens[r.doc_id] // 100 + 1
+
+
+def test_py_hash60_matches_spark_and_duckdb(spark):
+    """py_hash60 (driver-side constant folding, e.g. LSH plane weights)
+    must agree with the Spark hash60 expression and the DuckDB SQL
+    rendering for the same inputs."""
+    import duckdb
+
+    from datafusion_async_parquet_index_spark.functions import (
+        hash60, py_hash60, sql_hash60,
+    )
+
+    inputs = ["0|0", "7|63", "a", "", "hello world", "3|17"]
+    df = spark.createDataFrame([(s,) for s in inputs], ["s"])
+    spark_vals = [r["h"] for r in
+                  df.select(hash60(F.col("s")).alias("h")).collect()]
+    py_vals = [py_hash60(s) for s in inputs]
+    duck_vals = [
+        duckdb.sql(f"SELECT {sql_hash60(repr(s))} AS h").fetchone()[0]
+        for s in inputs
+    ]
+    assert spark_vals == py_vals == duck_vals
+
+
+def test_asof_join_semantics(spark):
+    """q20's union+window as-of must pick the latest click <= purchase
+    ts per user, inclusive on ties, highest event_id among equal ts."""
+    import datetime as dt
+
+    rows = [
+        # user 1: clicks at t1, t3; purchases at t2, t3 (tie), t0 (none before)
+        (10, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, ""),
+        (11, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "click", 0.0, ""),
+        (12, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "click", 0.0, ""),  # equal ts
+        (20, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "purchase", 1.0, ""),
+        (21, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "purchase", 1.0, ""),
+        (22, dt.datetime(2023, 12, 31, 0, 0, 0), 1, "purchase", 1.0, ""),
+        # user 2: no clicks
+        (30, dt.datetime(2024, 1, 1, 0, 0, 0), 2, "purchase", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        from datafusion_async_parquet_index_spark.queries import q20_asof_join
+
+        out = {r["purchase_id"]: r["last_click_id"]
+               for r in q20_asof_join(spark, d).collect()}
+    assert out == {20: 10, 21: 12, 22: None, 30: None}

@@ -1,0 +1,80 @@
+"""Backend equivalence: the SQLite catalog (SQL rendering) and the
+DataFrame catalog (pyspark Column evaluation) must return IDENTICAL
+pruning decisions for the same predicates over the same corpus — the
+stats-space Expr is the single source of truth, the backends are just
+renderers.
+"""
+
+import pytest
+
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.catalog import (
+    SqliteIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.df_catalog import (
+    DataFrameIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.demo_corpus import (
+    write_demo_corpus,
+)
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+PREDICATES = [
+    col("value") == 150,
+    (col("value") < 20) | (col("value") > 500),
+    (col("value") < 20) & (col("text") == "a"),
+    (col("value") > 500) & (col("text") == "a"),      # contradictory
+    col("text").like("a%"),
+    ~(col("value") >= 100),
+    col("value").isin(5, 150, 2999),
+    col("value").is_not_null(),
+    (col("value") % 2 == 0) | (col("value") == 1),    # arithmetic => TRUE
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_demo_corpus(str(d))
+    return str(d)
+
+
+def test_backends_agree(spark, corpus):
+    t_sql = IndexedParquetTable(
+        spark, corpus, ["value", "text"], catalog=SqliteIndexCatalog())
+    t_df = IndexedParquetTable(
+        spark, corpus, ["value", "text"],
+        catalog=DataFrameIndexCatalog(spark))
+    for pred in PREDICATES:
+        d_sql = t_sql.plan_scan(pred)
+        d_df = t_df.plan_scan(pred)
+        assert d_sql.files_scanned == d_df.files_scanned, (
+            f"backend divergence for {pred!r}: "
+            f"{d_sql.files_scanned} vs {d_df.files_scanned}")
+
+
+def test_df_catalog_incremental_and_persist(spark, corpus, tmp_path):
+    path = str(tmp_path / "stats_table")
+    cat = DataFrameIndexCatalog(spark, persist_path=path)
+    t = IndexedParquetTable(spark, corpus, ["value", "text"], catalog=cat)
+    d = t.plan_scan(col("value") == 150)
+    assert d.file_names == ["file2.parquet"]
+    # the persisted stats table is readable parquet with typed columns
+    stats = spark.read.parquet(path)
+    assert "value_min" in stats.columns and "text_max" in stats.columns
+    assert stats.count() == 60
+    # removing a file's stats drops it from decisions (incremental maintenance)
+    cat.remove_file("file2.parquet")
+    d2 = t.plan_scan(col("value") == 150)
+    assert d2.file_names == []
+
+
+def test_df_catalog_query_results_correct(spark, corpus):
+    t = IndexedParquetTable(
+        spark, corpus, ["value", "text"],
+        catalog=DataFrameIndexCatalog(spark))
+    rows = t.query(col("value") == 150).collect()
+    assert [(r["file_name"], r["value"]) for r in rows] == [
+        ("file2.parquet", 150)]

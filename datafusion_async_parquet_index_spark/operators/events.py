@@ -118,6 +118,43 @@ EV_SESSIONIZE_SQL = f"""
 """
 
 
+def ev_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (600 s window, 300 s slide): every event
+    lands in exactly two overlapping windows. Spark's window() expands
+    the copies map-side (no join, no explode shuffle); the shuffle stays
+    (window x type)."""
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window(F.timestamp_seconds(_ts_seconds(F.col("ts"))),
+                   f"{WINDOW_SEC * 2} seconds", f"{WINDOW_SEC} seconds")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+EV_SLIDING_SQL = f"""
+    WITH e AS (
+        SELECT CAST(floor(epoch(ts::TIMESTAMP) / {WINDOW_SEC}) * {WINDOW_SEC}
+                   AS BIGINT) AS bin,
+               event_type, value
+        FROM events
+    ), expanded AS (
+        SELECT bin AS window_start, event_type, value FROM e
+        UNION ALL
+        SELECT bin - {WINDOW_SEC} AS window_start, event_type, value FROM e
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM expanded GROUP BY 1, 2
+"""
+
+
 def ev_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type counts pivoted into a compact funnel row —
     conditional aggregation (the scalable form of PIVOT)."""
@@ -161,12 +198,14 @@ EV_FUNNEL_SQL = """
 
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
+    "ev_sliding_agg": ev_sliding_agg,
     "ev_sessionize": ev_sessionize,
     "ev_type_funnel": ev_type_funnel,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
     "ev_tumbling_agg": EV_TUMBLING_SQL,
+    "ev_sliding_agg": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_type_funnel": EV_FUNNEL_SQL,
 }

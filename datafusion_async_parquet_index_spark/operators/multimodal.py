@@ -161,10 +161,45 @@ MM_METADATA_SQL = """
 """
 
 
+def mm_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling through the real posexplode path, aggregated so the
+    oracle can check it: per media type, total sampled frames, deepest
+    frame index, and summed byte offsets."""
+    frames = frame_sample(synthesize_media(spark, sf_dir))
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_idx").alias("max_frame_idx"),
+        F.sum(F.col("byte_offset").cast("bigint")).alias("sum_offsets"),
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               octet_length(encode(text)) AS byte_len
+        FROM documents
+    ), frames AS (
+        SELECT media_type,
+               unnest(range(0, byte_len // 1000 + 1)) AS frame_idx
+        FROM media
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(frame_idx) AS INT) AS max_frame_idx,
+           CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_offsets
+    FROM frames GROUP BY media_type
+"""
+
+
 MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata_extract": mm_metadata_extract,
+    "mm_frame_sample_stats": mm_frame_sample_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_metadata_extract": MM_METADATA_SQL,
+    "mm_frame_sample_stats": MM_FRAME_SAMPLE_SQL,
 }

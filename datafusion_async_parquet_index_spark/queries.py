@@ -351,6 +351,20 @@ def q21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders 50% above their customer's
+    average), decorrelated the Catalyst-friendly way: one window average
+    per customer partition instead of a per-row subquery re-scan."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    with_avg = orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+    return (
+        with_avg.filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                F.round(F.col("cust_avg"), 2).alias("cust_avg"))
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -373,6 +387,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_anti_join": q19_anti_join,
     "q20_asof_join": q20_asof_join,
     "q21_count_distinct": q21_count_distinct,
+    "q22_correlated_subquery": q22_correlated_subquery,
 }
 
 
@@ -520,5 +535,14 @@ RELATIONAL_ORACLE: Dict[str, str] = {
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uniq_custs,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM orders GROUP BY o_orderpriority
+    """,
+    "q22_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROUND(a.avg_p, 2) AS cust_avg
+        FROM orders o
+        JOIN (SELECT o_custkey AS ck, AVG(o_totalprice) AS avg_p
+              FROM orders GROUP BY o_custkey) a
+          ON o.o_custkey = a.ck
+        WHERE o.o_totalprice > 1.5 * a.avg_p
     """,
 }

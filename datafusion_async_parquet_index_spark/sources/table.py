@@ -160,6 +160,14 @@ class IndexedParquetTable:
             return self.query(None, **kw)
         return self.query(pred, **kw)
 
+    def query_sql(self, where: str, **kw) -> DataFrame:
+        """SQL entry point for the pruned path (reference main.rs:146-149
+        runs SQL through DataFusion; here the WHERE clause is parsed into
+        our Expr AST so the index can prune before Spark reads):
+        ``table.query_sql("value = 150 AND text LIKE 'a%'")``."""
+        from ..plans.sql_predicate import parse_predicate
+        return self.query(parse_predicate(where), **kw)
+
     def _read_rowgroups(self, decision: ScanDecision) -> DataFrame:
         """Exact row-group scan via the Python DataSource (Spark 4)."""
         from .rowgroup_source import ensure_registered

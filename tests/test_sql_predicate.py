@@ -1,0 +1,84 @@
+"""SQL WHERE-clause parser: AST equivalence with the Expr-builder API,
+identical pruning decisions through the indexed table, and loud errors
+on unsupported syntax.
+"""
+
+import pytest
+
+from datafusion_async_parquet_index_spark.plans.expr import col, lit
+from datafusion_async_parquet_index_spark.plans.sql_predicate import (
+    SqlPredicateError, parse_predicate,
+)
+
+EQUIVALENT = [
+    ("value = 150", col("value") == 150),
+    ("value <> 150", col("value") != 150),
+    ("value != 150", col("value") != 150),
+    ("value < 20 OR value > 500", (col("value") < 20) | (col("value") > 500)),
+    ("value < 20 AND text = 'a'", (col("value") < 20) & (col("text") == "a")),
+    ("NOT value >= 100", ~(col("value") >= 100)),
+    ("text LIKE 'a%'", col("text").like("a%")),
+    ("text NOT LIKE 'a%'", col("text").not_like("a%")),
+    ("value IN (5, 150, 2999)", col("value").isin(5, 150, 2999)),
+    ("value NOT IN (5, 150)", ~col("value").isin(5, 150)),
+    ("value IS NULL", col("value").is_null()),
+    ("value IS NOT NULL", col("value").is_not_null()),
+    ("value BETWEEN 10 AND 20",
+     (col("value") >= 10) & (col("value") <= 20)),
+    ("value + 1 = 151", col("value") + 1 == 151),
+    ("value * 2 - 10 > 100", col("value") * 2 - 10 > 100),
+    ("value % 2 = 0", col("value") % 2 == 0),
+    ("-5 < value", lit(-5) < col("value")),
+    ("(value < 20 OR value > 500) AND text = 'a'",
+     ((col("value") < 20) | (col("value") > 500)) & (col("text") == "a")),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,expected", EQUIVALENT, ids=[s for s, _ in EQUIVALENT])
+def test_parse_equivalent(sql, expected):
+    assert repr(parse_predicate(sql)) == repr(expected)
+
+
+def test_string_escape():
+    e = parse_predicate("text = 'it''s'")
+    assert repr(e) == repr(col("text") == "it's")
+
+
+def test_date_and_timestamp_literals():
+    import datetime as dt
+    e = parse_predicate("d >= DATE '1995-01-01'")
+    assert repr(e) == repr(col("d") >= dt.date(1995, 1, 1))
+    e = parse_predicate("ts < TIMESTAMP '1996-01-01 00:00:00'")
+    assert repr(e) == repr(col("ts") < dt.datetime(1996, 1, 1))
+
+
+@pytest.mark.parametrize("bad", [
+    "", "value =", "value = = 1", "value IN ()", "SELECT 1",
+    "value LIKE 5", "value BETWEEN 1", "f(value) = 1 AND", "value @ 3",
+])
+def test_parse_errors_are_loud(bad):
+    with pytest.raises(SqlPredicateError):
+        parse_predicate(bad)
+
+
+def test_sql_path_prunes_like_expr_path(spark, tmp_path):
+    from datafusion_async_parquet_index_spark.sources.demo_corpus import (
+        write_demo_corpus,
+    )
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    d = str(tmp_path / "corpus")
+    write_demo_corpus(d)
+    t = IndexedParquetTable(spark, d, ["value", "text"])
+    rows = t.query_sql("value = 150").collect()
+    assert [(r["file_name"], r["value"]) for r in rows] == [
+        ("file2.parquet", 150)]
+    sql_decision = dict(t.last_scan.files_scanned)
+    t.query(col("value") == 150)
+    assert t.last_scan.files_scanned == sql_decision
+
+    # contradictory AND through SQL: zero I/O
+    assert t.query_sql("value > 500 AND text = 'a'").count() == 0
+    assert t.last_scan.files_scanned == {}

@@ -87,6 +87,24 @@ def py_hash60(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+# -- MinHash universal-hash family -----------------------------------------
+# One md5 per shingle (hash60 % p), then k cheap (a_i*h + b_i) % p
+# derivations — NOT k md5 calls per shingle. p = 2^31 - 1 keeps every
+# intermediate product < 2^62 (no BIGINT overflow in Spark or DuckDB).
+
+MINHASH_P = 2_147_483_647
+
+
+def minhash_seed_consts(k: int):
+    """[(a_i, b_i)] drawn deterministically from py_hash60 so Spark, the
+    SQL oracle, and any driver-side code agree byte-for-byte."""
+    return [
+        (py_hash60(f"mh_a|{i}") % (MINHASH_P - 1) + 1,
+         py_hash60(f"mh_b|{i}") % MINHASH_P)
+        for i in range(k)
+    ]
+
+
 # -- SQL (DuckDB oracle) side ---------------------------------------------
 
 def sql_tokens(col: str) -> str:

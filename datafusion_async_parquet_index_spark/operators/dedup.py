@@ -19,8 +19,11 @@ deterministic hash primitives (functions/__init__.py):
                     (bounded subset; the scale path is the LSH/IVF
                     variant in operators/similarity.py)
 
-K/B/R below: K=16 minhashes, B=4 bands of R=4 rows — the classic
-(1/B)^(1/R) ≈ 0.5 similarity knee.
+K/B/R below: K=24 minhashes, B=8 bands of R=3 rows — similarity knee
+(1/B)^(1/R) ≈ 0.5: J >= 0.8 near-dups are caught with probability
+~0.997 while 3-row bands keep low-similarity collisions (and hence the
+candidate join) small; the est_jaccard >= threshold re-check then drops
+weak candidates the banding lets through.
 """
 
 from __future__ import annotations
@@ -35,8 +38,8 @@ from ..functions import (
 )
 from .util import read_table
 
-K = 16          # minhash signature length
-R = 4           # rows per band
+K = 24          # minhash signature length
+R = 3           # rows per band
 B = K // R      # bands
 SIM_BITS = 60   # simhash width (hash60 budget)
 NGRAM_MOD = 25  # doc_id % NGRAM_MOD == 0 subset for exact pairwise ops
@@ -71,30 +74,33 @@ DEDUP_EXACT_SQL = """
 # ---------------------------------------------------------------------------
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s{K-1}): minhash i = min over shingles of
-    md5('{i}|' || shingle). array_min over the per-row shingle array —
-    no explode, no shuffle; embarrassingly parallel."""
+    """(doc_id, s0..s{K-1}): each shingle is md5-hashed ONCE
+    (hash60 % p), then the K signatures are array_min over cheap
+    universal-hash derivations (a_i*h + b_i) % p — 1 md5 per shingle
+    instead of K (a ~16x cut in the dominant cost). No explode, no
+    shuffle; embarrassingly parallel."""
+    from ..functions import MINHASH_P, minhash_seed_consts
     sh = char_shingles(F.col("text"))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(sh, lambda s: hash60(s) % MINHASH_P).alias("hs"))
+    consts = minhash_seed_consts(K)
 
-    def seed_hash(i):
-        # one-arg lambda: a two-arg lambda would make transform() bind
-        # the second parameter to the array index
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def seed_sig(i):
+        a, b = consts[i]
+        return F.array_min(F.transform(
+            F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P))
 
-    sig_cols = [
-        F.array_min(F.transform(sh, seed_hash(i))).alias(f"s{i}")
-        for i in range(K)
-    ]
-    return docs.select("doc_id", *sig_cols)
+    return hashed.select(
+        "doc_id", *[seed_sig(i).alias(f"s{i}") for i in range(K)])
 
 
 def _band_hashes(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — md5 of the concatenated band rows."""
+    """(doc_id, band_idx, band_hash) — md5 of the '|'-joined band rows."""
     stack_args = []
     for b in range(B):
-        cols = [f"s{b * R + r}" for r in range(R)]
-        stack_args.append(f"{b}, md5(concat({', '.join(cols)}))")
+        cols = [f"cast(s{b * R + r} as string)" for r in range(R)]
+        stack_args.append(f"{b}, md5(concat_ws('|', {', '.join(cols)}))")
     expr = f"stack({B}, {', '.join(stack_args)}) as (band_idx, band_hash)"
     return sigs.selectExpr("doc_id", expr)
 
@@ -134,12 +140,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    sh = sql_char_shingles("text")
+    from ..functions import MINHASH_P, minhash_seed_consts, sql_hash60
+    consts = minhash_seed_consts(K)
+    hs = (f"list_transform({sql_char_shingles('text')}, "
+          f"s -> {sql_hash60('s')} % {MINHASH_P})")
     sig_exprs = ",\n               ".join(
-        f"list_min(list_transform({sh}, s -> md5('{i}|' || s))) AS s{i}"
-        for i in range(K))
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P})) AS s{i}"
+        for i, (a, b) in enumerate(consts))
     band_exprs = ",\n               ".join(
-        f"md5(s{b * R} || s{b * R + 1} || s{b * R + 2} || s{b * R + 3}) AS b{b}"
+        "md5(" + " || '|' || ".join(
+            f"s{b * R + r}::VARCHAR" for r in range(R)) + f") AS b{b}"
         for b in range(B))
     band_union = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands"
@@ -147,10 +157,12 @@ def _minhash_sql() -> str:
     match_sum = " + ".join(
         f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(K))
     return f"""
-        WITH sigs AS (
+        WITH hashed AS MATERIALIZED (
+            SELECT doc_id, {hs} AS hs FROM documents
+        ), sigs AS MATERIALIZED (
             SELECT doc_id,
                {sig_exprs}
-            FROM documents
+            FROM hashed
         ), bands AS (
             SELECT doc_id, {band_exprs} FROM sigs
         ), band_rows AS (
@@ -167,6 +179,96 @@ def _minhash_sql() -> str:
         JOIN sigs sa ON sa.doc_id = doc_a
         JOIN sigs sb ON sb.doc_id = doc_b
         WHERE CAST(({match_sum}) AS DOUBLE) / {K} >= 0.25
+    """
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup pairs by
+    iterative min-label propagation — cluster_id = smallest doc_id in the
+    component (a unique fixpoint, so the result is deterministic and
+    independent of iteration order). Each round is one join + one
+    map-side-combined min aggregation; rounds needed = graph diameter
+    (tiny for dedup clusters). The loop runs on the driver but every
+    iteration is fully distributed — the standard large-scale CC shape
+    (label propagation), not a driver-side union-find."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        # round part 1: min over neighbours' labels
+        nmin = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        l1 = (
+            labels.join(nmin, labels.node == nmin.src, "left")
+            .select(
+                F.col("node"), F.col("label").alias("old"),
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
+        )
+        # round part 2: pointer jump (label <- label of label) — contracts
+        # chains geometrically, so rounds ~ log2(diameter) not diameter
+        lut = l1.select(F.col("node").alias("lnode"),
+                        F.col("label").alias("llabel"))
+        new_labels = (
+            l1.join(lut, l1.label == lut.lnode, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"),
+                        F.coalesce(F.col("llabel"), F.col("label"))).alias("label"),
+                (F.least(F.col("label"),
+                         F.coalesce(F.col("llabel"), F.col("label")))
+                 != F.col("old")).alias("chg"))
+            .localCheckpoint()  # truncate lineage per round
+        )
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash/LSH candidate pairs -> connected
+    components -> (doc_id, cluster_id, cluster_size); the keep-policy of
+    a dedup pipeline is then "keep doc_id == cluster_id"."""
+    pairs = minhash_pairs(read_table(spark, sf_dir, "documents"))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size")
+
+
+def _clusters_sql() -> str:
+    """Recursive-CTE twin: cluster_id = min doc_id reachable over the
+    same MinHash pair set."""
+    return f"""
+        WITH RECURSIVE mp AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_minhash_sql()}) t
+        ), edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM mp
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM mp
+        ), reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, re.r FROM edges e JOIN reach re ON re.node = e.dst
+        ), comp AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+            GROUP BY node
+        ), sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT doc_id, c.cluster_id, cluster_size
+        FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
     """
 
 
@@ -327,6 +429,7 @@ def _embedding_cosine_sql() -> str:
 DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -335,6 +438,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DEDUP_ORACLE: Dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_embedding_cosine": _embedding_cosine_sql(),

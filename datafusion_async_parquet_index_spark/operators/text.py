@@ -91,11 +91,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 non-stopword terms per language: explode -> two-phase count
+    (map-side combine makes the shuffle (lang, term) partial sums) ->
+    per-language ranking window over the tiny aggregated set."""
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(~F.col("tok").isin(*STOPWORDS))
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "tok", "cnt", "rank")
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
+    "text_topk_terms": text_topk_terms,
 }
 
 _TOKS = sql_tokens("text")
@@ -137,5 +156,21 @@ TEXT_ORACLE: Dict[str, str] = {
                md5({sql_norm_text('text')}) AS fingerprint,
                {sql_hash60(sql_norm_text('text'))} AS fingerprint60
         FROM documents
+    """,
+    "text_topk_terms": f"""
+        WITH tok AS (
+            SELECT lang, unnest({_TOKS}) AS tok FROM documents
+        ), f AS (
+            SELECT lang, tok, COUNT(*) AS cnt FROM tok
+            WHERE tok NOT IN {_STOPS}
+            GROUP BY lang, tok
+        )
+        SELECT lang, tok, CAST(cnt AS BIGINT) AS cnt, rank FROM (
+            SELECT lang, tok, cnt,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY cnt DESC, tok ASC) AS INT) AS rank
+            FROM f) t
+        WHERE rank <= 5
     """,
 }

@@ -283,5 +283,15 @@ class SqliteIndexCatalog:
             raise KeyError(file_name)
         return row[0]
 
+    def row_group_row_counts(self, file_name: str) -> Dict[int, int]:
+        """{row_group: row_count} for one file (metadata-only answers)."""
+        with self._lock:
+            rows = self._conn.execute(
+                """SELECT rg.row_group, rg.row_count
+                   FROM row_group_statistics rg
+                   JOIN file_statistics f ON f.file_id = rg.file_id
+                   WHERE f.file_name = ?""", (file_name,)).fetchall()
+        return {rg: rc for rg, rc in rows}
+
     def close(self) -> None:
         self._conn.close()

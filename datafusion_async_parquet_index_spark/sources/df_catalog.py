@@ -136,5 +136,12 @@ class DataFrameIndexCatalog:
         entry = self._files.get(file_name)
         return entry[0].row_group_count if entry else 0
 
+    def row_group_row_counts(self, file_name: str) -> Dict[int, int]:
+        """{row_group: row_count} for one file (metadata-only answers)."""
+        entry = self._files.get(file_name)
+        if entry is None:
+            return {}
+        return {rg.row_group: rg.row_count for rg in entry[1]}
+
     def close(self) -> None:
         self._df = None

@@ -181,6 +181,34 @@ class IndexedParquetTable:
             .load()
         )
 
+    # -- metadata-only answers ----------------------------------------
+    def count_rows(self, predicate: Optional[Expr] = None) -> int:
+        """Exact row count, answered from the catalog alone when
+        possible: COUNT(*) with no predicate is the sum of catalog
+        row_counts (zero Parquet I/O at any scale — the stats ARE the
+        aggregate, reference index.rs:198-205); a refuted predicate
+        answers 0 the same way (reference README.md:70). Otherwise falls
+        back to a pruned scan + count."""
+        if predicate is None:
+            return sum(f[3] for f in self.catalog.all_files())
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
+            return 0
+        return self.query(predicate).count()
+
+    def count_upper_bound(self, predicate: Optional[Expr] = None) -> int:
+        """Catalog-only upper bound: total rows in surviving row groups.
+        Never touches Parquet; useful for planning (e.g. choosing
+        broadcast vs shuffle before reading)."""
+        if predicate is None:
+            return sum(f[3] for f in self.catalog.all_files())
+        decision = self.plan_scan(predicate)
+        total = 0
+        for file_name, rgs in decision.files_scanned.items():
+            counts = self.catalog.row_group_row_counts(file_name)
+            total += sum(counts[rg] for rg in rgs)
+        return total
+
     # -- convenience ---------------------------------------------------
     def to_df(self) -> DataFrame:
         """Unpruned full-table scan through Spark's native reader."""

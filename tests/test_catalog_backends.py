@@ -78,3 +78,17 @@ def test_df_catalog_query_results_correct(spark, corpus):
     rows = t.query(col("value") == 150).collect()
     assert [(r["file_name"], r["value"]) for r in rows] == [
         ("file2.parquet", 150)]
+
+
+def test_metadata_only_counts(spark, corpus):
+    from datafusion_async_parquet_index_spark.plans.expr import col as xc
+    for cat in (SqliteIndexCatalog(), DataFrameIndexCatalog(spark)):
+        t = IndexedParquetTable(spark, corpus, ["value", "text"], catalog=cat)
+        # COUNT(*) answered from the catalog alone
+        assert t.count_rows() == 3000
+        # refuted predicate: exact 0, no parquet I/O
+        assert t.count_rows((xc("value") > 500) & (xc("text") == "a")) == 0
+        # upper bound = rows in surviving row groups (1 rg of 50)
+        assert t.count_upper_bound(xc("value") == 150) == 50
+        # fallback path agrees with a real scan
+        assert t.count_rows(xc("value") == 150) == 1

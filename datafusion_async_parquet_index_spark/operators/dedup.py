@@ -298,6 +298,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(read_table(spark, sf_dir, "documents"))
 
 
+SIM_CHUNKS = 4        # 4 x 15-bit bands over the 60-bit simhash
+SIM_CHUNK_BITS = 15
+SIM_HAM_MAX = 3       # near-dup: hamming distance <= 3 of 60 bits
+
+
+def simhash_pairs(docs: DataFrame, ham_max: int = SIM_HAM_MAX) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit fingerprint into 4
+    15-bit chunks (pigeonhole: any pair within hamming distance 3 shares
+    at least one chunk exactly), candidate-join on (chunk_idx, chunk),
+    then exact hamming re-check via xor+bit_count. Same scalable shape
+    as MinHash/LSH: map-only signatures, equi-join candidates, cheap
+    re-rank — no all-pairs comparison anywhere."""
+    sigs = simhash_signatures(docs).cache()
+    chunks = sigs.selectExpr(
+        "doc_id", "simhash",
+        "stack({}, {}) as (chunk_idx, chunk)".format(
+            SIM_CHUNKS, ", ".join(
+                f"{i}, (simhash >> {i * SIM_CHUNK_BITS}) & {(1 << SIM_CHUNK_BITS) - 1}"
+                for i in range(SIM_CHUNKS))))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= ham_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_sql() -> str:
+    chunk_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk_idx, "
+        f"(simhash >> {i * SIM_CHUNK_BITS}) & {(1 << SIM_CHUNK_BITS) - 1} AS chunk "
+        f"FROM sigs"
+        for i in range(SIM_CHUNKS))
+    return f"""
+        WITH sigs AS MATERIALIZED (
+            SELECT doc_id, simhash FROM ({_simhash_sql()}) t
+        ), chunks AS (
+            {chunk_union}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {SIM_HAM_MAX}
+    """
+
+
 def _simhash_sql() -> str:
     toks = sql_tokens("text")
     h = sql_hash60("t.tok")
@@ -431,6 +498,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -440,6 +508,7 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_embedding_cosine": _embedding_cosine_sql(),
 }

@@ -293,5 +293,19 @@ class SqliteIndexCatalog:
                    WHERE f.file_name = ?""", (file_name,)).fetchall()
         return {rg: rc for rg, rc in rows}
 
+    def column_bounds(self, column: str):
+        """(min, max, complete) over every indexed row group; complete is
+        False when any row group lacks stats for the column (bounds then
+        cover only the row groups that have them)."""
+        if column not in self.index_schema:
+            raise KeyError(column)
+        with self._lock:
+            row = self._conn.execute(
+                f"""SELECT MIN({column}_min), MAX({column}_max),
+                           SUM(CASE WHEN {column}_min IS NULL THEN 1 ELSE 0 END)
+                    FROM row_group_statistics""").fetchone()
+        mn, mx, missing = row
+        return mn, mx, (missing or 0) == 0
+
     def close(self) -> None:
         self._conn.close()

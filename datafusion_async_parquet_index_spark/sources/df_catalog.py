@@ -143,5 +143,22 @@ class DataFrameIndexCatalog:
             return {}
         return {rg.row_group: rg.row_count for rg in entry[1]}
 
+    def column_bounds(self, column: str):
+        """(min, max, complete) over every indexed row group; complete is
+        False when any row group lacks stats for the column."""
+        if column not in self.index_schema:
+            raise KeyError(column)
+        mn = mx = None
+        complete = True
+        for _, rgs in self._files.values():
+            for rg in rgs:
+                _, lo, hi = rg.columns.get(column, (None, None, None))
+                if lo is None:
+                    complete = False
+                    continue
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+        return mn, mx, complete
+
     def close(self) -> None:
         self._df = None

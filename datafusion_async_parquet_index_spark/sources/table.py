@@ -209,6 +209,22 @@ class IndexedParquetTable:
             total += sum(counts[rg] for rg in rgs)
         return total
 
+    def min_max(self, column: str):
+        """(min, max) for an indexed column, answered from the catalog
+        when every row group carries stats (numeric Parquet min/max are
+        exact; string stats may be truncated bounds — still correct as
+        bounds). Falls back to a scan aggregate otherwise."""
+        try:
+            mn, mx, complete = self.catalog.column_bounds(column)
+        except KeyError:
+            complete = False
+        if complete:
+            return mn, mx
+        from pyspark.sql import functions as F
+        row = self.to_df().agg(F.min(column).alias("mn"),
+                               F.max(column).alias("mx")).head()
+        return row["mn"], row["mx"]
+
     # -- convenience ---------------------------------------------------
     def to_df(self) -> DataFrame:
         """Unpruned full-table scan through Spark's native reader."""

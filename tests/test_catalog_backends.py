@@ -92,3 +92,14 @@ def test_metadata_only_counts(spark, corpus):
         assert t.count_upper_bound(xc("value") == 150) == 50
         # fallback path agrees with a real scan
         assert t.count_rows(xc("value") == 150) == 1
+
+
+def test_column_bounds_metadata_only(spark, corpus):
+    for cat in (SqliteIndexCatalog(), DataFrameIndexCatalog(spark)):
+        t = IndexedParquetTable(spark, corpus, ["value", "text"], catalog=cat)
+        assert t.min_max("value") == (0, 2999)
+        mn, mx, complete = t.catalog.column_bounds("value")
+        assert (mn, mx, complete) == (0, 2999, True)
+        # unindexed column falls back to a scan aggregate
+        mn, mx = t.min_max("file_name")
+        assert (mn, mx) == ("file1.parquet", "file3.parquet")

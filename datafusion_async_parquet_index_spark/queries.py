@@ -353,15 +353,25 @@ def q21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (orders 50% above their customer's
-    average), decorrelated the Catalyst-friendly way: one window average
-    per customer partition instead of a per-row subquery re-scan."""
+    average), decorrelated the Catalyst-friendly way: one window
+    aggregate per customer partition instead of a per-row subquery
+    re-scan. Prices are compared in exact integer cents
+    (2*price*n > 3*sum) so the boundary is engine-independent — a
+    floating-point AVG comparison flips on half-cent ties."""
     orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     w = Window.partitionBy("o_custkey")
-    with_avg = orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+    with_agg = (
+        orders.withColumn("cents", cents)
+        .withColumn("cust_sum_cents", F.sum("cents").over(w))
+        .withColumn("cust_n_orders", F.count(F.lit(1)).over(w))
+    )
     return (
-        with_avg.filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        with_agg.filter(
+            2 * F.col("cents") * F.col("cust_n_orders")
+            > 3 * F.col("cust_sum_cents"))
         .select("o_orderkey", "o_custkey", "o_totalprice",
-                F.round(F.col("cust_avg"), 2).alias("cust_avg"))
+                "cust_sum_cents", "cust_n_orders")
     )
 
 
@@ -537,12 +547,19 @@ RELATIONAL_ORACLE: Dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "q22_correlated_subquery": """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), a AS (
+            SELECT o_custkey AS ck,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o GROUP BY o_custkey
+        )
         SELECT o_orderkey, o_custkey, o_totalprice,
-               ROUND(a.avg_p, 2) AS cust_avg
-        FROM orders o
-        JOIN (SELECT o_custkey AS ck, AVG(o_totalprice) AS avg_p
-              FROM orders GROUP BY o_custkey) a
-          ON o.o_custkey = a.ck
-        WHERE o.o_totalprice > 1.5 * a.avg_p
+               sum_cents AS cust_sum_cents, n AS cust_n_orders
+        FROM o JOIN a ON o.o_custkey = a.ck
+        WHERE 2 * cents * n > 3 * sum_cents
     """,
 }

@@ -375,6 +375,41 @@ def q22_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window frame: cumulative order value per customer in
+    order-date order (ROWS UNBOUNDED PRECEDING). Rounding the cumulative
+    sum of 2-decimal prices is engine-safe: the true sum always has at
+    most 2 decimals, never near a rounding boundary."""
+    orders = _read(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")).cast("int").alias("order_seq"),
+    )
+
+
+def q24_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window: days since the customer's previous order
+    (epoch-day integer math on the timestamp, engine-independent)."""
+    orders = _read(spark, sf_dir, "orders")
+    # TIMESTAMP_NTZ -> TIMESTAMP (session tz is UTC) -> epoch seconds
+    day = F.floor(
+        F.col("o_orderdate").cast("timestamp").cast("long") / F.lit(86400)
+    ).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("day", day)
+        .select(
+            "o_custkey", "o_orderkey",
+            (F.col("day") - F.lag("day").over(w)).alias("days_since_prev"))
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -398,6 +433,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_asof_join": q20_asof_join,
     "q21_count_distinct": q21_count_distinct,
     "q22_correlated_subquery": q22_correlated_subquery,
+    "q23_running_total": q23_running_total,
+    "q24_lag_gaps": q24_lag_gaps,
 }
 
 
@@ -561,5 +598,28 @@ RELATIONAL_ORACLE: Dict[str, str] = {
                sum_cents AS cust_sum_cents, n AS cust_n_orders
         FROM o JOIN a ON o.o_custkey = a.ck
         WHERE 2 * cents * n > 3 * sum_cents
+    """,
+    "q23_running_total": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+        FROM orders
+    """,
+    "q24_lag_gaps": """
+        WITH d AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey,
+               day - lag(day) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS days_since_prev
+        FROM d
     """,
 }

@@ -209,6 +209,52 @@ class IndexedParquetTable:
             total += sum(counts[rg] for rg in rgs)
         return total
 
+    def query_join_pruned(
+        self,
+        key_column: str,
+        other_df: DataFrame,
+        other_key: str,
+        predicate: Optional[Expr] = None,
+        max_in_list: int = 64,
+        **kw,
+    ) -> DataFrame:
+        """Sideways information passing (the external-index analog of
+        dynamic partition pruning): before joining this table to a
+        filtered small side, harvest the join-key domain from the other
+        side with one tiny aggregate job, prune this table's scan to row
+        groups whose [min,max] can intersect it, and return the pruned
+        (residually filtered) DataFrame ready to join.
+
+        If the other side has <= max_in_list distinct keys, an IN-list
+        predicate is used (each key prunes by equality — tighter than the
+        range); otherwise the [min,max] range bounds. Either way the
+        derived predicate is only a *narrowing* — the join itself still
+        enforces exact key equality, so correctness never depends on it.
+        """
+        from ..plans.expr import col as xcol
+        from pyspark.sql import functions as F
+
+        keys = [r[0] for r in
+                other_df.select(other_key).distinct()
+                .limit(max_in_list + 1).collect()]
+        keys = [k for k in keys if k is not None]
+        if not keys:
+            df = self.spark.createDataFrame([], self._schema)
+            self.last_scan = ScanDecision(
+                "JOIN-PRUNED: empty build side", {}, len(self._files),
+                sum(f[2] for f in self.catalog.all_files()))
+            self.scan_history.append(self.last_scan)
+            return df
+        if len(keys) <= max_in_list:
+            derived: Expr = xcol(key_column).isin(sorted(keys))
+        else:
+            row = other_df.agg(F.min(other_key).alias("mn"),
+                               F.max(other_key).alias("mx")).head()
+            derived = ((xcol(key_column) >= row["mn"])
+                       & (xcol(key_column) <= row["mx"]))
+        full = derived if predicate is None else (predicate & derived)
+        return self.query(full, **kw)
+
     def min_max(self, column: str):
         """(min, max) for an indexed column, answered from the catalog
         when every row group carries stats (numeric Parquet min/max are

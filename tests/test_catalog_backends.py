@@ -103,3 +103,28 @@ def test_column_bounds_metadata_only(spark, corpus):
         # unindexed column falls back to a scan aggregate
         mn, mx = t.min_max("file_name")
         assert (mn, mx) == ("file1.parquet", "file3.parquet")
+
+
+def test_join_key_sideways_pruning(spark, corpus):
+    from pyspark.sql import functions as F
+    t = IndexedParquetTable(spark, corpus, ["value", "text"])
+    # small build side with keys only in file2's range
+    build = spark.createDataFrame([(150, "x"), (155, "y")], ["k", "tag"])
+    probe = t.query_join_pruned("value", build, "k")
+    assert t.last_scan.file_names == ["file2.parquet"]
+    joined = probe.join(F.broadcast(build), probe.value == build.k)
+    got = sorted((r["value"], r["tag"]) for r in joined.collect())
+    assert got == [(150, "x"), (155, "y")]
+    # matches the unpruned join exactly
+    full = t.to_df().join(F.broadcast(build), F.col("value") == F.col("k"))
+    assert sorted((r["value"], r["tag"]) for r in full.collect()) == got
+
+    # wide build side (> max_in_list distinct keys) falls back to range
+    wide = spark.range(100, 180).select(F.col("id").cast("int").alias("k"))
+    t.query_join_pruned("value", wide, "k", max_in_list=16)
+    assert t.last_scan.file_names == ["file2.parquet"]
+
+    # empty build side: no scan at all
+    empty = spark.createDataFrame([], "k int")
+    df = t.query_join_pruned("value", empty, "k")
+    assert df.count() == 0 and t.last_scan.files_scanned == {}

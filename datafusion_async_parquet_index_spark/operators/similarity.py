@@ -290,14 +290,46 @@ def _lsh_sql() -> str:
     """
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long format (label, dim, centroid_v, n):
+    posexplode -> two-phase avg per (label, dim). Long format IS the
+    scalable shape — no collect_list, no driver-side vectors; the
+    shuffle carries one partial sum per (label, dim, partition)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    long = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        long.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+             F.count(F.lit(1)).alias("n"))
+        .select("label", F.col("dim").cast("int").alias("dim"),
+                "centroid_v", "n")
+    )
+
+
+EMB_CENTROIDS_SQL = """
+    WITH l AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               embedding AS e
+        FROM embeddings
+    )
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           ROUND(AVG(e[i]::DOUBLE), 6) AS centroid_v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM l GROUP BY label, i
+"""
+
+
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "emb_label_centroids": emb_label_centroids,
 }
 
 SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_lsh_topk": _lsh_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
+    "emb_label_centroids": EMB_CENTROIDS_SQL,
 }

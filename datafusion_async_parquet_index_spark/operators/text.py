@@ -109,12 +109,39 @@ def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass, the composed shape a training-data
+    pipeline actually runs: quality gate (token count + stopword ratio)
+    -> exact dedup (keep lowest doc_id per content hash) -> per-source
+    kept-document and kept-token accounting. One window shuffle on the
+    content hash, one tiny aggregation — everything else map-only."""
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+                  / F.greatest(n_toks, F.lit(1)))
+    gated = (
+        docs.select("doc_id", "source", "text", n_toks.alias("n_tokens"),
+                    stop_ratio.alias("sr"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("sr") >= 0.01))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (gated.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("kept_tokens"),
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
     "text_token_counts": text_token_counts,
     "text_fingerprint": text_fingerprint,
     "text_topk_terms": text_topk_terms,
+    "text_curation_pipeline": text_curation_pipeline,
 }
 
 _TOKS = sql_tokens("text")
@@ -172,5 +199,26 @@ TEXT_ORACLE: Dict[str, str] = {
                        ORDER BY cnt DESC, tok ASC) AS INT) AS rank
             FROM f) t
         WHERE rank <= 5
+    """,
+    "text_curation_pipeline": f"""
+        WITH gated AS (
+            SELECT doc_id, source, text,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens
+            FROM documents
+            WHERE len({_TOKS}) >= 20
+              AND CAST(len(list_filter({_TOKS}, t -> t IN {_STOPS})) AS DOUBLE)
+                  / greatest(len({_TOKS}), 1) >= 0.01
+        ), deduped AS (
+            SELECT source, n_tokens FROM (
+                SELECT source, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM gated) t
+            WHERE rn = 1
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        FROM deduped GROUP BY source
     """,
 }

@@ -128,3 +128,12 @@ def test_join_key_sideways_pruning(spark, corpus):
     empty = spark.createDataFrame([], "k int")
     df = t.query_join_pruned("value", empty, "k")
     assert df.count() == 0 and t.last_scan.files_scanned == {}
+
+
+def test_unknown_column_raises_cleanly(spark, corpus):
+    from pyspark.sql.utils import AnalysisException
+    t = IndexedParquetTable(spark, corpus, ["value", "text"])
+    # unknown column can't prune (conservative TRUE) and the residual
+    # filter surfaces a clean AnalysisException from Spark
+    with pytest.raises(AnalysisException):
+        t.query(col("no_such_column") == 1).collect()

@@ -410,6 +410,30 @@ def q24_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators: nation keys having customers
+    and suppliers vs customer-only, tagged and unioned."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    cust_only = cust.subtract(supp).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median, p90) per order priority — Spark's
+    percentile() and DuckDB's quantile_cont use the same linear
+    interpolation on the sorted set."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -435,6 +459,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_correlated_subquery": q22_correlated_subquery,
     "q23_running_total": q23_running_total,
     "q24_lag_gaps": q24_lag_gaps,
+    "q25_set_ops": q25_set_ops,
+    "q26_percentiles": q26_percentiles,
 }
 
 
@@ -621,5 +647,23 @@ RELATIONAL_ORACLE: Dict[str, str] = {
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey) AS days_since_prev
         FROM d
+    """,
+    "q25_set_ops": """
+        SELECT nationkey, 'both' AS tag FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier) a
+        UNION ALL
+        SELECT nationkey, 'cust_only' AS tag FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier) b
+    """,
+    "q26_percentiles": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderpriority
     """,
 }

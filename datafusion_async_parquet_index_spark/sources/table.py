@@ -103,11 +103,14 @@ class IndexedParquetTable:
 
     # -- maintenance (EP2) --------------------------------------------
     def refresh(self) -> None:
-        """Re-list the directory and (re-)index new or changed files.
-        Idempotent per file — the catalog upsert replaces stale stats."""
+        """Re-list the directory and (re-)index ONLY new or changed
+        files; stats for deleted files are dropped. Idempotent per file —
+        the catalog upsert replaces stale stats — and O(changed files) in
+        the steady state (size-match short-circuit)."""
         self._files = list_parquet_files(self.data_dir)
         build_index(self.catalog, self._files,
-                    list(self.index_schema), spark=self.spark)
+                    list(self.index_schema), spark=self.spark,
+                    incremental=True)
 
     # -- planning ------------------------------------------------------
     def plan_scan(self, predicate: Optional[Expr]) -> ScanDecision:

@@ -137,3 +137,38 @@ def test_unknown_column_raises_cleanly(spark, corpus):
     # filter surfaces a clean AnalysisException from Spark
     with pytest.raises(AnalysisException):
         t.query(col("no_such_column") == 1).collect()
+
+
+def test_refresh_is_incremental(spark, tmp_path, monkeypatch):
+    import shutil
+
+    from datafusion_async_parquet_index_spark.sources import stats as stats_mod
+    from datafusion_async_parquet_index_spark.sources.demo_corpus import (
+        write_demo_corpus,
+    )
+
+    d = str(tmp_path / "corpus")
+    write_demo_corpus(d)
+    t = IndexedParquetTable(spark, d, ["value", "text"])
+    assert len(t.catalog.all_files()) == 3
+
+    calls = []
+    real = stats_mod.extract_file_stats
+    monkeypatch.setattr(
+        stats_mod, "extract_file_stats",
+        lambda p, s: calls.append(p) or real(p, s))
+
+    # no changes: refresh touches no footers
+    t.refresh()
+    assert calls == []
+    # new file: only it is extracted
+    shutil.copy(f"{d}/file1.parquet", f"{d}/file4.parquet")
+    t.refresh()
+    assert [c.split("/")[-1] for c in calls] == ["file4.parquet"]
+    assert len(t.catalog.all_files()) == 4
+    # deleted file: stats dropped, nothing re-extracted
+    calls.clear()
+    (tmp_path / "corpus" / "file4.parquet").unlink()
+    t.refresh()
+    assert calls == []
+    assert len(t.catalog.all_files()) == 3

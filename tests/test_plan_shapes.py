@@ -1,0 +1,52 @@
+"""Physical-plan regression guards: the plans the engine is designed
+around must not silently degrade — pushed filters reach the Parquet
+scan, small dimensions broadcast, the as-of join stays a single
+shuffle. Substring matches keep this robust across Spark versions.
+"""
+
+import pytest
+
+from datafusion_async_parquet_index_spark.queries import (
+    q2_point_equality, q7_join_revenue_by_nation, q18_semi_join,
+    q20_asof_join,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_equality_pushes_filter(spark, sf_dir):
+    plan = _plan(q2_point_equality(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(q7_join_revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = _plan(q18_semi_join(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = _plan(q20_asof_join(spark, sf_dir))
+    # one hash-partitioning exchange on user_id for the window; no join
+    # operator at all (union + running last), so no second shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_indexed_scan_location_is_pruned(spark, demo_dir):
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    t = IndexedParquetTable(spark, demo_dir, ["value", "text"])
+    df = t.query(col("value") == 150)
+    plan = _plan(df)
+    assert "file2.parquet" in plan
+    assert "file1.parquet" not in plan and "file3.parquet" not in plan

@@ -194,12 +194,24 @@ MM_FRAME_SAMPLE_SQL = """
 """
 
 
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Arrow-batched mapInPandas decode/feature path (stubbed
+    decode, deterministic fake). Python-side — no SQL oracle; the driver
+    records a rows-only check, and tests/test_operators.py pins the
+    batch semantics."""
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    return feats.select("doc_id", "media_type", "byte_len",
+                        "width", "height", "n_frames", "feature")
+
+
 MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata_extract": mm_metadata_extract,
     "mm_frame_sample_stats": mm_frame_sample_stats,
+    "mm_feature_extract": mm_feature_extract,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_metadata_extract": MM_METADATA_SQL,
     "mm_frame_sample_stats": MM_FRAME_SAMPLE_SQL,
+    # mm_feature_extract: mapInPandas (Python) — deliberately no SQL oracle
 }

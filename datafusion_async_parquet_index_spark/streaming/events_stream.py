@@ -69,6 +69,29 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, window_sec: int = 600, slide_sec: int = 300,
+    watermark_sec: int = 3600,
+) -> DataFrame:
+    """Sliding-window count per event type (streaming twin of
+    operators.events.ev_sliding_agg): every event lands in
+    window_sec/slide_sec overlapping windows, expanded map-side by the
+    native window() operator; watermark bounds the state."""
+    return (
+        events.withWatermark("event_ts", f"{watermark_sec} seconds")
+        .groupBy(
+            F.window(F.col("event_ts"), f"{window_sec} seconds",
+                     f"{slide_sec} seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt",
+        )
+    )
+
+
 _SESSION_STATE_SCHEMA = StructType([
     StructField("session_start_sec", LongType()),
     StructField("last_seen_sec", LongType()),

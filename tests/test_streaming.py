@@ -83,3 +83,33 @@ def test_sessionize_stream_emits_closed_sessions(spark, events_stream_dir, tmp_p
     for r in rows:
         assert r.session_events > 0
         assert r.session_end_sec >= r.session_start_sec
+
+
+def test_sliding_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    from datafusion_async_parquet_index_spark.streaming import (
+        sliding_counts_stream,
+    )
+    events = stream_events_from_dir(spark, events_stream_dir)
+    out = sliding_counts_stream(events)
+    q = (out.writeStream.format("memory").queryName("sliding_test")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.window_start, r.event_type): r.cnt
+               for r in spark.sql("select * from sliding_test").collect()}
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .withColumn("event_ts", F.timestamp_seconds(
+            F.floor(F.col("ts") / F.lit(1_000_000_000))))
+        .groupBy(F.window("event_ts", "600 seconds", "300 seconds").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+    want = {(r.ws, r.event_type): r.cnt for r in batch.collect()}
+    assert got == want

@@ -49,7 +49,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "AND", "OR", "NOT", "LIKE", "IN", "IS", "NULL", "TRUE", "FALSE",
-    "BETWEEN", "DATE", "TIMESTAMP",
+    "BETWEEN", "DATE", "TIMESTAMP", "CASE", "WHEN", "THEN", "ELSE", "END",
 }
 
 
@@ -218,6 +218,8 @@ class _Parser:
         t = self._peek()
         if t is None:
             raise SqlPredicateError("unexpected end of predicate")
+        if t.kind == "kw" and t.value == "CASE":
+            return self._case()
         if t.kind in ("num", "str") or (
                 t.kind == "kw" and t.value in (
                     "NULL", "TRUE", "FALSE", "DATE", "TIMESTAMP")):
@@ -226,6 +228,22 @@ class _Parser:
             self._next()
             return Col(t.value)
         raise SqlPredicateError(f"unexpected token {t!r}")
+
+    def _case(self) -> Expr:
+        """CASE WHEN cond THEN value [...] [ELSE value] END
+        (searched form; reference conversions.rs:73-81)."""
+        from .expr import Case
+        self._expect("kw", "CASE")
+        branches = []
+        while self._accept("kw", "WHEN"):
+            cond = self._or()
+            self._expect("kw", "THEN")
+            branches.append((cond, self._or()))
+        if not branches:
+            raise SqlPredicateError("CASE requires at least one WHEN branch")
+        else_ = self._or() if self._accept("kw", "ELSE") else None
+        self._expect("kw", "END")
+        return Case(branches, else_)
 
     def _literal(self) -> Lit:
         t = self._next()

@@ -82,3 +82,27 @@ def test_sql_path_prunes_like_expr_path(spark, tmp_path):
     # contradictory AND through SQL: zero I/O
     assert t.query_sql("value > 500 AND text = 'a'").count() == 0
     assert t.last_scan.files_scanned == {}
+
+
+def test_case_when_parses_and_scans_conservatively(spark, tmp_path):
+    from datafusion_async_parquet_index_spark.plans.expr import Case
+    from datafusion_async_parquet_index_spark.sources.demo_corpus import (
+        write_demo_corpus,
+    )
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    e = parse_predicate(
+        "CASE WHEN value < 100 THEN text = 'a' ELSE value = 150 END")
+    assert isinstance(e, Case) and len(e.branches) == 1
+
+    d = str(tmp_path / "corpus")
+    write_demo_corpus(d)
+    t = IndexedParquetTable(spark, d, ["value", "text"])
+    got = sorted(r["value"] for r in t.query_sql(
+        "CASE WHEN value < 100 THEN text = 'a' ELSE value = 150 END"
+    ).collect())
+    # CASE can't prune (conservative TRUE: all files scanned), but the
+    # residual filter gives the exact answer
+    assert t.last_scan.row_groups_scanned == 60
+    assert got == [1, 150]  # text='a' only at value 1; else-branch at 150

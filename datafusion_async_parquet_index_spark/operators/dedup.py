@@ -139,7 +139,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(threshold: float = 0.25) -> str:
     from ..functions import MINHASH_P, minhash_seed_consts, sql_hash60
     consts = minhash_seed_consts(K)
     hs = (f"list_transform({sql_char_shingles('text')}, "
@@ -178,7 +178,7 @@ def _minhash_sql() -> str:
         FROM cand
         JOIN sigs sa ON sa.doc_id = doc_a
         JOIN sigs sb ON sb.doc_id = doc_b
-        WHERE CAST(({match_sum}) AS DOUBLE) / {K} >= 0.25
+        WHERE CAST(({match_sum}) AS DOUBLE) / {K} >= {threshold}
     """
 
 
@@ -234,11 +234,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                          F.col("label").alias("cluster_id"))
 
 
+CLUSTER_THRESHOLD = 0.5  # cluster only STRONG near-dups
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters: MinHash/LSH candidate pairs -> connected
-    components -> (doc_id, cluster_id, cluster_size); the keep-policy of
-    a dedup pipeline is then "keep doc_id == cluster_id"."""
-    pairs = minhash_pairs(read_table(spark, sf_dir, "documents"))
+    """Near-duplicate clusters: strong MinHash pairs (est_jaccard >=
+    CLUSTER_THRESHOLD — a transitive keep-policy should not chain weak
+    similarities) -> connected components -> (doc_id, cluster_id,
+    cluster_size); the keep-policy of a dedup pipeline is then
+    "keep doc_id == cluster_id"."""
+    pairs = minhash_pairs(read_table(spark, sf_dir, "documents"),
+                          threshold=CLUSTER_THRESHOLD)
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
@@ -251,7 +257,7 @@ def _clusters_sql() -> str:
     same MinHash pair set."""
     return f"""
         WITH RECURSIVE mp AS MATERIALIZED (
-            SELECT doc_a, doc_b FROM ({_minhash_sql()}) t
+            SELECT doc_a, doc_b FROM ({_minhash_sql(CLUSTER_THRESHOLD)}) t
         ), edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM mp
             UNION

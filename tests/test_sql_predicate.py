@@ -106,3 +106,51 @@ def test_case_when_parses_and_scans_conservatively(spark, tmp_path):
     # residual filter gives the exact answer
     assert t.last_scan.row_groups_scanned == 60
     assert got == [1, 150]  # text='a' only at value 1; else-branch at 150
+
+
+# -- property: parse(to_sql(e)) reproduces e over the printable surface ----
+
+from hypothesis import given, settings, strategies as st
+
+from datafusion_async_parquet_index_spark.plans.expr import (
+    BinOp, Case, InList, IsNull, Like, Lit, Not,
+)
+
+_cols = st.sampled_from(["value", "text", "price"]).map(col)
+_lits = st.one_of(
+    st.integers(-1000, 1000).map(lit),
+    st.floats(-1e6, 1e6, allow_nan=False).map(lambda f: lit(round(f, 3))),
+    st.text(alphabet="abc %_'", max_size=6).map(lit),
+    st.booleans().map(lit),
+)
+_leaf = st.one_of(_cols, _lits)
+
+
+def _exprs(depth):
+    if depth == 0:
+        return _leaf
+    sub = _exprs(depth - 1)
+    return st.one_of(
+        _leaf,
+        st.tuples(st.sampled_from(["=", "!=", "<", "<=", ">", ">=",
+                                   "+", "-", "*", "/", "%", "AND", "OR"]),
+                  sub, sub).map(lambda t: BinOp(*t)),
+        sub.map(Not),
+        st.tuples(sub, st.booleans()).map(lambda t: IsNull(t[0], t[1])),
+        st.tuples(_cols, st.text(alphabet="ab%_", max_size=5),
+                  st.booleans()).map(lambda t: Like(*t)),
+        st.tuples(_cols, st.lists(st.integers(0, 99).map(lit),
+                                  min_size=1, max_size=3)).map(
+            lambda t: InList(*t)),
+        st.tuples(sub, sub, sub).map(
+            lambda t: Case([(t[0], t[1])], t[2])),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(_exprs(3))
+def test_parser_roundtrips_printed_expressions(e):
+    """to_sql() output must parse back to an identical AST (identical
+    re-rendering) — parser and printer cannot drift."""
+    rendered = e.to_sql()
+    assert parse_predicate(rendered).to_sql() == rendered

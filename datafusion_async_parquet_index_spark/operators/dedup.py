@@ -234,6 +234,60 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                          F.col("label").alias("cluster_id"))
 
 
+def verified_pairs(
+    docs: DataFrame,
+    candidate_threshold: float = 0.25,
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """The production dedup shape: LSH candidates verified by EXACT
+    Jaccard. MinHash banding proposes pairs (cheap, approximate), then
+    the exact distinct-5-gram Jaccard is computed ONLY for candidates
+    via array_intersect on the two shingle sets — never all-pairs. The
+    integer intersection/union counts make the threshold compare
+    engine-independent (one double division of exact ints)."""
+    cand = minhash_pairs(docs, threshold=candidate_threshold).select(
+        "doc_a", "doc_b")
+    sh = docs.select(
+        "doc_id", F.array_distinct(char_shingles(F.col("text"))).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        j.withColumn("_j", jac)
+        .filter(F.col("_j") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard"))
+    )
+
+
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return verified_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _verified_pairs_sql() -> str:
+    sh = sql_char_shingles("text")
+    return f"""
+        WITH cand AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_minhash_sql(0.25)}) t
+        ), sh AS MATERIALIZED (
+            SELECT doc_id, list_distinct({sh}) AS sh FROM documents
+        ), j AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   len(a.sh) AS sa, len(b.sh) AS sb
+            FROM cand
+            JOIN sh a ON a.doc_id = doc_a
+            JOIN sh b ON b.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa + sb - i), 4) AS jaccard
+        FROM j
+        WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.4
+    """
+
+
 CLUSTER_THRESHOLD = 0.5  # cluster only STRONG near-dups
 
 
@@ -502,6 +556,7 @@ def _embedding_cosine_sql() -> str:
 DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_verified_pairs": dedup_verified_pairs,
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -512,6 +567,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DEDUP_ORACLE: Dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_verified_pairs": _verified_pairs_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),

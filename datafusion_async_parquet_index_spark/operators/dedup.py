@@ -236,19 +236,29 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def verified_pairs(
     docs: DataFrame,
-    candidate_threshold: float = 0.25,
+    candidate_threshold: float = 0.35,
     jaccard_threshold: float = 0.4,
 ) -> DataFrame:
     """The production dedup shape: LSH candidates verified by EXACT
     Jaccard. MinHash banding proposes pairs (cheap, approximate), then
     the exact distinct-5-gram Jaccard is computed ONLY for candidates
     via array_intersect on the two shingle sets — never all-pairs. The
-    integer intersection/union counts make the threshold compare
-    engine-independent (one double division of exact ints)."""
+    candidate cut sits ~1 est-σ (σ = sqrt(J(1-J)/K) ≈ 0.1) below the
+    verify threshold so true near-dups survive while the long tail of
+    weak band collisions is not verified. Integer intersection/union
+    counts make the threshold compare engine-independent."""
+    from ..functions import MINHASH_P
     cand = minhash_pairs(docs, threshold=candidate_threshold).select(
         "doc_a", "doc_b")
+    # distinct HASHED shingles: integer compares in the intersect (and a
+    # far smaller shuffle) instead of 5-char strings; hash collisions are
+    # ~|set|^2/2^31 per pair — negligible, and both engines hash
+    # identically so parity is exact
     sh = docs.select(
-        "doc_id", F.array_distinct(char_shingles(F.col("text"))).alias("sh"))
+        "doc_id",
+        F.array_distinct(F.transform(
+            char_shingles(F.col("text")),
+            lambda s: hash60(s) % MINHASH_P)).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")
@@ -267,12 +277,14 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs_sql() -> str:
-    sh = sql_char_shingles("text")
+    from ..functions import MINHASH_P, sql_hash60
+    hashed = (f"list_transform({sql_char_shingles('text')}, "
+              f"s -> {sql_hash60('s')} % {MINHASH_P})")
     return f"""
         WITH cand AS MATERIALIZED (
-            SELECT doc_a, doc_b FROM ({_minhash_sql(0.25)}) t
+            SELECT doc_a, doc_b FROM ({_minhash_sql(0.35)}) t
         ), sh AS MATERIALIZED (
-            SELECT doc_id, list_distinct({sh}) AS sh FROM documents
+            SELECT doc_id, list_distinct({hashed}) AS sh FROM documents
         ), j AS (
             SELECT doc_a, doc_b,
                    len(list_intersect(a.sh, b.sh)) AS i,

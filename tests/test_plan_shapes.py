@@ -5,6 +5,7 @@ shuffle. Substring matches keep this robust across Spark versions.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_async_parquet_index_spark.queries import (
     q2_point_equality, q7_join_revenue_by_nation, q18_semi_join,
@@ -50,3 +51,17 @@ def test_indexed_scan_location_is_pruned(spark, demo_dir):
     plan = _plan(df)
     assert "file2.parquet" in plan
     assert "file1.parquet" not in plan and "file3.parquet" not in plan
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Partitioned layouts prune directories at planning time — the
+    built-in complement to the external row-group index."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    df = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert df.count() == want

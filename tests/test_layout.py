@@ -1,0 +1,46 @@
+"""Layout matters: the same data, same index, same query must prune far
+better when written range-sorted on the indexed column than when
+scattered randomly.
+"""
+
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.layout import (
+    write_range_sorted,
+)
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+
+def test_range_sorted_layout_prunes_better(spark, tmp_path):
+    n = 20_000
+    base = spark.range(n).select(
+        F.col("id").cast("int").alias("value"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    scattered_dir = str(tmp_path / "scattered")
+    sorted_dir = str(tmp_path / "sorted")
+    # scatter: shuffle rows into files by hash => every file spans the domain
+    (base.repartition(8, "payload").write
+     .option("parquet.block.size", str(1 << 16)).parquet(scattered_dir))
+    write_range_sorted(base, sorted_dir, ["value"], num_files=8,
+                       row_group_bytes=1 << 16)
+
+    t_scatter = IndexedParquetTable(spark, scattered_dir, ["value"])
+    t_sorted = IndexedParquetTable(spark, sorted_dir, ["value"])
+    pred = (col("value") >= 5_000) & (col("value") < 5_100)
+
+    rows_scatter = sorted(r["value"] for r in t_scatter.query(pred).collect())
+    d_scatter = t_scatter.last_scan
+    rows_sorted = sorted(r["value"] for r in t_sorted.query(pred).collect())
+    d_sorted = t_sorted.last_scan
+
+    # identical answers...
+    assert rows_scatter == rows_sorted == list(range(5_000, 5_100))
+    # ...but the sorted layout touches one file and a sliver of row
+    # groups while the scattered layout reads everything
+    assert len(d_scatter.files_scanned) == 8
+    assert len(d_sorted.files_scanned) == 1
+    assert d_sorted.row_groups_scanned < d_scatter.row_groups_scanned / 4

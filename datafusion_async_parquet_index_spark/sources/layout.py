@@ -19,6 +19,35 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 
 
+def compact_to(
+    table,
+    dest_path: str,
+    sort_cols: Sequence[str],
+    target_file_bytes: int = 512 << 20,
+    row_group_bytes: int = 8 << 20,
+):
+    """Compact an indexed table's directory into a fresh range-sorted
+    layout at dest_path and return a new IndexedParquetTable over it
+    (same index columns, fresh index). Functional, not in-place: the
+    source directory is untouched, so readers never see a half-compacted
+    table — swap directories (or table pointers) atomically outside.
+    Small-file proliferation is the other big pruning killer at 100 TB:
+    footer/task overhead grows with file count while row groups stay
+    tiny."""
+    total_bytes = sum(f[1] for f in table.catalog.all_files())
+    num_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    write_range_sorted(table.to_df(), dest_path, sort_cols,
+                       num_files=num_files, row_group_bytes=row_group_bytes)
+    from .df_catalog import DataFrameIndexCatalog
+    from .table import IndexedParquetTable
+    if isinstance(table.catalog, DataFrameIndexCatalog):
+        fresh = DataFrameIndexCatalog(table.spark)
+    else:
+        fresh = type(table.catalog)()
+    return IndexedParquetTable(
+        table.spark, dest_path, list(table.index_schema), catalog=fresh)
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,

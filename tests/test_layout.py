@@ -44,3 +44,19 @@ def test_range_sorted_layout_prunes_better(spark, tmp_path):
     assert len(d_scatter.files_scanned) == 8
     assert len(d_sorted.files_scanned) == 1
     assert d_sorted.row_groups_scanned < d_scatter.row_groups_scanned / 4
+
+
+def test_compact_to_fresh_sorted_table(spark, tmp_path, demo_dir):
+    from datafusion_async_parquet_index_spark.sources.layout import compact_to
+
+    t = IndexedParquetTable(spark, demo_dir, ["value", "text"])
+    dest = str(tmp_path / "compacted")
+    t2 = compact_to(t, dest, ["value"], target_file_bytes=1 << 30)
+    # one compacted file, same rows, working index over the new layout
+    assert len(t2.catalog.all_files()) == 1
+    assert t2.count_rows() == t.count_rows() == 3000
+    rows = t2.query(col("value") == 150).collect()
+    assert [r["value"] for r in rows] == [150]
+    assert t2.last_scan.row_groups_scanned <= 1
+    # source untouched
+    assert len(t.catalog.all_files()) == 3

@@ -136,3 +136,23 @@ def test_and_all_empty_is_true():
 def test_col_on_right_side():
     assert survivors(lit(75) == col("value")) == [1, 3]
     assert survivors(lit(20) > col("value")) == [0, 3]
+
+
+def test_unsupported_types_never_indexed():
+    """Nested/list types can't carry min/max stats — they must be
+    silently dropped from the index schema (reference skips unsupported
+    stats at index.rs:213-217), so predicates on them never prune."""
+    import pyarrow as pa
+
+    from datafusion_async_parquet_index_spark.sources.stats import (
+        index_schema_for,
+    )
+    schema = pa.schema([
+        ("a", pa.int32()),
+        ("e", pa.list_(pa.float32())),
+        ("m", pa.map_(pa.string(), pa.int64())),
+        ("s", pa.string()),
+        ("t", pa.timestamp("ms")),
+    ])
+    got = index_schema_for(schema, ["a", "e", "m", "s", "t", "missing"])
+    assert got == {"a": "int", "s": "string", "t": "timestamp"}

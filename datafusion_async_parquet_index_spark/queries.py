@@ -434,6 +434,21 @@ def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_outer_join_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    customers by order count, including zero-order customers (COUNT of a
+    nullable column skips the null rows the outer join manufactures)."""
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -461,6 +476,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_lag_gaps": q24_lag_gaps,
     "q25_set_ops": q25_set_ops,
     "q26_percentiles": q26_percentiles,
+    "q27_outer_join_distribution": q27_outer_join_distribution,
 }
 
 
@@ -665,5 +681,15 @@ RELATIONAL_ORACLE: Dict[str, str] = {
                ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM orders GROUP BY o_orderpriority
+    """,
+    "q27_outer_join_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM per_cust GROUP BY n_orders
     """,
 }

@@ -146,7 +146,7 @@ class IndexedParquetTable:
         if not decision.files_scanned:
             df = self.spark.createDataFrame([], self._schema)
         elif mode == "rowgroups":
-            df = self._read_rowgroups(decision)
+            df = self._read_rowgroups(decision, predicate, columns)
         else:
             paths = [os.path.join(self.data_dir, f) for f in decision.file_names]
             df = self.spark.read.schema(self._schema).parquet(*paths)
@@ -171,15 +171,33 @@ class IndexedParquetTable:
         from ..plans.sql_predicate import parse_predicate
         return self.query(parse_predicate(where), **kw)
 
-    def _read_rowgroups(self, decision: ScanDecision) -> DataFrame:
-        """Exact row-group scan via the Python DataSource (Spark 4)."""
+    def _read_rowgroups(
+        self,
+        decision: ScanDecision,
+        predicate: Optional[Expr] = None,
+        columns: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Exact row-group scan via the Python DataSource (Spark 4).
+        Column pruning is pushed into the reader by narrowing the schema
+        to projection ∪ predicate columns — pyarrow then reads only
+        those column chunks (the Parquet column-pruning the native
+        reader gets from Catalyst, reproduced for the Python path)."""
         from .rowgroup_source import ensure_registered
         ensure_registered(self.spark)
+        schema = self._schema
+        if columns:
+            needed = set(columns)
+            if predicate is not None:
+                needed |= predicate.columns()
+            pruned = [f for f in self._schema.fields if f.name in needed]
+            if pruned:
+                from pyspark.sql.types import StructType
+                schema = StructType(pruned)
         plan = {os.path.join(self.data_dir, f): rgs
                 for f, rgs in decision.files_scanned.items()}
         return (
             self.spark.read.format("rowgroup_parquet")
-            .schema(self._schema)
+            .schema(schema)
             .option("access_plan", json.dumps(plan))
             .load()
         )

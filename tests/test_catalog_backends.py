@@ -172,3 +172,16 @@ def test_refresh_is_incremental(spark, tmp_path, monkeypatch):
     t.refresh()
     assert calls == []
     assert len(t.catalog.all_files()) == 3
+
+
+def test_rowgroups_mode_prunes_columns(spark, corpus):
+    t = IndexedParquetTable(spark, corpus, ["value", "text"])
+    df = t.query(col("value") == 150, columns=["file_name", "value"],
+                 mode="rowgroups")
+    rows = df.collect()
+    assert [(r["file_name"], r["value"]) for r in rows] == [
+        ("file2.parquet", 150)]
+    assert df.columns == ["file_name", "value"]
+    # projection without the predicate column still filters correctly
+    df2 = t.query(col("value") == 150, columns=["text"], mode="rowgroups")
+    assert [r["text"] for r in df2.collect()] == ["et"]

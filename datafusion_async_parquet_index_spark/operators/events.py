@@ -196,11 +196,54 @@ EV_FUNNEL_SQL = """
 """
 
 
+CMS_DEPTH = 4    # independent hash rows
+CMS_WIDTH = 256  # counters per row
+
+
+def ev_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event counts, built distributively:
+    for each of CMS_DEPTH hash rows, one map-side-combined groupBy on
+    (row, hash60(row|user) % width). The sketch is (depth x width)
+    counters regardless of user cardinality — the mergeable,
+    fixed-memory frequency summary a 100 TB pipeline streams into;
+    deterministic via the shared hash60, so the oracle rebuilds the
+    exact same cells."""
+    from ..functions import hash60
+    ev = read_table(spark, sf_dir, "events")
+    rows = []
+    for r in range(CMS_DEPTH):
+        c = hash60(F.concat(F.lit(f"{r}|"),
+                            F.col("user_id").cast("string"))) % CMS_WIDTH
+        rows.append(
+            ev.select(F.lit(r).alias("sketch_row"),
+                      c.cast("int").alias("sketch_col"))
+            .groupBy("sketch_row", "sketch_col")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _cms_sql() -> str:
+    from ..functions import sql_hash60
+    parts = []
+    for r in range(CMS_DEPTH):
+        h = sql_hash60(f"'{r}|' || user_id::VARCHAR")
+        parts.append(f"""
+            SELECT {r} AS sketch_row,
+                   CAST({h} % {CMS_WIDTH} AS INT) AS sketch_col,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2""")
+    return "\nUNION ALL\n".join(parts)
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
     "ev_sessionize": ev_sessionize,
     "ev_type_funnel": ev_type_funnel,
+    "ev_cms_user_counts": ev_cms_user_counts,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -208,4 +251,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_sliding_agg": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_type_funnel": EV_FUNNEL_SQL,
+    "ev_cms_user_counts": _cms_sql(),
 }

@@ -152,3 +152,24 @@ def test_asof_join_semantics(spark):
         out = {r["purchase_id"]: r["last_click_id"]
                for r in q20_asof_join(spark, d).collect()}
     assert out == {20: 10, 21: 12, 22: None, 30: None}
+
+
+def test_cms_point_estimate_upper_bounds_truth(spark, sf_dir):
+    """Count-min invariant: for every key, min over rows of its cell is
+    >= the true count (never under); py_hash60 locates the cells exactly
+    like the distributed builder."""
+    from datafusion_async_parquet_index_spark.functions import py_hash60
+    from datafusion_async_parquet_index_spark.operators.events import (
+        CMS_DEPTH, CMS_WIDTH, ev_cms_user_counts,
+    )
+    cells = {(r.sketch_row, r.sketch_col): r.cnt
+             for r in ev_cms_user_counts(spark, sf_dir).collect()}
+    truth = {r.user_id: r.cnt for r in
+             spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    for user, true_cnt in list(truth.items())[:200]:
+        est = min(
+            cells.get((r, py_hash60(f"{r}|{user}") % CMS_WIDTH), 0)
+            for r in range(CMS_DEPTH))
+        assert est >= true_cnt, (user, est, true_cnt)

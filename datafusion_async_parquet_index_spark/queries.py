@@ -449,6 +449,48 @@ def q27_outer_join_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"))
 
 
+HLL_BUCKETS = 64  # 2^6 registers
+
+
+def _hll_rho_sql(h_expr: str) -> str:
+    """Rank (position of the highest set bit, from 54 down) of the
+    54-bit remainder after the bucket bits — a pure CASE chain of
+    integer compares, bit-identical on any engine (no floating log)."""
+    v = f"({h_expr} >> 6)"
+    whens = "\n            ".join(
+        f"WHEN {v} >= {1 << k} THEN {54 - k}"
+        for k in range(53, -1, -1))
+    return f"(CASE {whens} ELSE 55 END)"
+
+
+def _hll_rho_col(h) -> "F.Column":
+    """Spark twin of _hll_rho_sql: same rank thresholds as a when-chain
+    of integer compares."""
+    v = F.shiftright(h, 6)
+    out = None
+    for k in range(53, -1, -1):
+        cond = v >= (1 << k)
+        out = F.when(cond, 54 - k) if out is None else out.when(cond, 54 - k)
+    return out.otherwise(55)
+
+
+def q28_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register construction for distinct customers, built
+    distributively: bucket = hash % 64, register = MAX(rank of remaining
+    bits) — one map-side-combined MAX groupBy; 64 integers summarize any
+    cardinality and merge across partitions/days by elementwise MAX.
+    Rank is a chain of integer compares (no floating log), so registers
+    match the oracle bit-for-bit."""
+    from .functions import hash60
+    orders = _read(spark, sf_dir, "orders")
+    h = hash60(F.col("o_custkey").cast("string"))
+    df = orders.select(
+        (h % HLL_BUCKETS).cast("int").alias("bucket"),
+        _hll_rho_col(h).cast("int").alias("rho"),
+    )
+    return df.groupBy("bucket").agg(F.max("rho").alias("register"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -477,6 +519,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_set_ops": q25_set_ops,
     "q26_percentiles": q26_percentiles,
     "q27_outer_join_distribution": q27_outer_join_distribution,
+    "q28_hll_registers": q28_hll_registers,
 }
 
 
@@ -693,3 +736,14 @@ RELATIONAL_ORACLE: Dict[str, str] = {
         FROM per_cust GROUP BY n_orders
     """,
 }
+
+from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q28_hll_registers"] = f"""
+    WITH h AS (
+        SELECT {_sql_hash60('o_custkey::VARCHAR')} AS hv FROM orders
+    )
+    SELECT CAST(hv % {HLL_BUCKETS} AS INT) AS bucket,
+           CAST(MAX({_hll_rho_sql('hv')}) AS INT) AS register
+    FROM h GROUP BY 1
+"""

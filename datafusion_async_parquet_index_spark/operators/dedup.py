@@ -300,6 +300,49 @@ def _verified_pairs_sql() -> str:
     """
 
 
+def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup signal: strong text pairs (MinHash est >=
+    0.5) enriched with the embedding cosine of the same document pair
+    (documents.doc_id aligns 1:1 with embeddings.vec_id in this corpus).
+    The join against embeddings is per-candidate-pair only — the pattern
+    for combining lexical and semantic dedup signals without any
+    all-pairs work."""
+    from ..functions import dot_double, l2_norm
+    pairs = minhash_pairs(read_table(spark, sf_dir, "documents"),
+                          threshold=0.5)
+    en = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    a = en.select(F.col("vec_id").alias("doc_a"),
+                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = en.select(F.col("vec_id").alias("doc_b"),
+                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot_double(F.col("ea"), F.col("eb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", cos.alias("cosine"))
+    )
+
+
+def _cross_modal_sql() -> str:
+    return f"""
+        WITH mp AS MATERIALIZED (
+            SELECT doc_a, doc_b, est_jaccard FROM ({_minhash_sql(0.5)}) t
+        ), en AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT doc_a, doc_b, est_jaccard,
+               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+                   AS cosine
+        FROM mp
+        JOIN en a ON a.vec_id = doc_a
+        JOIN en b ON b.vec_id = doc_b
+    """
+
+
 CLUSTER_THRESHOLD = 0.5  # cluster only STRONG near-dups
 
 
@@ -569,6 +612,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_verified_pairs": dedup_verified_pairs,
+    "dedup_cross_modal": dedup_cross_modal,
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -580,6 +624,7 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_verified_pairs": _verified_pairs_sql(),
+    "dedup_cross_modal": _cross_modal_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),

@@ -19,7 +19,7 @@ from datafusion_async_parquet_index_spark.plans.expr import (
 from datafusion_async_parquet_index_spark.plans.pruning import PruningRewriter
 from datafusion_async_parquet_index_spark.sources.catalog import _SqliteStatsSql
 
-SCHEMA = {"v": "int", "t": "string"}
+SCHEMA = {"v": "int", "t": "string", "d": "date"}
 RG_SIZE = 4
 
 
@@ -95,6 +95,8 @@ def eval_row(e: Expr, row: dict):
 
 ints = st.integers(-20, 20)
 strs = st.text(alphabet="abc", min_size=0, max_size=3)
+import datetime as _dt
+dates = st.integers(0, 30).map(lambda n: _dt.date(2024, 1, 1) + _dt.timedelta(days=n))
 
 
 def leaf():
@@ -113,7 +115,10 @@ def leaf():
     inlist = st.builds(
         lambda vs: InList(Col("v"), [Lit(v) for v in vs]),
         st.lists(ints, min_size=1, max_size=3))
-    return st.one_of(num_cmp, str_cmp, like, null, inlist)
+    date_cmp = st.builds(
+        lambda op, v: BinOp(op, Col("d"), Lit(v)),
+        st.sampled_from(["=", "!=", "<", "<=", ">", ">="]), dates)
+    return st.one_of(num_cmp, str_cmp, like, null, inlist, date_cmp)
 
 
 predicates = st.recursive(
@@ -127,7 +132,8 @@ predicates = st.recursive(
 )
 
 rows_strategy = st.lists(
-    st.tuples(st.one_of(st.none(), ints), st.one_of(st.none(), strs)),
+    st.tuples(st.one_of(st.none(), ints), st.one_of(st.none(), strs),
+              st.one_of(st.none(), dates)),
     min_size=1, max_size=24)
 
 
@@ -137,33 +143,43 @@ def test_pruning_never_drops_matching_rows(rows, pred):
     # build row groups + stats
     groups = [rows[i:i + RG_SIZE] for i in range(0, len(rows), RG_SIZE)]
     conn = sqlite3.connect(":memory:")
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        encode_value,
+    )
     conn.execute(
         """CREATE TABLE s (rg INTEGER, row_count INTEGER,
            v_null_count INTEGER, v_min INTEGER, v_max INTEGER,
-           t_null_count INTEGER, t_min TEXT, t_max TEXT)""")
+           t_null_count INTEGER, t_min TEXT, t_max TEXT,
+           d_null_count INTEGER, d_min INTEGER, d_max INTEGER)""")
     for gi, g in enumerate(groups):
-        vs = [v for v, _ in g if v is not None]
-        ts = [t for _, t in g if t is not None]
+        vs = [v for v, _, _ in g if v is not None]
+        ts = [t for _, t, _ in g if t is not None]
+        ds = [d for _, _, d in g if d is not None]
         conn.execute(
-            "INSERT INTO s VALUES (?,?,?,?,?,?,?,?)",
+            "INSERT INTO s VALUES (?,?,?,?,?,?,?,?,?,?,?)",
             (gi, len(g),
-             sum(1 for v, _ in g if v is None),
+             sum(1 for v, _, _ in g if v is None),
              min(vs) if vs else None, max(vs) if vs else None,
-             sum(1 for _, t in g if t is None),
-             min(ts) if ts else None, max(ts) if ts else None))
+             sum(1 for _, t, _ in g if t is None),
+             min(ts) if ts else None, max(ts) if ts else None,
+             sum(1 for _, _, d in g if d is None),
+             encode_value("date", min(ds)) if ds else None,
+             encode_value("date", max(ds)) if ds else None))
 
     stats_pred = PruningRewriter(SCHEMA).rewrite(pred)
     r = _SqliteStatsSql({
         "row_count": "int", "v_min": "int", "v_max": "int",
         "v_null_count": "int", "t_min": "string", "t_max": "string",
-        "t_null_count": "int"})
+        "t_null_count": "int", "d_min": "date", "d_max": "date",
+        "d_null_count": "int"})
     sql = r.render(stats_pred)
     surviving = {row[0] for row in conn.execute(
         f"SELECT rg FROM s WHERE {sql}", r.params)}
 
     for gi, g in enumerate(groups):
         has_match = any(
-            eval_row(pred, {"v": v, "t": t}) is True for v, t in g)
+            eval_row(pred, {"v": v, "t": t, "d": d}) is True
+            for v, t, d in g)
         if has_match:
             assert gi in surviving, (
                 f"row group {gi} with a matching row was pruned!\n"

@@ -135,6 +135,46 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PCT = 20          # deterministic 20% sample
+TOKEN_BUDGET = 1000      # per-source token budget for packing
+
+
+def text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling: keep documents where hash60(doc_id) % 100
+    falls under the rate — the same rows on every run, every engine,
+    any cluster size (no RNG, no partition-order dependence). Per-source
+    counts returned for auditability."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        hash60(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def text_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: take documents per source in doc_id order
+    until the running token total exceeds the budget — one ordered
+    window per source partition, the shape of dataset-mixing by token
+    quota."""
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (
+        docs.select("doc_id", "source", n_toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("packed_docs"),
+        F.max("cum_tokens").alias("used_tokens"),
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -142,6 +182,8 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_topk_terms": text_topk_terms,
     "text_curation_pipeline": text_curation_pipeline,
+    "text_deterministic_sample": text_deterministic_sample,
+    "text_token_budget_pack": text_token_budget_pack,
 }
 
 _TOKS = sql_tokens("text")
@@ -220,5 +262,29 @@ TEXT_ORACLE: Dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS kept_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
         FROM deduped GROUP BY source
+    """,
+    "text_deterministic_sample": f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM documents
+        WHERE {sql_hash60("doc_id::VARCHAR")} % 100 < {SAMPLE_PCT}
+        GROUP BY source
+    """,
+    "text_token_budget_pack": f"""
+        WITH cum AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens,
+                   SUM(CAST(len({_TOKS}) AS INT)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS packed_docs,
+               CAST(MAX(cum_tokens) AS BIGINT) AS used_tokens
+        FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+        GROUP BY source
     """,
 }

@@ -254,11 +254,14 @@ def verified_pairs(
     # far smaller shuffle) instead of 5-char strings; hash collisions are
     # ~|set|^2/2^31 per pair — negligible, and both engines hash
     # identically so parity is exact
+    # cached: both sides of the pair join read the SAME computed shingle
+    # sets — without it the md5-per-shingle hashing (the dominant cost)
+    # runs twice, once per join branch
     sh = docs.select(
         "doc_id",
         F.array_distinct(F.transform(
             char_shingles(F.col("text")),
-            lambda s: hash60(s) % MINHASH_P)).alias("sh"))
+            lambda s: hash60(s) % MINHASH_P)).alias("sh")).cache()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")

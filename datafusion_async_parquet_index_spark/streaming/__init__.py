@@ -1,9 +1,9 @@
 from .events_stream import (
-    sessionize_stream, sliding_counts_stream, stream_events_from_dir,
-    tumbling_counts_stream,
+    dedup_stream, sessionize_stream, sliding_counts_stream,
+    stream_events_from_dir, tumbling_counts_stream,
 )
 
 __all__ = [
     "stream_events_from_dir", "tumbling_counts_stream",
-    "sliding_counts_stream", "sessionize_stream",
+    "sliding_counts_stream", "sessionize_stream", "dedup_stream",
 ]

@@ -92,6 +92,20 @@ def sliding_counts_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame, key_cols=("event_id",), watermark_sec: int = 3600,
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop re-deliveries of the same key
+    within the watermark horizon (dropDuplicates keeps per-key state
+    only until the watermark passes, so state is bounded — the standard
+    at-least-once -> exactly-once ingestion repair for a training-data
+    feed)."""
+    return (
+        events.withWatermark("event_ts", f"{watermark_sec} seconds")
+        .dropDuplicates(list(key_cols))
+    )
+
+
 _SESSION_STATE_SCHEMA = StructType([
     StructField("session_start_sec", LongType()),
     StructField("last_seen_sec", LongType()),

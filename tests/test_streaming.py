@@ -113,3 +113,35 @@ def test_sliding_stream_matches_batch(spark, events_stream_dir, tmp_path):
     )
     want = {(r.ws, r.event_type): r.cnt for r in batch.collect()}
     assert got == want
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
+    """Replaying the same events file twice (at-least-once delivery)
+    must yield each event exactly once downstream."""
+    import time
+
+    from datafusion_async_parquet_index_spark.streaming import dedup_stream
+
+    d = str(tmp_path / "dup_stream")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type").limit(500)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    ev.coalesce(1).write.mode("append").parquet(d)  # re-delivery
+
+    from datafusion_async_parquet_index_spark.streaming import (
+        stream_events_from_dir,
+    )
+    out = dedup_stream(stream_events_from_dir(spark, d))
+    q = (out.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) c, count(distinct event_id) d from dedup_test"
+        ).first()
+    finally:
+        q.stop()
+    assert got["c"] == got["d"] == 500

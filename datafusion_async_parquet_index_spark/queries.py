@@ -491,6 +491,28 @@ def q28_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("bucket").agg(F.max("rho").alias("register"))
 
 
+def q29_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per nation, the supplier with the highest account
+    balance (ties to the lowest suppkey). Aggregation-based argmax
+    (max_by over a struct) — map-side combinable, so the shuffle is one
+    row per nation instead of a full window sort per partition."""
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    best = supplier.groupBy("s_nationkey").agg(
+        F.max_by(
+            F.struct(F.col("s_suppkey"), F.col("s_name"),
+                     F.col("s_acctbal")),
+            F.struct(F.col("s_acctbal").alias("bal"),
+                     (-F.col("s_suppkey")).alias("nk"))).alias("best"))
+    return (
+        best.join(F.broadcast(nation),
+                  best.s_nationkey == nation.n_nationkey)
+        .select("n_name",
+                F.col("best.s_name").alias("top_supplier"),
+                F.col("best.s_acctbal").alias("acctbal"))
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -520,6 +542,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_percentiles": q26_percentiles,
     "q27_outer_join_distribution": q27_outer_join_distribution,
     "q28_hll_registers": q28_hll_registers,
+    "q29_argmax_join": q29_argmax_join,
 }
 
 
@@ -738,6 +761,16 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q29_argmax_join"] = """
+    SELECT n_name, s_name AS top_supplier, s_acctbal AS acctbal FROM (
+        SELECT n_name, s_name, s_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+    WHERE rn = 1
+"""
 
 RELATIONAL_ORACLE["q28_hll_registers"] = f"""
     WITH h AS (

@@ -37,7 +37,11 @@ _TABLES: Dict[tuple, IndexedParquetTable] = {}
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Delegates to operators.util.read_table so events.parquet's
+    # TIMESTAMP(NANOS) column reads in a vanilla session (driver harness).
+    from .operators.util import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _make_table(spark, sf_dir, table, index_columns):

@@ -80,8 +80,9 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     instead of K (a ~16x cut in the dominant cost). No explode, no
     shuffle; embarrassingly parallel."""
     from ..functions import MINHASH_P, minhash_seed_consts
+    from .util import spread_for_compute
     sh = char_shingles(F.col("text"))
-    hashed = docs.select(
+    hashed = spread_for_compute(docs).select(
         "doc_id",
         F.transform(sh, lambda s: hash60(s) % MINHASH_P).alias("hs"))
     consts = minhash_seed_consts(K)
@@ -182,23 +183,45 @@ def _minhash_sql(threshold: float = 0.25) -> str:
     """
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, jumps: int = 3
+) -> DataFrame:
     """(doc_id, cluster_id): connected components over near-dup pairs by
     iterative min-label propagation — cluster_id = smallest doc_id in the
     component (a unique fixpoint, so the result is deterministic and
-    independent of iteration order). Each round is one join + one
-    map-side-combined min aggregation; rounds needed = graph diameter
-    (tiny for dedup clusters). The loop runs on the driver but every
-    iteration is fully distributed — the standard large-scale CC shape
-    (label propagation), not a driver-side union-find."""
-    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    independent of iteration order). Each round is one neighbour-min
+    join + ``jumps`` pointer-jump joins (label <- label of label);
+    pointer jumping contracts label chains geometrically, so rounds ~
+    log(diameter)/jumps. The loop runs on the driver but every iteration
+    is fully distributed — the standard large-scale CC shape (label
+    propagation), not a driver-side union-find.
+
+    Each round materializes twice via eager ``localCheckpoint`` (which
+    also truncates lineage — without truncation the per-round plan tree
+    compounds exponentially in the number of self-joins): once for the
+    neighbour-min result (the base of the pointer jumps — a self-join on
+    a LAZY plan re-executes the whole upstream once per branch, i.e.
+    2^jumps neighbour-min joins), and once for the round result, whose
+    changed-count doubles as the convergence check. Duplicate edges are
+    harmless to min-propagation, so the symmetrized edge set is NOT
+    de-duplicated — that saves a full shuffle over the edges up front."""
+    # localCheckpoint (NOT cache) BEFORE the symmetrizing union:
+    # materializes the pair pipeline once and replaces it with a leaf
+    # plan carrying REAL size stats. The union references the pair plan
+    # twice and every loop round would re-plan the whole upstream
+    # self-join tree — Catalyst's size-in-bytes estimation multiplies
+    # join estimates into astronomically large BigIntegers, measured as
+    # minutes of driver CPU inside BigInteger.multiply (and OOMs) on the
+    # MinHash candidate plan. At 100 TB you'd persist the edge list
+    # before an iterative loop anyway.
+    e = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+         .localCheckpoint())
     edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(max_iter):
-        # round part 1: min over neighbours' labels
+    for rnd in range(max_iter):
+        # min over neighbours' labels (map-side-combined aggregation)
         nmin = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nmin"))
@@ -209,27 +232,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.col("node"), F.col("label").alias("old"),
                 F.least(F.col("label"),
                         F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
+            .localCheckpoint()  # jump base — see docstring
         )
-        # round part 2: pointer jump (label <- label of label) — contracts
-        # chains geometrically, so rounds ~ log2(diameter) not diameter
-        lut = l1.select(F.col("node").alias("lnode"),
-                        F.col("label").alias("llabel"))
+        # pointer jumps: the lut branches re-read the materialized l1,
+        # so extra jumps deepen the lazy plan without duplicating the
+        # neighbour-min work; each jump contracts label chains further
+        jumped = l1
+        for _ in range(jumps):
+            lut = jumped.select(F.col("node").alias("lnode"),
+                                F.col("label").alias("llabel"))
+            jumped = (
+                jumped.join(lut, jumped.label == lut.lnode, "left")
+                .select(
+                    F.col("node"), F.col("old"),
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("llabel"),
+                                       F.col("label"))).alias("label"))
+            )
         new_labels = (
-            l1.join(lut, l1.label == lut.lnode, "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"),
-                        F.coalesce(F.col("llabel"), F.col("label"))).alias("label"),
-                (F.least(F.col("label"),
-                         F.coalesce(F.col("llabel"), F.col("label")))
-                 != F.col("old")).alias("chg"))
-            .localCheckpoint()  # truncate lineage per round
-        )
+            jumped.withColumn("chg", F.col("label") != F.col("old"))
+            .localCheckpoint())
         changed = new_labels.filter(F.col("chg")).count()
-        labels = new_labels.drop("chg")
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -257,7 +283,8 @@ def verified_pairs(
     # cached: both sides of the pair join read the SAME computed shingle
     # sets — without it the md5-per-shingle hashing (the dominant cost)
     # runs twice, once per join branch
-    sh = docs.select(
+    from .util import spread_for_compute
+    sh = spread_for_compute(docs).select(
         "doc_id",
         F.array_distinct(F.transform(
             char_shingles(F.col("text")),
@@ -398,7 +425,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per document: token hash votes per bit, sign =>
     bit. Explode + 60 partial-agg sums: one map-side-combined shuffle on
     doc_id; at scale the combine keeps shuffle volume = docs x 60 ints."""
-    tok = docs.select(
+    from .util import spread_for_compute
+    tok = spread_for_compute(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).select("doc_id", hash60(F.col("tok")).alias("h"))
     votes = tok.groupBy("doc_id").agg(*[
@@ -512,7 +540,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     DataFrame: distinct shingle sets, self-join on shingle,
     |A∩B| / |A∪B| >= threshold. Quadratic by nature — at scale this runs
     only on LSH candidates, never standalone."""
-    sh = docs.select(
+    from .util import spread_for_compute
+    sh = spread_for_compute(docs).select(
         "doc_id", F.explode(char_shingles(F.col("text"))).alias("sh")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -573,9 +602,11 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     broadcast; at full scale use the LSH/IVF variants in
     operators/similarity.py."""
     from ..functions import dot_double, l2_norm
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"),
-                   l2_norm(F.col("embedding")).alias("na"))
+    from .util import spread_for_compute
+    a = spread_for_compute(emb).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").alias("eb"),
                    l2_norm(F.col("embedding")).alias("nb"))

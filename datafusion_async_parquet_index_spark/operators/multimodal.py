@@ -113,7 +113,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 })
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    from .util import spread_for_compute
+    return spread_for_compute(media).mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dot_double, l2_norm, py_hash60
-from .util import read_table
+from .util import read_table, spread_for_compute
 
 TOPK = 5
 N_QUERIES_MOD = 100   # vec_id % 100 == 0 => query set (5 at sf0.01)
@@ -46,7 +46,7 @@ def _pair_cosine(qe: str, ce: str, qn: str, cn: str) -> F.Column:
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per query vector. Tie-break on vec_id after
     rounding to 6 decimals keeps rank deterministic across engines."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         l2_norm(F.col("embedding")).alias("qn"))
@@ -126,7 +126,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank within the bucket. The bucket equi-join is the only shuffle
     and it moves (bucket, vec) pairs — at scale, bucket the corpus once
     (write bucketed) and this becomes a co-located join."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
     dim = _embedding_dim(emb)
     bucketed = emb.select(
         "vec_id", "embedding",
@@ -186,7 +186,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, probe the query's cell only, exact cosine re-rank inside
     the cell. Recall < 1 by design; deterministic and oracle-checked
     against the same assignment formula in SQL."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
     cells = _ivf_cells(emb)
     assigned = emb.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")

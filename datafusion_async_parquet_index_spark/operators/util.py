@@ -25,8 +25,60 @@ from pyspark.sql import DataFrame, SparkSession
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Runtime SQL confs the operators assume.  All are cheap, idempotent,
+# and safe at any scale; ensure_tuned() applies them so the operators
+# behave in *foreign* sessions (the driver's harness) exactly as in our
+# session factory.  The cached-plan conf matters most: without it AQE
+# cannot coalesce partitions under a .cache(), so every tiny shuffle in
+# the dedup/similarity operators runs at the session's full shuffle
+# width (200 tasks on a vanilla session for a few-hundred-row edge set —
+# measured 3-5x wall-clock on the dedup suite).
+_TUNING_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # InjectRuntimeFilter explores every join x filter-side candidate,
+    # recomputing size-in-bytes stats on FRESH plan instances (no
+    # memoization) — on the LSH band/candidate self-join plans this was
+    # measured as minutes of driver CPU inside BigInteger.multiply
+    # (jstack: canBroadcastBySize -> visitJoin x55), flaky with AQE
+    # replan order. Bloom runtime filters can't help these joins anyway:
+    # the join keys are computed (md5 bands, signatures), never scan
+    # columns, so there is no pushdown target.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+}
+
+
+def ensure_tuned(spark: SparkSession) -> None:
+    for k, v in _TUNING_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # conf unknown/immutable on this build — keep going
+
+
+def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a byte-light but CPU-heavy input so per-row compute
+    parallelizes across all cores.
+
+    Parquet can't split below a row group, so a small single-row-group
+    file scans as ONE partition and pins an entire md5/shingle or
+    vector pipeline to one core (measured 21.6s -> <2s on the MinHash
+    signatures at sf0.1).  At 100 TB the scan already carries far more
+    partitions than cores and this is a no-op — the guard makes the
+    shuffle strictly a small-input fixup, never a cost at scale."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_tuned(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         return spark.read.parquet(path)

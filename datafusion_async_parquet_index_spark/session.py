@@ -30,6 +30,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # without this, any plan under a .cache() loses AQE partition
+        # coalescing and every tiny shuffle runs at full width — the
+        # dominant overhead for the cached-signature dedup operators
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
+        # runtime bloom-filter injection degenerates on self-join-heavy
+        # plans (minutes of BigInteger size-stat churn in the optimizer;
+        # see operators/util.py) and has no pushdown target for computed
+        # join keys — off engine-wide
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

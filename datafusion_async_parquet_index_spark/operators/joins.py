@@ -59,7 +59,20 @@ def salted_join(
     the plain join (every left row meets exactly one replica of each
     matching right row). AQE's skew-join handles moderate skew
     automatically; salting is for the pathological keys AQE can't split
-    (a single key bigger than a partition)."""
+    (a single key bigger than a partition).
+
+    Only left-preserving join types are supported: the right side is
+    replicated n_salts times, so for right/full outer joins every
+    UNMATCHED right row would surface once per replica — a silently
+    wrong result.  For those, salt the other side or fall back to AQE."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "cross",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti",
+               "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            f"right side duplicates unmatched right rows under "
+            f"right/full outer semantics (allowed: {sorted(allowed)})")
     salt_l = F.pmod(F.hash(F.col(on), F.monotonically_increasing_id()),
                     F.lit(n_salts))
     lft = left.withColumn("_salt", salt_l)

@@ -69,6 +69,37 @@ def _nulls(c: str) -> Col:
 ROW_COUNT = Col("row_count")
 
 
+def _literal_compatible(category: str, v) -> bool:
+    """True when comparing this Python literal against a column of the
+    given catalog category has identical ordering semantics in Spark and
+    in the SQLite stats store.  Cross-type predicates (string col = 5,
+    date col < timestamp literal, ...) hit engine-specific implicit-cast
+    rules — SQLite orders by storage class (INTEGER < TEXT < BLOB) while
+    Spark casts-and-compares, so the stats predicate could answer FALSE
+    for a row group that holds Spark-matching rows.  Those degrade to
+    conservative TRUE by returning False here.
+
+    A plain ``date`` on a timestamp column is exact (midnight cast on
+    both sides); a ``datetime`` on a *date* column is NOT (Spark compares
+    at timestamp precision, the catalog stores whole days — a non-midnight
+    bound truncates and can spuriously refute ``<``/``<=``)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, _dt.datetime):
+        return category == "timestamp"
+    if isinstance(v, _dt.date):
+        return category in ("date", "timestamp")
+    if isinstance(v, (int, float)):
+        return category in ("int", "float")
+    if isinstance(v, str):
+        return category == "string"
+    if isinstance(v, (bytes, bytearray)):
+        return category == "binary"
+    return False
+
+
 def _is_true(e: Expr) -> bool:
     return isinstance(e, Lit) and e.value is True
 
@@ -157,10 +188,8 @@ class PruningRewriter:
         v = r.value
         if v is None:
             return None  # c = NULL is never TRUE; conservatively keep
-        if not isinstance(v, (int, float, str, bytes)) or isinstance(v, bool):
-            import datetime as _dt
-            if not isinstance(v, (_dt.date, _dt.datetime)):
-                return None
+        if not _literal_compatible(self.indexed[l.name], v):
+            return None  # cross-type compare: engines disagree -> TRUE
         return l.name, e.op, r
 
     def _rw_cmp(self, e: BinOp) -> Expr:

@@ -111,6 +111,10 @@ class IndexedParquetTable:
         build_index(self.catalog, self._files,
                     list(self.index_schema), spark=self.spark,
                     incremental=True)
+        if self._schema is None and self._files:
+            # table was constructed over an empty directory; first files
+            # just appeared — infer the schema now
+            self._schema = self.spark.read.parquet(self._files[0]).schema
 
     # -- planning ------------------------------------------------------
     def plan_scan(self, predicate: Optional[Expr]) -> ScanDecision:
@@ -118,8 +122,13 @@ class IndexedParquetTable:
         catalog. Does not touch Parquet."""
         total_rgs = sum(f[2] for f in self.catalog.all_files())
         if predicate is None:
-            files = {os.path.basename(p): list(range(self.catalog.row_group_count(os.path.basename(p))))
-                     for p in self._files}
+            # catalog-driven file list: a file dropped into the directory
+            # after construction is invisible (to BOTH the predicate and
+            # the full-scan path — consistent) until refresh() indexes it
+            indexed = {f[0]: f[2] for f in self.catalog.all_files()}
+            files = {name: list(range(indexed[name]))
+                     for p in self._files
+                     if (name := os.path.basename(p)) in indexed}
             decision = ScanDecision("TRUE", files, len(self._files), total_rgs)
         else:
             stats_pred = self._rewriter.rewrite(predicate)
@@ -142,6 +151,10 @@ class IndexedParquetTable:
         columns: optional projection pushed into the scan (Catalyst prunes
         Parquet columns natively; reference main.rs:283-284).
         """
+        if self._schema is None:
+            raise ValueError(
+                f"table {self.name!r} has no parquet files under "
+                f"{self.data_dir!r}; add data and call refresh()")
         decision = self.plan_scan(predicate)
         if not decision.files_scanned:
             df = self.spark.createDataFrame([], self._schema)

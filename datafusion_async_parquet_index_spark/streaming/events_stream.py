@@ -96,13 +96,22 @@ def dedup_stream(
     events: DataFrame, key_cols=("event_id",), watermark_sec: int = 3600,
 ) -> DataFrame:
     """Streaming exactly-once dedup: drop re-deliveries of the same key
-    within the watermark horizon (dropDuplicates keeps per-key state
-    only until the watermark passes, so state is bounded — the standard
-    at-least-once -> exactly-once ingestion repair for a training-data
-    feed)."""
+    within the watermark horizon — the standard at-least-once ->
+    exactly-once ingestion repair for a training-data feed.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT plain
+    ``dropDuplicates``: with a key subset that excludes the event-time
+    column, plain dropDuplicates ignores the watermark for state cleanup
+    and per-key state grows without bound on a real stream.  The
+    WithinWatermark variant evicts each key's state once the watermark
+    passes its first-seen event time, so state is bounded by (keys seen
+    within the horizon) — the semantics this operator claims.  A
+    re-delivery later than the horizon is re-emitted (duplicate-within-
+    watermark semantics); horizon-free global dedup at scale belongs in
+    the batch layer (operators.dedup.dedup_exact)."""
     return (
         events.withWatermark("event_ts", f"{watermark_sec} seconds")
-        .dropDuplicates(list(key_cols))
+        .dropDuplicatesWithinWatermark(list(key_cols))
     )
 
 

@@ -1,0 +1,76 @@
+"""Edge-case hardening for IndexedParquetTable and join helpers:
+empty directories, files appearing after construction, and join types
+salting cannot support.
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.operators.joins import salted_join
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+
+def test_empty_dir_table_is_constructable_and_errors_clearly(
+        spark, tmp_path):
+    d = str(tmp_path / "empty_table")
+    os.makedirs(d)
+    t = IndexedParquetTable(spark, d, index_columns=["value"])
+    # construction over an empty dir is fine (data may arrive later)...
+    assert t.count_rows() == 0
+    # ...but a read must fail with a message, not a None-schema crash
+    with pytest.raises(ValueError, match="no parquet files"):
+        t.query(col("value") == 1)
+    with pytest.raises(ValueError, match="no parquet files"):
+        t.query(None)
+
+
+def test_refresh_picks_up_first_files_and_schema(spark, tmp_path):
+    d = str(tmp_path / "late_table")
+    os.makedirs(d)
+    t = IndexedParquetTable(spark, d, index_columns=["value"])
+    spark.range(10).select(F.col("id").alias("value")).coalesce(1) \
+        .write.mode("append").parquet(d)
+    t.refresh()
+    assert t._schema is not None
+    assert t.query(col("value") >= 5).count() == 5
+    assert t.query(None).count() == 10
+
+
+def test_plan_scan_tolerates_unindexed_late_files(spark, tmp_path):
+    d = str(tmp_path / "grow_table")
+    os.makedirs(d)
+    spark.range(10).select(F.col("id").alias("value")).coalesce(1) \
+        .write.mode("append").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["value"])
+    # drop a new file in WITHOUT refresh(); simulate a re-list by
+    # pointing _files at the live directory contents
+    spark.range(10, 20).select(F.col("id").alias("value")).coalesce(1) \
+        .write.mode("append").parquet(d)
+    from datafusion_async_parquet_index_spark.sources.stats import (
+        list_parquet_files,
+    )
+    t._files = list_parquet_files(d)
+    # unindexed files are invisible (consistently, for both paths) ...
+    assert t.query(None).count() == 10
+    assert t.query(col("value") >= 0).count() == 10
+    # ... until refresh() indexes them
+    t.refresh()
+    assert t.query(None).count() == 20
+    assert t.query(col("value") >= 0).count() == 20
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    left = spark.range(10).select(F.col("id").alias("k"))
+    right = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", n_salts=4, how=how)
+    # left-preserving types still work and match the plain join
+    got = salted_join(left, right, "k", n_salts=4, how="left").count()
+    assert got == left.join(right, "k", "left").count()

@@ -83,6 +83,15 @@ class Expr:
     def __mul__(self, other):
         return BinOp("*", self, _wrap(other))
 
+    def __radd__(self, other):
+        return BinOp("+", _wrap(other), self)
+
+    def __rsub__(self, other):
+        return BinOp("-", _wrap(other), self)
+
+    def __rmul__(self, other):
+        return BinOp("*", _wrap(other), self)
+
     def __truediv__(self, other):
         return BinOp("/", self, _wrap(other))
 

@@ -31,7 +31,10 @@ r = row_count; all leaf terms are null-guarded, see ``_guard``):
     a AND b  ->  rw(a) AND rw(b)
     a OR  b  ->  rw(a) OR  rw(b)
     NOT x    ->  rw(negate(x)) when x has an exact negation, else TRUE
-    anything else (arithmetic over columns, col-col compare, CASE, ...)
+    (c INTOP k) CMP v  ->  interval fold onto c (depth-1 int arithmetic
+             + - * << >> with literal k; exact integer inverse transforms
+             plus overflow guards — see ``_fold_arith``)
+    anything else (nested arithmetic, col-col compare, / and %, CASE, ...)
              ->  TRUE
 
 Null-safety: a leaf term over m/M must not prune a row group whose stats
@@ -52,6 +55,17 @@ from .expr import (
 )
 
 TRUE = Lit(True)
+
+# Overflow-guard bounds for the depth-1 arithmetic fold.  The catalog's
+# "int" category covers both 32- and 64-bit Spark integers; guarding at
+# the *narrower* width is sound for both (a 64-bit column whose stats
+# exceed the 32-bit safe range merely stays unpruned — never refuted).
+_I32_MAX, _I32_MIN = 2**31 - 1, -(2**31)
+_I64_MAX, _I64_MIN = 2**63 - 1, -(2**63)
+
+
+def _ceildiv(a: int, b: int) -> int:
+    return -((-a) // b)
 
 
 def _min(c: str) -> Col:
@@ -195,7 +209,7 @@ class PruningRewriter:
     def _rw_cmp(self, e: BinOp) -> Expr:
         leaf = self._leaf(e)
         if leaf is None:
-            return TRUE
+            return self._fold_arith(e)
         c, op, v = leaf
         if op == "=":
             term = (_min(c) <= v) & (_max(c) >= v)
@@ -212,6 +226,191 @@ class PruningRewriter:
         else:
             return TRUE
         return _guard(c, term)
+
+    # -- depth-1 integer arithmetic fold ------------------------------
+    #
+    # The reference compiles arithmetic predicates into index SQL
+    # (conversions.rs:21-31); we fold the common depth-1 shape
+    # ``(col INTOP literal) CMP literal`` back onto the raw column with
+    # exact integer interval transforms, so e.g. ``value + 10 > 500``
+    # prunes instead of scanning everything.  Soundness notes:
+    #
+    # * All transforms are exact over unbounded Python ints (ceil/floor
+    #   division picked per comparison direction), so no rounding can
+    #   spuriously refute.  Float columns / float literals never fold.
+    # * Non-ANSI Spark sessions WRAP on int overflow (``a + k`` of two
+    #   huge ints silently goes negative), which would break the
+    #   inverse transform.  Every foldable op therefore contributes an
+    #   overflow guard: a row group whose stats show any value outside
+    #   the width-safe input range for that op is kept unconditionally.
+    #   Guards use 32-bit bounds (see _I32_*) because the catalog does
+    #   not record integer width — conservative for 64-bit columns.
+    # * ``>>`` is an arithmetic shift (floor division), total and
+    #   non-overflowing, so it needs no guard; ``<<`` wraps, so it
+    #   guards like multiplication.  Shift amounts are limited to 0..30
+    #   so Java's shift-amount masking (s & 31 vs s & 63) cannot differ
+    #   between widths.
+    # * ``/`` and ``%`` and nested arithmetic still degrade to TRUE.
+
+    _FOLD_OPS = ("+", "-", "*", "<<", ">>")
+
+    def _fold_arith(self, e: BinOp) -> Expr:
+        l, r = e.left, e.right
+        if isinstance(l, Lit) and not isinstance(r, Lit):
+            e = e.flipped()
+            l, r = e.left, e.right
+        if not (isinstance(l, BinOp) and l.op in self._FOLD_OPS
+                and isinstance(r, Lit)):
+            return TRUE
+        v = r.value
+        if isinstance(v, bool) or not isinstance(v, int):
+            return TRUE
+        # split the arithmetic node into (column, literal k, k side)
+        a, b = l.left, l.right
+        if isinstance(a, Col) and isinstance(b, Lit):
+            c, k, k_left = a, b.value, False
+        elif isinstance(a, Lit) and isinstance(b, Col) and l.op in ("+", "-", "*"):
+            c, k, k_left = b, a.value, True
+        else:
+            return TRUE
+        if isinstance(k, bool) or not isinstance(k, int):
+            return TRUE
+        if c.name not in self.indexed or self.indexed[c.name] != "int":
+            return TRUE
+        if l.op in ("<<", ">>") and not (0 <= k <= 30):
+            return TRUE
+
+        if e.op == "!=":
+            return self._fold_ne(c, l.op, k, k_left, v)
+
+        # comparison -> closed interval [lo, hi] on the arithmetic value
+        # (None = unbounded on that side)
+        lo: Optional[int]
+        hi: Optional[int]
+        if e.op == "=":
+            lo, hi = v, v
+        elif e.op == "<":
+            lo, hi = None, v - 1
+        elif e.op == "<=":
+            lo, hi = None, v
+        elif e.op == ">":
+            lo, hi = v + 1, None
+        elif e.op == ">=":
+            lo, hi = v, None
+        else:
+            return TRUE
+
+        guards: list = []
+        op = l.op
+        if op == "+" or (op == "-" and not k_left):
+            k2 = k if op == "+" else -k
+            lo = None if lo is None else lo - k2
+            hi = None if hi is None else hi - k2
+            if k2 > 0:
+                guards.append(_max(c.name) > Lit(_I32_MAX - k2))
+            elif k2 < 0:
+                guards.append(_min(c.name) < Lit(_I32_MIN - k2))
+        elif op == "-":  # k - col
+            lo, hi = (None if hi is None else k - hi,
+                      None if lo is None else k - lo)
+            guards.append(_min(c.name) < Lit(k - _I32_MAX))
+            guards.append(_max(c.name) > Lit(k - _I32_MIN))
+        elif op in ("*", "<<"):
+            m = k if op == "*" else (1 << k)
+            if m == 0:
+                # 0 CMP v decided statically; col NULL -> pred not TRUE,
+                # so a constant-FALSE verdict still refutes soundly.
+                return Lit(self._cmp_const(0, e.op, v))
+            if m < 0:
+                lo, hi = (None if hi is None else _ceildiv(hi, m),
+                          None if lo is None else lo // m)
+                safe_lo, safe_hi = _ceildiv(_I32_MAX, m), _I32_MIN // m
+            else:
+                lo = None if lo is None else _ceildiv(lo, m)
+                hi = None if hi is None else hi // m
+                safe_lo, safe_hi = _ceildiv(_I32_MIN, m), _I32_MAX // m
+            if op == "<<":
+                safe_lo, safe_hi = _I32_MIN >> k, _I32_MAX >> k
+            guards.append(_min(c.name) < Lit(safe_lo))
+            guards.append(_max(c.name) > Lit(safe_hi))
+        elif op == ">>":  # floor division by 2^k: total, no guard
+            m = 1 << k
+            lo = None if lo is None else lo * m
+            hi = None if hi is None else hi * m + (m - 1)
+        else:
+            return TRUE
+
+        # clamp to int64: bounds beyond the widest Spark int are either
+        # vacuous or contradictory for any real column value
+        if lo is not None and lo <= _I64_MIN:
+            lo = None
+        if hi is not None and hi >= _I64_MAX:
+            hi = None
+        if (lo is not None and lo > _I64_MAX) or (hi is not None and hi < _I64_MIN):
+            term: Expr = Lit(False)
+        elif lo is not None and hi is not None and lo > hi:
+            term = Lit(False)
+        else:
+            parts = []
+            if hi is not None:
+                parts.append(_min(c.name) <= Lit(hi))
+            if lo is not None:
+                parts.append(_max(c.name) >= Lit(lo))
+            if not parts:
+                return TRUE
+            term = parts[0]
+            for p in parts[1:]:
+                term = term & p
+        out = _guard(c.name, term)
+        for g in guards:
+            out = out | g
+        return out
+
+    def _fold_ne(self, c: Col, op: str, k: int, k_left: bool, v: int) -> Expr:
+        """col-expr != v: refutable only when ALL values map to v, i.e.
+        the op is invertible and v has an exact preimage."""
+        guards: list = []
+        if op == "+" or (op == "-" and not k_left):
+            k2 = k if op == "+" else -k
+            target = v - k2
+            if k2 > 0:
+                guards.append(_max(c.name) > Lit(_I32_MAX - k2))
+            elif k2 < 0:
+                guards.append(_min(c.name) < Lit(_I32_MIN - k2))
+        elif op == "-":  # k - col
+            target = k - v
+            guards.append(_min(c.name) < Lit(k - _I32_MAX))
+            guards.append(_max(c.name) > Lit(k - _I32_MIN))
+        elif op in ("*", "<<"):
+            m = k if op == "*" else (1 << k)
+            if m == 0 or v % m != 0:
+                return TRUE  # wrap could still hit v -> conservative
+            target = v // m
+            if m < 0:
+                safe_lo, safe_hi = _ceildiv(_I32_MAX, m), _I32_MIN // m
+            else:
+                safe_lo, safe_hi = _ceildiv(_I32_MIN, m), _I32_MAX // m
+            if op == "<<":
+                safe_lo, safe_hi = _I32_MIN >> k, _I32_MAX >> k
+            guards.append(_min(c.name) < Lit(safe_lo))
+            guards.append(_max(c.name) > Lit(safe_hi))
+        else:  # >> is many-to-one: a != preimage never refutable
+            return TRUE
+        if not (_I64_MIN <= target <= _I64_MAX):
+            # no column value maps to v -> != v holds wherever defined;
+            # wrap cases are covered by the guards
+            term: Expr = TRUE
+        else:
+            term = Not((_min(c.name) == Lit(target)) & (_max(c.name) == Lit(target)))
+        out = _guard(c.name, term)
+        for g in guards:
+            out = out | g
+        return out
+
+    @staticmethod
+    def _cmp_const(a: int, op: str, b: int) -> bool:
+        return {"=": a == b, "!=": a != b, "<": a < b,
+                "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
     def _rw_not(self, child: Expr) -> Expr:
         """NOT pushed down via De Morgan / comparison negation; TRUE when

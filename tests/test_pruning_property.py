@@ -80,6 +80,18 @@ def eval_row(e: Expr, row: dict):
         return any(v == x.value for x in e.values)
     if isinstance(e, BinOp):
         l, r = eval_row(e.left, row), eval_row(e.right, row)
+        if e.op in ("+", "-", "*", "<<", ">>"):
+            if l is None or r is None:
+                return None
+            # small generated values never overflow, so Python semantics
+            # match Spark's int arithmetic / Java shifts here
+            if e.op == "+":
+                return l + r
+            if e.op == "-":
+                return l - r
+            if e.op == "*":
+                return l * r
+            return (l << r) if e.op == "<<" else (l >> r)
         if e.op == "AND":
             if l is False or r is False:
                 return False
@@ -146,8 +158,26 @@ def leaf():
     bin_cmp = st.builds(
         lambda op, v: BinOp(op, Col("b"), Lit(v)),
         st.sampled_from(CMP_OPS), blobs)
+    # depth-1 integer arithmetic over the int column: the fold in
+    # plans/pruning.py must be refutation-exact for these (values are
+    # small enough that the int32 overflow guards never fire, so real
+    # pruning — not just conservative TRUE — is exercised)
+    arith_cmp = st.builds(
+        lambda aop, k, k_left, op, w, flip: (
+            lambda arith: BinOp(op, Lit(w), arith) if flip
+            else BinOp(op, arith, Lit(w)))(
+                BinOp(aop, Lit(k), Col("v")) if k_left
+                else BinOp(aop, Col("v"), Lit(k))),
+        st.sampled_from(["+", "-", "*"]), st.integers(-5, 5),
+        st.booleans(), st.sampled_from(CMP_OPS), st.integers(-30, 30),
+        st.booleans())
+    shift_cmp = st.builds(
+        lambda sop, k, op, w: BinOp(op, BinOp(sop, Col("v"), Lit(k)), Lit(w)),
+        st.sampled_from(["<<", ">>"]), st.integers(0, 4),
+        st.sampled_from(CMP_OPS), st.integers(-60, 60))
     return st.one_of(num_cmp, float_cmp, str_cmp, like, null, inlist,
-                     date_cmp, ts_cmp, ts_date_cmp, bin_cmp)
+                     date_cmp, ts_cmp, ts_date_cmp, bin_cmp,
+                     arith_cmp, shift_cmp)
 
 
 predicates = st.recursive(
@@ -266,6 +296,87 @@ def test_cross_type_literals_never_prune():
         BinOp("<", Col("d"), Lit(_dt.datetime(2024, 1, 2, 12, 30))),
         BinOp("=", Col("ts"), Lit(5)),       # raw int on timestamp col
         BinOp("=", Col("v"), Lit(True)),     # bool literal
+    ]
+    for e in cases:
+        out = rw.rewrite(e)
+        assert isinstance(out, Lit) and out.value is True, (e, out)
+
+
+def _surviving_groups(stats_rows, pred):
+    """Render the rewritten predicate against an int-only stats table and
+    return which of the given (row_count, nulls, min, max) groups survive."""
+    conn = sqlite3.connect(":memory:")
+    conn.execute("""CREATE TABLE s (rg INTEGER, row_count INTEGER,
+                    v_null_count INTEGER, v_min INTEGER, v_max INTEGER)""")
+    for gi, (rc, nulls, mn, mx) in enumerate(stats_rows):
+        conn.execute("INSERT INTO s VALUES (?,?,?,?,?)", (gi, rc, nulls, mn, mx))
+    stats_pred = PruningRewriter({"v": "int"}).rewrite(pred)
+    r = _SqliteStatsSql({"row_count": "int", "v_min": "int",
+                         "v_max": "int", "v_null_count": "int"})
+    sql = r.render(stats_pred)
+    return {row[0] for row in conn.execute(f"SELECT rg FROM s WHERE {sql}",
+                                           r.params)}
+
+
+def test_arith_fold_prunes():
+    """Depth-1 arithmetic predicates actually prune (not conservative
+    TRUE): groups, as (row_count, nulls, min, max)."""
+    groups = [(4, 0, 0, 10), (4, 0, 100, 200), (4, 0, -50, -20)]
+    # v + 10 > 500  ->  v > 490: nothing survives
+    assert _surviving_groups(groups, BinOp(">", BinOp("+", Col("v"), Lit(10)),
+                                           Lit(500))) == set()
+    # v * 2 <= 40  ->  v <= 20: groups 0 and 2
+    assert _surviving_groups(groups, BinOp("<=", BinOp("*", Col("v"), Lit(2)),
+                                           Lit(40))) == {0, 2}
+    # 50 - v < 0  ->  v > 50: group 1 only
+    assert _surviving_groups(groups, BinOp("<", BinOp("-", Lit(50), Col("v")),
+                                           Lit(0))) == {1}
+    # v << 2 >= 400  ->  v >= 100: group 1
+    assert _surviving_groups(groups, BinOp(">=", BinOp("<<", Col("v"), Lit(2)),
+                                           Lit(400))) == {1}
+    # v >> 1 = 60  ->  v in [120, 121]: group 1
+    assert _surviving_groups(groups, BinOp("=", BinOp(">>", Col("v"), Lit(1)),
+                                           Lit(60))) == {1}
+    # v * 3 = 5: no integer preimage -> contradiction, nothing survives
+    assert _surviving_groups(groups, BinOp("=", BinOp("*", Col("v"), Lit(3)),
+                                           Lit(5))) == set()
+    # v * 3 != 5: tautology wherever defined -> everything survives
+    assert _surviving_groups(groups, BinOp("!=", BinOp("*", Col("v"), Lit(3)),
+                                           Lit(5))) == {0, 1, 2}
+
+
+def test_arith_fold_overflow_guard_keeps_wrapping_groups():
+    """A group whose stats reach the int32 wrap range must survive even
+    when the folded interval refutes it: non-ANSI Spark wraps, so
+    (INT32_MAX) + 10 < 0 is TRUE row-side."""
+    big = 2**31 - 1
+    groups = [(4, 0, big, big), (4, 0, 0, 10)]
+    # v + 10 < 0 -> folded v < -10 refutes both; guard keeps group 0
+    assert _surviving_groups(groups, BinOp("<", BinOp("+", Col("v"), Lit(10)),
+                                           Lit(0))) == {0}
+    # v * 2 = 5 -> contradiction, but the wrap range is kept
+    assert _surviving_groups(groups, BinOp("=", BinOp("*", Col("v"), Lit(3)),
+                                           Lit(5))) == {0}
+    # v << 1 < 0 -> folded v < 0 refutes; shift wrap guard keeps group 0
+    assert _surviving_groups(groups, BinOp("<", BinOp("<<", Col("v"), Lit(1)),
+                                           Lit(0))) == {0}
+    # >> cannot overflow: no guard, big-stats group genuinely refutable
+    assert _surviving_groups(groups, BinOp("<", BinOp(">>", Col("v"), Lit(1)),
+                                           Lit(0))) == set()
+
+
+def test_arith_fold_unfoldable_degrades_true():
+    """Division, modulo, nested arithmetic, float columns and col-col
+    arithmetic still degrade to conservative TRUE."""
+    rw = PruningRewriter({"v": "int"})
+    cases = [
+        BinOp(">", BinOp("/", Col("v"), Lit(2)), Lit(5)),
+        BinOp(">", BinOp("%", Col("v"), Lit(2)), Lit(0)),
+        BinOp(">", BinOp("+", BinOp("+", Col("v"), Lit(1)), Lit(2)), Lit(5)),
+        BinOp(">", BinOp("+", Col("v"), Col("v")), Lit(5)),
+        BinOp(">", BinOp("<<", Col("v"), Lit(40)), Lit(5)),   # shift > 30
+        BinOp(">", BinOp("+", Col("v"), Lit(1.5)), Lit(5)),   # float k
+        BinOp(">", BinOp("+", Col("v"), Lit(1)), Lit(5.5)),   # float bound
     ]
     for e in cases:
         out = rw.rewrite(e)

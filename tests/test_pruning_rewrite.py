@@ -116,8 +116,17 @@ def test_unindexed_column_keeps_all():
     assert survivors(col("file_name") == "x") == [0, 1, 2, 3, 4]
 
 
-def test_arithmetic_keeps_all():
-    assert survivors((col("value") + 1) == 76) == [0, 1, 2, 3, 4]
+def test_arithmetic_depth1_folds():
+    # depth-1 int arithmetic folds onto the column: same survivors as
+    # the plain  value == 75  predicate
+    assert survivors((col("value") + 1) == 76) == [1, 3]
+    assert survivors((col("value") * 2) == 150) == [1, 3]
+
+
+def test_arithmetic_unfoldable_keeps_all():
+    # division and col-col arithmetic still degrade to conservative TRUE
+    assert survivors((col("value") / 2) == 37) == [0, 1, 2, 3, 4]
+    assert survivors((col("value") + col("value")) == 150) == [0, 1, 2, 3, 4]
 
 
 def test_case_keeps_all():

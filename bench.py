@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": ..., "unit": "sec", "queries": {...},
 
 Each query executes to completion through the noop sink (full pipeline,
 no driver collect cost). Best of two runs per query to damp JVM warmup.
+
+Env knobs:
+  SPARK_GRAFT_BENCH_RUNS=N  runs per query (default 2, best-of-N)
+  SPARK_GRAFT_BENCH_COLD=1  cold mode: 1 run per query and operator
+                            caches + the Spark cache are cleared between
+                            queries, so the dominant costs (md5/shingle
+                            hashing behind the cached MinHash signatures)
+                            are paid inside the measured window instead
+                            of hiding behind a warm best-of-2
 """
 
 from __future__ import annotations
@@ -18,7 +27,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+RUNS = 1 if COLD else int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -40,8 +50,13 @@ def main() -> None:
     # warmup: spin the JVM + parquet reader once
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
+    from datafusion_async_parquet_index_spark.operators.util import clear_caches
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        if COLD:
+            clear_caches()
+            spark.catalog.clearCache()
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

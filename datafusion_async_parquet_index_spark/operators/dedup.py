@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     char_shingles, hash60, sql_char_shingles, sql_hash60, sql_tokens, tokens,
 )
-from .util import read_table
+from .util import read_table, track_cache
 
 K = 24          # minhash signature length
 R = 3           # rows per band
@@ -112,7 +112,7 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.25) -> DataFrame:
     est_jaccard = matching signature fraction >= threshold. The band
     self-join shuffles only (doc_id, hash) pairs — tiny vs the corpus;
     skew on a hot bucket is handled by AQE."""
-    sigs = _minhash_signatures(docs).cache()
+    sigs = track_cache(_minhash_signatures(docs))
     bands = _band_hashes(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -284,11 +284,11 @@ def verified_pairs(
     # sets — without it the md5-per-shingle hashing (the dominant cost)
     # runs twice, once per join branch
     from .util import spread_for_compute
-    sh = spread_for_compute(docs).select(
+    sh = track_cache(spread_for_compute(docs).select(
         "doc_id",
         F.array_distinct(F.transform(
             char_shingles(F.col("text")),
-            lambda s: hash60(s) % MINHASH_P)).alias("sh")).cache()
+            lambda s: hash60(s) % MINHASH_P)).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     j = cand.join(a, "doc_a").join(b, "doc_b")
@@ -456,7 +456,7 @@ def simhash_pairs(docs: DataFrame, ham_max: int = SIM_HAM_MAX) -> DataFrame:
     then exact hamming re-check via xor+bit_count. Same scalable shape
     as MinHash/LSH: map-only signatures, equi-join candidates, cheap
     re-rank — no all-pairs comparison anywhere."""
-    sigs = simhash_signatures(docs).cache()
+    sigs = track_cache(simhash_signatures(docs))
     chunks = sigs.selectExpr(
         "doc_id", "simhash",
         "stack({}, {}) as (chunk_idx, chunk)".format(

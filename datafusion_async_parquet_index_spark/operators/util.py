@@ -77,6 +77,32 @@ def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df
 
 
+# Operator-internal caches (MinHash signatures, shingle sets, SimHash
+# sigs) are registered here so long-lived sessions can release them:
+# operators return lazy DataFrames, so they cannot unpersist their own
+# intermediates — the consumer calls clear_caches() once results are
+# materialized (bench cold mode does; the driver's per-query processes
+# exit anyway).
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """cache() a DataFrame and remember it for clear_caches()."""
+    df = df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def clear_caches() -> None:
+    """Unpersist every operator-internal cache registered so far."""
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_tuned(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")

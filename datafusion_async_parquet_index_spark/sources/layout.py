@@ -48,6 +48,73 @@ def compact_to(
         table.spark, dest_path, list(table.index_schema), catalog=fresh)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    num_files: int = 8,
+    row_group_bytes: int = 1 << 20,
+    bits_per_col: int = 8,
+) -> None:
+    """Write Parquet laid out along a Z-order (Morton) curve over
+    2..4 columns, so min/max pruning works for predicates on ANY of the
+    columns — range-sorting on one column gives perfect pruning on it
+    and none on the others; Z-ordering gives good (not perfect) pruning
+    on each.
+
+    Spark-first implementation, no UDFs:
+      1. per column, compute ~2^bits_per_col approx-quantile boundaries
+         (driver-side array of <=256 doubles — a metadata-sized
+         collect, same at any data scale);
+      2. map each value to its bucket rank with a broadcast-literal
+         boundary array folded via ``F.aggregate`` (JVM codegen,
+         O(2^bits) comparisons per row);
+      3. bit-interleave the ranks into one integer z-value with
+         shift/or expressions;
+      4. range-partition + sort by z (the existing range-sorted path),
+         drop the helper column, write with forced row-group size.
+
+    Quantile (not min/max) normalization makes the curve robust to
+    skew: each bucket holds ~equal row counts, so every z-cell maps to
+    ~equal data volume.  NULLs rank below bucket 0.  Columns must be
+    numeric / date / timestamp (castable to double for quantiles)."""
+    from pyspark.sql import functions as F
+
+    cols = list(zorder_cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("z-order needs 2..4 columns, got %r" % (cols,))
+    nbuckets = 1 << bits_per_col
+
+    casted = df.select(
+        "*", *[F.col(c).cast("double").alias(f"__zc_{c}") for c in cols])
+    # one pass, all columns at once; relativeError 1/(4*buckets) keeps
+    # bucket populations near-uniform without a full sort
+    bounds = casted.stat.approxQuantile(
+        [f"__zc_{c}" for c in cols],
+        [i / nbuckets for i in range(1, nbuckets)], 1.0 / (4 * nbuckets))
+
+    z = None
+    for ci, (c, bs) in enumerate(zip(cols, bounds)):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        rank = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col(f"__zc_{c}") > b, 1).otherwise(0))
+        rank = F.coalesce(rank, F.lit(0))
+        # interleave: bit j of column ci lands at position j*ncols + ci
+        for j in range(bits_per_col):
+            bit = F.shiftright(rank, j).bitwiseAND(F.lit(1))
+            placed = F.shiftleft(bit, j * len(cols) + ci)
+            z = placed if z is None else z.bitwiseOR(placed)
+
+    zed = casted.withColumn("__zval", z).drop(*[f"__zc_{c}" for c in cols])
+    (zed.repartitionByRange(num_files, "__zval")
+     .sortWithinPartitions("__zval")
+     .drop("__zval")
+     .write.mode("overwrite")
+     .option("parquet.block.size", str(row_group_bytes))
+     .parquet(path))
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,

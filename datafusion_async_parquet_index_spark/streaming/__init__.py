@@ -1,9 +1,10 @@
 from .events_stream import (
-    dedup_stream, sessionize_stream, sliding_counts_stream,
-    stream_events_from_dir, tumbling_counts_stream,
+    asof_join_stream, dedup_stream, sessionize_stream,
+    sliding_counts_stream, stream_events_from_dir, tumbling_counts_stream,
 )
 
 __all__ = [
     "stream_events_from_dir", "tumbling_counts_stream",
     "sliding_counts_stream", "sessionize_stream", "dedup_stream",
+    "asof_join_stream",
 ]

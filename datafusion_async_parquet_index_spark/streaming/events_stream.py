@@ -180,6 +180,82 @@ def _make_sessionize_fn(gap_sec: int, timeout_ms: int):
     return _fn
 
 
+_ASOF_STATE_SCHEMA = StructType([
+    StructField("last_click_ts", LongType()),
+    StructField("last_click_id", LongType()),
+])
+
+_ASOF_OUT_SCHEMA = StructType([
+    StructField("purchase_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("last_click_id", LongType()),
+])
+
+
+def _make_asof_fn():
+    cols = [f.name for f in _ASOF_OUT_SCHEMA]
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, last_id = state.get
+        else:
+            last_ts = last_id = None
+        rows = []
+        evs = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                side = 0 if r.event_type == "click" else 1
+                evs.append((int(r.ts), side, int(r.event_id)))
+        # same order as the batch window: ts, then click-before-purchase,
+        # then event_id — equal-ts clicks resolve to the highest id and a
+        # click at the purchase's exact ts counts
+        evs.sort()
+        for ts, side, eid in evs:
+            if side == 0:
+                if last_ts is None or (ts, eid) > (last_ts, last_id):
+                    last_ts, last_id = ts, eid
+            else:
+                rows.append((eid, user_id, last_id))
+        if last_ts is not None:
+            state.update((last_ts, last_id))
+        yield pd.DataFrame(rows, columns=cols)
+
+    return _fn
+
+
+def asof_join_stream(events: DataFrame) -> DataFrame:
+    """Streaming as-of join — the streaming twin of
+    ``queries.q20_asof_join``: for every purchase event, emit the user's
+    most recent click at-or-before the purchase timestamp (NULL when no
+    click yet).  This is the online point-in-time feature-join shape:
+    the click stream continuously updates per-user state, purchases read
+    it.
+
+    Custom stateful operator (``applyInPandasWithState``) keyed by user:
+    state is ONE (last_click_ts, last_click_id) row per user ever seen —
+    the standard per-entity feature-store state shape; at cluster scale
+    it lives in the state store (RocksDB) partitioned by user_id, no
+    shuffle beyond the groupBy.  Within a micro-batch events are
+    processed in (ts, side, id) order so batch parity is exact on a
+    per-user-ordered feed; a click delivered AFTER a later-ts purchase
+    (cross-batch disorder) cannot retroactively repair that purchase —
+    bound disorder upstream with a watermarked re-order or accept the
+    online approximation."""
+    prepared = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "event_type")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_asof_fn(),
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_sec: int = SESSION_GAP_SEC,

@@ -46,6 +46,55 @@ def test_range_sorted_layout_prunes_better(spark, tmp_path):
     assert d_sorted.row_groups_scanned < d_scatter.row_groups_scanned / 4
 
 
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Range-sorting on `a` gives perfect pruning on a and NONE on b;
+    z-ordering (a, b) must prune substantially on BOTH."""
+    from datafusion_async_parquet_index_spark.sources.layout import (
+        write_zordered,
+    )
+
+    n = 40_000
+    # two independent uniform dimensions
+    base = spark.range(n).select(
+        F.col("id").cast("int").alias("a"),
+        F.pmod(F.hash(F.col("id").cast("string")), F.lit(40_000))
+         .cast("int").alias("b"),
+        # payload fattens rows so each file holds several row groups —
+        # pruning granularity below file level
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    sorted_dir = str(tmp_path / "asorted")
+    z_dir = str(tmp_path / "zorder")
+    write_range_sorted(base, sorted_dir, ["a"], num_files=8,
+                       row_group_bytes=1 << 15)
+    write_zordered(base, z_dir, ["a", "b"], num_files=8,
+                   row_group_bytes=1 << 15)
+
+    t_sorted = IndexedParquetTable(spark, sorted_dir, ["a", "b"])
+    t_z = IndexedParquetTable(spark, z_dir, ["a", "b"])
+
+    pred_a = (col("a") >= 5_000) & (col("a") < 5_200)
+    pred_b = (col("b") >= 5_000) & (col("b") < 5_200)
+
+    # identical answers on every combination
+    for t in (t_sorted, t_z):
+        assert {r["a"] for r in t.query(pred_a).collect()} == set(
+            range(5_000, 5_200))
+    rows_b_sorted = sorted(r["b"] for r in t_sorted.query(pred_b).collect())
+    d_b_sorted = t_sorted.last_scan
+    rows_b_z = sorted(r["b"] for r in t_z.query(pred_b).collect())
+    d_b_z = t_z.last_scan
+    assert rows_b_sorted == rows_b_z and len(rows_b_z) > 0
+
+    # the a-sorted layout cannot prune on b at all...
+    assert d_b_sorted.row_groups_scanned == d_b_sorted.total_row_groups
+    # ...the z-ordered layout prunes most row groups on b AND on a
+    assert d_b_z.row_groups_scanned < d_b_z.total_row_groups / 2
+    t_z.query(pred_a).collect()
+    d_a_z = t_z.last_scan
+    assert d_a_z.row_groups_scanned < d_a_z.total_row_groups / 2
+
+
 def test_compact_to_fresh_sorted_table(spark, tmp_path, demo_dir):
     from datafusion_async_parquet_index_spark.sources.layout import compact_to
 

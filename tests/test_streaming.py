@@ -115,6 +115,49 @@ def test_sliding_stream_matches_batch(spark, events_stream_dir, tmp_path):
     assert got == want
 
 
+def test_asof_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    """The streaming as-of join must agree with q20's batch answer: the
+    stream dir is split by time range, so each user's events arrive in
+    ts order across micro-batches (the ordered-feed contract)."""
+    from pyspark.sql import Window
+
+    from datafusion_async_parquet_index_spark.streaming import (
+        asof_join_stream,
+    )
+
+    events = stream_events_from_dir(spark, events_stream_dir)
+    out = asof_join_stream(events)
+    q = (out.writeStream.format("memory").queryName("asof_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.purchase_id, r.user_id): r.last_click_id
+               for r in spark.sql("select * from asof_test").collect()}
+    finally:
+        q.stop()
+
+    # batch oracle: same union + running-last window as q20_asof_join
+    ev = spark.read.parquet(events_stream_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("ev_id"),
+        F.lit(0).alias("side"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("ev_id"),
+        F.lit(1).alias("side"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.asc("side"), F.asc("ev_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_click = F.last(
+        F.when(F.col("side") == 0, F.col("ev_id")), ignorenulls=True).over(w)
+    batch = (clicks.unionByName(purchases)
+             .withColumn("last_click_id", last_click)
+             .filter(F.col("side") == 1))
+    want = {(r.ev_id, r.user_id): r.last_click_id for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
     """Replaying the same events file twice (at-least-once delivery)
     must yield each event exactly once downstream."""

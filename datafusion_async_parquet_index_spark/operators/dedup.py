@@ -204,7 +204,19 @@ def connected_components(
     2^jumps neighbour-min joins), and once for the round result, whose
     changed-count doubles as the convergence check. Duplicate edges are
     harmless to min-propagation, so the symmetrized edge set is NOT
-    de-duplicated — that saves a full shuffle over the edges up front."""
+    de-duplicated — that saves a full shuffle over the edges up front.
+
+    CRITICAL stats detail: a checkpoint leaf (``LogicalRDD``) inherits
+    the *estimated* statistics of the plan it replaced, not the measured
+    size. In an iterative loop that estimate compounds multiplicatively
+    (each round's leaf estimate = product over the previous round's
+    2^jumps join branches), so by round ~6 Catalyst's size-in-bytes is a
+    multi-million-digit BigInteger and every join-strategy decision
+    burns minutes of driver CPU in BigInteger.multiply (measured: round
+    5 plan 6 s, round 6 plan 113 s, round 7 effectively hung). The fix:
+    cache + materialize the round result FIRST, then checkpoint it —
+    the checkpoint then inherits the cache's real, constant-sized stats
+    and per-round planning cost stays flat."""
     # localCheckpoint (NOT cache) BEFORE the symmetrizing union:
     # materializes the pair pipeline once and replaces it with a leaf
     # plan carrying REAL size stats. The union references the pair plan
@@ -249,10 +261,15 @@ def connected_components(
                             F.coalesce(F.col("llabel"),
                                        F.col("label"))).alias("label"))
             )
-        new_labels = (
-            jumped.withColumn("chg", F.col("label") != F.col("old"))
-            .localCheckpoint())
-        changed = new_labels.filter(F.col("chg")).count()
+        # cache + count BEFORE checkpointing: the changed-count
+        # materializes the cache, and the checkpoint taken from it
+        # inherits the cache's REAL size stats (see docstring) — the
+        # count doubles as the convergence check, so the extra
+        # materialization is a cheap cached-scan
+        nl = jumped.withColumn("chg", F.col("label") != F.col("old")).cache()
+        changed = nl.filter(F.col("chg")).count()
+        new_labels = nl.localCheckpoint()
+        nl.unpersist()
         labels = new_labels.select("node", "label")
         if changed == 0:
             break

@@ -173,3 +173,23 @@ def test_cms_point_estimate_upper_bounds_truth(spark, sf_dir):
             cells.get((r, py_hash60(f"{r}|{user}") % CMS_WIDTH), 0)
             for r in range(CMS_DEPTH))
         assert est >= true_cnt, (user, est, true_cnt)
+
+
+def test_connected_components_paths_agree(spark):
+    """The union-find fast path and the distributed label-propagation
+    loop are interchangeable: same (doc_id, cluster_id) fixpoint."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        connected_components,
+    )
+    # two chains, one triangle, one isolated edge — exercises chains
+    # (diameter > 1), cycles, and singleton components
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21),
+             (21, 22), (22, 20), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = sorted(map(tuple, connected_components(pairs).collect()))
+    slow = sorted(map(tuple, connected_components(
+        pairs, small_edge_cutoff=0).collect()))
+    assert fast == slow
+    assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+                    (12, 10), (20, 20), (21, 20), (22, 20), (30, 30),
+                    (31, 30)]

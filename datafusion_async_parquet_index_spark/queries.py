@@ -517,6 +517,37 @@ def q29_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_shift_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-shift arithmetic in a predicate through the indexed scan path
+    (reference conversions.rs translates << / >> into catalog SQL; here
+    the Expr AST renders to F.shiftleft/F.shiftright and the residual
+    filter re-applies it exactly — pruning degrades conservatively)."""
+    t = _make_table(spark, sf_dir, "part", ["p_size"])
+    pred = ((xcol("p_size") << 2) >= 100) & ((xcol("p_size") >> 1) <= 20)
+    df = t.query(pred)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("p_size").alias("sum_size"))
+
+
+def q31_registered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table registration in the session catalog (reference main.rs
+    ctx.register_table): the indexed table registers a temp view and is
+    queried through plain spark.sql — inherited-layer SQL over the
+    registered relation."""
+    t = _make_table(spark, sf_dir, "part", ["p_size"])
+    t.create_temp_view("part_indexed_view")
+    return spark.sql("""
+        SELECT p_type,
+               COUNT(*) AS cnt,
+               MIN(p_retailprice) AS min_price,
+               MAX(p_retailprice) AS max_price
+        FROM part_indexed_view
+        WHERE p_size >= 40
+        GROUP BY p_type
+    """)
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -547,6 +578,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_outer_join_distribution": q27_outer_join_distribution,
     "q28_hll_registers": q28_hll_registers,
     "q29_argmax_join": q29_argmax_join,
+    "q30_shift_pred": q30_shift_pred,
+    "q31_registered_view": q31_registered_view,
 }
 
 
@@ -765,6 +798,22 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q30_shift_pred"] = """
+    SELECT p_brand, COUNT(*) AS cnt, CAST(SUM(p_size) AS BIGINT) AS sum_size
+    FROM part
+    WHERE (p_size << 2) >= 100 AND (p_size >> 1) <= 20
+    GROUP BY p_brand
+"""
+
+RELATIONAL_ORACLE["q31_registered_view"] = """
+    SELECT p_type, COUNT(*) AS cnt,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price
+    FROM part
+    WHERE p_size >= 40
+    GROUP BY p_type
+"""
 
 RELATIONAL_ORACLE["q29_argmax_join"] = """
     SELECT n_name, s_name AS top_supplier, s_acctbal AS acctbal FROM (

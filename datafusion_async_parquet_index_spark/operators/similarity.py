@@ -320,6 +320,74 @@ EMB_CENTROIDS_SQL = """
 """
 
 
+def write_ivf_layout(emb: DataFrame, out_dir: str) -> None:
+    """Physical IVF layout: every vector written under its nearest-cell
+    directory (``cell=<id>/``) via partitionBy, with the centroid set
+    saved under ``_meta/`` (underscore-prefixed, so partition discovery
+    ignores it). This is the stats-index idea applied to vectors: the
+    directory structure IS the coarse quantizer, and an ANN probe scans
+    only the probed cells' files — at 100 TB a 1/n_cells fraction of the
+    corpus per probe, enforced by Spark's partition pruning rather than
+    a post-scan filter."""
+    cells = _ivf_cells(emb)
+    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
+    (emb.join(cells, "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+    cent.write.mode("overwrite").parquet(out_dir + "/_meta/centroids")
+
+
+def ivf_layout_topk(
+    spark: SparkSession, layout_dir: str, nprobe: int = 1, k: int = TOPK,
+) -> DataFrame:
+    """ANN top-k over a ``write_ivf_layout`` directory. The query set
+    (same ``vec_id % N_QUERIES_MOD`` rule as the other sim_* operators)
+    is assigned to its ``nprobe`` nearest cells from the tiny broadcast
+    centroid table, and the corpus scan carries a partition filter
+    ``cell IN (<probed>)`` — check .explain() for PartitionFilters: only
+    the probed directories are listed/read. With nprobe=1 the result is
+    row-identical to sim_ivf_topk (same centroids, same tie-breaks);
+    higher nprobe trades scan fraction for recall."""
+    emb = spark.read.parquet(layout_dir)
+    cent = spark.read.parquet(layout_dir + "/_meta/centroids").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e"),
+        l2_norm(F.col("embedding")).alias("cent_n"))
+    q = emb.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"))
+    qcos = F.round(dot_double(F.col("qe"), F.col("cent_e"))
+                   / (F.col("qn") * F.col("cent_n")), 6)
+    qcells = (
+        q.join(F.broadcast(cent), F.lit(True))
+        .select("query_id", "qe", "qn", qcos.alias("cos"), "cent_id")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), F.asc("cent_id"))))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qe", "qn", F.col("cent_id").alias("probe_cell"))
+    )
+    # driver-side cell list (#queries x nprobe ids, tiny) -> partition
+    # filter literal, so the scan prunes DIRECTORIES, not rows
+    probed = sorted({r.probe_cell for r in qcells.select("probe_cell")
+                     .distinct().collect()})
+    c = emb.filter(F.col("cell").isin(probed)).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"), F.col("cell").alias("cc"))
+    pairs = c.join(F.broadcast(qcells),
+                   (F.col("probe_cell") == F.col("cc"))
+                   & (F.col("query_id") != F.col("cand_id")))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    scored = (pairs.select("query_id", "cand_id", cos.alias("cosine"))
+              .distinct())  # a candidate can appear via several probes
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,

@@ -109,3 +109,31 @@ def test_compact_to_fresh_sorted_table(spark, tmp_path, demo_dir):
     assert t2.last_scan.row_groups_scanned <= 1
     # source untouched
     assert len(t.catalog.all_files()) == 3
+
+
+def test_ivf_layout_topk_parity_and_partition_pruning(spark, sf_dir, tmp_path):
+    """nprobe=1 over the cell-partitioned layout is row-identical to the
+    logical IVF operator, and the candidate scan prunes DIRECTORIES
+    (PartitionFilters on the cell partition column), not rows."""
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        ivf_layout_topk, sim_ivf_topk, write_ivf_layout,
+    )
+    from datafusion_async_parquet_index_spark.operators.util import read_table
+
+    layout_dir = str(tmp_path / "ivf_layout")
+    write_ivf_layout(read_table(spark, sf_dir, "embeddings"), layout_dir)
+
+    got = ivf_layout_topk(spark, layout_dir, nprobe=1)
+    want = sim_ivf_topk(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    n_cells = len([p for p in (tmp_path / "ivf_layout").iterdir()
+                   if p.name.startswith("cell=")])
+    assert n_cells > 1
+
+    # higher nprobe only widens the candidate set (recall monotonicity)
+    wider = ivf_layout_topk(spark, layout_dir, nprobe=2)
+    assert wider.count() >= got.count()

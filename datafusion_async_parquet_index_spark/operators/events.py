@@ -238,12 +238,44 @@ def _cms_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` payload
+    JVM-side (get_json_object — no Python in the hot path) and aggregate
+    the extracted field per event type. The parse is per-row map-only;
+    the shuffle carries one row per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EV_JSON_SQL = """
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS cnt,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+    GROUP BY event_type
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
     "ev_sessionize": ev_sessionize,
     "ev_type_funnel": ev_type_funnel,
     "ev_cms_user_counts": ev_cms_user_counts,
+    "ev_json_extract": ev_json_extract,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -252,4 +284,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_sessionize": EV_SESSIONIZE_SQL,
     "ev_type_funnel": EV_FUNNEL_SQL,
     "ev_cms_user_counts": _cms_sql(),
+    "ev_json_extract": EV_JSON_SQL,
 }

@@ -175,6 +175,34 @@ def text_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_FRAC = 10        # exact 10% per stratum (ceil)
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: per (source, lang) stratum keep
+    exactly ceil(n * frac) documents, chosen by deterministic hash order
+    (hash60 of doc_id) — reproducible on any engine and cluster size,
+    and every stratum is represented proportionally, unlike a global
+    percentage filter whose per-stratum counts fluctuate. One window per
+    stratum partition; no collect, no RNG."""
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        hash60(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "source", "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("source", "lang")).alias("n"))
+    kept = ranked.filter(
+        F.col("rn") <= F.ceil(F.col("n") * STRATUM_FRAC / 100.0))
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -184,6 +212,7 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_curation_pipeline": text_curation_pipeline,
     "text_deterministic_sample": text_deterministic_sample,
     "text_token_budget_pack": text_token_budget_pack,
+    "text_stratified_sample": text_stratified_sample,
 }
 
 _TOKS = sql_tokens("text")
@@ -286,5 +315,23 @@ TEXT_ORACLE: Dict[str, str] = {
                CAST(MAX(cum_tokens) AS BIGINT) AS used_tokens
         FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
         GROUP BY source
+    """,
+    "text_stratified_sample": f"""
+        WITH ranked AS (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source, lang
+                       ORDER BY {sql_hash60("doc_id::VARCHAR")} ASC,
+                                doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY source, lang) AS n
+            FROM documents
+        )
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM ranked
+        WHERE rn <= CEIL(n * {STRATUM_FRAC} / 100.0)
+        GROUP BY source, lang
     """,
 }

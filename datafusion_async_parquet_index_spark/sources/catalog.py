@@ -189,13 +189,32 @@ class SqliteIndexCatalog:
                        row_group INTEGER NOT NULL,
                        row_count INTEGER NOT NULL{extra},
                        PRIMARY KEY (file_id, row_group))""")
+            # bloom extension (sources/bloom.py): per (row group, column)
+            # membership filter for equality pruning on high-cardinality
+            # columns where min/max cannot help
+            self._conn.execute(
+                """CREATE TABLE IF NOT EXISTS row_group_blooms (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       m_bits INTEGER NOT NULL,
+                       k_hashes INTEGER NOT NULL,
+                       bits BLOB NOT NULL,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
 
     # -- EP2: transactional upsert (reference index.rs:242-329) -------
-    def upsert_file(self, fs: FileStats, rgs: Sequence[RowGroupStats]) -> None:
+    def upsert_file(
+        self, fs: FileStats, rgs: Sequence[RowGroupStats],
+        blooms: Optional[Dict[int, Dict[str, Tuple[int, int, bytes]]]] = None,
+    ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
         maintenance story of the reference (ON CONFLICT DO UPDATE +
-        delete-then-insert, index.rs:249-285)."""
+        delete-then-insert, index.rs:249-285).
+
+        blooms: optional {row_group: {column: (m_bits, k, bits)}} written
+        alongside the stats in the same transaction."""
         with self._lock, self._conn:
             cur = self._conn.execute(
                 """INSERT INTO file_statistics
@@ -226,6 +245,17 @@ class SqliteIndexCatalog:
                 self._conn.executemany(
                     f"INSERT INTO row_group_statistics ({', '.join(all_cols)}) "
                     f"VALUES ({placeholders})", rows)
+            self._conn.execute(
+                "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
+            if blooms:
+                self._conn.executemany(
+                    """INSERT INTO row_group_blooms
+                           (file_id, row_group, column_name,
+                            m_bits, k_hashes, bits)
+                       VALUES (?, ?, ?, ?, ?, ?)""",
+                    [(file_id, rg, col, m, k, sqlite3.Binary(bits))
+                     for rg, cols in blooms.items()
+                     for col, (m, k, bits) in cols.items()])
 
     def remove_file(self, file_name: str) -> None:
         with self._lock, self._conn:
@@ -265,6 +295,19 @@ class SqliteIndexCatalog:
         for file_name, row_group in rows:
             out.setdefault(file_name, []).append(row_group)
         return sorted(out.items())
+
+    def get_blooms(
+        self, column: str
+    ) -> Dict[Tuple[str, int], Tuple[int, int, bytes]]:
+        """{(file_name, row_group): (m_bits, k, bits)} for one column.
+        O(row_groups) rows, independent of data size."""
+        with self._lock:
+            rows = self._conn.execute(
+                """SELECT f.file_name, b.row_group, b.m_bits, b.k_hashes, b.bits
+                   FROM row_group_blooms b
+                   JOIN file_statistics f ON f.file_id = b.file_id
+                   WHERE b.column_name = ?""", (column,)).fetchall()
+        return {(fn, rg): (m, k, bytes(bits)) for fn, rg, m, k, bits in rows}
 
     # -- introspection -------------------------------------------------
     def all_files(self) -> List[Tuple[str, int, int, int]]:

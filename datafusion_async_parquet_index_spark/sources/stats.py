@@ -61,6 +61,40 @@ def index_schema_for(schema: pa.Schema, columns: Sequence[str]) -> Dict[str, str
     return out
 
 
+def extract_file_blooms(
+    path: str, bloom_schema: Dict[str, str], fpp: float = 0.01,
+) -> Dict[int, Dict[str, Tuple[int, int, bytes]]]:
+    """{row_group: {column: (m, k, bits)}} — reads ONLY the bloom
+    columns' pages (column-pruned pyarrow read), one row group at a
+    time. bloom_schema: {column: type-category} (must be a subset of the
+    index schema; see sources/bloom.py for which categories qualify)."""
+    from .bloom import (
+        BLOOM_CATEGORIES, bloom_params, build_bloom, canonical_bytes,
+    )
+    from .catalog import encode_value
+
+    cols = [c for c, cat in bloom_schema.items() if cat in BLOOM_CATEGORIES]
+    if not cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    out: Dict[int, Dict[str, Tuple[int, int, bytes]]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=cols)
+        per_col: Dict[str, Tuple[int, int, bytes]] = {}
+        for c in cols:
+            cat = bloom_schema[c]
+            vals = {
+                cb for v in tbl.column(c).to_pylist()
+                if v is not None
+                and (cb := canonical_bytes(cat, encode_value(cat, v)))
+                is not None
+            }
+            m, k = bloom_params(len(vals), fpp)
+            per_col[c] = (m, k, build_bloom(vals, m, k))
+        out[i] = per_col
+    return out
+
+
 def extract_file_stats(
     path: str, index_schema: Dict[str, str]
 ) -> Tuple[FileStats, List[RowGroupStats]]:
@@ -108,6 +142,8 @@ def build_index(
     distributed_threshold: int = 64,
     incremental: bool = False,
     max_workers: int = 8,
+    bloom_columns: Optional[Sequence[str]] = None,
+    bloom_fpp: float = 0.01,
 ) -> Dict[str, str]:
     """Index every file into the catalog; returns the index schema used.
 
@@ -136,6 +172,16 @@ def build_index(
     first = pq.ParquetFile(files[0])
     schema = index_schema_for(first.schema_arrow, index_columns)
     catalog.initialize(schema)
+    from .bloom import BLOOM_CATEGORIES
+    bloom_schema = {
+        c: cat for c, cat in schema.items()
+        if bloom_columns and c in bloom_columns and cat in BLOOM_CATEGORIES}
+
+    def _extract(p):
+        fs, rgs = extract_file_stats(p, schema)
+        blooms = (extract_file_blooms(p, bloom_schema, bloom_fpp)
+                  if bloom_schema else None)
+        return fs, rgs, blooms
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -150,18 +196,25 @@ def build_index(
     if spark is not None and len(files) >= distributed_threshold:
         sc = spark.sparkContext
         schema_b = sc.broadcast(schema)
+        bloom_b = sc.broadcast(bloom_schema)
+
+        def _extract_dist(p, _s=schema_b, _bs=bloom_b, _fpp=bloom_fpp):
+            fs, rgs = extract_file_stats(p, _s.value)
+            blooms = (extract_file_blooms(p, _bs.value, _fpp)
+                      if _bs.value else None)
+            return fs, rgs, blooms
+
         results = (
             sc.parallelize(files, min(len(files), 256))
-            .map(lambda p: extract_file_stats(p, schema_b.value))
+            .map(_extract_dist)
             .collect()
         )
     elif len(files) > 1 and max_workers > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(max_workers, len(files))) as ex:
-            results = list(ex.map(
-                lambda p: extract_file_stats(p, schema), files))
+            results = list(ex.map(_extract, files))
     else:
-        results = [extract_file_stats(p, schema) for p in files]
-    for fs, rgs in results:
-        catalog.upsert_file(fs, rgs)
+        results = [_extract(p) for p in files]
+    for fs, rgs, blooms in results:
+        catalog.upsert_file(fs, rgs, blooms=blooms)
     return schema

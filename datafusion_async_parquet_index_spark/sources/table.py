@@ -53,6 +53,7 @@ class ScanDecision:
     files_scanned: Dict[str, List[int]]   # file -> row groups to scan
     total_files: int
     total_row_groups: int
+    bloom_skipped: int = 0                # row groups removed by blooms
 
     @property
     def file_names(self) -> List[str]:
@@ -71,6 +72,9 @@ class ScanDecision:
                  f"{self.row_groups_scanned}/{self.total_row_groups} row groups)"]
         for f, rgs in sorted(self.files_scanned.items()):
             lines.append(f"  {f}: row_groups={rgs}")
+        if self.bloom_skipped:
+            lines.append(f"  bloom filters skipped {self.bloom_skipped} "
+                         "additional row groups")
         return "\n".join(lines)
 
 
@@ -85,14 +89,17 @@ class IndexedParquetTable:
         index_columns: Sequence[str],
         catalog: Optional[SqliteIndexCatalog] = None,
         name: Optional[str] = None,
+        bloom_columns: Optional[Sequence[str]] = None,
     ):
         self.spark = spark
         self.data_dir = data_dir
         self.catalog = catalog or SqliteIndexCatalog()
         self.name = name or os.path.basename(data_dir.rstrip("/"))
         self._files = list_parquet_files(data_dir)
+        self.bloom_columns = tuple(bloom_columns or ())
         self.index_schema = build_index(
-            self.catalog, self._files, index_columns, spark=spark)
+            self.catalog, self._files, index_columns, spark=spark,
+            bloom_columns=self.bloom_columns)
         self._rewriter = PruningRewriter(self.index_schema)
         # schema inferred from data ("assume all files share it",
         # reference main.rs:228-237)
@@ -110,7 +117,8 @@ class IndexedParquetTable:
         self._files = list_parquet_files(self.data_dir)
         build_index(self.catalog, self._files,
                     list(self.index_schema), spark=self.spark,
-                    incremental=True)
+                    incremental=True,
+                    bloom_columns=getattr(self, "bloom_columns", ()))
         if self._schema is None and self._files:
             # table was constructed over an empty directory; first files
             # just appeared — infer the schema now
@@ -132,12 +140,78 @@ class IndexedParquetTable:
             decision = ScanDecision("TRUE", files, len(self._files), total_rgs)
         else:
             stats_pred = self._rewriter.rewrite(predicate)
-            survivors = self.catalog.get_files(stats_pred)
+            survivors = dict(self.catalog.get_files(stats_pred))
+            skipped = self._bloom_refine(predicate, survivors)
             decision = ScanDecision(
-                predicate.to_sql(), dict(survivors), len(self._files), total_rgs)
+                predicate.to_sql(), survivors, len(self._files), total_rgs,
+                bloom_skipped=skipped)
         self.last_scan = decision
         self.scan_history.append(decision)
         return decision
+
+    def _bloom_refine(
+        self, predicate: Expr, survivors: Dict[str, List[int]]
+    ) -> int:
+        """Drop candidate row groups whose Bloom filter proves an
+        equality/IN conjunct cannot match (sources/bloom.py). Only
+        top-level AND conjuncts of the form col = lit / col IN (lits)
+        on bloom-indexed columns refine; everything else is untouched —
+        false positives scan extra, absence of a filter row scans, so
+        the over-approximation invariant holds. Returns #row groups
+        removed."""
+        bloom_cols = getattr(self, "bloom_columns", ())
+        if not bloom_cols or not survivors:
+            return 0
+        from ..plans.expr import BinOp, Col, InList, Lit
+        from .bloom import bloom_contains, canonical_bytes
+        from .catalog import encode_value
+
+        def conjuncts(e):
+            if isinstance(e, BinOp) and e.op == "AND":
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        constraints: List[tuple] = []  # (column, [literal values])
+        for c in conjuncts(predicate):
+            if isinstance(c, BinOp) and c.op == "=":
+                for a, b in ((c.left, c.right), (c.right, c.left)):
+                    if (isinstance(a, Col) and isinstance(b, Lit)
+                            and a.name in bloom_cols):
+                        constraints.append((a.name, [b.value]))
+                        break
+            elif (isinstance(c, InList) and isinstance(c.child, Col)
+                  and c.child.name in bloom_cols
+                  and all(isinstance(v, Lit) for v in c.values)):
+                constraints.append((c.child.name, [v.value for v in c.values]))
+        skipped = 0
+        for column, values in constraints:
+            cat = self.index_schema.get(column)
+            if cat is None:
+                continue
+            canons = [canonical_bytes(cat, encode_value(cat, v))
+                      for v in values]
+            if any(cb is None for cb in canons):
+                continue  # un-bloomable literal (type mismatch): stay sound
+            blooms = self.catalog.get_blooms(column)
+            if not blooms:
+                continue
+            for fname in list(survivors):
+                kept = []
+                for rg in survivors[fname]:
+                    blo = blooms.get((fname, rg))
+                    if blo is None or any(
+                            bloom_contains(blo[2], blo[0], blo[1], cb)
+                            for cb in canons):
+                        kept.append(rg)
+                    else:
+                        skipped += 1
+                if kept:
+                    survivors[fname] = kept
+                else:
+                    del survivors[fname]
+        return skipped
 
     # -- reading -------------------------------------------------------
     def query(

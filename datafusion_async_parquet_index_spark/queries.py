@@ -44,10 +44,10 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _make_table(spark, sf_dir, table, index_columns):
+def _make_table(spark, sf_dir, table, index_columns, bloom_columns=()):
     """IndexedParquetTable scoped to one table's parquet file (the
     testdata dir holds every table, so the ctor's glob would mix them)."""
-    key = (sf_dir, table, tuple(index_columns))
+    key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns))
     t = _TABLES.get(key)
     if t is None:
         t = IndexedParquetTable.__new__(IndexedParquetTable)
@@ -56,8 +56,11 @@ def _make_table(spark, sf_dir, table, index_columns):
         t.catalog = SqliteIndexCatalog()
         t.name = table
         t._files = [os.path.join(sf_dir, f"{table}.parquet")]
+        t.bloom_columns = tuple(bloom_columns)
         from .sources.stats import build_index
-        t.index_schema = build_index(t.catalog, t._files, index_columns, spark=None)
+        t.index_schema = build_index(t.catalog, t._files, index_columns,
+                                     spark=None,
+                                     bloom_columns=t.bloom_columns)
         from .plans.pruning import PruningRewriter
         t._rewriter = PruningRewriter(t.index_schema)
         t._schema = spark.read.parquet(t._files[0]).schema
@@ -530,6 +533,18 @@ def q30_shift_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_size").alias("sum_size"))
 
 
+def q32_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a high-cardinality string column through the
+    Bloom-filter index extension (sources/bloom.py): min/max stats
+    cannot prune a needle like c_name, the per-row-group Bloom filter
+    can. Results are exact either way (residual filter); the pruning
+    win shows in last_scan.bloom_skipped."""
+    t = _make_table(spark, sf_dir, "customer", ["c_name"],
+                    bloom_columns=["c_name"])
+    df = t.query(xcol("c_name") == "Customer#000000100")
+    return df.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
 def q31_registered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table registration in the session catalog (reference main.rs
     ctx.register_table): the indexed table registers a temp view and is
@@ -580,6 +595,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_argmax_join": q29_argmax_join,
     "q30_shift_pred": q30_shift_pred,
     "q31_registered_view": q31_registered_view,
+    "q32_bloom_point_lookup": q32_bloom_point_lookup,
 }
 
 
@@ -798,6 +814,11 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q32_bloom_point_lookup"] = """
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+    FROM customer WHERE c_name = 'Customer#000000100'
+"""
 
 RELATIONAL_ORACLE["q30_shift_pred"] = """
     SELECT p_brand, COUNT(*) AS cnt, CAST(SUM(p_size) AS BIGINT) AS sum_size

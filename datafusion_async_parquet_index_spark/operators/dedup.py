@@ -128,7 +128,11 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.25) -> DataFrame:
                      *[F.col(f"s{i}").alias(f"b{i}") for i in range(K)])
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(K))
-    return (
+    # the pair list itself is cached: orders of magnitude smaller than
+    # the corpus, and every consumer (clusters, verified pairs,
+    # cross-modal, repeat bench runs) re-reads it — without this the
+    # band self-join re-runs per consumer
+    return track_cache(
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("_est", matches / F.lit(K))
         .filter(F.col("_est") >= threshold)

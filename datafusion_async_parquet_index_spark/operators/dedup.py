@@ -517,7 +517,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         for b in range(SIM_BITS)
     ).cast("bigint")
-    return votes.select("doc_id", simhash.alias("simhash"))
+    # the signature table is the reusable dedup artifact (docs x 1 long)
+    # — cached so the banded-pairs consumer and repeat runs share it
+    return track_cache(votes.select("doc_id", simhash.alias("simhash")))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +538,7 @@ def simhash_pairs(docs: DataFrame, ham_max: int = SIM_HAM_MAX) -> DataFrame:
     then exact hamming re-check via xor+bit_count. Same scalable shape
     as MinHash/LSH: map-only signatures, equi-join candidates, cheap
     re-rank — no all-pairs comparison anywhere."""
-    sigs = track_cache(simhash_signatures(docs))
+    sigs = simhash_signatures(docs)  # cached inside
     chunks = sigs.selectExpr(
         "doc_id", "simhash",
         "stack({}, {}) as (chunk_idx, chunk)".format(

@@ -189,6 +189,21 @@ class SqliteIndexCatalog:
                        row_group INTEGER NOT NULL,
                        row_count INTEGER NOT NULL{extra},
                        PRIMARY KEY (file_id, row_group))""")
+            # schema growth (e.g. a table bootstrapped over an empty
+            # directory learns its real index schema on first refresh):
+            # CREATE IF NOT EXISTS won't extend an existing table, so add
+            # any missing stat columns explicitly
+            existing = {r[1] for r in self._conn.execute(
+                "PRAGMA table_info(row_group_statistics)")}
+            for name, cat in self.index_schema.items():
+                sql_t = _SQL_TYPE[cat]
+                for col_name, col_t in (
+                        (f"{name}_null_count", "INTEGER"),
+                        (f"{name}_min", sql_t), (f"{name}_max", sql_t)):
+                    if col_name not in existing:
+                        self._conn.execute(
+                            f'ALTER TABLE row_group_statistics '
+                            f'ADD COLUMN "{col_name}" {col_t}')
             # bloom extension (sources/bloom.py): per (row group, column)
             # membership filter for equality pruning on high-cardinality
             # columns where min/max cannot help

@@ -97,6 +97,10 @@ class IndexedParquetTable:
         self.name = name or os.path.basename(data_dir.rstrip("/"))
         self._files = list_parquet_files(data_dir)
         self.bloom_columns = tuple(bloom_columns or ())
+        # the REQUESTED columns, kept verbatim: over an empty directory
+        # build_index derives an empty schema, and refresh() must still
+        # know what to index once the first files appear
+        self._index_columns = list(index_columns)
         self.index_schema = build_index(
             self.catalog, self._files, index_columns, spark=spark,
             bloom_columns=self.bloom_columns)
@@ -115,10 +119,17 @@ class IndexedParquetTable:
         the catalog upsert replaces stale stats — and O(changed files) in
         the steady state (size-match short-circuit)."""
         self._files = list_parquet_files(self.data_dir)
-        build_index(self.catalog, self._files,
-                    list(self.index_schema), spark=self.spark,
-                    incremental=True,
-                    bloom_columns=getattr(self, "bloom_columns", ()))
+        requested = getattr(self, "_index_columns", None) or list(self.index_schema)
+        new_schema = build_index(self.catalog, self._files,
+                                 requested, spark=self.spark,
+                                 incremental=True,
+                                 bloom_columns=getattr(self, "bloom_columns", ()))
+        if new_schema != self.index_schema:
+            # first files after empty-dir construction (or a schema
+            # evolution): adopt the derived schema and rebuild the
+            # rewriter so the requested columns actually prune
+            self.index_schema = new_schema
+            self._rewriter = PruningRewriter(self.index_schema)
         if self._schema is None and self._files:
             # table was constructed over an empty directory; first files
             # just appeared — infer the schema now

@@ -1,0 +1,72 @@
+"""Streaming ingestion that maintains the external index.
+
+The reference is an *async* parquet index: its tokio maintenance loop
+keeps the catalog in sync while files land
+(``/root/reference/sqlx-sqlite/src/index.rs:179`` add_file is async; the
+module doc's architecture has the index updated out-of-band of queries).
+The Structured-Streaming twin of that posture: a ``foreachBatch`` sink
+writes each micro-batch as Parquet into an ``IndexedParquetTable``'s
+directory and immediately re-indexes — ``refresh()`` is incremental
+(size short-circuit), so the per-batch maintenance cost is O(files in
+the batch), never O(table).
+
+At scale this is the standard lakehouse ingest loop: executors write
+the batch files in parallel; only the footer stats of the NEW files are
+extracted (fanned out when large); the catalog upsert is a small
+transaction. Query-side sessions see each batch's files as soon as
+their own ``refresh()`` runs — same freshness model as the reference's
+out-of-band maintenance.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from ..sources.table import IndexedParquetTable
+
+
+def indexed_ingest_sink(table: IndexedParquetTable) -> Callable:
+    """foreachBatch function: append the micro-batch to the table's
+    directory as Parquet, then incrementally re-index.
+
+    Usage::
+
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(indexed_ingest_sink(table))
+             .option("checkpointLocation", ckpt).start())
+
+    Exactly-once caveat (same as any file-sink foreachBatch): a batch
+    replayed after a crash appends duplicate files; dedup_stream /
+    dropDuplicatesWithinWatermark upstream or an idempotent
+    batch-id-derived file name scheme handles that — kept out of this
+    demo sink."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("append").parquet(table.data_dir))
+        table.refresh()
+
+    return _sink
+
+
+def ingest_stream_to_indexed_table(
+    source_stream: DataFrame,
+    table: IndexedParquetTable,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Wire a streaming DataFrame into an indexed table and start the
+    query. trigger_once processes all available input then stops — the
+    batch-ingest-shaped trigger used in tests and backfills; pass False
+    for a continuous micro-batch trigger."""
+    w = (source_stream.writeStream
+         .outputMode("append")
+         .foreachBatch(indexed_ingest_sink(table))
+         .option("checkpointLocation", checkpoint_dir))
+    if query_name:
+        w = w.queryName(query_name)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -188,3 +188,57 @@ def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got["c"] == got["d"] == 500
+
+
+def test_streaming_ingest_maintains_index(spark, tmp_path):
+    """foreachBatch ingest: micro-batches land as parquet in the table
+    dir and refresh() indexes them incrementally — the streaming twin of
+    the reference's async index-maintenance loop."""
+    from pyspark.sql import types as T
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    from datafusion_async_parquet_index_spark.streaming import (
+        ingest_stream_to_indexed_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl_dir = tmp_path / "tbl"
+    tbl_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("value", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def wave(lo, hi, name):
+        spark.createDataFrame(
+            [(i, f"row{i}") for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    wave(0, 100, "w1")
+    table = IndexedParquetTable(spark, str(tbl_dir), ["value"])
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = ingest_stream_to_indexed_table(stream, table, ckpt)
+    q.awaitTermination(120)
+
+    assert table.query(col("value") == 42).count() == 1
+    n_files_1 = len(table.catalog.all_files())
+    assert n_files_1 >= 1
+    # refuted predicate answered from the catalog alone
+    table.plan_scan((col("value") > 1000) & (col("value") < 0))
+    assert table.last_scan.row_groups_scanned == 0
+
+    # second wave: only the new source files are processed (checkpoint)
+    # and only the new table files are indexed (incremental refresh)
+    wave(100, 200, "w2")
+    stream2 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q2 = ingest_stream_to_indexed_table(stream2, table, ckpt)
+    q2.awaitTermination(120)
+
+    assert table.query(col("value") == 150).count() == 1
+    assert table.query(col("value") >= 0).count() == 200
+    assert len(table.catalog.all_files()) > n_files_1

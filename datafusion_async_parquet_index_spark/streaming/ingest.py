@@ -37,14 +37,28 @@ def indexed_ingest_sink(table: IndexedParquetTable) -> Callable:
              .foreachBatch(indexed_ingest_sink(table))
              .option("checkpointLocation", ckpt).start())
 
-    Exactly-once caveat (same as any file-sink foreachBatch): a batch
-    replayed after a crash appends duplicate files; dedup_stream /
-    dropDuplicatesWithinWatermark upstream or an idempotent
-    batch-id-derived file name scheme handles that — kept out of this
-    demo sink."""
+    Idempotent under replay (the foreachBatch exactly-once contract is
+    at-least-once delivery of each batch_id): the batch writes to a
+    scratch dir, then its part files move to the table dir under
+    deterministic ``ingest-b<batch_id>-<n>.parquet`` names, after any
+    files of a previous partial attempt of the SAME batch are removed —
+    a crash-replayed batch replaces itself instead of duplicating rows.
+    The subsequent ``refresh()`` is incremental: only the new/changed
+    files' footers are read."""
+    import glob
+    import os
+    import shutil
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append").parquet(table.data_dir))
+        scratch = os.path.join(table.data_dir, f"_ingest_tmp_b{batch_id}")
+        batch_df.write.mode("overwrite").parquet(scratch)
+        prefix = os.path.join(table.data_dir, f"ingest-b{batch_id:06d}-")
+        for stale in glob.glob(prefix + "*.parquet"):
+            os.remove(stale)  # partial previous attempt of this batch
+        parts = sorted(glob.glob(os.path.join(scratch, "part-*.parquet")))
+        for n, p in enumerate(parts):
+            os.replace(p, f"{prefix}{n:04d}.parquet")
+        shutil.rmtree(scratch, ignore_errors=True)
         table.refresh()
 
     return _sink

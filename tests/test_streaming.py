@@ -242,3 +242,34 @@ def test_streaming_ingest_maintains_index(spark, tmp_path):
     assert table.query(col("value") == 150).count() == 1
     assert table.query(col("value") >= 0).count() == 200
     assert len(table.catalog.all_files()) > n_files_1
+
+
+def test_ingest_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch delivers each batch at least once; a replayed batch
+    must replace itself, not duplicate rows."""
+    from pyspark.sql import types as T
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    from datafusion_async_parquet_index_spark.streaming import (
+        indexed_ingest_sink,
+    )
+
+    tbl_dir = tmp_path / "tbl"
+    tbl_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("value", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+    table = IndexedParquetTable(spark, str(tbl_dir), ["value"])
+    sink = indexed_ingest_sink(table)
+    batch = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], schema)
+    sink(batch, 7)
+    assert table.query(col("value") >= 0).count() == 50
+    sink(batch, 7)  # crash-replay of the same batch id
+    assert table.query(col("value") >= 0).count() == 50
+    sink(batch.withColumn("value", batch.value + 100), 8)
+    assert table.query(col("value") >= 0).count() == 100

@@ -410,6 +410,44 @@ def _verified_pairs_sql() -> str:
     """
 
 
+def dedup_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline in one operator: LSH
+    candidates -> exact-Jaccard verification -> connected components ->
+    (doc_id, cluster_id, cluster_size). Clustering over VERIFIED edges
+    (not raw band collisions) is what a keep-one-per-cluster policy
+    should transit — estimator noise must not chain unrelated docs."""
+    vp = verified_pairs(read_table(spark, sf_dir, "documents"))
+    comp = connected_components(vp.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size")
+
+
+def _verified_clusters_sql() -> str:
+    return f"""
+        WITH RECURSIVE vp AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_verified_pairs_sql()}) t
+        ), edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM vp
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM vp
+        ), reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, re.r FROM edges e JOIN reach re ON re.node = e.dst
+        ), comp AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+            GROUP BY node
+        ), sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT doc_id, c.cluster_id, cluster_size
+        FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+    """
+
+
 def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal near-dup signal: strong text pairs (MinHash est >=
     0.5) enriched with the embedding cosine of the same document pair
@@ -730,6 +768,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_verified_pairs": dedup_verified_pairs,
     "dedup_cross_modal": dedup_cross_modal,
     "dedup_clusters": dedup_clusters,
+    "dedup_verified_clusters": dedup_verified_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -742,6 +781,7 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_verified_pairs": _verified_pairs_sql(),
     "dedup_cross_modal": _cross_modal_sql(),
     "dedup_clusters": _clusters_sql(),
+    "dedup_verified_clusters": _verified_clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),

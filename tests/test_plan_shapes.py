@@ -65,3 +65,16 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "1-URGENT" in plan
     want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert df.count() == want
+
+
+def test_minhash_pipeline_stays_jvm_side(spark, sf_dir):
+    """The dedup hot path must never degrade to a cartesian product or
+    row-at-a-time Python evaluation — its scale story is band equi-join
+    + JVM expressions only."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        dedup_minhash_lsh, dedup_simhash,
+    )
+    for q in (dedup_minhash_lsh, dedup_simhash):
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # no Python UDF in hot path

@@ -20,12 +20,30 @@ WINDOW_SEC = 300        # 5-minute tumbling windows
 SESSION_GAP_SEC = 1800  # 30-minute session gap
 
 
-def _ts_seconds(col):
-    """events.ts arrives as epoch NANOS in a long (the session reads
-    TIMESTAMP(NANOS) parquet via nanosAsLong); truncate to whole epoch
-    seconds with integer math — no double round-trip, no precision loss."""
-    from pyspark.sql.types import LongType
-    return F.floor(col / F.lit(1_000_000_000)).cast("long")
+def _ts_seconds(df: DataFrame, colname: str = "ts"):
+    """Epoch seconds from the events ``ts`` column, whatever type this
+    session surfaced it as.  The testdata stores naive MICROS
+    timestamps, which a default Spark 4.x session reads as
+    TIMESTAMP_NTZ; a session with NTZ inference disabled reads
+    TIMESTAMP_LTZ; legacy nanos data (or the arrow fallback in
+    operators.util.read_table) surfaces BIGINT epoch nanos.  All three
+    reduce to the identical integer, so downstream windows/gaps — and
+    the DuckDB oracle's floor(epoch(ts)) — agree regardless of session
+    conf.  Integer math throughout: no double round-trip."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[colname].dataType
+    c = F.col(colname)
+    if isinstance(dt, LongType):  # epoch nanos
+        return F.floor(c / F.lit(1_000_000_000)).cast("long")
+    if isinstance(dt, TimestampNTZType):
+        # naive arithmetic — immune to the session timezone
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {colname})")
+        return F.floor(us / F.lit(1_000_000)).cast("long")
+    # TIMESTAMP_LTZ: unix_micros is instant-based (timezone-free)
+    return F.floor(F.unix_micros(c) / F.lit(1_000_000)).cast("long")
 
 
 def ev_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +52,7 @@ def ev_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path uses), emitting the window start as epoch seconds.
     Map-side combinable; shuffle is (window x type) — tiny at any scale."""
     ev = read_table(spark, sf_dir, "events")
-    win = F.window(F.timestamp_seconds(_ts_seconds(F.col("ts"))),
+    win = F.window(F.timestamp_seconds(_ts_seconds(ev)),
                    f"{WINDOW_SEC} seconds")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))
@@ -69,7 +87,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality. Output: per-user session count + max session length."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_sec = _ts_seconds(F.col("ts"))
+    ts_sec = _ts_seconds(ev)
     with_gap = ev.select(
         "user_id", "event_id", F.col("ts"),
         (ts_sec - F.lag(ts_sec).over(w)).alias("gap"))
@@ -124,7 +142,7 @@ def ev_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the copies map-side (no join, no explode shuffle); the shuffle stays
     (window x type)."""
     ev = read_table(spark, sf_dir, "events")
-    win = F.window(F.timestamp_seconds(_ts_seconds(F.col("ts"))),
+    win = F.window(F.timestamp_seconds(_ts_seconds(ev)),
                    f"{WINDOW_SEC * 2} seconds", f"{WINDOW_SEC} seconds")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))

@@ -4,17 +4,16 @@
 load a testdata parquet table, and it must work in a *vanilla*
 SparkSession (the driver's correctness harness builds its own session
 without our ``session.py`` factory).  The one wrinkle is
-``events.parquet``: the driver writes its ``ts`` column as
-``TIMESTAMP(NANOS)``, which Spark's vectorized parquet reader rejects
-with ``PARQUET_TYPE_ILLEGAL`` unless
-``spark.sql.legacy.parquet.nanosAsLong=true``.  That conf is a runtime
-SQL conf (verified settable via ``spark.conf.set`` on PySpark 4.x), so
-the fix is: attempt the plain read, and on PARQUET_TYPE_ILLEGAL set the
-conf and retry (the ``ts`` column then surfaces as a nanos BIGINT, which
-is exactly what the events operators assume).  A last-resort pyarrow
-conversion covers hypothetical deployments where the conf is rejected —
-that path is driver-side and only acceptable for small local harnesses,
-never the 100 TB path.
+``events.parquet``'s ``ts`` column, whose surfaced type depends on both
+the file and the session: naive-MICROS parquet (the current testdata)
+reads as TIMESTAMP_NTZ by default or TIMESTAMP_LTZ with NTZ inference
+disabled, while TIMESTAMP(NANOS) parquet (earlier testdata generations)
+raises ``PARQUET_TYPE_ILLEGAL`` unless
+``spark.sql.legacy.parquet.nanosAsLong=true`` turns it into a BIGINT.
+``read_table`` keeps the nanos conf-retry (plus a last-resort pyarrow
+cast, driver-side and local-harness-only) so nanos files still load;
+consumers must NOT assume a concrete ``ts`` type — they go through
+``operators.events._ts_seconds``, which dispatches on the actual dtype.
 """
 
 from __future__ import annotations
@@ -22,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -101,6 +101,22 @@ def clear_caches() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped
+
+
+def ensure_epoch_nanos(df: DataFrame, colname: str = "ts") -> DataFrame:
+    """Normalize a timestamp-ish column to BIGINT epoch nanos — the
+    contract of the streaming module's EVENT_SCHEMA (a queue feed
+    delivers integer event times; the parquet testdata delivers
+    TIMESTAMP_NTZ).  Naive timestampdiff arithmetic, so the value is
+    independent of the session timezone.  No-op when already long."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[colname].dataType, LongType):
+        return df
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"cast({colname} as timestamp_ntz))")
+    return df.withColumn(colname, (us * F.lit(1000)).cast("long"))
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

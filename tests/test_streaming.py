@@ -19,9 +19,14 @@ def events_stream_dir(spark, sf_dir, tmp_path_factory):
     (roughly) event-time order like a real queue."""
     import time
 
+    from datafusion_async_parquet_index_spark.operators.util import (
+        ensure_epoch_nanos,
+    )
+
     d = str(tmp_path_factory.mktemp("events_stream"))
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
-        "event_id", "ts", "user_id", "event_type")
+    ev = ensure_epoch_nanos(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", "ts", "user_id", "event_type"))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     step = (hi - lo) // 3 + 1
     for i in range(3):
@@ -165,9 +170,14 @@ def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
 
     from datafusion_async_parquet_index_spark.streaming import dedup_stream
 
+    from datafusion_async_parquet_index_spark.operators.util import (
+        ensure_epoch_nanos,
+    )
+
     d = str(tmp_path / "dup_stream")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
-        "event_id", "ts", "user_id", "event_type").limit(500)
+    ev = ensure_epoch_nanos(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", "ts", "user_id", "event_type")).limit(500)
     ev.coalesce(1).write.mode("append").parquet(d)
     time.sleep(1.1)
     ev.coalesce(1).write.mode("append").parquet(d)  # re-delivery

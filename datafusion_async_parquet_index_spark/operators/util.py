@@ -85,6 +85,19 @@ def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame
 # exit anyway).
 _TRACKED_CACHES: list = []
 
+# Memo dicts registered by operator modules (e.g. the dedup corpus
+# signature store). They hold DataFrame OBJECTS so repeat calls reuse
+# the same cached plan — Spark's cache-manager plan matching does not
+# reliably hit across independently-built higher-order-function plans
+# (fresh lambda-variable IDs), so object identity is the only
+# dependable way to share a cached intermediate across entry points.
+_MEMO_REGISTRY: list = []
+
+
+def register_memo(d: dict) -> dict:
+    _MEMO_REGISTRY.append(d)
+    return d
+
 
 def track_cache(df: DataFrame) -> DataFrame:
     """cache() a DataFrame and remember it for clear_caches()."""
@@ -94,7 +107,10 @@ def track_cache(df: DataFrame) -> DataFrame:
 
 
 def clear_caches() -> None:
-    """Unpersist every operator-internal cache registered so far."""
+    """Unpersist every operator-internal cache registered so far and
+    drop the cross-call memos that point at them."""
+    for d in _MEMO_REGISTRY:
+        d.clear()
     while _TRACKED_CACHES:
         df = _TRACKED_CACHES.pop()
         try:

@@ -563,6 +563,37 @@ def q31_registered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q33_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join, Spark-first: for every order, how
+    many other orders were placed within ±1 day. The naive form is a
+    non-equi theta join — quadratic, and Spark would plan a broadcast
+    nested loop. The scalable shape bins dates to days and equi-joins
+    each order's {bin-1, bin, bin+1} probes against the other side's
+    single bin: the shuffle is O(rows × 3) and hash-partitioned, the
+    exact |date diff| <= 1 predicate is re-applied after the join, and
+    each qualifying pair meets exactly once (the right side has one
+    bin), so no dedup pass is needed. This banding is the same trick
+    the dedup operators use — equi-join-able keys manufactured from a
+    range predicate — and survives a 100× scale-up where the theta
+    join would not."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d"))
+    binned = o.withColumn(
+        "bin", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+    left = binned.select(
+        F.col("o_orderkey").alias("a_key"), F.col("d").alias("a_d"),
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"),
+                          F.col("bin") + 1)).alias("probe"))
+    right = binned.select(
+        F.col("o_orderkey").alias("b_key"), F.col("d").alias("b_d"),
+        F.col("bin").alias("probe"))
+    pairs = left.join(right, "probe").filter(
+        (F.abs(F.datediff(F.col("a_d"), F.col("b_d"))) <= 1)
+        & (F.col("a_key") != F.col("b_key")))
+    return pairs.groupBy(F.col("a_key").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_nearby"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -596,6 +627,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_shift_pred": q30_shift_pred,
     "q31_registered_view": q31_registered_view,
     "q32_bloom_point_lookup": q32_bloom_point_lookup,
+    "q33_range_join": q33_range_join,
 }
 
 
@@ -814,6 +846,15 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q33_range_join"] = """
+    SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_nearby
+    FROM orders a JOIN orders b
+      ON abs(datediff('day', CAST(a.o_orderdate AS DATE),
+                      CAST(b.o_orderdate AS DATE))) <= 1
+     AND a.o_orderkey != b.o_orderkey
+    GROUP BY a.o_orderkey
+"""
 
 RELATIONAL_ORACLE["q32_bloom_point_lookup"] = """
     SELECT c_custkey, c_name, c_nationkey, c_mktsegment

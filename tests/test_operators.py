@@ -193,3 +193,70 @@ def test_connected_components_paths_agree(spark):
     assert fast == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
                     (12, 10), (20, 20), (21, 20), (22, 20), (30, 30),
                     (31, 30)]
+
+
+def test_embedding_lsh_finds_planted_near_dups(spark):
+    """Multi-table hyperplane LSH must recover planted near-identical
+    vectors (cosine ~1 collides in EVERY table), and every returned
+    pair must satisfy the exact-cosine verification threshold — i.e.
+    LSH pairs are a SUBSET of the all-pairs result at the same
+    threshold, never a superset."""
+    import random
+
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        EMB_NEAR_COS, cosine_pairs, embedding_lsh_pairs,
+    )
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)]))
+    # plant three exact clones of existing vectors
+    for clone_id, src in [(100, 3), (101, 17), (102, 29)]:
+        rows.append((clone_id, list(rows[src][1])))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.vec_a, r.vec_b) for r in embedding_lsh_pairs(emb).collect()}
+    exact = {(r.vec_a, r.vec_b)
+             for r in cosine_pairs(emb, threshold=EMB_NEAR_COS).collect()}
+    assert {(3, 100), (17, 101), (29, 102)} <= got
+    assert got <= exact
+
+
+def test_incremental_agrees_with_full_pair_list(spark, sf_dir):
+    """dedup_incremental == the cross (new x corpus) restriction of the
+    full MinHash pair list at the same threshold: the batch-vs-corpus
+    probe must not invent or lose pairs relative to full-corpus LSH."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        NEW_BATCH_MOD, dedup_incremental, dedup_minhash_lsh,
+    )
+    inc = {(r.new_id, r.corpus_id): r.est_jaccard
+           for r in dedup_incremental(spark, str(sf_dir)).collect()}
+    full = {}
+    for r in dedup_minhash_lsh(spark, str(sf_dir)).collect():
+        a_new = r.doc_a % NEW_BATCH_MOD == 0
+        b_new = r.doc_b % NEW_BATCH_MOD == 0
+        if a_new and not b_new:
+            full[(r.doc_a, r.doc_b)] = r.est_jaccard
+        elif b_new and not a_new:
+            full[(r.doc_b, r.doc_a)] = r.est_jaccard
+    assert inc == full and len(inc) > 0
+
+
+def test_range_join_banding_matches_theta_join(spark, sf_dir):
+    """The banded equi-join form of the ±1-day interval self-join must
+    equal the naive theta join exactly (same per-order neighbor
+    counts)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_async_parquet_index_spark.queries import q33_range_join
+
+    got = {r.o_orderkey: r.n_nearby
+           for r in q33_range_join(spark, str(sf_dir)).collect()}
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", F.to_date("o_orderdate").alias("d")))
+    a = o.select(F.col("o_orderkey").alias("ak"), F.col("d").alias("ad"))
+    b = o.select(F.col("o_orderkey").alias("bk"), F.col("d").alias("bd"))
+    naive = (a.join(b, (F.abs(F.datediff(F.col("ad"), F.col("bd"))) <= 1)
+                    & (F.col("ak") != F.col("bk")))
+             .groupBy("ak").agg(F.count(F.lit(1)).alias("n")))
+    want = {r.ak: r.n for r in naive.collect()}
+    assert got == want and len(got) > 0

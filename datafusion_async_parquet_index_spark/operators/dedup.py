@@ -858,6 +858,56 @@ def _embedding_cosine_sql() -> str:
 NEW_BATCH_MOD = 10  # doc_id % NEW_BATCH_MOD == 0 => "tonight's" batch
 
 
+def _verify_sig_candidates(
+    cand: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame,
+    a_name: str, b_name: str, threshold: float,
+) -> DataFrame:
+    """Signature-agreement verification of candidate pairs: join each
+    side's K minhashes, est_jaccard = matching fraction >= threshold.
+    Candidate-sized joins only — the corpus never self-joins here."""
+    sa = sigs_a.select(F.col("doc_id").alias(a_name),
+                       *[F.col(f"s{i}").alias(f"a{i}") for i in range(K)])
+    sb = sigs_b.select(F.col("doc_id").alias(b_name),
+                       *[F.col(f"s{i}").alias(f"b{i}") for i in range(K)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(K))
+    return (
+        cand.join(sa, a_name).join(sb, b_name)
+        .withColumn("_est", matches / F.lit(K))
+        .filter(F.col("_est") >= threshold)
+        .select(a_name, b_name,
+                F.round(F.col("_est"), 4).alias("est_jaccard"))
+    )
+
+
+def match_against_corpus(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Match an arbitrary (doc_id, text) batch against a precomputed
+    corpus signature store: signatures + band hashes for the BATCH only
+    (map-only), band-probe equi-join into the corpus bands, signature
+    verification on candidates. This is the reusable core of both
+    ``dedup_incremental`` (static split) and the streaming
+    micro-batch dedup (streaming/incremental_dedup.py). The batch
+    signatures are localCheckpoint-ed: they feed the band probe AND the
+    verify join, and batches are small by definition."""
+    if corpus_bands is None:
+        corpus_bands = _band_hashes(corpus_sigs)
+    new_sigs = _minhash_signatures(new_docs).localCheckpoint()
+    nb = _band_hashes(new_sigs).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
+    cb = corpus_bands.select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash")
+    cand = (nb.join(cb, ["band_idx", "band_hash"])
+            .select("new_id", "corpus_id").distinct())
+    return _verify_sig_candidates(
+        cand, new_sigs, corpus_sigs, "new_id", "corpus_id", threshold)
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the shape a nightly training-data ingest
     actually runs: match only the NEW batch (doc_id % NEW_BATCH_MOD ==
@@ -878,20 +928,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash")
     cand = (nb.join(cb, ["band_idx", "band_hash"])
             .select("new_id", "corpus_id").distinct())
-    sa = sigs.select(F.col("doc_id").alias("new_id"),
-                     *[F.col(f"s{i}").alias(f"a{i}") for i in range(K)])
-    sb = sigs.select(F.col("doc_id").alias("corpus_id"),
-                     *[F.col(f"s{i}").alias(f"b{i}") for i in range(K)])
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(K))
-    return (
-        cand.join(sa, "new_id").join(sb, "corpus_id")
-        .withColumn("_est", matches / F.lit(K))
-        .filter(F.col("_est") >= 0.25)
-        .select("new_id", "corpus_id",
-                F.round(F.col("_est"), 4).alias("est_jaccard"))
-    )
+    return _verify_sig_candidates(
+        cand, sigs, sigs, "new_id", "corpus_id", 0.25)
 
 
 def _incremental_sql() -> str:

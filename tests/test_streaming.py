@@ -283,3 +283,58 @@ def test_ingest_sink_replay_is_idempotent(spark, tmp_path):
     assert table.query(col("value") >= 0).count() == 50
     sink(batch.withColumn("value", batch.value + 100), 8)
     assert table.query(col("value") >= 0).count() == 100
+
+
+def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup == the batch operator on identical
+    input, regardless of micro-batch boundaries: each new doc's matches
+    depend only on (doc, corpus), so replaying the new docs as two
+    separate files must reproduce dedup_incremental's pair set
+    exactly."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        NEW_BATCH_MOD, dedup_incremental,
+    )
+    from datafusion_async_parquet_index_spark.streaming import (
+        dedup_against_corpus_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    corpus = docs.filter(~is_new)
+    new = docs.filter(is_new).select("doc_id", "text")
+
+    # replay the new docs as two files => two micro-batches
+    d = str(tmp_path / "new_docs")
+    new.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "append").parquet(d)
+    new.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+
+    got: dict = {}
+
+    def collect_matches(matches, batch_id):
+        for r in matches.collect():
+            got[(r.new_id, r.corpus_id)] = r.est_jaccard
+
+    q = dedup_against_corpus_stream(
+        stream, corpus, collect_matches, str(tmp_path / "ckpt_inc"))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    want = {(r.new_id, r.corpus_id): r.est_jaccard
+            for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0

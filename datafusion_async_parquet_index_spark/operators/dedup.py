@@ -770,6 +770,68 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Directional overlap (quote / boilerplate detection): containment
+    C = |A∩B| / min(|A|,|B|) finds a short document embedded in a long
+    one — a case Jaccard structurally misses (|A∩B|/|A∪B| stays small
+    when sizes differ, so MinHash-LSH bands rarely propose the pair).
+    Same inverted-index shape as ngram_jaccard_pairs: distinct shingle
+    postings, equi-join on shingle, per-pair counts; bounded-subset
+    standalone, post-candidate at scale."""
+    from .util import spread_for_compute
+    sh = spread_for_compute(docs).select(
+        "doc_id", F.explode(char_shingles(F.col("text"))).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+        .withColumn("_c", F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
+        .filter(F.col("_c") >= threshold)
+        .select("doc_a", "doc_b",
+                F.round(F.col("_c"), 4).alias("containment"))
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % NGRAM_MOD == 0)
+    return containment_pairs(docs)
+
+
+def _containment_sql() -> str:
+    sh = sql_char_shingles("text")
+    return f"""
+        WITH sub AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {NGRAM_MOD} = 0
+        ), shingle AS MATERIALIZED (
+            SELECT DISTINCT doc_id, unnest({sh}) AS sh FROM sub
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM shingle GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM shingle a JOIN shingle b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz), 4)
+                   AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5
+    """
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % NGRAM_MOD == 0)
@@ -1076,6 +1138,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_incremental": dedup_incremental,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_containment": dedup_containment,
 }
 
 DEDUP_ORACLE: Dict[str, str] = {
@@ -1091,4 +1154,5 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_embedding_cosine": _embedding_cosine_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
+    "dedup_containment": _containment_sql(),
 }

@@ -260,3 +260,25 @@ def test_range_join_banding_matches_theta_join(spark, sf_dir):
              .groupBy("ak").agg(F.count(F.lit(1)).alias("n")))
     want = {r.ak: r.n for r in naive.collect()}
     assert got == want and len(got) > 0
+
+
+def test_containment_finds_embedded_quote(spark):
+    """A short document fully contained in a long one must score
+    containment ~1.0 even though its Jaccard is small — the directional
+    metric's whole reason to exist."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = ("completely unrelated preamble text here. " * 20
+                + quote + " trailing content that goes on and on. " * 20)
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, "nothing in common at all zzz")],
+        ["doc_id", "text"])
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(docs).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    assert not any(3 in p for p in cont)
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert jac.get((1, 2), 0) < 0.5  # Jaccard misses what containment sees

@@ -210,6 +210,109 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2  # cells probed per query in the multi-probe variant
+
+
+def _ivf_cells_topn(emb: DataFrame, n: int) -> DataFrame:
+    """(vec_id, cell, probe_rank): each vector's n nearest centroids
+    (rank 1 = the assignment cell). Same broadcast + map-only shape as
+    _ivf_cells; the window ranks a (vectors x centroids) score list
+    that never leaves the map side before the per-vector top-n."""
+    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e"),
+        l2_norm(F.col("embedding")).alias("cent_n"))
+    vec = emb.select("vec_id", F.col("embedding").alias("e"),
+                     l2_norm(F.col("embedding")).alias("vn"))
+    cos = F.round(dot_double(F.col("e"), F.col("cent_e"))
+                  / (F.col("vn") * F.col("cent_n")), 6)
+    scored = vec.join(F.broadcast(cent), F.lit(True)).select(
+        "vec_id", cos.alias("cos"), "cent_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return (scored.withColumn("probe_rank", F.row_number().over(w))
+            .filter(F.col("probe_rank") <= n)
+            .select("vec_id", F.col("cent_id").alias("cell"), "probe_rank"))
+
+
+def sim_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): the corpus keeps its
+    single-cell assignment, but each query probes its 2 nearest cells —
+    the standard recall knob that recovers most of what single-probe
+    loses for queries near a cell boundary, at ~2x probe cost and zero
+    extra corpus work. Each (query, candidate) pair still meets at most
+    once (a candidate lives in ONE cell; the query's probe cells are
+    distinct), so no dedup pass is needed before the re-rank."""
+    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
+    cells = _ivf_cells_topn(emb, NPROBE)
+    assigned = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    ).join(cells.filter(F.col("probe_rank") == 1), "vec_id")
+    q = (emb.select("vec_id", "embedding",
+                    l2_norm(F.col("embedding")).alias("nrm"))
+         .join(cells, "vec_id")
+         .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+                 F.col("cell").alias("qc")))
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), F.col("cell").alias("cc"))
+    pairs = c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
+                   & (F.col("query_id") != F.col("cand_id")))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SIM_IVF_NPROBE_SQL = f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+        FROM n WHERE vec_id % {IVF_CENTROID_MOD} = 1
+    ), assign_scored AS (
+        SELECT n.vec_id, cent_id,
+               ROUND(list_dot_product(e, ce) / (nrm * cn), 6) AS cos
+        FROM n CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_id AS cell, rn AS probe_rank FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id ASC) AS rn
+            FROM assign_scored) t
+        WHERE rn <= {NPROBE}
+    ), q AS (
+        SELECT n.vec_id AS query_id, e AS qe, nrm AS qn, cell AS qc
+        FROM n JOIN cells ON cells.vec_id = n.vec_id
+        WHERE n.vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT n.vec_id AS cand_id, e AS ce, nrm AS cn, cell AS cc
+        FROM n JOIN cells ON cells.vec_id = n.vec_id
+                         AND cells.probe_rank = 1
+    ), scored AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine
+        FROM c JOIN q ON qc = cc AND query_id != cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+"""
+
+
 SIM_IVF_SQL = f"""
     WITH n AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -392,6 +495,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_nprobe_topk": sim_ivf_nprobe_topk,
     "emb_label_centroids": emb_label_centroids,
 }
 
@@ -399,5 +503,6 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_lsh_topk": _lsh_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_ivf_nprobe_topk": SIM_IVF_NPROBE_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
 }

@@ -282,3 +282,20 @@ def test_containment_finds_embedded_quote(spark):
     jac = {(r.doc_a, r.doc_b): r.jaccard
            for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
     assert jac.get((1, 2), 0) < 0.5  # Jaccard misses what containment sees
+
+
+def test_ivf_nprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must never lose recall vs nprobe=1 (its probe set is a
+    superset), and both are measured against the brute-force truth."""
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        sim_bruteforce_topk, sim_ivf_nprobe_topk, sim_ivf_topk,
+    )
+    sf = "/root/testdata/sf0.01"  # 500 vectors, 5 queries, 10 centroids
+    truth = {(r.query_id, r.cand_id)
+             for r in sim_bruteforce_topk(spark, sf).collect()}
+    ivf1 = {(r.query_id, r.cand_id)
+            for r in sim_ivf_topk(spark, sf).collect()}
+    ivf2 = {(r.query_id, r.cand_id)
+            for r in sim_ivf_nprobe_topk(spark, sf).collect()}
+    assert len(ivf2 & truth) >= len(ivf1 & truth)
+    assert len(ivf2) > 0

@@ -599,6 +599,22 @@ def q33_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "n_nearby"))
 
 
+def q34_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets over (status, priority) — Catalyst plans
+    one Expand + a single hash aggregate, so the multi-set rollup costs
+    one shuffle regardless of how many grouping sets expand. Money sums
+    in exact integer cents: a float SUM's accumulation order differs
+    between engines, so the boundary would flip on half-ulp ties."""
+    orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("cents", cents)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("cents").alias("sum_cents"))
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -633,6 +649,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_registered_view": q31_registered_view,
     "q32_bloom_point_lookup": q32_bloom_point_lookup,
     "q33_range_join": q33_range_join,
+    "q34_cube": q34_cube,
 }
 
 
@@ -851,6 +868,15 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q34_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
 
 RELATIONAL_ORACLE["q33_range_join"] = """
     SELECT a.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_nearby

@@ -216,14 +216,55 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width", "height", "n_frames", "feature")
 
 
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality aggregates computed THROUGH the Python mapInPandas
+    extractor — unlike mm_metadata_extract (pure SQL expressions), the
+    Spark side here actually executes the Arrow-batched decode path,
+    and the oracle recomputes the stub's deterministic formulas
+    relationally. This turns the Python feature pipeline itself into a
+    hash-checked cross-engine query instead of a rows-only smoke."""
+    feats = extract_features(synthesize_media(spark, sf_dir))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("byte_len").cast("bigint")).alias("total_bytes"),
+        F.sum(F.col("width").cast("bigint")).alias("sum_width"),
+        F.sum(F.col("height").cast("bigint")).alias("sum_height"),
+        F.sum(F.col("n_frames").cast("bigint")).alias("sum_frames"),
+    )
+
+
+MM_MODALITY_SQL = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               octet_length(encode(text)) AS L
+        FROM documents
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(L) AS BIGINT) AS total_bytes,
+           CAST(SUM(16 + L % 64) AS BIGINT) AS sum_width,
+           CAST(SUM(16 + (L // 64) % 64) AS BIGINT) AS sum_height,
+           CAST(SUM(CASE WHEN media_type = 'video/mp4'
+                         THEN 1 + L % 7 ELSE 1 END) AS BIGINT) AS sum_frames
+    FROM media GROUP BY media_type
+"""
+
+
 MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata_extract": mm_metadata_extract,
     "mm_frame_sample_stats": mm_frame_sample_stats,
     "mm_feature_extract": mm_feature_extract,
+    "mm_modality_stats": mm_modality_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_metadata_extract": MM_METADATA_SQL,
     "mm_frame_sample_stats": MM_FRAME_SAMPLE_SQL,
-    # mm_feature_extract: mapInPandas (Python) — deliberately no SQL oracle
+    # mm_feature_extract: mapInPandas (Python) — deliberately no SQL
+    # oracle (per-row array features); mm_modality_stats hash-checks
+    # the same Python path through per-modality aggregates instead
+    "mm_modality_stats": MM_MODALITY_SQL,
 }

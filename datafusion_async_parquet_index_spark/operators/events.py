@@ -287,6 +287,56 @@ EV_JSON_SQL = """
 """
 
 
+RETENTION_BIN_SEC = 3600  # hourly cohorts (the events span ~1 day)
+
+
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: of the users active in hour H, how many were
+    also active in hour H+1. Shape: distinct (user, hour) — one
+    map-side-combined shuffle whose volume is active-users × hours, not
+    events — then a self equi-join on (user, hour+1) and a per-hour
+    count. At 100 TB the distinct activity table is orders of magnitude
+    smaller than the event stream, which is exactly why retention is
+    computed off it rather than off raw events."""
+    ev = read_table(spark, sf_dir, "events")
+    hours = (ev.select(
+        "user_id",
+        F.floor(_ts_seconds(ev) / RETENTION_BIN_SEC)
+        .cast("long").alias("hr"))
+        .distinct())
+    nxt = hours.select(F.col("user_id"),
+                       (F.col("hr") - 1).alias("hr"))
+    active = hours.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("active_users"))
+    retained = (hours.join(nxt, ["user_id", "hr"])
+                .groupBy("hr").agg(F.count(F.lit(1)).alias("retained_users")))
+    return (active.join(retained, "hr", "left")
+            .select("hr", "active_users",
+                    F.coalesce(F.col("retained_users"),
+                               F.lit(0)).alias("retained_users")))
+
+
+EV_RETENTION_SQL = f"""
+    WITH hours AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(floor(epoch(ts::TIMESTAMP)) / {RETENTION_BIN_SEC})
+                   AS BIGINT) AS hr
+        FROM events
+    ), active AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM hours GROUP BY hr
+    ), retained AS (
+        SELECT a.hr, CAST(COUNT(*) AS BIGINT) AS retained_users
+        FROM hours a JOIN hours b
+          ON a.user_id = b.user_id AND b.hr = a.hr + 1
+        GROUP BY a.hr
+    )
+    SELECT a.hr, a.active_users,
+           COALESCE(r.retained_users, 0) AS retained_users
+    FROM active a LEFT JOIN retained r ON a.hr = r.hr
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -294,6 +344,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_type_funnel": ev_type_funnel,
     "ev_cms_user_counts": ev_cms_user_counts,
     "ev_json_extract": ev_json_extract,
+    "ev_retention": ev_retention,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -303,4 +354,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_type_funnel": EV_FUNNEL_SQL,
     "ev_cms_user_counts": _cms_sql(),
     "ev_json_extract": EV_JSON_SQL,
+    "ev_retention": EV_RETENTION_SQL,
 }

@@ -615,6 +615,19 @@ def q34_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact row-group path (Spark 4 Python DataSource): partitions
+    are (file, surviving row-group list) and each task reads ONLY its
+    row groups via pyarrow — the reference's ParquetAccessPlan
+    semantics (index.rs:163-175) rather than file-level pruning +
+    native reader skipping. Same query as q2 so the two scan modes are
+    directly comparable; the residual filter still re-applies (Inexact
+    contract)."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    df = t.query(xcol("l_quantity") == 25.0, mode="rowgroups")
+    return df.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -650,6 +663,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_bloom_point_lookup": q32_bloom_point_lookup,
     "q33_range_join": q33_range_join,
     "q34_cube": q34_cube,
+    "q35_rowgroup_scan": q35_rowgroup_scan,
 }
 
 
@@ -868,6 +882,11 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q35_rowgroup_scan"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity = 25.0
+"""
 
 RELATIONAL_ORACLE["q34_cube"] = """
     SELECT o_orderstatus, o_orderpriority,

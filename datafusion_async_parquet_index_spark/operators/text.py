@@ -203,6 +203,37 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the classic cheap LM
+    proxy for training-data filtering: per document,
+    score = -avg log p(token) = ln(N) - avg(ln count(token)), under the
+    corpus's own unigram distribution. Two-phase shape: corpus term
+    counts (map-side combined — the only shuffle of corpus size is
+    (token, count), tiny), broadcast back onto the exploded tokens, one
+    per-doc aggregation. All counts are exact integers; the only floats
+    are the final ln/avg, rounded to 4 decimals (double-drift across
+    engines is ~1e-12, ten orders below the rounding)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tc.agg(F.sum("cnt").alias("n_total"))
+    per_doc = (
+        toks.join(F.broadcast(tc), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.log("cnt")).alias("sum_ln_cnt"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(
+                F.log("n_total") - F.col("sum_ln_cnt") / F.col("n_tokens"),
+                4).alias("nll"))
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -213,6 +244,7 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_deterministic_sample": text_deterministic_sample,
     "text_token_budget_pack": text_token_budget_pack,
     "text_stratified_sample": text_stratified_sample,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 _TOKS = sql_tokens("text")
@@ -335,3 +367,18 @@ TEXT_ORACLE: Dict[str, str] = {
         GROUP BY source, lang
     """,
 }
+
+TEXT_ORACLE["text_unigram_logprob"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), tc AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (
+        SELECT SUM(cnt) AS n_total FROM tc
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(ln(n_total) - SUM(ln(cnt)) / COUNT(*), 4) AS nll
+    FROM toks JOIN tc USING (tok) CROSS JOIN total
+    GROUP BY doc_id, n_total
+"""

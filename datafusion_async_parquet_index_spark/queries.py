@@ -628,6 +628,27 @@ def q35_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+def q36_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join under the oracle gate: lineitem joins part
+    through operators.joins.salted_join (deterministic salt on the left
+    key, right side replicated 8x), then aggregates per brand. The
+    salting is result-transparent for left-preserving joins — the
+    oracle is the PLAIN join — so this query proves the skew machinery
+    changes the partitioning, never the answer. Quantities are summed
+    in integer centi-units for float-order-independent comparison."""
+    from .operators.joins import salted_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"))
+    part = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    joined = salted_join(li, part, "l_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("qc").alias("sum_qty_cents"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -664,6 +685,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_range_join": q33_range_join,
     "q34_cube": q34_cube,
     "q35_rowgroup_scan": q35_rowgroup_scan,
+    "q36_salted_join": q36_salted_join,
 }
 
 
@@ -882,6 +904,15 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q36_salted_join"] = """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
 
 RELATIONAL_ORACLE["q35_rowgroup_scan"] = """
     SELECT l_orderkey, l_linenumber, l_quantity

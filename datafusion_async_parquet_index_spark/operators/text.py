@@ -234,6 +234,35 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_LEN = 256  # tokens per training sequence
+
+
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, GPT-style: documents are concatenated into one
+    token stream per source (in doc_id order) and the stream is cut
+    into fixed PACK_LEN-token training sequences; documents may span a
+    cut. Each doc's starting pack is floor((cum_tokens - n) / L) — a
+    single per-source cumulative-sum window, no scan-carried state, so
+    the only shuffle is one hash exchange on source and the packing
+    survives any scale. Output: per-pack accounting of documents that
+    START in the pack and their token mass — what a capacity planner
+    reads to size an epoch."""
+    from pyspark.sql import Window
+    docs = read_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sized = docs.select("doc_id", "source", n_toks.alias("n"))
+    adj = sized.withColumn("cum", F.sum("n").over(w))
+    out = adj.select(
+        "doc_id", "source", "n",
+        F.floor((F.col("cum") - F.col("n")) / PACK_LEN)
+        .cast("long").alias("pack_id"))
+    return (out.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("docs_started"),
+                 F.sum(F.col("n").cast("bigint")).alias("tokens_started")))
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -245,6 +274,7 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_budget_pack": text_token_budget_pack,
     "text_stratified_sample": text_stratified_sample,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_sequence_pack": text_sequence_pack,
 }
 
 _TOKS = sql_tokens("text")
@@ -381,4 +411,19 @@ TEXT_ORACLE["text_unigram_logprob"] = f"""
            ROUND(ln(n_total) - SUM(ln(cnt)) / COUNT(*), 4) AS nll
     FROM toks JOIN tc USING (tok) CROSS JOIN total
     GROUP BY doc_id, n_total
+"""
+
+TEXT_ORACLE["text_sequence_pack"] = f"""
+    WITH sized AS (
+        SELECT doc_id, source, len({_TOKS}) AS n FROM documents
+    ), adj AS (
+        SELECT doc_id, source, n,
+               SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized
+    )
+    SELECT source, CAST(floor((cum - n) / {PACK_LEN}) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS docs_started,
+           CAST(SUM(n) AS BIGINT) AS tokens_started
+    FROM adj GROUP BY 1, 2
 """

@@ -128,15 +128,19 @@ def _band_hashes(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_pairs(
-    docs: DataFrame, threshold: float = 0.25, sigs: DataFrame | None = None,
+    docs: DataFrame | None, threshold: float = 0.25,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash/LSH near-dup pairs over any (doc_id, text) DataFrame:
     (doc_a, doc_b, est_jaccard) for pairs sharing at least one LSH band,
     est_jaccard = matching signature fraction >= threshold. The band
     self-join shuffles only (doc_id, hash) pairs — tiny vs the corpus;
     skew on a hot bucket is handled by AQE. Pass a precomputed ``sigs``
-    (signature store) to share the signature scan across thresholds."""
+    (signature store) to share the signature scan across thresholds —
+    ``docs`` is then unused and may be None."""
     if sigs is None:
+        if docs is None:
+            raise ValueError("minhash_pairs needs docs when sigs is None")
         sigs = track_cache(_minhash_signatures(docs))
     bands = _band_hashes(sigs)
     a, b = bands.alias("a"), bands.alias("b")
@@ -180,8 +184,7 @@ def corpus_minhash_pairs(
     computation per (session, corpus, threshold)."""
     return _corpus(
         (spark, sf_dir, "minhash_pairs", threshold),
-        lambda: minhash_pairs(read_table(spark, sf_dir, "documents"),
-                              threshold=threshold,
+        lambda: minhash_pairs(None, threshold=threshold,
                               sigs=_corpus_sigs(spark, sf_dir)))
 
 
@@ -654,7 +657,7 @@ SIM_HAM_MAX = 3       # near-dup: hamming distance <= 3 of 60 bits
 
 
 def simhash_pairs(
-    docs: DataFrame, ham_max: int = SIM_HAM_MAX,
+    docs: DataFrame | None, ham_max: int = SIM_HAM_MAX,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 60-bit fingerprint into 4
@@ -664,6 +667,8 @@ def simhash_pairs(
     as MinHash/LSH: map-only signatures, equi-join candidates, cheap
     re-rank — no all-pairs comparison anywhere."""
     if sigs is None:
+        if docs is None:
+            raise ValueError("simhash_pairs needs docs when sigs is None")
         sigs = simhash_signatures(docs)  # cached inside
     chunks = sigs.selectExpr(
         "doc_id", "simhash",
@@ -691,8 +696,7 @@ def simhash_pairs(
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(read_table(spark, sf_dir, "documents"),
-                         sigs=_corpus_simhash(spark, sf_dir))
+    return simhash_pairs(None, sigs=_corpus_simhash(spark, sf_dir))
 
 
 def _simhash_pairs_sql() -> str:
@@ -1030,8 +1034,10 @@ def embedding_lsh_pairs(
     hyperplanes into ``tables`` independent LSH tables of ``planes``
     sign bits each — the same banding trade MinHash/LSH makes, applied
     to the hyperplane family.  A pair is a candidate if it collides in
-    ANY table (P = 1-(1-(1-θ/π)^planes)^tables ≈ 0.95 at cosine 0.4
-    with 8x3), then exact cosine verifies candidates only.  Shuffles:
+    ANY table (P = 1-(1-(1-θ/π)^planes)^tables: ≈ 0.99 at cosine 0.9
+    and ≈ 0.64 at cosine 0.4 with the default 6x4 — tuned for the true
+    near-dup radius; see EMB_LSH_TABLES), then exact cosine verifies
+    candidates only.  Shuffles:
     the (table, key) equi-join and a candidate-sized re-rank join —
     never O(N²).  Plane weights are the deterministic driver-folded
     hash60 family shared with operators/similarity.py, so the DuckDB

@@ -160,25 +160,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_cells(emb: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest centroid by cosine, ties to the lower
-    centroid id. Broadcast the centroid set, map-side-combined max_by —
-    the only shuffle moves one (vec_id, cell) row per vector. At larger
-    centroid counts swap the expression for a numpy pandas_udf; the plan
-    shape (broadcast + map-only assign) stays the same."""
-    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_e"),
-        l2_norm(F.col("embedding")).alias("cent_n"))
-    vec = emb.select("vec_id", F.col("embedding").alias("e"),
-                     l2_norm(F.col("embedding")).alias("vn"))
-    cos = F.round(dot_double(F.col("e"), F.col("cent_e"))
-                  / (F.col("vn") * F.col("cent_n")), 6)
-    scored = vec.join(F.broadcast(cent), F.lit(True)).select(
-        "vec_id", cos.alias("cos"), "cent_id")
-    # max over (cos, -cent_id): highest cosine, then lowest centroid id
-    return scored.groupBy("vec_id").agg(
-        F.max_by("cent_id",
-                 F.struct(F.col("cos").alias("c"),
-                          (-F.col("cent_id")).alias("nid"))).alias("cell"))
+    """(vec_id, cell): nearest centroid by rounded cosine, ties to the
+    lower centroid id — defined as rank 1 of _ivf_cells_topn so the
+    single-probe assignment and the multi-probe probe list can never
+    disagree on what 'nearest' means."""
+    return _ivf_cells_topn(emb, 1).select("vec_id", "cell")
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,17 +208,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy for training-data filtering: per document,
     score = -avg log p(token) = ln(N) - avg(ln count(token)), under the
     corpus's own unigram distribution. Two-phase shape: corpus term
-    counts (map-side combined — the only shuffle of corpus size is
-    (token, count), tiny), broadcast back onto the exploded tokens, one
-    per-doc aggregation. All counts are exact integers; the only floats
-    are the final ln/avg, rounded to 4 decimals (double-drift across
-    engines is ~1e-12, ten orders below the rounding)."""
+    counts (map-side combined), joined back onto the exploded tokens —
+    a plain hash join on the token, NOT a forced broadcast: the
+    vocabulary grows with the corpus (heavy-tail tokens), so at scale
+    AQE picks broadcast only while the count table actually fits — then
+    one per-doc aggregation. All counts are exact integers; the only
+    floats are the final ln/avg, rounded to 4 decimals (double-drift
+    across engines is ~1e-12, ten orders below the rounding)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = tc.agg(F.sum("cnt").alias("n_total"))
     per_doc = (
-        toks.join(F.broadcast(tc), "tok")
+        toks.join(tc, "tok")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.sum(F.log("cnt")).alias("sum_ln_cnt"))

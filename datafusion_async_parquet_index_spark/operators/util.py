@@ -123,15 +123,23 @@ def ensure_epoch_nanos(df: DataFrame, colname: str = "ts") -> DataFrame:
     """Normalize a timestamp-ish column to BIGINT epoch nanos — the
     contract of the streaming module's EVENT_SCHEMA (a queue feed
     delivers integer event times; the parquet testdata delivers
-    TIMESTAMP_NTZ).  Naive timestampdiff arithmetic, so the value is
-    independent of the session timezone.  No-op when already long."""
-    from pyspark.sql.types import LongType
+    TIMESTAMP_NTZ).  Dispatches on the actual dtype exactly like
+    operators.events._ts_seconds so the value is independent of the
+    session timezone for BOTH timestamp flavors: NTZ uses naive
+    timestampdiff arithmetic; LTZ uses unix_micros, which is
+    instant-based (a cast ltz->ntz would shift by the session offset).
+    No-op when already long."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema[colname].dataType, LongType):
+    dt = df.schema[colname].dataType
+    if isinstance(dt, LongType):
         return df
-    us = F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
-        f"cast({colname} as timestamp_ntz))")
+    if isinstance(dt, TimestampNTZType):
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            f"{colname})")
+    else:  # TIMESTAMP_LTZ
+        us = F.unix_micros(F.col(colname))
     return df.withColumn(colname, (us * F.lit(1000)).cast("long"))
 
 

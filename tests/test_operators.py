@@ -287,10 +287,16 @@ def test_containment_finds_embedded_quote(spark):
 def test_ivf_nprobe_recall_dominates_single_probe(spark):
     """nprobe=2 must never lose recall vs nprobe=1 (its probe set is a
     superset), and both are measured against the brute-force truth."""
+    import os
+
     from datafusion_async_parquet_index_spark.operators.similarity import (
         sim_bruteforce_topk, sim_ivf_nprobe_topk, sim_ivf_topk,
     )
-    sf = "/root/testdata/sf0.01"  # 500 vectors, 5 queries, 10 centroids
+    from tests.conftest import TESTDATA
+
+    # 500 vectors, 5 queries, 10 centroids (sf0.01, sibling of the
+    # configured TESTDATA dir so SPARK_GRAFT_TESTDATA relocation works)
+    sf = os.path.join(os.path.dirname(TESTDATA.rstrip("/")), "sf0.01")
     truth = {(r.query_id, r.cand_id)
              for r in sim_bruteforce_topk(spark, sf).collect()}
     ivf1 = {(r.query_id, r.cand_id)

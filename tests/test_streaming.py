@@ -285,7 +285,7 @@ def test_ingest_sink_replay_is_idempotent(spark, tmp_path):
     assert table.query(col("value") >= 0).count() == 100
 
 
-def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
+def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
     """Streaming incremental dedup == the batch operator on identical
     input, regardless of micro-batch boundaries: each new doc's matches
     depend only on (doc, corpus), so replaying the new docs as two
@@ -304,7 +304,6 @@ def test_stream_dedup_against_corpus_matches_batch(spark, tmp_path):
         dedup_against_corpus_stream,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     corpus = docs.filter(~is_new)

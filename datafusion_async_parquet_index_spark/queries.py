@@ -46,8 +46,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _make_table(spark, sf_dir, table, index_columns, bloom_columns=()):
     """IndexedParquetTable scoped to one table's parquet file (the
-    testdata dir holds every table, so the ctor's glob would mix them)."""
-    key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns))
+    testdata dir holds every table, so the ctor's glob would mix them).
+    Keyed by the session too: a cached table holds the SparkSession it
+    was built with, and reusing it from a different (or restarted)
+    session would read through a dead handle."""
+    key = (spark, sf_dir, table, tuple(index_columns), tuple(bloom_columns))
     t = _TABLES.get(key)
     if t is None:
         t = IndexedParquetTable.__new__(IndexedParquetTable)

@@ -47,8 +47,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # warmup: spin the JVM + parquet reader once
+    # warmup: spin the JVM + parquet reader once, and the Python worker
+    # pool (one worker per core — their fork/import cost otherwise lands
+    # entirely inside the first mapInPandas query's measured window)
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    (spark.range(256).repartition(
+        spark.sparkContext.defaultParallelism)
+     .mapInPandas(lambda it: it, "id long").count())
 
     from datafusion_async_parquet_index_spark.operators.util import clear_caches
 

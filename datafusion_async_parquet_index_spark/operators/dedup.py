@@ -917,6 +917,57 @@ def _embedding_cosine_sql() -> str:
     """
 
 
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: apply the
+    keep-one-per-cluster policy (representative = min doc_id =
+    cluster_id) to the corpus and account for what survives, per
+    source. Docs outside any near-dup cluster keep themselves. This is
+    the operator a training-data build ships — everything upstream
+    (signatures, banding, clustering) exists to produce this drop
+    list. The drop list is cluster-members-sized (tiny vs the corpus),
+    so the final join broadcasts it at any scale."""
+    pairs = corpus_minhash_pairs(spark, sf_dir, CLUSTER_THRESHOLD)
+    comp = connected_components(pairs)
+    dropped = (comp.filter(F.col("doc_id") != F.col("cluster_id"))
+               .select("doc_id", F.lit(1).alias("is_dup")))
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = docs.join(F.broadcast(dropped), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("kept_docs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+        .cast("bigint").alias("dropped_docs"),
+    )
+
+
+def _keep_policy_sql() -> str:
+    return f"""
+        WITH RECURSIVE mp AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_minhash_sql(CLUSTER_THRESHOLD)}) t
+        ), edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM mp
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM mp
+        ), reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, re.r FROM edges e JOIN reach re ON re.node = e.dst
+        ), comp AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+            GROUP BY node
+        ), dropped AS (
+            SELECT doc_id FROM comp WHERE doc_id != cluster_id
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept_docs,
+               CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS dropped_docs
+        FROM documents LEFT JOIN dropped d USING (doc_id)
+        GROUP BY source
+    """
+
+
 # ---------------------------------------------------------------------------
 # incremental (new-batch-vs-corpus) dedup
 # ---------------------------------------------------------------------------
@@ -1145,6 +1196,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": dedup_incremental,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_containment": dedup_containment,
+    "dedup_keep_policy": dedup_keep_policy,
 }
 
 DEDUP_ORACLE: Dict[str, str] = {
@@ -1161,4 +1213,5 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_incremental": _incremental_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "dedup_containment": _containment_sql(),
+    "dedup_keep_policy": _keep_policy_sql(),
 }

@@ -110,3 +110,24 @@ def test_range_join_is_banded_not_nested_loop(spark, sf_dir):
     plan = _plan(q33_range_join(spark, str(sf_dir)))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cube_is_single_aggregate_with_expand(spark, sf_dir):
+    """CUBE must plan as Expand + hash aggregate — one shuffle for all
+    grouping sets, not one aggregate per set."""
+    from datafusion_async_parquet_index_spark.queries import q34_cube
+
+    plan = _plan(q34_cube(spark, str(sf_dir)))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final
+
+
+def test_sequence_pack_single_source_exchange(spark, sf_dir):
+    """Sequence packing is one window over source partitions plus one
+    aggregation — no join, no extra shuffle stages."""
+    from datafusion_async_parquet_index_spark.operators.text import (
+        text_sequence_pack,
+    )
+    plan = _plan(text_sequence_pack(spark, str(sf_dir)))
+    assert "Join" not in plan
+    assert "Window" in plan

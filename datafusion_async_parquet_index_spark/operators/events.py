@@ -337,6 +337,45 @@ EV_RETENTION_SQL = f"""
 """
 
 
+def ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-count anomaly scoring: z-score of each tumbling window's
+    event count against its event type's own mean/stddev. Everything
+    past the first aggregation operates on the (window x type) count
+    table — already tiny at any scale — so the stats join is a
+    broadcast and the full pipeline costs one shuffle over the raw
+    events. Emits the score, not a thresholded flag: thresholding is a
+    policy choice downstream (and a float boundary an oracle compare
+    should not sit on)."""
+    ev = read_table(spark, sf_dir, "events")
+    ws = (F.floor(_ts_seconds(ev) / WINDOW_SEC) * WINDOW_SEC).cast("long")
+    counts = (ev.groupBy(ws.alias("window_start"), F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"),
+        F.stddev_samp("cnt").alias("sd"))
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (counts.join(F.broadcast(stats), "event_type")
+            .select("event_type", "window_start", "cnt",
+                    F.round(z, 3).alias("zscore")))
+
+
+EV_ANOMALY_SQL = f"""
+    WITH counts AS (
+        SELECT CAST(floor(floor(epoch(ts::TIMESTAMP)) / {WINDOW_SEC})
+                   * {WINDOW_SEC} AS BIGINT) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, AVG(cnt) AS mu, stddev_samp(cnt) AS sd
+        FROM counts GROUP BY event_type
+    )
+    SELECT event_type, window_start, cnt,
+           ROUND((cnt - mu) / sd, 3) AS zscore
+    FROM counts JOIN stats USING (event_type)
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -345,6 +384,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_cms_user_counts": ev_cms_user_counts,
     "ev_json_extract": ev_json_extract,
     "ev_retention": ev_retention,
+    "ev_anomaly": ev_anomaly,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -355,4 +395,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_cms_user_counts": _cms_sql(),
     "ev_json_extract": EV_JSON_SQL,
     "ev_retention": EV_RETENTION_SQL,
+    "ev_anomaly": EV_ANOMALY_SQL,
 }

@@ -25,6 +25,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return q3_or_range_agg(spark, "/root/testdata/sf0.001")
 
 
+# The driver's CORRECTNESS gate records only the FIRST 50 entries of
+# ``queries()`` in iteration order.  With 78+ registered queries the
+# order below decides which operators get a driver oracle row this
+# round (VERDICT r2 ask #1).  Priority:
+#   1. operators never driver-verified in any round (r1/r2 gap),
+#   2. operators whose modules changed since their last green row,
+#   3. freshly re-verified (r2-green) entries, relational tail last.
+# Rotate tiers between rounds so every entry eventually gets a row.
+_ROUND_PRIORITY = [
+    # -- tier 1: never driver-verified (18) --------------------------
+    "ev_tumbling_agg",
+    "ev_sliding_agg",
+    "ev_sessionize",
+    "ev_type_funnel",
+    "ev_cms_user_counts",
+    "ev_json_extract",
+    "ev_retention",
+    "ev_anomaly",
+    "mm_metadata_extract",
+    "mm_frame_sample_stats",
+    "mm_feature_extract",
+    "mm_modality_stats",
+    "dedup_verified_clusters",
+    "dedup_incremental",
+    "dedup_embedding_lsh",
+    "dedup_containment",
+    "dedup_keep_policy",
+    "sim_ivf_nprobe_topk",
+    # -- tier 2: green in r1 only; modules changed since (10) --------
+    "dedup_cross_modal",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "emb_label_centroids",
+    # -- tier 3: r2-green pipeline entries whose modules change this
+    #    round (dedup store persistence), plus relational queries
+    #    touched by round-3 work ------------------------------------
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "q35_rowgroup_scan",
+    "q2_point_equality",
+    "q15_multi_join_lineitem",
+    "q20_asof_join",
+    # -- tier 4: r2-green text family -------------------------------
+    "text_quality_metrics",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_topk_terms",
+    "text_curation_pipeline",
+    "text_deterministic_sample",
+    "text_token_budget_pack",
+    "text_stratified_sample",
+    "text_unigram_logprob",
+    "text_sequence_pack",
+    # remaining relational queries append in natural order below.
+]
+
+
+def _prioritize(entries: dict) -> dict:
+    ordered = {k: entries[k] for k in _ROUND_PRIORITY if k in entries}
+    for k, v in entries.items():
+        if k not in ordered:
+            ordered[k] = v
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from datafusion_async_parquet_index_spark.queries import RELATIONAL_QUERIES
 
@@ -37,7 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(PIPELINE_QUERIES)
     except ImportError:
         pass
-    return out
+    return _prioritize(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -52,4 +125,4 @@ def oracle_sql() -> dict[str, str]:
         out.update(PIPELINE_ORACLE)
     except ImportError:
         pass
-    return out
+    return _prioritize(out)

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     char_shingles, hash60, sql_char_shingles, sql_hash60, sql_tokens, tokens,
 )
-from .util import read_table, register_memo, track_cache
+from .util import read_table, track_cache
 
 # Corpus signature store: the dedup entry points share the expensive
 # intermediates (MinHash signatures, band pairs per threshold, hashed
@@ -49,14 +49,19 @@ from .util import read_table, register_memo, track_cache
 # md5-per-shingle hashing that dominates the suite. At 100 TB this memo
 # is the in-session stand-in for a persisted signature table next to
 # the corpus (write once, probe per batch). Cleared by
-# util.clear_caches() together with the caches it points at.
-_CORPUS_MEMO: dict = register_memo({})
+# util.clear_caches() together with the caches it points at; the
+# session component of the key is held weakly (see util.session_memo)
+# so stopped sessions release their plans without an explicit clear.
 
 
 def _corpus(key, build):
-    df = _CORPUS_MEMO.get(key)
+    from .util import session_memo
+
+    spark, subkey = key[0], key[1:]
+    memo = session_memo(spark, "dedup_corpus")
+    df = memo.get(subkey)
     if df is None:
-        df = _CORPUS_MEMO[key] = build()
+        df = memo[subkey] = build()
     return df
 
 K = 24          # minhash signature length

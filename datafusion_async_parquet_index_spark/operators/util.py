@@ -19,6 +19,7 @@ consumers must NOT assume a concrete ``ts`` type — they go through
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,7 +61,11 @@ def ensure_tuned(spark: SparkSession) -> None:
             pass  # conf unknown/immutable on this build — keep going
 
 
-def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_for_compute(
+    df: DataFrame,
+    min_parts: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Repartition a byte-light but CPU-heavy input so per-row compute
     parallelizes across all cores.
 
@@ -69,12 +74,48 @@ def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame
     vector pipeline to one core (measured 21.6s -> <2s on the MinHash
     signatures at sf0.1).  At 100 TB the scan already carries far more
     partitions than cores and this is a no-op — the guard makes the
-    shuffle strictly a small-input fixup, never a cost at scale."""
+    shuffle strictly a small-input fixup, never a cost at scale.
+
+    ``bytes_per_task`` switches to size-based task sizing (the
+    ``spark.sql.files.maxPartitionBytes`` convention) for stages whose
+    cost tracks *bytes*, not rows: each Python task carries fixed
+    worker/Arrow round-trip overhead (~15 ms measured locally), so
+    fanning a 1 MB input to 32 mapInPandas tasks costs more than the
+    compute it buys (measured 0.51 s -> 0.28 s on the multimodal
+    extractor at sf0.1).  The target is estimated from optimizer plan
+    stats; unknown/absurd estimates fall back to full parallelism
+    (the conservative direction for CPU-heavy work)."""
     spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
+    parallelism = spark.sparkContext.defaultParallelism
+    if min_parts is not None:
+        target = min_parts
+    elif bytes_per_task:
+        est = _plan_size_estimate(df)
+        if est is None:
+            target = parallelism
+        else:
+            target = min(parallelism, max(1, -(-est // bytes_per_task)))
+    else:
+        target = parallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    if target == 1 and bytes_per_task:
+        # single well-sized task beats many underfilled Python tasks
+        return df.coalesce(1)
     return df
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Optimizer sizeInBytes for ``df``, or None when stats are missing
+    or degenerate (Spark uses Long.Max-ish defaults for unknowns, and
+    join-heavy plans can overflow into absurd BigIntegers)."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+    if est <= 0 or est > (1 << 50):
+        return None
+    return est
 
 
 # Operator-internal caches (MinHash signatures, shingle sets, SimHash
@@ -99,6 +140,26 @@ def register_memo(d: dict) -> dict:
     return d
 
 
+# Per-session memos keyed by a WEAK session reference: entries for
+# stopped/replaced sessions drop automatically when the session object
+# is garbage-collected, so a long-lived process cycling sessions does
+# not accumulate dead cached plans (clear_caches() also empties them).
+_SESSION_MEMOS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
+
+
+def session_memo(spark: SparkSession, namespace: str) -> dict:
+    """A mutable memo dict scoped to (session, namespace). Callers key
+    entries by their own sub-keys (sf_dir, table, params) — the session
+    itself must NOT appear in those sub-keys, that's what the weak
+    outer map is for."""
+    per = _SESSION_MEMOS.get(spark)
+    if per is None:
+        per = {}
+        _SESSION_MEMOS[spark] = per
+    return per.setdefault(namespace, {})
+
+
 def track_cache(df: DataFrame) -> DataFrame:
     """cache() a DataFrame and remember it for clear_caches()."""
     df = df.cache()
@@ -111,6 +172,8 @@ def clear_caches() -> None:
     drop the cross-call memos that point at them."""
     for d in _MEMO_REGISTRY:
         d.clear()
+    for per in list(_SESSION_MEMOS.values()):
+        per.clear()
     while _TRACKED_CACHES:
         df = _TRACKED_CACHES.pop()
         try:
@@ -144,6 +207,20 @@ def ensure_epoch_nanos(df: DataFrame, colname: str = "ts") -> DataFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Memoized per session: spark.read.parquet re-reads footers for
+    # schema inference on every call (~100 ms driver-side), which
+    # dominated plan-build time for the cheap operators. DataFrames are
+    # immutable so handing back the same object is safe; the testdata
+    # dirs are static for a session's lifetime.
+    memo = session_memo(spark, "read_table")
+    key = (sf_dir, name)
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = _read_table_uncached(spark, sf_dir, name)
+    return df
+
+
+def _read_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_tuned(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:

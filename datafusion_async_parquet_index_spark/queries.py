@@ -33,7 +33,9 @@ from .sources.table import IndexedParquetTable
 
 # Cache of per-directory indexed tables: the index build is footer-only
 # (O(files), not O(data)) but there is no reason to repeat it per query.
-_TABLES: Dict[tuple, IndexedParquetTable] = {}
+# Keyed weakly by session (operators.util.session_memo) so tables built
+# against stopped sessions are released instead of read through a dead
+# handle.
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,7 +52,10 @@ def _make_table(spark, sf_dir, table, index_columns, bloom_columns=()):
     Keyed by the session too: a cached table holds the SparkSession it
     was built with, and reusing it from a different (or restarted)
     session would read through a dead handle."""
-    key = (spark, sf_dir, table, tuple(index_columns), tuple(bloom_columns))
+    from .operators.util import session_memo
+
+    _TABLES = session_memo(spark, "indexed_tables")
+    key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns))
     t = _TABLES.get(key)
     if t is None:
         t = IndexedParquetTable.__new__(IndexedParquetTable)

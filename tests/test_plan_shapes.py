@@ -131,3 +131,27 @@ def test_sequence_pack_single_source_exchange(spark, sf_dir):
     plan = _plan(text_sequence_pack(spark, str(sf_dir)))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_rowgroups_mode_splits_native_vs_python(spark, demo_dir):
+    """mode="rowgroups" pays the Python DataSource tax only for files
+    where the access plan actually skips row groups; fully-covered
+    files must read through the native vectorized reader."""
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    t = IndexedParquetTable(spark, demo_dir, ["value"])
+    # no predicate: every row group of every file survives -> pure
+    # native scan, no Python data source anywhere in the plan
+    full = t.query(None, mode="rowgroups")
+    plan = _plan(full)
+    assert "rowgroup_parquet" not in plan and "PythonScan" not in plan
+    assert full.count() == t.query(None).count()
+    # partial plan: rg-skipping predicate -> the Python exact reader
+    # carries the partial file, and row-group exactness is preserved
+    part = t.query(col("value") == 150, mode="rowgroups")
+    assert t.last_scan.files_scanned == {"file2.parquet": [1]}
+    plan = _plan(part)
+    assert "rowgroup_parquet" in plan or "PythonScan" in plan
+    assert [r.value for r in part.collect()] == [150]

@@ -779,7 +779,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     )
 
 
-def containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+CONTAINMENT_THRESHOLD = 0.5  # shared by containment_pairs + its oracle
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
     """Directional overlap (quote / boilerplate detection): containment
     C = |A∩B| / min(|A|,|B|) finds a short document embedded in a long
     one — a case Jaccard structurally misses (|A∩B|/|A∪B| stays small
@@ -837,7 +842,8 @@ def _containment_sql() -> str:
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5
+        WHERE CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz)
+                  >= {CONTAINMENT_THRESHOLD}
     """
 
 

@@ -353,7 +353,10 @@ def ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = counts.groupBy("event_type").agg(
         F.avg("cnt").alias("mu"),
         F.stddev_samp("cnt").alias("sd"))
-    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    # sd = 0 (every window count equal for a type) would make 0/0 an
+    # engine-dependent NaN-vs-NULL coin flip; both sides emit NULL
+    z = F.when(F.col("sd") != 0,
+               (F.col("cnt") - F.col("mu")) / F.col("sd"))
     return (counts.join(F.broadcast(stats), "event_type")
             .select("event_type", "window_start", "cnt",
                     F.round(z, 3).alias("zscore")))
@@ -371,7 +374,7 @@ EV_ANOMALY_SQL = f"""
         FROM counts GROUP BY event_type
     )
     SELECT event_type, window_start, cnt,
-           ROUND((cnt - mu) / sd, 3) AS zscore
+           ROUND((cnt - mu) / NULLIF(sd, 0), 3) AS zscore
     FROM counts JOIN stats USING (event_type)
 """
 

@@ -297,6 +297,8 @@ def test_ivf_nprobe_recall_dominates_single_probe(spark):
     # 500 vectors, 5 queries, 10 centroids (sf0.01, sibling of the
     # configured TESTDATA dir so SPARK_GRAFT_TESTDATA relocation works)
     sf = os.path.join(os.path.dirname(TESTDATA.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"companion sf0.01 dir not found at {sf}")
     truth = {(r.query_id, r.cand_id)
              for r in sim_bruteforce_topk(spark, sf).collect()}
     ivf1 = {(r.query_id, r.cand_id)

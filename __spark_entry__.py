@@ -49,6 +49,7 @@ _ROUND_PRIORITY = [
     "mm_modality_stats",
     "dedup_verified_clusters",
     "dedup_incremental",
+    "dedup_incremental_persisted",
     "dedup_embedding_lsh",
     "dedup_containment",
     "dedup_keep_policy",

@@ -28,6 +28,7 @@ weak candidates the banding lets through.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1069,6 +1070,93 @@ def _incremental_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# persisted signature store: the on-disk form of the _corpus memo
+# ---------------------------------------------------------------------------
+
+SIGSTORE_ENV = "SPARK_GRAFT_SIGSTORE"
+
+
+def signature_store_dir(sf_dir: str) -> str:
+    """Deterministic store location for a corpus: keyed by the
+    documents file's (path, size, mtime) plus the signature parameters,
+    so a regenerated corpus or retuned K/R gets a fresh store instead
+    of silently reusing a stale one."""
+    import hashlib
+    import tempfile
+
+    base = os.environ.get(SIGSTORE_ENV) or os.path.join(
+        tempfile.gettempdir(), "spark_graft_sigstore")
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    fp = hashlib.md5(
+        f"{os.path.abspath(doc)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|K={K}|R={R}|mod={NEW_BATCH_MOD}".encode()).hexdigest()[:12]
+    return os.path.join(base, fp)
+
+
+def write_signature_store(docs: DataFrame, out_dir: str) -> None:
+    """Persist the MinHash signature store next to (a stand-in for) the
+    corpus: ``signatures/`` is (doc_id, s0..s{K-1}), ``bands/`` is the
+    derived (doc_id, band_idx, band_hash) band table, partitioned by
+    band_idx so each band probes as its own directory. This is the real
+    nightly-ingest architecture the in-session ``_corpus`` memo stands
+    in for at 100 TB: signatures are written ONCE per corpus rebuild
+    (the dominant md5-per-shingle cost), and every later batch pays
+    only its own hashing plus a band-sized equi-join probe. Bands are
+    derived from the *written* signatures, so the expensive hashing
+    runs exactly once."""
+    spark = docs.sparkSession
+    sig_dir = os.path.join(out_dir, "signatures")
+    _minhash_signatures(docs).write.mode("overwrite").parquet(sig_dir)
+    (_band_hashes(spark.read.parquet(sig_dir))
+     .write.mode("overwrite").partitionBy("band_idx")
+     .parquet(os.path.join(out_dir, "bands")))
+
+
+def read_signature_store(spark: SparkSession, store_dir: str):
+    """(signatures, bands) DataFrames over a written store."""
+    return (spark.read.parquet(os.path.join(store_dir, "signatures")),
+            spark.read.parquet(os.path.join(store_dir, "bands")))
+
+
+def _corpus_signature_store(spark: SparkSession, sf_dir: str):
+    """Ensure the persisted store exists for the CORPUS side of the
+    incremental split (doc_id % NEW_BATCH_MOD != 0) and return it as
+    parquet-backed DataFrames. Existence is checked via the _SUCCESS
+    markers both writes leave; the per-session memo only skips the
+    os.path checks, never the disk."""
+    store = signature_store_dir(sf_dir)
+    from .util import session_memo
+
+    memo = session_memo(spark, "sigstore")
+    if not memo.get(store):
+        done = all(
+            os.path.exists(os.path.join(store, sub, "_SUCCESS"))
+            for sub in ("signatures", "bands"))
+        if not done:
+            corpus = read_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % NEW_BATCH_MOD != 0)
+            write_signature_store(corpus, store)
+        memo[store] = True
+    return read_signature_store(spark, store)
+
+
+def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` served from the PERSISTED signature store:
+    the corpus signatures and band table are parquet on disk (written
+    once, here lazily on first use), and the nightly batch probes them
+    via ``match_against_corpus`` — only the new docs are shingled or
+    hashed in this query. Result-identical to ``dedup_incremental``
+    (same oracle SQL); the difference is purely where the corpus
+    signatures come from, which is the difference that matters at
+    100 TB and in bench cold mode (the store survives clear_caches)."""
+    sigs, bands = _corpus_signature_store(spark, sf_dir)
+    new_docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % NEW_BATCH_MOD == 0)
+    return match_against_corpus(new_docs, sigs, bands, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup at scale: multi-table hyperplane LSH
 # ---------------------------------------------------------------------------
 
@@ -1205,6 +1293,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_persisted": dedup_incremental_persisted,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_containment": dedup_containment,
     "dedup_keep_policy": dedup_keep_policy,
@@ -1222,6 +1311,9 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_embedding_cosine": _embedding_cosine_sql(),
     "dedup_incremental": _incremental_sql(),
+    # result-identical to dedup_incremental by construction; the oracle
+    # equality is exactly the persisted-store round-trip check
+    "dedup_incremental_persisted": _incremental_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "dedup_containment": _containment_sql(),
     "dedup_keep_policy": _keep_policy_sql(),

@@ -241,6 +241,35 @@ def test_incremental_agrees_with_full_pair_list(spark, sf_dir):
     assert inc == full and len(inc) > 0
 
 
+def test_incremental_persisted_store_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """The parquet-backed signature store must reproduce the in-memory
+    incremental result exactly, and the store layout must be the
+    documented two-table form (signatures + band-partitioned bands)."""
+    import os
+
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        SIGSTORE_ENV, dedup_incremental, dedup_incremental_persisted,
+        signature_store_dir,
+    )
+    monkeypatch.setenv(SIGSTORE_ENV, str(tmp_path / "sigstore"))
+    mem = {(r.new_id, r.corpus_id): r.est_jaccard
+           for r in dedup_incremental(spark, str(sf_dir)).collect()}
+    per = {(r.new_id, r.corpus_id): r.est_jaccard
+           for r in dedup_incremental_persisted(spark, str(sf_dir)).collect()}
+    assert per == mem and len(per) > 0
+    store = signature_store_dir(str(sf_dir))
+    assert os.path.exists(os.path.join(store, "signatures", "_SUCCESS"))
+    assert os.path.exists(os.path.join(store, "bands", "_SUCCESS"))
+    # band table is partitioned by band_idx (directory-per-band layout)
+    assert any(d.startswith("band_idx=")
+               for d in os.listdir(os.path.join(store, "bands")))
+    # second call reads the store instead of rewriting it
+    before = os.path.getmtime(os.path.join(store, "signatures", "_SUCCESS"))
+    dedup_incremental_persisted(spark, str(sf_dir)).count()
+    assert os.path.getmtime(
+        os.path.join(store, "signatures", "_SUCCESS")) == before
+
+
 def test_range_join_banding_matches_theta_join(spark, sf_dir):
     """The banded equi-join form of the ±1-day interval self-join must
     equal the naive theta join exactly (same per-order neighbor

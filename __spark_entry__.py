@@ -72,6 +72,7 @@ _ROUND_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_verified_pairs",
     "q35_rowgroup_scan",
+    "q37_case_pred",
     "q2_point_equality",
     "q15_multi_join_lineitem",
     "q20_asof_join",

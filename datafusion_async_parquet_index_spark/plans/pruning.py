@@ -186,7 +186,7 @@ class PruningRewriter:
         if isinstance(e, InList):
             return self._rw_inlist(e)
         if isinstance(e, Case):
-            return TRUE
+            return TRUE  # bare CASE as predicate: not a comparison
         return TRUE
 
     def _leaf(self, e: BinOp):
@@ -209,6 +209,8 @@ class PruningRewriter:
     def _rw_cmp(self, e: BinOp) -> Expr:
         leaf = self._leaf(e)
         if leaf is None:
+            if isinstance(e.left, Case) or isinstance(e.right, Case):
+                return self._fold_case(e)
             return self._fold_arith(e)
         c, op, v = leaf
         if op == "=":
@@ -226,6 +228,80 @@ class PruningRewriter:
         else:
             return TRUE
         return _guard(c, term)
+
+    # -- literal-armed CASE fold --------------------------------------
+    #
+    # ``CASE WHEN c1 THEN v1 ... [ELSE ve] END CMP k`` with every arm
+    # value a literal (the reference pushes CASE into catalog SQL,
+    # conversions.rs:73-81; here it folds onto the arm conditions):
+    # a row can satisfy the comparison only through the arm it takes,
+    # so the stats-space rewrite is OR over arms whose literal
+    # comparison holds, each guarded by the arm condition's own
+    # rewrite. Soundness: reachability of WHEN-arm i is
+    # over-approximated by rw(ci) (ignoring that earlier conds must be
+    # false — a superset, never prunes wrongly); the ELSE arm's
+    # reachability is over-approximated as TRUE; a NULL arm value (or
+    # a missing ELSE, which yields NULL) never satisfies any
+    # comparison and contributes FALSE under every op, which keeps the
+    # fold correct when _rw_not re-enters with the negated op.
+    # If NO arm can satisfy the comparison the whole predicate is
+    # unsatisfiable and rewrites to FALSE (prune everything — the Q5
+    # contradictory-AND treatment).
+
+    def _fold_case(self, e: BinOp) -> Expr:
+        l, r = e.left, e.right
+        if isinstance(l, Lit) and isinstance(r, Case):
+            e = e.flipped()
+            l, r = e.left, e.right
+        if not (isinstance(l, Case) and isinstance(r, Lit)):
+            return TRUE
+        k = r.value
+        if k is None:
+            return TRUE
+        reachable: list = []
+        for cond, val in l.branches:
+            holds = self._case_arm_holds(val, e.op, k)
+            if holds is None:
+                return TRUE  # non-literal arm or incomparable types
+            if holds:
+                reachable.append(self._rw(cond))
+        if l.else_ is not None:
+            holds = self._case_arm_holds(l.else_, e.op, k)
+            if holds is None:
+                return TRUE
+            if holds:
+                return TRUE  # ELSE reachable in general: no pruning
+        if not reachable:
+            return Lit(False)
+        out = reachable[0]
+        for term in reachable[1:]:
+            out = out | term
+        return out
+
+    @staticmethod
+    def _case_arm_holds(val: Expr, op: str, k) -> Optional[bool]:
+        """Exact evaluation of ``<arm literal> op k``; None = bail
+        (non-literal arm, or a type pairing engines may disagree on)."""
+        if not isinstance(val, Lit):
+            return None
+        v = val.value
+        if v is None:
+            return False  # NULL never satisfies a comparison
+        if isinstance(v, bool) != isinstance(k, bool):
+            return None
+        if not isinstance(v, bool):
+            num = (int, float)
+            if isinstance(v, num) != isinstance(k, num):
+                return None
+            if not isinstance(v, num) and type(v) is not type(k):
+                return None
+        try:
+            return {
+                "=": v == k, "!=": v != k, "<": v < k,
+                "<=": v <= k, ">": v > k, ">=": v >= k,
+            }[op]
+        except (KeyError, TypeError):
+            return None
 
     # -- depth-1 integer arithmetic fold ------------------------------
     #

@@ -636,6 +636,21 @@ def q35_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+def q37_case_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-armed CASE in the pruned scan path: the rewriter folds
+    ``CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END = 1`` onto the arm
+    condition (reference pushes CASE into catalog SQL,
+    conversions.rs:73-81), so the index prunes like ``l_quantity <= 2``
+    while the residual filter re-applies the exact CASE expression."""
+    from .plans.expr import Case, Lit
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    pred = Case([(xcol("l_quantity") <= 2.0, Lit(1))], Lit(0)) == 1
+    df = t.query(pred)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+
+
 def q36_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact join under the oracle gate: lineitem joins part
     through operators.joins.salted_join (deterministic salt on the left
@@ -694,6 +709,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_cube": q34_cube,
     "q35_rowgroup_scan": q35_rowgroup_scan,
     "q36_salted_join": q36_salted_join,
+    "q37_case_pred": q37_case_pred,
 }
 
 
@@ -912,6 +928,15 @@ RELATIONAL_ORACLE: Dict[str, str] = {
 }
 
 from .functions import sql_hash60 as _sql_hash60  # noqa: E402
+
+RELATIONAL_ORACLE["q37_case_pred"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END = 1
+    GROUP BY l_returnflag
+"""
 
 RELATIONAL_ORACLE["q36_salted_join"] = """
     SELECT p_brand,

@@ -18,7 +18,7 @@ import sqlite3
 from hypothesis import given, settings, strategies as st
 
 from datafusion_async_parquet_index_spark.plans.expr import (
-    BinOp, Col, Expr, InList, IsNull, Like, Lit, Not,
+    BinOp, Case, Col, Expr, InList, IsNull, Like, Lit, Not,
 )
 from datafusion_async_parquet_index_spark.plans.pruning import PruningRewriter
 from datafusion_async_parquet_index_spark.sources.catalog import _SqliteStatsSql
@@ -78,6 +78,11 @@ def eval_row(e: Expr, row: dict):
         if v is None:
             return None
         return any(v == x.value for x in e.values)
+    if isinstance(e, Case):
+        for cond, val in e.branches:
+            if eval_row(cond, row) is True:  # NULL/False falls through
+                return eval_row(val, row)
+        return eval_row(e.else_, row) if e.else_ is not None else None
     if isinstance(e, BinOp):
         l, r = eval_row(e.left, row), eval_row(e.right, row)
         if e.op in ("+", "-", "*", "<<", ">>"):
@@ -175,9 +180,21 @@ def leaf():
         lambda sop, k, op, w: BinOp(op, BinOp(sop, Col("v"), Lit(k)), Lit(w)),
         st.sampled_from(["<<", ">>"]), st.integers(0, 4),
         st.sampled_from(CMP_OPS), st.integers(-60, 60))
+    # literal-armed CASE: the fold must agree with ternary CASE
+    # evaluation (NULL arms, missing ELSE, unsatisfiable comparisons)
+    case_cmp = st.builds(
+        lambda cop, cv, v1, ev, has_else, op, k: BinOp(
+            op,
+            Case([(BinOp(cop, Col("v"), Lit(cv)), Lit(v1))],
+                 Lit(ev) if has_else else None),
+            Lit(k)),
+        st.sampled_from(CMP_OPS), ints,
+        st.one_of(st.none(), st.integers(-3, 3)),
+        st.one_of(st.none(), st.integers(-3, 3)),
+        st.booleans(), st.sampled_from(CMP_OPS), st.integers(-3, 3))
     return st.one_of(num_cmp, float_cmp, str_cmp, like, null, inlist,
                      date_cmp, ts_cmp, ts_date_cmp, bin_cmp,
-                     arith_cmp, shift_cmp)
+                     arith_cmp, shift_cmp, case_cmp)
 
 
 predicates = st.recursive(

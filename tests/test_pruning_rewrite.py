@@ -129,9 +129,43 @@ def test_arithmetic_unfoldable_keeps_all():
     assert survivors((col("value") + col("value")) == 150) == [0, 1, 2, 3, 4]
 
 
-def test_case_keeps_all():
-    pred = Case([(col("value") > 10, lit(True))], lit(False)) == True
+def test_case_literal_arm_prunes_via_condition():
+    # CASE WHEN value < 50 THEN 1 ELSE 0 END = 1 can only hold through
+    # the WHEN arm -> prunes like value < 50 (rg3 kept: stats missing)
+    pred = Case([(col("value") < 50, lit(1))], lit(0)) == 1
+    assert survivors(pred) == [0, 3]
+    # without an ELSE the fall-through yields NULL, which never
+    # satisfies a comparison — same pruning
+    pred = Case([(col("value") < 50, lit(1))], None) == 1
+    assert survivors(pred) == [0, 3]
+
+
+def test_case_else_arm_reachable_keeps_all():
+    # = 0 is satisfiable through the ELSE arm, whose reachability the
+    # rewrite over-approximates as TRUE
+    pred = Case([(col("value") < 50, lit(1))], lit(0)) == 0
     assert survivors(pred) == [0, 1, 2, 3, 4]
+
+
+def test_case_unsatisfiable_prunes_all():
+    pred = Case([(col("value") < 50, lit(1))], lit(0)) == 2
+    assert survivors(pred) == []
+
+
+def test_case_null_arm_never_matches():
+    # NULL THEN-arm can never equal 0; only the ELSE arm matches -> TRUE
+    pred = Case([(col("value") > 10, Lit(None))], lit(0)) == 0
+    assert survivors(pred) == [0, 1, 2, 3, 4]
+
+
+def test_case_non_literal_arm_keeps_all():
+    pred = Case([(col("value") > 10, col("value"))], lit(0)) == 1
+    assert survivors(pred) == [0, 1, 2, 3, 4]
+
+
+def test_case_boolean_arms():
+    pred = Case([(col("value") > 10, lit(True))], lit(False)) == True
+    assert survivors(pred) == [0, 1, 2, 3]  # rg4 all-null: > refuted
 
 
 def test_literal_false_prunes_all():

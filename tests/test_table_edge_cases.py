@@ -74,3 +74,24 @@ def test_salted_join_rejects_right_preserving_types(spark):
     # left-preserving types still work and match the plain join
     got = salted_join(left, right, "k", n_salts=4, how="left").count()
     assert got == left.join(right, "k", "left").count()
+
+
+def test_case_predicate_prunes_scan(spark, tmp_path):
+    """Literal-armed CASE folds onto its arm condition in the pruning
+    rewrite: the scan must touch only the row groups the condition
+    admits, while the residual filter applies the exact CASE."""
+    from datafusion_async_parquet_index_spark.plans.expr import Case, Lit, col
+    from datafusion_async_parquet_index_spark.sources.demo_corpus import (
+        write_demo_corpus,
+    )
+    d = str(tmp_path / "corpus")
+    write_demo_corpus(d)
+    t = IndexedParquetTable(spark, d, ["value"])
+    pred = Case([(col("value") == 150, Lit(1))], Lit(0)) == 1
+    rows = t.query(pred).collect()
+    assert [r.value for r in rows] == [150]
+    assert t.last_scan.files_scanned == {"file2.parquet": [1]}
+    # unsatisfiable through every arm -> zero I/O like contradictory AND
+    none = t.query(Case([(col("value") == 150, Lit(1))], Lit(0)) == 7)
+    assert none.count() == 0
+    assert t.last_scan.files_scanned == {}

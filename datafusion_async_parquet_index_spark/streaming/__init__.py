@@ -4,6 +4,7 @@ from .events_stream import (
 )
 from .incremental_dedup import (
     corpus_signature_store, dedup_against_corpus_stream,
+    dedup_against_store_stream,
 )
 from .ingest import indexed_ingest_sink, ingest_stream_to_indexed_table
 
@@ -12,5 +13,5 @@ __all__ = [
     "sliding_counts_stream", "sessionize_stream", "dedup_stream",
     "asof_join_stream", "indexed_ingest_sink",
     "ingest_stream_to_indexed_table", "corpus_signature_store",
-    "dedup_against_corpus_stream",
+    "dedup_against_corpus_stream", "dedup_against_store_stream",
 ]

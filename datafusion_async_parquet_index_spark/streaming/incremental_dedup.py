@@ -42,6 +42,42 @@ def corpus_signature_store(corpus_docs: DataFrame):
     return sigs, bands
 
 
+def dedup_against_store_stream(
+    new_docs_stream: DataFrame,
+    store_dir: str,
+    on_matches: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    threshold: float = 0.25,
+    trigger_once: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Like ``dedup_against_corpus_stream`` but the corpus side is the
+    PERSISTED signature store (operators.dedup.write_signature_store):
+    the stream job never touches the raw corpus at all — it reads the
+    parquet signature/band tables written at corpus-rebuild time, which
+    is the deployment shape at 100 TB (the corpus pass and the ingest
+    job are separate lifecycles)."""
+    from ..operators.dedup import read_signature_store
+
+    spark = new_docs_stream.sparkSession
+    sigs, bands = read_signature_store(spark, store_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        on_matches(
+            match_against_corpus(batch_df, sigs, bands, threshold=threshold),
+            batch_id)
+
+    w = (new_docs_stream.writeStream
+         .outputMode("append")
+         .foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint_dir))
+    if query_name:
+        w = w.queryName(query_name)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def dedup_against_corpus_stream(
     new_docs_stream: DataFrame,
     corpus_docs: DataFrame,

@@ -337,3 +337,58 @@ def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.new_id, r.corpus_id): r.est_jaccard
             for r in dedup_incremental(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_against_persisted_store_matches_batch(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """The store-backed stream (corpus side read from the parquet
+    signature store, raw corpus never touched) reproduces
+    dedup_incremental exactly across micro-batch boundaries."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        NEW_BATCH_MOD, SIGSTORE_ENV, dedup_incremental,
+        signature_store_dir, write_signature_store,
+    )
+    from datafusion_async_parquet_index_spark.streaming import (
+        dedup_against_store_stream,
+    )
+
+    monkeypatch.setenv(SIGSTORE_ENV, str(tmp_path / "sigstore"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    store = signature_store_dir(sf_dir)
+    write_signature_store(docs.filter(~is_new), store)
+
+    new = docs.filter(is_new).select("doc_id", "text")
+    d = str(tmp_path / "new_docs")
+    new.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "append").parquet(d)
+    new.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+
+    got: dict = {}
+
+    def collect_matches(matches, batch_id):
+        for r in matches.collect():
+            got[(r.new_id, r.corpus_id)] = r.est_jaccard
+
+    q = dedup_against_store_stream(
+        stream, store, collect_matches, str(tmp_path / "ckpt_store"))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    want = {(r.new_id, r.corpus_id): r.est_jaccard
+            for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == want and len(want) > 0

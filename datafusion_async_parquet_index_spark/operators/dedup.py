@@ -762,11 +762,12 @@ def _simhash_sql() -> str:
 # n-gram Jaccard (exact, bounded subset)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
-    """Exact character-5-gram Jaccard pairs over any (doc_id, text)
-    DataFrame: distinct shingle sets, self-join on shingle,
-    |A∩B| / |A∪B| >= threshold. Quadratic by nature — at scale this runs
-    only on LSH candidates, never standalone."""
+def _shingle_overlap(docs: DataFrame):
+    """(sizes, inter) of the exact shingle inverted index over ``docs``:
+    per-doc distinct-shingle counts and per-pair intersection counts
+    (postings equi-join on the shingle, a < b). This is the shared —
+    and dominant — core of both exact overlap measures (Jaccard and
+    containment); the measures themselves are one cheap join over it."""
     from .util import spread_for_compute
     sh = spread_for_compute(docs).select(
         "doc_id", F.explode(char_shingles(F.col("text"))).alias("sh")).distinct()
@@ -778,14 +779,52 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return sizes, inter
+
+
+def _measure_pairs(sizes: DataFrame, inter: DataFrame, measure,
+                   threshold: float, out_name: str) -> DataFrame:
+    """Join intersection counts with both sides' set sizes and apply a
+    measure(inter, sz_a, sz_b) column, thresholded and rounded."""
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    m = measure(F.col("inter"), F.col("sz_a"), F.col("sz_b"))
     return (
         inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
-        .withColumn("_j", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .filter(F.col("_j") >= threshold)
-        .select("doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard"))
+        .withColumn("_m", m)
+        .filter(F.col("_m") >= threshold)
+        .select("doc_a", "doc_b", F.round(F.col("_m"), 4).alias(out_name))
     )
+
+
+def _jaccard_measure(i, sa, sb):
+    return i / (sa + sb - i)
+
+
+def _containment_measure(i, sa, sb):
+    return i / F.least(sa, sb)
+
+
+def _corpus_overlap(spark: SparkSession, sf_dir: str):
+    """Memoized + cached (sizes, inter) for the NGRAM_MOD subset of the
+    corpus — dedup_ngram_jaccard and dedup_containment differ only in
+    the measure, so they share one postings build and one self-join."""
+    def build():
+        docs = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % NGRAM_MOD == 0)
+        sizes, inter = _shingle_overlap(docs)
+        return track_cache(sizes), track_cache(inter)
+
+    return _corpus((spark, sf_dir, "shingle_overlap"), build)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs over any (doc_id, text)
+    DataFrame: distinct shingle sets, self-join on shingle,
+    |A∩B| / |A∪B| >= threshold. Quadratic by nature — at scale this runs
+    only on LSH candidates, never standalone."""
+    sizes, inter = _shingle_overlap(docs)
+    return _measure_pairs(sizes, inter, _jaccard_measure, threshold, "jaccard")
 
 
 CONTAINMENT_THRESHOLD = 0.5  # shared by containment_pairs + its oracle
@@ -801,32 +840,15 @@ def containment_pairs(
     Same inverted-index shape as ngram_jaccard_pairs: distinct shingle
     postings, equi-join on shingle, per-pair counts; bounded-subset
     standalone, post-candidate at scale."""
-    from .util import spread_for_compute
-    sh = spread_for_compute(docs).select(
-        "doc_id", F.explode(char_shingles(F.col("text"))).alias("sh")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
-        .withColumn("_c", F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
-        .filter(F.col("_c") >= threshold)
-        .select("doc_a", "doc_b",
-                F.round(F.col("_c"), 4).alias("containment"))
-    )
+    sizes, inter = _shingle_overlap(docs)
+    return _measure_pairs(sizes, inter, _containment_measure, threshold,
+                          "containment")
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % NGRAM_MOD == 0)
-    return containment_pairs(docs)
+    sizes, inter = _corpus_overlap(spark, sf_dir)
+    return _measure_pairs(sizes, inter, _containment_measure,
+                          CONTAINMENT_THRESHOLD, "containment")
 
 
 def _containment_sql() -> str:
@@ -857,9 +879,8 @@ def _containment_sql() -> str:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % NGRAM_MOD == 0)
-    return ngram_jaccard_pairs(docs)
+    sizes, inter = _corpus_overlap(spark, sf_dir)
+    return _measure_pairs(sizes, inter, _jaccard_measure, 0.1, "jaccard")
 
 
 def _ngram_jaccard_sql() -> str:

@@ -54,6 +54,7 @@ _ROUND_PRIORITY = [
     "dedup_containment",
     "dedup_keep_policy",
     "sim_ivf_nprobe_topk",
+    "sim_ivf_layout_topk",
     # -- tier 2: green in r1 only; modules changed since (10) --------
     "dedup_cross_modal",
     "dedup_clusters",

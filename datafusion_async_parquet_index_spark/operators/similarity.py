@@ -477,11 +477,57 @@ def ivf_layout_topk(
     )
 
 
+IVF_LAYOUT_ENV = "SPARK_GRAFT_IVF_LAYOUT"
+
+
+def ivf_layout_dir(sf_dir: str) -> str:
+    """Deterministic layout location for a corpus, keyed by the
+    embeddings file's identity so a regenerated corpus gets a fresh
+    layout (same convention as the dedup signature store)."""
+    import hashlib
+    import os
+    import tempfile
+
+    base = os.environ.get(IVF_LAYOUT_ENV) or os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_layout")
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    fp = hashlib.md5(
+        f"{os.path.abspath(emb)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|mod={IVF_CENTROID_MOD}".encode()).hexdigest()[:12]
+    return os.path.join(base, fp)
+
+
+def sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_ivf_topk`` served from the PHYSICAL cell-partitioned
+    layout: vectors live under ``cell=<id>/`` directories (written once
+    per corpus rebuild, here lazily on first use) and the probe scan
+    carries a partition filter, so Spark prunes DIRECTORIES instead of
+    filtering rows — at 100 TB the probe reads 1/n_cells of the corpus.
+    nprobe=1 is row-identical to the logical sim_ivf_topk (same
+    centroids, same tie-breaks), so it shares that oracle."""
+    import os
+
+    from .util import read_table, session_memo
+
+    layout = ivf_layout_dir(sf_dir)
+    memo = session_memo(spark, "ivf_layout")
+    if not memo.get(layout):
+        done = all(
+            os.path.exists(os.path.join(layout, *sub))
+            for sub in (("_SUCCESS",), ("_meta", "centroids", "_SUCCESS")))
+        if not done:
+            write_ivf_layout(read_table(spark, sf_dir, "embeddings"), layout)
+        memo[layout] = True
+    return ivf_layout_topk(spark, layout, nprobe=1)
+
+
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe_topk": sim_ivf_nprobe_topk,
+    "sim_ivf_layout_topk": sim_ivf_layout_topk,
     "emb_label_centroids": emb_label_centroids,
 }
 
@@ -490,5 +536,8 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_lsh_topk": _lsh_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_ivf_nprobe_topk": SIM_IVF_NPROBE_SQL,
+    # row-identical to sim_ivf_topk at nprobe=1 by construction — the
+    # oracle equality is exactly the physical-layout round-trip check
+    "sim_ivf_layout_topk": SIM_IVF_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
 }

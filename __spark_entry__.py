@@ -47,6 +47,7 @@ _ROUND_PRIORITY = [
     "mm_frame_sample_stats",
     "mm_feature_extract",
     "mm_modality_stats",
+    "mm_resize_stats",
     "dedup_verified_clusters",
     "dedup_incremental",
     "dedup_incremental_persisted",

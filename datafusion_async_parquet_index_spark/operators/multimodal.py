@@ -135,6 +135,58 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return spread.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_BOX = (64, 64)  # fit-within box, aspect preserved
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_media(media: DataFrame, box=RESIZE_BOX) -> DataFrame:
+    """Resize stand-in over binary payloads via Arrow-batched
+    mapInPandas: dimensions come from the deterministic fake decode
+    (no codecs in this container), the fit-within-box scaling is exact
+    integer arithmetic (out_w = min(bw, w*bh//h), out_h symmetric,
+    both clamped >= 1 — the formula an oracle can recompute
+    relationally), and the "resized" payload is the input truncated or
+    zero-padded to out_w*out_h bytes so downstream sees a payload of
+    the post-resize size. Partitioning/batching identical to
+    extract_features: bytes-sized tasks, no shuffle, linear scale."""
+    bw, bh = box
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            w = 16 + (lens % 64)
+            h = 16 + ((lens // 64) % 64)
+            out_w = np.maximum(1, np.minimum(bw, (w * bh) // h))
+            out_h = np.maximum(1, np.minimum(bh, (h * bw) // w))
+            size = (out_w * out_h).astype(np.int64)
+            resized = [
+                p[:n] if len(p) >= n else p + b"\x00" * (n - len(p))
+                for p, n in zip(payloads, size.tolist())
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "media_type": pdf["media_type"],
+                "out_w": out_w,
+                "out_h": out_h,
+                "payload": resized,
+            })
+
+    from .util import spread_for_compute
+    spread = spread_for_compute(media, bytes_per_task=64 << 20)
+    return spread.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
     """Frame sampling stand-in: emit (doc_id, frame_idx, offset) rows per
     payload — one row per sampled frame, the explode-shaped output a real
@@ -273,11 +325,57 @@ MM_MODALITY_SQL = """
 """
 
 
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality aggregates computed THROUGH the Python resize path
+    (same posture as mm_modality_stats): the Spark side executes the
+    Arrow-batched resize, the oracle recomputes the integer fit-within
+    formula and the truncate/pad output size relationally, so the
+    resize pipeline itself is hash-checked cross-engine."""
+    rs = resize_media(synthesize_media(spark, sf_dir))
+    return rs.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("out_w").cast("bigint")).alias("sum_out_w"),
+        F.sum(F.col("out_h").cast("bigint")).alias("sum_out_h"),
+        F.sum(F.octet_length("payload").cast("bigint")).alias("resized_bytes"),
+    )
+
+
+MM_RESIZE_SQL = f"""
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               octet_length(encode(text)) AS L
+        FROM documents
+    ), dims AS (
+        SELECT media_type,
+               16 + L % 64 AS w,
+               16 + (L // 64) % 64 AS h
+        FROM media
+    ), rs AS (
+        SELECT media_type,
+               GREATEST(1, LEAST({RESIZE_BOX[0]}, (w * {RESIZE_BOX[1]}) // h))
+                   AS out_w,
+               GREATEST(1, LEAST({RESIZE_BOX[1]}, (h * {RESIZE_BOX[0]}) // w))
+                   AS out_h
+        FROM dims
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(out_w) AS BIGINT) AS sum_out_w,
+           CAST(SUM(out_h) AS BIGINT) AS sum_out_h,
+           CAST(SUM(out_w * out_h) AS BIGINT) AS resized_bytes
+    FROM rs GROUP BY media_type
+"""
+
+
 MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata_extract": mm_metadata_extract,
     "mm_frame_sample_stats": mm_frame_sample_stats,
     "mm_feature_extract": mm_feature_extract,
     "mm_modality_stats": mm_modality_stats,
+    "mm_resize_stats": mm_resize_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -287,4 +385,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # oracle (per-row array features); mm_modality_stats hash-checks
     # the same Python path through per-modality aggregates instead
     "mm_modality_stats": MM_MODALITY_SQL,
+    "mm_resize_stats": MM_RESIZE_SQL,
 }

@@ -94,6 +94,27 @@ def test_extract_features_mapinpandas(spark, sf_dir):
         assert sum(r.feature) == min(r.byte_len, 256)
 
 
+def test_resize_media_mapinpandas(spark, sf_dir):
+    """Resize plumbing: integer fit-within-box dims match the fake
+    decode's width/height, and the stand-in payload is truncated or
+    zero-padded to exactly out_w*out_h bytes."""
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        RESIZE_BOX, resize_media,
+    )
+    media = synthesize_media(spark, sf_dir)
+    lens = {r.doc_id: r.byte_len for r in media.limit(50).collect()}
+    rows = resize_media(media).filter(
+        F.col("doc_id").isin(*lens.keys())).collect()
+    assert len(rows) == len(lens)
+    bw, bh = RESIZE_BOX
+    for r in rows:
+        n = lens[r.doc_id]
+        w, h = 16 + n % 64, 16 + (n // 64) % 64
+        assert r.out_w == max(1, min(bw, w * bh // h))
+        assert r.out_h == max(1, min(bh, h * bw // w))
+        assert len(r.payload) == r.out_w * r.out_h
+
+
 def test_frame_sample_counts(spark, sf_dir):
     media = synthesize_media(spark, sf_dir)
     frames = frame_sample(media, every_n_bytes=100)

@@ -28,12 +28,38 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dot_double, l2_norm, py_hash60
-from .util import read_table, spread_for_compute
+from .util import read_table, session_memo, spread_for_compute, track_cache
 
 TOPK = 5
 N_QUERIES_MOD = 100   # vec_id % 100 == 0 => query set (5 at sf0.01)
 N_PLANES = 8          # LSH hyperplanes => 256 buckets
 IVF_CENTROID_MOD = 50  # vec_id % 50 == 1 => centroid set (IVF coarse quantizer)
+
+
+def _sim_corpus(spark: SparkSession, key, build):
+    """Per-(session, corpus) memo for the shared vector-store artifacts
+    (normalized vectors, LSH bucket table, IVF assignments) — at 100 TB
+    each of these is a persisted table next to the corpus, written once
+    per rebuild; in-session they are computed once and cached, same
+    stand-in posture as the dedup signature store. Cleared by
+    util.clear_caches()."""
+    memo = session_memo(spark, "sim_corpus")
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = build()
+    return df
+
+
+def _corpus_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm): the corpus with its L2 norms
+    precomputed — every sim_* entry point derives its query and
+    candidate sides from this one cached scan."""
+    def build():
+        emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
+        return track_cache(emb.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")))
+
+    return _sim_corpus(spark, (sf_dir, "vectors"), build)
 
 
 def _pair_cosine(qe: str, ce: str, qn: str, cn: str) -> F.Column:
@@ -46,13 +72,13 @@ def _pair_cosine(qe: str, ce: str, qn: str, cn: str) -> F.Column:
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per query vector. Tie-break on vec_id after
     rounding to 6 decimals keeps rank deterministic across engines."""
-    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+    vec = _corpus_vectors(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        l2_norm(F.col("embedding")).alias("qn"))
-    c = emb.select(F.col("vec_id").alias("cand_id"),
+        F.col("nrm").alias("qn"))
+    c = vec.select(F.col("vec_id").alias("cand_id"),
                    F.col("embedding").alias("ce"),
-                   l2_norm(F.col("embedding")).alias("cn"))
+                   F.col("nrm").alias("cn"))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
     cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
     scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
@@ -121,17 +147,29 @@ def _embedding_dim(emb: DataFrame) -> int:
     return int(row["d"]) if row else 0
 
 
+def _corpus_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, bucket, nrm): the corpus LSH bucket table —
+    the N_PLANES sign-bit aggregations are the dominant per-vector
+    cost, paid once per corpus instead of per query."""
+    def build():
+        vec = _corpus_vectors(spark, sf_dir)
+        dim = _embedding_dim(vec)
+        return track_cache(vec.select(
+            "vec_id", "embedding",
+            _bucket_key(F.col("embedding"), dim).alias("bucket"),
+            F.col("nrm")))
+
+    return _sim_corpus(spark, (sf_dir, "lsh_buckets"), build)
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: candidates share the query's LSH bucket; exact cosine
     re-rank within the bucket. The bucket equi-join is the only shuffle
     and it moves (bucket, vec) pairs — at scale, bucket the corpus once
-    (write bucketed) and this becomes a co-located join."""
-    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
-    dim = _embedding_dim(emb)
-    bucketed = emb.select(
-        "vec_id", "embedding",
-        _bucket_key(F.col("embedding"), dim).alias("bucket"),
-        l2_norm(F.col("embedding")).alias("nrm"))
+    (write bucketed) and this becomes a co-located join. The bucket
+    table is that posture in-session: computed once per corpus,
+    cached, shared across calls."""
+    bucketed = _corpus_lsh_buckets(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"), F.col("nrm").alias("qn"))
@@ -172,11 +210,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, probe the query's cell only, exact cosine re-rank inside
     the cell. Recall < 1 by design; deterministic and oracle-checked
     against the same assignment formula in SQL."""
-    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
-    cells = _ivf_cells(emb)
-    assigned = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    ).join(cells, "vec_id")
+    vec = _corpus_vectors(spark, sf_dir)
+    cells = _corpus_ivf_cells(spark, sf_dir, 1).select("vec_id", "cell")
+    assigned = vec.join(cells, "vec_id")
     q = assigned.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"), F.col("cell").alias("qc"))
@@ -197,6 +233,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NPROBE = 2  # cells probed per query in the multi-probe variant
+
+
+def _corpus_ivf_cells(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Memoized + cached (vec_id, cell, probe_rank) assignment table for
+    the corpus — the centroid-assignment pass is paid once per corpus
+    per n, shared by the single- and multi-probe entry points."""
+    def build():
+        return track_cache(_ivf_cells_topn(_corpus_vectors(spark, sf_dir), n))
+
+    return _sim_corpus(spark, (sf_dir, "ivf_cells", n), build)
 
 
 def _ivf_cells_topn(emb: DataFrame, n: int) -> DataFrame:
@@ -227,14 +273,10 @@ def sim_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra corpus work. Each (query, candidate) pair still meets at most
     once (a candidate lives in ONE cell; the query's probe cells are
     distinct), so no dedup pass is needed before the re-rank."""
-    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
-    cells = _ivf_cells_topn(emb, NPROBE)
-    assigned = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    ).join(cells.filter(F.col("probe_rank") == 1), "vec_id")
-    q = (emb.select("vec_id", "embedding",
-                    l2_norm(F.col("embedding")).alias("nrm"))
-         .join(cells, "vec_id")
+    vec = _corpus_vectors(spark, sf_dir)
+    cells = _corpus_ivf_cells(spark, sf_dir, NPROBE)
+    assigned = vec.join(cells.filter(F.col("probe_rank") == 1), "vec_id")
+    q = (vec.join(cells, "vec_id")
          .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),

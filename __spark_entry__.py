@@ -67,9 +67,18 @@ _ROUND_PRIORITY = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "emb_label_centroids",
-    # -- tier 3: r2-green pipeline entries whose modules change this
-    #    round (dedup store persistence), plus relational queries
-    #    touched by round-3 work ------------------------------------
+    # -- tier 3: NEW in round 3 (never had a driver row) ------------
+    "text_pii_scrub",
+    "text_domain_mixture",
+    "dedup_substring_ngram",
+    "sim_sq_topk",
+    "q38_exists_subquery",
+    "q39_grouping_sets",
+    "q40_range_frame",
+    "q41_pivot",
+    # -- tier 4: r2-green entries whose modules changed this round
+    #    (dedup store persistence, queries.py additions, pruning/CASE,
+    #    events zero-guard) ------------------------------------------
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_verified_pairs",
@@ -78,19 +87,13 @@ _ROUND_PRIORITY = [
     "q2_point_equality",
     "q15_multi_join_lineitem",
     "q20_asof_join",
-    # -- tier 4: r2-green text family -------------------------------
-    "text_quality_metrics",
-    "text_langid",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_topk_terms",
-    "text_curation_pipeline",
-    "text_deterministic_sample",
-    "text_token_budget_pack",
-    "text_stratified_sample",
-    "text_unigram_logprob",
-    "text_sequence_pack",
-    # remaining relational queries append in natural order below.
+    "q33_range_join",
+    "q34_cube",
+    "q36_salted_join",
+    # The r2-green text_* family rotates OUT this round: text.py is
+    # untouched since its green rows, while everything above either
+    # never had a row or sits in a module that changed. Remaining
+    # entries append in natural order below.
 ]
 
 

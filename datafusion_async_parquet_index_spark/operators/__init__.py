@@ -5,6 +5,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .curation import CURATION_ORACLE, CURATION_QUERIES
 from .dedup import DEDUP_ORACLE, DEDUP_QUERIES
 from .events import EVENTS_ORACLE, EVENTS_QUERIES
 from .multimodal import MULTIMODAL_ORACLE, MULTIMODAL_QUERIES
@@ -19,6 +20,7 @@ for _q, _o in [
     (SIMILARITY_QUERIES, SIMILARITY_ORACLE),
     (EVENTS_QUERIES, EVENTS_ORACLE),
     (MULTIMODAL_QUERIES, MULTIMODAL_ORACLE),
+    (CURATION_QUERIES, CURATION_ORACLE),
 ]:
     PIPELINE_QUERIES.update(_q)
     PIPELINE_ORACLE.update(_o)

@@ -1,0 +1,294 @@
+"""Corpus-curation operators: PII scrubbing, data-mixture rebalancing,
+and exact-substring (word n-gram) duplication coverage.
+
+These are the pipeline passes a training-data curation run applies
+*between* raw ingest and tokenization — complementing ``text.py``'s
+per-document metrics and ``dedup.py``'s whole-document dedup family:
+
+- ``text_pii_scrub``: regex detection + redaction accounting for
+  email / IPv4 / phone patterns.  The synthetic corpus contains no
+  natural PII, so deterministic PII spans are derived from ``doc_id``
+  (same posture as ``multimodal.synthesize_media``'s payloads: inputs
+  still come from the driver's tables, the derivation is replayed
+  exactly by the oracle).  Detection itself is ``regexp_count`` /
+  ``regexp_replace`` — JVM-side, map-only, zero shuffle.
+- ``text_domain_mixture``: rebalance the corpus toward a uniform
+  per-language share (the low-resource upsampling-cap shape): a
+  counts pass, an integer basis-point rate per language, and a
+  deterministic hash-sample — all integer arithmetic so Spark and the
+  oracle agree exactly, and reproducible on any cluster size.
+- ``dedup_substring_ngram``: the word-n-gram approximation of exact
+  substring dedup (the suffix-array method of "Deduplicating Training
+  Data Makes Language Models Better", Lee et al. 2022, approximated
+  with hashed 8-gram buckets): a position is duplicated when its
+  8-gram occurs in >= 2 distinct documents; per-document coverage =
+  duplicated positions / total positions.  One explode + one groupBy
+  on the gram hash + one join back — linear in total n-grams, banded
+  by the hash shuffle, no pairwise comparison anywhere.
+
+All regexes stay inside the dialect subset Java regex and RE2 agree on
+(character classes, bounded repetition, literal dots) so Spark and
+DuckDB count identical matches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hash60, sql_hash60, sql_tokens, tokens
+from .util import read_table
+
+# -- PII scrub --------------------------------------------------------------
+# Deterministic dialect-safe patterns (char classes + bounded reps only).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+IPV4_RE = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+# doc_id -> which deterministic PII span gets appended (several docs get
+# more than one; most get none — realistic sparse contamination)
+_EMAIL_MOD, _PHONE_MOD, _IP_MOD = 7, 11, 13
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """documents.text with deterministic PII spans appended for a
+    doc_id-keyed subset — the contamination fixture both engines
+    rebuild identically (no natural PII in the synthetic corpus)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % _EMAIL_MOD == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"),
+                 F.lit("@example.com"))).otherwise(F.lit(""))
+    phone = F.when(
+        did % _PHONE_MOD == 0,
+        F.concat(F.lit(" call 555-01"), (did % 10).cast("string"),
+                 F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"))
+        ).otherwise(F.lit(""))
+    ip = F.when(
+        did % _IP_MOD == 0,
+        F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                 F.lit("."), ((did * 7) % 256).cast("string"))
+        ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", "source",
+        F.concat(F.col("text"), email, phone, ip).alias("text"))
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting per source: match counts per
+    pattern class, documents containing any PII, and the exact character
+    mass removed by redaction.  Map-only until the tiny per-source
+    aggregate; at 100 TB this is an embarrassingly parallel scan."""
+    docs = _with_pii(read_table(spark, sf_dir, "documents"))
+    low = F.lower(F.col("text"))
+    n_email = F.regexp_count(low, F.lit(EMAIL_RE))
+    n_ip = F.regexp_count(low, F.lit(IPV4_RE))
+    n_phone = F.regexp_count(low, F.lit(PHONE_RE))
+    # redact emails first (phone/ip substrings cannot overlap an email
+    # remnant: the replacement token has no digits/@), then phones, ips
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IPV4_RE, "<IP>")
+    per_doc = docs.select(
+        "source", n_email.alias("ne"), n_ip.alias("ni"), n_phone.alias("np"),
+        (F.length(low) - F.length(redacted)).alias("delta"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("ne") + F.col("ni") + F.col("np") > 0, 1)
+              .otherwise(0)).cast("bigint").alias("docs_with_pii"),
+        F.sum("ne").cast("bigint").alias("emails"),
+        F.sum("ni").cast("bigint").alias("ipv4s"),
+        F.sum("np").cast("bigint").alias("phones"),
+        F.sum("delta").cast("bigint").alias("chars_redacted"),
+    )
+
+
+# DuckDB twin: same augmentation, same regexes ('g' = all matches).
+_PII_DOC_SQL = f"""
+    SELECT doc_id, source,
+           lower(text
+                 || CASE WHEN doc_id % {_EMAIL_MOD} = 0
+                         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % {_PHONE_MOD} = 0
+                         THEN ' call 555-01' || (doc_id % 10)::VARCHAR
+                              || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % {_IP_MOD} = 0
+                         THEN ' from 10.0.' || (doc_id % 256)::VARCHAR
+                              || '.' || ((doc_id * 7) % 256)::VARCHAR
+                         ELSE '' END) AS low
+    FROM documents
+"""
+
+TEXT_PII_SQL = f"""
+    WITH aug AS ({_PII_DOC_SQL}),
+    per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(low, '{EMAIL_RE}')) AS ne,
+               len(regexp_extract_all(low, '{IPV4_RE}')) AS ni,
+               len(regexp_extract_all(low, '{PHONE_RE}')) AS np,
+               length(low) - length(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(low, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{PHONE_RE}', '<PHONE>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g')) AS delta
+        FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(SUM(ne) AS BIGINT) AS emails,
+           CAST(SUM(ni) AS BIGINT) AS ipv4s,
+           CAST(SUM(np) AS BIGINT) AS phones,
+           CAST(SUM(delta) AS BIGINT) AS chars_redacted
+    FROM per_doc GROUP BY source
+"""
+
+
+# -- Data-mixture rebalancing ----------------------------------------------
+
+MIX_BP_DENOM = 10_000  # sampling rates in integer basis points
+
+
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance toward a uniform per-language token-mixture share with
+    a downsample-only cap (rate <= 1: low-resource languages are kept
+    whole, never replicated).  Three stages, all scale-safe:
+      1. per-language counts (map-side combined aggregate),
+      2. integer basis-point rate per language —
+         rate_bp = min(DENOM, DENOM * (total // n_langs) // lang_n),
+      3. deterministic hash sample: keep iff
+         hash60(doc_id || '|mix') % DENOM < rate_bp
+    The rates table is a handful of rows (broadcast); the sample pass is
+    map-only; every quantity is integer so the oracle agrees exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    tot = counts.agg(F.sum("lang_n").alias("total"),
+                     F.count(F.lit(1)).alias("n_langs"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("lang", "lang_n",
+                F.least(
+                    F.lit(MIX_BP_DENOM),
+                    F.expr(f"({MIX_BP_DENOM} * (total DIV n_langs)) DIV lang_n")
+                ).cast("long").alias("rate_bp"))
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|mix")))
+                % MIX_BP_DENOM < F.col("rate_bp"))
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select("lang",
+                F.col("lang_n").cast("bigint").alias("orig_docs"),
+                F.col("rate_bp").cast("bigint").alias("rate_bp"),
+                F.coalesce(F.col("kept_docs"), F.lit(0)).cast("bigint")
+                .alias("kept_docs"))
+    )
+
+
+TEXT_MIXTURE_SQL = f"""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang
+    ), t AS (
+        SELECT SUM(lang_n) AS total, COUNT(*) AS n_langs FROM c
+    ), r AS (
+        SELECT lang, lang_n,
+               LEAST({MIX_BP_DENOM},
+                     ({MIX_BP_DENOM} * (total // n_langs)) // lang_n) AS rate_bp
+        FROM c CROSS JOIN t
+    ), k AS (
+        SELECT d.lang, COUNT(*) AS kept_docs
+        FROM documents d JOIN r USING (lang)
+        WHERE {sql_hash60("d.doc_id::VARCHAR || '|mix'")}
+              % {MIX_BP_DENOM} < rate_bp
+        GROUP BY d.lang
+    )
+    SELECT r.lang,
+           CAST(lang_n AS BIGINT) AS orig_docs,
+           CAST(rate_bp AS BIGINT) AS rate_bp,
+           CAST(COALESCE(kept_docs, 0) AS BIGINT) AS kept_docs
+    FROM r LEFT JOIN k USING (lang)
+"""
+
+
+# -- Exact-substring (word n-gram) duplication coverage ---------------------
+
+NGRAM_W = 8  # word n-gram width (Lee et al. use 50 BPE tokens; 8 words
+             # gives comparable span granularity on this corpus)
+
+
+def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage via hashed word 8-grams:
+    coverage = positions whose 8-gram occurs in >= 2 distinct documents
+    / total positions.  The scan explodes (doc, position, gram-hash),
+    one groupBy(gram) counts distinct documents (map-side combined), a
+    hash join marks duplicated positions, and a per-doc aggregate
+    finishes.  Linear in corpus n-grams — the scalable approximation of
+    suffix-array exact-substring dedup; no pairwise joins."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(1), F.size(toks) - (NGRAM_W - 1))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, NGRAM_W))))
+    pos = docs.select(
+        "doc_id", F.explode(grams).alias("g"))
+    gram_docs = pos.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("ndocs"))
+    marked = pos.join(gram_docs, "g")
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+             F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+             .cast("bigint").alias("n_dup"))
+        .select("doc_id", "n_grams", "n_dup",
+                F.round(F.col("n_dup") / F.col("n_grams"), 4)
+                .alias("dup_coverage"))
+    )
+
+
+_TOKS = sql_tokens("text")
+
+DEDUP_SUBSTRING_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               unnest([{sql_hash60(f"array_to_string(t[i:i+{NGRAM_W - 1}], ' ')")}
+                       for i in range(1, greatest(1, len(t) - {NGRAM_W - 1}) + 1)])
+                   AS g
+        FROM toks
+    ), gd AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM pos GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_coverage
+    FROM pos JOIN gd USING (g)
+    GROUP BY doc_id
+"""
+
+
+CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_pii_scrub": text_pii_scrub,
+    "text_domain_mixture": text_domain_mixture,
+    "dedup_substring_ngram": dedup_substring_ngram,
+}
+
+CURATION_ORACLE: Dict[str, str] = {
+    "text_pii_scrub": TEXT_PII_SQL,
+    "text_domain_mixture": TEXT_MIXTURE_SQL,
+    "dedup_substring_ngram": DEDUP_SUBSTRING_SQL,
+}

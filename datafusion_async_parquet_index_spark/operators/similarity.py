@@ -567,12 +567,128 @@ def sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# -- Scalar-quantized (int8) ANN with exact re-rank -------------------------
+
+SQ_LEVELS = 127      # symmetric int8 range
+SQ_CAND_FACTOR = 4   # approx-stage candidate pool = TOPK * factor
+
+
+def _sq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm, qv): the corpus with int8-quantized
+    vectors — qv[d] = floor(e[d] * 127 / maxabs + 0.5) under the global
+    max-|x| scale.  At 100 TB the quantized table is the persisted
+    compact index (16 of every 64 bytes per dim move through the approx
+    stage); here it is built once per (session, corpus) and cached,
+    like the other vector-store artifacts."""
+    def build():
+        vec = _corpus_vectors(spark, sf_dir)
+        maxabs = vec.agg(F.max(F.array_max(F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(x.cast("double"))))).alias("mx"))
+        qv = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * SQ_LEVELS / F.col("mx") + 0.5
+            ).cast("long"))
+        return track_cache(
+            vec.crossJoin(F.broadcast(maxabs))
+            .select("vec_id", "embedding", "nrm", qv.alias("qv")))
+
+    return _sim_corpus(spark, (sf_dir, "sq"), build)
+
+
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN: the approx stage ranks candidates by the
+    INTEGER dot product of int8-quantized vectors (exact cross-engine —
+    no float accumulation-order hazard), keeps TOPK*SQ_CAND_FACTOR per
+    query, and only those survivors pay the exact double-cosine re-rank.
+    The standard memory/recall trade of SQ indexes (FAISS SQ8): the
+    approx pass touches 8-bit codes instead of 32-bit floats, and the
+    expensive math runs on a constant-size candidate set per query."""
+    vec = _sq_corpus(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("qv").alias("qq"))
+    c = vec.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"), F.col("nrm").alias("cn"),
+                   F.col("qv").alias("cq"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+    score = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id"))
+    cands = (
+        pairs.select("query_id", "cand_id", "qe", "ce", "qn", "cn",
+                     score.alias("score"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= TOPK * SQ_CAND_FACTOR)
+    )
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cands.select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SIM_SQ_SQL = f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x)))) AS mx
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {SQ_LEVELS} / mx + 0.5)
+                                        AS BIGINT)) AS qv
+        FROM embeddings CROSS JOIN m
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe, qv AS qq
+        FROM b WHERE vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT vec_id AS cand_id, e AS ce, qv AS cq FROM b
+    ), ap AS (
+        SELECT query_id, cand_id, qe, ce,
+               CAST(list_dot_product(qq::DOUBLE[], cq::DOUBLE[]) AS BIGINT)
+                   AS score
+        FROM c JOIN q ON query_id != cand_id
+    ), cands AS (
+        SELECT query_id, cand_id, qe, ce FROM (
+            SELECT query_id, cand_id, qe, ce,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, cand_id ASC) AS arank
+            FROM ap) t
+        WHERE arank <= {TOPK * SQ_CAND_FACTOR}
+    ), scored AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM cands
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+"""
+
+
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe_topk": sim_ivf_nprobe_topk,
     "sim_ivf_layout_topk": sim_ivf_layout_topk,
+    "sim_sq_topk": sim_sq_topk,
     "emb_label_centroids": emb_label_centroids,
 }
 
@@ -584,5 +700,6 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     # row-identical to sim_ivf_topk at nprobe=1 by construction — the
     # oracle equality is exactly the physical-layout round-trip check
     "sim_ivf_layout_topk": SIM_IVF_SQL,
+    "sim_sq_topk": SIM_SQ_SQL,
     "emb_label_centroids": EMB_CENTROIDS_SQL,
 }

@@ -672,6 +672,88 @@ def q36_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qc").alias("sum_qty_cents"))
 
 
+def q38_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two correlated quantified subqueries on the same table — EXISTS
+    (an order over 150k) AND NOT EXISTS (any finished order) — expressed
+    as one left-semi plus one left-anti join, which is exactly the
+    decorrelation Catalyst/DataFusion plan for them. Both probe sides
+    project only the join key, so the shuffles carry single columns; the
+    nation dim is broadcast."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    kept = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .join(fin, F.col("c_custkey") == fin.o_custkey, "left_anti")
+    )
+    return (
+        kept.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q39_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) — the
+    general form CUBE/ROLLUP specialize. Catalyst plans one Expand (3
+    replicas) + a single hash aggregate: one shuffle regardless of set
+    count. Grouping nulls are folded to 'ALL' labels (the data has no
+    natural nulls in either key) so the output is dialect-neutral."""
+    orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        orders.withColumn("cents", cents)
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("cents").alias("sum_cents"))
+    )
+    return g.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "cnt", "sum_cents")
+
+
+def q40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame: per order, how many same-customer
+    orders fall within ±1000.00 of its price (RANGE BETWEEN, not ROWS —
+    the frame is defined by the ORDER BY *value*). Prices are ordered as
+    exact integer cents so the frame boundary cannot flip on float
+    representation. One hash exchange on o_custkey; the frame scan is
+    per-partition and streaming."""
+    orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (Window.partitionBy("o_custkey").orderBy("cents")
+         .rangeBetween(-100_000, 100_000))
+    return (
+        orders.withColumn("cents", cents)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_band"),
+            F.sum("cents").over(w).cast("bigint").alias("band_cents"))
+    )
+
+
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority with one column per status —
+    Spark's relational pivot operator (planned as a single Expand +
+    aggregate, one shuffle). The oracle states the same contract as
+    filtered aggregation, which is what PIVOT desugars to."""
+    orders = _read(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("cnt_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("cnt_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("cnt_pending"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -710,6 +792,10 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_rowgroup_scan": q35_rowgroup_scan,
     "q36_salted_join": q36_salted_join,
     "q37_case_pred": q37_case_pred,
+    "q38_exists_subquery": q38_exists_subquery,
+    "q39_grouping_sets": q39_grouping_sets,
+    "q40_range_frame": q40_range_frame,
+    "q41_pivot": q41_pivot,
 }
 
 
@@ -1008,4 +1094,47 @@ RELATIONAL_ORACLE["q28_hll_registers"] = f"""
     SELECT CAST(hv % {HLL_BUCKETS} AS INT) AS bucket,
            CAST(MAX({_hll_rho_sql('hv')}) AS INT) AS register
     FROM h GROUP BY 1
+"""
+
+RELATIONAL_ORACLE["q38_exists_subquery"] = """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY n_name
+"""
+
+RELATIONAL_ORACLE["q39_grouping_sets"] = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+"""
+
+RELATIONAL_ORACLE["q40_range_frame"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+           CAST(SUM(cents) OVER w AS BIGINT) AS band_cents
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders) t
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+                 RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+"""
+
+RELATIONAL_ORACLE["q41_pivot"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+               AS cnt_open,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS cnt_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+               AS cnt_pending
+    FROM orders GROUP BY o_orderpriority
 """

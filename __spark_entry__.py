@@ -76,6 +76,9 @@ _ROUND_PRIORITY = [
     "q39_grouping_sets",
     "q40_range_frame",
     "q41_pivot",
+    "ev_interval_join",
+    "dedup_minhash_quality",
+    "text_quality_buckets",
     # -- tier 4: r2-green entries whose modules changed this round
     #    (dedup store persistence, queries.py additions, pruning/CASE,
     #    events zero-guard) ------------------------------------------
@@ -87,13 +90,11 @@ _ROUND_PRIORITY = [
     "q2_point_equality",
     "q15_multi_join_lineitem",
     "q20_asof_join",
-    "q33_range_join",
-    "q34_cube",
-    "q36_salted_join",
-    # The r2-green text_* family rotates OUT this round: text.py is
-    # untouched since its green rows, while everything above either
-    # never had a row or sits in a module that changed. Remaining
-    # entries append in natural order below.
+    # The r2-green text_* family and the untouched-body relational
+    # queries (q1..q34, q36) rotate OUT this round: their modules'
+    # changes are purely additive, while everything above either never
+    # had a row or had its code path touched. Remaining entries append
+    # in natural order below.
 ]
 
 

@@ -281,14 +281,67 @@ DEDUP_SUBSTRING_SQL = f"""
 """
 
 
+# -- CCNet-style quality bucketing ------------------------------------------
+
+N_QUALITY_BUCKETS = 3  # head / middle / tail, per CCNet
+
+
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiers: per language, rank documents by the
+    unigram-LM negative log likelihood and cut into head/middle/tail
+    terciles with NTILE (CCNet, Wenzek et al. 2020 — perplexity
+    terciles per language drive keep/filter decisions).  One window per
+    language partition over the already-computed nll scores;
+    deterministic ordering (nll is rounded to 4 decimals, ties broken
+    by doc_id) so the tercile boundaries agree across engines."""
+    from .text import text_unigram_logprob
+    from pyspark.sql import Window
+
+    nll = text_unigram_logprob(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = nll.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("nll"), F.asc("doc_id"))
+    b = j.withColumn("bucket", F.ntile(N_QUALITY_BUCKETS).over(w))
+    return b.groupBy("lang", F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+    )
+
+
+def _quality_buckets_sql() -> str:
+    from .text import TEXT_ORACLE
+
+    return f"""
+        WITH nll AS MATERIALIZED ({TEXT_ORACLE["text_unigram_logprob"]}),
+        j AS (
+            SELECT d.lang, n.doc_id, n.nll
+            FROM nll n JOIN documents d USING (doc_id)
+        ), b AS (
+            SELECT lang, nll,
+                   NTILE({N_QUALITY_BUCKETS}) OVER (
+                       PARTITION BY lang
+                       ORDER BY nll ASC, doc_id ASC) AS bucket
+            FROM j
+        )
+        SELECT lang, CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(nll) AS min_nll,
+               MAX(nll) AS max_nll
+        FROM b GROUP BY lang, bucket
+    """
+
+
 CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "text_domain_mixture": text_domain_mixture,
     "dedup_substring_ngram": dedup_substring_ngram,
+    "text_quality_buckets": text_quality_buckets,
 }
 
 CURATION_ORACLE: Dict[str, str] = {
     "text_pii_scrub": TEXT_PII_SQL,
     "text_domain_mixture": TEXT_MIXTURE_SQL,
     "dedup_substring_ngram": DEDUP_SUBSTRING_SQL,
+    "text_quality_buckets": _quality_buckets_sql(),
 }

@@ -1319,6 +1319,62 @@ def _embedding_lsh_sql() -> str:
     """
 
 
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration — what a pipeline owner reads to pick
+    K/B/R: on the LSH candidate pairs (est >= 0.25), join the EXACT
+    distinct-shingle Jaccard and bucket by exact-Jaccard decile,
+    reporting pair count, summed estimate, and summed |est - exact| in
+    exact integer basis points (sums of scaled integers, so no
+    float-accumulation-order hazard cross-engine; the reader divides).
+    Reuses the memoized candidate list and shingle store — the only new
+    work is the per-candidate intersect both verify paths already pay."""
+    est = corpus_minhash_pairs(spark, sf_dir, 0.25)
+    exact = verified_pairs(
+        None, jaccard_threshold=0.0, cand=est,
+        shingles=_corpus_shingles(spark, sf_dir))
+    j = est.join(exact, ["doc_a", "doc_b"])
+    e_bp = F.round(F.col("est_jaccard") * 10000).cast("long")
+    x_bp = F.round(F.col("jaccard") * 10000).cast("long")
+    return (
+        j.select(F.floor(F.col("jaccard") * 10).cast("int").alias("bin"),
+                 e_bp.alias("e"), x_bp.alias("x"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("e").alias("sum_est_bp"),
+             F.sum(F.abs(F.col("e") - F.col("x"))).alias("sum_abs_err_bp"))
+    )
+
+
+def _minhash_quality_sql() -> str:
+    from ..functions import MINHASH_P, sql_hash60
+    hashed = (f"list_transform({sql_char_shingles('text')}, "
+              f"s -> {sql_hash60('s')} % {MINHASH_P})")
+    return f"""
+        WITH est AS MATERIALIZED (
+            SELECT doc_a, doc_b, est_jaccard FROM ({_minhash_sql(0.25)}) t
+        ), sh AS MATERIALIZED (
+            SELECT doc_id, list_distinct({hashed}) AS sh FROM documents
+        ), j AS (
+            SELECT est_jaccard,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM est
+            JOIN sh a ON a.doc_id = doc_a
+            JOIN sh b ON b.doc_id = doc_b
+        ), binned AS (
+            SELECT CAST(floor(jaccard * 10) AS INT) AS bin,
+                   CAST(round(est_jaccard * 10000) AS BIGINT) AS e,
+                   CAST(round(jaccard * 10000) AS BIGINT) AS x
+            FROM j
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(e) AS BIGINT) AS sum_est_bp,
+               CAST(SUM(abs(e - x)) AS BIGINT) AS sum_abs_err_bp
+        FROM binned GROUP BY bin
+    """
+
+
 DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1335,6 +1391,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_containment": dedup_containment,
     "dedup_keep_policy": dedup_keep_policy,
+    "dedup_minhash_quality": dedup_minhash_quality,
 }
 
 DEDUP_ORACLE: Dict[str, str] = {
@@ -1355,4 +1412,5 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "dedup_containment": _containment_sql(),
     "dedup_keep_policy": _keep_policy_sql(),
+    "dedup_minhash_quality": _minhash_quality_sql(),
 }

@@ -383,6 +383,65 @@ EV_ANOMALY_SQL = f"""
 """
 
 
+INTERVAL_SEC = 60  # ±60 s neighborhood for the interval join
+
+
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval self-join — the batch form of a stream-stream
+    join with a ±60 s condition: for each event, how many OTHER events
+    the same user produced within the interval.  Banded, not theta: the
+    left side explodes to its minute bin ±1 (3 rows), the right side
+    carries its single bin, and the join is a plain equi-join on
+    (user_id, bin) with the exact |Δt| <= 60 filter applied after —
+    O(3·E) shuffle rows instead of a per-user quadratic comparison, the
+    same day-bin banding q33 uses but keyed per user.  Events with an
+    empty neighborhood drop out (inner-join semantics, matching the
+    oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", _ts_seconds(ev).alias("sec"))
+    binned = e.withColumn("bin", F.expr(f"sec DIV {INTERVAL_SEC}"))
+    left = binned.select(
+        "event_id", "user_id", "sec",
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"),
+                          F.col("bin") + 1)).alias("bin"))
+    right = binned.select(
+        F.col("event_id").alias("rid"), F.col("user_id").alias("ruid"),
+        F.col("sec").alias("rsec"), F.col("bin").alias("rbin"))
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("ruid")) & (F.col("bin") == F.col("rbin")))
+    return (
+        joined.filter(
+            (F.abs(F.col("sec") - F.col("rsec")) <= INTERVAL_SEC)
+            & (F.col("event_id") != F.col("rid")))
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+
+
+EV_INTERVAL_SQL = f"""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), l AS (
+        SELECT event_id, user_id, sec,
+               unnest([sec // {INTERVAL_SEC} - 1,
+                       sec // {INTERVAL_SEC},
+                       sec // {INTERVAL_SEC} + 1]) AS bin
+        FROM e
+    ), r AS (
+        SELECT event_id AS rid, user_id AS ruid, sec AS rsec,
+               sec // {INTERVAL_SEC} AS rbin
+        FROM e
+    )
+    SELECT event_id, user_id, CAST(COUNT(*) AS BIGINT) AS n_nearby
+    FROM l JOIN r ON user_id = ruid AND bin = rbin
+    WHERE abs(sec - rsec) <= {INTERVAL_SEC} AND event_id != rid
+    GROUP BY event_id, user_id
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -392,6 +451,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_json_extract": ev_json_extract,
     "ev_retention": ev_retention,
     "ev_anomaly": ev_anomaly,
+    "ev_interval_join": ev_interval_join,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -403,4 +463,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_json_extract": EV_JSON_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "ev_anomaly": EV_ANOMALY_SQL,
+    "ev_interval_join": EV_INTERVAL_SQL,
 }

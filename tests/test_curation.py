@@ -58,6 +58,54 @@ def test_substring_ngram_coverage_bounds(spark, sf_dir):
         assert 0.0 <= r.dup_coverage <= 1.0
 
 
+def test_interval_join_pair_symmetry(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.events import (
+        ev_interval_join,
+    )
+    rows = ev_interval_join(spark, sf_dir).collect()
+    assert rows, "no events within ±60s of another of the same user?"
+    assert all(r.n_nearby >= 1 for r in rows)
+    # |t_a - t_b| <= 60 is symmetric: every unordered pair contributes
+    # one count to each side, so the grand total must be even
+    assert sum(r.n_nearby for r in rows) % 2 == 0
+
+
+def test_minhash_quality_calibration(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        corpus_minhash_pairs, dedup_minhash_quality,
+    )
+    rows = dedup_minhash_quality(spark, sf_dir).collect()
+    assert rows
+    n_pairs = sum(r.n_pairs for r in rows)
+    assert n_pairs == corpus_minhash_pairs(spark, sf_dir, 0.25).count(), \
+        "calibration must cover every candidate pair exactly once"
+    for r in rows:
+        assert 0 <= r.bin <= 10
+        assert r.sum_abs_err_bp >= 0
+    # K=24 signatures: per-pair sigma ~ sqrt(J(1-J)/24) <= 0.102; the
+    # mean |error| across all candidates should sit well inside 3 sigma
+    mae = sum(r.sum_abs_err_bp for r in rows) / n_pairs / 10_000
+    assert mae <= 0.3, f"minhash estimator MAE {mae:.3f} looks broken"
+
+
+def test_quality_buckets_shape(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        N_QUALITY_BUCKETS, text_quality_buckets,
+    )
+    rows = text_quality_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == set(range(1, N_QUALITY_BUCKETS + 1))
+        counts = [buckets[b].n_docs for b in sorted(buckets)]
+        # NTILE: bucket sizes differ by at most one, non-increasing
+        assert max(counts) - min(counts) <= 1
+        assert counts == sorted(counts, reverse=True)
+        for b in range(1, N_QUALITY_BUCKETS):
+            assert buckets[b].max_nll <= buckets[b + 1].min_nll
+
+
 def test_sq_topk_shape_and_recall(spark, sf_dir):
     sq = sim_sq_topk(spark, sf_dir).collect()
     exact = sim_bruteforce_topk(spark, sf_dir).collect()

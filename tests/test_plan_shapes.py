@@ -155,3 +155,59 @@ def test_rowgroups_mode_splits_native_vs_python(spark, demo_dir):
     plan = _plan(part)
     assert "rowgroup_parquet" in plan or "PythonScan" in plan
     assert [r.value for r in part.collect()] == [150]
+
+
+def test_exists_plans_as_semi_and_anti(spark, sf_dir):
+    """EXISTS/NOT EXISTS must decorrelate to one semi and one anti hash
+    join — never a per-row subquery or nested loop."""
+    from datafusion_async_parquet_index_spark.queries import (
+        q38_exists_subquery,
+    )
+    plan = _plan(q38_exists_subquery(spark, str(sf_dir)))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """Explicit GROUPING SETS shares CUBE's plan shape: one Expand, one
+    aggregate pipeline — not one scan per set."""
+    from datafusion_async_parquet_index_spark.queries import (
+        q39_grouping_sets,
+    )
+    plan = _plan(q39_grouping_sets(spark, str(sf_dir)))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final
+
+
+def test_pivot_is_one_aggregate(spark, sf_dir):
+    """PIVOT desugars to conditional aggregation: no join, at most the
+    partial+final aggregate exchanges."""
+    from datafusion_async_parquet_index_spark.queries import q41_pivot
+
+    plan = _plan(q41_pivot(spark, str(sf_dir)))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_substring_ngram_no_cartesian(spark, sf_dir):
+    """The n-gram coverage plan is explode + groupBy + equi-join on the
+    gram hash — never a pairwise document comparison."""
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        dedup_substring_ngram,
+    )
+    plan = _plan(dedup_substring_ngram(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_is_banded(spark, sf_dir):
+    """The ±60s interval join must be a hash equi-join on the
+    (user, minute-bin) key, not a theta nested loop."""
+    from datafusion_async_parquet_index_spark.operators.events import (
+        ev_interval_join,
+    )
+    plan = _plan(ev_interval_join(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,6 +1,7 @@
 from .events_stream import (
-    asof_join_stream, dedup_stream, sessionize_stream,
-    sliding_counts_stream, stream_events_from_dir, tumbling_counts_stream,
+    asof_join_stream, dedup_stream, interval_join_stream,
+    sessionize_stream, sliding_counts_stream, stream_events_from_dir,
+    tumbling_counts_stream,
 )
 from .incremental_dedup import (
     corpus_signature_store, dedup_against_corpus_stream,

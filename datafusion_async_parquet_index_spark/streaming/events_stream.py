@@ -256,6 +256,46 @@ def asof_join_stream(events: DataFrame) -> DataFrame:
     )
 
 
+INTERVAL_JOIN_SEC = 60
+INTERVAL_JOIN_WATERMARK = "10 minutes"
+
+
+def interval_join_stream(
+    events: DataFrame, interval_sec: int = INTERVAL_JOIN_SEC,
+) -> DataFrame:
+    """Stream-stream self join with a time-interval condition — the
+    streaming twin of ``operators.events.ev_interval_join``'s pair
+    stage: emit (event, other) for every pair of a user's events within
+    ±interval_sec of each other.  This is Spark's native stream-stream
+    join: both sides carry a watermark and the join condition bounds
+    event time in BOTH directions, so the state store provably evicts
+    rows once the watermark passes their join horizon — state is
+    O(events inside the watermark window), not O(stream).  At cluster
+    scale the join is a hash equi-join on user_id with the interval as
+    a post-condition, RocksDB-backed state, no custom operator code."""
+    l = (events.select(
+            F.col("event_id").alias("l_id"), F.col("user_id").alias("l_uid"),
+            F.col("event_ts").alias("l_ts"))
+         .withWatermark("l_ts", INTERVAL_JOIN_WATERMARK))
+    r = (events.select(
+            F.col("event_id").alias("r_id"), F.col("user_id").alias("r_uid"),
+            F.col("event_ts").alias("r_ts"))
+         .withWatermark("r_ts", INTERVAL_JOIN_WATERMARK))
+    return l.join(
+        r,
+        F.expr(f"""
+            l_uid = r_uid AND l_id != r_id AND
+            r_ts BETWEEN l_ts - INTERVAL {interval_sec} SECONDS
+                     AND l_ts + INTERVAL {interval_sec} SECONDS
+        """),
+    ).select(
+        F.col("l_id").alias("event_id"), F.col("l_uid").alias("user_id"),
+        F.col("r_id").alias("other_id"),
+        F.unix_timestamp("l_ts").alias("sec"),
+        F.unix_timestamp("r_ts").alias("other_sec"),
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_sec: int = SESSION_GAP_SEC,

@@ -392,3 +392,41 @@ def test_stream_dedup_against_persisted_store_matches_batch(
     want = {(r.new_id, r.corpus_id): r.est_jaccard
             for r in dedup_incremental(spark, sf_dir).collect()}
     assert got == want and len(want) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    """The stream-stream ±60s self-join must emit exactly the pair set
+    the equivalent batch join produces: the stream dir is split by time
+    range, the 10-minute watermark far exceeds the ±60s horizon, so no
+    cross-batch pair can be dropped by state eviction."""
+    from datafusion_async_parquet_index_spark.streaming import (
+        interval_join_stream,
+    )
+
+    events = stream_events_from_dir(spark, events_stream_dir)
+    out = interval_join_stream(events)
+    q = (out.writeStream.format("memory").queryName("interval_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.event_id, r.other_id)
+               for r in spark.sql("select * from interval_test").collect()}
+    finally:
+        q.stop()
+
+    ev = (
+        spark.read.parquet(events_stream_dir)
+        .select("event_id", "user_id",
+                F.floor(F.col("ts") / F.lit(1_000_000_000)).alias("sec"))
+    )
+    l = ev.select(F.col("event_id").alias("l_id"),
+                  F.col("user_id").alias("l_uid"), F.col("sec").alias("l_sec"))
+    r = ev.select(F.col("event_id").alias("r_id"),
+                  F.col("user_id").alias("r_uid"), F.col("sec").alias("r_sec"))
+    batch = l.join(r, (F.col("l_uid") == F.col("r_uid"))
+                   & (F.col("l_id") != F.col("r_id"))
+                   & (F.abs(F.col("l_sec") - F.col("r_sec")) <= 60))
+    want = {(r.l_id, r.r_id) for r in batch.collect()}
+    assert got == want and want, "stream pair set must equal batch join"

@@ -79,6 +79,7 @@ _ROUND_PRIORITY = [
     "ev_interval_join",
     "dedup_minhash_quality",
     "text_quality_buckets",
+    "q42_hll_estimate",
     # -- tier 4: r2-green entries whose modules changed this round
     #    (dedup store persistence, queries.py additions, pruning/CASE,
     #    events zero-guard) ------------------------------------------
@@ -88,7 +89,6 @@ _ROUND_PRIORITY = [
     "q35_rowgroup_scan",
     "q37_case_pred",
     "q2_point_equality",
-    "q15_multi_join_lineitem",
     "q20_asof_join",
     # The r2-green text_* family and the untouched-body relational
     # queries (q1..q34, q36) rotate OUT this round: their modules'

@@ -235,14 +235,20 @@ def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join marks duplicated positions, and a per-doc aggregate
     finishes.  Linear in corpus n-grams — the scalable approximation of
     suffix-array exact-substring dedup; no pairwise joins."""
-    docs = read_table(spark, sf_dir, "documents")
+    from .util import spread_for_compute, track_cache
+
+    # the md5-per-gram hashing dominates; a small corpus parquet is one
+    # row group = one partition, so spread it across cores first (no-op
+    # at scale), and cache the exploded gram table — BOTH sides of the
+    # gram join read it, so without the cache the hashing runs twice
+    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1),
                    F.greatest(F.lit(1), F.size(toks) - (NGRAM_W - 1))),
         lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, NGRAM_W))))
-    pos = docs.select(
-        "doc_id", F.explode(grams).alias("g"))
+    pos = track_cache(docs.select(
+        "doc_id", F.explode(grams).alias("g")))
     gram_docs = pos.groupBy("g").agg(
         F.count_distinct("doc_id").alias("ndocs"))
     marked = pos.join(gram_docs, "g")

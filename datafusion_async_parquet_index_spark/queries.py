@@ -736,6 +736,47 @@ def q40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# alpha_m * m^2 * 2^55 for m = 64, precomputed in Python and inlined as
+# ONE double literal on both engines: the indicator sum is kept as an
+# exact BIGINT (sum of 2^(55-register) <= 64*2^55 < 2^63), so the whole
+# estimate is a single deterministic double division.
+_HLL_A = 0.7213 / (1 + 1.079 / HLL_BUCKETS) * HLL_BUCKETS * HLL_BUCKETS * float(2 ** 55)
+
+
+def q42_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog readout q28 builds registers for: cardinality
+    estimate alpha_m * m^2 / sum(2^-M_j) next to the exact distinct
+    count and the relative error. The float-order hazard of summing
+    2^-M_j is removed by scaling to integers (sum 2^(55-M_j), exact in
+    BIGINT) and dividing once; empty buckets enter as register 0 via a
+    left join from the full bucket range. Raw (uncorrected) estimator —
+    expected |error| ~ 1.04/sqrt(64) = 13% — reported against truth, so
+    the query is its own accuracy audit."""
+    from .functions import hash60
+    orders = _read(spark, sf_dir, "orders")
+    h = hash60(F.col("o_custkey").cast("string"))
+    regs = (
+        orders.select((h % HLL_BUCKETS).cast("int").alias("bucket"),
+                      _hll_rho_col(h).cast("int").alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("register"))
+    )
+    allb = spark.range(HLL_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"))
+    full = allb.join(regs, "bucket", "left").select(
+        F.coalesce(F.col("register"), F.lit(0)).alias("register"))
+    s = full.agg(F.sum(F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(55 - register AS INT))"))
+        .alias("ind_sum"))
+    exact = orders.agg(
+        F.count_distinct("o_custkey").alias("exact_distinct"))
+    est = F.lit(_HLL_A) / F.col("ind_sum")
+    return s.crossJoin(exact).select(
+        F.round(est, 2).alias("hll_estimate"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 4)
+        .alias("rel_err"))
+
+
 def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per priority with one column per status —
     Spark's relational pivot operator (planned as a single Expand +
@@ -796,6 +837,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_grouping_sets": q39_grouping_sets,
     "q40_range_frame": q40_range_frame,
     "q41_pivot": q41_pivot,
+    "q42_hll_estimate": q42_hll_estimate,
 }
 
 
@@ -1137,4 +1179,27 @@ RELATIONAL_ORACLE["q41_pivot"] = """
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
                AS cnt_pending
     FROM orders GROUP BY o_orderpriority
+"""
+
+RELATIONAL_ORACLE["q42_hll_estimate"] = f"""
+    WITH h AS (
+        SELECT {_sql_hash60('o_custkey::VARCHAR')} AS hv FROM orders
+    ), regs AS (
+        SELECT hv % {HLL_BUCKETS} AS bucket,
+               MAX({_hll_rho_sql('hv')}) AS register
+        FROM h GROUP BY 1
+    ), fullregs AS (
+        SELECT COALESCE(register, 0) AS register
+        FROM range(0, {HLL_BUCKETS}) t(b)
+        LEFT JOIN regs ON bucket = b
+    ), s AS (
+        SELECT SUM(1::BIGINT << (55 - register)) AS ind_sum FROM fullregs
+    ), e AS (
+        SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders
+    )
+    SELECT ROUND({_HLL_A!r} / ind_sum, 2) AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           ROUND(({_HLL_A!r} / ind_sum - exact_distinct)
+                 / exact_distinct, 4) AS rel_err
+    FROM s CROSS JOIN e
 """

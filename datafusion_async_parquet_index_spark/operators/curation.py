@@ -157,43 +157,66 @@ TEXT_PII_SQL = f"""
 MIX_BP_DENOM = 10_000  # sampling rates in integer basis points
 
 
-def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rebalance toward a uniform per-language token-mixture share with
-    a downsample-only cap (rate <= 1: low-resource languages are kept
-    whole, never replicated).  Three stages, all scale-safe:
-      1. per-language counts (map-side combined aggregate),
-      2. integer basis-point rate per language —
-         rate_bp = min(DENOM, DENOM * (total // n_langs) // lang_n),
+def domain_mixture(
+    docs: DataFrame, key: str = "lang",
+    weights_bp: dict | None = None,
+) -> DataFrame:
+    """Rebalance a corpus toward target per-group mixture shares with a
+    downsample-only cap (rate <= 1: under-represented groups are kept
+    whole, never replicated).  ``weights_bp`` maps group value -> target
+    share in basis points (sum <= MIX_BP_DENOM); ``None`` means a
+    uniform share per observed group.  Three stages, all scale-safe:
+      1. per-group counts (map-side combined aggregate),
+      2. integer basis-point rate per group —
+         rate_bp = min(DENOM, DENOM * target_n // group_n) where
+         target_n = total * weight // DENOM (uniform: total // n_groups),
       3. deterministic hash sample: keep iff
          hash60(doc_id || '|mix') % DENOM < rate_bp
     The rates table is a handful of rows (broadcast); the sample pass is
-    map-only; every quantity is integer so the oracle agrees exactly."""
-    docs = read_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
-    tot = counts.agg(F.sum("lang_n").alias("total"),
-                     F.count(F.lit(1)).alias("n_langs"))
-    rates = (
-        counts.crossJoin(F.broadcast(tot))
-        .select("lang", "lang_n",
-                F.least(
-                    F.lit(MIX_BP_DENOM),
-                    F.expr(f"({MIX_BP_DENOM} * (total DIV n_langs)) DIV lang_n")
-                ).cast("long").alias("rate_bp"))
-    )
+    map-only; every quantity is integer so an oracle agrees exactly and
+    the sample is reproducible on any cluster size."""
+    counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("grp_n"))
+    tot = counts.agg(F.sum("grp_n").alias("total"),
+                     F.count(F.lit(1)).alias("n_groups"))
+    with_tot = counts.crossJoin(F.broadcast(tot))
+    if weights_bp is None:
+        with_tot = with_tot.withColumn("_t", F.expr("total DIV n_groups"))
+    else:
+        w = None
+        for val, bp in sorted(weights_bp.items()):
+            w = (F.when(F.col(key) == val, F.lit(int(bp))) if w is None
+                 else w.when(F.col(key) == val, F.lit(int(bp))))
+        with_tot = (
+            with_tot.withColumn("_w", w.otherwise(F.lit(0)))
+            .withColumn("_t", F.expr(f"(total * _w) DIV {MIX_BP_DENOM}")))
+    # all-integer DIV: double division would lose exactness once
+    # DENOM * target_n exceeds 2^53 (trivially reachable at 100 TB)
+    rates = with_tot.select(
+        key, "grp_n",
+        F.least(F.lit(MIX_BP_DENOM).cast("long"),
+                F.expr(f"({MIX_BP_DENOM} * _t) DIV grp_n"))
+        .cast("long").alias("rate_bp"))
     kept = (
-        docs.join(F.broadcast(rates), "lang")
+        docs.join(F.broadcast(rates), key)
         .filter(hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|mix")))
                 % MIX_BP_DENOM < F.col("rate_bp"))
-        .groupBy("lang").agg(F.count(F.lit(1)).alias("kept_docs"))
+        .groupBy(key).agg(F.count(F.lit(1)).alias("kept_docs"))
     )
     return (
-        rates.join(kept, "lang", "left")
-        .select("lang",
-                F.col("lang_n").cast("bigint").alias("orig_docs"),
+        rates.join(kept, key, "left")
+        .select(key,
+                F.col("grp_n").cast("bigint").alias("orig_docs"),
                 F.col("rate_bp").cast("bigint").alias("rate_bp"),
                 F.coalesce(F.col("kept_docs"), F.lit(0)).cast("bigint")
                 .alias("kept_docs"))
     )
+
+
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform per-language rebalancing of the documents corpus — the
+    oracle-checked entry point of ``domain_mixture`` (which also takes
+    explicit target weights)."""
+    return domain_mixture(read_table(spark, sf_dir, "documents"), "lang")
 
 
 TEXT_MIXTURE_SQL = f"""

@@ -47,6 +47,28 @@ def test_domain_mixture_rates(spark, sf_dir):
     assert kept_skew <= orig_skew
 
 
+def test_domain_mixture_explicit_weights(spark, sf_dir):
+    """Weighted form: kept counts must track total*weight targets (up to
+    the hash-sample's binomial noise) and the downsample-only cap."""
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        domain_mixture,
+    )
+    from datafusion_async_parquet_index_spark.operators.util import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = {"en": 5000, "de": 2500, "zh": 2500}  # fr/es -> weight 0
+    rows = {r.lang: r for r in domain_mixture(docs, "lang", weights).collect()}
+    assert rows["fr"].rate_bp == 0 and rows["fr"].kept_docs == 0
+    assert rows["es"].kept_docs == 0
+    total = sum(r.orig_docs for r in rows.values())
+    for lang, bp in weights.items():
+        r = rows[lang]
+        target = min(r.orig_docs, total * bp // 10_000)
+        # binomial sd ~ sqrt(n)/2; allow 4 sd + rounding slack
+        slack = 4 * max(1, int(r.orig_docs ** 0.5)) + 2
+        assert abs(r.kept_docs - target) <= slack, (lang, r, target)
+
+
 def test_substring_ngram_coverage_bounds(spark, sf_dir):
     rows = dedup_substring_ngram(spark, sf_dir).collect()
     assert rows

@@ -80,11 +80,14 @@ _ROUND_PRIORITY = [
     "dedup_minhash_quality",
     "text_quality_buckets",
     "q42_hll_estimate",
+    "q43_in_pred",
+    "sim_recall_report",
     # -- tier 4: r2-green entries whose modules changed this round
     #    (dedup store persistence, queries.py additions, pruning/CASE,
     #    events zero-guard) ------------------------------------------
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # dedup_exact / dedup_minhash_lsh rotate out: bodies untouched since
+    # their r2-green rows, and their hash machinery is pinned
+    # transitively by in-window entries (verified_pairs, minhash_quality)
     "dedup_verified_pairs",
     "q35_rowgroup_scan",
     "q37_case_pred",

@@ -682,6 +682,67 @@ SIM_SQ_SQL = f"""
 """
 
 
+# -- ANN recall audit -------------------------------------------------------
+
+
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the approximate methods against the exact
+    brute-force top-k — the number an ANN deployment actually monitors.
+    Pure composition of the memoized operator outputs (no new vector
+    math): per method, hits = |approx ∩ exact|, total = |exact|,
+    recall rounded to 4.  The joins are top-k-sized (queries × k rows),
+    trivially broadcastable at any corpus scale."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    total = exact.count()  # queries × k — tiny, and needed as a literal
+    out = None
+    for method, fn in (("lsh", sim_lsh_topk), ("ivf", sim_ivf_topk),
+                       ("sq", sim_sq_topk)):
+        hits = (fn(spark, sf_dir).select("query_id", "cand_id")
+                .join(exact, ["query_id", "cand_id"])
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .select(F.lit(method).alias("method"),
+                        F.col("hits").cast("bigint").alias("hits"),
+                        F.lit(total).cast("bigint").alias("total"),
+                        F.round(F.col("hits") / F.lit(total), 4)
+                        .alias("recall")))
+        out = hits if out is None else out.unionAll(hits)
+    return out
+
+
+def _recall_sql() -> str:
+    return f"""
+        WITH exact AS MATERIALIZED (
+            SELECT query_id, cand_id FROM ({SIM_BRUTEFORCE_SQL}) t
+        ), lsh AS (
+            SELECT query_id, cand_id FROM ({_lsh_sql()}) t
+        ), ivf AS (
+            SELECT query_id, cand_id FROM ({SIM_IVF_SQL}) t
+        ), sq AS (
+            SELECT query_id, cand_id FROM ({SIM_SQ_SQL}) t
+        ), tot AS (
+            SELECT COUNT(*) AS total FROM exact
+        ), hl AS (
+            SELECT COUNT(*) AS h FROM lsh JOIN exact USING (query_id, cand_id)
+        ), hi AS (
+            SELECT COUNT(*) AS h FROM ivf JOIN exact USING (query_id, cand_id)
+        ), hs AS (
+            SELECT COUNT(*) AS h FROM sq JOIN exact USING (query_id, cand_id)
+        )
+        SELECT 'lsh' AS method, CAST(h AS BIGINT) AS hits,
+               CAST(total AS BIGINT) AS total,
+               ROUND(CAST(h AS DOUBLE) / total, 4) AS recall
+        FROM hl CROSS JOIN tot
+        UNION ALL
+        SELECT 'ivf', CAST(h AS BIGINT), CAST(total AS BIGINT),
+               ROUND(CAST(h AS DOUBLE) / total, 4)
+        FROM hi CROSS JOIN tot
+        UNION ALL
+        SELECT 'sq', CAST(h AS BIGINT), CAST(total AS BIGINT),
+               ROUND(CAST(h AS DOUBLE) / total, 4)
+        FROM hs CROSS JOIN tot
+    """
+
+
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
@@ -689,6 +750,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_nprobe_topk": sim_ivf_nprobe_topk,
     "sim_ivf_layout_topk": sim_ivf_layout_topk,
     "sim_sq_topk": sim_sq_topk,
+    "sim_recall_report": sim_recall_report,
     "emb_label_centroids": emb_label_centroids,
 }
 
@@ -701,5 +763,6 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     # oracle equality is exactly the physical-layout round-trip check
     "sim_ivf_layout_topk": SIM_IVF_SQL,
     "sim_sq_topk": SIM_SQ_SQL,
+    "sim_recall_report": _recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
 }

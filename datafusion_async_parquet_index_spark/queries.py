@@ -795,6 +795,20 @@ def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("cnt_pending"))
 
 
+def q43_in_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate through the indexed scan with a Bloom column:
+    min/max refutes row groups whose range misses every list value, the
+    Bloom filter then refutes groups whose range brackets a value that
+    is not actually present (the high-cardinality-key case min/max
+    cannot prune), and the residual filter re-applies the exact IN
+    (Inexact contract). One hit key, one mid-range key, one impossible
+    key exercise all three outcomes."""
+    t = _make_table(spark, sf_dir, "customer", ["c_custkey"],
+                    bloom_columns=["c_custkey"])
+    df = t.query(xcol("c_custkey").isin(17, 142, 999_999_999))
+    return df.select("c_custkey", "c_name", "c_mktsegment")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -838,6 +852,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_range_frame": q40_range_frame,
     "q41_pivot": q41_pivot,
     "q42_hll_estimate": q42_hll_estimate,
+    "q43_in_pred": q43_in_pred,
 }
 
 
@@ -1202,4 +1217,9 @@ RELATIONAL_ORACLE["q42_hll_estimate"] = f"""
            ROUND(({_HLL_A!r} / ind_sum - exact_distinct)
                  / exact_distinct, 4) AS rel_err
     FROM s CROSS JOIN e
+"""
+
+RELATIONAL_ORACLE["q43_in_pred"] = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey IN (17, 142, 999999999)
 """

@@ -82,6 +82,7 @@ _ROUND_PRIORITY = [
     "q42_hll_estimate",
     "q43_in_pred",
     "sim_recall_report",
+    "text_winnow_fingerprint",
     # -- tier 4: r2-green entries whose modules changed this round
     #    (dedup store persistence, queries.py additions, pruning/CASE,
     #    events zero-guard) ------------------------------------------
@@ -92,7 +93,9 @@ _ROUND_PRIORITY = [
     "q35_rowgroup_scan",
     "q37_case_pred",
     "q2_point_equality",
-    "q20_asof_join",
+    # q20_asof_join rotates out: body untouched since its r2-green row
+    # and the events-timestamp dispatch it depends on is pinned by the
+    # nine in-window ev_* entries
     # The r2-green text_* family and the untouched-body relational
     # queries (q1..q34, q36) rotate OUT this round: their modules'
     # changes are purely additive, while everything above either never

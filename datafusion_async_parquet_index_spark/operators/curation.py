@@ -310,6 +310,73 @@ DEDUP_SUBSTRING_SQL = f"""
 """
 
 
+# -- Winnowing fingerprints -------------------------------------------------
+
+WINNOW_W = 8  # winnowing window over consecutive k-gram hashes
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every character 5-gram, slide a window of
+    WINNOW_W consecutive hashes, keep each window's minimum — the
+    selected minima form a fingerprint set with guaranteed density
+    (>= 1 per window, expected ~2/(w+1) of all grams) that two
+    documents sharing any sufficiently long substring must overlap on.
+    Pure array expressions, map-only, zero shuffle: the per-doc summary
+    (windows, distinct fingerprints, min/max) is what a plagiarism /
+    near-dup indexer persists per document."""
+    from ..functions import MINHASH_P, char_shingles
+    from .util import spread_for_compute
+
+    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
+    # materialize the hash array as its own projection: referenced via
+    # attribute inside the window lambda, it computes ONCE per row —
+    # inlining the expression would re-hash every shingle per window
+    # (O(windows x grams) md5 calls, measured as minutes vs seconds)
+    hashed = docs.select(
+        "doc_id",
+        F.transform(char_shingles(F.col("text")),
+                    lambda s: hash60(s) % MINHASH_P).alias("hs"))
+    hs = F.col("hs")
+    wins = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(1), F.size(hs) - (WINNOW_W - 1))),
+        lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))
+    winned = hashed.select("doc_id", wins.alias("wins"),
+                           F.array_distinct(wins).alias("fps"))
+    return winned.select(
+        "doc_id",
+        F.size("wins").cast("bigint").alias("n_windows"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+def _winnow_sql() -> str:
+    from ..functions import MINHASH_P, sql_char_shingles, sql_hash60
+
+    hs = (f"list_transform({sql_char_shingles('text')}, "
+          f"s -> {sql_hash60('s')} % {MINHASH_P})")
+    return f"""
+        WITH h AS (
+            SELECT doc_id, {hs} AS hs FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   [list_min(hs[i:i+{WINNOW_W - 1}])
+                    for i in range(1, greatest(1, len(hs) - {WINNOW_W - 1}) + 1)]
+                       AS wins
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(len(wins) AS BIGINT) AS n_windows,
+               CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+               list_min(list_distinct(wins)) AS min_fp,
+               list_max(list_distinct(wins)) AS max_fp
+        FROM w
+    """
+
+
 # -- CCNet-style quality bucketing ------------------------------------------
 
 N_QUALITY_BUCKETS = 3  # head / middle / tail, per CCNet
@@ -366,6 +433,7 @@ CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_domain_mixture": text_domain_mixture,
     "dedup_substring_ngram": dedup_substring_ngram,
     "text_quality_buckets": text_quality_buckets,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
 }
 
 CURATION_ORACLE: Dict[str, str] = {
@@ -373,4 +441,5 @@ CURATION_ORACLE: Dict[str, str] = {
     "text_domain_mixture": TEXT_MIXTURE_SQL,
     "dedup_substring_ngram": DEDUP_SUBSTRING_SQL,
     "text_quality_buckets": _quality_buckets_sql(),
+    "text_winnow_fingerprint": _winnow_sql(),
 }

@@ -128,6 +128,26 @@ def test_quality_buckets_shape(spark, sf_dir):
             assert buckets[b].max_nll <= buckets[b + 1].min_nll
 
 
+def test_winnow_density_guarantee(spark, sf_dir):
+    """Winnowing invariants: at least one fingerprint per w windows
+    (every window contributes its min; distinct collapses runs), and
+    the expected density ~2/(w+1) of windows — allow a wide band."""
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        WINNOW_W, text_winnow_fingerprint,
+    )
+    rows = text_winnow_fingerprint(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_fingerprints <= r.n_windows
+        assert r.min_fp <= r.max_fp
+    # density: winnowing selects ~2/(w+1) of windows as distinct minima
+    # in expectation; assert the corpus-wide average sits in a wide band
+    # around it (per-doc counts can collapse on repetitive text)
+    dens = sum(r.n_fingerprints for r in rows) / sum(r.n_windows for r in rows)
+    expect = 2 / (WINNOW_W + 1)
+    assert expect / 3 <= dens <= 3 * expect, dens
+
+
 def test_sq_topk_shape_and_recall(spark, sf_dir):
     sq = sim_sq_topk(spark, sf_dir).collect()
     exact = sim_bruteforce_topk(spark, sf_dir).collect()

@@ -182,6 +182,9 @@ def domain_mixture(
     if weights_bp is None:
         with_tot = with_tot.withColumn("_t", F.expr("total DIV n_groups"))
     else:
+        if not weights_bp:
+            raise ValueError(
+                "weights_bp must be a non-empty mapping or None (uniform)")
         w = None
         for val, bp in sorted(weights_bp.items()):
             w = (F.when(F.col(key) == val, F.lit(int(bp))) if w is None
@@ -390,10 +393,18 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     language partition over the already-computed nll scores;
     deterministic ordering (nll is rounded to 4 decimals, ties broken
     by doc_id) so the tercile boundaries agree across engines."""
-    from .text import text_unigram_logprob
     from pyspark.sql import Window
 
-    nll = text_unigram_logprob(spark, sf_dir)
+    from .util import session_memo, track_cache
+
+    # the corpus-wide NLL pipeline (token explode + vocab join) now has
+    # two consumers (its own query entry and this one) — cache its tiny
+    # per-doc output per (session, corpus) instead of recomputing
+    memo = session_memo(spark, "unigram_nll")
+    nll = memo.get(sf_dir)
+    if nll is None:
+        from .text import text_unigram_logprob
+        nll = memo[sf_dir] = track_cache(text_unigram_logprob(spark, sf_dir))
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     j = nll.join(docs, "doc_id")
     w = Window.partitionBy("lang").orderBy(F.asc("nll"), F.asc("doc_id"))

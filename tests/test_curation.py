@@ -119,7 +119,10 @@ def test_quality_buckets_shape(spark, sf_dir):
     for r in rows:
         by_lang.setdefault(r.lang, {})[r.bucket] = r
     for lang, buckets in by_lang.items():
-        assert set(buckets) == set(range(1, N_QUALITY_BUCKETS + 1))
+        # NTILE emits fewer buckets than N for groups smaller than N
+        n_docs = sum(b.n_docs for b in buckets.values())
+        expect = min(n_docs, N_QUALITY_BUCKETS)
+        assert set(buckets) == set(range(1, expect + 1))
         counts = [buckets[b].n_docs for b in sorted(buckets)]
         # NTILE: bucket sizes differ by at most one, non-increasing
         assert max(counts) - min(counts) <= 1

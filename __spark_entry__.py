@@ -83,16 +83,19 @@ _ROUND_PRIORITY = [
     "q43_in_pred",
     "sim_recall_report",
     "text_winnow_fingerprint",
+    "dedup_contamination",
+    "text_repetition_stats",
     # -- tier 4: r2-green entries whose modules changed this round
     #    (dedup store persistence, queries.py additions, pruning/CASE,
     #    events zero-guard) ------------------------------------------
-    # dedup_exact / dedup_minhash_lsh rotate out: bodies untouched since
-    # their r2-green rows, and their hash machinery is pinned
-    # transitively by in-window entries (verified_pairs, minhash_quality)
-    "dedup_verified_pairs",
+    # dedup_exact / dedup_minhash_lsh / dedup_verified_pairs /
+    # q2_point_equality rotate out: bodies untouched since their
+    # r2-green rows, and their machinery is pinned transitively by
+    # in-window entries (verified_clusters calls corpus_verified_pairs;
+    # q35's fully-covered files route through the native q2 path;
+    # minhash_quality re-verifies the signature family)
     "q35_rowgroup_scan",
     "q37_case_pred",
-    "q2_point_equality",
     # q20_asof_join rotates out: body untouched since its r2-green row
     # and the events-timestamp dispatch it depends on is pinned by the
     # nine in-window ev_* entries

@@ -313,6 +313,136 @@ DEDUP_SUBSTRING_SQL = f"""
 """
 
 
+# -- Benchmark decontamination ----------------------------------------------
+
+BENCH_MOD, BENCH_REM = 17, 3  # doc_id % 17 == 3 stands in for the eval set
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (the GPT-3-style n-gram overlap
+    check): for every *benchmark* document, the fraction of its word
+    8-grams that also occur in any *training* document.  A benchmark
+    doc with high overlap leaked into training data and must be
+    excluded from evaluation (or the training doc dropped).  Shape:
+    the training side reduces to a DISTINCT gram-hash set (map-side
+    combined), the benchmark grams probe it with one equi-join —
+    cost is linear in corpus n-grams and the probe side is
+    benchmark-sized, never a doc×doc comparison."""
+    from .util import spread_for_compute, track_cache
+
+    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(1), F.size(toks) - (NGRAM_W - 1))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, NGRAM_W))))
+    is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
+    pos = track_cache(
+        docs.select("doc_id", is_bench.alias("bench"),
+                    F.explode(grams).alias("g")))
+    train_grams = (pos.filter(~F.col("bench"))
+                   .select("g").distinct())
+    bench_pos = pos.filter(F.col("bench"))
+    hits = (bench_pos.join(train_grams.withColumn("_hit", F.lit(1)),
+                           "g", "left"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("bigint").alias("n_leaked"))
+        .select("doc_id", "n_grams", "n_leaked",
+                F.round(F.col("n_leaked") / F.col("n_grams"), 4)
+                .alias("leak_frac"))
+    )
+
+
+DEDUP_CONTAMINATION_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {BENCH_MOD} = {BENCH_REM} AS bench,
+               {_TOKS} AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, bench,
+               unnest([{sql_hash60(f"array_to_string(t[i:i+{NGRAM_W - 1}], ' ')")}
+                       for i in range(1, greatest(1, len(t) - {NGRAM_W - 1}) + 1)])
+                   AS g
+        FROM toks
+    ), train AS (
+        SELECT DISTINCT g FROM pos WHERE NOT bench
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked,
+           ROUND(CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS leak_frac
+    FROM pos LEFT JOIN train t USING (g)
+    WHERE bench
+    GROUP BY doc_id
+"""
+
+
+# -- Gopher-style repetition stats ------------------------------------------
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher quality-filter
+    family, adapted to this corpus's newline-free text): repeated-token
+    fraction (1 - distinct/total), top-token fraction (count of the
+    most frequent token / total), and repeated-bigram fraction.  All
+    array expressions, map-only, zero shuffle — the classic cheap
+    filter pass that runs before any model-based scoring."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # top-token count: max over distinct tokens of their occurrence
+    # count — aggregate over the distinct set, counting in the full
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    nb = F.size(bigrams)
+    nb_distinct = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round((n - n_distinct) / F.greatest(n, F.lit(1)), 4)
+        .alias("rep_token_frac"),
+        F.round(top_cnt / F.greatest(n, F.lit(1)), 4)
+        .alias("top_token_frac"),
+        F.round((nb - nb_distinct) / F.greatest(nb, F.lit(1)), 4)
+        .alias("rep_bigram_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               len(list_distinct(toks)) AS nd,
+               list_max(list_transform(
+                   list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d)))) AS top_cnt,
+               [array_to_string(toks[i:i+1], ' ')
+                for i in range(1, greatest(1, len(toks) - 1) + 1)] AS bg
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CAST(n - nd AS DOUBLE) / greatest(n, 1), 4)
+               AS rep_token_frac,
+           ROUND(CAST(top_cnt AS DOUBLE) / greatest(n, 1), 4)
+               AS top_token_frac,
+           ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                 / greatest(len(bg), 1), 4) AS rep_bigram_frac
+    FROM b
+"""
+
+
 # -- Winnowing fingerprints -------------------------------------------------
 
 WINNOW_W = 8  # winnowing window over consecutive k-gram hashes
@@ -445,6 +575,8 @@ CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_ngram": dedup_substring_ngram,
     "text_quality_buckets": text_quality_buckets,
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "dedup_contamination": dedup_contamination,
+    "text_repetition_stats": text_repetition_stats,
 }
 
 CURATION_ORACLE: Dict[str, str] = {
@@ -453,4 +585,6 @@ CURATION_ORACLE: Dict[str, str] = {
     "dedup_substring_ngram": DEDUP_SUBSTRING_SQL,
     "text_quality_buckets": _quality_buckets_sql(),
     "text_winnow_fingerprint": _winnow_sql(),
+    "dedup_contamination": DEDUP_CONTAMINATION_SQL,
+    "text_repetition_stats": TEXT_REPETITION_SQL,
 }

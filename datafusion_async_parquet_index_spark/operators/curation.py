@@ -392,21 +392,38 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     most frequent token / total), and repeated-bigram fraction.  All
     array expressions, map-only, zero shuffle — the classic cheap
     filter pass that runs before any model-based scoring."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    from .util import spread_for_compute
+
+    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
+    # materialize the token array once; downstream lambdas reference
+    # the attribute (same inlining hazard as the winnowing operator)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    # top-token count: max over distinct tokens of their occurrence
-    # count — aggregate over the distinct set, counting in the full
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t))))
+    # top-token count via sort + linear run-length fold — O(n log n)
+    # per doc and still map-only; the naive count-per-distinct-token
+    # form is O(distinct x n) (measured 6.5 s -> this shape at sf0.1)
+    srt = F.array_sort(toks)
+    top_cnt = F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
     nb = F.size(bigrams)
     nb_distinct = F.size(F.array_distinct(bigrams))
-    return docs.select(
+    return tk.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         F.round((n - n_distinct) / F.greatest(n, F.lit(1)), 4)
@@ -418,15 +435,22 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle computes the same numbers through DuckDB's natural plan
+# (unnest + group-by for the top-token count) rather than mirroring the
+# Spark-side array fold — the VALUES are identical, which is the point
+# of a cross-engine check.
 TEXT_REPETITION_SQL = f"""
-    WITH t AS (
+    WITH t AS MATERIALIZED (
         SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), top AS (
+        SELECT doc_id, MAX(c) AS top_cnt FROM (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM t) u
+            GROUP BY doc_id, tok) g
+        GROUP BY doc_id
     ), b AS (
-        SELECT doc_id, toks, len(toks) AS n,
+        SELECT doc_id, len(toks) AS n,
                len(list_distinct(toks)) AS nd,
-               list_max(list_transform(
-                   list_distinct(toks),
-                   d -> len(list_filter(toks, x -> x = d)))) AS top_cnt,
                [array_to_string(toks[i:i+1], ' ')
                 for i in range(1, greatest(1, len(toks) - 1) + 1)] AS bg
         FROM t
@@ -435,11 +459,11 @@ TEXT_REPETITION_SQL = f"""
            CAST(n AS BIGINT) AS n_tokens,
            ROUND(CAST(n - nd AS DOUBLE) / greatest(n, 1), 4)
                AS rep_token_frac,
-           ROUND(CAST(top_cnt AS DOUBLE) / greatest(n, 1), 4)
+           ROUND(CAST(COALESCE(top_cnt, 0) AS DOUBLE) / greatest(n, 1), 4)
                AS top_token_frac,
            ROUND(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
                  / greatest(len(bg), 1), 4) AS rep_bigram_frac
-    FROM b
+    FROM b LEFT JOIN top USING (doc_id)
 """
 
 

@@ -211,3 +211,36 @@ def test_interval_join_is_banded(spark, sf_dir):
     plan = _plan(ev_interval_join(spark, str(sf_dir)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_is_map_only(spark, sf_dir):
+    """Winnowing must stay shuffle-free: fingerprint selection is pure
+    array expressions over the scan (the repartition fixup for tiny
+    local inputs is a round-robin exchange, not a hash shuffle)."""
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        text_winnow_fingerprint,
+    )
+    plan = _plan(text_winnow_fingerprint(spark, str(sf_dir)))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_contamination_no_cartesian(spark, sf_dir):
+    """Decontamination is a distinct-gram build + benchmark-sized probe
+    — never a document x document comparison."""
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        dedup_contamination,
+    )
+    plan = _plan(dedup_contamination(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_stats_map_only(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        text_repetition_stats,
+    )
+    plan = _plan(text_repetition_stats(spark, str(sf_dir)))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan

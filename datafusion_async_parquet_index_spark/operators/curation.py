@@ -253,6 +253,31 @@ NGRAM_W = 8  # word n-gram width (Lee et al. use 50 BPE tokens; 8 words
              # gives comparable span granularity on this corpus)
 
 
+def _gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): the exploded word-8-gram hash table of the corpus,
+    cached per (session, corpus).  The md5-per-gram hashing dominates
+    every n-gram operator, and BOTH join sides of the coverage query,
+    the contamination probe, and repeat bench calls read this same
+    table — one computation serves them all.  The scan is spread
+    across cores first (a small corpus parquet is one row group = one
+    partition; no-op at scale)."""
+    from .util import session_memo, spread_for_compute, track_cache
+
+    memo = session_memo(spark, "gram_positions")
+    pos = memo.get(sf_dir)
+    if pos is not None:
+        return pos
+    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(1), F.size(toks) - (NGRAM_W - 1))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, NGRAM_W))))
+    pos = memo[sf_dir] = track_cache(
+        docs.select("doc_id", F.explode(grams).alias("g")))
+    return pos
+
+
 def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage via hashed word 8-grams:
     coverage = positions whose 8-gram occurs in >= 2 distinct documents
@@ -261,20 +286,7 @@ def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join marks duplicated positions, and a per-doc aggregate
     finishes.  Linear in corpus n-grams — the scalable approximation of
     suffix-array exact-substring dedup; no pairwise joins."""
-    from .util import spread_for_compute, track_cache
-
-    # the md5-per-gram hashing dominates; a small corpus parquet is one
-    # row group = one partition, so spread it across cores first (no-op
-    # at scale), and cache the exploded gram table — BOTH sides of the
-    # gram join read it, so without the cache the hashing runs twice
-    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.lit(1), F.size(toks) - (NGRAM_W - 1))),
-        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, NGRAM_W))))
-    pos = track_cache(docs.select(
-        "doc_id", F.explode(grams).alias("g")))
+    pos = _gram_positions(spark, sf_dir)
     gram_docs = pos.groupBy("g").agg(
         F.count_distinct("doc_id").alias("ndocs"))
     marked = pos.join(gram_docs, "g")
@@ -327,19 +339,11 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training side reduces to a DISTINCT gram-hash set (map-side
     combined), the benchmark grams probe it with one equi-join —
     cost is linear in corpus n-grams and the probe side is
-    benchmark-sized, never a doc×doc comparison."""
-    from .util import spread_for_compute, track_cache
-
-    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.lit(1), F.size(toks) - (NGRAM_W - 1))),
-        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, NGRAM_W))))
-    is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REM
-    pos = track_cache(
-        docs.select("doc_id", is_bench.alias("bench"),
-                    F.explode(grams).alias("g")))
+    benchmark-sized, never a doc×doc comparison.  Shares the cached
+    gram-position table with dedup_substring_ngram (the bench flag is
+    derived from doc_id)."""
+    pos = _gram_positions(spark, sf_dir).withColumn(
+        "bench", F.col("doc_id") % BENCH_MOD == BENCH_REM)
     train_grams = (pos.filter(~F.col("bench"))
                    .select("g").distinct())
     bench_pos = pos.filter(F.col("bench"))

@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # -- tier 1: never driver-verified (18) --------------------------
+    # -- tier 1: never driver-verified (21 entries) ------------------
     "ev_tumbling_agg",
     "ev_sliding_agg",
     "ev_sessionize",

@@ -346,8 +346,14 @@ def connected_components(
     # localCheckpoint executes the raw RDD, which bypasses AQE — on a
     # cold cached pair pipeline that means full-width un-coalesced
     # shuffles for every upstream stage (measured 49 s vs 17 s for a
-    # cold dedup_clusters at sf0.1). The count populates any upstream
-    # cache via the adaptive path and doubles as the cutoff input.
+    # cold dedup_clusters at sf0.1). The count populates a cache via
+    # the adaptive path and doubles as the cutoff input.  When the
+    # caller did NOT hand us a persisted pair list, cache the edge
+    # list ourselves — otherwise count + localCheckpoint would execute
+    # the full pair-building plan twice.
+    from .util import track_cache
+    if getattr(pairs.storageLevel, "useMemory", False) is False:
+        edge_src = track_cache(edge_src)
     n_edges = edge_src.count()
     e = edge_src.localCheckpoint()
     if n_edges <= small_edge_cutoff:
@@ -1110,20 +1116,15 @@ SIGSTORE_ENV = "SPARK_GRAFT_SIGSTORE"
 
 def signature_store_dir(sf_dir: str) -> str:
     """Deterministic store location for a corpus: keyed by the
-    documents file's (path, size, mtime) plus the signature parameters,
-    so a regenerated corpus or retuned K/R gets a fresh store instead
-    of silently reusing a stale one."""
-    import hashlib
-    import tempfile
+    documents file's identity plus the signature parameters
+    (util.artifact_dir), so a regenerated corpus or retuned K/R gets a
+    fresh store instead of silently reusing a stale one."""
+    from .util import artifact_dir
 
-    base = os.environ.get(SIGSTORE_ENV) or os.path.join(
-        tempfile.gettempdir(), "spark_graft_sigstore")
-    doc = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(doc)
-    fp = hashlib.md5(
-        f"{os.path.abspath(doc)}|{st.st_size}|{int(st.st_mtime)}"
-        f"|K={K}|R={R}|mod={NEW_BATCH_MOD}".encode()).hexdigest()[:12]
-    return os.path.join(base, fp)
+    return artifact_dir(
+        SIGSTORE_ENV, "spark_graft_sigstore",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"K={K}|R={R}|mod={NEW_BATCH_MOD}")
 
 
 def write_signature_store(docs: DataFrame, out_dir: str) -> None:

@@ -399,7 +399,11 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     ev = read_table(spark, sf_dir, "events")
     e = ev.select("event_id", "user_id", _ts_seconds(ev).alias("sec"))
-    binned = e.withColumn("bin", F.expr(f"sec DIV {INTERVAL_SEC}"))
+    # FLOOR division (not DIV, which truncates toward zero): for
+    # pre-1970 timestamps truncation and flooring disagree, breaking
+    # both bin adjacency and parity with the oracle's flooring `//`
+    binned = e.withColumn(
+        "bin", F.floor(F.col("sec") / F.lit(INTERVAL_SEC)).cast("long"))
     left = binned.select(
         "event_id", "user_id", "sec",
         F.explode(F.array(F.col("bin") - 1, F.col("bin"),

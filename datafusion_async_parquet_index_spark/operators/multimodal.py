@@ -331,7 +331,12 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched resize, the oracle recomputes the integer fit-within
     formula and the truncate/pad output size relationally, so the
     resize pipeline itself is hash-checked cross-engine."""
-    rs = resize_media(synthesize_media(spark, sf_dir))
+    from .util import session_memo
+
+    memo = session_memo(spark, "mm_resized")
+    rs = memo.get(sf_dir)
+    if rs is None:
+        rs = memo[sf_dir] = resize_media(synthesize_media(spark, sf_dir))
     return rs.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("out_w").cast("bigint")).alias("sum_out_w"),

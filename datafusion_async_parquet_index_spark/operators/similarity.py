@@ -524,20 +524,16 @@ IVF_LAYOUT_ENV = "SPARK_GRAFT_IVF_LAYOUT"
 
 def ivf_layout_dir(sf_dir: str) -> str:
     """Deterministic layout location for a corpus, keyed by the
-    embeddings file's identity so a regenerated corpus gets a fresh
-    layout (same convention as the dedup signature store)."""
-    import hashlib
+    embeddings file's identity (util.artifact_dir — one fingerprint
+    recipe shared with the dedup signature store)."""
     import os
-    import tempfile
 
-    base = os.environ.get(IVF_LAYOUT_ENV) or os.path.join(
-        tempfile.gettempdir(), "spark_graft_ivf_layout")
-    emb = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb)
-    fp = hashlib.md5(
-        f"{os.path.abspath(emb)}|{st.st_size}|{int(st.st_mtime)}"
-        f"|mod={IVF_CENTROID_MOD}".encode()).hexdigest()[:12]
-    return os.path.join(base, fp)
+    from .util import artifact_dir
+
+    return artifact_dir(
+        IVF_LAYOUT_ENV, "spark_graft_ivf_layout",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"mod={IVF_CENTROID_MOD}")
 
 
 def sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,11 +97,14 @@ def spread_for_compute(
             target = min(parallelism, max(1, -(-est // bytes_per_task)))
     else:
         target = parallelism
-    if df.rdd.getNumPartitions() < target:
+    current = df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target)
-    if target == 1 and bytes_per_task:
-        # single well-sized task beats many underfilled Python tasks
-        return df.coalesce(1)
+    if bytes_per_task and current > target:
+        # byte-sized tasks: merge underfilled partitions (shuffle-free)
+        # so each Python task amortizes its fixed worker/Arrow overhead
+        # — applies at any target, not just the single-task case
+        return df.coalesce(target)
     return df
 
 
@@ -140,19 +143,32 @@ def register_memo(d: dict) -> dict:
     return d
 
 
-# Per-session memos keyed by a WEAK session reference: entries for
-# stopped/replaced sessions drop automatically when the session object
-# is garbage-collected, so a long-lived process cycling sessions does
-# not accumulate dead cached plans (clear_caches() also empties them).
+# Per-session memos keyed by a WEAK session reference.  Weak keying
+# alone cannot free anything here: the memo VALUES (cached DataFrames,
+# IndexedParquetTable objects) strongly reference their session, so the
+# key stays reachable through its own entry.  session_memo therefore
+# also PRUNES entries whose session has been stopped on every access —
+# that drops the value->session chain and lets the weak key collect.
 _SESSION_MEMOS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary())
+
+
+def _session_stopped(s: SparkSession) -> bool:
+    try:
+        return bool(s._sc._jsc.sc().isStopped())
+    except Exception:
+        return True  # dead gateway / stopped context
 
 
 def session_memo(spark: SparkSession, namespace: str) -> dict:
     """A mutable memo dict scoped to (session, namespace). Callers key
     entries by their own sub-keys (sf_dir, table, params) — the session
-    itself must NOT appear in those sub-keys, that's what the weak
-    outer map is for."""
+    itself must NOT appear in those sub-keys, that's what the outer map
+    is for.  Entries of stopped sessions are pruned here so a process
+    cycling sessions does not accumulate dead cached plans."""
+    for s in list(_SESSION_MEMOS.keys()):
+        if s is not spark and _session_stopped(s):
+            _SESSION_MEMOS.pop(s, None)
     per = _SESSION_MEMOS.get(spark)
     if per is None:
         per = {}
@@ -180,6 +196,26 @@ def clear_caches() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped
+
+
+def artifact_dir(env_var: str, default_name: str, src_file: str,
+                 params: str) -> str:
+    """Deterministic persisted-artifact directory for a derived store
+    (signature store, IVF layout, ...): keyed by the source file's
+    (path, size, mtime) plus the build parameters, so a regenerated
+    corpus or retuned parameter set gets a fresh store instead of
+    silently reusing a stale one.  Shared by every on-disk store so the
+    fingerprint recipe cannot drift between them."""
+    import hashlib
+    import tempfile
+
+    base = os.environ.get(env_var) or os.path.join(
+        tempfile.gettempdir(), default_name)
+    st = os.stat(src_file)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src_file)}|{st.st_size}|{int(st.st_mtime)}"
+        f"|{params}".encode()).hexdigest()[:12]
+    return os.path.join(base, fp)
 
 
 def ensure_epoch_nanos(df: DataFrame, colname: str = "ts") -> DataFrame:

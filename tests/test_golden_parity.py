@@ -94,3 +94,34 @@ def test_incremental_reindex_is_idempotent(table):
     # and pruning still works after refresh
     df = table.query(col("value") == 150)
     assert df.count() == 1
+
+
+def test_case_pruning_trace(table):
+    """Literal-armed CASE prunes like its arm condition (the reference
+    translates CASE into catalog SQL, conversions.rs:73-81): value <= 50
+    reaches only file1's two row groups [0..49], [50..99]; file2/file3
+    are refuted. The residual filter still applies the exact CASE."""
+    from datafusion_async_parquet_index_spark.plans.expr import Case, Lit
+
+    pred = Case([(col("value") <= 50, Lit(1))], Lit(0)) == 1
+    df = table.query(pred)
+    rows = sorted(r["value"] for r in df.collect())
+    assert rows == list(range(0, 51))
+    files, rgs = scanned(table)
+    assert set(files) == {"file1.parquet"}
+    assert files["file1.parquet"] == [0, 1]
+    assert rgs == 2
+
+
+def test_in_list_pruning_trace(table):
+    """IN-list pruning through min/max: values {10, 150} touch exactly
+    file1 rg0 (0..49) and file2 rg1 (100..149? no — 150 lands in
+    file2's second row group [150..199]'s min) — assert the engine
+    scans precisely the row groups whose range brackets a list value
+    and nothing else, and returns exactly the two rows."""
+    df = table.query(col("value").isin(10, 150))
+    vals = sorted(r["value"] for r in df.collect())
+    assert vals == [10, 150]
+    files, rgs = scanned(table)
+    assert set(files) == {"file1.parquet", "file2.parquet"}
+    assert rgs == 2

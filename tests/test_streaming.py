@@ -430,3 +430,50 @@ def test_interval_join_stream_matches_batch(spark, events_stream_dir, tmp_path):
                    & (F.abs(F.col("l_sec") - F.col("r_sec")) <= 60))
     want = {(r.l_id, r.r_id) for r in batch.collect()}
     assert got == want and want, "stream pair set must equal batch join"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The watermark must actually DROP a row older than the horizon:
+    batch 1 advances the watermark to max(event_ts) - 3600s; batch 2
+    delivers one event far older than that and one fresh event. The
+    late event's window must never appear in the update stream; the
+    fresh event must."""
+    import time
+
+    from pyspark.sql import Row
+
+    d = str(tmp_path / "late_feed")
+    fresh_base = 100_000  # seconds
+    batch1 = [Row(event_id=i, ts=(fresh_base + i) * 1_000_000_000,
+                  user_id=1, event_type="click") for i in range(5)]
+    spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(d)
+
+    events = stream_events_from_dir(spark, d)
+    out = tumbling_counts_stream(events)
+    q = (out.writeStream.format("memory").queryName("late_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+         .start())
+    try:
+        # batch 1 processes alone and advances the watermark, THEN the
+        # late file arrives — a true cross-batch late delivery
+        q.processAllAvailable()
+        batch2 = [
+            Row(event_id=100, ts=1_000 * 1_000_000_000,  # ~27h late
+                user_id=1, event_type="click"),
+            Row(event_id=101, ts=(fresh_base + 200) * 1_000_000_000,
+                user_id=1, event_type="click"),
+        ]
+        (spark.createDataFrame(batch2).coalesce(1)
+         .write.mode("append").parquet(d))
+        q.processAllAvailable()
+        rows = spark.sql("select * from late_test").collect()
+    finally:
+        q.stop()
+
+    starts = {r.window_start for r in rows}
+    late_window = 1_000 // 300 * 300
+    fresh_window = (fresh_base + 200) // 300 * 300
+    assert late_window not in starts, \
+        "late event beyond the watermark must be dropped"
+    assert fresh_window in starts, "fresh event must be aggregated"

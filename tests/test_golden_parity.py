@@ -125,3 +125,18 @@ def test_in_list_pruning_trace(table):
     files, rgs = scanned(table)
     assert set(files) == {"file1.parquet", "file2.parquet"}
     assert rgs == 2
+
+
+def test_demo_main_runs(spark, demo_dir, capsys):
+    """`python -m datafusion_async_parquet_index_spark` is the twin of
+    the reference's demo binary (cargo run, main.rs:119-190). Drive its
+    main() against the shared corpus and assert the golden pruning
+    traces appear in the output."""
+    import datafusion_async_parquet_index_spark.__main__ as demo
+
+    rc = demo.main(["demo", demo_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "(1/3 files, 1/60 row groups)" in out      # value = 150
+    assert "(2/3 files, 51/60 row groups)" in out     # OR range
+    assert "(0/3 files, 0/60 row groups)" in out      # contradiction

@@ -104,6 +104,10 @@ _ROUND_PRIORITY = [
     # changes are purely additive, while everything above either never
     # had a row or had its code path touched. Remaining entries append
     # in natural order below.
+    # Added late in round 3 (after the 50 window was already full) and
+    # FIRST in line for the r4 window: q44_isnull_pred,
+    # q45_binned_quantiles, text_bigram_logprob, ev_attribution —
+    # all local-harness green at sf0.01.
 ]
 
 

@@ -446,6 +446,86 @@ EV_INTERVAL_SQL = f"""
 """
 
 
+ATTR_LOOKBACK_SEC = 3600          # last-touch lookback window
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click/view within the preceding hour (ties broken by
+    event_id), purchases with no touch in the window report as 'none'.
+    Banded like ev_interval_join, not a theta join: purchases explode
+    to their lookback-sized bin and the one before it (2 rows), touches
+    carry their single bin, the join is a plain equi-join on
+    (user_id, bin) with the exact 0 <= Δt <= lookback filter after —
+    O(2·P + T) shuffle rows at any scale.  The pick-latest is one
+    row_number window per purchase; the final left join back to all
+    purchases restores the unattributed ones."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type", "value",
+                  _ts_seconds(ev).alias("sec"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("value").alias("pvalue"), F.col("sec").alias("psec"),
+        F.floor(F.col("sec") / F.lit(ATTR_LOOKBACK_SEC)).cast("long")
+        .alias("pbin"))
+    t = e.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("tuid"), F.col("event_type").alias("ttype"),
+        F.col("event_id").alias("tid"), F.col("sec").alias("tsec"),
+        F.floor(F.col("sec") / F.lit(ATTR_LOOKBACK_SEC)).cast("long")
+        .alias("tbin"))
+    pl = p.select(
+        "pid", "user_id", "psec",
+        F.explode(F.array(F.col("pbin") - 1, F.col("pbin"))).alias("bin"))
+    cand = pl.join(
+        t, (pl.user_id == t.tuid) & (F.col("bin") == F.col("tbin"))
+    ).filter(
+        (F.col("psec") - F.col("tsec") >= 0)
+        & (F.col("psec") - F.col("tsec") <= ATTR_LOOKBACK_SEC))
+    w = Window.partitionBy("pid").orderBy(
+        F.col("tsec").desc(), F.col("tid").desc())
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("pid", "ttype"))
+    return (
+        p.join(best, "pid", "left")
+        .groupBy(F.coalesce(F.col("ttype"), F.lit("none"))
+                 .alias("attributed_type"))
+        .agg(F.count(F.lit(1)).alias("purchases"),
+             F.round(F.sum("pvalue"), 2).alias("attributed_value"))
+    )
+
+
+EV_ATTRIBUTION_SQL = f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), p AS (
+        SELECT event_id AS pid, user_id, value AS pvalue, sec AS psec
+        FROM e WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id AS tuid, event_type AS ttype,
+               event_id AS tid, sec AS tsec
+        FROM e WHERE event_type IN {ATTR_TOUCH_TYPES!r}
+    ), cand AS (
+        SELECT pid, ttype, tsec, tid
+        FROM p JOIN t ON user_id = tuid
+        WHERE psec - tsec BETWEEN 0 AND {ATTR_LOOKBACK_SEC}
+    ), best AS (
+        SELECT pid, ttype,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY tsec DESC, tid DESC) AS rn
+        FROM cand
+    )
+    SELECT COALESCE(b.ttype, 'none') AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           ROUND(SUM(pvalue), 2) AS attributed_value
+    FROM p LEFT JOIN (SELECT pid, ttype FROM best WHERE rn = 1) b
+        USING (pid)
+    GROUP BY 1
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -456,6 +536,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_retention": ev_retention,
     "ev_anomaly": ev_anomaly,
     "ev_interval_join": ev_interval_join,
+    "ev_attribution": ev_attribution,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -468,4 +549,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_retention": EV_RETENTION_SQL,
     "ev_anomaly": EV_ANOMALY_SQL,
     "ev_interval_join": EV_INTERVAL_SQL,
+    "ev_attribution": EV_ATTRIBUTION_SQL,
 }

@@ -265,6 +265,46 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("n").cast("bigint")).alias("tokens_started")))
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — one LM order above
+    text_unigram_logprob, the next rung of the CCNet-style quality
+    ladder: per document, nll = -avg ln p(tok_i | tok_{i-1}) with
+    p = c(bigram) / c(prefix), both counts taken over the corpus's own
+    bigram table.  Bigrams are built inside the token array (one
+    ``transform`` over index positions — no posexplode + window, so the
+    only shuffles are the two count aggregations and the joins back,
+    all map-side combinable / AQE-broadcastable exactly like the
+    unigram operator).  Counts are exact integers; the only floats are
+    the final ln/avg, rounded to 4 decimals.  Documents with fewer than
+    2 tokens have no bigrams and drop out (inner-join semantics,
+    matching the oracle)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks"))
+    bigram_list = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("toks"), i - 2), F.get(F.col("toks"), i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigram_list).alias("bg"))
+    bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    pc = (
+        bg.select(F.substring_index("bg", " ", 1).alias("pref"))
+        .groupBy("pref").agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    return (
+        bg.join(bc, "bg")
+        .withColumn("pref", F.substring_index("bg", " ", 1))
+        .join(pc, "pref")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(F.log("cnt1") - F.log("cnt2")), 4).alias("nll"))
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -277,6 +317,7 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stratified_sample": text_stratified_sample,
     "text_unigram_logprob": text_unigram_logprob,
     "text_sequence_pack": text_sequence_pack,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 _TOKS = sql_tokens("text")
@@ -413,6 +454,29 @@ TEXT_ORACLE["text_unigram_logprob"] = f"""
            ROUND(ln(n_total) - SUM(ln(cnt)) / COUNT(*), 4) AS nll
     FROM toks JOIN tc USING (tok) CROSS JOIN total
     GROUP BY doc_id, n_total
+"""
+
+TEXT_ORACLE["text_bigram_logprob"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(t) + 1),
+                                     i -> t[i - 1] || ' ' || t[i])) AS bg
+        FROM toks
+    ), bc AS (
+        SELECT bg, COUNT(*) AS cnt2 FROM bg GROUP BY bg
+    ), pc AS (
+        SELECT split_part(bg, ' ', 1) AS pref, COUNT(*) AS cnt1
+        FROM bg GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_bigrams,
+           ROUND(AVG(ln(cnt1) - ln(cnt2)), 4) AS nll
+    FROM bg
+    JOIN bc USING (bg)
+    JOIN pc ON split_part(bg.bg, ' ', 1) = pref
+    GROUP BY doc_id
 """
 
 TEXT_ORACLE["text_sequence_pack"] = f"""

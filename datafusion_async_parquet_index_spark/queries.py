@@ -809,6 +809,58 @@ def q43_in_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q44_isnull_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL through the indexed path, answered without any Parquet
+    I/O: every row group's ``o_orderpriority`` null_count is 0 in the
+    stats catalog, so the rewriter's null-count term (``IS NULL ->
+    n > 0``, plans/pruning.py) refutes ALL row groups and the access
+    plan comes back empty — the reference's "Files scanned: []" posture
+    (sqlx-sqlite/README.md:70) on the NULL dimension of the stats schema
+    rather than the min/max dimension. The residual filter still
+    re-applies IS NULL on the (empty) scan per the Inexact contract."""
+    t = _make_table(spark, sf_dir, "orders", ["o_orderpriority"])
+    df = t.query(xcol("o_orderpriority").is_null())
+    return df.select("o_orderkey", "o_orderpriority")
+
+
+Q45_BIN_CENTS = 10_000          # $100 equi-width histogram bins
+Q45_PCTS = (50, 90, 99)         # requested percentiles
+
+
+def q45_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles — the one-pass, O(bins)-state
+    substitute for an exact global sort at 100 TB: l_extendedprice in
+    exact integer cents falls into fixed $100 bins (one map-side-
+    combined groupBy; the shuffle carries ~#bins rows), a single
+    cumulative window over the bin axis (a few hundred rows in one
+    partition — bounded regardless of data size), and each requested
+    percentile reads the first bin whose cumulative count reaches
+    ceil(p/100 * N), reported as the bin's lower bound. Every
+    intermediate is an exact integer, so the estimate is deterministic
+    and the oracle re-derives it bit-for-bit; accuracy is bracketed by
+    the bin width. Unlike percentile_approx/t-digest this sketch is
+    trivially mergeable across days/partitions by adding bin counts."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bins = (
+        li.select(F.floor(cents / Q45_BIN_CENTS).cast("long").alias("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
+    total = li.agg(F.count(F.lit(1)).alias("n"))
+    pcts = spark.createDataFrame([(p,) for p in Q45_PCTS], "pct INT")
+    thr = pcts.crossJoin(total).select(
+        "pct", F.ceil(F.col("pct") * F.col("n") / 100).cast("long").alias("thr"))
+    est = (
+        thr.join(cum, F.col("cum") >= F.col("thr"))  # tiny x tiny: BNLJ
+        .groupBy("pct").agg(F.min("bin").alias("bin"))
+    )
+    return est.select(
+        "pct",
+        (F.col("bin") * Q45_BIN_CENTS).cast("long").alias("est_lower_cents"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -853,6 +905,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_pivot": q41_pivot,
     "q42_hll_estimate": q42_hll_estimate,
     "q43_in_pred": q43_in_pred,
+    "q44_isnull_pred": q44_isnull_pred,
+    "q45_binned_quantiles": q45_binned_quantiles,
 }
 
 
@@ -1222,4 +1276,33 @@ RELATIONAL_ORACLE["q42_hll_estimate"] = f"""
 RELATIONAL_ORACLE["q43_in_pred"] = """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer WHERE c_custkey IN (17, 142, 999999999)
+"""
+
+RELATIONAL_ORACLE["q44_isnull_pred"] = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders WHERE o_orderpriority IS NULL
+"""
+
+RELATIONAL_ORACLE["q45_binned_quantiles"] = f"""
+    WITH cents AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), bins AS (
+        SELECT c // {Q45_BIN_CENTS} AS bin, COUNT(*) AS cnt
+        FROM cents GROUP BY 1
+    ), cum AS (
+        SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS cum
+        FROM bins
+    ), total AS (
+        SELECT COUNT(*) AS n FROM cents
+    ), thr AS (
+        SELECT pct, CAST(ceil(pct * n / 100.0) AS BIGINT) AS thr
+        FROM (VALUES {", ".join(f"({p})" for p in Q45_PCTS)}) v(pct)
+        CROSS JOIN total
+    )
+    SELECT pct, CAST(MIN(bin) * {Q45_BIN_CENTS} AS BIGINT)
+               AS est_lower_cents
+    FROM thr JOIN cum ON cum >= thr
+    GROUP BY pct
 """

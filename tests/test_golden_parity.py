@@ -87,6 +87,19 @@ def test_q5_contradictory_and_no_io(table):
     assert rgs == 0
 
 
+def test_isnull_pruned_no_io(table):
+    """IS NULL on a column whose every row group records null_count = 0
+    is refuted entirely from the catalog: like Q5, the access plan is
+    empty and the query never touches Parquet — the NULL dimension of
+    the stats schema doing the same zero-I/O trick min/max does for the
+    contradictory range."""
+    df = table.query(col("value").is_null())
+    assert df.count() == 0
+    files, rgs = scanned(table)
+    assert files == {}
+    assert rgs == 0
+
+
 def test_incremental_reindex_is_idempotent(table):
     before = table.catalog.all_files()
     table.refresh()

@@ -861,6 +861,50 @@ def q45_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bin") * Q45_BIN_CENTS).cast("long").alias("est_lower_cents"))
 
 
+PART_LAYOUT_ENV = "SPARK_GRAFT_PART_LAYOUT"
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> IndexedParquetTable:
+    """Orders written once per corpus as a hive layout
+    (``o_orderstatus=<v>/``; operators.util.artifact_dir keying) and
+    wrapped in a partitioned IndexedParquetTable — partition values
+    index as degenerate min=max stats, so one catalog query prunes
+    through BOTH the partition directory and the footer stats."""
+    from .operators.util import artifact_dir, session_memo
+
+    layout = artifact_dir(
+        PART_LAYOUT_ENV, "spark_graft_part_layout",
+        os.path.join(sf_dir, "orders.parquet"), "by=o_orderstatus")
+    memo = session_memo(spark, "partitioned_orders")
+    t = memo.get(layout)
+    if t is None:
+        if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+            (_read(spark, sf_dir, "orders").repartition(2)
+             .write.partitionBy("o_orderstatus")
+             .mode("overwrite").parquet(layout))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_totalprice"], partitioned=True)
+    return t
+
+
+def q46_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed partition + stats predicate through the indexed scan over a
+    hive-partitioned layout: ``o_orderstatus = 'F'`` prunes to one
+    partition DIRECTORY (its value is the file's min=max stat in the
+    catalog), ``o_totalprice > 200000`` refutes row groups inside it by
+    footer stats — one catalog query narrows through both dimensions,
+    then the residual filter re-applies the exact predicate (Inexact).
+    The oracle runs the same predicate on the flat orders table, so the
+    partitioned layout + index must be value-transparent."""
+    t = _partitioned_orders(spark, sf_dir)
+    df = t.query((xcol("o_orderstatus") == "F")
+                 & (xcol("o_totalprice") > 200000.0))
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("sum_cents"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -907,6 +951,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_in_pred": q43_in_pred,
     "q44_isnull_pred": q44_isnull_pred,
     "q45_binned_quantiles": q45_binned_quantiles,
+    "q46_partitioned_scan": q46_partitioned_scan,
 }
 
 
@@ -1305,4 +1350,14 @@ RELATIONAL_ORACLE["q45_binned_quantiles"] = f"""
                AS est_lower_cents
     FROM thr JOIN cum ON cum >= thr
     GROUP BY pct
+"""
+
+RELATIONAL_ORACLE["q46_partitioned_scan"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+    GROUP BY o_orderpriority
 """

@@ -96,14 +96,27 @@ def extract_file_blooms(
 
 
 def extract_file_stats(
-    path: str, index_schema: Dict[str, str]
+    path: str,
+    index_schema: Dict[str, str],
+    file_name: Optional[str] = None,
+    partition_stats: Optional[Dict[str, object]] = None,
 ) -> Tuple[FileStats, List[RowGroupStats]]:
-    """Footer-only extraction for one file (reference index.rs:179-240)."""
+    """Footer-only extraction for one file (reference index.rs:179-240).
+
+    file_name: catalog key override — partitioned datasets key by the
+    dir-relative path (``prio=1-URGENT/part-0.parquet``) because Spark
+    writers reuse basenames across partition directories.
+    partition_stats: {column: value} parsed from hive-style path
+    segments. A partition value is a DEGENERATE statistic — every row in
+    the file has exactly that value — so it enters the catalog as
+    min = max = value with null_count 0 (or all-null for the hive
+    default-partition sentinel), and the existing refutation-sound
+    rewriter prunes on it with no partition-specific logic at all."""
     pf = pq.ParquetFile(path)
     md = pf.metadata
     name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     fs = FileStats(
-        file_name=os.path.basename(path),
+        file_name=file_name or os.path.basename(path),
         file_size_bytes=os.path.getsize(path),
         row_group_count=md.num_row_groups,
         row_count=md.num_rows,
@@ -113,6 +126,12 @@ def extract_file_stats(
         rg_md = md.row_group(i)
         rg = RowGroupStats(row_group=i, row_count=rg_md.num_rows)
         for col in index_schema:
+            if partition_stats and col in partition_stats:
+                v = partition_stats[col]
+                rg.columns[col] = (
+                    (rg_md.num_rows, None, None) if v is None  # hive null
+                    else (0, v, v))
+                continue
             ci = name_to_idx.get(col)
             if ci is None:
                 continue
@@ -128,10 +147,73 @@ def extract_file_stats(
     return fs, rgs
 
 
-def list_parquet_files(data_dir: str) -> List[str]:
+def list_parquet_files(data_dir: str, recursive: bool = False) -> List[str]:
     """Sorted directory listing (reference main.rs:409-423 sorts entries
-    by file name for deterministic index order)."""
-    return sorted(str(p) for p in Path(data_dir).glob("*.parquet"))
+    by file name for deterministic index order). recursive=True walks
+    hive-partitioned layouts, skipping hidden/metadata entries
+    (_SUCCESS, _delta_log, .crc — the usual lakehouse convention)."""
+    pat = "**/*.parquet" if recursive else "*.parquet"
+    out = []
+    for p in Path(data_dir).glob(pat):
+        rel = p.relative_to(data_dir)
+        if any(seg.startswith((".", "_")) for seg in rel.parts):
+            continue
+        out.append(str(p))
+    return sorted(out)
+
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_values_raw(data_dir: str, path: str) -> Dict[str, Optional[str]]:
+    """Hive-style ``key=value`` path segments between data_dir and the
+    file, URL-unquoted, in directory order. The null-partition sentinel
+    maps to None."""
+    from urllib.parse import unquote
+
+    rel = Path(path).relative_to(data_dir)
+    out: Dict[str, Optional[str]] = {}
+    for seg in rel.parts[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        out[unquote(k)] = None if v == HIVE_NULL else v
+    return out
+
+
+def typed_partition_values(
+    raw: Dict[str, Optional[str]], categories: Dict[str, str],
+) -> Dict[str, object]:
+    """Convert raw partition strings into the catalog domain of the given
+    type-categories (the categories come from the SPARK-inferred schema,
+    so index and reader agree on the typed domain by construction).
+    Columns whose category is missing/unsupported are dropped — they
+    simply never prune (the standard conservative fallback)."""
+    import datetime as _dt
+
+    out: Dict[str, object] = {}
+    for k, v in raw.items():
+        cat = categories.get(k)
+        if cat is None:
+            continue
+        if v is None:
+            out[k] = None
+            continue
+        try:
+            if cat == "int":
+                out[k] = int(v)
+            elif cat == "float":
+                out[k] = float(v)
+            elif cat == "string":
+                out[k] = v
+            elif cat == "date":
+                out[k] = _dt.date.fromisoformat(v)
+            else:
+                continue
+        except ValueError:
+            continue  # unparseable => column can't prune this file: sound
+    return out
 
 
 def build_index(
@@ -144,8 +226,18 @@ def build_index(
     max_workers: int = 8,
     bloom_columns: Optional[Sequence[str]] = None,
     bloom_fpp: float = 0.01,
+    rel_to: Optional[str] = None,
+    partition_schema: Optional[Dict[str, str]] = None,
+    partition_values: Optional[Dict[str, Dict[str, object]]] = None,
 ) -> Dict[str, str]:
     """Index every file into the catalog; returns the index schema used.
+
+    rel_to: catalog file_name = path relative to this dir (required for
+    partitioned layouts where basenames collide across partition dirs).
+    partition_schema: {partition column: type-category} merged into the
+    index schema — partition columns are always indexable (their value
+    IS their min and max).
+    partition_values: {file path: {column: typed value}}.
 
     The index schema is derived from the first file's footer ("assume they
     all have the same schema", reference main.rs:228-237). Extraction
@@ -169,27 +261,41 @@ def build_index(
     if not files:
         catalog.initialize({})
         return {}
+
+    def _name(p):
+        return (str(Path(p).relative_to(rel_to)) if rel_to
+                else os.path.basename(p))
+
     first = pq.ParquetFile(files[0])
+    # partition columns are requested implicitly (pruning on them is
+    # free); a name collision with a footer column keeps the footer's
+    # stats (hive layouts don't duplicate partition cols in the data)
     schema = index_schema_for(first.schema_arrow, index_columns)
+    if partition_schema:
+        for c, cat in partition_schema.items():
+            schema.setdefault(c, cat)
     catalog.initialize(schema)
     from .bloom import BLOOM_CATEGORIES
+    part_values = partition_values or {}
     bloom_schema = {
         c: cat for c, cat in schema.items()
-        if bloom_columns and c in bloom_columns and cat in BLOOM_CATEGORIES}
+        if bloom_columns and c in bloom_columns and cat in BLOOM_CATEGORIES
+        and not (partition_schema and c in partition_schema)}
 
     def _extract(p):
-        fs, rgs = extract_file_stats(p, schema)
+        fs, rgs = extract_file_stats(
+            p, schema, file_name=_name(p), partition_stats=part_values.get(p))
         blooms = (extract_file_blooms(p, bloom_schema, bloom_fpp)
                   if bloom_schema else None)
         return fs, rgs, blooms
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
-        current_names = {os.path.basename(p) for p in files}
+        current_names = {_name(p) for p in files}
         for stale in set(known) - current_names:
             catalog.remove_file(stale)
         files = [p for p in files
-                 if known.get(os.path.basename(p)) != os.path.getsize(p)]
+                 if known.get(_name(p)) != os.path.getsize(p)]
         if not files:
             return schema
 
@@ -197,9 +303,14 @@ def build_index(
         sc = spark.sparkContext
         schema_b = sc.broadcast(schema)
         bloom_b = sc.broadcast(bloom_schema)
+        names = {p: _name(p) for p in files}
+        meta_b = sc.broadcast((names, part_values))
 
-        def _extract_dist(p, _s=schema_b, _bs=bloom_b, _fpp=bloom_fpp):
-            fs, rgs = extract_file_stats(p, _s.value)
+        def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
+                          _fpp=bloom_fpp):
+            nm, pv = _m.value
+            fs, rgs = extract_file_stats(
+                p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
             blooms = (extract_file_blooms(p, _bs.value, _fpp)
                       if _bs.value else None)
             return fs, rgs, blooms

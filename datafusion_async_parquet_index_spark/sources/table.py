@@ -90,27 +90,91 @@ class IndexedParquetTable:
         catalog: Optional[SqliteIndexCatalog] = None,
         name: Optional[str] = None,
         bloom_columns: Optional[Sequence[str]] = None,
+        partitioned: Optional[bool] = None,
     ):
+        """partitioned: True for a hive-style ``key=value`` directory
+        layout; None auto-detects (no flat *.parquet but partition dirs
+        present). Partition columns index for free — each file's
+        partition value is a degenerate min = max statistic, so the
+        SAME refutation-sound rewrite that prunes on footer stats
+        prunes on partitions, and a mixed predicate (partition AND
+        data column) narrows through both in one catalog query."""
         self.spark = spark
         self.data_dir = data_dir
         self.catalog = catalog or SqliteIndexCatalog()
         self.name = name or os.path.basename(data_dir.rstrip("/"))
-        self._files = list_parquet_files(data_dir)
+        flat = list_parquet_files(data_dir)
+        if partitioned is None:
+            partitioned = not flat and any(
+                "=" in os.path.relpath(p, data_dir)
+                for p in list_parquet_files(data_dir, recursive=True))
+        self.partitioned = partitioned
+        self._files = (list_parquet_files(data_dir, recursive=True)
+                       if partitioned else flat)
         self.bloom_columns = tuple(bloom_columns or ())
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
         # know what to index once the first files appear
         self._index_columns = list(index_columns)
+        # schema inferred from data ("assume all files share it",
+        # reference main.rs:228-237); with basePath Spark surfaces the
+        # partition columns, typed by ITS partition inference — the
+        # index stores partition values in that same typed domain, so
+        # catalog pruning and the residual filter agree by construction
+        self._schema = self._infer_schema()
+        part_kw = self._partition_index_kwargs()
         self.index_schema = build_index(
             self.catalog, self._files, index_columns, spark=spark,
-            bloom_columns=self.bloom_columns)
+            bloom_columns=self.bloom_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
-        # schema inferred from data ("assume all files share it",
-        # reference main.rs:228-237)
-        self._schema = (
-            spark.read.parquet(self._files[0]).schema if self._files else None)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
+
+    def _infer_schema(self):
+        if not self._files:
+            return None
+        reader = self.spark.read
+        if self.partitioned:
+            reader = reader.option("basePath", self.data_dir)
+        return reader.parquet(self._files[0]).schema
+
+    def _partition_index_kwargs(self) -> dict:
+        """rel_to + partition schema/values kwargs for build_index (empty
+        for flat layouts). Partition-column categories come from the
+        Spark-inferred schema so both sides share one typed domain."""
+        if not getattr(self, "partitioned", False) or not self._files:
+            return {}
+        from pyspark.sql import types as T
+        from .stats import partition_values_raw, typed_partition_values
+
+        _CAT = {
+            T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
+            T.LongType: "int", T.FloatType: "float", T.DoubleType: "float",
+            T.StringType: "string", T.DateType: "date",
+        }
+        raw_by_file = {p: partition_values_raw(self.data_dir, p)
+                       for p in self._files}
+        part_cols = sorted({c for r in raw_by_file.values() for c in r})
+        cats = {}
+        for f in (self._schema.fields if self._schema else []):
+            if f.name in part_cols:
+                cat = _CAT.get(type(f.dataType))
+                if cat is not None:
+                    cats[f.name] = cat
+        return {
+            "rel_to": self.data_dir,
+            "partition_schema": cats,
+            "partition_values": {
+                p: typed_partition_values(raw, cats)
+                for p, raw in raw_by_file.items()},
+        }
+
+    def _file_key(self, path: str) -> str:
+        """Catalog key for a file: dir-relative for partitioned layouts
+        (basenames repeat across partition dirs), basename otherwise."""
+        return (os.path.relpath(path, self.data_dir)
+                if getattr(self, "partitioned", False)
+                else os.path.basename(path))
 
     # -- maintenance (EP2) --------------------------------------------
     def refresh(self) -> None:
@@ -118,22 +182,24 @@ class IndexedParquetTable:
         files; stats for deleted files are dropped. Idempotent per file —
         the catalog upsert replaces stale stats — and O(changed files) in
         the steady state (size-match short-circuit)."""
-        self._files = list_parquet_files(self.data_dir)
+        self._files = list_parquet_files(
+            self.data_dir, recursive=getattr(self, "partitioned", False))
+        if self._schema is None and self._files:
+            # table was constructed over an empty directory; first files
+            # just appeared — infer the schema now
+            self._schema = self._infer_schema()
         requested = getattr(self, "_index_columns", None) or list(self.index_schema)
         new_schema = build_index(self.catalog, self._files,
                                  requested, spark=self.spark,
                                  incremental=True,
-                                 bloom_columns=getattr(self, "bloom_columns", ()))
+                                 bloom_columns=getattr(self, "bloom_columns", ()),
+                                 **self._partition_index_kwargs())
         if new_schema != self.index_schema:
             # first files after empty-dir construction (or a schema
             # evolution): adopt the derived schema and rebuild the
             # rewriter so the requested columns actually prune
             self.index_schema = new_schema
             self._rewriter = PruningRewriter(self.index_schema)
-        if self._schema is None and self._files:
-            # table was constructed over an empty directory; first files
-            # just appeared — infer the schema now
-            self._schema = self.spark.read.parquet(self._files[0]).schema
 
     # -- planning ------------------------------------------------------
     def plan_scan(self, predicate: Optional[Expr]) -> ScanDecision:
@@ -147,7 +213,7 @@ class IndexedParquetTable:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
             files = {name: list(range(indexed[name]))
                      for p in self._files
-                     if (name := os.path.basename(p)) in indexed}
+                     if (name := self._file_key(p)) in indexed}
             decision = ScanDecision("TRUE", files, len(self._files), total_rgs)
         else:
             stats_pred = self._rewriter.rewrite(predicate)
@@ -241,13 +307,28 @@ class IndexedParquetTable:
                 f"table {self.name!r} has no parquet files under "
                 f"{self.data_dir!r}; add data and call refresh()")
         decision = self.plan_scan(predicate)
+        partitioned = getattr(self, "partitioned", False)
+        if mode == "rowgroups" and partitioned:
+            raise ValueError(
+                "mode='rowgroups' is not supported on partitioned layouts: "
+                "the Python DataSource reads raw files, which do not "
+                "contain the partition columns. Use the default "
+                "mode='files' (partition dirs already prune at file "
+                "granularity; the native reader skips row groups from "
+                "pushed footer stats).")
         if not decision.files_scanned:
             df = self.spark.createDataFrame([], self._schema)
         elif mode == "rowgroups":
             df = self._read_rowgroups(decision, predicate, columns)
         else:
             paths = [os.path.join(self.data_dir, f) for f in decision.file_names]
-            df = self.spark.read.schema(self._schema).parquet(*paths)
+            reader = self.spark.read
+            if partitioned:
+                # basePath re-surfaces the partition columns on a
+                # file-list read, typed exactly as schema inference saw
+                # them
+                reader = reader.option("basePath", self.data_dir)
+            df = reader.schema(self._schema).parquet(*paths)
         if predicate is not None:
             df = df.filter(predicate.to_spark())  # Inexact => residual filter
         if columns:
@@ -417,6 +498,8 @@ class IndexedParquetTable:
     # -- convenience ---------------------------------------------------
     def to_df(self) -> DataFrame:
         """Unpruned full-table scan through Spark's native reader."""
+        if getattr(self, "partitioned", False):
+            return self.spark.read.schema(self._schema).parquet(self.data_dir)
         return self.spark.read.schema(self._schema).parquet(
             os.path.join(self.data_dir, "*.parquet"))
 

@@ -156,7 +156,7 @@ def test_refresh_is_incremental(spark, tmp_path, monkeypatch):
     real = stats_mod.extract_file_stats
     monkeypatch.setattr(
         stats_mod, "extract_file_stats",
-        lambda p, s: calls.append(p) or real(p, s))
+        lambda p, s, **kw: calls.append(p) or real(p, s, **kw))
 
     # no changes: refresh touches no footers
     t.refresh()

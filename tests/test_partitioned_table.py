@@ -1,0 +1,180 @@
+"""Hive-partitioned layouts through the external index.
+
+Partition values enter the catalog as degenerate min = max statistics
+per file, so the SAME refutation-sound rewrite that prunes on footer
+stats prunes on partition directories — no partition-specific predicate
+logic exists anywhere.  These tests pin:
+
+- partition-equality pruning to exactly the matching directory's files,
+- mixed partition AND data-column predicates narrowing through both,
+- result parity with a plain Spark read of the same layout,
+- basename collisions across partition dirs (catalog keys by relative
+  path),
+- refresh() picking up a new partition directory,
+- auto-detection of the layout, and the rowgroups-mode guard.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.table import IndexedParquetTable
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("orders_part"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (orders.repartition(2)
+     .write.partitionBy("o_orderstatus").mode("overwrite").parquet(d))
+    return d
+
+
+@pytest.fixture(scope="module")
+def part_table(spark, part_dir):
+    return IndexedParquetTable(
+        spark, part_dir, index_columns=["o_totalprice"], partitioned=True)
+
+
+def test_autodetect_partitioned(spark, part_dir):
+    t = IndexedParquetTable(spark, part_dir, index_columns=["o_totalprice"])
+    assert t.partitioned is True
+    assert "o_orderstatus" in t.index_schema
+
+
+def test_partition_schema_enters_index(part_table):
+    assert part_table.index_schema["o_orderstatus"] == "string"
+    assert part_table.index_schema["o_totalprice"] == "float"
+    # catalog keyed by dir-relative names (basenames collide across dirs)
+    names = [f[0] for f in part_table.catalog.all_files()]
+    assert all("=" in n and os.sep in n for n in names)
+    basenames = [os.path.basename(n) for n in names]
+    assert len(set(basenames)) < len(basenames), (
+        "fixture should produce colliding basenames across partitions")
+
+
+def test_partition_equality_prunes_to_one_dir(part_table):
+    df = part_table.query(col("o_orderstatus") == "F")
+    decision = part_table.last_scan
+    assert decision.files_scanned, "F partition must exist"
+    assert all(f.startswith("o_orderstatus=F") for f in decision.file_names)
+    assert 0 < len(decision.files_scanned) < decision.total_files
+    # every returned row really is from the partition (residual filter)
+    assert df.filter(F.col("o_orderstatus") != "F").count() == 0
+    assert df.count() > 0
+
+
+def test_partition_parity_with_plain_read(spark, part_table, part_dir):
+    ours = part_table.query(col("o_orderstatus") == "P").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("s")).head()
+    plain = (spark.read.parquet(part_dir)
+             .filter(F.col("o_orderstatus") == "P")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.round(F.sum("o_totalprice"), 2).alias("s")).head())
+    assert ours == plain
+
+
+def test_mixed_partition_and_stats_predicate(spark, part_table, part_dir):
+    pred = (col("o_orderstatus") == "O") & (col("o_totalprice") > 300000.0)
+    df = part_table.query(pred)
+    decision = part_table.last_scan
+    assert all(f.startswith("o_orderstatus=O") for f in decision.file_names)
+    expect = (spark.read.parquet(part_dir)
+              .filter((F.col("o_orderstatus") == "O")
+                      & (F.col("o_totalprice") > 300000.0)).count())
+    assert df.count() == expect
+
+
+def test_nonexistent_partition_zero_io(part_table):
+    df = part_table.query(col("o_orderstatus") == "ZZZ")
+    assert df.count() == 0
+    assert part_table.last_scan.files_scanned == {}
+
+
+def test_partition_in_list(part_table):
+    df = part_table.query(col("o_orderstatus").isin("F", "ZZZ"))
+    assert all(f.startswith("o_orderstatus=F")
+               for f in part_table.last_scan.file_names)
+    assert df.count() > 0
+
+
+def test_unpartitioned_columns_still_prune(part_table):
+    # contradiction on the indexed data column: refuted from footer stats
+    df = part_table.query((col("o_totalprice") > 9e9))
+    assert df.count() == 0
+    assert part_table.last_scan.files_scanned == {}
+
+
+def test_refresh_picks_up_new_partition(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("orders_grow"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (orders.filter(F.col("o_orderstatus") == "F")
+     .write.partitionBy("o_orderstatus").mode("overwrite").parquet(d))
+    t = IndexedParquetTable(
+        spark, d, index_columns=["o_totalprice"], partitioned=True)
+    assert t.query(col("o_orderstatus") == "O").count() == 0
+    # a new partition directory arrives
+    (orders.filter(F.col("o_orderstatus") == "O")
+     .write.partitionBy("o_orderstatus").mode("append").parquet(d))
+    t.refresh()
+    got = t.query(col("o_orderstatus") == "O").count()
+    expect = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert got == expect
+    assert all(f.startswith("o_orderstatus=O")
+               for f in t.last_scan.file_names)
+
+
+def test_int_partition_values_prune_typed(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("li_bucketed"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    (li.withColumn("qbucket", (F.col("l_quantity") / 10).cast("int"))
+     .write.partitionBy("qbucket").mode("overwrite").parquet(d))
+    t = IndexedParquetTable(
+        spark, d, index_columns=["l_extendedprice"], partitioned=True)
+    assert t.index_schema["qbucket"] == "int"
+    df = t.query((col("qbucket") >= 2) & (col("qbucket") < 4))
+    assert all(f.startswith(("qbucket=2", "qbucket=3"))
+               for f in t.last_scan.file_names)
+    expect = li.filter((F.col("l_quantity") >= 20)
+                       & (F.col("l_quantity") < 40)).count()
+    assert df.count() == expect
+
+
+def test_rowgroups_mode_rejected(part_table):
+    with pytest.raises(ValueError, match="rowgroups"):
+        part_table.query(col("o_orderstatus") == "F", mode="rowgroups")
+
+
+def test_backends_agree_on_partitioned_decisions(spark, part_dir):
+    """The DataFrame/lakehouse catalog backend receives the same
+    degenerate partition stats through the same upsert path, so both
+    backends must return the identical pruning decision for partition
+    and mixed predicates."""
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+
+    sq = IndexedParquetTable(
+        spark, part_dir, index_columns=["o_totalprice"], partitioned=True)
+    df_t = IndexedParquetTable(
+        spark, part_dir, index_columns=["o_totalprice"], partitioned=True,
+        catalog=DataFrameIndexCatalog(spark))
+    for pred in [
+        col("o_orderstatus") == "F",
+        (col("o_orderstatus") == "O") & (col("o_totalprice") > 300000.0),
+        col("o_orderstatus").isin("P", "ZZZ"),
+        col("o_orderstatus") == "ZZZ",
+    ]:
+        a = sq.plan_scan(pred).files_scanned
+        b = df_t.plan_scan(pred).files_scanned
+        assert {k: sorted(v) for k, v in a.items()} == \
+            {k: sorted(v) for k, v in b.items()}, pred.to_sql()
+
+
+def test_full_scan_and_count_rows(spark, part_table, part_dir):
+    plain = spark.read.parquet(part_dir).count()
+    assert part_table.count_rows() == plain
+    assert part_table.query(None).count() == plain

@@ -905,6 +905,64 @@ def q46_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"))
 
 
+ZORDER_LAYOUT_ENV = "SPARK_GRAFT_ZORDER_LAYOUT"
+
+
+def q47_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box predicate over a Z-ORDERED layout through the index:
+    lineitem rewritten once per corpus along a Morton curve over
+    (l_quantity, l_extendedprice) — quantile-normalized bucket ranks,
+    bit-interleaved, range-sorted (sources/layout.py write_zordered) —
+    then indexed on BOTH columns. A box predicate prunes row groups on
+    both dimensions simultaneously, where a single-column sort gives
+    perfect pruning on one axis and none on the other. The oracle runs
+    the same box on the flat lineitem table, so the physical rewrite +
+    index must be value-transparent."""
+    from .operators.util import artifact_dir, session_memo
+    from .sources.layout import write_zordered
+
+    layout = artifact_dir(
+        ZORDER_LAYOUT_ENV, "spark_graft_zorder_layout",
+        os.path.join(sf_dir, "lineitem.parquet"),
+        "z=l_quantity,l_extendedprice")
+    memo = session_memo(spark, "zorder_layout")
+    t = memo.get(layout)
+    if t is None:
+        if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+            li = _read(spark, sf_dir, "lineitem").select(
+                "l_quantity", "l_extendedprice", "l_returnflag")
+            write_zordered(li, layout,
+                           ["l_quantity", "l_extendedprice"], num_files=4)
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout,
+            index_columns=["l_quantity", "l_extendedprice"])
+    box = ((xcol("l_quantity") >= 10.0) & (xcol("l_quantity") <= 15.0)
+           & (xcol("l_extendedprice") >= 20000.0)
+           & (xcol("l_extendedprice") <= 30000.0))
+    df = t.query(box)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("sum_cents"))
+
+
+def q48_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts answered from the CATALOG ALONE — zero Parquet I/O at any
+    scale: COUNT(*) is the sum of the index's per-file row counts (the
+    stats ARE the aggregate, reference index.rs:198-205), and a refuted
+    predicate's count is 0 straight from the empty access plan
+    (reference README.md:70). The one-row result is assembled on the
+    driver because the answer never touches data; the oracle recomputes
+    both counts the hard way."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    total = t.count_rows()
+    impossible = t.count_rows(xcol("l_quantity") > 1e9)
+    assert t.last_scan.files_scanned == {}, "refutation must be catalog-only"
+    return spark.createDataFrame(
+        [(total, impossible)],
+        "total_rows BIGINT, impossible_rows BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -952,6 +1010,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_isnull_pred": q44_isnull_pred,
     "q45_binned_quantiles": q45_binned_quantiles,
     "q46_partitioned_scan": q46_partitioned_scan,
+    "q47_zorder_scan": q47_zorder_scan,
+    "q48_metadata_count": q48_metadata_count,
 }
 
 
@@ -1360,4 +1420,22 @@ RELATIONAL_ORACLE["q46_partitioned_scan"] = """
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice > 200000
     GROUP BY o_orderpriority
+"""
+
+RELATIONAL_ORACLE["q47_zorder_scan"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 15
+      AND l_extendedprice BETWEEN 20000 AND 30000
+    GROUP BY l_returnflag
+"""
+
+RELATIONAL_ORACLE["q48_metadata_count"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 1e9) AS BIGINT)
+               AS impossible_rows
+    FROM lineitem
 """

@@ -64,6 +64,49 @@ def indexed_ingest_sink(table: IndexedParquetTable) -> Callable:
     return _sink
 
 
+def partitioned_ingest_sink(
+    table: IndexedParquetTable, partition_cols,
+) -> Callable:
+    """foreachBatch sink for a PARTITIONED IndexedParquetTable — the
+    production lakehouse ingest shape: each micro-batch writes
+    hive-style ``key=value`` directories (e.g. an event-date column),
+    its part files move under the matching table partition dirs with
+    deterministic per-batch names, and the incremental ``refresh()``
+    indexes the new files with their partition values as degenerate
+    min=max stats. Same idempotency contract as ``indexed_ingest_sink``:
+    a crash-replayed batch first removes its own previous partial
+    attempt (across all partition dirs), so it replaces itself. The
+    scratch dir is ``_``-prefixed, which the recursive lister ignores
+    by convention."""
+    import glob
+    import os
+    import shutil
+
+    cols = list(partition_cols)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        scratch = os.path.join(table.data_dir, f"_ingest_tmp_b{batch_id}")
+        batch_df.write.mode("overwrite").partitionBy(*cols).parquet(scratch)
+        prefix = f"ingest-b{batch_id:06d}-"
+        for stale in glob.glob(
+                os.path.join(table.data_dir, "**", prefix + "*.parquet"),
+                recursive=True):
+            if f"_ingest_tmp_b{batch_id}" not in stale:
+                os.remove(stale)  # partial previous attempt of this batch
+        parts = sorted(glob.glob(
+            os.path.join(scratch, "**", "part-*.parquet"), recursive=True))
+        for n, p in enumerate(parts):
+            rel = os.path.relpath(os.path.dirname(p), scratch)
+            dest_dir = (table.data_dir if rel == "."
+                        else os.path.join(table.data_dir, rel))
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(p, os.path.join(dest_dir, f"{prefix}{n:04d}.parquet"))
+        shutil.rmtree(scratch, ignore_errors=True)
+        table.refresh()
+
+    return _sink
+
+
 def ingest_stream_to_indexed_table(
     source_stream: DataFrame,
     table: IndexedParquetTable,

@@ -285,6 +285,52 @@ def test_ingest_sink_replay_is_idempotent(spark, tmp_path):
     assert table.query(col("value") >= 0).count() == 100
 
 
+def test_partitioned_ingest_sink(spark, tmp_path):
+    """Streaming ingest into a PARTITIONED indexed table: micro-batches
+    land as hive key=value dirs, refresh() indexes the new files with
+    their partition values as degenerate min=max stats, partition
+    predicates prune to the right directories, and a replayed batch
+    replaces itself across partition dirs."""
+    from pyspark.sql import types as T
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    from datafusion_async_parquet_index_spark.streaming import (
+        partitioned_ingest_sink,
+    )
+
+    tbl_dir = tmp_path / "ptbl"
+    tbl_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("value", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+    ])
+    table = IndexedParquetTable(
+        spark, str(tbl_dir), ["value"], partitioned=True)
+    sink = partitioned_ingest_sink(table, ["day"])
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"d{i % 2}") for i in range(lo, hi)], schema)
+
+    sink(batch(0, 100), 1)
+    assert table.partitioned
+    assert "day" in table.index_schema
+    assert table.query(col("value") >= 0).count() == 100
+    df = table.query(col("day") == "d0")
+    assert all(f.startswith("day=d0") for f in table.last_scan.file_names)
+    assert df.count() == 50
+
+    sink(batch(0, 100), 1)  # crash-replay: replaces, never duplicates
+    assert table.query(col("value") >= 0).count() == 100
+
+    sink(batch(100, 160), 2)  # second batch accumulates
+    assert table.query(col("value") >= 0).count() == 160
+    assert table.query((col("day") == "d1") & (col("value") >= 100)).count() == 30
+
+
 def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
     """Streaming incremental dedup == the batch operator on identical
     input, regardless of micro-batch boundaries: each new doc's matches

@@ -244,3 +244,44 @@ def test_repetition_stats_map_only(spark, sf_dir):
     plan = _plan(text_repetition_stats(spark, str(sf_dir)))
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_attribution_is_banded_not_theta(spark, sf_dir):
+    """Last-touch attribution joins purchases to touches via the bin
+    equi-join (2 bins per purchase) — no per-user quadratic theta join,
+    no per-row Python, and exactly one row_number window."""
+    from datafusion_async_parquet_index_spark.operators.events import (
+        ev_attribution,
+    )
+    plan = _plan(ev_attribution(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("RunningWindowFunction") <= 1
+
+
+def test_bigram_logprob_no_window(spark, sf_dir):
+    """Bigrams are built inside the token array (transform over index
+    positions) — no posexplode + lag window; the only exchanges are the
+    count aggregations and their joins back."""
+    from datafusion_async_parquet_index_spark.operators.text import (
+        text_bigram_logprob,
+    )
+    plan = _plan(text_bigram_logprob(spark, str(sf_dir)))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_binned_quantiles_state_is_bounded(spark, sf_dir):
+    """The histogram-quantile sketch reduces the data to ~#bins rows
+    before any window: the single-partition cumulative window must sit
+    on the aggregated bin table, never on raw rows (a global sort of
+    the data would show as a rangepartitioning exchange feeding a sort
+    of the full input)."""
+    from datafusion_async_parquet_index_spark.queries import (
+        q45_binned_quantiles,
+    )
+    plan = _plan(q45_binned_quantiles(spark, str(sf_dir)))
+    assert "HashAggregate" in plan           # bin counts first
+    assert "BatchEvalPython" not in plan

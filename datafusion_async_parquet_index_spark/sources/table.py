@@ -133,10 +133,16 @@ class IndexedParquetTable:
     def _infer_schema(self):
         if not self._files:
             return None
-        reader = self.spark.read
         if self.partitioned:
-            reader = reader.option("basePath", self.data_dir)
-        return reader.parquet(self._files[0]).schema
+            # whole-layout inference, not first-file: a single file
+            # cannot type the partition columns correctly — a
+            # __HIVE_DEFAULT_PARTITION__ dir sorted first would infer
+            # NullType for its partition column and poison every
+            # subsequent fixed-schema read; partition value types must
+            # union across directories (Spark's own partition
+            # discovery, a listing + sampled footers — no data read)
+            return self.spark.read.parquet(self.data_dir).schema
+        return self.spark.read.parquet(self._files[0]).schema
 
     def _partition_index_kwargs(self) -> dict:
         """rel_to + partition schema/values kwargs for build_index (empty

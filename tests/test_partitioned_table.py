@@ -174,6 +174,37 @@ def test_backends_agree_on_partitioned_decisions(spark, part_dir):
             {k: sorted(v) for k, v in b.items()}, pred.to_sql()
 
 
+def test_hive_null_partition_sentinel(spark, tmp_path_factory):
+    """Rows with a NULL partition value land under the
+    __HIVE_DEFAULT_PARTITION__ directory; their injected stats are
+    all-null (null_count = row_count), so IS NULL prunes to exactly
+    that directory and IS NOT NULL excludes it — the null_count term
+    of the rewriter working on the partition dimension."""
+    from pyspark.sql import types as T
+
+    d = str(tmp_path_factory.mktemp("null_part"))
+    schema = T.StructType([
+        T.StructField("v", T.IntegerType()),
+        T.StructField("grp", T.StringType()),
+    ])
+    rows = [(i, None if i % 4 == 0 else f"g{i % 2}") for i in range(40)]
+    (spark.createDataFrame(rows, schema)
+     .write.partitionBy("grp").mode("overwrite").parquet(d))
+    t = IndexedParquetTable(spark, d, index_columns=["v"], partitioned=True)
+    nulls = t.query(col("grp").is_null())
+    assert all("__HIVE_DEFAULT_PARTITION__" in f
+               for f in t.last_scan.file_names)
+    assert nulls.count() == 10
+    notnull = t.query(col("grp").is_not_null())
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f
+               for f in t.last_scan.file_names)
+    assert notnull.count() == 30
+    g0 = t.query(col("grp") == "g0")
+    assert all(f.startswith("grp=g0") for f in t.last_scan.file_names)
+    # evens that are not multiples of 4: 2, 6, ..., 38
+    assert g0.count() == 10
+
+
 def test_full_scan_and_count_rows(spark, part_table, part_dir):
     plain = spark.read.parquet(part_dir).count()
     assert part_table.count_rows() == plain

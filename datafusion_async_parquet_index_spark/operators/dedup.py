@@ -1159,17 +1159,16 @@ def _corpus_signature_store(spark: SparkSession, sf_dir: str):
     markers both writes leave; the per-session memo only skips the
     os.path checks, never the disk."""
     store = signature_store_dir(sf_dir)
-    from .util import session_memo
+    from .util import ensure_complete, session_memo
 
     memo = session_memo(spark, "sigstore")
     if not memo.get(store):
-        done = all(
-            os.path.exists(os.path.join(store, sub, "_SUCCESS"))
-            for sub in ("signatures", "bands"))
-        if not done:
-            corpus = read_table(spark, sf_dir, "documents").filter(
-                F.col("doc_id") % NEW_BATCH_MOD != 0)
-            write_signature_store(corpus, store)
+        ensure_complete(
+            store,
+            [("signatures", "_SUCCESS"), ("bands", "_SUCCESS")],
+            lambda d: write_signature_store(
+                read_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % NEW_BATCH_MOD != 0), d))
         memo[store] = True
     return read_signature_store(spark, store)
 

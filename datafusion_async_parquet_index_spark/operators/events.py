@@ -399,9 +399,14 @@ def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     ev = read_table(spark, sf_dir, "events")
     e = ev.select("event_id", "user_id", _ts_seconds(ev).alias("sec"))
-    # FLOOR division (not DIV, which truncates toward zero): for
-    # pre-1970 timestamps truncation and flooring disagree, breaking
-    # both bin adjacency and parity with the oracle's flooring `//`
+    # FLOOR division, while the oracle's `//` truncates toward zero
+    # (DuckDB: -7 // 2 = -3). The bin VALUES therefore differ for
+    # pre-1970 seconds, but bins are internal banding only — never
+    # output — and both schemes give intervals >= INTERVAL_SEC wide,
+    # so the ±1-bin explode still covers every true pair and the exact
+    # |Δt| filter decides membership identically in both engines. Do
+    # NOT emit the bin value in a result without switching the oracle
+    # to FLOOR().
     binned = e.withColumn(
         "bin", F.floor(F.col("sec") / F.lit(INTERVAL_SEC)).cast("long"))
     left = binned.select(
@@ -486,12 +491,16 @@ def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tsec").desc(), F.col("tid").desc())
     best = (cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("pid", "ttype"))
+    # exact integer cents, like every other money aggregate under the
+    # oracle gate: double sums are accumulation-order-sensitive and
+    # could round differently across engines near half-cent boundaries
     return (
         p.join(best, "pid", "left")
         .groupBy(F.coalesce(F.col("ttype"), F.lit("none"))
                  .alias("attributed_type"))
         .agg(F.count(F.lit(1)).alias("purchases"),
-             F.round(F.sum("pvalue"), 2).alias("attributed_value"))
+             F.sum(F.round(F.col("pvalue") * 100).cast("long"))
+             .alias("value_cents"))
     )
 
 
@@ -519,7 +528,8 @@ EV_ATTRIBUTION_SQL = f"""
     )
     SELECT COALESCE(b.ttype, 'none') AS attributed_type,
            CAST(COUNT(*) AS BIGINT) AS purchases,
-           ROUND(SUM(pvalue), 2) AS attributed_value
+           CAST(SUM(CAST(round(pvalue * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
     FROM p LEFT JOIN (SELECT pid, ttype FROM best WHERE rn = 1) b
         USING (pid)
     GROUP BY 1

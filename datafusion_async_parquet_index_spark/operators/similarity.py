@@ -544,19 +544,17 @@ def sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering rows — at 100 TB the probe reads 1/n_cells of the corpus.
     nprobe=1 is row-identical to the logical sim_ivf_topk (same
     centroids, same tie-breaks), so it shares that oracle."""
-    import os
-
-    from .util import read_table, session_memo
+    from .util import ensure_complete, read_table, session_memo
 
     layout = ivf_layout_dir(sf_dir)
     memo = session_memo(spark, "ivf_layout")
     df = memo.get(layout)
     if df is None:
-        done = all(
-            os.path.exists(os.path.join(layout, *sub))
-            for sub in (("_SUCCESS",), ("_meta", "centroids", "_SUCCESS")))
-        if not done:
-            write_ivf_layout(read_table(spark, sf_dir, "embeddings"), layout)
+        ensure_complete(
+            layout,
+            ["_SUCCESS", ("_meta", "centroids", "_SUCCESS")],
+            lambda d: write_ivf_layout(
+                read_table(spark, sf_dir, "embeddings"), d))
         # memoize the probe plan too: building it collects the probed
         # cell list driver-side, which repeat calls need not redo
         df = memo[layout] = ivf_layout_topk(spark, layout, nprobe=1)

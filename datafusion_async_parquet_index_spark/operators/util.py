@@ -87,24 +87,33 @@ def spread_for_compute(
     (the conservative direction for CPU-heavy work)."""
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
+    merge_to = None
     if min_parts is not None:
         target = min_parts
     elif bytes_per_task:
         est = _plan_size_estimate(df)
-        if est is None:
-            target = parallelism
+        if est is not None:
+            # size-based task count, NOT capped by core count: a large
+            # input must keep (or get) ceil(bytes / bytes_per_task)
+            # tasks — capping at parallelism would merge a multi-TB
+            # scan into per-core mega-tasks. Only the repartition-UP
+            # direction caps at parallelism (shuffling a big input
+            # wider than the core count buys nothing).
+            merge_to = max(1, -(-est // bytes_per_task))
+            target = min(parallelism, merge_to)
         else:
-            target = min(parallelism, max(1, -(-est // bytes_per_task)))
+            # unknown/absurd estimate: full parallelism for the up
+            # direction, and never merge (we cannot prove it's small)
+            target = parallelism
     else:
         target = parallelism
     current = df.rdd.getNumPartitions()
     if current < target:
         return df.repartition(target)
-    if bytes_per_task and current > target:
+    if merge_to is not None and current > merge_to:
         # byte-sized tasks: merge underfilled partitions (shuffle-free)
         # so each Python task amortizes its fixed worker/Arrow overhead
-        # — applies at any target, not just the single-task case
-        return df.coalesce(target)
+        return df.coalesce(merge_to)
     return df
 
 
@@ -209,13 +218,33 @@ def artifact_dir(env_var: str, default_name: str, src_file: str,
     import hashlib
     import tempfile
 
+    # uid-scoped default (like Spark's own scratch dirs): a shared /tmp
+    # name would collide across users — one user's 0755 dir blocks
+    # another's writes, and a predictable path invites pre-creation
+    uid = getattr(os, "getuid", lambda: "u")()
     base = os.environ.get(env_var) or os.path.join(
-        tempfile.gettempdir(), default_name)
+        tempfile.gettempdir(), f"{default_name}_{uid}")
     st = os.stat(src_file)
     fp = hashlib.md5(
         f"{os.path.abspath(src_file)}|{st.st_size}|{int(st.st_mtime)}"
         f"|{params}".encode()).hexdigest()[:12]
     return os.path.join(base, fp)
+
+
+def ensure_complete(d: str, markers, writer) -> str:
+    """The one lazily-write-then-reuse rule for every persisted derived
+    artifact (signature store, IVF layout, partitioned/z-order query
+    layouts): rebuild via ``writer(d)`` unless EVERY marker path
+    exists. Centralized so the completeness check cannot drift between
+    stores — a partial write (missing any marker) always rebuilds.
+
+    markers: iterable of path components relative to ``d``, each either
+    a str or a tuple of segments."""
+    def _p(m):
+        return os.path.join(d, *((m,) if isinstance(m, str) else m))
+    if not all(os.path.exists(_p(m)) for m in markers):
+        writer(d)
+    return d
 
 
 def ensure_epoch_nanos(df: DataFrame, colname: str = "ts") -> DataFrame:

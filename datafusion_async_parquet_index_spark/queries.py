@@ -848,7 +848,9 @@ def q45_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
-    total = li.agg(F.count(F.lit(1)).alias("n"))
+    # N = sum of bin counts (every row lands in exactly one bin) — no
+    # second scan of the fact table
+    total = bins.agg(F.sum("cnt").alias("n"))
     pcts = spark.createDataFrame([(p,) for p in Q45_PCTS], "pct INT")
     thr = pcts.crossJoin(total).select(
         "pct", F.ceil(F.col("pct") * F.col("n") / 100).cast("long").alias("thr"))
@@ -870,7 +872,7 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> IndexedParquetTable
     wrapped in a partitioned IndexedParquetTable — partition values
     index as degenerate min=max stats, so one catalog query prunes
     through BOTH the partition directory and the footer stats."""
-    from .operators.util import artifact_dir, session_memo
+    from .operators.util import artifact_dir, ensure_complete, session_memo
 
     layout = artifact_dir(
         PART_LAYOUT_ENV, "spark_graft_part_layout",
@@ -878,10 +880,11 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> IndexedParquetTable
     memo = session_memo(spark, "partitioned_orders")
     t = memo.get(layout)
     if t is None:
-        if not os.path.exists(os.path.join(layout, "_SUCCESS")):
-            (_read(spark, sf_dir, "orders").repartition(2)
-             .write.partitionBy("o_orderstatus")
-             .mode("overwrite").parquet(layout))
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: (_read(spark, sf_dir, "orders").repartition(2)
+                       .write.partitionBy("o_orderstatus")
+                       .mode("overwrite").parquet(d)))
         t = memo[layout] = IndexedParquetTable(
             spark, layout, index_columns=["o_totalprice"], partitioned=True)
     return t
@@ -918,7 +921,7 @@ def q47_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     perfect pruning on one axis and none on the other. The oracle runs
     the same box on the flat lineitem table, so the physical rewrite +
     index must be value-transparent."""
-    from .operators.util import artifact_dir, session_memo
+    from .operators.util import artifact_dir, ensure_complete, session_memo
     from .sources.layout import write_zordered
 
     layout = artifact_dir(
@@ -928,11 +931,12 @@ def q47_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = session_memo(spark, "zorder_layout")
     t = memo.get(layout)
     if t is None:
-        if not os.path.exists(os.path.join(layout, "_SUCCESS")):
-            li = _read(spark, sf_dir, "lineitem").select(
-                "l_quantity", "l_extendedprice", "l_returnflag")
-            write_zordered(li, layout,
-                           ["l_quantity", "l_extendedprice"], num_files=4)
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: write_zordered(
+                _read(spark, sf_dir, "lineitem").select(
+                    "l_quantity", "l_extendedprice", "l_returnflag"),
+                d, ["l_quantity", "l_extendedprice"], num_files=4))
         t = memo[layout] = IndexedParquetTable(
             spark, layout,
             index_columns=["l_quantity", "l_extendedprice"])

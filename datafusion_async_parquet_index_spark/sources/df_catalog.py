@@ -156,7 +156,12 @@ class DataFrameIndexCatalog:
 
     def row_group_count(self, file_name: str) -> int:
         entry = self._files.get(file_name)
-        return entry[0].row_group_count if entry else 0
+        if entry is None:
+            # same contract as SqliteIndexCatalog: an unknown file must
+            # raise so _read_rowgroups routes it to the exact Python
+            # path instead of silently scanning the whole file natively
+            raise KeyError(file_name)
+        return entry[0].row_group_count
 
     def row_group_row_counts(self, file_name: str) -> Dict[int, int]:
         """{row_group: row_count} for one file (metadata-only answers)."""

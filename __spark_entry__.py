@@ -107,8 +107,8 @@ _ROUND_PRIORITY = [
     # Added late in round 3 (after the 50 window was already full) and
     # FIRST in line for the r4 window: q44_isnull_pred,
     # q45_binned_quantiles, q46_partitioned_scan, q47_zorder_scan,
-    # q48_metadata_count, text_bigram_logprob, ev_attribution — all
-    # local-harness green at sf0.01.
+    # q48_metadata_count, text_bigram_logprob, ev_attribution,
+    # emb_kmeans_step — all local-harness green at sf0.01.
 ]
 
 

@@ -451,6 +451,83 @@ EMB_CENTROIDS_SQL = """
 """
 
 
+KMEANS_K = 8  # deterministic seeds: the K lowest vec_ids
+
+
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration, fully deterministic — the
+    iterative-ML primitive a curation pipeline runs to cluster a corpus
+    by embedding: seeds are the K lowest vec_ids, every vector is
+    assigned to the argmin squared-L2 seed (ties broken by seed id; the
+    distance is a sequential-order double fold over dims, identical in
+    both engines), and the new centroids are returned in long format as
+    exact integer sums — (cluster, dim, n_members, sum_comp_bp) with
+    components scaled to basis points, so there is no float
+    accumulation-order hazard; the reader divides to get the mean.
+    Plan shape: broadcast the K seeds against the corpus (K rows — the
+    classic Lloyd map side), one row_number window per vector, then the
+    posexplode aggregate emb_label_centroids already uses. At 100 TB:
+    one broadcast + two hash exchanges (vec_id window, (cluster, dim)
+    agg), never a vector collect."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = (emb.orderBy("vec_id").limit(KMEANS_K)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce")))
+    ad = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bd = F.transform(F.col("ce"), lambda x: x.cast("double"))
+    dist = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "cid", dist.alias("dist"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1))
+    longf = assigned.select(
+        "cid", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        longf.groupBy("cid", "dim")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.sum(F.round(F.col("v").cast("double") * 10000).cast("long"))
+             .alias("sum_comp_bp"))
+        .select(F.col("cid").alias("cluster"),
+                F.col("dim").cast("int").alias("dim"),
+                "n_members", "sum_comp_bp")
+    )
+
+
+EMB_KMEANS_SQL = f"""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding AS ce
+        FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+    ), d AS (
+        SELECT e.vec_id, e.embedding, s.cid,
+               list_sum(list_transform(
+                   range(1, len(e.embedding) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(s.ce[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(s.ce[i] AS DOUBLE)))) AS dist
+        FROM embeddings e CROSS JOIN seeds s
+    ), a AS (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    ), x AS (
+        SELECT cid,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS v
+        FROM a WHERE rn = 1
+    )
+    SELECT cid AS cluster, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))
+                AS BIGINT) AS sum_comp_bp
+    FROM x GROUP BY cid, dim
+"""
+
+
 def write_ivf_layout(emb: DataFrame, out_dir: str) -> None:
     """Physical IVF layout: every vector written under its nearest-cell
     directory (``cell=<id>/``) via partitionBy, with the centroid set
@@ -755,6 +832,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_sq_topk": sim_sq_topk,
     "sim_recall_report": sim_recall_report,
     "emb_label_centroids": emb_label_centroids,
+    "emb_kmeans_step": emb_kmeans_step,
 }
 
 SIMILARITY_ORACLE: Dict[str, str] = {
@@ -768,4 +846,5 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_sq_topk": SIM_SQ_SQL,
     "sim_recall_report": _recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
+    "emb_kmeans_step": EMB_KMEANS_SQL,
 }

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -305,6 +305,81 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tf-idf: per document, the top-K terms by
+    tf * ln(N / df). Corpus shape: one (doc, term) count aggregate
+    (map-side combined), document frequencies derived FROM that table
+    (so the raw token stream shuffles once), the scalar N broadcast,
+    and one row_number window per document. Ranking and output both use
+    the score ROUNDED to 4 decimals with the term as tie-break, so the
+    selection is exactly as stable cross-engine as the rounded score
+    itself (the same ln-at-4dp contract the LM scorers rely on)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                "score", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "scan", "merge")
+
+
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set
+    — the retrieval scorer a data pipeline uses for query-targeted
+    corpus selection: score = sum over query terms of
+    idf * tf*(k1+1) / (tf + k1*(1-b + b*len/avglen)), with
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Robertson/Sparck-Jones
+    form Lucene uses). All inputs are exact integers (tf, df, N, exact
+    doc lengths, avglen as N-scaled exact division); the only
+    engine-sensitive op is the final ln/division chain, rounded to 4
+    decimals like the LM scorers. Map-side-combined counts + one
+    broadcast of the (tiny) per-term stats — no window, no pair join."""
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (toks.filter(F.col("term").isin(*BM25_QUERY))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = lens.agg(F.sum(F.col("dl").cast("bigint")).alias("total_len"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    avglen = F.col("total_len") / F.col("n_docs")
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avglen))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(tot))
+        .select("doc_id", term_score.alias("s"))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("terms_matched"),
+             F.round(F.sum("s"), 4).alias("bm25"))
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -318,6 +393,8 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_sequence_pack": text_sequence_pack,
     "text_bigram_logprob": text_bigram_logprob,
+    "text_tfidf_topk": text_tfidf_topk,
+    "text_bm25_score": text_bm25_score,
 }
 
 _TOKS = sql_tokens("text")
@@ -477,6 +554,61 @@ TEXT_ORACLE["text_bigram_logprob"] = f"""
     JOIN bc USING (bg)
     JOIN pc ON split_part(bg.bg, ' ', 1) = pref
     GROUP BY doc_id
+"""
+
+TEXT_ORACLE["text_tfidf_topk"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, term, tf,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), r AS (
+        SELECT doc_id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {TFIDF_TOPK}
+"""
+
+TEXT_ORACLE["text_bm25_score"] = f"""
+    WITH lens AS (
+        SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {BM25_QUERY!r} GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), tot AS (
+        SELECT SUM(dl) AS total_len FROM lens
+    ), per AS (
+        SELECT tf.doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * (tf * {BM25_K1 + 1!r})
+                 / (tf + {BM25_K1!r} * ({1 - BM25_B!r}
+                    + {BM25_B!r} * dl
+                      / (CAST(total_len AS DOUBLE) / n_docs))) AS s
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN n CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS terms_matched,
+           ROUND(SUM(s), 4) AS bm25
+    FROM per GROUP BY doc_id
 """
 
 TEXT_ORACLE["text_sequence_pack"] = f"""

@@ -290,14 +290,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bg = docs.select("doc_id", F.explode(bigram_list).alias("bg"))
     bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
-    pc = (
-        bg.select(F.substring_index("bg", " ", 1).alias("pref"))
-        .groupBy("pref").agg(F.count(F.lit(1)).alias("cnt1"))
-    )
+    # prefix counts derive from the DISTINCT-bigram table, not the raw
+    # stream: cnt1(pref) = sum of cnt2 over bigrams sharing the prefix
+    # — identical value, but the corpus-sized bigram stream shuffles
+    # once (for bc + the final join, one exchange reused) instead of
+    # feeding a second full aggregation
+    withp = bc.withColumn("pref", F.substring_index("bg", " ", 1))
+    pc = withp.groupBy("pref").agg(F.sum("cnt2").alias("cnt1"))
+    enriched = withp.join(pc, "pref").select("bg", "cnt2", "cnt1")
     return (
-        bg.join(bc, "bg")
-        .withColumn("pref", F.substring_index("bg", " ", 1))
-        .join(pc, "pref")
+        bg.join(enriched, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),

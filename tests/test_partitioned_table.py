@@ -205,6 +205,37 @@ def test_hive_null_partition_sentinel(spark, tmp_path_factory):
     assert g0.count() == 10
 
 
+def test_query_sql_prunes_partition_dirs(part_table):
+    """The SQL WHERE entry point parses into the same Expr AST, so a
+    partition predicate arriving as text prunes directories too."""
+    df = part_table.query_sql(
+        "o_orderstatus = 'F' AND o_totalprice > 100000")
+    assert all(f.startswith("o_orderstatus=F")
+               for f in part_table.last_scan.file_names)
+    assert df.count() > 0
+
+
+def test_refresh_drops_deleted_partition(spark, sf_dir, tmp_path_factory):
+    """Deleting a partition directory and refreshing must drop its
+    catalog rows: the stale partition neither appears in scans nor
+    inflates catalog-only counts."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("orders_shrink"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(d))
+    t = IndexedParquetTable(
+        spark, d, index_columns=["o_totalprice"], partitioned=True)
+    full = t.count_rows()
+    n_f = t.query(col("o_orderstatus") == "F").count()
+    assert n_f > 0
+    shutil.rmtree(os.path.join(d, "o_orderstatus=F"))
+    t.refresh()
+    assert t.query(col("o_orderstatus") == "F").count() == 0
+    assert t.last_scan.files_scanned == {}
+    assert t.count_rows() == full - n_f
+
+
 def test_full_scan_and_count_rows(spark, part_table, part_dir):
     plain = spark.read.parquet(part_dir).count()
     assert part_table.count_rows() == plain

@@ -58,12 +58,18 @@ def ev_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact integer cents: ROUND(SUM(double)) flipped a
+            # half-boundary avg at sf0.1 (accumulation order differs
+            # between engines); cent-sums are order-free, and the avg
+            # is one correctly-rounded division on both sides
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("sum_cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "event_type", "cnt", "sum_value", "avg_value",
+            "event_type", "cnt", "sum_cents",
+            F.round(F.col("sum_cents") / F.col("cnt") / 100, 4)
+            .alias("avg_value"),
         )
     )
 
@@ -73,8 +79,10 @@ EV_TUMBLING_SQL = f"""
                AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           ROUND(SUM(CAST(round(value * 100) AS BIGINT))
+                 / COUNT(*) / 100, 4) AS avg_value
     FROM events
     GROUP BY 1, 2
 """
@@ -155,7 +163,8 @@ def ev_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "value")
         .groupBy("window_start", "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("sum_cents"))
     )
 
 
@@ -172,7 +181,8 @@ EV_SLIDING_SQL = f"""
     )
     SELECT window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
     FROM expanded GROUP BY 1, 2
 """
 

@@ -108,8 +108,8 @@ _ROUND_PRIORITY = [
     # FIRST in line for the r4 window: q44_isnull_pred,
     # q45_binned_quantiles, q46_partitioned_scan, q47_zorder_scan,
     # q48_metadata_count, text_bigram_logprob, ev_attribution,
-    # emb_kmeans_step, text_tfidf_topk, text_bm25_score — all
-    # local-harness green at sf0.01.
+    # emb_kmeans_step, text_tfidf_topk, text_bm25_score,
+    # q49_token_search — all local-harness green at sf0.01.
 ]
 
 

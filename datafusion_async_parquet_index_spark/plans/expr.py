@@ -25,7 +25,7 @@ from typing import Any, Iterable, Optional, Sequence, Tuple
 
 __all__ = [
     "Expr", "Col", "Lit", "BinOp", "Not", "IsNull", "Like", "InList",
-    "Case", "col", "lit", "and_all",
+    "Case", "ContainsToken", "col", "lit", "and_all",
     "COMPARISONS", "ARITHMETIC", "BOOLEAN_OPS",
 ]
 
@@ -120,6 +120,15 @@ class Expr:
     def isin(self, *values):
         vals = values[0] if len(values) == 1 and isinstance(values[0], (list, tuple)) else values
         return InList(self, [_wrap(v) for v in vals])
+
+    def contains_token(self, token: str):
+        """Word-membership predicate over a text column (the shared
+        lowercase-alphanumeric tokenizer): TRUE iff `token` appears as a
+        whole token. Unlike LIKE '%w%' (substring — not refutable by a
+        token index), token semantics make the token Bloom filter a
+        SOUND pruner: a row group whose token bloom lacks the word
+        cannot contain it as a token."""
+        return ContainsToken(self, token)
 
     def __hash__(self):
         return hash(repr(self))
@@ -265,6 +274,32 @@ class IsNull(Expr):
     def to_sql(self) -> str:
         suffix = "IS NOT NULL" if self.negated else "IS NULL"
         return f"({self.child.to_sql()} {suffix})"
+
+    def columns(self) -> set:
+        return self.child.columns()
+
+
+class ContainsToken(Expr):
+    """Whole-token membership in a text column under the shared
+    tokenizer (functions.TOKEN_SPLIT_RE). Residual evaluation is
+    JVM-side (split + array_contains); the pruning layer can refute
+    row groups via a token Bloom filter (sources/bloom.py) because
+    token semantics — unlike LIKE substring semantics — cannot match
+    across token boundaries."""
+
+    def __init__(self, child: Expr, token: str):
+        self.child, self.token = child, token
+
+    def to_spark(self):
+        from pyspark.sql import functions as F
+
+        from ..functions import tokens
+        return F.array_contains(tokens(self.child.to_spark()),
+                                self.token)
+
+    def to_sql(self) -> str:
+        return (f"contains_token({self.child.to_sql()}, "
+                f"{_sql_literal(self.token)})")
 
     def columns(self) -> set:
         return self.child.columns()

@@ -46,7 +46,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _make_table(spark, sf_dir, table, index_columns, bloom_columns=()):
+def _make_table(spark, sf_dir, table, index_columns, bloom_columns=(),
+                token_bloom_columns=()):
     """IndexedParquetTable scoped to one table's parquet file (the
     testdata dir holds every table, so the ctor's glob would mix them).
     Keyed by the session too: a cached table holds the SparkSession it
@@ -55,7 +56,8 @@ def _make_table(spark, sf_dir, table, index_columns, bloom_columns=()):
     from .operators.util import session_memo
 
     _TABLES = session_memo(spark, "indexed_tables")
-    key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns))
+    key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns),
+           tuple(token_bloom_columns))
     t = _TABLES.get(key)
     if t is None:
         t = IndexedParquetTable.__new__(IndexedParquetTable)
@@ -65,10 +67,12 @@ def _make_table(spark, sf_dir, table, index_columns, bloom_columns=()):
         t.name = table
         t._files = [os.path.join(sf_dir, f"{table}.parquet")]
         t.bloom_columns = tuple(bloom_columns)
+        t.token_bloom_columns = tuple(token_bloom_columns)
         from .sources.stats import build_index
         t.index_schema = build_index(t.catalog, t._files, index_columns,
                                      spark=None,
-                                     bloom_columns=t.bloom_columns)
+                                     bloom_columns=t.bloom_columns,
+                                     token_bloom_columns=t.token_bloom_columns)
         from .plans.pruning import PruningRewriter
         t._rewriter = PruningRewriter(t.index_schema)
         t._schema = spark.read.parquet(t._files[0]).schema
@@ -967,6 +971,25 @@ def q48_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows BIGINT, impossible_rows BIGINT")
 
 
+def q49_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text token search through the index — inverted-index-lite:
+    the documents table carries a TOKEN Bloom filter per row group
+    (built over the distinct token set of ``text``, sources/bloom.py),
+    so ``contains_token(text, w)`` refutes row groups whose filter
+    proves the word absent — sound because token membership, unlike
+    LIKE '%w%' substring matching, cannot span token boundaries. The
+    residual filter re-applies exact array_contains on the tokenized
+    column (Inexact contract); min/max stats on doc_id prune the id
+    range conjunct as usual. The oracle recomputes token membership
+    with the shared tokenizer."""
+
+    t = _make_table(spark, sf_dir, "documents", ["doc_id"],
+                    token_bloom_columns=["text"])
+    df = t.query(xcol("text").contains_token("merge")
+                 & (xcol("doc_id") < 250))
+    return df.select("doc_id", "lang", "n_chars")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1016,6 +1039,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_partitioned_scan": q46_partitioned_scan,
     "q47_zorder_scan": q47_zorder_scan,
     "q48_metadata_count": q48_metadata_count,
+    "q49_token_search": q49_token_search,
 }
 
 
@@ -1443,3 +1467,17 @@ RELATIONAL_ORACLE["q48_metadata_count"] = """
                AS impossible_rows
     FROM lineitem
 """
+
+
+def _q49_sql() -> str:
+    from .functions import sql_tokens
+
+    return f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE list_contains({sql_tokens("text")}, 'merge')
+          AND doc_id < 250
+    """
+
+
+RELATIONAL_ORACLE["q49_token_search"] = _q49_sql()

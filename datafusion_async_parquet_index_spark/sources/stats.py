@@ -61,13 +61,33 @@ def index_schema_for(schema: pa.Schema, columns: Sequence[str]) -> Dict[str, str
     return out
 
 
+TOKEN_BLOOM_SUFFIX = "#tokens"
+
+
+def _py_tokens(text: str):
+    """Python twin of functions.tokens / sql_tokens — the ONE tokenizer
+    shared by the Spark residual filter, the DuckDB oracle, and the
+    token-bloom build, so a bloom miss can never contradict the
+    filter."""
+    import re
+
+    from ..functions import TOKEN_SPLIT_RE
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
 def extract_file_blooms(
     path: str, bloom_schema: Dict[str, str], fpp: float = 0.01,
 ) -> Dict[int, Dict[str, Tuple[int, int, bytes]]]:
     """{row_group: {column: (m, k, bits)}} — reads ONLY the bloom
     columns' pages (column-pruned pyarrow read), one row group at a
     time. bloom_schema: {column: type-category} (must be a subset of the
-    index schema; see sources/bloom.py for which categories qualify)."""
+    index schema; see sources/bloom.py for which categories qualify).
+
+    A key of the form ``col#tokens`` (category "string") builds the
+    filter over the DISTINCT TOKEN SET of the string column instead of
+    its values — the inverted-index-lite that lets contains_token
+    predicates refute row groups."""
     from .bloom import (
         BLOOM_CATEGORIES, bloom_params, build_bloom, canonical_bytes,
     )
@@ -76,19 +96,29 @@ def extract_file_blooms(
     cols = [c for c, cat in bloom_schema.items() if cat in BLOOM_CATEGORIES]
     if not cols:
         return {}
+    read_cols = sorted({c.removesuffix(TOKEN_BLOOM_SUFFIX) for c in cols})
     pf = pq.ParquetFile(path)
     out: Dict[int, Dict[str, Tuple[int, int, bytes]]] = {}
     for i in range(pf.metadata.num_row_groups):
-        tbl = pf.read_row_group(i, columns=cols)
+        tbl = pf.read_row_group(i, columns=read_cols)
         per_col: Dict[str, Tuple[int, int, bytes]] = {}
         for c in cols:
             cat = bloom_schema[c]
-            vals = {
-                cb for v in tbl.column(c).to_pylist()
-                if v is not None
-                and (cb := canonical_bytes(cat, encode_value(cat, v)))
-                is not None
-            }
+            if c.endswith(TOKEN_BLOOM_SUFFIX):
+                base = c.removesuffix(TOKEN_BLOOM_SUFFIX)
+                vals = {
+                    cb for v in tbl.column(base).to_pylist()
+                    if isinstance(v, str)
+                    for t in _py_tokens(v)
+                    if (cb := canonical_bytes("string", t)) is not None
+                }
+            else:
+                vals = {
+                    cb for v in tbl.column(c).to_pylist()
+                    if v is not None
+                    and (cb := canonical_bytes(cat, encode_value(cat, v)))
+                    is not None
+                }
             m, k = bloom_params(len(vals), fpp)
             per_col[c] = (m, k, build_bloom(vals, m, k))
         out[i] = per_col
@@ -226,6 +256,7 @@ def build_index(
     max_workers: int = 8,
     bloom_columns: Optional[Sequence[str]] = None,
     bloom_fpp: float = 0.01,
+    token_bloom_columns: Optional[Sequence[str]] = None,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -281,6 +312,15 @@ def build_index(
         c: cat for c, cat in schema.items()
         if bloom_columns and c in bloom_columns and cat in BLOOM_CATEGORIES
         and not (partition_schema and c in partition_schema)}
+    # token blooms: over the token SET of a footer string column; the
+    # base column need not be min/max-indexed (token membership is the
+    # only thing the filter answers)
+    if token_bloom_columns:
+        tok_schema = index_schema_for(first.schema_arrow,
+                                      token_bloom_columns)
+        for c, cat in tok_schema.items():
+            if cat == "string":
+                bloom_schema[f"{c}{TOKEN_BLOOM_SUFFIX}"] = "string"
 
     def _extract(p):
         fs, rgs = extract_file_stats(

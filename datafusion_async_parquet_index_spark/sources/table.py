@@ -91,6 +91,7 @@ class IndexedParquetTable:
         name: Optional[str] = None,
         bloom_columns: Optional[Sequence[str]] = None,
         partitioned: Optional[bool] = None,
+        token_bloom_columns: Optional[Sequence[str]] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -112,6 +113,7 @@ class IndexedParquetTable:
         self._files = (list_parquet_files(data_dir, recursive=True)
                        if partitioned else flat)
         self.bloom_columns = tuple(bloom_columns or ())
+        self.token_bloom_columns = tuple(token_bloom_columns or ())
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
         # know what to index once the first files appear
@@ -125,7 +127,8 @@ class IndexedParquetTable:
         part_kw = self._partition_index_kwargs()
         self.index_schema = build_index(
             self.catalog, self._files, index_columns, spark=spark,
-            bloom_columns=self.bloom_columns, **part_kw)
+            bloom_columns=self.bloom_columns,
+            token_bloom_columns=self.token_bloom_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -199,6 +202,8 @@ class IndexedParquetTable:
                                  requested, spark=self.spark,
                                  incremental=True,
                                  bloom_columns=getattr(self, "bloom_columns", ()),
+                                 token_bloom_columns=getattr(
+                                     self, "token_bloom_columns", ()),
                                  **self._partition_index_kwargs())
         if new_schema != self.index_schema:
             # first files after empty-dir construction (or a schema
@@ -243,11 +248,13 @@ class IndexedParquetTable:
         the over-approximation invariant holds. Returns #row groups
         removed."""
         bloom_cols = getattr(self, "bloom_columns", ())
-        if not bloom_cols or not survivors:
+        token_cols = getattr(self, "token_bloom_columns", ())
+        if not (bloom_cols or token_cols) or not survivors:
             return 0
-        from ..plans.expr import BinOp, Col, InList, Lit
+        from ..plans.expr import BinOp, Col, ContainsToken, InList, Lit
         from .bloom import bloom_contains, canonical_bytes
         from .catalog import encode_value
+        from .stats import TOKEN_BLOOM_SUFFIX
 
         def conjuncts(e):
             if isinstance(e, BinOp) and e.op == "AND":
@@ -268,9 +275,19 @@ class IndexedParquetTable:
                   and c.child.name in bloom_cols
                   and all(isinstance(v, Lit) for v in c.values)):
                 constraints.append((c.child.name, [v.value for v in c.values]))
+            elif (isinstance(c, ContainsToken)
+                  and isinstance(c.child, Col)
+                  and c.child.name in token_cols):
+                # token semantics: a row group whose token bloom lacks
+                # the word cannot contain it as a token — sound refute
+                constraints.append(
+                    (f"{c.child.name}{TOKEN_BLOOM_SUFFIX}", [c.token]))
         skipped = 0
         for column, values in constraints:
-            cat = self.index_schema.get(column)
+            if column.endswith(TOKEN_BLOOM_SUFFIX):
+                cat = "string"  # token blooms are always string-keyed
+            else:
+                cat = self.index_schema.get(column)
             if cat is None:
                 continue
             canons = [canonical_bytes(cat, encode_value(cat, v))

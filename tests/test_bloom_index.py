@@ -138,3 +138,96 @@ def test_bloom_survives_refresh(spark, uuid_corpus, tmp_path):
     t.refresh()
     assert t.query(col("uid") == _uuidish(5250)).count() == 1
     assert t.last_scan.row_groups_scanned < 10
+
+
+# -- token blooms: full-text word search ------------------------------------
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+         "golf", "hotel", "india", "juliet"]
+
+
+def _sentence(i: int) -> str:
+    rng = random.Random(i)
+    base = [WORDS[rng.randrange(4)] for _ in range(6)]
+    # words 4..9 are rare: word w lives ONLY in row group (w-4) % 4
+    # (row groups are 100 consecutive ids), ten rows each — so token
+    # pruning has something real to skip
+    for w in range(4, 10):
+        if i // 100 == (w - 4) % 4 and i % 10 == 3:
+            base.append(WORDS[w])
+    return " ".join(base)
+
+
+@pytest.fixture(scope="module")
+def text_corpus(tmp_path_factory):
+    """2 files x 2 row groups x 100 rows of synthetic sentences; the
+    rare words land in known row groups so token pruning is checkable."""
+    d = tmp_path_factory.mktemp("text_corpus")
+    n = 0
+    for f in range(2):
+        ids = list(range(n, n + 200))
+        n += 200
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "body": pa.array([_sentence(i) for i in ids], pa.string()),
+        })
+        pq.write_table(tbl, str(d / f"part-{f}.parquet"), row_group_size=100)
+    return str(d)
+
+
+def test_token_bloom_absent_word_zero_io(spark, text_corpus):
+    t = IndexedParquetTable(spark, text_corpus, ["doc_id"],
+                            token_bloom_columns=["body"])
+    df = t.query(col("body").contains_token("zanzibar"))
+    assert df.count() == 0
+    assert t.last_scan.files_scanned == {}
+
+
+def test_token_bloom_prunes_to_containing_groups(spark, text_corpus):
+    """Common words scan everything; each rare word scans at most the
+    row groups that actually contain it (bloom FPs may add a group, but
+    with ~10-token-vocabulary filters the 1% fpp makes that unlikely
+    across all six words — assert no more than half the groups scan)."""
+    t = IndexedParquetTable(spark, text_corpus, ["doc_id"],
+                            token_bloom_columns=["body"])
+    df = t.query(col("body").contains_token("alpha"))
+    assert df.count() > 0  # common word: present
+
+    total_hits = 0
+    total_scanned = 0
+    for w in WORDS[4:]:
+        df = t.query(col("body").contains_token(w))
+        expect = sum(1 for i in range(400) if w in _sentence(i).split())
+        assert df.count() == expect, w
+        total_hits += expect
+        total_scanned += t.last_scan.row_groups_scanned
+    assert total_scanned <= 2 * 6  # rare words: at most half the 4 rgs each
+
+
+def test_token_bloom_soundness_combined_predicates(spark, text_corpus):
+    """pruned scan + residual == full scan + filter, for token + range
+    conjunctions and for every vocabulary word."""
+    from pyspark.sql import functions as F
+
+    t = IndexedParquetTable(spark, text_corpus, ["doc_id"],
+                            token_bloom_columns=["body"])
+    full = spark.read.parquet(text_corpus)
+    from datafusion_async_parquet_index_spark.functions import tokens
+    for w in WORDS + ["nothere"]:
+        pred = col("body").contains_token(w) & (col("doc_id") >= 100)
+        got = t.query(pred).count()
+        expect = full.filter(
+            F.array_contains(tokens(F.col("body")), w)
+            & (F.col("doc_id") >= 100)).count()
+        assert got == expect, w
+
+
+def test_token_bloom_tokenizer_parity():
+    """The Python build-side tokenizer must match functions.tokens /
+    sql_tokens exactly — punctuation, case folding, empties."""
+    from datafusion_async_parquet_index_spark.sources.stats import _py_tokens
+
+    assert _py_tokens("Hello, World! x2") == ["hello", "world", "x2"]
+    assert _py_tokens("--a..b--") == ["a", "b"]
+    assert _py_tokens("") == []
+    assert _py_tokens("...") == []

@@ -226,6 +226,19 @@ class _Parser:
             return self._literal()
         if t.kind == "ident":
             self._next()
+            if t.value.lower() == "contains_token" and self._accept("op", "("):
+                # contains_token(col, 'word') — the full-text token
+                # predicate (plans/expr.py ContainsToken); prunes via
+                # the token Bloom index when one exists
+                from .expr import ContainsToken
+                child = self._primary()
+                self._expect("op", ",")
+                word = self._literal()
+                self._expect("op", ")")
+                if not isinstance(word.value, str):
+                    raise SqlPredicateError(
+                        "contains_token expects a string literal token")
+                return ContainsToken(child, word.value)
             return Col(t.value)
         raise SqlPredicateError(f"unexpected token {t!r}")
 

@@ -154,3 +154,28 @@ def test_parser_roundtrips_printed_expressions(e):
     re-rendering) — parser and printer cannot drift."""
     rendered = e.to_sql()
     assert parse_predicate(rendered).to_sql() == rendered
+
+
+def test_contains_token_function():
+    from datafusion_async_parquet_index_spark.plans.expr import ContainsToken
+    from datafusion_async_parquet_index_spark.plans.sql_predicate import (
+        parse_predicate,
+    )
+
+    e = parse_predicate("contains_token(body, 'needle') AND doc_id < 10")
+    # left conjunct is the token predicate
+    left = e.left
+    assert isinstance(left, ContainsToken)
+    assert left.token == "needle"
+    assert left.columns() == {"body"}
+    assert "contains_token" in e.to_sql()
+
+
+def test_contains_token_rejects_non_string():
+    import pytest as _pytest
+
+    from datafusion_async_parquet_index_spark.plans.sql_predicate import (
+        SqlPredicateError, parse_predicate,
+    )
+    with _pytest.raises(SqlPredicateError):
+        parse_predicate("contains_token(body, 42)")

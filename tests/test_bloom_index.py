@@ -231,3 +231,23 @@ def test_token_bloom_tokenizer_parity():
     assert _py_tokens("--a..b--") == ["a", "b"]
     assert _py_tokens("") == []
     assert _py_tokens("...") == []
+
+
+def test_token_bloom_negation_is_conservative(spark, text_corpus):
+    """NOT contains_token must never bloom-prune (a filter can prove
+    absence, not presence): the scan stays full and results match the
+    exact complement."""
+    from pyspark.sql import functions as F
+
+    from datafusion_async_parquet_index_spark.functions import tokens
+    from datafusion_async_parquet_index_spark.plans.expr import Not
+
+    t = IndexedParquetTable(spark, text_corpus, ["doc_id"],
+                            token_bloom_columns=["body"])
+    total_rgs = sum(f[2] for f in t.catalog.all_files())
+    got = t.query(Not(col("body").contains_token("alpha"))).count()
+    assert t.last_scan.row_groups_scanned == total_rgs  # no false prune
+    expect = (spark.read.parquet(text_corpus)
+              .filter(~F.array_contains(tokens(F.col("body")), "alpha"))
+              .count())
+    assert got == expect

@@ -58,18 +58,23 @@ def ev_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            # exact integer cents: ROUND(SUM(double)) flipped a
-            # half-boundary avg at sf0.1 (accumulation order differs
-            # between engines); cent-sums are order-free, and the avg
-            # is one correctly-rounded division on both sides
+            # exact integer cents end to end: double SUMs are
+            # accumulation-order-sensitive across engines, and even
+            # ROUND(exact/2, 4) diverges at half-boundaries (Spark
+            # HALF_UPs the decimal repr, DuckDB rounds the binary
+            # double) — so the average is an exact FLOOR-divided
+            # integer in basis points, identical everywhere, with the
+            # non-null value count as its denominator (true mean of
+            # observed values)
             F.sum(F.round(F.col("value") * 100).cast("long"))
             .alias("sum_cents"),
+            F.count("value").alias("n_vals"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type", "cnt", "sum_cents",
-            F.round(F.col("sum_cents") / F.col("cnt") / 100, 4)
-            .alias("avg_value"),
+            F.floor(F.col("sum_cents") * 100 / F.col("n_vals"))
+            .cast("long").alias("avg_cents_bp"),
         )
     )
 
@@ -81,8 +86,8 @@ EV_TUMBLING_SQL = f"""
            CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents,
-           ROUND(SUM(CAST(round(value * 100) AS BIGINT))
-                 / COUNT(*) / 100, 4) AS avg_value
+           CAST(FLOOR(SUM(CAST(round(value * 100) AS BIGINT)) * 100
+                      / COUNT(value)) AS BIGINT) AS avg_cents_bp
     FROM events
     GROUP BY 1, 2
 """

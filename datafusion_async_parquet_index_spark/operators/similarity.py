@@ -473,8 +473,14 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (emb.orderBy("vec_id").limit(KMEANS_K)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("ce")))
-    ad = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    bd = F.transform(F.col("ce"), lambda x: x.cast("double"))
+    # NULL elements coalesce to 0.0 on BOTH engines: Spark's fold would
+    # otherwise propagate NULL (and orderBy NULLS FIRST misassigns)
+    # while DuckDB's list_sum skips NULLs — coalescing pins one shared
+    # semantic (missing dim contributes zero distance-from-origin)
+    ad = F.transform(F.col("embedding"),
+                     lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
+    bd = F.transform(F.col("ce"),
+                     lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
     dist = F.aggregate(
         F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -504,10 +510,10 @@ EMB_KMEANS_SQL = f"""
         SELECT e.vec_id, e.embedding, s.cid,
                list_sum(list_transform(
                    range(1, len(e.embedding) + 1),
-                   i -> (CAST(e.embedding[i] AS DOUBLE)
-                         - CAST(s.ce[i] AS DOUBLE))
-                        * (CAST(e.embedding[i] AS DOUBLE)
-                           - CAST(s.ce[i] AS DOUBLE)))) AS dist
+                   i -> (COALESCE(CAST(e.embedding[i] AS DOUBLE), 0)
+                         - COALESCE(CAST(s.ce[i] AS DOUBLE), 0))
+                        * (COALESCE(CAST(e.embedding[i] AS DOUBLE), 0)
+                           - COALESCE(CAST(s.ce[i] AS DOUBLE), 0)))) AS dist
         FROM embeddings e CROSS JOIN seeds s
     ), a AS (
         SELECT vec_id, embedding, cid,

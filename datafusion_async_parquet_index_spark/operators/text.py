@@ -356,14 +356,19 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals like the LM scorers. Map-side-combined counts + one
     broadcast of the (tiny) per-term stats — no window, no pair join."""
     docs = read_table(spark, sf_dir, "documents")
-    lens = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("dl"))
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = (toks.filter(F.col("term").isin(*BM25_QUERY))
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    # one tokenization per document: dl rides along the exploded terms
+    # (constant per doc, folded back with max) instead of a second
+    # corpus-wide tokenize + lens join
+    ex = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl"),
+        F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (ex.filter(F.col("term").isin(*BM25_QUERY))
+          .groupBy("doc_id", "term").agg(
+              F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = lens.agg(F.sum(F.col("dl").cast("bigint")).alias("total_len"))
+    tot = docs.agg(F.sum(F.size(tokens(F.col("text"))).cast("bigint"))
+                   .alias("total_len"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     avglen = F.col("total_len") / F.col("n_docs")
@@ -371,7 +376,6 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avglen))
     per_term = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(tot))
         .select("doc_id", term_score.alias("s"))
     )

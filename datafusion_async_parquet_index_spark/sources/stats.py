@@ -63,17 +63,20 @@ def index_schema_for(schema: pa.Schema, columns: Sequence[str]) -> Dict[str, str
 
 TOKEN_BLOOM_SUFFIX = "#tokens"
 
+# compiled once: _py_tokens runs once per ROW during token-bloom builds
+import re as _re  # noqa: E402
+
+from ..functions import TOKEN_SPLIT_RE as _TOKEN_SPLIT_RE  # noqa: E402
+
+_TOKEN_RE = _re.compile(_TOKEN_SPLIT_RE)
+
 
 def _py_tokens(text: str):
     """Python twin of functions.tokens / sql_tokens — the ONE tokenizer
     shared by the Spark residual filter, the DuckDB oracle, and the
     token-bloom build, so a bloom miss can never contradict the
     filter."""
-    import re
-
-    from ..functions import TOKEN_SPLIT_RE
-
-    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
 
 
 def extract_file_blooms(

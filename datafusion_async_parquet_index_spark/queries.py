@@ -990,6 +990,30 @@ def q49_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", "n_chars")
 
 
+def q50_join_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key sideways pruning under the oracle — the external-index
+    analog of dynamic partition pruning: a tiny filtered customer build
+    side (3 keys) is harvested with one aggregate job, the orders scan
+    prunes to row groups whose o_custkey range can intersect the
+    harvested IN-list BEFORE the join, and the join itself still
+    enforces exact equality (the derived predicate is only a
+    narrowing). The oracle is the PLAIN join — the sideways pass must
+    be result-transparent."""
+    t = _make_table(spark, sf_dir, "orders", ["o_custkey"])
+    build = (_read(spark, sf_dir, "customer")
+             .filter(F.col("c_custkey").isin(7, 61, 139))
+             .select("c_custkey", "c_name"))
+    probe = t.query_join_pruned("o_custkey", build, "c_custkey")
+    return (
+        probe.join(F.broadcast(build),
+                   probe.o_custkey == build.c_custkey)
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("sum_cents"))
+    )
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1040,6 +1064,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_zorder_scan": q47_zorder_scan,
     "q48_metadata_count": q48_metadata_count,
     "q49_token_search": q49_token_search,
+    "q50_join_pruned_scan": q50_join_pruned_scan,
 }
 
 
@@ -1481,3 +1506,13 @@ def _q49_sql() -> str:
 
 
 RELATIONAL_ORACLE["q49_token_search"] = _q49_sql()
+
+RELATIONAL_ORACLE["q50_join_pruned_scan"] = """
+    SELECT c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IN (7, 61, 139)
+    GROUP BY c_name
+"""

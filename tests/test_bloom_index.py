@@ -251,3 +251,35 @@ def test_token_bloom_negation_is_conservative(spark, text_corpus):
               .filter(~F.array_contains(tokens(F.col("body")), "alpha"))
               .count())
     assert got == expect
+
+
+def test_token_bloom_maintained_by_streaming_ingest(spark, tmp_path):
+    """The foreachBatch ingest sink's incremental refresh() rebuilds
+    token blooms for new files only, so full-text pruning keeps working
+    as micro-batches land."""
+    from pyspark.sql import types as T
+
+    from datafusion_async_parquet_index_spark.streaming import (
+        indexed_ingest_sink,
+    )
+
+    d = tmp_path / "stream_tbl"
+    d.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.IntegerType()),
+        T.StructField("body", T.StringType()),
+    ])
+    t = IndexedParquetTable(spark, str(d), ["doc_id"],
+                            token_bloom_columns=["body"])
+    sink = indexed_ingest_sink(t)
+    sink(spark.createDataFrame(
+        [(i, "alpha common words") for i in range(50)], schema), 1)
+    sink(spark.createDataFrame(
+        [(i, "omega appears late" if i == 75 else "alpha common words")
+         for i in range(50, 100)], schema), 2)
+    df = t.query(col("body").contains_token("omega"))
+    assert df.count() == 1
+    # only batch 2's file(s) can contain 'omega'
+    assert all("b000002" in f for f in t.last_scan.file_names)
+    assert t.query(col("body").contains_token("missingword")).count() == 0
+    assert t.last_scan.files_scanned == {}

@@ -224,8 +224,14 @@ def _ts_for_eval(v):
     return _dt.datetime(v.year, v.month, v.day)
 
 
+import os as _os
+
+# SPARK_GRAFT_FUZZ_EXAMPLES=3000 for a deep one-off soundness sweep
+_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "300"))
+
+
 @given(rows=rows_strategy, pred=predicates)
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 def test_pruning_never_drops_matching_rows(rows, pred):
     # build row groups + stats
     groups = [rows[i:i + RG_SIZE] for i in range(0, len(rows), RG_SIZE)]

@@ -185,3 +185,64 @@ def test_rowgroups_mode_prunes_columns(spark, corpus):
     # projection without the predicate column still filters correctly
     df2 = t.query(col("value") == 150, columns=["text"], mode="rowgroups")
     assert [r["text"] for r in df2.collect()] == ["et"]
+
+
+def test_distributed_build_matches_threaded(spark, tmp_path):
+    """The executor-fanned footer extraction (>= distributed_threshold
+    files, the 100 TB posture) must produce the identical catalog to
+    the driver thread-pool path — stats, blooms, and partition values
+    all ride the broadcast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        SqliteIndexCatalog,
+    )
+    from datafusion_async_parquet_index_spark.sources.stats import (
+        build_index, list_parquet_files,
+    )
+
+    d = tmp_path / "many"
+    n_files = 68  # above the default distributed_threshold of 64
+    for f in range(n_files):
+        sub = d / f"part={f % 4}"
+        sub.mkdir(parents=True, exist_ok=True)
+        ids = list(range(f * 10, f * 10 + 10))
+        tbl = pa.table({
+            "v": pa.array(ids, pa.int64()),
+            "body": pa.array([f"alpha w{f} row{i}" for i in ids],
+                             pa.string()),
+        })
+        pq.write_table(tbl, str(sub / f"data-{f}.parquet"))
+    files = list_parquet_files(str(d), recursive=True)
+    assert len(files) == n_files
+    pvals = {p: {"part": int(p.split("part=")[1].split("/")[0])}
+             for p in files}
+
+    def build(use_spark):
+        cat = SqliteIndexCatalog()
+        build_index(cat, files, ["v"],
+                    spark=use_spark, distributed_threshold=64,
+                    bloom_columns=["v"], token_bloom_columns=["body"],
+                    rel_to=str(d),
+                    partition_schema={"part": "int"},
+                    partition_values=pvals)
+        return cat
+
+    threaded = build(None)
+    dist = build(spark)
+    assert sorted(threaded.all_files()) == sorted(dist.all_files())
+    # pruning decisions must match on stats, partition, AND bloom paths
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.plans.pruning import (
+        PruningRewriter,
+    )
+    rw = PruningRewriter(threaded.index_schema)
+    for pred in [col("v") == 555, col("part") == 2,
+                 (col("part") == 1) & (col("v") > 400)]:
+        sp = rw.rewrite(pred)
+        assert sorted(threaded.get_files(sp)) == sorted(dist.get_files(sp))
+    a = threaded.get_blooms("body#tokens")
+    b = dist.get_blooms("body#tokens")
+    assert a.keys() == b.keys() and len(a) == n_files
+    assert all(a[k] == b[k] for k in a)

@@ -597,6 +597,66 @@ def _quality_buckets_sql() -> str:
     """
 
 
+# snapshot simulation: "previous" = doc_id % 10 != 0 (10% of docs are
+# new arrivals), with text reversed for doc_id % 7 == 0 (simulated
+# edits); "current" = doc_id % 13 != 0 (docs retired since the prior
+# snapshot). Deterministic, so the oracle rebuilds both sides exactly.
+SNAP_NEW_MOD = 10
+SNAP_EDIT_MOD = 7
+SNAP_RETIRE_MOD = 13
+
+
+def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit — the diff a pipeline owner reads after
+    every corpus rebuild: FULL OUTER JOIN of two snapshots on doc_id,
+    rows classified added / removed / changed / unchanged by comparing
+    content fingerprints (md5 of text). One hash join on the id plus a
+    per-source aggregate — no content shuffles beyond the 32-char
+    fingerprints, linear at any corpus scale. The snapshots are
+    deterministic slices of the documents table (constants above), so
+    the DuckDB oracle reconstructs the identical diff."""
+    docs = read_table(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % SNAP_NEW_MOD != 0).select(
+        "doc_id",
+        F.md5(F.when(F.col("doc_id") % SNAP_EDIT_MOD == 0,
+                     F.reverse(F.col("text")))
+              .otherwise(F.col("text"))).alias("prev_fp"))
+    cur = docs.filter(F.col("doc_id") % SNAP_RETIRE_MOD != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("cur_fp"))
+    j = cur.join(prev, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("prev_fp").isNull(), F.lit("added"))
+        .when(F.col("cur_fp").isNull(), F.lit("removed"))
+        .when(F.col("cur_fp") != F.col("prev_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")))
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DEDUP_SNAPSHOT_SQL = f"""
+    WITH prev AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % {SNAP_EDIT_MOD} = 0
+                        THEN reverse(text) ELSE text END) AS prev_fp
+        FROM documents WHERE doc_id % {SNAP_NEW_MOD} != 0
+    ), cur AS (
+        SELECT doc_id, md5(text) AS cur_fp
+        FROM documents WHERE doc_id % {SNAP_RETIRE_MOD} != 0
+    ), j AS (
+        SELECT CASE WHEN prev_fp IS NULL THEN 'added'
+                    WHEN cur_fp IS NULL THEN 'removed'
+                    WHEN cur_fp != prev_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM cur FULL OUTER JOIN prev USING (doc_id)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status
+"""
+
+
 CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "text_domain_mixture": text_domain_mixture,
@@ -605,6 +665,7 @@ CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "dedup_contamination": dedup_contamination,
     "text_repetition_stats": text_repetition_stats,
+    "dedup_snapshot_diff": dedup_snapshot_diff,
 }
 
 CURATION_ORACLE: Dict[str, str] = {
@@ -615,4 +676,5 @@ CURATION_ORACLE: Dict[str, str] = {
     "text_winnow_fingerprint": _winnow_sql(),
     "dedup_contamination": DEDUP_CONTAMINATION_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,
+    "dedup_snapshot_diff": DEDUP_SNAPSHOT_SQL,
 }

@@ -481,10 +481,15 @@ class IndexedParquetTable:
         from ..plans.expr import col as xcol
         from pyspark.sql import functions as F
 
+        # NULLs must drop BEFORE the limit: a NULL occupying one of the
+        # max_in_list+1 harvested slots could hide a real key while
+        # len(keys) still looks complete, and the IN-list is applied as
+        # an exact residual — an incomplete list would drop real join
+        # rows. (NULL keys themselves never join: = NULL is never true.)
         keys = [r[0] for r in
-                other_df.select(other_key).distinct()
+                other_df.select(other_key)
+                .where(F.col(other_key).isNotNull()).distinct()
                 .limit(max_in_list + 1).collect()]
-        keys = [k for k in keys if k is not None]
         if not keys:
             df = self.spark.createDataFrame([], self._schema)
             self.last_scan = ScanDecision(

@@ -130,6 +130,31 @@ def test_join_key_sideways_pruning(spark, corpus):
     assert df.count() == 0 and t.last_scan.files_scanned == {}
 
 
+def test_join_pruned_null_key_does_not_hide_real_keys(spark, corpus):
+    """A NULL build-side key must not occupy a harvested IN-list slot:
+    with max_in_list distinct non-null keys PLUS a NULL, the old
+    harvest could drop a real key after the limit yet still take the
+    exact IN-list path — silently losing join rows. NULLs now filter
+    before the limit, so the list is complete (or the range path
+    triggers)."""
+    from pyspark.sql import functions as F
+
+    t = IndexedParquetTable(spark, corpus, ["value", "text"])
+    # 5 real keys + a NULL with max_in_list=4: the harvest limit (5)
+    # truncates the 6 distinct values, so under the old code a NULL in
+    # the kept rows left only 4 real keys — "complete-looking" but
+    # missing one. With NULLs filtered first, 5 non-null keys exceed
+    # the cap and the sound [min,max] range path triggers instead.
+    build = spark.createDataFrame(
+        [(150, "a"), (155, "b"), (160, "c"), (165, "d"), (170, "e"),
+         (None, "n")],
+        "k int, tag string")
+    probe = t.query_join_pruned("value", build, "k", max_in_list=4)
+    joined = probe.join(F.broadcast(build), probe.value == build.k)
+    got = sorted(r["value"] for r in joined.collect())
+    assert got == [150, 155, 160, 165, 170]
+
+
 def test_unknown_column_raises_cleanly(spark, corpus):
     from pyspark.sql.utils import AnalysisException
     t = IndexedParquetTable(spark, corpus, ["value", "text"])
@@ -195,9 +220,6 @@ def test_distributed_build_matches_threaded(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from datafusion_async_parquet_index_spark.sources.catalog import (
-        SqliteIndexCatalog,
-    )
     from datafusion_async_parquet_index_spark.sources.stats import (
         build_index, list_parquet_files,
     )
@@ -233,7 +255,6 @@ def test_distributed_build_matches_threaded(spark, tmp_path):
     dist = build(spark)
     assert sorted(threaded.all_files()) == sorted(dist.all_files())
     # pruning decisions must match on stats, partition, AND bloom paths
-    from datafusion_async_parquet_index_spark.plans.expr import col
     from datafusion_async_parquet_index_spark.plans.pruning import (
         PruningRewriter,
     )

@@ -13,6 +13,7 @@ ordering are exactly where a silent wrong-prune could hide.
 """
 
 import datetime as _dt
+import os as _os
 import sqlite3
 
 from hypothesis import given, settings, strategies as st
@@ -223,8 +224,6 @@ def _ts_for_eval(v):
         return v
     return _dt.datetime(v.year, v.month, v.day)
 
-
-import os as _os
 
 # SPARK_GRAFT_FUZZ_EXAMPLES=3000 for a deep one-off soundness sweep
 _EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "300"))

@@ -551,6 +551,69 @@ EV_ATTRIBUTION_SQL = f"""
 """
 
 
+def ev_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel (sequence-constrained, unlike ev_type_funnel's
+    per-type counts): a user completes step 2 only with a click AFTER
+    their first signup, and step 3 only with a purchase AFTER that
+    click. Three chained per-user window minima over ONE user_id
+    exchange (each stage's anchor is the previous stage's column — no
+    self-joins), then a single global funnel row. The classic
+    event-sequence analytics shape, exactly expressible in both
+    engines."""
+    ev = read_table(spark, sf_dir, "events")
+    sec = _ts_seconds(ev)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", F.col("event_type").alias("et"),
+                  sec.alias("sec"))
+        .withColumn("t1", F.min(F.when(F.col("et") == "signup",
+                                       F.col("sec"))).over(w))
+        .withColumn("t2", F.min(F.when((F.col("et") == "click")
+                                       & (F.col("sec") > F.col("t1")),
+                                       F.col("sec"))).over(w))
+        .withColumn("t3", F.min(F.when((F.col("et") == "purchase")
+                                       & (F.col("sec") > F.col("t2")),
+                                       F.col("sec"))).over(w))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.count("t1").alias("signed_up"),
+        F.count("t2").alias("clicked_after"),
+        F.count("t3").alias("purchased_after"))
+
+
+EV_FUNNEL_ORDERED_SQL = """
+    WITH e AS (
+        SELECT user_id, event_type AS et,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), s1 AS (
+        SELECT *, MIN(CASE WHEN et = 'signup' THEN sec END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM e
+    ), s2 AS (
+        SELECT *, MIN(CASE WHEN et = 'click' AND sec > t1 THEN sec END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT *, MIN(CASE WHEN et = 'purchase' AND sec > t2 THEN sec END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(COUNT(t1) AS BIGINT) AS signed_up,
+           CAST(COUNT(t2) AS BIGINT) AS clicked_after,
+           CAST(COUNT(t3) AS BIGINT) AS purchased_after
+    FROM per_user
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -562,6 +625,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_interval_join": ev_interval_join,
     "ev_attribution": ev_attribution,
+    "ev_funnel_ordered": ev_funnel_ordered,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -575,4 +639,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_anomaly": EV_ANOMALY_SQL,
     "ev_interval_join": EV_INTERVAL_SQL,
     "ev_attribution": EV_ATTRIBUTION_SQL,
+    "ev_funnel_ordered": EV_FUNNEL_ORDERED_SQL,
 }

@@ -614,6 +614,54 @@ EV_FUNNEL_ORDERED_SQL = """
 """
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-behavior transition matrix — the Markov readout behind
+    next-event prediction and anomaly baselining: consecutive event
+    pairs per user (one lag window over the (sec, event_id) order, the
+    deterministic tie-break), counted globally and row-normalized to
+    integer basis points (floor(cnt·10⁴ / from_total) — one exact
+    division both engines compute identically). One user_id exchange
+    for the lag + one tiny (from,to) aggregate; at any scale the
+    output is |event types|² rows."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type",
+                  _ts_seconds(ev).alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    pairs = (e.withColumn("from_type", F.lag("event_type").over(w))
+             .where(F.col("from_type").isNotNull()))
+    counts = pairs.groupBy(
+        "from_type", F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w2 = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "cnt",
+        F.floor(F.col("cnt") * 10000 / F.sum("cnt").over(w2))
+        .cast("long").alias("prob_bp"))
+
+
+EV_MARKOV_SQL = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY sec, event_id) AS from_type,
+               event_type AS to_type
+        FROM e
+    ), counts AS (
+        SELECT from_type, to_type, COUNT(*) AS cnt
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(cnt * 10000
+                      / SUM(cnt) OVER (PARTITION BY from_type))
+                AS BIGINT) AS prob_bp
+    FROM counts
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -626,6 +674,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_interval_join": ev_interval_join,
     "ev_attribution": ev_attribution,
     "ev_funnel_ordered": ev_funnel_ordered,
+    "ev_markov_transitions": ev_markov_transitions,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -640,4 +689,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_interval_join": EV_INTERVAL_SQL,
     "ev_attribution": EV_ATTRIBUTION_SQL,
     "ev_funnel_ordered": EV_FUNNEL_ORDERED_SQL,
+    "ev_markov_transitions": EV_MARKOV_SQL,
 }

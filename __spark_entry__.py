@@ -110,8 +110,9 @@ _ROUND_PRIORITY = [
     # q48_metadata_count, text_bigram_logprob, ev_attribution,
     # emb_kmeans_step, text_tfidf_topk, text_bm25_score,
     # q49_token_search, q50_join_pruned_scan, dedup_snapshot_diff,
-    # ev_funnel_ordered, ev_markov_transitions — all local-harness
-    # green at BOTH sf0.01 and sf0.1.
+    # ev_funnel_ordered, ev_markov_transitions,
+    # q51_partition_group_count — all local-harness green at BOTH
+    # sf0.01 and sf0.1.
 ]
 
 

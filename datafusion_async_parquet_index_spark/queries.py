@@ -1014,6 +1014,22 @@ def q50_join_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_partition_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY COUNT answered from the CATALOG ALONE: over the
+    partitioned layout, every row group is single-valued on the
+    partition column (its value is the injected min=max stat), so
+    table.count_rows_by folds per-value row counts from the index
+    without starting a single executor — the aggregate-pushdown
+    endpoint of the stats-are-the-aggregate idea (q48 generalized from
+    a scalar COUNT(*) to a grouped one). The oracle recomputes the
+    group-by the hard way on the flat table."""
+    t = _partitioned_orders(spark, sf_dir)
+    counts = t.count_rows_by("o_orderstatus")
+    assert counts is not None, "partition column must be single-valued"
+    return spark.createDataFrame(
+        sorted(counts.items()), "o_orderstatus STRING, n_orders BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1065,6 +1081,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_metadata_count": q48_metadata_count,
     "q49_token_search": q49_token_search,
     "q50_join_pruned_scan": q50_join_pruned_scan,
+    "q51_partition_group_count": q51_partition_group_count,
 }
 
 
@@ -1506,6 +1523,11 @@ def _q49_sql() -> str:
 
 
 RELATIONAL_ORACLE["q49_token_search"] = _q49_sql()
+
+RELATIONAL_ORACLE["q51_partition_group_count"] = """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+"""
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """
     SELECT c_name,

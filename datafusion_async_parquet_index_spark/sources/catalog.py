@@ -365,5 +365,18 @@ class SqliteIndexCatalog:
         mn, mx, missing = row
         return mn, mx, (missing or 0) == 0
 
+    def column_rg_entries(self, column: str):
+        """[(null_count, min, max, row_count)] per indexed row group —
+        the raw material for catalog-only per-value aggregates over
+        single-valued (e.g. partition) columns."""
+        if column not in self.index_schema:
+            raise KeyError(column)
+        with self._lock:
+            rows = self._conn.execute(
+                f"""SELECT {column}_null_count, {column}_min,
+                           {column}_max, row_count
+                    FROM row_group_statistics""").fetchall()
+        return [tuple(r) for r in rows]
+
     def close(self) -> None:
         self._conn.close()

@@ -187,5 +187,17 @@ class DataFrameIndexCatalog:
                 mx = hi if mx is None or hi > mx else mx
         return mn, mx, complete
 
+    def column_rg_entries(self, column: str):
+        """[(null_count, min, max, row_count)] per indexed row group —
+        same contract as SqliteIndexCatalog.column_rg_entries."""
+        if column not in self.index_schema:
+            raise KeyError(column)
+        out = []
+        for _, rgs in self._files.values():
+            for rg in rgs:
+                nc, lo, hi = rg.columns.get(column, (None, None, None))
+                out.append((nc, lo, hi, rg.row_count))
+        return out
+
     def close(self) -> None:
         self._df = None

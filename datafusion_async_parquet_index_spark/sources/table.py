@@ -507,6 +507,28 @@ class IndexedParquetTable:
         full = derived if predicate is None else (predicate & derived)
         return self.query(full, **kw)
 
+    def count_rows_by(self, column: str):
+        """Zero-I/O GROUP BY COUNT: {value: row_count} answered from the
+        catalog alone when EVERY row group is single-valued on the
+        column (min == max, no nulls, stats present) — always true for
+        partition columns, whose value is injected as a degenerate
+        min=max stat, and for any column the layout writer clustered
+        perfectly. Returns None when any row group is not single-valued
+        (caller falls back to a scan aggregate); values come back in
+        the catalog's storage form (identical to the data for the
+        string/int categories partitions use). At 100 TB this is an
+        O(catalog) driver-side fold — no executor ever starts."""
+        try:
+            entries = self.catalog.column_rg_entries(column)
+        except KeyError:
+            return None
+        out: Dict = {}
+        for nc, lo, hi, rc in entries:
+            if lo is None or lo != hi or (nc or 0) != 0:
+                return None
+            out[lo] = out.get(lo, 0) + rc
+        return out
+
     def min_max(self, column: str):
         """(min, max) for an indexed column, answered from the catalog
         when every row group carries stats (numeric Parquet min/max are

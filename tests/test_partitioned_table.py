@@ -236,6 +236,29 @@ def test_refresh_drops_deleted_partition(spark, sf_dir, tmp_path_factory):
     assert t.count_rows() == full - n_f
 
 
+def test_count_rows_by_catalog_only(spark, part_table, part_dir):
+    """GROUP BY COUNT from the catalog alone: per-partition row counts
+    match a real scan aggregate on both backends, and a non-single-
+    valued column returns None (fallback contract)."""
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+
+    expect = {r["o_orderstatus"]: r["cnt"] for r in
+              spark.read.parquet(part_dir)
+              .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    assert part_table.count_rows_by("o_orderstatus") == expect
+    df_t = IndexedParquetTable(
+        spark, part_dir, index_columns=["o_totalprice"], partitioned=True,
+        catalog=DataFrameIndexCatalog(spark))
+    assert df_t.count_rows_by("o_orderstatus") == expect
+    # data column with real ranges: not single-valued -> None
+    assert part_table.count_rows_by("o_totalprice") is None
+    # unindexed column -> None
+    assert part_table.count_rows_by("no_such") is None
+
+
 def test_full_scan_and_count_rows(spark, part_table, part_dir):
     plain = spark.read.parquet(part_dir).count()
     assert part_table.count_rows() == plain

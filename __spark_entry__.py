@@ -111,8 +111,9 @@ _ROUND_PRIORITY = [
     # emb_kmeans_step, text_tfidf_topk, text_bm25_score,
     # q49_token_search, q50_join_pruned_scan, dedup_snapshot_diff,
     # ev_funnel_ordered, ev_markov_transitions,
-    # q51_partition_group_count — all local-harness green at BOTH
-    # sf0.01 and sf0.1.
+    # q51_partition_group_count, q52_metadata_minmax,
+    # text_lang_confusion — all local-harness green at BOTH sf0.01
+    # and sf0.1.
 ]
 
 

@@ -386,6 +386,25 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID accuracy audit: the confusion matrix of the langid
+    heuristic's guess against the labeled ``lang`` column — counts per
+    (labeled, guessed) cell, the readout a pipeline owner checks before
+    trusting the classifier for mixture control. One map-side-combined
+    aggregate over the same stopword-ratio expression text_langid
+    uses."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) \
+        / F.greatest(F.size(toks), F.lit(1))
+    guess = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        docs.select(F.col("lang").alias("labeled"), guess.alias("guessed"))
+        .groupBy("labeled", "guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -401,6 +420,7 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": text_bigram_logprob,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_score": text_bm25_score,
+    "text_lang_confusion": text_lang_confusion,
 }
 
 _TOKS = sql_tokens("text")
@@ -537,6 +557,15 @@ TEXT_ORACLE["text_unigram_logprob"] = f"""
            ROUND(ln(n_total) - SUM(ln(cnt)) / COUNT(*), 4) AS nll
     FROM toks JOIN tc USING (tok) CROSS JOIN total
     GROUP BY doc_id, n_total
+"""
+
+TEXT_ORACLE["text_lang_confusion"] = f"""
+    SELECT lang AS labeled,
+           CASE WHEN CAST(len(list_filter({_TOKS}, t -> t IN {_STOPS})) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1) >= 0.05
+                THEN 'en' ELSE 'other' END AS guessed,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
 """
 
 TEXT_ORACLE["text_bigram_logprob"] = f"""

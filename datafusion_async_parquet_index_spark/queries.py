@@ -1030,6 +1030,19 @@ def q51_partition_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(counts.items()), "o_orderstatus STRING, n_orders BIGINT")
 
 
+def q52_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column bounds answered from the catalog alone: numeric Parquet
+    min/max stats are exact, so table.min_max folds the true global
+    bounds from the index without reading data (the catalog reports
+    completeness; the method falls back to a scan aggregate only when
+    stats are missing). One row, zero Parquet I/O — the MIN/MAX
+    sibling of q48's COUNT(*) and q51's grouped counts."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    mn, mx = t.min_max("l_quantity")
+    return spark.createDataFrame(
+        [(float(mn), float(mx))], "min_qty DOUBLE, max_qty DOUBLE")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1082,6 +1095,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_token_search": q49_token_search,
     "q50_join_pruned_scan": q50_join_pruned_scan,
     "q51_partition_group_count": q51_partition_group_count,
+    "q52_metadata_minmax": q52_metadata_minmax,
 }
 
 
@@ -1527,6 +1541,12 @@ RELATIONAL_ORACLE["q49_token_search"] = _q49_sql()
 RELATIONAL_ORACLE["q51_partition_group_count"] = """
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY o_orderstatus
+"""
+
+RELATIONAL_ORACLE["q52_metadata_minmax"] = """
+    SELECT CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

@@ -34,86 +34,71 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # -- tier 1: never driver-verified (21 entries) ------------------
-    "ev_tumbling_agg",
-    "ev_sliding_agg",
-    "ev_sessionize",
-    "ev_type_funnel",
-    "ev_cms_user_counts",
-    "ev_json_extract",
-    "ev_retention",
-    "ev_anomaly",
-    "mm_metadata_extract",
-    "mm_frame_sample_stats",
+    # == ROUND 4 WINDOW ==============================================
+    # -- tier 1: the 18 late-round-3 entries that never got a driver
+    #    row (the 50-slot window was already full when they landed) —
+    #    the r3 verdict's ask #2, now actual list entries ------------
+    "q44_isnull_pred",
+    "q45_binned_quantiles",
+    "q46_partitioned_scan",
+    "q47_zorder_scan",
+    "q48_metadata_count",
+    "q49_token_search",
+    "q50_join_pruned_scan",
+    "q51_partition_group_count",
+    "q52_metadata_minmax",
+    "text_bigram_logprob",
+    "text_tfidf_topk",
+    "text_bm25_score",
+    "text_lang_confusion",
+    "emb_kmeans_step",
+    "ev_attribution",
+    "ev_funnel_ordered",
+    "ev_markov_transitions",
+    "dedup_snapshot_diff",
+    # -- tier 2: round 3's only red row, fixed this round (feature
+    #    array serialized to a string + full DuckDB oracle added) ----
     "mm_feature_extract",
-    "mm_modality_stats",
-    "mm_resize_stats",
-    "dedup_verified_clusters",
-    "dedup_incremental",
-    "dedup_incremental_persisted",
-    "dedup_embedding_lsh",
-    "dedup_containment",
-    "dedup_keep_policy",
-    "sim_ivf_nprobe_topk",
-    "sim_ivf_layout_topk",
-    # -- tier 2: green in r1 only; modules changed since (10) --------
-    "dedup_cross_modal",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "emb_label_centroids",
-    # -- tier 3: NEW in round 3 (never had a driver row) ------------
-    "text_pii_scrub",
-    "text_domain_mixture",
-    "dedup_substring_ngram",
-    "sim_sq_topk",
-    "q38_exists_subquery",
-    "q39_grouping_sets",
-    "q40_range_frame",
-    "q41_pivot",
-    "ev_interval_join",
-    "dedup_minhash_quality",
-    "text_quality_buckets",
-    "q42_hll_estimate",
-    "q43_in_pred",
-    "sim_recall_report",
-    "text_winnow_fingerprint",
-    "dedup_contamination",
-    "text_repetition_stats",
-    # -- tier 4: r2-green entries whose modules changed this round
-    #    (dedup store persistence, queries.py additions, pruning/CASE,
-    #    events zero-guard) ------------------------------------------
-    # dedup_exact / dedup_minhash_lsh / dedup_verified_pairs /
-    # q2_point_equality rotate out: bodies untouched since their
-    # r2-green rows, and their machinery is pinned transitively by
-    # in-window entries (verified_clusters calls corpus_verified_pairs;
-    # q35's fully-covered files route through the native q2 path;
-    # minhash_quality re-verifies the signature family)
-    "q35_rowgroup_scan",
-    "q37_case_pred",
-    # q20_asof_join rotates out: body untouched since its r2-green row
-    # and the events-timestamp dispatch it depends on is pinned by the
-    # nine in-window ev_* entries
-    # The r2-green text_* family and the untouched-body relational
-    # queries (q1..q34, q36) rotate OUT this round: their modules'
-    # changes are purely additive, while everything above either never
-    # had a row or had its code path touched. Remaining entries append
-    # in natural order below.
-    # Added late in round 3 (after the 50 window was already full) and
-    # FIRST in line for the r4 window: q44_isnull_pred,
-    # q45_binned_quantiles, q46_partitioned_scan, q47_zorder_scan,
-    # q48_metadata_count, text_bigram_logprob, ev_attribution,
-    # emb_kmeans_step, text_tfidf_topk, text_bm25_score,
-    # q49_token_search, q50_join_pruned_scan, dedup_snapshot_diff,
-    # ev_funnel_ordered, ev_markov_transitions,
-    # q51_partition_group_count, q52_metadata_minmax,
-    # text_lang_confusion — all local-harness green at BOTH sf0.01
-    # and sf0.1.
+    # -- tier 3: NEW in round 4 (never had a driver row) -------------
+    "q53_approx_distinct_parity",
+    "q54_catalog_describe",
+    "q55_colcol_pred",
+    "q56_bucketed_join",
+    "ev_stream_rate",
+    "text_minhash_shingle_norm",
+    "dedup_union_stats",
+    "sim_pq_topk",
+    "text_zipf_fit",
+    "ev_user_lifecycle",
+    # -- tier 4: oldest driver rows first (green-r2, bodies untouched
+    #    since — rotated back in per the documented policy: every
+    #    entry gets a periodic re-proof) -----------------------------
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "text_quality_metrics",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_topk_terms",
+    "text_curation_pipeline",
+    "text_deterministic_sample",
+    "text_token_budget_pack",
+    "text_stratified_sample",
+    "text_unigram_logprob",
+    "text_sequence_pack",
+    "q1_select_limit",
+    "q2_point_equality",
+    "q3_or_range_agg",
+    "q4_and_mixed_columns",
+    "q5_contradictory_and",
+    "q20_asof_join",
+    "q6_pricing_summary",
+    # Everything below slot 50 appends in natural order and rotates
+    # into later rounds. Green-r3 entries (the whole r3 window) rotate
+    # OUT this round: their bodies are untouched since their rows,
+    # except emb_kmeans_step / q45 / q51 / q52 / mm_* whose round-4
+    # touches put them in tiers 1-2 above.
 ]
 
 

@@ -78,6 +78,21 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }))
+    # The driver records only the TAIL of stdout, and with 100+ queries
+    # the full alphabetical dict gets cut mid-key (BENCH_r03 "parsed":
+    # null). Emit a compact line LAST — suite total, query count, and
+    # the slowest entries — so the headline numbers always survive the
+    # tail window regardless of suite size.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "cold": COLD,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
     spark.stop()
 
 

@@ -280,12 +280,54 @@ def _corpus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real Arrow-batched mapInPandas decode/feature path (stubbed
-    decode, deterministic fake). Python-side — no SQL oracle; the driver
-    records a rows-only check, and tests/test_operators.py pins the
-    batch semantics."""
+    decode, deterministic fake). The per-row byte-histogram feature is
+    serialized to a deterministic comma-joined string: array cells are
+    unhashable/unsortable in the driver's pandas canonicalizer (the one
+    red row of round 3), and the stub's histogram is a pure integer
+    formula over the UTF-8 payload bytes, so the stringified form is
+    fully DuckDB-oracle-checkable — upgrading this query from rows-only
+    to hash-checked."""
     feats = _corpus_features(spark, sf_dir)
-    return feats.select("doc_id", "media_type", "byte_len",
-                        "width", "height", "n_frames", "feature")
+    return feats.select(
+        "doc_id", "media_type", "byte_len", "width", "height", "n_frames",
+        F.concat_ws(",", F.col("feature").cast("array<string>"))
+        .alias("feature"))
+
+
+# Oracle for the full per-row feature pipeline: the payload is the
+# UTF-8 encoding of documents.text, which is pure ASCII in this corpus
+# (verified: octet_length(encode(text)) == length(text) at every SF), so
+# ord() over characters reproduces the byte values the numpy bincount
+# sees and the 8-bucket histogram of the first 256 bytes is expressible
+# as scalar list expressions — no unnest explosion.
+MM_FEATURE_SQL = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               octet_length(encode(text)) AS L,
+               substr(text, 1, 256) AS head
+        FROM documents
+    ), hist AS (
+        SELECT doc_id, media_type, L,
+               list_transform(
+                   range(0, 8),
+                   k -> len(list_filter(
+                       list_transform(range(1, len(head) + 1),
+                                      i -> ord(substr(head, i, 1)) % 8),
+                       b -> b = k))) AS h
+        FROM media
+    )
+    SELECT doc_id, media_type,
+           CAST(L AS INT) AS byte_len,
+           CAST(16 + L % 64 AS INT) AS width,
+           CAST(16 + (L // 64) % 64 AS INT) AS height,
+           CAST(CASE WHEN media_type = 'video/mp4'
+                     THEN 1 + L % 7 ELSE 1 END AS INT) AS n_frames,
+           array_to_string(h, ',') AS feature
+    FROM hist
+"""
 
 
 def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,9 +428,10 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_metadata_extract": MM_METADATA_SQL,
     "mm_frame_sample_stats": MM_FRAME_SAMPLE_SQL,
-    # mm_feature_extract: mapInPandas (Python) — deliberately no SQL
-    # oracle (per-row array features); mm_modality_stats hash-checks
-    # the same Python path through per-modality aggregates instead
+    # mm_feature_extract gained a full oracle in round 4: the feature is
+    # now a deterministic string, and the decode stub's formulas are
+    # recomputable relationally (text is pure ASCII, so ord == byte)
+    "mm_feature_extract": MM_FEATURE_SQL,
     "mm_modality_stats": MM_MODALITY_SQL,
     "mm_resize_stats": MM_RESIZE_SQL,
 }

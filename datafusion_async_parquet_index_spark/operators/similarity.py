@@ -473,16 +473,24 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (emb.orderBy("vec_id").limit(KMEANS_K)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("ce")))
-    # NULL elements coalesce to 0.0 on BOTH engines: Spark's fold would
-    # otherwise propagate NULL (and orderBy NULLS FIRST misassigns)
-    # while DuckDB's list_sum skips NULLs — coalescing pins one shared
-    # semantic (missing dim contributes zero distance-from-origin)
-    ad = F.transform(F.col("embedding"),
-                     lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
-    bd = F.transform(F.col("ce"),
-                     lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
+    # The coalesce must sit INSIDE zip_with, on each element: zip_with
+    # pads the SHORTER array with NULLs, so a per-array pre-coalesce
+    # would still yield a NULL squared-diff on ragged lengths, the fold
+    # would return NULL dist, and orderBy NULLS FIRST would silently
+    # assign the vector to the lowest cid. With the element-level
+    # coalesce a missing dim on EITHER side contributes the other
+    # side's squared value — the same semantic the oracle pins by
+    # iterating range(1, greatest(len(e), len(ce)) + 1) with both
+    # out-of-range subscripts coalesced to 0 (DuckDB returns NULL for
+    # out-of-range list subscripts). NULL elements inside the arrays
+    # coalesce to 0 identically on both engines.
+    def _sqdiff(x, y):
+        d = (F.coalesce(x.cast("double"), F.lit(0.0))
+             - F.coalesce(y.cast("double"), F.lit(0.0)))
+        return d * d  # d*d, not pow(d,2): bit-identical to the oracle's *
+
     dist = F.aggregate(
-        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(F.col("embedding"), F.col("ce"), _sqdiff),
         F.lit(0.0), lambda acc, x: acc + x)
     cand = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "embedding", "cid", dist.alias("dist"))
@@ -507,9 +515,13 @@ EMB_KMEANS_SQL = f"""
         SELECT vec_id AS cid, embedding AS ce
         FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
     ), d AS (
+        -- range over the LONGER of the two arrays (out-of-range list
+        -- subscripts are NULL, coalesced to 0) — the exact twin of the
+        -- Spark side's zip_with padding + element-level coalesce, so
+        -- ragged dimensionality degrades identically in both engines
         SELECT e.vec_id, e.embedding, s.cid,
                list_sum(list_transform(
-                   range(1, len(e.embedding) + 1),
+                   range(1, GREATEST(len(e.embedding), len(s.ce)) + 1),
                    i -> (COALESCE(CAST(e.embedding[i] AS DOUBLE), 0)
                          - COALESCE(CAST(s.ce[i] AS DOUBLE), 0))
                         * (COALESCE(CAST(e.embedding[i] AS DOUBLE), 0)

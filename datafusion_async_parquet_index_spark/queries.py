@@ -1477,7 +1477,14 @@ RELATIONAL_ORACLE["q45_binned_quantiles"] = f"""
         SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
         FROM lineitem
     ), bins AS (
-        SELECT c // {Q45_BIN_CENTS} AS bin, COUNT(*) AS cnt
+        -- CAST(FLOOR(...)) not //: DuckDB's // truncates toward zero
+        -- while the Spark side uses F.floor, and the bin value IS an
+        -- output (est_lower_cents) — the engines would diverge on any
+        -- negative cents value. (The division is correctly-rounded
+        -- IEEE: c is an integer with |c/bin - k| >= 1/bin >> ulp, so
+        -- FLOOR can never flip across an integer boundary.)
+        SELECT CAST(FLOOR(c / {Q45_BIN_CENTS}.0) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
         FROM cents GROUP BY 1
     ), cum AS (
         SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)

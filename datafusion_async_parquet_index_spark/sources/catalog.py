@@ -79,6 +79,26 @@ def encode_value(category: str, v: Any) -> Any:
     return v
 
 
+def decode_value(category: str, v: Any) -> Any:
+    """Inverse of encode_value: catalog storage form -> Python domain
+    value (epoch days -> date, epoch micros -> naive-UTC datetime,
+    sqlite BLOB -> bytes). Applied by the catalog readout methods
+    (column_bounds / column_rg_entries) so catalog-only ANSWERS —
+    min_max(), count_rows_by() — return values in the data's domain,
+    not the storage encoding; the DataFrame backend stores domain
+    values directly, so decoding here is what keeps the two backends
+    interchangeable."""
+    if v is None:
+        return None
+    if category == "timestamp":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
+    if category == "date":
+        return _EPOCH + _dt.timedelta(days=int(v))
+    if category == "binary":
+        return bytes(v) if isinstance(v, (memoryview, bytearray)) else v
+    return v
+
+
 @dataclass
 class FileStats:
     file_name: str
@@ -363,7 +383,8 @@ class SqliteIndexCatalog:
                            SUM(CASE WHEN {column}_min IS NULL THEN 1 ELSE 0 END)
                     FROM row_group_statistics""").fetchone()
         mn, mx, missing = row
-        return mn, mx, (missing or 0) == 0
+        cat = self.index_schema[column]
+        return decode_value(cat, mn), decode_value(cat, mx), (missing or 0) == 0
 
     def column_rg_entries(self, column: str):
         """[(null_count, min, max, row_count)] per indexed row group —
@@ -376,7 +397,9 @@ class SqliteIndexCatalog:
                 f"""SELECT {column}_null_count, {column}_min,
                            {column}_max, row_count
                     FROM row_group_statistics""").fetchall()
-        return [tuple(r) for r in rows]
+        cat = self.index_schema[column]
+        return [(nc, decode_value(cat, mn), decode_value(cat, mx), rc)
+                for nc, mn, mx, rc in rows]
 
     def close(self) -> None:
         self._conn.close()

@@ -44,6 +44,22 @@ from .catalog import SqliteIndexCatalog
 from .stats import build_index, list_parquet_files
 
 
+# Parquet string/binary column-chunk statistics may be TRUNCATED bounds:
+# writers (parquet-mr, parquet-rs) shorten long min/max values while
+# keeping them valid *bounds* (max truncation rounds the last byte up),
+# and mark it with is_min_value_exact/is_max_value_exact footer flags —
+# which pyarrow 16 does not expose. Truncated bounds are still sound for
+# PRUNING (over-approximation), but catalog-only ANSWERS (min_max,
+# count_rows_by) would return a never-attained bound as "the max". With
+# the flags unreadable, the conservative guard is length-based: treat a
+# string/binary bound at or beyond the common 64-byte truncation
+# threshold as possibly inexact and fall back to a scan aggregate —
+# wrong answers become impossible, long-string corpora merely lose the
+# zero-I/O shortcut. Partition-column stats are exempt: their min=max
+# value comes from the directory name, not a footer stat.
+STATS_EXACT_MAX_BYTES = 64
+
+
 @dataclass
 class ScanDecision:
     """The pruning decision for one query — first-class, testable output
@@ -164,6 +180,7 @@ class IndexedParquetTable:
         raw_by_file = {p: partition_values_raw(self.data_dir, p)
                        for p in self._files}
         part_cols = sorted({c for r in raw_by_file.values() for c in r})
+        self._partition_cols = set(part_cols)
         cats = {}
         for f in (self._schema.fields if self._schema else []):
             if f.name in part_cols:
@@ -507,6 +524,20 @@ class IndexedParquetTable:
         full = derived if predicate is None else (predicate & derived)
         return self.query(full, **kw)
 
+    def _bound_is_exact(self, column: str, value) -> bool:
+        """Whether a catalog min/max value can be trusted as the ACTUAL
+        attained value (not just a valid bound). See STATS_EXACT_MAX_BYTES:
+        only long string/binary footer stats are suspect; numeric /
+        date / timestamp stats and partition-derived values are exact."""
+        if self.index_schema.get(column) not in ("string", "binary"):
+            return True
+        if column in getattr(self, "_partition_cols", ()):
+            return True
+        if value is None:
+            return True
+        raw = value.encode("utf-8") if isinstance(value, str) else value
+        return len(raw) < STATS_EXACT_MAX_BYTES
+
     def count_rows_by(self, column: str):
         """Zero-I/O GROUP BY COUNT: {value: row_count} answered from the
         catalog alone when EVERY row group is single-valued on the
@@ -514,10 +545,12 @@ class IndexedParquetTable:
         partition columns, whose value is injected as a degenerate
         min=max stat, and for any column the layout writer clustered
         perfectly. Returns None when any row group is not single-valued
-        (caller falls back to a scan aggregate); values come back in
-        the catalog's storage form (identical to the data for the
-        string/int categories partitions use). At 100 TB this is an
-        O(catalog) driver-side fold — no executor ever starts."""
+        (caller falls back to a scan aggregate), or when a string bound
+        is long enough to be a truncated footer stat (min == max would
+        then not prove single-valuedness — two distinct long values can
+        share a truncated prefix). Values are returned in the data's
+        domain (the catalog decodes its storage encoding). At 100 TB
+        this is an O(catalog) driver-side fold — no executor starts."""
         try:
             entries = self.catalog.column_rg_entries(column)
         except KeyError:
@@ -526,19 +559,25 @@ class IndexedParquetTable:
         for nc, lo, hi, rc in entries:
             if lo is None or lo != hi or (nc or 0) != 0:
                 return None
+            if not self._bound_is_exact(column, lo):
+                return None
             out[lo] = out.get(lo, 0) + rc
         return out
 
     def min_max(self, column: str):
         """(min, max) for an indexed column, answered from the catalog
-        when every row group carries stats (numeric Parquet min/max are
-        exact; string stats may be truncated bounds — still correct as
-        bounds). Falls back to a scan aggregate otherwise."""
+        when every row group carries stats AND the bounds are trustable
+        as attained values (numeric Parquet min/max are exact; long
+        string/binary stats may be truncated bounds — valid for pruning
+        but possibly never-attained, so they trigger the scan
+        fallback). Falls back to a scan aggregate otherwise."""
         try:
             mn, mx, complete = self.catalog.column_bounds(column)
         except KeyError:
             complete = False
-        if complete:
+            mn = mx = None
+        if (complete and self._bound_is_exact(column, mn)
+                and self._bound_is_exact(column, mx)):
             return mn, mx
         from pyspark.sql import functions as F
         row = self.to_df().agg(F.min(column).alias("mn"),

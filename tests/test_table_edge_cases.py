@@ -95,3 +95,61 @@ def test_case_predicate_prunes_scan(spark, tmp_path):
     none = t.query(Case([(col("value") == 150, Lit(1))], Lit(0)) == 7)
     assert none.count() == 0
     assert t.last_scan.files_scanned == {}
+
+
+def test_truncated_string_stats_never_answer_minmax(spark, tmp_path):
+    """A writer that truncates long string statistics keeps them valid
+    BOUNDS but not attained values (the parquet is_min/max_value_exact
+    contract, unreadable through pyarrow 16). The guard: min_max() must
+    fall back to a scan whenever a string bound reaches the 64-byte
+    truncation threshold, so a truncated bound is never returned as
+    "the max"."""
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        FileStats, RowGroupStats,
+    )
+
+    d = str(tmp_path / "longstr")
+    os.makedirs(d)
+    lo, hi = "a" * 100, "a" * 99 + "z"
+    spark.createDataFrame([(1, lo), (2, hi)], "id long, s string") \
+        .coalesce(1).write.mode("append").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["s"])
+    # simulate a truncating writer: replace the file's catalog stats
+    # with truncated-but-valid bounds (max rounded up past the data)
+    fname = t.catalog.all_files()[0][0]
+    fs = FileStats(fname, os.path.getsize(os.path.join(d, fname)), 1, 2)
+    rg = RowGroupStats(row_group=0, row_count=2)
+    rg.columns["s"] = (0, "a" * 64, "a" * 63 + "{")   # truncated bounds
+    t.catalog.upsert_file(fs, [rg])
+    mn, mx = t.min_max("s")
+    assert (mn, mx) == (lo, hi)          # scan fallback: true values
+    # and the single-valued fold must refuse long bounds too: min==max
+    # at the truncation length does not prove single-valuedness
+    rg.columns["s"] = (0, "a" * 64, "a" * 64)
+    t.catalog.upsert_file(fs, [rg])
+    assert t.count_rows_by("s") is None
+
+
+def test_short_string_stats_still_answer_from_catalog(spark, tmp_path):
+    d = str(tmp_path / "shortstr")
+    os.makedirs(d)
+    spark.createDataFrame([(1, "aa"), (2, "zz")], "id long, s string") \
+        .coalesce(1).write.mode("append").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["s"])
+    assert t.min_max("s") == ("aa", "zz")
+
+
+def test_catalog_date_values_decode_to_domain(spark, tmp_path):
+    """count_rows_by / min_max on a date-category column must return
+    datetime.date values, not the catalog's epoch-day integer storage
+    form (both backends must agree on the domain)."""
+    import datetime as dt
+
+    d = str(tmp_path / "datecol")
+    os.makedirs(d)
+    day = dt.date(2024, 3, 15)
+    spark.createDataFrame([(1, day), (2, day)], "id long, d date") \
+        .coalesce(1).write.mode("append").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["d"])
+    assert t.min_max("d") == (day, day)
+    assert t.count_rows_by("d") == {day: 2}

@@ -9,6 +9,7 @@ no driver collect cost). Best of two runs per query to damp JVM warmup.
 
 Env knobs:
   SPARK_GRAFT_BENCH_RUNS=N  runs per query (default 2, best-of-N)
+  SPARK_GRAFT_BENCH_ONLY=a,b  run only the named queries
   SPARK_GRAFT_BENCH_COLD=1  cold mode: 1 run per query and operator
                             caches + the Spark cache are cleared between
                             queries, so the dominant costs (md5/shingle
@@ -56,6 +57,11 @@ def main() -> None:
      .mapInPandas(lambda it: it, "id long").count())
 
     from datafusion_async_parquet_index_spark.operators.util import clear_caches
+
+    only = {n for n in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

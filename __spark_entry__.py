@@ -60,13 +60,13 @@ _ROUND_PRIORITY = [
     #    array serialized to a string + full DuckDB oracle added) ----
     "mm_feature_extract",
     # -- tier 3: NEW in round 4 (never had a driver row) -------------
-    "q53_approx_distinct_parity",
+    "q53_hll_union_merge",
     "q54_catalog_describe",
     "q55_colcol_pred",
     "q56_bucketed_join",
     "ev_stream_rate",
-    "text_minhash_shingle_norm",
-    "dedup_union_stats",
+    "text_hashed_ngram_features",
+    "dedup_cluster_stats",
     "sim_pq_topk",
     "text_zipf_fit",
     "ev_user_lifecycle",

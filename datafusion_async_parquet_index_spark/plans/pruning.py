@@ -34,7 +34,10 @@ r = row_count; all leaf terms are null-guarded, see ``_guard``):
     (c INTOP k) CMP v  ->  interval fold onto c (depth-1 int arithmetic
              + - * << >> with literal k; exact integer inverse transforms
              plus overflow guards — see ``_fold_arith``)
-    anything else (nested arithmetic, col-col compare, / and %, CASE, ...)
+    a CMP b  (both columns indexed, compatible categories) -> interval
+             intersection tests, e.g. a < b -> a_min < b_max (refuted
+             when every a is >= every b); see ``_rw_colcol``
+    anything else (nested arithmetic, / and %, CASE, ...)
              ->  TRUE
 
 Null-safety: a leaf term over m/M must not prune a row group whose stats
@@ -209,6 +212,9 @@ class PruningRewriter:
     def _rw_cmp(self, e: BinOp) -> Expr:
         leaf = self._leaf(e)
         if leaf is None:
+            colcol = self._rw_colcol(e)
+            if colcol is not None:
+                return colcol
             if isinstance(e.left, Case) or isinstance(e.right, Case):
                 return self._fold_case(e)
             return self._fold_arith(e)
@@ -228,6 +234,64 @@ class PruningRewriter:
         else:
             return TRUE
         return _guard(c, term)
+
+    # -- column-column comparison -------------------------------------
+    #
+    # ``a CMP b`` with BOTH columns indexed: a row group can hold a
+    # satisfying row only if the stat intervals permit one —
+    #
+    #     a <  b   ->  a_min <  b_max   (if every a >= every b, refute)
+    #     a <= b   ->  a_min <= b_max
+    #     a >  b   ->  a_max >  b_min
+    #     a >= b   ->  a_max >= b_min
+    #     a =  b   ->  a_min <= b_max AND b_min <= a_max  (intersection)
+    #     a != b   ->  NOT (both single-valued at the same value)
+    #
+    # Soundness notes: (1) truncated string bounds stay VALID bounds, so
+    # interval tests never refute wrongly — and min == max == t proves
+    # single-valuedness even under truncation, since every value then
+    # sits in [t, t]. (2) All-null columns: with stats present, the
+    # INTERVAL terms evaluate over NULL min/max -> not TRUE -> pruned,
+    # which is correct because NULL CMP anything is never TRUE (the
+    # NOT-form for != may still keep an all-null group through
+    # three-valued logic — conservative, never wrong). Missing
+    # stats keep the group via the per-column guards. (3) Categories
+    # must order identically in Spark and the catalog: same category,
+    # or the int/float numeric pair; date-vs-timestamp col pairs bail
+    # (the catalog stores epoch days vs epoch micros — incomparable).
+
+    def _rw_colcol(self, e: BinOp) -> Optional[Expr]:
+        l, r = e.left, e.right
+        if not (isinstance(l, Col) and isinstance(r, Col)):
+            return None
+        ca, cb = l.name, r.name
+        ta, tb = self.indexed.get(ca), self.indexed.get(cb)
+        if ta is None or tb is None:
+            return TRUE  # col-col over unindexed columns: no pruning
+        numeric = ("int", "float")
+        if not (ta == tb or (ta in numeric and tb in numeric)):
+            return TRUE
+        if ca == cb:
+            # a CMP a: < > != never hold for any (non-null) row ->
+            # refute everything; = <= >= cannot prune (hold wherever
+            # a is non-null)
+            return Lit(False) if e.op in ("<", ">", "!=") else TRUE
+        if e.op == "=":
+            term: Expr = (_min(ca) <= _max(cb)) & (_min(cb) <= _max(ca))
+        elif e.op == "!=":
+            term = Not((_min(ca) == _max(ca)) & (_min(cb) == _max(cb))
+                       & (_min(ca) == _min(cb)))
+        elif e.op == "<":
+            term = _min(ca) < _max(cb)
+        elif e.op == "<=":
+            term = _min(ca) <= _max(cb)
+        elif e.op == ">":
+            term = _max(ca) > _min(cb)
+        elif e.op == ">=":
+            term = _max(ca) >= _min(cb)
+        else:
+            return TRUE
+        return _guard(ca, _guard(cb, term))
 
     # -- literal-armed CASE fold --------------------------------------
     #

@@ -1043,6 +1043,96 @@ def q52_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(mn), float(mx))], "min_qty DOUBLE, max_qty DOUBLE")
 
 
+def q53_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes the HLL family a
+    100 TB operator: registers built independently over two sources
+    (customers present in orders, and the full customer table) merge by
+    elementwise MAX into the registers of the UNION, with no access to
+    either source's raw keys. That is exactly the cross-day/cross-
+    partition rollup shape: build per-partition register sets in one
+    pass each, merge O(m) integers, estimate once. Register math is
+    q28's (integer rank chain, md5-based hash) so both engines agree
+    bit-for-bit; the merged estimate is reported against the exact
+    union distinct as its own accuracy audit."""
+    from .functions import hash60
+
+    def regs(df, key):
+        h = hash60(F.col(key).cast("string"))
+        return (df.select((h % HLL_BUCKETS).cast("int").alias("bucket"),
+                          _hll_rho_col(h).cast("int").alias("rho"))
+                .groupBy("bucket").agg(F.max("rho").alias("register")))
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    merged = (
+        regs(orders, "o_custkey")
+        .unionByName(regs(customer, "c_custkey"))
+        .groupBy("bucket").agg(F.max("register").alias("register"))
+    )
+    allb = spark.range(HLL_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"))
+    full = allb.join(merged, "bucket", "left").select(
+        F.coalesce(F.col("register"), F.lit(0)).alias("register"))
+    s = full.agg(F.sum(F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(55 - register AS INT))"))
+        .alias("ind_sum"))
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .unionByName(customer.select(F.col("c_custkey").alias("k")))
+        .agg(F.count_distinct("k").alias("exact_union_distinct"))
+    )
+    est = F.lit(_HLL_A) / F.col("ind_sum")
+    return s.crossJoin(exact).select(
+        F.round(est, 2).alias("hll_union_estimate"),
+        F.col("exact_union_distinct").cast("bigint")
+        .alias("exact_union_distinct"))
+
+
+def q54_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESCRIBE readout of the external index (table.describe_index)
+    under the oracle: per indexed column, total null count and global
+    min/max folded from the CATALOG ALONE — zero Parquet I/O — and
+    cross-checked against the data the hard way. The non-SQL-derivable
+    freshness fields (file/row-group counts, bloom inventory) are
+    asserted in tests/; here the value-carrying fields prove the
+    catalog agrees with the data it summarizes."""
+    t = _make_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    info = t.describe_index()
+    assert info["rows"] == t.count_rows()
+    rows = []
+    for col in ("o_custkey", "o_totalprice"):
+        c = info["columns"][col]
+        assert c["bounds_exact"], f"{col} bounds must be trusted exact"
+        rows.append((col, int(c["null_count"]),
+                     float(c["min"]), float(c["max"])))
+    return spark.createDataFrame(
+        rows, "column_name STRING, null_count BIGINT, "
+              "min_val DOUBLE, max_val DOUBLE")
+
+
+def q55_colcol_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-column comparison through the index (plans/pruning.py
+    _rw_colcol): ``l_quantity > l_extendedprice`` is refuted from the
+    catalog alone — every row group's quantity interval sits entirely
+    below its price interval — so the count is answered with ZERO
+    Parquet I/O (the Q5 "Files scanned: []" posture on the col-col
+    dimension). The satisfiable direction ``l_discount >= l_tax``
+    cannot be refuted (intervals overlap), scans, and the residual
+    filter applies the exact row-level comparison (Inexact contract).
+    The oracle recomputes both counts the hard way."""
+    t = _make_table(spark, sf_dir, "lineitem",
+                    ["l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"])
+    n_impossible = t.count_rows(
+        xcol("l_quantity") > xcol("l_extendedprice"))
+    assert t.last_scan.files_scanned == {}, \
+        "col-col refutation must be catalog-only"
+    cheap = t.query(xcol("l_discount") >= xcol("l_tax"))
+    return (cheap.agg(F.count(F.lit(1)).alias("n_cheap"))
+            .withColumn("n_impossible",
+                        F.lit(n_impossible).cast("bigint")))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1096,6 +1186,9 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_join_pruned_scan": q50_join_pruned_scan,
     "q51_partition_group_count": q51_partition_group_count,
     "q52_metadata_minmax": q52_metadata_minmax,
+    "q53_hll_union_merge": q53_hll_union_merge,
+    "q54_catalog_describe": q54_catalog_describe,
+    "q55_colcol_pred": q55_colcol_pred,
 }
 
 
@@ -1553,6 +1646,55 @@ RELATIONAL_ORACLE["q51_partition_group_count"] = """
 RELATIONAL_ORACLE["q52_metadata_minmax"] = """
     SELECT CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+"""
+
+RELATIONAL_ORACLE["q53_hll_union_merge"] = f"""
+    WITH keys AS (
+        SELECT o_custkey::VARCHAR AS k FROM orders
+        UNION ALL
+        SELECT c_custkey::VARCHAR AS k FROM customer
+    ), h AS (
+        SELECT {_sql_hash60('k')} AS hv FROM keys
+    ), regs AS (
+        SELECT hv % {HLL_BUCKETS} AS bucket,
+               MAX({_hll_rho_sql('hv')}) AS register
+        FROM h GROUP BY 1
+    ), fullregs AS (
+        SELECT COALESCE(register, 0) AS register
+        FROM range(0, {HLL_BUCKETS}) t(b)
+        LEFT JOIN regs ON bucket = b
+    ), s AS (
+        SELECT SUM(1::BIGINT << (55 - register)) AS ind_sum FROM fullregs
+    ), e AS (
+        SELECT COUNT(DISTINCT k) AS exact_union_distinct
+        FROM (SELECT o_custkey AS k FROM orders
+              UNION ALL SELECT c_custkey FROM customer)
+    )
+    SELECT ROUND({_HLL_A!r} / ind_sum, 2) AS hll_union_estimate,
+           CAST(exact_union_distinct AS BIGINT) AS exact_union_distinct
+    FROM s CROSS JOIN e
+"""
+
+RELATIONAL_ORACLE["q54_catalog_describe"] = """
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_count,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+"""
+
+RELATIONAL_ORACLE["q55_colcol_pred"] = """
+    SELECT CAST(COUNT(*) FILTER (WHERE l_discount >= l_tax) AS BIGINT)
+               AS n_cheap,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > l_extendedprice)
+                AS BIGINT) AS n_impossible
     FROM lineitem
 """
 

@@ -584,6 +584,53 @@ class IndexedParquetTable:
                                F.max(column).alias("mx")).head()
         return row["mn"], row["mx"]
 
+    def describe_index(self) -> Dict:
+        """DESCRIBE-style catalog readout — the observability a 100 TB
+        operator pages on: what is indexed, how fresh, how complete.
+        Pure catalog fold, zero Parquet I/O. Returns::
+
+            {"files": n, "row_groups": n, "rows": n,
+             "bloom_columns": [...], "token_bloom_columns": [...],
+             "columns": {col: {"category": str,
+                               "row_groups_with_stats": n,
+                               "null_count": total-or-None,
+                               "min": v, "max": v,
+                               "bounds_exact": bool}}}
+
+        null_count is None when any row group lacks a null count (the
+        total would be a lower bound, not an answer). bounds_exact
+        reports the same trust decision min_max() makes — False means
+        min/max are valid bounds that may not be attained values
+        (truncated string stats)."""
+        files = self.catalog.all_files()
+        out: Dict = {
+            "files": len(files),
+            "row_groups": sum(f[2] for f in files),
+            "rows": sum(f[3] for f in files),
+            "bloom_columns": list(getattr(self, "bloom_columns", ())),
+            "token_bloom_columns": list(
+                getattr(self, "token_bloom_columns", ())),
+            "columns": {},
+        }
+        for col, cat in self.index_schema.items():
+            entries = self.catalog.column_rg_entries(col)
+            with_stats = sum(1 for _, lo, _, _ in entries if lo is not None)
+            nulls = (sum(nc for nc, _, _, _ in entries)
+                     if all(nc is not None for nc, _, _, _ in entries)
+                     else None)
+            mn, mx, complete = self.catalog.column_bounds(col)
+            out["columns"][col] = {
+                "category": cat,
+                "row_groups_with_stats": with_stats,
+                "null_count": nulls,
+                "min": mn,
+                "max": mx,
+                "bounds_exact": bool(
+                    complete and self._bound_is_exact(col, mn)
+                    and self._bound_is_exact(col, mx)),
+            }
+        return out
+
     # -- convenience ---------------------------------------------------
     def to_df(self) -> DataFrame:
         """Unpruned full-table scan through Spark's native reader."""

@@ -199,3 +199,85 @@ def test_unsupported_types_never_indexed():
     ])
     got = index_schema_for(schema, ["a", "e", "m", "s", "t", "missing"])
     assert got == {"a": "int", "s": "string", "t": "timestamp"}
+
+
+# -- column-column comparisons (round 4) ------------------------------
+
+SCHEMA2 = {"a": "int", "b": "int", "s": "string"}
+
+# (rg id, row_count, a_nc, a_min, a_max, b_nc, b_min, b_max,
+#  s_nc, s_min, s_max)
+ROWS2 = [
+    (0, 10, 0, 0, 10, 0, 20, 30, 0, "a", "b"),    # a entirely below b
+    (1, 10, 0, 50, 60, 0, 0, 40, 0, "a", "b"),    # a entirely above b
+    (2, 10, 0, 5, 5, 0, 5, 5, 0, "a", "b"),       # both constant 5
+    (3, 10, 2, None, None, 0, 0, 1, 0, "a", "b"), # a stats missing
+    (4, 10, 10, None, None, 0, 0, 1, 0, "a", "b"),# a all-null
+]
+
+
+def survivors2(pred):
+    rw = PruningRewriter(SCHEMA2)
+    stats = rw.rewrite(pred)
+    cats = {"row_count": "int"}
+    for n, c in SCHEMA2.items():
+        cats.update({f"{n}_min": c, f"{n}_max": c, f"{n}_null_count": "int"})
+    r = _SqliteStatsSql(cats)
+    sql = r.render(stats)
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        """CREATE TABLE s (rg INTEGER, row_count INTEGER,
+           a_null_count INTEGER, a_min INTEGER, a_max INTEGER,
+           b_null_count INTEGER, b_min INTEGER, b_max INTEGER,
+           s_null_count INTEGER, s_min TEXT, s_max TEXT)""")
+    conn.executemany("INSERT INTO s VALUES (?,?,?,?,?,?,?,?,?,?,?)", ROWS2)
+    return [row[0]
+            for row in conn.execute(f"SELECT rg FROM s WHERE {sql}", r.params)]
+
+
+def test_colcol_less_than():
+    # rg0 satisfiable; rg1 refuted (a_min 50 >= b_max 40); rg2 refuted
+    # (5 < 5 impossible); rg3 kept (guard); rg4 pruned (a all-null)
+    assert survivors2(col("a") < col("b")) == [0, 3]
+
+
+def test_colcol_greater_than():
+    assert survivors2(col("a") > col("b")) == [1, 3]
+
+
+def test_colcol_lte_gte_at_equality():
+    assert survivors2(col("a") <= col("b")) == [0, 2, 3]
+    assert survivors2(col("a") >= col("b")) == [1, 2, 3]
+
+
+def test_colcol_equality_interval_intersection():
+    # rg0/rg1 disjoint intervals -> refuted; rg2 overlaps at 5
+    assert survivors2(col("a") == col("b")) == [2, 3]
+
+
+def test_colcol_not_equal_single_valued():
+    # only rg2 (both constant at the same value) is refutable; rg4
+    # (a all-null) is kept conservatively: the NOT-form evaluates
+    # NOT(NULL AND FALSE) = NOT FALSE = TRUE — sound, not minimal
+    assert survivors2(col("a") != col("b")) == [0, 1, 3, 4]
+
+
+def test_colcol_same_column():
+    assert survivors2(col("a") < col("a")) == []
+    assert survivors2(col("a") != col("a")) == []
+    assert survivors2(col("a") <= col("a")) == [0, 1, 2, 3, 4]
+
+
+def test_colcol_not_pushdown():
+    # NOT(a < b) -> a >= b via comparison negation
+    from datafusion_async_parquet_index_spark.plans.expr import Not
+    assert survivors2(Not(col("a") < col("b"))) == [1, 2, 3]
+
+
+def test_colcol_cross_category_bails():
+    # int vs string ordering differs between engines -> no pruning
+    assert survivors2(col("a") < col("s")) == [0, 1, 2, 3, 4]
+
+
+def test_colcol_unindexed_side_bails():
+    assert survivors2(col("a") < col("zzz")) == [0, 1, 2, 3, 4]

@@ -153,3 +153,57 @@ def test_catalog_date_values_decode_to_domain(spark, tmp_path):
     t = IndexedParquetTable(spark, d, index_columns=["d"])
     assert t.min_max("d") == (day, day)
     assert t.count_rows_by("d") == {day: 2}
+
+
+def test_colcol_pruning_soundness_sweep(spark, tmp_path):
+    """Every col-col comparison op through the indexed path must return
+    exactly the rows a full scan + filter returns (pruning may only
+    over-select), across row groups engineered to exercise refutation,
+    overlap, equality, and NULLs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "colcol")
+    os.makedirs(d)
+    # 4 row groups of 5 rows: a below b / a above b / interleaved /
+    # constant-equal, plus NULLs sprinkled in the third group
+    a = [0, 1, 2, 3, 4,      50, 51, 52, 53, 54,
+         10, None, 30, 5, 25, 7, 7, 7, 7, 7]
+    b = [20, 21, 22, 23, 24,  0, 1, 2, 3, 4,
+         15, 20, None, 35, 25, 7, 7, 7, 7, 7]
+    tbl = pa.table({"a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64())})
+    pq.write_table(tbl, os.path.join(d, "part-0.parquet"), row_group_size=5)
+    t = IndexedParquetTable(spark, d, index_columns=["a", "b"])
+    full = spark.read.parquet(d)
+    for op in ("<", "<=", ">", ">=", "==", "!="):
+        pred = getattr(col("a"), {
+            "<": "__lt__", "<=": "__le__", ">": "__gt__",
+            ">=": "__ge__", "==": "__eq__", "!=": "__ne__"}[op])(col("b"))
+        got = sorted(r["a"] for r in t.query(pred).collect())
+        want = sorted(r["a"] for r in
+                      full.filter(pred.to_spark()).collect())
+        assert got == want, (op, got, want)
+    # the refutation actually happens: a > b over the first row group's
+    # sibling is prunable — check a fully-refuted predicate scans nothing
+    t.query(col("a") > col("b") + 1000)  # arithmetic col-col: no prune, fine
+    t.plan_scan(col("a") == col("b"))
+    # constant-equal group (7s) + interleaved group survive; the two
+    # disjoint-interval groups are refuted
+    assert t.last_scan.row_groups_scanned == 2, t.last_scan.describe()
+
+
+def test_describe_index_readout(spark, demo_dir):
+    t = IndexedParquetTable(spark, demo_dir,
+                            index_columns=["value", "text"])
+    info = t.describe_index()
+    assert info["files"] == 3
+    assert info["row_groups"] == 60
+    assert info["rows"] == 3000
+    v = info["columns"]["value"]
+    assert (v["min"], v["max"]) == (0, 2999)
+    assert v["null_count"] == 0
+    assert v["row_groups_with_stats"] == 60
+    assert v["bounds_exact"]
+    s = info["columns"]["text"]
+    assert s["category"] == "string" and s["bounds_exact"]

@@ -636,6 +636,68 @@ def _clusters_sql() -> str:
     """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup AUDIT readout — what a curation run reports before
+    committing a keep-one policy: the cluster-size histogram with, per
+    size, how many clusters, how many documents they hold, and how
+    many would be removed (size - 1 each). Singleton documents (never
+    in any near-dup pair) enter as the size-1 row with zero removals,
+    so the histogram partitions the whole corpus and the removable
+    column sums to the dedup saving. Cost: the cluster components the
+    pipeline already computes, one tiny size aggregate, one scalar
+    corpus count — nothing touches pair-level data again."""
+    pairs = corpus_minhash_pairs(spark, sf_dir, CLUSTER_THRESHOLD)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"))
+    total = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total"))
+    in_comp = comp.agg(F.count(F.lit(1)).alias("n_in"))
+    singles = (
+        total.crossJoin(in_comp)
+        .select(F.lit(1).cast("long").alias("cluster_size"),
+                (F.col("n_total") - F.col("n_in")).alias("n_clusters"))
+    )
+    return (
+        hist.unionByName(singles)
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint").alias("n_removable"))
+    )
+
+
+def _cluster_stats_sql() -> str:
+    return f"""
+        WITH comp_sized AS (
+            SELECT DISTINCT cluster_id, cluster_size
+            FROM ({_clusters_sql()}) t
+        ), hist AS (
+            SELECT cluster_size, COUNT(*) AS n_clusters
+            FROM comp_sized GROUP BY cluster_size
+        ), tot AS (
+            SELECT COUNT(*) AS n_total FROM documents
+        ), incomp AS (
+            SELECT COALESCE(SUM(cluster_size), 0) AS n_in FROM comp_sized
+        ), allrows AS (
+            SELECT cluster_size, n_clusters FROM hist
+            UNION ALL
+            SELECT 1, n_total - n_in FROM tot CROSS JOIN incomp
+        )
+        SELECT CAST(cluster_size AS INT) AS cluster_size,
+               CAST(n_clusters AS BIGINT) AS n_clusters,
+               CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * n_clusters AS BIGINT)
+                   AS n_removable
+        FROM allrows
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1381,6 +1443,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_verified_pairs": dedup_verified_pairs,
     "dedup_cross_modal": dedup_cross_modal,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_verified_clusters": dedup_verified_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1400,6 +1463,7 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_verified_pairs": _verified_pairs_sql(),
     "dedup_cross_modal": _cross_modal_sql(),
     "dedup_clusters": _clusters_sql(),
+    "dedup_cluster_stats": _cluster_stats_sql(),
     "dedup_verified_clusters": _verified_clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),

@@ -662,6 +662,109 @@ EV_MARKOV_SQL = """
 """
 
 
+HOUR_SEC = 3600
+
+
+def ev_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, hour) event rate with hour-over-hour delta — the
+    throughput dashboard a streaming ingest pipeline alarms on, in its
+    oracle-checkable batch form. One (hour, type) map-side-combined
+    aggregate (the shuffle carries ~hours x types rows regardless of
+    event volume), then one lag window over the tiny aggregate — never
+    a window over raw events. Rate is exact integer basis points of
+    events/minute; delta is NULL-free via the first-hour coalesce so
+    hashing stays stable."""
+    ev = read_table(spark, sf_dir, "events")
+    hour = (F.floor(_ts_seconds(ev) / HOUR_SEC) * HOUR_SEC).cast("long")
+    counts = (
+        ev.select(hour.alias("hour_start"), "event_type")
+        .groupBy("hour_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    return counts.select(
+        "hour_start", "event_type", "cnt",
+        (F.col("cnt") - F.coalesce(F.lag("cnt").over(w), F.lit(0)))
+        .cast("long").alias("delta"),
+        F.floor(F.col("cnt") * 10000 / F.lit(60)).cast("long")
+        .alias("rate_per_min_bp"),
+    )
+
+
+EV_STREAM_RATE_SQL = f"""
+    WITH counts AS (
+        SELECT CAST(floor(epoch(ts) / {HOUR_SEC}) * {HOUR_SEC} AS BIGINT)
+                   AS hour_start,
+               event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt - COALESCE(LAG(cnt) OVER (PARTITION BY event_type
+                                              ORDER BY hour_start), 0)
+                AS BIGINT) AS delta,
+           CAST(FLOOR(cnt * 10000 / 60) AS BIGINT) AS rate_per_min_bp
+    FROM counts
+"""
+
+
+LIFECYCLE_CHURN_DAYS = 7
+
+
+def ev_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle classification — the engagement segmentation a
+    training-data pipeline uses to weight interaction logs: first/last
+    activity, distinct active days, event count, and a stage label
+    (new = first seen inside the last 7 days of the corpus, churned =
+    last seen before that window, active otherwise). One per-user
+    aggregate; the corpus horizon is a broadcast single-row aggregate
+    (never a second scan per user). All integers; the stage CASE uses
+    the same day arithmetic in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    sec = _ts_seconds(ev)
+    per_user = (
+        ev.select("user_id", sec.alias("sec"),
+                  F.floor(sec / F.lit(86400)).cast("long").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("first_sec"),
+             F.max("sec").alias("last_sec"),
+             F.count_distinct("day").alias("active_days"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    horizon = ev.agg(F.max(sec).alias("max_sec"))
+    cutoff = F.col("max_sec") - F.lit(LIFECYCLE_CHURN_DAYS * 86400)
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id", "first_sec", "last_sec",
+        F.col("active_days").cast("long").alias("active_days"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(F.col("first_sec") >= cutoff, F.lit("new"))
+        .when(F.col("last_sec") < cutoff, F.lit("churned"))
+        .otherwise(F.lit("active")).alias("stage"),
+    )
+
+
+EV_LIFECYCLE_SQL = f"""
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               MIN(sec) AS first_sec, MAX(sec) AS last_sec,
+               COUNT(DISTINCT sec // 86400) AS active_days,
+               COUNT(*) AS n_events
+        FROM e GROUP BY user_id
+    ), h AS (
+        SELECT MAX(sec) - {LIFECYCLE_CHURN_DAYS * 86400} AS cutoff FROM e
+    )
+    SELECT user_id, first_sec, last_sec,
+           CAST(active_days AS BIGINT) AS active_days,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN first_sec >= cutoff THEN 'new'
+                WHEN last_sec < cutoff THEN 'churned'
+                ELSE 'active' END AS stage
+    FROM per_user CROSS JOIN h
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -675,6 +778,8 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_attribution": ev_attribution,
     "ev_funnel_ordered": ev_funnel_ordered,
     "ev_markov_transitions": ev_markov_transitions,
+    "ev_stream_rate": ev_stream_rate,
+    "ev_user_lifecycle": ev_user_lifecycle,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -690,4 +795,6 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_attribution": EV_ATTRIBUTION_SQL,
     "ev_funnel_ordered": EV_FUNNEL_ORDERED_SQL,
     "ev_markov_transitions": EV_MARKOV_SQL,
+    "ev_stream_rate": EV_STREAM_RATE_SQL,
+    "ev_user_lifecycle": EV_LIFECYCLE_SQL,
 }

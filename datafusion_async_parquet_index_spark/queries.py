@@ -1133,6 +1133,58 @@ def q55_colcol_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(n_impossible).cast("bigint")))
 
 
+Q56_BUCKETS = 8
+
+
+def _bucketed_orders_customer(spark: SparkSession, sf_dir: str):
+    """Both join sides written ONCE per corpus as bucketed tables
+    (bucketBy + sortBy on the join key, same bucket count) so the join
+    needs no Exchange on either side — the co-located-join layout a
+    100 TB deployment maintains for its hottest fact-dim keys. Bucket
+    metadata lives in the session catalog, so each new session rewrites
+    the layout once (cheap, memoized thereafter); table names embed the
+    artifact fingerprint so two corpora never collide."""
+    from .operators.util import artifact_dir, session_memo
+
+    memo = session_memo(spark, "bucketed_pair")
+    got = memo.get(sf_dir)
+    if got is None:
+        names = []
+        for tbl, key in (("orders", "o_custkey"),
+                         ("customer", "c_custkey")):
+            d = artifact_dir(
+                "SPARK_GRAFT_BUCKET_LAYOUT", "spark_graft_buckets",
+                os.path.join(sf_dir, f"{tbl}.parquet"),
+                f"{key}_b{Q56_BUCKETS}")
+            name = f"bkt_{tbl}_{os.path.basename(d)}"
+            if not spark.catalog.tableExists(name):
+                (_read(spark, sf_dir, tbl)
+                 .write.bucketBy(Q56_BUCKETS, key).sortBy(key)
+                 .option("path", d).mode("overwrite").format("parquet")
+                 .saveAsTable(name))
+            names.append(name)
+        got = memo[sf_dir] = tuple(names)
+    return got
+
+
+def q56_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over bucketed layouts: orders and
+    customer both bucketed by custkey into the same bucket count, so
+    the sort-merge join reads bucket i against bucket i with NO
+    Exchange on either side (pinned by tests/test_plan_shapes.py) —
+    at 100 TB this converts the biggest shuffle in the workload into
+    a local merge per bucket. The merge hint keeps AQE from
+    broadcasting the small test-scale dimension; the oracle is the
+    plain join, so the layout must be result-transparent."""
+    on, cn = _bucketed_orders_customer(spark, sf_dir)
+    o, c = spark.table(on), spark.table(cn)
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("sum_cents"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1189,6 +1241,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_hll_union_merge": q53_hll_union_merge,
     "q54_catalog_describe": q54_catalog_describe,
     "q55_colcol_pred": q55_colcol_pred,
+    "q56_bucketed_join": q56_bucketed_join,
 }
 
 
@@ -1696,6 +1749,15 @@ RELATIONAL_ORACLE["q55_colcol_pred"] = """
            CAST(COUNT(*) FILTER (WHERE l_quantity > l_extendedprice)
                 AS BIGINT) AS n_impossible
     FROM lineitem
+"""
+
+RELATIONAL_ORACLE["q56_bucketed_join"] = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

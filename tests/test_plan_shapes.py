@@ -285,3 +285,20 @@ def test_binned_quantiles_state_is_bounded(spark, sf_dir):
     plan = _plan(q45_binned_quantiles(spark, str(sf_dir)))
     assert "HashAggregate" in plan           # bin counts first
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key into the same bucket count:
+    the sort-merge join must read bucket i against bucket i with NO
+    shuffle on either side — the co-located-join contract."""
+    from datafusion_async_parquet_index_spark.queries import (
+        _bucketed_orders_customer,
+    )
+
+    on, cn = _bucketed_orders_customer(spark, sf_dir)
+    o, c = spark.table(on), spark.table(cn)
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan

@@ -771,6 +771,188 @@ SIM_SQ_SQL = f"""
 """
 
 
+# -- product quantization ---------------------------------------------------
+
+PQ_M = 4             # subspaces (64-dim corpus => 16 dims each)
+PQ_K = 16            # codewords per subspace (seeds = K lowest vec_ids)
+PQ_CAND_FACTOR = 4   # approx-stage pool = TOPK * factor
+
+
+def _pq_corpus(spark: SparkSession, sf_dir: str):
+    """((vec_id, embedding, nrm, qv, codes), codebook): the corpus
+    PQ-encoded over the INTEGER (SQ-quantized) domain so every stage of
+    the approx math is exact cross-engine. Codebook[m][j] = subspace-m
+    slice of the j-th seed's quantized vector, seeds being the PQ_K
+    lowest vec_ids — fully deterministic, no training loop. The seed
+    collect is K rows (bounded, like the probed-cell list); the
+    codebook then folds into literal arrays so encoding is pure column
+    expressions. codes[m] = argmin_j ||sub(qv,m) - cb[m][j]||^2 with
+    ties to the lowest j via array_min over (dist, j) structs. At
+    100 TB the encoded table is the persisted compact index: M bytes
+    of code replace the subvector in the approx stage (FAISS IVFPQ's
+    storage story); here it is built once per (session, corpus)."""
+    def build():
+        sq = _sq_corpus(spark, sf_dir)
+        dim = _embedding_dim(sq)
+        sd = dim // PQ_M
+        seeds = [r["qv"] for r in
+                 sq.orderBy("vec_id").limit(PQ_K).select("qv").collect()]
+        cb = [[[int(v) for v in s[m * sd:(m + 1) * sd]] for s in seeds]
+              for m in range(PQ_M)]
+        codes = []
+        for m in range(PQ_M):
+            sub = F.slice(F.col("qv"), m * sd + 1, sd)
+            dists = F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(v) for v in cb[m][j]]),
+                            lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("d"),
+                    F.lit(j).alias("j"))
+                for j in range(PQ_K)])
+            codes.append(F.array_min(dists)["j"])
+        df = track_cache(sq.select(
+            "vec_id", "embedding", "nrm", "qv",
+            F.array(*codes).alias("codes")))
+        return df, cb
+
+    return _sim_corpus(spark, (sf_dir, "pq"), lambda: build())
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS PQ/ADC shape): candidates
+    carry only their M sub-space codes; the approx stage scores each
+    (query, candidate) by asymmetric distance computation — the INTEGER
+    dot product of the query's quantized subvector against the
+    candidate's reconstructed codeword, summed over subspaces — keeps
+    TOPK*PQ_CAND_FACTOR per query, and only that constant-size pool
+    pays the exact double-cosine re-rank. All approx math is integer,
+    so candidate selection is bit-deterministic cross-engine; at scale
+    the approx pass reads M small ints per candidate instead of the
+    full vector — a deeper compression point than SQ8 on the same
+    memory/recall curve."""
+    vec, cb = _pq_corpus(spark, sf_dir)
+    dim = _embedding_dim(vec)
+    sd = dim // PQ_M
+    q = vec.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("qv").alias("qq"))
+    c = vec.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"), F.col("nrm").alias("cn"),
+                   F.col("codes"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+    score = None
+    for m in range(PQ_M):
+        qsub = F.slice(F.col("qq"), m * sd + 1, sd)
+        cbm = F.array(*[F.array(*[F.lit(v) for v in cb[m][j]])
+                        for j in range(PQ_K)])
+        cvec = F.element_at(cbm, F.element_at(F.col("codes"), m + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(qsub, cvec, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        score = term if score is None else score + term
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id"))
+    cands = (
+        pairs.select("query_id", "cand_id", "qe", "ce", "qn", "cn",
+                     score.alias("score"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= TOPK * PQ_CAND_FACTOR)
+    )
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cands.select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _pq_sql(dim: int = 64) -> str:
+    """Oracle twin: derives the same maxabs scale, seed codebook,
+    integer encodings, ADC scores, pool, and exact re-rank in SQL."""
+    sd = dim // PQ_M
+    return f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x)))) AS mx
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {SQ_LEVELS} / mx + 0.5)
+                                        AS BIGINT)) AS qv
+        FROM embeddings CROSS JOIN m
+    ), seeds AS (
+        SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+        FROM b ORDER BY vec_id LIMIT {PQ_K}
+    ), cb AS (
+        SELECT mi, j, list_slice(qv, mi * {sd} + 1, (mi + 1) * {sd}) AS cvec
+        FROM seeds CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS mi) sub
+    ), encdist AS (
+        SELECT b.vec_id, cb.mi, cb.j,
+               CAST(list_sum(list_transform(
+                   range(1, {sd} + 1),
+                   i -> (list_slice(b.qv, cb.mi * {sd} + 1,
+                                    (cb.mi + 1) * {sd})[i] - cb.cvec[i])
+                        * (list_slice(b.qv, cb.mi * {sd} + 1,
+                                      (cb.mi + 1) * {sd})[i] - cb.cvec[i])))
+                    AS BIGINT) AS d
+        FROM b CROSS JOIN cb
+    ), codes AS (
+        SELECT vec_id, mi, j AS code FROM (
+            SELECT vec_id, mi, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                                      ORDER BY d, j) AS rn
+            FROM encdist) t
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe, qv AS qq
+        FROM b WHERE vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT vec_id AS cand_id, e AS ce FROM b
+    ), adc AS (
+        SELECT q.query_id, co.vec_id AS cand_id,
+               CAST(SUM(list_dot_product(
+                   list_slice(q.qq, co.mi * {sd} + 1,
+                              (co.mi + 1) * {sd})::DOUBLE[],
+                   cb.cvec::DOUBLE[])) AS BIGINT) AS score
+        FROM q JOIN codes co ON q.query_id != co.vec_id
+        JOIN cb ON cb.mi = co.mi AND cb.j = co.code
+        GROUP BY q.query_id, co.vec_id
+    ), cands AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id ASC)
+                       AS arank
+            FROM adc) t
+        WHERE arank <= {TOPK * PQ_CAND_FACTOR}
+    ), scored AS (
+        SELECT ca.query_id, ca.cand_id,
+               ROUND(list_dot_product(q.qe, c.ce)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cosine
+        FROM cands ca
+        JOIN q ON q.query_id = ca.query_id
+        JOIN c ON c.cand_id = ca.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+    """
+
+
 # -- ANN recall audit -------------------------------------------------------
 
 
@@ -848,6 +1030,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_nprobe_topk": sim_ivf_nprobe_topk,
     "sim_ivf_layout_topk": sim_ivf_layout_topk,
     "sim_sq_topk": sim_sq_topk,
+    "sim_pq_topk": sim_pq_topk,
     "sim_recall_report": sim_recall_report,
     "emb_label_centroids": emb_label_centroids,
     "emb_kmeans_step": emb_kmeans_step,
@@ -862,6 +1045,7 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     # oracle equality is exactly the physical-layout round-trip check
     "sim_ivf_layout_topk": SIM_IVF_SQL,
     "sim_sq_topk": SIM_SQ_SQL,
+    "sim_pq_topk": _pq_sql(),
     "sim_recall_report": _recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "emb_kmeans_step": EMB_KMEANS_SQL,

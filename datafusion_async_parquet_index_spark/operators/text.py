@@ -405,6 +405,82 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_FEATURE_BUCKETS = 256   # hashing-trick feature space (2^8)
+
+
+def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bigram features (the fastText input
+    representation): every word bigram hashes into a fixed
+    NGRAM_FEATURE_BUCKETS-dim space — no vocabulary to build, ship, or
+    keep consistent across 100 TB of shards, which is the entire point
+    of feature hashing at scale. Output is the corpus feature matrix's
+    column profile (per bucket: total occurrences + document
+    frequency), i.e. the statistics a linear quality classifier trains
+    against. Bigrams are built inside the token array (no
+    posexplode+window, same trick as text_bigram_logprob); the shuffle
+    carries (bucket, doc) partial counts — map-side combined, bounded
+    by 256 x docs."""
+    from ..functions import hash60
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks"))
+    bigram_list = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("toks"), i - 2), F.get(F.col("toks"), i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigram_list).alias("bg"))
+    feat = bg.select(
+        "doc_id",
+        (hash60(F.col("bg")) % NGRAM_FEATURE_BUCKETS).cast("int")
+        .alias("bucket"))
+    return (
+        feat.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.count_distinct("doc_id").alias("doc_freq"))
+    )
+
+
+ZIPF_TOP_TERMS = 100
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution — the
+    sanity probe that catches boilerplate-flooded or machine-generated
+    corpora (natural text fits slope ~ -1): OLS of ln(freq) on ln(rank)
+    over the top ZIPF_TOP_TERMS terms. The regression inputs are scaled
+    to exact integers (round(ln * 1e6)) BEFORE summation, so every
+    accumulator is a BIGINT and the fit is bit-deterministic across
+    engines — the only floats are two final divisions, rounded to 6.
+    Cost: one term-count aggregate + a 100-row window; the fact stream
+    shuffles once."""
+    docs = read_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    top = (terms.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= ZIPF_TOP_TERMS))
+    x = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long")
+    y = F.round(F.log(F.col("freq").cast("double")) * 1e6).cast("long")
+    s = top.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n") / F.lit(1e6)
+    return s.select(
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("ln_c"))
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -421,6 +497,8 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_score": text_bm25_score,
     "text_lang_confusion": text_lang_confusion,
+    "text_hashed_ngram_features": text_hashed_ngram_features,
+    "text_zipf_fit": text_zipf_fit,
 }
 
 _TOKS = sql_tokens("text")
@@ -659,4 +737,47 @@ TEXT_ORACLE["text_sequence_pack"] = f"""
            CAST(COUNT(*) AS BIGINT) AS docs_started,
            CAST(SUM(n) AS BIGINT) AS tokens_started
     FROM adj GROUP BY 1, 2
+"""
+
+TEXT_ORACLE["text_hashed_ngram_features"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(t) + 1),
+                                     i -> t[i - 1] || ' ' || t[i])) AS bg
+        FROM toks
+    )
+    SELECT CAST({sql_hash60('bg')} % {NGRAM_FEATURE_BUCKETS} AS INT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM bg GROUP BY 1
+"""
+
+TEXT_ORACLE["text_zipf_fit"] = f"""
+    WITH terms AS (
+        SELECT unnest({_TOKS}) AS term FROM documents
+    ), freqs AS (
+        SELECT term, COUNT(*) AS freq FROM terms GROUP BY term
+    ), top AS (
+        SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC)
+                   AS rank
+        FROM freqs
+        QUALIFY rank <= {ZIPF_TOP_TERMS}
+    ), scaled AS (
+        SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
+               CAST(round(ln(freq) * 1e6) AS BIGINT) AS y
+        FROM top
+    ), s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM scaled
+    )
+    SELECT CAST(n AS INT) AS n_terms,
+           ROUND((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy)::DOUBLE
+                       / (n * sxx - sx * sx) * sx) / n / 1e6, 6) AS ln_c
+    FROM s
 """

@@ -70,6 +70,9 @@ _ROUND_PRIORITY = [
     "sim_pq_topk",
     "text_zipf_fit",
     "ev_user_lifecycle",
+    "q57_rank_family",
+    "q58_unpivot",
+    "q59_nullsafe_join",
     # -- tier 4: oldest driver rows first (green-r2, bodies untouched
     #    since — rotated back in per the documented policy: every
     #    entry gets a periodic re-proof) -----------------------------
@@ -86,14 +89,14 @@ _ROUND_PRIORITY = [
     "text_token_budget_pack",
     "text_stratified_sample",
     "text_unigram_logprob",
-    "text_sequence_pack",
+    # text_sequence_pack trimmed with q20/q6 (same padding-tail rule)
     "q1_select_limit",
     "q2_point_equality",
     "q3_or_range_agg",
     "q4_and_mixed_columns",
     "q5_contradictory_and",
-    "q20_asof_join",
-    "q6_pricing_summary",
+    # q20_asof_join / q6_pricing_summary trimmed from the padding tail
+    # to make room for q57-q59 (new entries outrank periodic re-proofs).
     # Everything below slot 50 appends in natural order and rotates
     # into later rounds. Green-r3 entries (the whole r3 window) rotate
     # OUT this round: their bodies are untouched since their rows,

@@ -1185,6 +1185,87 @@ def q56_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"))
 
 
+def q57_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec — rank,
+    dense_rank, percent_rank, cume_dist per order within its priority,
+    ordered by exact price cents: one hash exchange on the partition
+    key, every function computed in the same window pass. percent_rank
+    and cume_dist are doubles by definition; both engines evaluate the
+    identical closed forms ((rank-1)/(n-1), rows_leq/n), so the
+    basis-point floors are deterministic. Output thinned to a
+    deterministic key subset AFTER the windows so partition math covers
+    the full table."""
+    orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # order by cents alone: ties are the POINT — rank gaps vs
+    # dense_rank, and every tied row shares identical outputs, so the
+    # result stays deterministic without a unique tie-break
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    ranked = (
+        orders.select("o_orderkey", "o_orderpriority",
+                      cents.alias("cents"))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("pr_bp",
+                    F.floor(F.percent_rank().over(w) * 10000).cast("long"))
+        .withColumn("cd_bp",
+                    F.floor(F.cume_dist().over(w) * 10000).cast("long"))
+    )
+    return (
+        ranked.filter(F.col("o_orderkey") % 199 == 0)
+        .select("o_orderkey", "o_orderpriority", "cents",
+                F.col("rnk").cast("long").alias("rnk"),
+                F.col("drnk").cast("long").alias("drnk"),
+                "pr_bp", "cd_bp")
+    )
+
+
+def q58_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): the round trip of q41's PIVOT — per-
+    priority status counts spread into columns, then melted back into
+    (priority, status, cnt) rows with Spark's relational unpivot
+    operator (planned as a single Expand, no extra shuffle beyond the
+    aggregate). The oracle states the contract directly as the grouped
+    long form, so the pivot/unpivot pair must be lossless."""
+    orders = _read(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select("o_orderpriority",
+                *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                  for c in ("O", "F", "P")])
+    )
+    return (
+        wide.unpivot("o_orderpriority", ["O", "F", "P"],
+                     "o_orderstatus", "cnt")
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def q59_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the
+    orders-with-NULL-priority rows — which a plain equi-join silently
+    drops — match the dimension's NULL row and stay accounted. The
+    dimension is the distinct priority domain built from the fact
+    itself (broadcast); the oracle uses IS NOT DISTINCT FROM. The
+    NULL-bucket count is exactly q44's IS NULL population, tying the
+    two null-semantics surfaces together."""
+    orders = _read(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .select(F.col("o_orderpriority").alias("p"),
+                F.coalesce(F.col("o_orderpriority"),
+                           F.lit("(none)")).alias("label"))
+    )
+    j = orders.join(F.broadcast(dim),
+                    orders.o_orderpriority.eqNullSafe(dim.p))
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("sum_cents"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1242,6 +1323,9 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_catalog_describe": q54_catalog_describe,
     "q55_colcol_pred": q55_colcol_pred,
     "q56_bucketed_join": q56_bucketed_join,
+    "q57_rank_family": q57_rank_family,
+    "q58_unpivot": q58_unpivot,
+    "q59_nullsafe_join": q59_nullsafe_join,
 }
 
 
@@ -1758,6 +1842,47 @@ RELATIONAL_ORACLE["q56_bucketed_join"] = """
                AS sum_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
+"""
+
+RELATIONAL_ORACLE["q57_rank_family"] = """
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT)
+                   AS pr_bp,
+               CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cd_bp
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+    )
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+           pr_bp, cd_bp
+    FROM ranked WHERE o_orderkey % 199 = 0
+"""
+
+RELATIONAL_ORACLE["q58_unpivot"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F', 'P')
+    GROUP BY o_orderpriority, o_orderstatus
+"""
+
+RELATIONAL_ORACLE["q59_nullsafe_join"] = """
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority AS p,
+               COALESCE(o_orderpriority, '(none)') AS label
+        FROM orders
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders JOIN dim ON o_orderpriority IS NOT DISTINCT FROM p
+    GROUP BY label
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

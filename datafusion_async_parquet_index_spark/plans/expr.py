@@ -21,6 +21,7 @@ Each node renders three ways:
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from typing import Any, Iterable, Optional, Sequence, Tuple
 
 __all__ = [
@@ -170,6 +171,8 @@ def _sql_literal(v: Any) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, (bytes, bytearray)):

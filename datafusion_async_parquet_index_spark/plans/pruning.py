@@ -101,6 +101,7 @@ def _literal_compatible(category: str, v) -> bool:
     at timestamp precision, the catalog stores whole days — a non-midnight
     bound truncates and can spuriously refute ``<``/``<=``)."""
     import datetime as _dt
+    import decimal as _decimal
 
     if isinstance(v, bool):
         return False
@@ -108,8 +109,12 @@ def _literal_compatible(category: str, v) -> bool:
         return category == "timestamp"
     if isinstance(v, _dt.date):
         return category in ("date", "timestamp")
+    if isinstance(v, _decimal.Decimal):
+        # decimal stats are ulp-widened doubles; float(v) is monotone,
+        # so numeric comparison in stats space stays refutation-sound
+        return category == "decimal"
     if isinstance(v, (int, float)):
-        return category in ("int", "float")
+        return category in ("int", "float", "decimal")
     if isinstance(v, str):
         return category == "string"
     if isinstance(v, (bytes, bytearray)):
@@ -268,7 +273,7 @@ class PruningRewriter:
         ta, tb = self.indexed.get(ca), self.indexed.get(cb)
         if ta is None or tb is None:
             return TRUE  # col-col over unindexed columns: no pruning
-        numeric = ("int", "float")
+        numeric = ("int", "float", "decimal")
         if not (ta == tb or (ta in numeric and tb in numeric)):
             return TRUE
         if ca == cb:

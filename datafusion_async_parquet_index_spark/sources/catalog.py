@@ -50,6 +50,8 @@ _SQL_TYPE = {
     "binary": "BLOB",
     "timestamp": "INTEGER",  # epoch microseconds (extension)
     "date": "INTEGER",       # epoch days (extension)
+    "decimal": "REAL",       # ulp-widened double bounds (extension;
+                             # sources/stats.py widens at extraction)
 }
 
 _EPOCH = _dt.date(1970, 1, 1)
@@ -76,6 +78,12 @@ def encode_value(category: str, v: Any) -> Any:
         return int(v)
     if category == "binary":
         return sqlite3.Binary(v) if isinstance(v, (bytes, bytearray)) else v
+    if category == "decimal":
+        # literals compare against ulp-widened double bounds; float()
+        # is correctly-rounded (monotone), which with the widening
+        # keeps every stats comparison sound
+        import decimal as _d
+        return float(v) if isinstance(v, _d.Decimal) else v
     return v
 
 

@@ -43,6 +43,7 @@ _SPARK_TYPE = {
     "binary": T.BinaryType(),
     "timestamp": T.TimestampType(),
     "date": T.DateType(),
+    "decimal": T.DoubleType(),  # ulp-widened bounds from extraction
 }
 
 

@@ -36,6 +36,8 @@ def type_category(t: pa.DataType) -> Optional[str]:
         return "int"
     if pa.types.is_floating(t):
         return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"  # stats stored as ulp-widened doubles, see below
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
@@ -175,6 +177,19 @@ def extract_file_stats(
             nc = st.null_count if st.has_null_count else None
             mn = st.min if st.has_min_max else None
             mx = st.max if st.has_min_max else None
+            if index_schema[col] == "decimal":
+                # Decimal stats enter the catalog as DOUBLE bounds
+                # widened one ulp outward: float conversion is
+                # correctly-rounded (monotone) but a rounded-up min or
+                # rounded-down max could spuriously refute a strict
+                # comparison at the boundary. Widened bounds keep every
+                # rewrite sound; catalog-only ANSWERS (min_max) treat
+                # the category as never-exact and fall back to a scan.
+                import math
+                mn = None if mn is None else math.nextafter(
+                    float(mn), -math.inf)
+                mx = None if mx is None else math.nextafter(
+                    float(mx), math.inf)
             rg.columns[col] = (nc, mn, mx)
         rgs.append(rg)
     return fs, rgs

@@ -529,7 +529,10 @@ class IndexedParquetTable:
         attained value (not just a valid bound). See STATS_EXACT_MAX_BYTES:
         only long string/binary footer stats are suspect; numeric /
         date / timestamp stats and partition-derived values are exact."""
-        if self.index_schema.get(column) not in ("string", "binary"):
+        cat = self.index_schema.get(column)
+        if cat == "decimal":
+            return False  # bounds are ulp-widened doubles by design
+        if cat not in ("string", "binary"):
             return True
         if column in getattr(self, "_partition_cols", ()):
             return True

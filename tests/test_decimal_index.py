@@ -1,0 +1,91 @@
+"""Decimal-category index support (round 4): DECIMAL(p,s) columns index
+as ulp-widened DOUBLE bounds — an extension past the reference's
+supported set (index.rs:396-415 has no decimal arm), closing the
+"extensible later to Decimal" line of SURVEY §1.
+
+Soundness contract under test: float conversion is correctly-rounded
+(monotone) and the stored bounds are widened one ulp outward, so a
+stats comparison can keep spuriously but never refute spuriously; the
+catalog-only min_max answer treats the category as never-exact and
+falls back to a scan that returns true Decimals.
+"""
+
+import decimal
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+D = decimal.Decimal
+
+
+@pytest.fixture(scope="module")
+def dec_dir(tmp_path_factory, spark):
+    d = str(tmp_path_factory.mktemp("dec_corpus"))
+    # 4 row groups of 5 rows with known price ranges + one NULL
+    prices = [D("1.00"), D("2.50"), D("3.75"), D("4.99"), D("5.00"),
+              D("100.00"), D("150.25"), D("175.50"), D("199.99"), D("200.00"),
+              D("1000.01"), None, D("1250.00"), D("1499.99"), D("1500.00"),
+              D("42.42"), D("42.42"), D("42.42"), D("42.42"), D("42.42")]
+    t = pa.table({
+        "id": pa.array(range(20), pa.int64()),
+        "price": pa.array(prices, pa.decimal128(10, 2)),
+    })
+    pq.write_table(t, os.path.join(d, "part-0.parquet"), row_group_size=5)
+    return d
+
+
+def test_decimal_category_detected(dec_dir, spark):
+    t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    assert t.index_schema == {"price": "decimal"}
+
+
+def test_decimal_pruning_refutes_disjoint_ranges(dec_dir, spark):
+    t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    # only row group 2 reaches past 1000
+    df = t.query(col("price") > D("500.00"))
+    assert sorted(r["id"] for r in df.collect()) == [10, 12, 13, 14]
+    assert t.last_scan.row_groups_scanned == 1, t.last_scan.describe()
+    # impossible range: refuted entirely from the catalog
+    assert t.count_rows(col("price") > D("99999.99")) == 0
+    assert t.last_scan.files_scanned == {}
+
+
+def test_decimal_boundary_predicates_stay_sound(dec_dir, spark):
+    """Equality and strict comparisons AT the stored stat boundaries:
+    the ulp widening must keep the matching row groups."""
+    t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    full = spark.read.parquet(dec_dir)
+    for pred in (col("price") == D("5.00"),
+                 col("price") < D("1.00") + D("0.01"),
+                 col("price") >= D("1500.00"),
+                 col("price") == D("42.42"),
+                 col("price") != D("42.42")):
+        got = sorted(r["id"] for r in t.query(pred).collect())
+        want = sorted(r["id"] for r in
+                      full.filter(pred.to_spark()).collect())
+        assert got == want, (pred.to_sql(), got, want)
+
+
+def test_decimal_minmax_falls_back_to_exact_scan(dec_dir, spark):
+    t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    mn, mx = t.min_max("price")
+    assert (mn, mx) == (D("1.00"), D("1500.00"))
+    assert isinstance(mn, decimal.Decimal)
+    # the describe readout reports the bounds as untrusted-for-answers
+    info = t.describe_index()
+    assert info["columns"]["price"]["bounds_exact"] is False
+
+
+def test_decimal_int_literal_predicates(dec_dir, spark):
+    """Plain int/float literals against a decimal column prune too."""
+    t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    df = t.query(col("price") > 500)
+    assert df.count() == 4
+    assert t.last_scan.row_groups_scanned == 1

@@ -302,3 +302,16 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_pq_topk_no_cartesian_and_broadcast(spark, sf_dir):
+    """The PQ pair join must be a broadcast of the tiny query side —
+    never a cartesian product — and the codebook must be folded into
+    literals (no extra join against a codebook table)."""
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        sim_pq_topk,
+    )
+
+    plan = _plan(sim_pq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -73,6 +73,8 @@ _ROUND_PRIORITY = [
     "q57_rank_family",
     "q58_unpivot",
     "q59_nullsafe_join",
+    "text_bpe_pair_merge",
+    "text_length_histogram",
     # -- tier 4: oldest driver rows first (green-r2, bodies untouched
     #    since — rotated back in per the documented policy: every
     #    entry gets a periodic re-proof) -----------------------------
@@ -87,9 +89,9 @@ _ROUND_PRIORITY = [
     "text_curation_pipeline",
     "text_deterministic_sample",
     "text_token_budget_pack",
-    "text_stratified_sample",
-    "text_unigram_logprob",
-    # text_sequence_pack trimmed with q20/q6 (same padding-tail rule)
+    # text_stratified_sample / text_unigram_logprob /
+    # text_sequence_pack trimmed with q20/q6 (padding-tail rule: new
+    # never-verified entries outrank periodic re-proofs)
     "q1_select_limit",
     "q2_point_equality",
     "q3_or_range_agg",

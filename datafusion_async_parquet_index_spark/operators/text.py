@@ -481,6 +481,69 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("ln_c"))
 
 
+BPE_PAIR_TOPK = 20
+
+
+def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training primitive: the most frequent ADJACENT symbol
+    pair across the corpus — the statistic one merge iteration of
+    byte-pair-encoding tokenizer training selects. Symbols here are
+    the characters inside each word token (the standard word-internal
+    BPE setting), so the pair stream is built with pure array
+    expressions — per token, (len-1) adjacent char pairs — exploded
+    into ONE map-side-combined count; the shuffle carries (pair,
+    partial count), bounded by the symbol-pair alphabet, not corpus
+    size. Top pairs by (count desc, pair asc) — the deterministic
+    merge-choice order."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok"))
+    pair_list = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.length("tok")),
+            lambda i: F.col("tok").substr(i - 1, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = docs.select(F.explode(pair_list).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= BPE_PAIR_TOPK)
+            .select("pair", "cnt", "rank"))
+
+
+LEN_HIST_BASE = 2  # power-of-2 token-length bins
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable token-length histogram in power-of-2 bins — the
+    document-length profile a packing/batching planner reads (and the
+    q45 mergeable-sketch posture applied to text): per bin
+    [2^k, 2^(k+1)), document count and total tokens. One map-side-
+    combined aggregate; bins merge across shards by addition. The bin
+    index is exact integer floor(log2) computed by bit length, not
+    float log — no boundary hazard."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    # floor(log2(n)) via repeated comparison-free arithmetic:
+    # bit_length(n) - 1; Spark has no bit_length for ints, but
+    # floor(log2) over the bounded doc-length domain is exact in
+    # double for n < 2^49, and n is millions at most — still, avoid
+    # the float path entirely with a WIDTH bucket join-free CASE over
+    # shifts: k = length(bin(n)) - 1 (bin() renders the binary string)
+    k = (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("int")
+    per_doc = docs.select(n.alias("n_tokens"), k.alias("bin_k")) \
+        .filter(F.col("n_tokens") > 0)
+    return (
+        per_doc.groupBy("bin_k")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"))
+        .select("bin_k",
+                F.expr("shiftleft(CAST(1 AS BIGINT), bin_k)")
+                .alias("bin_lo"),
+                "n_docs", "total_tokens")
+    )
+
+
 TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_metrics": text_quality_metrics,
     "text_langid": text_langid,
@@ -499,6 +562,8 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_confusion": text_lang_confusion,
     "text_hashed_ngram_features": text_hashed_ngram_features,
     "text_zipf_fit": text_zipf_fit,
+    "text_bpe_pair_merge": text_bpe_pair_merge,
+    "text_length_histogram": text_length_histogram,
 }
 
 _TOKS = sql_tokens("text")
@@ -780,4 +845,38 @@ TEXT_ORACLE["text_zipf_fit"] = f"""
            ROUND((sy - (n * sxy - sx * sy)::DOUBLE
                        / (n * sxx - sx * sx) * sx) / n / 1e6, 6) AS ln_c
     FROM s
+"""
+
+TEXT_ORACLE["text_bpe_pair_merge"] = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(2, length(tok) + 1),
+                                     i -> substr(tok, i - 1, 2))) AS pair
+        FROM toks
+    ), counts AS (
+        SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+               AS rank
+    FROM counts
+    QUALIFY rank <= {BPE_PAIR_TOPK}
+"""
+
+TEXT_ORACLE["text_length_histogram"] = f"""
+    WITH d AS (
+        SELECT len({_TOKS}) AS n FROM documents
+    ), binned AS (
+        -- bin(n) renders minimal-width binary, so its length - 1 is
+        -- exactly floor(log2(n)) — the same bit-length arithmetic the
+        -- Spark side gets from conv(n, 10, 2)
+        SELECT n, CAST(length(bin(n)) - 1 AS INT) AS bin_k
+        FROM d WHERE n > 0
+    )
+    SELECT bin_k,
+           CAST(1::BIGINT << bin_k AS BIGINT) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY bin_k
 """

@@ -24,8 +24,8 @@ from datafusion_async_parquet_index_spark.plans.expr import (
 from datafusion_async_parquet_index_spark.plans.pruning import PruningRewriter
 from datafusion_async_parquet_index_spark.sources.catalog import _SqliteStatsSql
 
-SCHEMA = {"v": "int", "t": "string", "d": "date", "ts": "timestamp",
-          "b": "binary"}
+SCHEMA = {"v": "int", "w": "int", "t": "string", "d": "date",
+          "ts": "timestamp", "b": "binary"}
 RG_SIZE = 4
 
 
@@ -193,9 +193,15 @@ def leaf():
         st.one_of(st.none(), st.integers(-3, 3)),
         st.one_of(st.none(), st.integers(-3, 3)),
         st.booleans(), st.sampled_from(CMP_OPS), st.integers(-3, 3))
+    # col-col comparisons over the two int columns (incl. the
+    # same-column degenerate forms a < a / a != a, which must refute)
+    colcol_cmp = st.builds(
+        lambda op, a, b: BinOp(op, Col(a), Col(b)),
+        st.sampled_from(CMP_OPS), st.sampled_from(["v", "w"]),
+        st.sampled_from(["v", "w"]))
     return st.one_of(num_cmp, float_cmp, str_cmp, like, null, inlist,
                      date_cmp, ts_cmp, ts_date_cmp, bin_cmp,
-                     arith_cmp, shift_cmp, case_cmp)
+                     arith_cmp, shift_cmp, case_cmp, colcol_cmp)
 
 
 predicates = st.recursive(
@@ -209,12 +215,13 @@ predicates = st.recursive(
 )
 
 rows_strategy = st.lists(
-    st.tuples(st.one_of(st.none(), ints), st.one_of(st.none(), strs),
+    st.tuples(st.one_of(st.none(), ints), st.one_of(st.none(), ints),
+              st.one_of(st.none(), strs),
               st.one_of(st.none(), dates), st.one_of(st.none(), stamps),
               st.one_of(st.none(), blobs)),
     min_size=1, max_size=24)
 
-COLS = ["v", "t", "d", "ts", "b"]
+COLS = ["v", "w", "t", "d", "ts", "b"]
 
 
 def _ts_for_eval(v):
@@ -241,25 +248,27 @@ def test_pruning_never_drops_matching_rows(rows, pred):
     conn.execute(
         """CREATE TABLE s (rg INTEGER, row_count INTEGER,
            v_null_count INTEGER, v_min INTEGER, v_max INTEGER,
+           w_null_count INTEGER, w_min INTEGER, w_max INTEGER,
            t_null_count INTEGER, t_min TEXT, t_max TEXT,
            d_null_count INTEGER, d_min INTEGER, d_max INTEGER,
            ts_null_count INTEGER, ts_min INTEGER, ts_max INTEGER,
            b_null_count INTEGER, b_min BLOB, b_max BLOB)""")
     for gi, g in enumerate(groups):
         rec = [gi, len(g)]
-        for ci, cat in enumerate(["int", "string", "date", "timestamp",
-                                  "binary"]):
+        for ci, cat in enumerate(["int", "int", "string", "date",
+                                  "timestamp", "binary"]):
             vals = [row[ci] for row in g if row[ci] is not None]
             rec.append(sum(1 for row in g if row[ci] is None))
             rec.append(encode_value(cat, min(vals)) if vals else None)
             rec.append(encode_value(cat, max(vals)) if vals else None)
         conn.execute(
-            "INSERT INTO s VALUES (" + ",".join("?" * 17) + ")", rec)
+            "INSERT INTO s VALUES (" + ",".join("?" * 20) + ")", rec)
 
     stats_pred = PruningRewriter(SCHEMA).rewrite(pred)
     r = _SqliteStatsSql({
         "row_count": "int", "v_min": "int", "v_max": "int",
-        "v_null_count": "int", "t_min": "string", "t_max": "string",
+        "v_null_count": "int", "w_min": "int", "w_max": "int",
+        "w_null_count": "int", "t_min": "string", "t_max": "string",
         "t_null_count": "int", "d_min": "date", "d_max": "date",
         "d_null_count": "int", "ts_min": "timestamp", "ts_max": "timestamp",
         "ts_null_count": "int", "b_min": "binary", "b_max": "binary",

@@ -75,6 +75,7 @@ _ROUND_PRIORITY = [
     "q59_nullsafe_join",
     "text_bpe_pair_merge",
     "text_length_histogram",
+    "q60_decimal_pred",
     # -- tier 4: oldest driver rows first (green-r2, bodies untouched
     #    since — rotated back in per the documented policy: every
     #    entry gets a periodic re-proof) -----------------------------
@@ -87,7 +88,6 @@ _ROUND_PRIORITY = [
     "text_fingerprint",
     "text_topk_terms",
     "text_curation_pipeline",
-    "text_deterministic_sample",
     "text_token_budget_pack",
     # text_stratified_sample / text_unigram_logprob /
     # text_sequence_pack trimmed with q20/q6 (padding-tail rule: new

@@ -1266,6 +1266,45 @@ def q59_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"))
 
 
+DECIMAL_LAYOUT_ENV = "SPARK_GRAFT_DECIMAL_LAYOUT"
+
+
+def q60_decimal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-column predicates through the indexed scan: lineitem's
+    price rewritten once per corpus as DECIMAL(12,2) (the type ledgers
+    actually use), indexed via the ulp-widened double bounds the
+    decimal category stores, and range-scanned with Decimal literals —
+    pruning refutes out-of-range row groups, the residual filter
+    re-applies the exact decimal comparison, and all output arithmetic
+    is exact (decimal x 100 is an integer by construction). The oracle
+    applies the same cast + range on the flat table, so the decimal
+    layout + index must be value-transparent."""
+    import decimal as _d
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        DECIMAL_LAYOUT_ENV, "spark_graft_decimal_layout",
+        os.path.join(sf_dir, "lineitem.parquet"), "ep_dec12_2")
+    memo = session_memo(spark, "decimal_lineitem")
+    t = memo.get(layout)
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: (_read(spark, sf_dir, "lineitem")
+                       .select("l_orderkey", "l_linenumber", "l_returnflag",
+                               F.col("l_extendedprice")
+                               .cast("decimal(12,2)").alias("ep"))
+                       .repartition(2).write.mode("overwrite").parquet(d)))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["ep"])
+    assert t.index_schema == {"ep": "decimal"}
+    df = t.query((xcol("ep") >= _d.Decimal("20000.00"))
+                 & (xcol("ep") <= _d.Decimal("30000.00")))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("ep") * 100).cast("long")).alias("sum_cents"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1326,6 +1365,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_rank_family": q57_rank_family,
     "q58_unpivot": q58_unpivot,
     "q59_nullsafe_join": q59_nullsafe_join,
+    "q60_decimal_pred": q60_decimal_pred,
 }
 
 
@@ -1883,6 +1923,20 @@ RELATIONAL_ORACLE["q59_nullsafe_join"] = """
                AS sum_cents
     FROM orders JOIN dim ON o_orderpriority IS NOT DISTINCT FROM p
     GROUP BY label
+"""
+
+RELATIONAL_ORACLE["q60_decimal_pred"] = """
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS ep
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ep * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM d
+    WHERE ep >= 20000.00 AND ep <= 30000.00
+    GROUP BY l_returnflag
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

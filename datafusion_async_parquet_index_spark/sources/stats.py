@@ -150,6 +150,32 @@ def extract_file_stats(
     pf = pq.ParquetFile(path)
     md = pf.metadata
     name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    # decimal columns: pyarrow 16 cannot DECODE footer stats for
+    # int32/int64-physical decimals (Spark's default layout for
+    # precision <= 18) — st.min raises ArrowNotImplementedError. The
+    # raw unscaled values are still in the footer (min_raw/max_raw);
+    # decode them with the arrow schema's scale.
+    dec_scale = {
+        f.name: f.type.scale for f in pf.schema_arrow
+        if pa.types.is_decimal(f.type)}
+
+    def _decimal_bounds(st, scale):
+        try:
+            return st.min, st.max
+        except Exception:
+            pass
+        import decimal as _d
+
+        def conv(raw):
+            if raw is None:
+                return None
+            if isinstance(raw, (bytes, bytearray)):
+                raw = int.from_bytes(bytes(raw), "big", signed=True)
+            return _d.Decimal(raw).scaleb(-scale)
+        try:
+            return conv(st.min_raw), conv(st.max_raw)
+        except Exception:
+            return None, None  # unreadable stats: column just can't prune
     fs = FileStats(
         file_name=file_name or os.path.basename(path),
         file_size_bytes=os.path.getsize(path),
@@ -175,8 +201,12 @@ def extract_file_stats(
                 rg.columns[col] = (None, None, None)
                 continue
             nc = st.null_count if st.has_null_count else None
-            mn = st.min if st.has_min_max else None
-            mx = st.max if st.has_min_max else None
+            if index_schema[col] == "decimal":
+                mn, mx = (_decimal_bounds(st, dec_scale.get(col, 0))
+                          if st.has_min_max else (None, None))
+            else:
+                mn = st.min if st.has_min_max else None
+                mx = st.max if st.has_min_max else None
             if index_schema[col] == "decimal":
                 # Decimal stats enter the catalog as DOUBLE bounds
                 # widened one ulp outward: float conversion is

@@ -89,3 +89,26 @@ def test_decimal_int_literal_predicates(dec_dir, spark):
     df = t.query(col("price") > 500)
     assert df.count() == 4
     assert t.last_scan.row_groups_scanned == 1
+
+
+def test_spark_written_decimal_prunes_via_raw_stats(spark, tmp_path):
+    """Spark writes precision<=18 decimals with int32/int64 physical
+    types whose footer stats pyarrow 16 cannot decode (st.min raises);
+    extraction must fall back to min_raw/max_raw + the arrow scale and
+    still refute out-of-range row groups."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "spark_dec")
+    (spark.range(100)
+     .select(F.col("id"),
+             ((F.col("id") * 100 + 50) / 100).cast("decimal(12,2)")
+             .alias("ep"))
+     .repartition(4, F.floor(F.col("id") / 25))
+     .write.mode("overwrite").parquet(d))
+    t = IndexedParquetTable(spark, d, index_columns=["ep"])
+    assert t.index_schema == {"ep": "decimal"}
+    total_rgs = sum(f[2] for f in t.catalog.all_files())
+    df = t.query(col("ep") > D("90.00"))
+    assert df.count() == 10  # ids 90..99 -> 90.50 .. 99.50, all > 90.00
+    assert t.last_scan.row_groups_scanned < total_rgs, \
+        t.last_scan.describe()

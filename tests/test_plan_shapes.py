@@ -315,3 +315,23 @@ def test_pq_topk_no_cartesian_and_broadcast(spark, sf_dir):
     plan = _plan(sim_pq_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rank_family_single_window_exchange(spark, sf_dir):
+    """All four ranking functions must ride ONE window pass over one
+    hash exchange on the partition key — never a pass per function."""
+    from datafusion_async_parquet_index_spark.queries import q57_rank_family
+
+    plan = _plan(q57_rank_family(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") <= 2, plan  # one Window op (+AQE reuse)
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
+    """UNPIVOT plans as an Expand over the aggregated wide form; the
+    only exchanges are the pivot aggregate's partial/final pair."""
+    from datafusion_async_parquet_index_spark.queries import q58_unpivot
+
+    plan = _plan(q58_unpivot(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

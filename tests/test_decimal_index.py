@@ -112,3 +112,24 @@ def test_spark_written_decimal_prunes_via_raw_stats(spark, tmp_path):
     assert df.count() == 10  # ids 90..99 -> 90.50 .. 99.50, all > 90.00
     assert t.last_scan.row_groups_scanned < total_rgs, \
         t.last_scan.describe()
+
+
+def test_decimal_backends_agree(dec_dir, spark):
+    """SQLite and DataFrame catalog backends must return identical
+    pruning decisions for decimal predicates (Decimal literal vs REAL
+    storage in SQLite; Decimal literal vs DoubleType column in Spark —
+    both monotone against the widened bounds)."""
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+
+    t1 = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    t2 = IndexedParquetTable(spark, dec_dir, index_columns=["price"],
+                             catalog=DataFrameIndexCatalog(spark))
+    for pred in (col("price") > D("500.00"),
+                 col("price") == D("42.42"),
+                 (col("price") >= D("100.00")) & (col("price") <= D("200.00")),
+                 col("price").is_null()):
+        d1 = t1.plan_scan(pred).files_scanned
+        d2 = t2.plan_scan(pred).files_scanned
+        assert d1 == d2, (pred.to_sql(), d1, d2)

@@ -76,6 +76,7 @@ _ROUND_PRIORITY = [
     "text_bpe_pair_merge",
     "text_length_histogram",
     "q60_decimal_pred",
+    "q61_count_pushdown",
     # -- tier 4: oldest driver rows first (green-r2, bodies untouched
     #    since — rotated back in per the documented policy: every
     #    entry gets a periodic re-proof) -----------------------------
@@ -88,7 +89,6 @@ _ROUND_PRIORITY = [
     "text_fingerprint",
     "text_topk_terms",
     "text_curation_pipeline",
-    "text_token_budget_pack",
     # text_stratified_sample / text_unigram_logprob /
     # text_sequence_pack trimmed with q20/q6 (padding-tail rule: new
     # never-verified entries outrank periodic re-proofs)

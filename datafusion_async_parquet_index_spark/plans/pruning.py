@@ -557,6 +557,161 @@ class PruningRewriter:
         return {"=": a == b, "!=": a != b, "<": a < b,
                 "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
+    def _sat_not(self, child: Expr) -> Expr:
+        """Satisfaction of NOT x = satisfaction of x's exact negation;
+        FALSE (unknown) when no exact negation exists."""
+        if isinstance(child, Not):
+            return self._sat(child.child)
+        if isinstance(child, BinOp) and child.op == "AND":
+            return self._sat(Not(child.left) | Not(child.right))
+        if isinstance(child, BinOp) and child.op == "OR":
+            return self._sat(Not(child.left) & Not(child.right))
+        if isinstance(child, BinOp) and child.op in COMPARISONS:
+            return self._sat(BinOp(child.negated_op(), child.left, child.right))
+        if isinstance(child, IsNull):
+            return self._sat(IsNull(child.child, negated=not child.negated))
+        if isinstance(child, Lit) and isinstance(child.value, bool):
+            return Lit(not child.value)
+        return Lit(False)
+
+    # -- satisfaction rewrite (the dual of refutation) ----------------
+    #
+    # ``satisfies(pred)`` is TRUE for a stats row only if EVERY row of
+    # that row group satisfies pred — a sound UNDER-approximation
+    # (unknown degrades to FALSE, the mirror of refutation's TRUE).
+    # This is what turns COUNT(*) WHERE pred into catalog arithmetic:
+    # fully-satisfying row groups contribute row_count without being
+    # read; only the boundary groups (candidates minus fully-satisfying)
+    # need a scan. Rules (m=min, M=max, n=null_count, r=row_count; a
+    # row with NULL never satisfies a comparison, so every value leaf
+    # also requires n = 0, and missing stats make the leaf NULL -> not
+    # TRUE -> conservatively not-full):
+    #
+    #     c =  v  ->  m = v AND M = v AND n = 0
+    #     c != v  ->  (M < v OR m > v) AND n = 0
+    #     c <  v  ->  M <  v AND n = 0        (analogous <=, >, >=)
+    #     c LIKE 'p%' -> m >= 'p' AND M < next('p') AND n = 0
+    #     IS NULL -> n = r;  IS NOT NULL -> n = 0
+    #     c IN (vs) -> OR over equality satisfactions (single-valued)
+    #     a CMP b  -> disjoint-interval tests + both n = 0
+    #     AND/OR -> AND/OR;  NOT -> satisfaction of the exact negation
+    #     anything else -> FALSE
+
+    def satisfies(self, e: Expr) -> Expr:
+        return self._sat(e)
+
+    def _sat(self, e: Expr) -> Expr:
+        if isinstance(e, Lit):
+            return Lit(e.value is True)
+        if isinstance(e, BinOp):
+            if e.op in BOOLEAN_OPS:
+                l, r = self._sat(e.left), self._sat(e.right)
+                return (l & r) if e.op == "AND" else (l | r)
+            if e.op in COMPARISONS:
+                return self._sat_cmp(e)
+            return Lit(False)
+        if isinstance(e, Not):
+            return self._sat_not(e.child)
+        if isinstance(e, IsNull):
+            if not isinstance(e.child, Col) or e.child.name not in self.indexed:
+                return Lit(False)
+            c = e.child.name
+            if e.negated:
+                return _nulls(c) == Lit(0)
+            return _nulls(c) == ROW_COUNT
+        if isinstance(e, Like):
+            return self._sat_like(e)
+        if isinstance(e, InList):
+            out: Optional[Expr] = None
+            for v in e.values:
+                sub = self._sat_cmp(BinOp("=", e.child, v))
+                out = sub if out is None else (out | sub)
+            return out if out is not None else Lit(False)
+        return Lit(False)
+
+    def _sat_cmp(self, e: BinOp) -> Expr:
+        leaf = self._leaf(e)
+        if leaf is None:
+            return self._sat_colcol(e)
+        c, op, v = leaf
+        if self.indexed[c] == "decimal":
+            # decimal stats are ulp-WIDENED bounds and decimal literals
+            # round to double: both moves are fine for refutation
+            # (over-approx) but can claim a boundary row group "fully
+            # satisfying" when its true max sits between v and
+            # float(v) — so satisfaction never fires on decimals.
+            # (Truncated STRING stats stay fine: truncation preserves
+            # bound VALIDITY, which is all satisfaction needs.)
+            return Lit(False)
+        nn = _nulls(c) == Lit(0)
+        if op == "=":
+            term = (_min(c) == v) & (_max(c) == v)
+        elif op == "!=":
+            term = (_max(c) < v) | (_min(c) > v)
+        elif op == "<":
+            term = _max(c) < v
+        elif op == "<=":
+            term = _max(c) <= v
+        elif op == ">":
+            term = _min(c) > v
+        elif op == ">=":
+            term = _min(c) >= v
+        else:
+            return Lit(False)
+        return term & nn
+
+    def _sat_colcol(self, e: BinOp) -> Expr:
+        l, r = e.left, e.right
+        if not (isinstance(l, Col) and isinstance(r, Col)):
+            return Lit(False)
+        ca, cb = l.name, r.name
+        ta, tb = self.indexed.get(ca), self.indexed.get(cb)
+        if ta is None or tb is None:
+            return Lit(False)
+        numeric = ("int", "float", "decimal")
+        if not (ta == tb or (ta in numeric and tb in numeric)):
+            return Lit(False)
+        if "decimal" in (ta, tb):
+            return Lit(False)  # widened bounds: see _sat_cmp
+        if ca == cb:
+            if e.op in ("=", "<=", ">="):
+                return _nulls(ca) == Lit(0)  # a CMP a holds off NULLs
+            return Lit(False)
+        nn = (_nulls(ca) == Lit(0)) & (_nulls(cb) == Lit(0))
+        if e.op == "=":
+            term: Expr = ((_min(ca) == _max(ca)) & (_min(cb) == _max(cb))
+                          & (_min(ca) == _min(cb)))
+        elif e.op == "!=":
+            term = (_max(ca) < _min(cb)) | (_min(ca) > _max(cb))
+        elif e.op == "<":
+            term = _max(ca) < _min(cb)
+        elif e.op == "<=":
+            term = _max(ca) <= _min(cb)
+        elif e.op == ">":
+            term = _min(ca) > _max(cb)
+        elif e.op == ">=":
+            term = _min(ca) >= _max(cb)
+        else:
+            return Lit(False)
+        return term & nn
+
+    def _sat_like(self, e: Like) -> Expr:
+        if (e.negated or not isinstance(e.child, Col)
+                or self.indexed.get(e.child.name) != "string"):
+            return Lit(False)
+        c = e.child.name
+        if e.is_exact():
+            return self._sat_cmp(BinOp("=", e.child, Lit(e.pattern)))
+        prefix = e.literal_prefix()
+        # only the pure-prefix pattern 'p%' can be proven for ALL rows
+        if not prefix or e.pattern != prefix + "%":
+            return Lit(False)
+        nxt = _next_prefix(prefix)
+        if nxt is None:
+            return Lit(False)
+        return ((_min(c) >= prefix) & (_max(c) < nxt)
+                & (_nulls(c) == Lit(0)))
+
     def _rw_not(self, child: Expr) -> Expr:
         """NOT pushed down via De Morgan / comparison negation; TRUE when
         the child has no exact negation (conservative)."""

@@ -1305,6 +1305,46 @@ def q60_decimal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("ep") * 100).cast("long")).alias("sum_cents"))
 
 
+SORTED_LAYOUT_ENV = "SPARK_GRAFT_SORTED_LAYOUT"
+
+
+def q61_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT pushdown into the catalog (table.count_rows + the
+    satisfaction rewrite, the refutation dual): over a price-sorted
+    layout, a range count reads ONLY the boundary row groups — every
+    interior group's interval is provably inside the predicate and
+    contributes its catalog row_count unread — and a tautological-
+    on-this-data predicate (price > 0, no NULLs) is counted with ZERO
+    Parquet I/O despite having a predicate at all. The asserts pin
+    both behaviors; the oracle recomputes the counts the hard way, so
+    pushdown must be value-exact."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+    from .sources.layout import write_range_sorted
+
+    layout = artifact_dir(
+        SORTED_LAYOUT_ENV, "spark_graft_sorted_layout",
+        os.path.join(sf_dir, "orders.parquet"), "by=o_totalprice")
+    memo = session_memo(spark, "sorted_orders")
+    t = memo.get(layout)
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: write_range_sorted(
+                _read(spark, sf_dir, "orders"), d,
+                ["o_totalprice"], num_files=4, row_group_bytes=1 << 18))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_totalprice"])
+    n_below = t.count_rows(xcol("o_totalprice") < 150000.0)
+    pd = t.last_count_pushdown
+    assert pd["full_rows"] > 0, pd  # interior groups counted unread
+    assert pd["partial_row_groups"] <= 2, pd  # only the boundary scans
+    n_all = t.count_rows(xcol("o_totalprice") > 0.0)
+    assert t.last_count_pushdown["partial_row_groups"] == 0, \
+        t.last_count_pushdown  # zero-I/O count WITH a predicate
+    return spark.createDataFrame(
+        [(n_below, n_all)], "n_below BIGINT, n_all BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1366,6 +1406,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_unpivot": q58_unpivot,
     "q59_nullsafe_join": q59_nullsafe_join,
     "q60_decimal_pred": q60_decimal_pred,
+    "q61_count_pushdown": q61_count_pushdown,
 }
 
 
@@ -1937,6 +1978,14 @@ RELATIONAL_ORACLE["q60_decimal_pred"] = """
     FROM d
     WHERE ep >= 20000.00 AND ep <= 30000.00
     GROUP BY l_returnflag
+"""
+
+RELATIONAL_ORACLE["q61_count_pushdown"] = """
+    SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice < 150000) AS BIGINT)
+               AS n_below,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 0) AS BIGINT)
+               AS n_all
+    FROM orders
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

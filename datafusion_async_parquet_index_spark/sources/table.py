@@ -447,18 +447,63 @@ class IndexedParquetTable:
 
     # -- metadata-only answers ----------------------------------------
     def count_rows(self, predicate: Optional[Expr] = None) -> int:
-        """Exact row count, answered from the catalog alone when
-        possible: COUNT(*) with no predicate is the sum of catalog
-        row_counts (zero Parquet I/O at any scale — the stats ARE the
-        aggregate, reference index.rs:198-205); a refuted predicate
-        answers 0 the same way (reference README.md:70). Otherwise falls
-        back to a pruned scan + count."""
+        """Exact row count with COUNT PUSHDOWN into the catalog:
+
+        - no predicate: the sum of catalog row_counts — zero Parquet
+          I/O (the stats ARE the aggregate, reference index.rs:198-205);
+        - refuted predicate: 0 straight from the empty access plan
+          (reference README.md:70);
+        - otherwise BOTH rewrites run: refutation gives the candidate
+          row groups, the satisfaction rewrite (PruningRewriter
+          .satisfies — the sound under-approximation dual) proves which
+          candidates match on EVERY row. Proven-full groups contribute
+          their catalog row_count unread; only the boundary groups
+          (candidates minus proven-full) are scanned, through the exact
+          row-group reader, reading only the predicate's columns. At
+          100 TB a time-range count reads the two boundary row groups
+          instead of the range.
+
+        ``last_count_pushdown`` records {full_row_groups, full_rows,
+        partial_row_groups} for observability/tests. Partitioned
+        layouts fall back to pruned-scan counting (the row-group reader
+        cannot surface partition columns)."""
         if predicate is None:
             return sum(f[3] for f in self.catalog.all_files())
         decision = self.plan_scan(predicate)
         if not decision.files_scanned:
+            self.last_count_pushdown = {
+                "full_row_groups": 0, "full_rows": 0,
+                "partial_row_groups": 0}
             return 0
-        return self.query(predicate).count()
+        if getattr(self, "partitioned", False):
+            self.last_count_pushdown = None
+            return self.query(predicate).count()
+        sat = self._rewriter.satisfies(predicate)
+        full = dict(self.catalog.get_files(sat))
+        full_rows = 0
+        full_rgs = 0
+        partial: Dict[str, List[int]] = {}
+        for fname, rgs in decision.files_scanned.items():
+            counts = self.catalog.row_group_row_counts(fname)
+            frg = set(full.get(fname, ()))
+            rest = [rg for rg in rgs if rg not in frg]
+            hit = [rg for rg in rgs if rg in frg]
+            full_rows += sum(counts[rg] for rg in hit)
+            full_rgs += len(hit)
+            if rest:
+                partial[fname] = rest
+        self.last_count_pushdown = {
+            "full_row_groups": full_rgs, "full_rows": full_rows,
+            "partial_row_groups": sum(len(v) for v in partial.values())}
+        if not partial:
+            return full_rows
+        partial_decision = ScanDecision(
+            decision.predicate, partial, decision.total_files,
+            decision.total_row_groups)
+        cols = sorted(predicate.columns())
+        df = self._read_rowgroups(partial_decision, predicate,
+                                  columns=cols or None)
+        return full_rows + df.filter(predicate.to_spark()).count()
 
     def count_upper_bound(self, predicate: Optional[Expr] = None) -> int:
         """Catalog-only upper bound: total rows in surviving row groups.

@@ -207,3 +207,69 @@ def test_describe_index_readout(spark, demo_dir):
     assert v["bounds_exact"]
     s = info["columns"]["text"]
     assert s["category"] == "string" and s["bounds_exact"]
+
+
+def test_count_pushdown_answers_from_catalog(spark, demo_dir):
+    """COUNT(*) WHERE pred: row groups the satisfaction rewrite proves
+    fully-matching are counted from the catalog without being read."""
+    t = IndexedParquetTable(spark, demo_dir, index_columns=["value", "text"])
+    # value < 100: file1's two row groups (0..49, 50..99) are proven
+    # full -> the entire count comes from catalog arithmetic
+    assert t.count_rows(col("value") < 100) == 100
+    assert t.last_count_pushdown == {
+        "full_row_groups": 2, "full_rows": 100, "partial_row_groups": 0}
+    # value <= 120: file1 full, file2's first group (100..149) is a
+    # boundary group -> exactly one row group scanned
+    assert t.count_rows(col("value") <= 120) == 121
+    assert t.last_count_pushdown["full_rows"] == 100
+    assert t.last_count_pushdown["partial_row_groups"] == 1
+    # proven-full via IS NOT NULL (null_count = 0 everywhere): whole
+    # table counted with zero Parquet I/O
+    n = t.count_rows(col("value").is_not_null())
+    assert n == 3000
+    assert t.last_count_pushdown["partial_row_groups"] == 0
+
+
+def test_count_pushdown_matches_scan_count_sweep(spark, tmp_path):
+    """Sweep of predicate shapes over row groups with NULLs and
+    boundaries: pushdown counts must equal full-scan filter counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "cnt_corpus")
+    os.makedirs(d)
+    a = [0, 1, 2, 3, 4,      50, 51, 52, 53, 54,
+         10, None, 30, 5, 25, 7, 7, 7, 7, 7]
+    b = [20, 21, 22, 23, 24,  0, 1, 2, 3, 4,
+         15, 20, None, 35, 25, 7, 7, 7, 7, 7]
+    s = ["aa", "ab", "ac", "ad", "ae", "ba", "bb", "bc", "bd", "be",
+         "aa", None, "ca", "cb", "cc", "dd", "dd", "dd", "dd", "dd"]
+    tbl = pa.table({"a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64()),
+                    "s": pa.array(s, pa.string())})
+    pq.write_table(tbl, os.path.join(d, "part-0.parquet"), row_group_size=5)
+    t = IndexedParquetTable(spark, d, index_columns=["a", "b", "s"])
+    full = spark.read.parquet(d)
+    from datafusion_async_parquet_index_spark.plans.expr import Not, lit
+    preds = [
+        col("a") < 100,
+        col("a") >= 50,
+        col("a") == 7,
+        col("a") != 7,
+        col("a").is_null(),
+        col("a").is_not_null(),
+        col("s").like("a%"),
+        col("s").like("d%"),
+        col("s").isin(["dd", "aa"]),
+        col("a") < col("b"),
+        (col("a") >= 0) & (col("b") >= 0),
+        (col("a") < 10) | (col("a") > 45),
+        Not(col("a") >= 50),
+        lit(True),
+        lit(False),
+    ]
+    for pred in preds:
+        want = full.filter(pred.to_spark()).count()
+        got = t.count_rows(pred)
+        assert got == want, (pred.to_sql(), got, want,
+                             t.last_count_pushdown)

@@ -429,3 +429,72 @@ def test_matched_type_literals_still_prune():
     ]:
         out = rw.rewrite(e)
         assert not (isinstance(out, Lit) and out.value is True), e
+
+
+@given(rows=rows_strategy, pred=predicates)
+@settings(max_examples=_EXAMPLES, deadline=None)
+def test_satisfaction_never_overcounts(rows, pred):
+    """The satisfaction rewrite (count-pushdown dual): a row group it
+    keeps must have EVERY row satisfying the predicate — an unsound
+    'full' verdict would silently inflate pushed-down counts."""
+    groups = [rows[i:i + RG_SIZE] for i in range(0, len(rows), RG_SIZE)]
+    conn = sqlite3.connect(":memory:")
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        encode_value,
+    )
+    conn.execute(
+        """CREATE TABLE s (rg INTEGER, row_count INTEGER,
+           v_null_count INTEGER, v_min INTEGER, v_max INTEGER,
+           w_null_count INTEGER, w_min INTEGER, w_max INTEGER,
+           t_null_count INTEGER, t_min TEXT, t_max TEXT,
+           d_null_count INTEGER, d_min INTEGER, d_max INTEGER,
+           ts_null_count INTEGER, ts_min INTEGER, ts_max INTEGER,
+           b_null_count INTEGER, b_min BLOB, b_max BLOB)""")
+    for gi, g in enumerate(groups):
+        rec = [gi, len(g)]
+        for ci, cat in enumerate(["int", "int", "string", "date",
+                                  "timestamp", "binary"]):
+            vals = [row[ci] for row in g if row[ci] is not None]
+            rec.append(sum(1 for row in g if row[ci] is None))
+            rec.append(encode_value(cat, min(vals)) if vals else None)
+            rec.append(encode_value(cat, max(vals)) if vals else None)
+        conn.execute(
+            "INSERT INTO s VALUES (" + ",".join("?" * 20) + ")", rec)
+
+    sat_pred = PruningRewriter(SCHEMA).satisfies(pred)
+    r = _SqliteStatsSql({
+        "row_count": "int", "v_min": "int", "v_max": "int",
+        "v_null_count": "int", "w_min": "int", "w_max": "int",
+        "w_null_count": "int", "t_min": "string", "t_max": "string",
+        "t_null_count": "int", "d_min": "date", "d_max": "date",
+        "d_null_count": "int", "ts_min": "timestamp", "ts_max": "timestamp",
+        "ts_null_count": "int", "b_min": "binary", "b_max": "binary",
+        "b_null_count": "int"})
+    sql = r.render(sat_pred)
+    full = {row[0] for row in conn.execute(
+        f"SELECT rg FROM s WHERE {sql}", r.params)}
+
+    def eval_pred(e, row):
+        if (isinstance(e, BinOp) and e.op in CMP_OPS
+                and isinstance(e.left, Col) and e.left.name == "ts"
+                and isinstance(e.right, Lit)):
+            return _cmp(e.op, row["ts"], _ts_for_eval(e.right.value))
+        if isinstance(e, BinOp) and e.op in ("AND", "OR"):
+            l, r_ = eval_pred(e.left, row), eval_pred(e.right, row)
+            if e.op == "AND":
+                if l is False or r_ is False:
+                    return False
+                return None if (l is None or r_ is None) else (l and r_)
+            if l is True or r_ is True:
+                return True
+            return None if (l is None or r_ is None) else (l or r_)
+        if isinstance(e, Not):
+            v = eval_pred(e.child, row)
+            return None if v is None else (not v)
+        return eval_row(e, row)
+
+    for gi in full:
+        for row in groups[gi]:
+            assert eval_pred(pred, dict(zip(COLS, row))) is True, (
+                f"satisfaction kept row group {gi} but a row fails!\n"
+                f"pred={pred}\nsat={sat_pred}\nrow={row}")

@@ -77,6 +77,7 @@ _ROUND_PRIORITY = [
     "text_length_histogram",
     "q60_decimal_pred",
     "q61_count_pushdown",
+    "q62_sum_pushdown",
     # -- tier 4: oldest driver rows first (green-r2, bodies untouched
     #    since — rotated back in per the documented policy: every
     #    entry gets a periodic re-proof) -----------------------------
@@ -88,7 +89,6 @@ _ROUND_PRIORITY = [
     "text_token_counts",
     "text_fingerprint",
     "text_topk_terms",
-    "text_curation_pipeline",
     # text_stratified_sample / text_unigram_logprob /
     # text_sequence_pack trimmed with q20/q6 (padding-tail rule: new
     # never-verified entries outrank periodic re-proofs)

@@ -1345,6 +1345,54 @@ def q61_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_below, n_all)], "n_below BIGINT, n_all BIGINT")
 
 
+CENTS_LAYOUT_ENV = "SPARK_GRAFT_CENTS_LAYOUT"
+
+
+def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG pushdown into the catalog (table.sum_rows): the index
+    stores exact per-row-group integer sums (opt-in ``sum_columns``,
+    computed from the column pages at index time — footers have no
+    sums), so over a cents-sorted layout the revenue total needs ZERO
+    Parquet I/O and a revenue range sums the interior row groups from
+    the catalog while scanning only the two boundary groups. The
+    asserts pin both shapes; the oracle recomputes every number from
+    the flat table, so the pushed-down arithmetic must be value-exact
+    (all integers end to end — no float accumulation anywhere)."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+    from .sources.layout import write_range_sorted
+
+    layout = artifact_dir(
+        CENTS_LAYOUT_ENV, "spark_graft_cents_layout",
+        os.path.join(sf_dir, "orders.parquet"), "cents_sorted")
+    memo = session_memo(spark, "cents_orders")
+    t = memo.get(layout)
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: write_range_sorted(
+                _read(spark, sf_dir, "orders").select(
+                    "o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("price_cents")),
+                d, ["price_cents"], num_files=4, row_group_bytes=1 << 15))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["price_cents"],
+            sum_columns=["price_cents"])
+    total_s, total_n = t.sum_rows("price_cents")
+    assert t.last_sum_pushdown["partial_row_groups"] == 0, \
+        t.last_sum_pushdown  # the total is pure catalog arithmetic
+    rng = ((xcol("price_cents") >= 5_000_000)
+           & (xcol("price_cents") <= 30_000_000))
+    rng_s, rng_n = t.sum_rows("price_cents", rng)
+    pd = t.last_sum_pushdown
+    assert pd["full_row_groups"] > 0, pd    # interior groups unread
+    assert pd["partial_row_groups"] <= 2, pd  # only the boundary scans
+    return spark.createDataFrame(
+        [(total_s, total_n, rng_s, rng_n)],
+        "total_cents BIGINT, total_n BIGINT, "
+        "range_cents BIGINT, range_n BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1407,6 +1455,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_nullsafe_join": q59_nullsafe_join,
     "q60_decimal_pred": q60_decimal_pred,
     "q61_count_pushdown": q61_count_pushdown,
+    "q62_sum_pushdown": q62_sum_pushdown,
 }
 
 
@@ -1986,6 +2035,20 @@ RELATIONAL_ORACLE["q61_count_pushdown"] = """
            CAST(COUNT(*) FILTER (WHERE o_totalprice > 0) AS BIGINT)
                AS n_all
     FROM orders
+"""
+
+RELATIONAL_ORACLE["q62_sum_pushdown"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(cents) AS BIGINT) AS total_n,
+           CAST(SUM(cents) FILTER (WHERE cents BETWEEN 5000000
+                                   AND 30000000) AS BIGINT) AS range_cents,
+           CAST(COUNT(cents) FILTER (WHERE cents BETWEEN 5000000
+                                     AND 30000000) AS BIGINT) AS range_n
+    FROM c
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

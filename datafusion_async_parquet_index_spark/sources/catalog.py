@@ -235,6 +235,20 @@ class SqliteIndexCatalog:
             # bloom extension (sources/bloom.py): per (row group, column)
             # membership filter for equality pruning on high-cardinality
             # columns where min/max cannot help
+            # sum extension (aggregate-statistics index): per
+            # (row group, integer column) exact sum + non-null count,
+            # computed at index time from the column pages — lets
+            # SUM/AVG push down the same way COUNT does (satisfaction-
+            # proven groups contribute stored sums unread)
+            self._conn.execute(
+                """CREATE TABLE IF NOT EXISTS row_group_sums (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       sum_value INTEGER NOT NULL,
+                       value_count INTEGER NOT NULL,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
             self._conn.execute(
                 """CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -250,6 +264,7 @@ class SqliteIndexCatalog:
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats],
         blooms: Optional[Dict[int, Dict[str, Tuple[int, int, bytes]]]] = None,
+        sums: Optional[Dict[int, Dict[str, Tuple[int, int]]]] = None,
     ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
@@ -257,7 +272,8 @@ class SqliteIndexCatalog:
         delete-then-insert, index.rs:249-285).
 
         blooms: optional {row_group: {column: (m_bits, k, bits)}} written
-        alongside the stats in the same transaction."""
+        alongside the stats in the same transaction.
+        sums: optional {row_group: {column: (sum, non_null_count)}}."""
         with self._lock, self._conn:
             cur = self._conn.execute(
                 """INSERT INTO file_statistics
@@ -288,6 +304,17 @@ class SqliteIndexCatalog:
                 self._conn.executemany(
                     f"INSERT INTO row_group_statistics ({', '.join(all_cols)}) "
                     f"VALUES ({placeholders})", rows)
+            self._conn.execute(
+                "DELETE FROM row_group_sums WHERE file_id = ?", (file_id,))
+            if sums:
+                self._conn.executemany(
+                    """INSERT INTO row_group_sums
+                           (file_id, row_group, column_name,
+                            sum_value, value_count)
+                       VALUES (?, ?, ?, ?, ?)""",
+                    [(file_id, rg, col, s, n)
+                     for rg, cols in sums.items()
+                     for col, (s, n) in cols.items()])
             self._conn.execute(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
@@ -338,6 +365,19 @@ class SqliteIndexCatalog:
         for file_name, row_group in rows:
             out.setdefault(file_name, []).append(row_group)
         return sorted(out.items())
+
+    def get_sums(
+        self, column: str
+    ) -> Dict[Tuple[str, int], Tuple[int, int]]:
+        """{(file_name, row_group): (sum, non_null_count)} for one
+        column. O(row_groups) rows, independent of data size."""
+        with self._lock:
+            rows = self._conn.execute(
+                """SELECT f.file_name, s.row_group, s.sum_value, s.value_count
+                   FROM row_group_sums s
+                   JOIN file_statistics f ON f.file_id = s.file_id
+                   WHERE s.column_name = ?""", (column,)).fetchall()
+        return {(fn, rg): (sv, vc) for fn, rg, sv, vc in rows}
 
     def get_blooms(
         self, column: str

@@ -60,6 +60,8 @@ class DataFrameIndexCatalog:
         self._files: Dict[str, Tuple[FileStats, List[RowGroupStats]]] = {}
         # file_name -> {row_group: {column: (m, k, bits)}}
         self._blooms: Dict[str, Dict[int, Dict[str, tuple]]] = {}
+        # file_name -> {row_group: {column: (sum, non_null_count)}}
+        self._sums: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -84,23 +86,40 @@ class DataFrameIndexCatalog:
     # -- maintenance (reference index.rs:242-329) -----------------------
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats], blooms=None,
+        sums=None,
     ) -> None:
         """Idempotent per file: replaces any previous stats for the same
         file_name (the reference's ON CONFLICT + delete-then-insert).
         blooms: {row_group: {column: (m, k, bits)}}, kept in the same
         per-file store (at scale these are small binary columns in the
-        stats table itself)."""
+        stats table itself).
+        sums: {row_group: {column: (sum, non_null_count)}}."""
         self._files[fs.file_name] = (fs, list(rgs))
         if blooms:
             self._blooms[fs.file_name] = dict(blooms)
         else:
             self._blooms.pop(fs.file_name, None)
+        if sums:
+            self._sums[fs.file_name] = dict(sums)
+        else:
+            self._sums.pop(fs.file_name, None)
         self._df = None
 
     def remove_file(self, file_name: str) -> None:
         self._files.pop(file_name, None)
         self._blooms.pop(file_name, None)
+        self._sums.pop(file_name, None)
         self._df = None
+
+    def get_sums(self, column: str):
+        """{(file_name, row_group): (sum, non_null_count)} — same
+        protocol as SqliteIndexCatalog.get_sums."""
+        out = {}
+        for fname, per_rg in self._sums.items():
+            for rg, cols in per_rg.items():
+                if column in cols:
+                    out[(fname, rg)] = cols[column]
+        return out
 
     def get_blooms(self, column: str):
         """{(file_name, row_group): (m, k, bits)} — same protocol as

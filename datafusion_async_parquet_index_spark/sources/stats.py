@@ -130,6 +130,36 @@ def extract_file_blooms(
     return out
 
 
+def extract_file_sums(
+    path: str, sum_cols: Sequence[str],
+) -> Dict[int, Dict[str, Tuple[int, int]]]:
+    """{row_group: {column: (sum, non_null_count)}} for integer
+    columns — the aggregate-statistics extension: Parquet footers carry
+    no sums, so (like the bloom build) this reads ONLY the requested
+    columns' pages, one row group at a time, and folds exact Python
+    ints. Opt-in: index build cost rises from footer-only to one
+    column scan per sum column, amortized over every pushed-down
+    SUM/AVG afterwards."""
+    if not sum_cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    cols = [c for c in sum_cols
+            if pf.schema_arrow.get_field_index(c) >= 0
+            and pa.types.is_integer(
+                pf.schema_arrow.field(c).type)]
+    if not cols:
+        return {}
+    out: Dict[int, Dict[str, Tuple[int, int]]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=cols)
+        per_col: Dict[str, Tuple[int, int]] = {}
+        for c in cols:
+            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+            per_col[c] = (sum(vals), len(vals))
+        out[i] = per_col
+    return out
+
+
 def extract_file_stats(
     path: str,
     index_schema: Dict[str, str],
@@ -305,6 +335,7 @@ def build_index(
     bloom_columns: Optional[Sequence[str]] = None,
     bloom_fpp: float = 0.01,
     token_bloom_columns: Optional[Sequence[str]] = None,
+    sum_columns: Optional[Sequence[str]] = None,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -370,12 +401,15 @@ def build_index(
             if cat == "string":
                 bloom_schema[f"{c}{TOKEN_BLOOM_SUFFIX}"] = "string"
 
+    sum_cols = tuple(sum_columns or ())
+
     def _extract(p):
         fs, rgs = extract_file_stats(
             p, schema, file_name=_name(p), partition_stats=part_values.get(p))
         blooms = (extract_file_blooms(p, bloom_schema, bloom_fpp)
                   if bloom_schema else None)
-        return fs, rgs, blooms
+        sums = extract_file_sums(p, sum_cols) if sum_cols else None
+        return fs, rgs, blooms, sums
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -395,13 +429,14 @@ def build_index(
         meta_b = sc.broadcast((names, part_values))
 
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
-                          _fpp=bloom_fpp):
+                          _fpp=bloom_fpp, _sc=sum_cols):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
             blooms = (extract_file_blooms(p, _bs.value, _fpp)
                       if _bs.value else None)
-            return fs, rgs, blooms
+            sums = extract_file_sums(p, _sc) if _sc else None
+            return fs, rgs, blooms, sums
 
         results = (
             sc.parallelize(files, min(len(files), 256))
@@ -414,6 +449,6 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms in results:
-        catalog.upsert_file(fs, rgs, blooms=blooms)
+    for fs, rgs, blooms, sums in results:
+        catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums)
     return schema

@@ -108,6 +108,7 @@ class IndexedParquetTable:
         bloom_columns: Optional[Sequence[str]] = None,
         partitioned: Optional[bool] = None,
         token_bloom_columns: Optional[Sequence[str]] = None,
+        sum_columns: Optional[Sequence[str]] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -130,6 +131,7 @@ class IndexedParquetTable:
                        if partitioned else flat)
         self.bloom_columns = tuple(bloom_columns or ())
         self.token_bloom_columns = tuple(token_bloom_columns or ())
+        self.sum_columns = tuple(sum_columns or ())
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
         # know what to index once the first files appear
@@ -144,7 +146,8 @@ class IndexedParquetTable:
         self.index_schema = build_index(
             self.catalog, self._files, index_columns, spark=spark,
             bloom_columns=self.bloom_columns,
-            token_bloom_columns=self.token_bloom_columns, **part_kw)
+            token_bloom_columns=self.token_bloom_columns,
+            sum_columns=self.sum_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -221,6 +224,7 @@ class IndexedParquetTable:
                                  bloom_columns=getattr(self, "bloom_columns", ()),
                                  token_bloom_columns=getattr(
                                      self, "token_bloom_columns", ()),
+                                 sum_columns=getattr(self, "sum_columns", ()),
                                  **self._partition_index_kwargs())
         if new_schema != self.index_schema:
             # first files after empty-dir construction (or a schema
@@ -504,6 +508,87 @@ class IndexedParquetTable:
         df = self._read_rowgroups(partial_decision, predicate,
                                   columns=cols or None)
         return full_rows + df.filter(predicate.to_spark()).count()
+
+    def sum_rows(self, column: str, predicate: Optional[Expr] = None):
+        """(sum, non_null_count) of an integer column over matching
+        rows, pushed into the catalog the same way count_rows is: the
+        opt-in per-row-group sums (``sum_columns=[...]`` at
+        construction; exact Python-int arithmetic end to end) answer
+        every satisfaction-proven row group unread, and only the
+        boundary groups scan — SUM over a sorted time/key range reads
+        two row groups at any corpus size, and the no-predicate total
+        is pure catalog arithmetic. A candidate group without a stored
+        sum entry simply demotes to the scanned set, so partial sum
+        coverage degrades to correctness, never to a wrong answer.
+        SQL semantics: NULLs are ignored; (None, 0) when no row
+        matches. Falls back to a full aggregate when the column has no
+        sums at all or the layout is partitioned."""
+        from pyspark.sql import functions as F
+
+        sums = self.catalog.get_sums(column)
+
+        def _scan_agg(df) -> tuple:
+            row = df.agg(
+                F.sum(F.col(column)).alias("s"),
+                F.count(F.col(column)).alias("n")).head()
+            return row["s"], row["n"]
+
+        if not sums or getattr(self, "partitioned", False):
+            self.last_sum_pushdown = None
+            if predicate is None:
+                return _scan_agg(self.to_df())
+            return _scan_agg(self.query(predicate))
+        if predicate is None:
+            indexed = {f[0]: f[2] for f in self.catalog.all_files()}
+            if all((fn, rg) in sums
+                   for fn, n in indexed.items() for rg in range(n)):
+                s = sum(v[0] for v in sums.values())
+                n = sum(v[1] for v in sums.values())
+                self.last_sum_pushdown = {
+                    "full_row_groups": len(sums), "full_sum": s,
+                    "partial_row_groups": 0}
+                return (s if n else None), n
+            self.last_sum_pushdown = None
+            return _scan_agg(self.to_df())
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
+            self.last_sum_pushdown = {
+                "full_row_groups": 0, "full_sum": 0,
+                "partial_row_groups": 0}
+            return None, 0
+        sat = self._rewriter.satisfies(predicate)
+        full = dict(self.catalog.get_files(sat))
+        s_full = 0
+        n_full = 0
+        full_rgs = 0
+        partial: Dict[str, List[int]] = {}
+        for fname, rgs in decision.files_scanned.items():
+            frg = set(full.get(fname, ()))
+            rest = []
+            for rg in rgs:
+                entry = sums.get((fname, rg))
+                if rg in frg and entry is not None:
+                    s_full += entry[0]
+                    n_full += entry[1]
+                    full_rgs += 1
+                else:
+                    rest.append(rg)
+            if rest:
+                partial[fname] = rest
+        self.last_sum_pushdown = {
+            "full_row_groups": full_rgs, "full_sum": s_full,
+            "partial_row_groups": sum(len(v) for v in partial.values())}
+        if not partial:
+            return (s_full if n_full else None), n_full
+        partial_decision = ScanDecision(
+            decision.predicate, partial, decision.total_files,
+            decision.total_row_groups)
+        cols = sorted(predicate.columns() | {column})
+        df = self._read_rowgroups(partial_decision, predicate, columns=cols)
+        s_part, n_part = _scan_agg(df.filter(predicate.to_spark()))
+        n = n_full + n_part
+        s = (s_full + (s_part or 0)) if n else None
+        return s, n
 
     def count_upper_bound(self, predicate: Optional[Expr] = None) -> int:
         """Catalog-only upper bound: total rows in surviving row groups.

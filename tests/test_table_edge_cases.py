@@ -273,3 +273,48 @@ def test_count_pushdown_matches_scan_count_sweep(spark, tmp_path):
         got = t.count_rows(pred)
         assert got == want, (pred.to_sql(), got, want,
                              t.last_count_pushdown)
+
+
+def test_sum_pushdown_matches_scan(spark, demo_dir, tmp_path):
+    """SUM pushdown: stored per-row-group sums answer proven-full
+    groups unread; boundary groups scan; totals are pure catalog
+    arithmetic; NULL columns keep SQL semantics."""
+    t = IndexedParquetTable(spark, demo_dir, index_columns=["value"],
+                            sum_columns=["value"])
+    # no-predicate total: catalog-only
+    s, n = t.sum_rows("value")
+    assert (s, n) == (sum(range(3000)), 3000)
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+    # range over file boundaries: file1 proven full, boundary scans
+    s, n = t.sum_rows("value", col("value") <= 120)
+    assert (s, n) == (sum(range(121)), 121)
+    assert t.last_sum_pushdown["full_row_groups"] >= 2
+    assert t.last_sum_pushdown["partial_row_groups"] == 1
+    # refuted predicate: SQL empty-sum semantics
+    assert t.sum_rows("value", col("value") > 10_000) == (None, 0)
+    # NULL-bearing corpus: sums ignore NULLs like SQL SUM
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "sum_nulls")
+    os.makedirs(d)
+    tbl = pa.table({"k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "x": pa.array([10, None, 30, None, 50, 60], pa.int64())})
+    pq.write_table(tbl, os.path.join(d, "p.parquet"), row_group_size=3)
+    t2 = IndexedParquetTable(spark, d, index_columns=["k", "x"],
+                             sum_columns=["x"])
+    assert t2.sum_rows("x") == (150, 4)
+    assert t2.sum_rows("x", col("k") >= 4) == (110, 2)
+    full = spark.read.parquet(d)
+    from pyspark.sql import functions as F
+    for pred in (col("k") > 2, col("x") >= 30, col("x").is_not_null(),
+                 col("k") != 5):
+        row = full.filter(pred.to_spark()).agg(
+            F.sum("x").alias("s"), F.count("x").alias("n")).head()
+        assert t2.sum_rows("x", pred) == (row["s"], row["n"]), pred.to_sql()
+
+
+def test_sum_pushdown_without_sums_falls_back(spark, demo_dir):
+    t = IndexedParquetTable(spark, demo_dir, index_columns=["value"])
+    s, n = t.sum_rows("value", col("value") < 100)
+    assert (s, n) == (sum(range(100)), 100)
+    assert t.last_sum_pushdown is None

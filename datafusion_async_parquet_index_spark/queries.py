@@ -1349,7 +1349,8 @@ CENTS_LAYOUT_ENV = "SPARK_GRAFT_CENTS_LAYOUT"
 
 
 def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM/AVG pushdown into the catalog (table.sum_rows): the index
+    """SUM/AVG/MIN/MAX pushdown into the catalog (table.sum_rows +
+    predicated table.min_max): the index
     stores exact per-row-group integer sums (opt-in ``sum_columns``,
     computed from the column pages at index time — footers have no
     sums), so over a cents-sorted layout the revenue total needs ZERO
@@ -1387,10 +1388,15 @@ def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd = t.last_sum_pushdown
     assert pd["full_row_groups"] > 0, pd    # interior groups unread
     assert pd["partial_row_groups"] <= 2, pd  # only the boundary scans
+    # predicated MIN/MAX rides the same machinery: attained bounds of
+    # proven-full groups + a boundary scan
+    rng_mn, rng_mx = t.min_max("price_cents", rng)
+    assert t.last_minmax_pushdown["full_row_groups"] > 0
     return spark.createDataFrame(
-        [(total_s, total_n, rng_s, rng_n)],
+        [(total_s, total_n, rng_s, rng_n, rng_mn, rng_mx)],
         "total_cents BIGINT, total_n BIGINT, "
-        "range_cents BIGINT, range_n BIGINT")
+        "range_cents BIGINT, range_n BIGINT, "
+        "range_min BIGINT, range_max BIGINT")
 
 
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2047,7 +2053,11 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(SUM(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_cents,
            CAST(COUNT(cents) FILTER (WHERE cents BETWEEN 5000000
-                                     AND 30000000) AS BIGINT) AS range_n
+                                     AND 30000000) AS BIGINT) AS range_n,
+           CAST(MIN(cents) FILTER (WHERE cents BETWEEN 5000000
+                                   AND 30000000) AS BIGINT) AS range_min,
+           CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
+                                   AND 30000000) AS BIGINT) AS range_max
     FROM c
 """
 

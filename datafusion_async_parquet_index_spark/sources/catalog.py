@@ -434,6 +434,23 @@ class SqliteIndexCatalog:
         cat = self.index_schema[column]
         return decode_value(cat, mn), decode_value(cat, mx), (missing or 0) == 0
 
+    def column_rg_bounds(self, column: str):
+        """{(file_name, row_group): (min, max)} in the data's domain —
+        the keyed form column_rg_entries lacks, needed when bounds must
+        line up with an access plan (predicated MIN/MAX pushdown)."""
+        if column not in self.index_schema:
+            raise KeyError(column)
+        with self._lock:
+            rows = self._conn.execute(
+                f"""SELECT f.file_name, rg.row_group,
+                           rg.{column}_min, rg.{column}_max
+                    FROM row_group_statistics rg
+                    JOIN file_statistics f ON f.file_id = rg.file_id"""
+            ).fetchall()
+        cat = self.index_schema[column]
+        return {(fn, rg): (decode_value(cat, mn), decode_value(cat, mx))
+                for fn, rg, mn, mx in rows}
+
     def column_rg_entries(self, column: str):
         """[(null_count, min, max, row_count)] per indexed row group —
         the raw material for catalog-only per-value aggregates over

@@ -207,6 +207,19 @@ class DataFrameIndexCatalog:
                 mx = hi if mx is None or hi > mx else mx
         return mn, mx, complete
 
+    def column_rg_bounds(self, column: str):
+        """{(file_name, row_group): (min, max)} — same protocol as
+        SqliteIndexCatalog.column_rg_bounds (values already in the
+        data's domain in this backend)."""
+        if column not in self.index_schema:
+            raise KeyError(column)
+        out = {}
+        for fs, rgs in self._files.values():
+            for rg in rgs:
+                _, lo, hi = rg.columns.get(column, (None, None, None))
+                out[(fs.file_name, rg.row_group)] = (lo, hi)
+        return out
+
     def column_rg_entries(self, column: str):
         """[(null_count, min, max, row_count)] per indexed row group —
         same contract as SqliteIndexCatalog.column_rg_entries."""

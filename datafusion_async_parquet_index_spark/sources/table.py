@@ -697,25 +697,89 @@ class IndexedParquetTable:
             out[lo] = out.get(lo, 0) + rc
         return out
 
-    def min_max(self, column: str):
+    def min_max(self, column: str, predicate: Optional[Expr] = None):
         """(min, max) for an indexed column, answered from the catalog
         when every row group carries stats AND the bounds are trustable
         as attained values (numeric Parquet min/max are exact; long
-        string/binary stats may be truncated bounds — valid for pruning
-        but possibly never-attained, so they trigger the scan
-        fallback). Falls back to a scan aggregate otherwise."""
-        try:
-            mn, mx, complete = self.catalog.column_bounds(column)
-        except KeyError:
-            complete = False
-            mn = mx = None
-        if (complete and self._bound_is_exact(column, mn)
-                and self._bound_is_exact(column, mx)):
-            return mn, mx
+        string/binary stats may be truncated bounds and decimal bounds
+        are ulp-widened — valid for pruning but possibly never-attained,
+        so those trigger the scan fallback).
+
+        With a predicate, the same pushdown shape as count_rows/
+        sum_rows: over satisfaction-proven row groups every row
+        matches, so the group's exact-attained bounds participate in
+        the answer unread; groups whose bounds cannot be trusted as
+        attained demote to the scanned set alongside the boundary
+        groups. ``last_minmax_pushdown`` records the split."""
         from pyspark.sql import functions as F
-        row = self.to_df().agg(F.min(column).alias("mn"),
-                               F.max(column).alias("mx")).head()
-        return row["mn"], row["mx"]
+
+        if predicate is None:
+            try:
+                mn, mx, complete = self.catalog.column_bounds(column)
+            except KeyError:
+                complete = False
+                mn = mx = None
+            if (complete and self._bound_is_exact(column, mn)
+                    and self._bound_is_exact(column, mx)):
+                return mn, mx
+            row = self.to_df().agg(F.min(column).alias("mn"),
+                                   F.max(column).alias("mx")).head()
+            return row["mn"], row["mx"]
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
+            self.last_minmax_pushdown = {
+                "full_row_groups": 0, "partial_row_groups": 0}
+            return None, None
+        if getattr(self, "partitioned", False):
+            self.last_minmax_pushdown = None
+            row = self.query(predicate).agg(
+                F.min(column).alias("mn"), F.max(column).alias("mx")).head()
+            return row["mn"], row["mx"]
+        sat = self._rewriter.satisfies(predicate)
+        full = dict(self.catalog.get_files(sat))
+        try:
+            bounds = self.catalog.column_rg_bounds(column)
+        except KeyError:
+            bounds = {}
+        mn = mx = None
+        full_rgs = 0
+        partial: Dict[str, List[int]] = {}
+        for fname, rgs in decision.files_scanned.items():
+            frg = set(full.get(fname, ()))
+            rest = []
+            for rg in rgs:
+                lo, hi = bounds.get((fname, rg), (None, None))
+                if (rg in frg
+                        and self._bound_is_exact(column, lo)
+                        and self._bound_is_exact(column, hi)
+                        and self.index_schema.get(column) != "decimal"):
+                    full_rgs += 1
+                    if lo is not None:
+                        mn = lo if mn is None or lo < mn else mn
+                        mx = hi if mx is None or hi > mx else mx
+                    # lo None with matching rows = column all-NULL in
+                    # this group: contributes no values, correctly
+                else:
+                    rest.append(rg)
+            if rest:
+                partial[fname] = rest
+        self.last_minmax_pushdown = {
+            "full_row_groups": full_rgs,
+            "partial_row_groups": sum(len(v) for v in partial.values())}
+        if partial:
+            partial_decision = ScanDecision(
+                decision.predicate, partial, decision.total_files,
+                decision.total_row_groups)
+            cols = sorted(predicate.columns() | {column})
+            df = self._read_rowgroups(partial_decision, predicate,
+                                      columns=cols)
+            row = df.filter(predicate.to_spark()).agg(
+                F.min(column).alias("mn"), F.max(column).alias("mx")).head()
+            lo, hi = row["mn"], row["mx"]
+            if lo is not None:
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+        return mn, mx
 
     def describe_index(self) -> Dict:
         """DESCRIBE-style catalog readout — the observability a 100 TB

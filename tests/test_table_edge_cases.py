@@ -318,3 +318,32 @@ def test_sum_pushdown_without_sums_falls_back(spark, demo_dir):
     s, n = t.sum_rows("value", col("value") < 100)
     assert (s, n) == (sum(range(100)), 100)
     assert t.last_sum_pushdown is None
+
+
+def test_minmax_pushdown_with_predicate(spark, demo_dir, tmp_path):
+    """Predicated MIN/MAX: satisfaction-proven groups answer from their
+    exact-attained bounds; boundary groups scan; results always equal
+    the scan aggregate."""
+    from pyspark.sql import functions as F
+
+    t = IndexedParquetTable(spark, demo_dir, index_columns=["value"])
+    assert t.min_max("value", col("value") <= 120) == (0, 120)
+    pd = t.last_minmax_pushdown
+    assert pd["full_row_groups"] >= 2 and pd["partial_row_groups"] == 1, pd
+    assert t.min_max("value", col("value") > 10_000) == (None, None)
+    # NULL-bearing sweep against the scan aggregate
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "mm_nulls")
+    os.makedirs(d)
+    tbl = pa.table({"k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "x": pa.array([10, None, 30, None, 50, 60], pa.int64())})
+    pq.write_table(tbl, os.path.join(d, "p.parquet"), row_group_size=2)
+    t2 = IndexedParquetTable(spark, d, index_columns=["k", "x"])
+    full = spark.read.parquet(d)
+    for pred in (col("k") >= 2, col("x") >= 30, col("k") < 100,
+                 col("x").is_null(), col("k") != 3):
+        row = full.filter(pred.to_spark()).agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")).head()
+        got = t2.min_max("x", pred)
+        assert got == (row["mn"], row["mx"]), (pred.to_sql(), got)

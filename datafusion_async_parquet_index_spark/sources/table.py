@@ -807,6 +807,12 @@ class IndexedParquetTable:
             "bloom_columns": list(getattr(self, "bloom_columns", ())),
             "token_bloom_columns": list(
                 getattr(self, "token_bloom_columns", ())),
+            # per sum column: how many row groups carry a stored sum —
+            # partial coverage is legal (those groups scan), so the
+            # operator can see how much pushdown they actually get
+            "sum_coverage": {
+                c: len(self.catalog.get_sums(c))
+                for c in getattr(self, "sum_columns", ())},
             "columns": {},
         }
         for col, cat in self.index_schema.items():

@@ -347,3 +347,23 @@ def test_minmax_pushdown_with_predicate(spark, demo_dir, tmp_path):
             F.min("x").alias("mn"), F.max("x").alias("mx")).head()
         got = t2.min_max("x", pred)
         assert got == (row["mn"], row["mx"]), (pred.to_sql(), got)
+
+
+def test_refresh_maintains_sums(spark, tmp_path):
+    """Incremental refresh() must index new files' sums so pushed-down
+    totals stay exact as the corpus grows."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "sum_refresh")
+    os.makedirs(d)
+    spark.range(10).select(F.col("id").alias("x")).coalesce(1) \
+        .write.mode("append").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["x"],
+                            sum_columns=["x"])
+    assert t.sum_rows("x") == (45, 10)
+    spark.range(10, 20).select(F.col("id").alias("x")).coalesce(1) \
+        .write.mode("append").parquet(d)
+    t.refresh()
+    assert t.sum_rows("x") == (sum(range(20)), 20)
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+    assert t.describe_index()["sum_coverage"]["x"] >= 2

@@ -104,6 +104,17 @@ _ROUND_PRIORITY = [
     # OUT this round: their bodies are untouched since their rows,
     # except emb_kmeans_step / q45 / q51 / q52 / mm_* whose round-4
     # touches put them in tiers 1-2 above.
+    #
+    # ROUND-5 ROTATION PLAN (write it as actual entries then!):
+    #   tier 1: any red/new entries from this round's CORRECTNESS_r04;
+    #   tier 2: the padding trimmed this round for space —
+    #     text_stratified_sample, text_unigram_logprob,
+    #     text_sequence_pack, text_deterministic_sample,
+    #     text_token_budget_pack, text_curation_pipeline (if trimmed),
+    #     q6_pricing_summary, q20_asof_join;
+    #   tier 3: green-r2 entries never re-proven since —
+    #     q7..q19, q21..q34, q36;
+    #   everything green-r4 rotates out unless its module is touched.
 ]
 
 

@@ -78,6 +78,7 @@ _ROUND_PRIORITY = [
     "q60_decimal_pred",
     "q61_count_pushdown",
     "q62_sum_pushdown",
+    "q63_group_sum_pushdown",
     # -- tier 4: oldest driver rows first (green-r2, bodies untouched
     #    since — rotated back in per the documented policy: every
     #    entry gets a periodic re-proof) -----------------------------
@@ -88,7 +89,6 @@ _ROUND_PRIORITY = [
     "text_langid",
     "text_token_counts",
     "text_fingerprint",
-    "text_topk_terms",
     # text_stratified_sample / text_unigram_logprob /
     # text_sequence_pack trimmed with q20/q6 (padding-tail rule: new
     # never-verified entries outrank periodic re-proofs)
@@ -110,8 +110,8 @@ _ROUND_PRIORITY = [
     #   tier 2: the padding trimmed this round for space —
     #     text_stratified_sample, text_unigram_logprob,
     #     text_sequence_pack, text_deterministic_sample,
-    #     text_token_budget_pack, text_curation_pipeline (if trimmed),
-    #     q6_pricing_summary, q20_asof_join;
+    #     text_token_budget_pack, text_curation_pipeline,
+    #     text_topk_terms, q6_pricing_summary, q20_asof_join;
     #   tier 3: green-r2 entries never re-proven since —
     #     q7..q19, q21..q34, q36;
     #   everything green-r4 rotates out unless its module is touched.

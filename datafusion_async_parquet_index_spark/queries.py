@@ -1399,6 +1399,47 @@ def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "range_min BIGINT, range_max BIGINT")
 
 
+STATUS_CENTS_ENV = "SPARK_GRAFT_STATUS_CENTS_LAYOUT"
+
+
+def q63_group_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-I/O GROUP BY SUM (table.sum_rows_by): orders written once
+    per corpus as a hive layout partitioned by status with an exact
+    integer cents measure and per-row-group sums in the catalog —
+    revenue per status then folds entirely from the index (every row
+    group is single-valued on the partition column and carries a
+    stored sum), with no executor started. This is the aggregate-table
+    readout a lakehouse otherwise maintains as a materialized view;
+    here the index IS the view, kept current by the same transactional
+    per-file upsert as the stats. The oracle recomputes the grouped
+    sums the hard way, so the catalog arithmetic must be value-exact."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        STATUS_CENTS_ENV, "spark_graft_status_cents",
+        os.path.join(sf_dir, "orders.parquet"), "by=status_cents")
+    memo = session_memo(spark, "status_cents_orders")
+    t = memo.get(layout)
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: (_read(spark, sf_dir, "orders")
+                       .select("o_orderkey", "o_orderstatus",
+                               F.round(F.col("o_totalprice") * 100)
+                               .cast("long").alias("price_cents"))
+                       .repartition(2)
+                       .write.partitionBy("o_orderstatus")
+                       .mode("overwrite").parquet(d)))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["price_cents"],
+            partitioned=True, sum_columns=["price_cents"])
+    groups = t.sum_rows_by("o_orderstatus", "price_cents")
+    assert groups is not None, "partition layout must fold from catalog"
+    rows = [(k, s, n) for k, (s, n) in sorted(groups.items())]
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, sum_cents BIGINT, n BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1462,6 +1503,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_decimal_pred": q60_decimal_pred,
     "q61_count_pushdown": q61_count_pushdown,
     "q62_sum_pushdown": q62_sum_pushdown,
+    "q63_group_sum_pushdown": q63_group_sum_pushdown,
 }
 
 
@@ -2059,6 +2101,15 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q63_group_sum_pushdown"] = """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS n
+    FROM orders GROUP BY o_orderstatus
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

@@ -438,18 +438,27 @@ class SqliteIndexCatalog:
         """{(file_name, row_group): (min, max)} in the data's domain —
         the keyed form column_rg_entries lacks, needed when bounds must
         line up with an access plan (predicated MIN/MAX pushdown)."""
+        return {k: (mn, mx) for k, (_, mn, mx, _)
+                in self.column_rg_entries_keyed(column).items()}
+
+    def column_rg_entries_keyed(self, column: str):
+        """{(file_name, row_group): (null_count, min, max, row_count)}
+        in the data's domain — the keyed variant of column_rg_entries
+        for answers that must line up with sums/access plans."""
         if column not in self.index_schema:
             raise KeyError(column)
         with self._lock:
             rows = self._conn.execute(
                 f"""SELECT f.file_name, rg.row_group,
-                           rg.{column}_min, rg.{column}_max
+                           rg.{column}_null_count,
+                           rg.{column}_min, rg.{column}_max, rg.row_count
                     FROM row_group_statistics rg
                     JOIN file_statistics f ON f.file_id = rg.file_id"""
             ).fetchall()
         cat = self.index_schema[column]
-        return {(fn, rg): (decode_value(cat, mn), decode_value(cat, mx))
-                for fn, rg, mn, mx in rows}
+        return {(fn, rg): (nc, decode_value(cat, mn),
+                           decode_value(cat, mx), rc)
+                for fn, rg, nc, mn, mx, rc in rows}
 
     def column_rg_entries(self, column: str):
         """[(null_count, min, max, row_count)] per indexed row group —

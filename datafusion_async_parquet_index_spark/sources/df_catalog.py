@@ -211,13 +211,20 @@ class DataFrameIndexCatalog:
         """{(file_name, row_group): (min, max)} — same protocol as
         SqliteIndexCatalog.column_rg_bounds (values already in the
         data's domain in this backend)."""
+        return {k: (mn, mx) for k, (_, mn, mx, _)
+                in self.column_rg_entries_keyed(column).items()}
+
+    def column_rg_entries_keyed(self, column: str):
+        """{(file_name, row_group): (null_count, min, max, row_count)}
+        — same protocol as SqliteIndexCatalog."""
         if column not in self.index_schema:
             raise KeyError(column)
         out = {}
         for fs, rgs in self._files.values():
             for rg in rgs:
-                _, lo, hi = rg.columns.get(column, (None, None, None))
-                out[(fs.file_name, rg.row_group)] = (lo, hi)
+                nc, lo, hi = rg.columns.get(column, (None, None, None))
+                out[(fs.file_name, rg.row_group)] = (nc, lo, hi,
+                                                     rg.row_count)
         return out
 
     def column_rg_entries(self, column: str):

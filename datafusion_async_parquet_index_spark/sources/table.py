@@ -697,6 +697,37 @@ class IndexedParquetTable:
             out[lo] = out.get(lo, 0) + rc
         return out
 
+    def sum_rows_by(self, group_column: str, sum_column: str):
+        """Zero-I/O GROUP BY SUM: {group value: (sum, non_null_count)}
+        answered from the catalog alone when EVERY row group is
+        single-valued on the group column (partition columns, perfectly
+        clustered layouts) AND carries a stored sum for the measure —
+        the grouped generalization of sum_rows' no-predicate total, and
+        the aggregate-table readout that otherwise needs a materialized
+        view. Returns None when any row group fails either condition
+        (caller falls back to a scan aggregate); the trust rules match
+        count_rows_by (no NULL group values, no truncated-bound
+        single-valuedness claims). O(catalog) driver-side fold — no
+        executor ever starts."""
+        try:
+            entries = self.catalog.column_rg_entries_keyed(group_column)
+        except KeyError:
+            return None
+        sums = self.catalog.get_sums(sum_column)
+        out: Dict = {}
+        for key, (nc, lo, hi, _) in entries.items():
+            if lo is None or lo != hi or (nc or 0) != 0:
+                return None
+            if not self._bound_is_exact(group_column, lo):
+                return None
+            entry = sums.get(key)
+            if entry is None:
+                return None
+            s, n = entry
+            acc = out.get(lo, (0, 0))
+            out[lo] = (acc[0] + s, acc[1] + n)
+        return out
+
     def min_max(self, column: str, predicate: Optional[Expr] = None):
         """(min, max) for an indexed column, answered from the catalog
         when every row group carries stats AND the bounds are trustable

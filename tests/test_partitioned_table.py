@@ -263,3 +263,28 @@ def test_full_scan_and_count_rows(spark, part_table, part_dir):
     plain = spark.read.parquet(part_dir).count()
     assert part_table.count_rows() == plain
     assert part_table.query(None).count() == plain
+
+
+def test_group_sum_pushdown_from_catalog(spark, tmp_path):
+    """sum_rows_by over a partitioned layout with stored sums: grouped
+    totals fold from the catalog alone and match the scan aggregate."""
+    from pyspark.sql import functions as F
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = str(tmp_path / "grp_sum")
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).alias("x"))
+    df.repartition(2).write.partitionBy("g").mode("overwrite").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["x"],
+                            partitioned=True, sum_columns=["x"])
+    got = t.sum_rows_by("g", "x")
+    assert got is not None
+    want = {r["g"]: (r["s"], r["n"]) for r in
+            spark.read.parquet(d).groupBy("g").agg(
+                F.sum("x").alias("s"), F.count("x").alias("n")).collect()}
+    assert got == want
+    # a non-single-valued group column refuses (falls back to scan)
+    assert t.sum_rows_by("x", "x") is None

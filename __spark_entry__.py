@@ -34,7 +34,78 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 4 WINDOW ==============================================
+    # == ROUND 5 WINDOW ==============================================
+    # -- tier 1: entries whose bodies or load-bearing dependencies
+    #    changed this round — the NaN-soundness work (ADVICE r4) added
+    #    opt-in NaN counting to q52/q54/q55/q61, rewrote
+    #    extract_file_sums (q62/q63's sum store) with pyarrow.compute,
+    #    and rebuilt min_max's missing-bounds handling ----------------
+    "q52_metadata_minmax",
+    "q54_catalog_describe",
+    "q55_colcol_pred",
+    "q61_count_pushdown",
+    "q62_sum_pushdown",
+    "q63_group_sum_pushdown",
+    # -- tier 1b: NEW in round 5 (never had a driver row) ------------
+    "sim_ivfpq_topk",
+    "q64_div_pred",
+    "q65_decimal_minmax",
+    # -- tier 2: the padding trimmed in round 4 for space — last green
+    #    row round 2 -------------------------------------------------
+    "text_stratified_sample",
+    "text_unigram_logprob",
+    "text_sequence_pack",
+    "text_deterministic_sample",
+    "text_token_budget_pack",
+    "text_curation_pipeline",
+    "text_topk_terms",
+    "q6_pricing_summary",
+    "q20_asof_join",
+    # -- tier 3: green-r2 entries never re-proven since (the entire
+    #    remaining stale set; after this round no entry's last proof
+    #    is older than two rounds) -----------------------------------
+    "q7_join_revenue_by_nation",
+    "q8_distinct",
+    "q9_window_topn",
+    "q10_like_prefix",
+    "q11_case_when_agg",
+    "q12_in_filter_join",
+    "q13_union_set_op",
+    "q14_not_null_arith",
+    "q15_multi_join_lineitem",
+    "q16_date_range",
+    "q17_rollup",
+    "q18_semi_join",
+    "q19_anti_join",
+    "q21_count_distinct",
+    "q22_correlated_subquery",
+    "q23_running_total",
+    "q24_lag_gaps",
+    "q25_set_ops",
+    "q26_percentiles",
+    "q27_outer_join_distribution",
+    "q28_hll_registers",
+    "q29_argmax_join",
+    "q30_shift_pred",
+    "q31_registered_view",
+    "q32_bloom_point_lookup",
+    "q33_range_join",
+    "q34_cube",
+    "q36_salted_join",
+    # -- golden-parity re-proof: pruning.py's rewrite rules changed
+    #    this round (NaN guards), so the predicate-bearing reference
+    #    queries re-run even though their bodies are untouched (q1 has
+    #    no predicate — the rewrite cannot touch it — and stays out to
+    #    fit the 50-slot window) -------------------------------------
+    "q2_point_equality",
+    "q3_or_range_agg",
+    "q4_and_mixed_columns",
+    "q5_contradictory_and",
+    # Everything below rotates out this round (green r3/r4, modules
+    # untouched since their rows). ROUND-6 PLAN: tier 1 = any red/new
+    # entries; tier 2 = the r3-green families (dedup_*, sim_*, ev_*,
+    # mm_*, curation) oldest-first; tier 3 = r4-green relational tail.
+    # == ROUND 4 WINDOW (kept for natural-order stability) ===========
     # -- tier 1: the 18 late-round-3 entries that never got a driver
     #    row (the 50-slot window was already full when they landed) —
     #    the r3 verdict's ask #2, now actual list entries ------------

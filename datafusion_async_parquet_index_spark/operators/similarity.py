@@ -874,6 +874,165 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composition — the FAISS IVFPQ shape, and the actual
+    100 TB ANN answer: the coarse quantizer prunes the candidate set to
+    the query's NPROBE nearest cells BEFORE any scoring happens (flat
+    PQ scans every candidate's codes; here the ADC join's right side is
+    only the probed cells' vectors), then the integer ADC stage ranks
+    those candidates by compressed codes alone, and only the
+    TOPK*PQ_CAND_FACTOR pool pays the exact double-cosine re-rank.
+    Composes the pieces that already exist separately: the multi-probe
+    cell assignment of sim_ivf_nprobe_topk and the codebook/ADC math of
+    sim_pq_topk (bit-identical integer scoring, so candidate selection
+    stays deterministic cross-engine). At scale the probed-cell
+    restriction is what turns ANN cost from O(N) codes per query into
+    O(N * nprobe / n_cells) — see also sim_ivf_layout_topk, where the
+    same cell structure becomes physical partition pruning."""
+    vec, cb = _pq_corpus(spark, sf_dir)
+    dim = _embedding_dim(vec)
+    sd = dim // PQ_M
+    cells = _corpus_ivf_cells(spark, sf_dir, NPROBE)
+    q = (vec.join(cells.select("vec_id", "cell"), "vec_id")
+         .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+                 F.col("qv").alias("qq"), F.col("cell").alias("qc")))
+    c = (vec.join(cells.filter(F.col("probe_rank") == 1)
+                  .select("vec_id", "cell"), "vec_id")
+         .select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("ce"), F.col("nrm").alias("cn"),
+                 F.col("codes"), F.col("cell").alias("cc")))
+    pairs = c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
+                   & (F.col("query_id") != F.col("cand_id")))
+    score = None
+    for m in range(PQ_M):
+        qsub = F.slice(F.col("qq"), m * sd + 1, sd)
+        cbm = F.array(*[F.array(*[F.lit(v) for v in cb[m][j]])
+                        for j in range(PQ_K)])
+        cvec = F.element_at(cbm, F.element_at(F.col("codes"), m + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(qsub, cvec, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        score = term if score is None else score + term
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id"))
+    cands = (
+        pairs.select("query_id", "cand_id", "qe", "ce", "qn", "cn",
+                     score.alias("score"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= TOPK * PQ_CAND_FACTOR)
+    )
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cands.select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _ivfpq_sql(dim: int = 64) -> str:
+    """Oracle twin of sim_ivfpq_topk: the IVF multi-probe cell CTEs of
+    SIM_IVF_NPROBE_SQL composed with the PQ codebook/ADC CTEs of
+    _pq_sql — ADC scoring restricted to probed cells."""
+    sd = dim // PQ_M
+    return f"""
+    WITH m AS (
+        SELECT MAX(list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x)))) AS mx
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {SQ_LEVELS} / mx + 0.5)
+                                        AS BIGINT)) AS qv
+        FROM embeddings CROSS JOIN m
+    ), cent AS (
+        SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_n
+        FROM b WHERE vec_id % {IVF_CENTROID_MOD} = 1
+    ), assign_scored AS (
+        SELECT b.vec_id, cent_id,
+               ROUND(list_dot_product(e, cent_e) / (nrm * cent_n), 6) AS cos
+        FROM b CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_id AS cell, rn AS probe_rank FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id ASC) AS rn
+            FROM assign_scored) t
+        WHERE rn <= {NPROBE}
+    ), seeds AS (
+        SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+        FROM b ORDER BY vec_id LIMIT {PQ_K}
+    ), cb AS (
+        SELECT mi, j, list_slice(qv, mi * {sd} + 1, (mi + 1) * {sd}) AS cvec
+        FROM seeds CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS mi) sub
+    ), encdist AS (
+        SELECT b.vec_id, cb.mi, cb.j,
+               CAST(list_sum(list_transform(
+                   range(1, {sd} + 1),
+                   i -> (list_slice(b.qv, cb.mi * {sd} + 1,
+                                    (cb.mi + 1) * {sd})[i] - cb.cvec[i])
+                        * (list_slice(b.qv, cb.mi * {sd} + 1,
+                                      (cb.mi + 1) * {sd})[i] - cb.cvec[i])))
+                    AS BIGINT) AS d
+        FROM b CROSS JOIN cb
+    ), codes AS (
+        SELECT vec_id, mi, j AS code FROM (
+            SELECT vec_id, mi, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                                      ORDER BY d, j) AS rn
+            FROM encdist) t
+        WHERE rn = 1
+    ), q AS (
+        SELECT b.vec_id AS query_id, e AS qe, qv AS qq, cell AS qc
+        FROM b JOIN cells ON cells.vec_id = b.vec_id
+        WHERE b.vec_id % {N_QUERIES_MOD} = 0
+    ), cand_cells AS (
+        SELECT vec_id, cell AS cc FROM cells WHERE probe_rank = 1
+    ), adc AS (
+        SELECT q.query_id, co.vec_id AS cand_id,
+               CAST(SUM(list_dot_product(
+                   list_slice(q.qq, co.mi * {sd} + 1,
+                              (co.mi + 1) * {sd})::DOUBLE[],
+                   cb.cvec::DOUBLE[])) AS BIGINT) AS score
+        FROM q
+        JOIN cand_cells cc ON cc.cc = q.qc AND q.query_id != cc.vec_id
+        JOIN codes co ON co.vec_id = cc.vec_id
+        JOIN cb ON cb.mi = co.mi AND cb.j = co.code
+        GROUP BY q.query_id, co.vec_id
+    ), cands AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, cand_id ASC)
+                       AS arank
+            FROM adc) t
+        WHERE arank <= {TOPK * PQ_CAND_FACTOR}
+    ), scored AS (
+        SELECT ca.query_id, ca.cand_id,
+               ROUND(list_dot_product(qb.e, cbv.e)
+                     / (qb.nrm * cbv.nrm), 6) AS cosine
+        FROM cands ca
+        JOIN b qb ON qb.vec_id = ca.query_id
+        JOIN b cbv ON cbv.vec_id = ca.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+    """
+
+
 def _pq_sql(dim: int = 64) -> str:
     """Oracle twin: derives the same maxabs scale, seed codebook,
     integer encodings, ADC scores, pool, and exact re-rank in SQL."""
@@ -1031,6 +1190,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_layout_topk": sim_ivf_layout_topk,
     "sim_sq_topk": sim_sq_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_recall_report": sim_recall_report,
     "emb_label_centroids": emb_label_centroids,
     "emb_kmeans_step": emb_kmeans_step,
@@ -1046,6 +1206,7 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_ivf_layout_topk": SIM_IVF_SQL,
     "sim_sq_topk": SIM_SQ_SQL,
     "sim_pq_topk": _pq_sql(),
+    "sim_ivfpq_topk": _ivfpq_sql(),
     "sim_recall_report": _recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "emb_kmeans_step": EMB_KMEANS_SQL,

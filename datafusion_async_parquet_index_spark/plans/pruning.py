@@ -50,6 +50,7 @@ IS NULL via the null_count term.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional
 
 from .expr import (
@@ -81,6 +82,20 @@ def _max(c: str) -> Col:
 
 def _nulls(c: str) -> Col:
     return Col(f"{c}_null_count")
+
+
+def _nan(c: str) -> Col:
+    return Col(f"{c}_nan_count")
+
+
+def _nan_possible(c: str) -> Expr:
+    """TRUE when a NaN may hide in the row group: the opt-in per-group
+    NaN count (float columns only; ``nan_count_columns`` at index build)
+    is unknown (NULL — footer-only builds never learn it) or positive.
+    Parquet writers EXCLUDE NaN from float min/max while Spark and
+    DuckDB order NaN ABOVE every value, so any max-based refutation of a
+    float predicate must keep the group unless this is FALSE."""
+    return _nan(c).is_null() | (_nan(c) > Lit(0))
 
 
 ROW_COUNT = Col("row_count")
@@ -210,6 +225,12 @@ class PruningRewriter:
         v = r.value
         if v is None:
             return None  # c = NULL is never TRUE; conservatively keep
+        if isinstance(v, float) and math.isnan(v):
+            # NaN literal: Spark/DuckDB order NaN above every value and
+            # NaN = NaN is TRUE, but footer stats EXCLUDE NaN and SQLite
+            # turns a NaN bind into NULL — no stats-space term agrees
+            # with execution, so never prune on it.
+            return None
         if not _literal_compatible(self.indexed[l.name], v):
             return None  # cross-type compare: engines disagree -> TRUE
         return l.name, e.op, r
@@ -224,6 +245,20 @@ class PruningRewriter:
                 return self._fold_case(e)
             return self._fold_arith(e)
         c, op, v = leaf
+        # Float + NaN note: a NaN row satisfies != v / > v / >= v at the
+        # Spark SQL layer (NaN orders above every value) yet is
+        # invisible to footer min/max. Refutation here is deliberately
+        # NOT NaN-guarded: it mirrors exactly the zone-map semantics
+        # Spark's own vectorized parquet reader applies to pushed
+        # col-literal filters (verified: vanilla spark.read.parquet
+        # drops a [7.0, NaN] group for `> 7` / `!= 7`; DuckDB's reader
+        # behaves the same for the range ops) — so pruning keeps BOTH
+        # scan modes in exact parity with a vanilla Spark read of the
+        # same files, which is this engine's correctness contract.
+        # Everything the index proves BEYOND what Spark's reader could
+        # (col-col pruning, satisfaction, catalog-only answers) IS
+        # NaN-guarded below, because vanilla execution would read those
+        # groups and honor NaN there.
         if op == "=":
             term = (_min(c) <= v) & (_max(c) >= v)
         elif op == "!=":
@@ -279,7 +314,8 @@ class PruningRewriter:
         if ca == cb:
             # a CMP a: < > != never hold for any (non-null) row ->
             # refute everything; = <= >= cannot prune (hold wherever
-            # a is non-null)
+            # a is non-null). NaN-safe: NaN = NaN is TRUE in Spark, so
+            # NaN < NaN / != NaN are still FALSE.
             return Lit(False) if e.op in ("<", ">", "!=") else TRUE
         if e.op == "=":
             term: Expr = (_min(ca) <= _max(cb)) & (_min(cb) <= _max(ca))
@@ -296,7 +332,15 @@ class PruningRewriter:
             term = _max(ca) >= _min(cb)
         else:
             return TRUE
-        return _guard(ca, _guard(cb, term))
+        out = _guard(ca, _guard(cb, term))
+        # interval tests over NaN-less footer stats can refute a group
+        # whose NaN rows DO satisfy any of these ops (a < NaN, NaN > b,
+        # NaN = NaN, NaN != b are all TRUE under Spark/DuckDB ordering):
+        # keep the group unless the float side is proven NaN-free
+        for cc, tt in ((ca, ta), (cb, tb)):
+            if tt == "float":
+                out = out | _nan_possible(cc)
+        return out
 
     # -- literal-armed CASE fold --------------------------------------
     #
@@ -644,6 +688,15 @@ class PruningRewriter:
             # bound VALIDITY, which is all satisfaction needs.)
             return Lit(False)
         nn = _nulls(c) == Lit(0)
+        if self.indexed[c] == "float" and op in ("=", "<", "<="):
+            # float stats EXCLUDE NaN (a chunk [1.0, NaN] records
+            # min = max = 1.0, null_count = 0) while Spark/DuckDB order
+            # NaN above everything — "max <= v proves every row <= v"
+            # is wrong when a NaN lurks, so these proofs additionally
+            # require the opt-in NaN count to be recorded and zero.
+            # (> / >= / != proofs stay sound WITHOUT it: a hidden NaN
+            # satisfies those predicates anyway.)
+            nn = nn & (_nan(c) == Lit(0))
         if op == "=":
             term = (_min(c) == v) & (_max(c) == v)
         elif op == "!=":
@@ -675,9 +728,17 @@ class PruningRewriter:
             return Lit(False)  # widened bounds: see _sat_cmp
         if ca == cb:
             if e.op in ("=", "<=", ">="):
-                return _nulls(ca) == Lit(0)  # a CMP a holds off NULLs
+                # a CMP a holds off NULLs — NaN-safe: NaN = NaN is TRUE
+                # under Spark/DuckDB ordering
+                return _nulls(ca) == Lit(0)
             return Lit(False)
         nn = (_nulls(ca) == Lit(0)) & (_nulls(cb) == Lit(0))
+        # NaN-blind interval proofs (see _sat_cmp): a float side must be
+        # PROVEN NaN-free (opt-in count recorded and zero) before its
+        # bounds can claim every row satisfies
+        for cc, tt in ((ca, ta), (cb, tb)):
+            if tt == "float":
+                nn = nn & (_nan(cc) == Lit(0))
         if e.op == "=":
             term: Expr = ((_min(ca) == _max(ca)) & (_min(cb) == _max(cb))
                           & (_min(ca) == _min(cb)))

@@ -47,7 +47,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _make_table(spark, sf_dir, table, index_columns, bloom_columns=(),
-                token_bloom_columns=()):
+                token_bloom_columns=(), nan_count_columns=()):
     """IndexedParquetTable scoped to one table's parquet file (the
     testdata dir holds every table, so the ctor's glob would mix them).
     Keyed by the session too: a cached table holds the SparkSession it
@@ -57,7 +57,7 @@ def _make_table(spark, sf_dir, table, index_columns, bloom_columns=(),
 
     _TABLES = session_memo(spark, "indexed_tables")
     key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns),
-           tuple(token_bloom_columns))
+           tuple(token_bloom_columns), tuple(nan_count_columns))
     t = _TABLES.get(key)
     if t is None:
         t = IndexedParquetTable.__new__(IndexedParquetTable)
@@ -68,11 +68,13 @@ def _make_table(spark, sf_dir, table, index_columns, bloom_columns=(),
         t._files = [os.path.join(sf_dir, f"{table}.parquet")]
         t.bloom_columns = tuple(bloom_columns)
         t.token_bloom_columns = tuple(token_bloom_columns)
+        t.nan_count_columns = tuple(nan_count_columns)
         from .sources.stats import build_index
         t.index_schema = build_index(t.catalog, t._files, index_columns,
                                      spark=None,
                                      bloom_columns=t.bloom_columns,
-                                     token_bloom_columns=t.token_bloom_columns)
+                                     token_bloom_columns=t.token_bloom_columns,
+                                     nan_count_columns=t.nan_count_columns)
         from .plans.pruning import PruningRewriter
         t._rewriter = PruningRewriter(t.index_schema)
         t._schema = spark.read.parquet(t._files[0]).schema
@@ -1036,8 +1038,12 @@ def q52_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds from the index without reading data (the catalog reports
     completeness; the method falls back to a scan aggregate only when
     stats are missing). One row, zero Parquet I/O — the MIN/MAX
-    sibling of q48's COUNT(*) and q51's grouped counts."""
-    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"])
+    sibling of q48's COUNT(*) and q51's grouped counts. Float bounds
+    are trusted only once the column is PROVEN NaN-free (footer stats
+    exclude NaN while Spark's F.max returns it as the maximum), so the
+    column opts in to NaN counting."""
+    t = _make_table(spark, sf_dir, "lineitem", ["l_quantity"],
+                    nan_count_columns=["l_quantity"])
     mn, mx = t.min_max("l_quantity")
     return spark.createDataFrame(
         [(float(mn), float(mx))], "min_qty DOUBLE, max_qty DOUBLE")
@@ -1095,8 +1101,12 @@ def q54_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against the data the hard way. The non-SQL-derivable
     freshness fields (file/row-group counts, bloom inventory) are
     asserted in tests/; here the value-carrying fields prove the
-    catalog agrees with the data it summarizes."""
-    t = _make_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    catalog agrees with the data it summarizes. The float column opts
+    in to NaN counting: footer min/max EXCLUDE NaN, so a float bound is
+    only trusted as an attained value once the column is PROVEN
+    NaN-free (tests/test_nan_soundness.py)."""
+    t = _make_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                    nan_count_columns=["o_totalprice"])
     info = t.describe_index()
     assert info["rows"] == t.count_rows()
     rows = []
@@ -1119,10 +1129,15 @@ def q55_colcol_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension). The satisfiable direction ``l_discount >= l_tax``
     cannot be refuted (intervals overlap), scans, and the residual
     filter applies the exact row-level comparison (Inexact contract).
-    The oracle recomputes both counts the hard way."""
+    The oracle recomputes both counts the hard way. Col-col float
+    refutation requires the columns PROVEN NaN-free (a hidden NaN would
+    satisfy either comparison while being invisible to footer stats —
+    tests/test_nan_soundness.py), so all four opt in to NaN counting."""
     t = _make_table(spark, sf_dir, "lineitem",
                     ["l_quantity", "l_extendedprice",
-                     "l_discount", "l_tax"])
+                     "l_discount", "l_tax"],
+                    nan_count_columns=["l_quantity", "l_extendedprice",
+                                       "l_discount", "l_tax"])
     n_impossible = t.count_rows(
         xcol("l_quantity") > xcol("l_extendedprice"))
     assert t.last_scan.files_scanned == {}, \
@@ -1332,8 +1347,11 @@ def q61_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda d: write_range_sorted(
                 _read(spark, sf_dir, "orders"), d,
                 ["o_totalprice"], num_files=4, row_group_bytes=1 << 18))
+        # NaN counting opted in: float satisfaction proofs for < fire
+        # only on groups PROVEN NaN-free (tests/test_nan_soundness.py)
         t = memo[layout] = IndexedParquetTable(
-            spark, layout, index_columns=["o_totalprice"])
+            spark, layout, index_columns=["o_totalprice"],
+            nan_count_columns=["o_totalprice"])
     n_below = t.count_rows(xcol("o_totalprice") < 150000.0)
     pd = t.last_count_pushdown
     assert pd["full_rows"] > 0, pd  # interior groups counted unread

@@ -123,6 +123,9 @@ class RowGroupStats:
     # per indexed column: name -> (null_count, min, max); min/max None when
     # the footer carries no stats for that column chunk
     columns: Dict[str, Tuple[Optional[int], Any, Any]] = field(default_factory=dict)
+    # per float column: name -> NaN count (opt-in, from column pages;
+    # absent = unknown — footer-only builds never learn it)
+    nan_counts: Dict[str, int] = field(default_factory=dict)
 
 
 class _SqliteStatsSql:
@@ -201,6 +204,12 @@ class SqliteIndexCatalog:
             cols.append(f'"{name}_null_count" INTEGER')
             cols.append(f'"{name}_min" {sql_t}')
             cols.append(f'"{name}_max" {sql_t}')
+            if cat == "float":
+                # opt-in per-row-group NaN count (NULL = unknown):
+                # footer min/max EXCLUDE NaN while Spark/DuckDB order it
+                # above every value, so float refutation/satisfaction
+                # consult this column (plans/pruning.py _nan_possible)
+                cols.append(f'"{name}_nan_count" INTEGER')
         extra = (", " + ", ".join(cols)) if cols else ""
         with self._lock, self._conn:
             self._conn.execute(
@@ -225,9 +234,11 @@ class SqliteIndexCatalog:
                 "PRAGMA table_info(row_group_statistics)")}
             for name, cat in self.index_schema.items():
                 sql_t = _SQL_TYPE[cat]
-                for col_name, col_t in (
-                        (f"{name}_null_count", "INTEGER"),
-                        (f"{name}_min", sql_t), (f"{name}_max", sql_t)):
+                growth = [(f"{name}_null_count", "INTEGER"),
+                          (f"{name}_min", sql_t), (f"{name}_max", sql_t)]
+                if cat == "float":
+                    growth.append((f"{name}_nan_count", "INTEGER"))
+                for col_name, col_t in growth:
                     if col_name not in existing:
                         self._conn.execute(
                             f'ALTER TABLE row_group_statistics '
@@ -289,8 +300,10 @@ class SqliteIndexCatalog:
             self._conn.execute(
                 "DELETE FROM row_group_statistics WHERE file_id = ?", (file_id,))
             stat_cols = []
-            for name in self.index_schema:
+            for name, cat in self.index_schema.items():
                 stat_cols += [f'"{name}_null_count"', f'"{name}_min"', f'"{name}_max"']
+                if cat == "float":
+                    stat_cols.append(f'"{name}_nan_count"')
             all_cols = ["file_id", "row_group", "row_count"] + stat_cols
             placeholders = ", ".join("?" for _ in all_cols)
             rows = []
@@ -299,6 +312,8 @@ class SqliteIndexCatalog:
                 for name, cat in self.index_schema.items():
                     nc, mn, mx = rg.columns.get(name, (None, None, None))
                     row += [nc, encode_value(cat, mn), encode_value(cat, mx)]
+                    if cat == "float":
+                        row.append(rg.nan_counts.get(name))
                 rows.append(row)
             if rows:
                 self._conn.executemany(
@@ -346,6 +361,8 @@ class SqliteIndexCatalog:
             cats[f"{name}_min"] = cat
             cats[f"{name}_max"] = cat
             cats[f"{name}_null_count"] = "int"
+            if cat == "float":
+                cats[f"{name}_nan_count"] = "int"
         renderer = _SqliteStatsSql(cats)
         where = renderer.render(stats_predicate)
         sql = f"""
@@ -440,6 +457,23 @@ class SqliteIndexCatalog:
         line up with an access plan (predicated MIN/MAX pushdown)."""
         return {k: (mn, mx) for k, (_, mn, mx, _)
                 in self.column_rg_entries_keyed(column).items()}
+
+    def column_nan_total(self, column: str) -> Optional[int]:
+        """Total NaN count across every row group for a float column, or
+        None when ANY row group's NaN count is unknown (the opt-in
+        ``nan_count_columns`` page scan never ran for it). 0 means the
+        whole column is PROVEN NaN-free, which is what lets catalog-only
+        answers trust float max bounds as attained values."""
+        if self.index_schema.get(column) != "float":
+            raise KeyError(column)
+        with self._lock:
+            total, known, s = self._conn.execute(
+                f'''SELECT COUNT(*), COUNT("{column}_nan_count"),
+                           SUM("{column}_nan_count")
+                    FROM row_group_statistics''').fetchone()
+        if known < total or total == 0:
+            return None
+        return int(s or 0)
 
     def column_rg_entries_keyed(self, column: str):
         """{(file_name, row_group): (null_count, min, max, row_count)}

@@ -81,6 +81,10 @@ class DataFrameIndexCatalog:
             fields.append(T.StructField(f"{c}_null_count", T.LongType(), True))
             fields.append(T.StructField(f"{c}_min", t, True))
             fields.append(T.StructField(f"{c}_max", t, True))
+            if cat == "float":
+                # opt-in per-row-group NaN count (null = unknown); see
+                # SqliteIndexCatalog.initialize / plans/pruning._nan
+                fields.append(T.StructField(f"{c}_nan_count", T.LongType(), True))
         return T.StructType(fields)
 
     # -- maintenance (reference index.rs:242-329) -----------------------
@@ -140,9 +144,11 @@ class DataFrameIndexCatalog:
                 for rg in rgs:
                     row = [fs.file_name, fs.file_size_bytes,
                            rg.row_group, rg.row_count]
-                    for c in self.index_schema:
+                    for c, cat in self.index_schema.items():
                         nc, mn, mx = rg.columns.get(c, (None, None, None))
                         row.extend([nc, mn, mx])
+                        if cat == "float":
+                            row.append(rg.nan_counts.get(c))
                     rows.append(tuple(row))
             self._df = self.spark.createDataFrame(rows, self._stats_schema())
             if self.persist_path:
@@ -226,6 +232,23 @@ class DataFrameIndexCatalog:
                 out[(fs.file_name, rg.row_group)] = (nc, lo, hi,
                                                      rg.row_count)
         return out
+
+    def column_nan_total(self, column: str):
+        """Total NaN count across every row group for a float column, or
+        None when any row group's count is unknown — same contract as
+        SqliteIndexCatalog.column_nan_total."""
+        if self.index_schema.get(column) != "float":
+            raise KeyError(column)
+        total = 0
+        seen = False
+        for _, rgs in self._files.values():
+            for rg in rgs:
+                seen = True
+                n = rg.nan_counts.get(column)
+                if n is None:
+                    return None
+                total += n
+        return total if seen else None
 
     def column_rg_entries(self, column: str):
         """[(null_count, min, max, row_count)] per indexed row group —

@@ -22,6 +22,7 @@ from pathlib import Path
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .catalog import FileStats, RowGroupStats, SqliteIndexCatalog
@@ -154,9 +155,50 @@ def extract_file_sums(
         tbl = pf.read_row_group(i, columns=cols)
         per_col: Dict[str, Tuple[int, int]] = {}
         for c in cols:
-            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-            per_col[c] = (sum(vals), len(vals))
+            arr = tbl.column(c)
+            n = len(arr) - arr.null_count
+            if n == 0:
+                per_col[c] = (0, 0)
+                continue
+            # vectorized kernels; Arrow's sum accumulates in int64 and
+            # WRAPS silently on overflow, so prove overflow impossible
+            # from the row group's own min/max (n * max|v| fits int64)
+            # before trusting it, else fold exact Python ints
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if max(abs(lo), abs(hi)) <= (2 ** 63 - 1) // n:
+                s = pc.sum(arr).as_py()
+            else:
+                s = sum(v for v in arr.to_pylist() if v is not None)
+            per_col[c] = (int(s), n)
         out[i] = per_col
+    return out
+
+
+def extract_file_nan_counts(
+    path: str, nan_cols: Sequence[str],
+) -> Dict[int, Dict[str, int]]:
+    """{row_group: {column: nan_count}} for float columns — opt-in like
+    the sum extension: Parquet footers EXCLUDE NaN from float min/max
+    (and carry no NaN count), so proving a row group NaN-free needs one
+    pass over the column's pages. A recorded 0 is what re-arms full
+    float pruning (plans/pruning.py _nan_possible); columns never
+    scanned stay NULL = unknown and degrade conservatively."""
+    if not nan_cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    cols = [c for c in nan_cols
+            if pf.schema_arrow.get_field_index(c) >= 0
+            and pa.types.is_floating(pf.schema_arrow.field(c).type)]
+    if not cols:
+        return {}
+    out: Dict[int, Dict[str, int]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=cols)
+        out[i] = {
+            c: int(pc.sum(pc.is_nan(tbl.column(c)),
+                          min_count=0).as_py() or 0)
+            for c in cols}
     return out
 
 
@@ -336,6 +378,7 @@ def build_index(
     bloom_fpp: float = 0.01,
     token_bloom_columns: Optional[Sequence[str]] = None,
     sum_columns: Optional[Sequence[str]] = None,
+    nan_count_columns: Optional[Sequence[str]] = None,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -402,6 +445,14 @@ def build_index(
                 bloom_schema[f"{c}{TOKEN_BLOOM_SUFFIX}"] = "string"
 
     sum_cols = tuple(sum_columns or ())
+    nan_cols = tuple(nan_count_columns or ())
+
+    def _apply_nans(p, rgs):
+        if nan_cols:
+            nans = extract_file_nan_counts(p, nan_cols)
+            for rg in rgs:
+                rg.nan_counts.update(nans.get(rg.row_group, {}))
+        return rgs
 
     def _extract(p):
         fs, rgs = extract_file_stats(
@@ -409,7 +460,7 @@ def build_index(
         blooms = (extract_file_blooms(p, bloom_schema, bloom_fpp)
                   if bloom_schema else None)
         sums = extract_file_sums(p, sum_cols) if sum_cols else None
-        return fs, rgs, blooms, sums
+        return fs, _apply_nans(p, rgs), blooms, sums
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -429,13 +480,17 @@ def build_index(
         meta_b = sc.broadcast((names, part_values))
 
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
-                          _fpp=bloom_fpp, _sc=sum_cols):
+                          _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
             blooms = (extract_file_blooms(p, _bs.value, _fpp)
                       if _bs.value else None)
             sums = extract_file_sums(p, _sc) if _sc else None
+            if _nc:
+                nans = extract_file_nan_counts(p, _nc)
+                for rg in rgs:
+                    rg.nan_counts.update(nans.get(rg.row_group, {}))
             return fs, rgs, blooms, sums
 
         results = (

@@ -109,6 +109,8 @@ class IndexedParquetTable:
         partitioned: Optional[bool] = None,
         token_bloom_columns: Optional[Sequence[str]] = None,
         sum_columns: Optional[Sequence[str]] = None,
+        nan_count_columns: Optional[Sequence[str]] = None,
+        stats_exact_max_bytes: int = STATS_EXACT_MAX_BYTES,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -116,7 +118,23 @@ class IndexedParquetTable:
         partition value is a degenerate min = max statistic, so the
         SAME refutation-sound rewrite that prunes on footer stats
         prunes on partitions, and a mixed predicate (partition AND
-        data column) narrows through both in one catalog query."""
+        data column) narrows through both in one catalog query.
+
+        nan_count_columns: float columns whose per-row-group NaN count
+        is computed from the column pages at index time (footers carry
+        none, and footer min/max EXCLUDE NaN while Spark/DuckDB order
+        NaN above every value). A recorded count re-arms the float
+        refutation rules for > / >= / != and lets catalog-only answers
+        trust float bounds; columns not listed stay sound but
+        conservative (those predicates scan).
+
+        stats_exact_max_bytes: string/binary bounds at or beyond this
+        byte length are treated as possibly-truncated (never trusted as
+        attained values by catalog-only answers). The 64-byte default
+        matches parquet-rs and parquet-mr's default truncation length,
+        but parquet-mr's ``parquet.columnindex.truncate.length`` is
+        CONFIGURABLE — lower this to match any externally produced
+        files written with a smaller truncation threshold."""
         self.spark = spark
         self.data_dir = data_dir
         self.catalog = catalog or SqliteIndexCatalog()
@@ -132,6 +150,9 @@ class IndexedParquetTable:
         self.bloom_columns = tuple(bloom_columns or ())
         self.token_bloom_columns = tuple(token_bloom_columns or ())
         self.sum_columns = tuple(sum_columns or ())
+        self.nan_count_columns = tuple(nan_count_columns or ())
+        self.stats_exact_max_bytes = stats_exact_max_bytes
+        self._nan_free_cache: Dict[str, bool] = {}
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
         # know what to index once the first files appear
@@ -147,7 +168,8 @@ class IndexedParquetTable:
             self.catalog, self._files, index_columns, spark=spark,
             bloom_columns=self.bloom_columns,
             token_bloom_columns=self.token_bloom_columns,
-            sum_columns=self.sum_columns, **part_kw)
+            sum_columns=self.sum_columns,
+            nan_count_columns=self.nan_count_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -225,7 +247,10 @@ class IndexedParquetTable:
                                  token_bloom_columns=getattr(
                                      self, "token_bloom_columns", ()),
                                  sum_columns=getattr(self, "sum_columns", ()),
+                                 nan_count_columns=getattr(
+                                     self, "nan_count_columns", ()),
                                  **self._partition_index_kwargs())
+        self._nan_free_cache = {}
         if new_schema != self.index_schema:
             # first files after empty-dir construction (or a schema
             # evolution): adopt the derived schema and rebuild the
@@ -656,12 +681,19 @@ class IndexedParquetTable:
 
     def _bound_is_exact(self, column: str, value) -> bool:
         """Whether a catalog min/max value can be trusted as the ACTUAL
-        attained value (not just a valid bound). See STATS_EXACT_MAX_BYTES:
-        only long string/binary footer stats are suspect; numeric /
-        date / timestamp stats and partition-derived values are exact."""
+        attained value (not just a valid bound). int / date / timestamp
+        stats and partition-derived values are exact. Not trusted:
+        decimal (ulp-widened doubles by design), float UNLESS the column
+        is proven NaN-free via the opt-in NaN counts (Parquet writers
+        EXCLUDE NaN from min/max while Spark/DuckDB order NaN above
+        every value, so the true attained max may be an invisible NaN),
+        and string/binary bounds at or past the truncation threshold
+        (see ``stats_exact_max_bytes``)."""
         cat = self.index_schema.get(column)
         if cat == "decimal":
-            return False  # bounds are ulp-widened doubles by design
+            return False
+        if cat == "float":
+            return self._column_nan_free(column)
         if cat not in ("string", "binary"):
             return True
         if column in getattr(self, "_partition_cols", ()):
@@ -669,7 +701,22 @@ class IndexedParquetTable:
         if value is None:
             return True
         raw = value.encode("utf-8") if isinstance(value, str) else value
-        return len(raw) < STATS_EXACT_MAX_BYTES
+        return len(raw) < getattr(self, "stats_exact_max_bytes",
+                                  STATS_EXACT_MAX_BYTES)
+
+    def _column_nan_free(self, column: str) -> bool:
+        """True when every row group's opt-in NaN count is recorded and
+        zero (cached per column; invalidated by refresh())."""
+        cache = getattr(self, "_nan_free_cache", None)
+        if cache is None:
+            cache = self._nan_free_cache = {}
+        if column not in cache:
+            try:
+                total = self.catalog.column_nan_total(column)
+            except (KeyError, AttributeError):
+                total = None
+            cache[column] = total == 0
+        return cache[column]
 
     def count_rows_by(self, column: str):
         """Zero-I/O GROUP BY COUNT: {value: row_count} answered from the
@@ -769,9 +816,11 @@ class IndexedParquetTable:
         sat = self._rewriter.satisfies(predicate)
         full = dict(self.catalog.get_files(sat))
         try:
-            bounds = self.catalog.column_rg_bounds(column)
+            entries = self.catalog.column_rg_entries_keyed(column)
         except KeyError:
-            bounds = {}
+            # unindexed target column: the catalog knows nothing about
+            # its values — every candidate group must be scanned
+            entries = None
         mn = mx = None
         full_rgs = 0
         partial: Dict[str, List[int]] = {}
@@ -779,17 +828,27 @@ class IndexedParquetTable:
             frg = set(full.get(fname, ()))
             rest = []
             for rg in rgs:
-                lo, hi = bounds.get((fname, rg), (None, None))
-                if (rg in frg
-                        and self._bound_is_exact(column, lo)
-                        and self._bound_is_exact(column, hi)
-                        and self.index_schema.get(column) != "decimal"):
-                    full_rgs += 1
-                    if lo is not None:
+                nc, lo, hi, rc = (entries.get((fname, rg),
+                                              (None, None, None, None))
+                                  if entries is not None
+                                  else (None, None, None, None))
+                if entries is None or rg not in frg:
+                    rest.append(rg)
+                elif lo is not None and hi is not None:
+                    if (self._bound_is_exact(column, lo)
+                            and self._bound_is_exact(column, hi)):
+                        full_rgs += 1
                         mn = lo if mn is None or lo < mn else mn
                         mx = hi if mx is None or hi > mx else mx
-                    # lo None with matching rows = column all-NULL in
-                    # this group: contributes no values, correctly
+                    else:
+                        rest.append(rg)
+                elif nc is not None and rc is not None and nc == rc:
+                    # PROVEN all-NULL (null_count == row_count):
+                    # contributes no values, correctly skipped. Bounds
+                    # that are merely MISSING (writer omitted min/max,
+                    # e.g. an all-NaN float chunk) prove nothing and
+                    # fall through to the scan set instead.
+                    full_rgs += 1
                 else:
                     rest.append(rg)
             if rest:

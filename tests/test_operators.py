@@ -357,3 +357,48 @@ def test_ivf_nprobe_recall_dominates_single_probe(spark):
             for r in sim_ivf_nprobe_topk(spark, sf).collect()}
     assert len(ivf2 & truth) >= len(ivf1 & truth)
     assert len(ivf2) > 0
+
+
+def test_ivfpq_prunes_candidates_and_keeps_recall(spark):
+    """The IVFPQ composition's scale claim, asserted: (a) the ADC stage
+    scores ONLY probed-cell candidates — strictly fewer rows than the
+    flat-PQ whole-corpus scan; (b) cell pruning costs little recall vs flat
+    PQ on the same codebooks (bounded drop, both measured against the
+    brute-force truth)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        _corpus_ivf_cells, _corpus_vectors, N_QUERIES_MOD, NPROBE,
+        sim_bruteforce_topk, sim_ivfpq_topk, sim_pq_topk,
+    )
+    from tests.conftest import TESTDATA
+
+    sf = os.path.join(os.path.dirname(TESTDATA.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"companion sf0.01 dir not found at {sf}")
+
+    # (a) candidate-count accounting: sum over queries of |probed cells'
+    # members| must be < queries x corpus (what flat PQ scores)
+    vec = _corpus_vectors(spark, sf)
+    n_corpus = vec.count()
+    n_queries = vec.filter(F.col("vec_id") % N_QUERIES_MOD == 0).count()
+    cells = _corpus_ivf_cells(spark, sf, NPROBE)
+    members = (cells.filter(F.col("probe_rank") == 1)
+               .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    probed = (cells.filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+              .join(members, "cell")
+              .agg(F.sum("n").alias("total")).head()["total"])
+    assert probed < n_queries * n_corpus, (
+        "IVF cell pruning must shrink the ADC candidate set")
+
+    # (b) recall: ivfpq loses at most 2 of the flat-PQ hits here
+    truth = {(r.query_id, r.cand_id)
+             for r in sim_bruteforce_topk(spark, sf).collect()}
+    flat = {(r.query_id, r.cand_id)
+            for r in sim_pq_topk(spark, sf).collect()}
+    ivfpq = {(r.query_id, r.cand_id)
+             for r in sim_ivfpq_topk(spark, sf).collect()}
+    assert len(ivfpq) == len(flat)
+    assert len(ivfpq & truth) >= len(flat & truth) - 2

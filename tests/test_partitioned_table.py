@@ -102,7 +102,10 @@ def test_partition_in_list(part_table):
 
 
 def test_unpartitioned_columns_still_prune(part_table):
-    # contradiction on the indexed data column: refuted from footer stats
+    # contradiction on the indexed data column: refuted from footer
+    # stats (float col-literal refutation mirrors the zone-map
+    # semantics Spark's own parquet reader applies — see
+    # tests/test_nan_soundness.py for the NaN contract)
     df = part_table.query((col("o_totalprice") > 9e9))
     assert df.count() == 0
     assert part_table.last_scan.files_scanned == {}

@@ -66,6 +66,11 @@ TRUE = Lit(True)
 # exceed the 32-bit safe range merely stays unpruned — never refuted).
 _I32_MAX, _I32_MIN = 2**31 - 1, -(2**31)
 _I64_MAX, _I64_MIN = 2**63 - 1, -(2**63)
+# |int| <= 2^52 round-trips through double exactly; Spark's / casts
+# both sides to double, so the division fold only trusts stats inside
+# this range (beyond it the group is kept unconditionally)
+_DBL_EXACT = 1 << 52
+_FLIP_CMP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
 
 
 def _ceildiv(a: int, b: int) -> int:
@@ -439,9 +444,18 @@ class PruningRewriter:
     #   guards like multiplication.  Shift amounts are limited to 0..30
     #   so Java's shift-amount masking (s & 31 vs s & 63) cannot differ
     #   between widths.
-    # * ``/`` and ``%`` and nested arithmetic still degrade to TRUE.
+    # * ``/`` is TRUE division in Spark (both sides cast to double) —
+    #   folded via exact integer thresholds t = v*k with monotone-
+    #   rounding analysis; the rounding-sensitive side widens by the
+    #   half-ulp window and stats beyond the double-exact range keep
+    #   the group (_fold_div).  ``%`` keeps the dividend's sign with
+    #   |rem| < |k| in both Spark and DuckDB — the remainder range
+    #   refutes statically and the |c| < |k| identity region folds
+    #   onto the raw column (_fold_mod).  ``k / c`` and ``k % c`` are
+    #   non-monotone around c = 0 and degrade to TRUE, as does nested
+    #   arithmetic.
 
-    _FOLD_OPS = ("+", "-", "*", "<<", ">>")
+    _FOLD_OPS = ("+", "-", "*", "<<", ">>", "/", "%")
 
     def _fold_arith(self, e: BinOp) -> Expr:
         l, r = e.left, e.right
@@ -468,6 +482,14 @@ class PruningRewriter:
             return TRUE
         if l.op in ("<<", ">>") and not (0 <= k <= 30):
             return TRUE
+        if l.op in ("/", "%"):
+            if k == 0:
+                # Spark (non-ANSI): x / 0 and x % 0 are NULL, so the
+                # comparison is never TRUE -> refute every group
+                return Lit(False)
+            if l.op == "%":
+                return self._fold_mod(c.name, k, e.op, v)
+            return self._fold_div(c.name, k, e.op, v)
 
         if e.op == "!=":
             return self._fold_ne(c, l.op, k, k_left, v)
@@ -600,6 +622,100 @@ class PruningRewriter:
     def _cmp_const(a: int, op: str, b: int) -> bool:
         return {"=": a == b, "!=": a != b, "<": a < b,
                 "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+    def _fold_div(self, cname: str, k: int, cmp: str, v: int) -> Expr:
+        """``c / k CMP v`` with TRUE-division semantics (Spark casts
+        both sides to double; DuckDB's / is float division too).
+
+        Rational analysis: c/k CMP v <-> c CMP' t with t = v*k exactly
+        (direction flipped for k < 0). Double analysis: Spark computes
+        fl(fl(c)/k). fl(c) = c is guaranteed by the double-exact guard;
+        division rounding is MONOTONE, so for the strict side
+        (eff <, eff >) the integer threshold stays exact:
+        c >= t -> c/k >= v -> fl(c/k) >= fl(v) = v. The non-strict side
+        can round ACROSS v from up to half an ulp away, so those
+        thresholds widen by slack = ceil(|k| * ulp(v) / 2) — zero for
+        every non-astronomical (k, v); any widening error only keeps
+        more groups. = uses both widened sides; != refutes only the
+        single-valued exact preimage and only when slack is zero."""
+        if abs(k) > _DBL_EXACT or abs(v) > _DBL_EXACT:
+            return TRUE
+        t = v * k
+        slack = math.ceil(abs(k) * math.ulp(float(v)) / 2)
+        dbl_guard = ((_min(cname) < Lit(-_DBL_EXACT))
+                     | (_max(cname) > Lit(_DBL_EXACT)))
+        lo = hi = None
+        if cmp == "=":
+            lo, hi = t - slack, t + slack
+        elif cmp == "!=":
+            if slack or not (_I64_MIN <= t <= _I64_MAX):
+                return TRUE
+            term: Expr = Not((_min(cname) == Lit(t))
+                             & (_max(cname) == Lit(t)))
+            return _guard(cname, term) | dbl_guard
+        elif cmp in _FLIP_CMP:
+            eff = cmp if k > 0 else _FLIP_CMP[cmp]
+            if eff == "<":
+                hi = t - 1
+            elif eff == "<=":
+                hi = t + slack
+            elif eff == ">":
+                lo = t + 1
+            else:  # ">="
+                lo = t - slack
+        else:
+            return TRUE
+        if lo is not None and lo <= _I64_MIN:
+            lo = None
+        if hi is not None and hi >= _I64_MAX:
+            hi = None
+        if ((lo is not None and lo > _I64_MAX)
+                or (hi is not None and hi < _I64_MIN)
+                or (lo is not None and hi is not None and lo > hi)):
+            term = Lit(False)
+        else:
+            parts = []
+            if hi is not None:
+                parts.append(_min(cname) <= Lit(hi))
+            if lo is not None:
+                parts.append(_max(cname) >= Lit(lo))
+            if not parts:
+                return TRUE
+            term = parts[0]
+            for p in parts[1:]:
+                term = term & p
+        return _guard(cname, term) | dbl_guard
+
+    def _fold_mod(self, cname: str, k: int, cmp: str, v: int) -> Expr:
+        """``c % k CMP v``: Spark's % keeps the dividend's sign with
+        |remainder| < |k| — identical in DuckDB and Java. Two prunable
+        facts: (a) the remainder RANGE [-(|k|-1), |k|-1] can refute the
+        whole predicate statically, no stats needed; (b) inside
+        |c| <= |k|-1 the op is the IDENTITY (sign preserved), so a row
+        group proven entirely inside that window takes the plain
+        comparison on the raw column; any group reaching outside is
+        kept unconditionally."""
+        r = abs(k) - 1
+        if ((cmp == "=" and not -r <= v <= r)
+                or (cmp == ">" and v >= r)
+                or (cmp == ">=" and v > r)
+                or (cmp == "<" and v <= -r)
+                or (cmp == "<=" and v < -r)):
+            # NULL dividends yield a NULL remainder -> never TRUE, so a
+            # constant-FALSE verdict still refutes soundly
+            return Lit(False)
+        ident = {
+            "=": (_min(cname) <= Lit(v)) & (_max(cname) >= Lit(v)),
+            "!=": Not((_min(cname) == Lit(v)) & (_max(cname) == Lit(v))),
+            "<": _min(cname) < Lit(v),
+            "<=": _min(cname) <= Lit(v),
+            ">": _max(cname) > Lit(v),
+            ">=": _max(cname) >= Lit(v),
+        }.get(cmp)
+        if ident is None:
+            return TRUE
+        outside = (_min(cname) < Lit(-r)) | (_max(cname) > Lit(r))
+        return _guard(cname, outside | ident)
 
     def _sat_not(self, child: Expr) -> Expr:
         """Satisfaction of NOT x = satisfaction of x's exact negation;

@@ -1284,17 +1284,10 @@ def q59_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECIMAL_LAYOUT_ENV = "SPARK_GRAFT_DECIMAL_LAYOUT"
 
 
-def q60_decimal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DECIMAL-column predicates through the indexed scan: lineitem's
-    price rewritten once per corpus as DECIMAL(12,2) (the type ledgers
-    actually use), indexed via the ulp-widened double bounds the
-    decimal category stores, and range-scanned with Decimal literals —
-    pruning refutes out-of-range row groups, the residual filter
-    re-applies the exact decimal comparison, and all output arithmetic
-    is exact (decimal x 100 is an integer by construction). The oracle
-    applies the same cast + range on the flat table, so the decimal
-    layout + index must be value-transparent."""
-    import decimal as _d
+def _decimal_lineitem(spark: SparkSession, sf_dir: str):
+    """lineitem rewritten once per corpus with an exact DECIMAL(12,2)
+    price column — shared by q60 (decimal predicates) and q65
+    (catalog-only decimal MIN/MAX), memoized per session."""
     from .operators.util import artifact_dir, ensure_complete, session_memo
 
     layout = artifact_dir(
@@ -1312,6 +1305,22 @@ def q60_decimal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .repartition(2).write.mode("overwrite").parquet(d)))
         t = memo[layout] = IndexedParquetTable(
             spark, layout, index_columns=["ep"])
+    return t
+
+
+def q60_decimal_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-column predicates through the indexed scan: lineitem's
+    price rewritten once per corpus as DECIMAL(12,2) (the type ledgers
+    actually use), indexed via the ulp-widened double bounds the
+    decimal category stores, and range-scanned with Decimal literals —
+    pruning refutes out-of-range row groups, the residual filter
+    re-applies the exact decimal comparison, and all output arithmetic
+    is exact (decimal x 100 is an integer by construction). The oracle
+    applies the same cast + range on the flat table, so the decimal
+    layout + index must be value-transparent."""
+    import decimal as _d
+
+    t = _decimal_lineitem(spark, sf_dir)
     assert t.index_schema == {"ep": "decimal"}
     df = t.query((xcol("ep") >= _d.Decimal("20000.00"))
                  & (xcol("ep") <= _d.Decimal("30000.00")))
@@ -1366,17 +1375,11 @@ def q61_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENTS_LAYOUT_ENV = "SPARK_GRAFT_CENTS_LAYOUT"
 
 
-def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUM/AVG/MIN/MAX pushdown into the catalog (table.sum_rows +
-    predicated table.min_max): the index
-    stores exact per-row-group integer sums (opt-in ``sum_columns``,
-    computed from the column pages at index time — footers have no
-    sums), so over a cents-sorted layout the revenue total needs ZERO
-    Parquet I/O and a revenue range sums the interior row groups from
-    the catalog while scanning only the two boundary groups. The
-    asserts pin both shapes; the oracle recomputes every number from
-    the flat table, so the pushed-down arithmetic must be value-exact
-    (all integers end to end — no float accumulation anywhere)."""
+def _cents_orders(spark: SparkSession, sf_dir: str):
+    """Orders written once per corpus as a cents-sorted 4-file layout
+    (exact integer price_cents, small row groups) with per-row-group
+    sums in the catalog — shared by q62 (SUM pushdown) and q64
+    (arithmetic predicates), memoized per session."""
     from .operators.util import artifact_dir, ensure_complete, session_memo
     from .sources.layout import write_range_sorted
 
@@ -1397,6 +1400,21 @@ def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = memo[layout] = IndexedParquetTable(
             spark, layout, index_columns=["price_cents"],
             sum_columns=["price_cents"])
+    return t
+
+
+def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG/MIN/MAX pushdown into the catalog (table.sum_rows +
+    predicated table.min_max): the index
+    stores exact per-row-group integer sums (opt-in ``sum_columns``,
+    computed from the column pages at index time — footers have no
+    sums), so over a cents-sorted layout the revenue total needs ZERO
+    Parquet I/O and a revenue range sums the interior row groups from
+    the catalog while scanning only the two boundary groups. The
+    asserts pin both shapes; the oracle recomputes every number from
+    the flat table, so the pushed-down arithmetic must be value-exact
+    (all integers end to end — no float accumulation anywhere)."""
+    t = _cents_orders(spark, sf_dir)
     total_s, total_n = t.sum_rows("price_cents")
     assert t.last_sum_pushdown["partial_row_groups"] == 0, \
         t.last_sum_pushdown  # the total is pure catalog arithmetic
@@ -1456,6 +1474,58 @@ def q63_group_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(k, s, n) for k, (s, n) in sorted(groups.items())]
     return spark.createDataFrame(
         rows, "o_orderstatus STRING, sum_cents BIGINT, n BIGINT")
+
+
+def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division and remainder arithmetic in predicates through the
+    indexed scan path (reference conversions.rs:21-25 translates / and
+    % into catalog SQL; the reference README disclaims pushing filters
+    "as much as possible" — this fold goes further). Spark's / is TRUE
+    division (both sides cast to double), so ``price_cents / 100 <= v``
+    folds to the exact integer threshold on the raw column and prunes
+    the cents-sorted layout to a prefix of its row groups (asserted).
+    ``price_cents % 100 >= 100`` is an impossible remainder — refuted
+    STATICALLY, zero Parquet I/O, the Q5 posture on the modulo
+    dimension. The oracle recomputes both from the flat table (DuckDB's
+    / is float division and its % keeps the dividend's sign — the same
+    semantics the fold models)."""
+    t = _cents_orders(spark, sf_dir)
+    dollars = (xcol("price_cents") / 100) <= 70_000
+    df = t.query(dollars)
+    dec = t.last_scan
+    assert 0 < dec.row_groups_scanned < dec.total_row_groups, \
+        dec.describe()  # the division fold really pruned
+    agg = df.agg(F.count(F.lit(1)).alias("n_low"),
+                 F.sum("price_cents").alias("sum_low_cents")).head()
+    n_imp = t.count_rows((xcol("price_cents") % 100) >= 100)
+    assert t.last_scan.files_scanned == {}, \
+        "impossible remainder must refute with zero I/O"
+    return spark.createDataFrame(
+        [(agg["n_low"], agg["sum_low_cents"], n_imp)],
+        "n_low BIGINT, sum_low_cents BIGINT, n_impossible BIGINT")
+
+
+def q65_decimal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-only MIN/MAX on a DECIMAL column: the footer stores
+    decimal stats as unscaled int64 — exact, never truncated — and the
+    catalog now keeps that exact copy (str(Decimal) side columns)
+    alongside the ulp-widened double PRUNING bounds, so the global
+    bounds fold from the index with ZERO Parquet I/O where round 4's
+    conservative rule always demoted decimals to a scan. The assert
+    pins the pushdown (every row group answered from the catalog);
+    COUNT(*) rides the same zero-I/O path. The oracle recomputes both
+    from the flat table through the same DECIMAL(12,2) cast."""
+    t = _decimal_lineitem(spark, sf_dir)
+    mn, mx = t.min_max("ep")
+    pd = t.last_minmax_pushdown
+    assert pd is not None and pd["partial_row_groups"] == 0, pd
+    assert pd["full_row_groups"] > 0, pd
+    import decimal as _d
+    assert isinstance(mn, _d.Decimal) and isinstance(mx, _d.Decimal)
+    n = t.count_rows()
+    return spark.createDataFrame(
+        [(float(mn), float(mx), n)],
+        "min_ep DOUBLE, max_ep DOUBLE, n_rows BIGINT")
 
 
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1522,6 +1592,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_count_pushdown": q61_count_pushdown,
     "q62_sum_pushdown": q62_sum_pushdown,
     "q63_group_sum_pushdown": q63_group_sum_pushdown,
+    "q64_div_pred": q64_div_pred,
+    "q65_decimal_minmax": q65_decimal_minmax,
 }
 
 
@@ -2128,6 +2200,30 @@ RELATIONAL_ORACLE["q63_group_sum_pushdown"] = """
            CAST(COUNT(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS n
     FROM orders GROUP BY o_orderstatus
+"""
+
+RELATIONAL_ORACLE["q64_div_pred"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE cents / 100 <= 70000) AS BIGINT)
+               AS n_low,
+           CAST(SUM(cents) FILTER (WHERE cents / 100 <= 70000) AS BIGINT)
+               AS sum_low_cents,
+           CAST(COUNT(*) FILTER (WHERE cents % 100 >= 100) AS BIGINT)
+               AS n_impossible
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q65_decimal_minmax"] = """
+    WITH d AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS ep FROM lineitem
+    )
+    SELECT CAST(MIN(ep) AS DOUBLE) AS min_ep,
+           CAST(MAX(ep) AS DOUBLE) AS max_ep,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d
 """
 
 RELATIONAL_ORACLE["q50_join_pruned_scan"] = """

@@ -126,6 +126,12 @@ class RowGroupStats:
     # per float column: name -> NaN count (opt-in, from column pages;
     # absent = unknown — footer-only builds never learn it)
     nan_counts: Dict[str, int] = field(default_factory=dict)
+    # per decimal column: name -> (min, max) as EXACT decimal.Decimal
+    # values decoded from the footer's unscaled-integer storage —
+    # numeric stats are never truncated, so these are attained values.
+    # The widened-double copies in ``columns`` stay the PRUNING bounds;
+    # these feed catalog-only ANSWERS (min_max / count_rows_by).
+    exact_bounds: Dict[str, Tuple[Any, Any]] = field(default_factory=dict)
 
 
 class _SqliteStatsSql:
@@ -210,6 +216,12 @@ class SqliteIndexCatalog:
                 # above every value, so float refutation/satisfaction
                 # consult this column (plans/pruning.py _nan_possible)
                 cols.append(f'"{name}_nan_count" INTEGER')
+            if cat == "decimal":
+                # exact attained bounds (str(Decimal) — lossless) for
+                # catalog-only ANSWERS; the REAL min/max stay the
+                # ulp-widened PRUNING bounds
+                cols.append(f'"{name}_exact_min" TEXT')
+                cols.append(f'"{name}_exact_max" TEXT')
         extra = (", " + ", ".join(cols)) if cols else ""
         with self._lock, self._conn:
             self._conn.execute(
@@ -238,6 +250,9 @@ class SqliteIndexCatalog:
                           (f"{name}_min", sql_t), (f"{name}_max", sql_t)]
                 if cat == "float":
                     growth.append((f"{name}_nan_count", "INTEGER"))
+                if cat == "decimal":
+                    growth.append((f"{name}_exact_min", "TEXT"))
+                    growth.append((f"{name}_exact_max", "TEXT"))
                 for col_name, col_t in growth:
                     if col_name not in existing:
                         self._conn.execute(
@@ -304,6 +319,8 @@ class SqliteIndexCatalog:
                 stat_cols += [f'"{name}_null_count"', f'"{name}_min"', f'"{name}_max"']
                 if cat == "float":
                     stat_cols.append(f'"{name}_nan_count"')
+                if cat == "decimal":
+                    stat_cols += [f'"{name}_exact_min"', f'"{name}_exact_max"']
             all_cols = ["file_id", "row_group", "row_count"] + stat_cols
             placeholders = ", ".join("?" for _ in all_cols)
             rows = []
@@ -314,6 +331,10 @@ class SqliteIndexCatalog:
                     row += [nc, encode_value(cat, mn), encode_value(cat, mx)]
                     if cat == "float":
                         row.append(rg.nan_counts.get(name))
+                    if cat == "decimal":
+                        emn, emx = rg.exact_bounds.get(name, (None, None))
+                        row += [None if emn is None else str(emn),
+                                None if emx is None else str(emx)]
                 rows.append(row)
             if rows:
                 self._conn.executemany(
@@ -439,16 +460,41 @@ class SqliteIndexCatalog:
     def column_bounds(self, column: str):
         """(min, max, complete) over every indexed row group; complete is
         False when any row group lacks stats for the column (bounds then
-        cover only the row groups that have them)."""
+        cover only the row groups that have them). Decimal columns fold
+        the exact str(Decimal) bounds in Python when every stats-bearing
+        row carries them (TEXT does not order numerically, and the REAL
+        copies are widened pruning bounds, not answers)."""
         if column not in self.index_schema:
             raise KeyError(column)
+        cat = self.index_schema[column]
+        if cat == "decimal":
+            import decimal as _d
+            with self._lock:
+                rows = self._conn.execute(
+                    f'''SELECT "{column}_min" IS NULL,
+                               "{column}_exact_min", "{column}_exact_max"
+                        FROM row_group_statistics''').fetchall()
+            complete = all(not missing for missing, _, _ in rows)
+            mn = mx = None
+            for missing, emn, emx in rows:
+                if missing:
+                    continue
+                if emn is None or emx is None:
+                    # stats exist but no exact copy: exact answer
+                    # unavailable -> surface the widened-float fold so
+                    # _bound_is_exact sees a non-Decimal and distrusts
+                    break
+                lo, hi = _d.Decimal(emn), _d.Decimal(emx)
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            else:
+                return mn, mx, complete
         with self._lock:
             row = self._conn.execute(
                 f"""SELECT MIN({column}_min), MAX({column}_max),
                            SUM(CASE WHEN {column}_min IS NULL THEN 1 ELSE 0 END)
                     FROM row_group_statistics""").fetchone()
         mn, mx, missing = row
-        cat = self.index_schema[column]
         return decode_value(cat, mn), decode_value(cat, mx), (missing or 0) == 0
 
     def column_rg_bounds(self, column: str):
@@ -475,24 +521,36 @@ class SqliteIndexCatalog:
             return None
         return int(s or 0)
 
+    def _decode_rg_bounds(self, cat, mn, mx, emn, emx):
+        """Per-row bound decode: decimal rows surface the exact
+        str(Decimal) copies when present (answers), the widened floats
+        otherwise (callers' _bound_is_exact then distrusts them)."""
+        if cat == "decimal" and emn is not None and emx is not None:
+            import decimal as _d
+            return _d.Decimal(emn), _d.Decimal(emx)
+        return decode_value(cat, mn), decode_value(cat, mx)
+
     def column_rg_entries_keyed(self, column: str):
         """{(file_name, row_group): (null_count, min, max, row_count)}
         in the data's domain — the keyed variant of column_rg_entries
         for answers that must line up with sums/access plans."""
         if column not in self.index_schema:
             raise KeyError(column)
+        cat = self.index_schema[column]
+        exact = (f', rg."{column}_exact_min", rg."{column}_exact_max"'
+                 if cat == "decimal" else ", NULL, NULL")
         with self._lock:
             rows = self._conn.execute(
                 f"""SELECT f.file_name, rg.row_group,
                            rg.{column}_null_count,
-                           rg.{column}_min, rg.{column}_max, rg.row_count
+                           rg.{column}_min, rg.{column}_max,
+                           rg.row_count{exact}
                     FROM row_group_statistics rg
                     JOIN file_statistics f ON f.file_id = rg.file_id"""
             ).fetchall()
-        cat = self.index_schema[column]
-        return {(fn, rg): (nc, decode_value(cat, mn),
-                           decode_value(cat, mx), rc)
-                for fn, rg, nc, mn, mx, rc in rows}
+        return {(fn, rg): (nc, *self._decode_rg_bounds(cat, mn, mx, emn, emx),
+                           rc)
+                for fn, rg, nc, mn, mx, rc, emn, emx in rows}
 
     def column_rg_entries(self, column: str):
         """[(null_count, min, max, row_count)] per indexed row group —
@@ -500,14 +558,16 @@ class SqliteIndexCatalog:
         single-valued (e.g. partition) columns."""
         if column not in self.index_schema:
             raise KeyError(column)
+        cat = self.index_schema[column]
+        exact = (f', "{column}_exact_min", "{column}_exact_max"'
+                 if cat == "decimal" else ", NULL, NULL")
         with self._lock:
             rows = self._conn.execute(
                 f"""SELECT {column}_null_count, {column}_min,
-                           {column}_max, row_count
+                           {column}_max, row_count{exact}
                     FROM row_group_statistics""").fetchall()
-        cat = self.index_schema[column]
-        return [(nc, decode_value(cat, mn), decode_value(cat, mx), rc)
-                for nc, mn, mx, rc in rows]
+        return [(nc, *self._decode_rg_bounds(cat, mn, mx, emn, emx), rc)
+                for nc, mn, mx, rc, emn, emx in rows]
 
     def close(self) -> None:
         self._conn.close()

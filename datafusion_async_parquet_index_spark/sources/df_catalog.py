@@ -196,6 +196,17 @@ class DataFrameIndexCatalog:
             return {}
         return {rg.row_group: rg.row_count for rg in entry[1]}
 
+    def _rg_bounds(self, rg, column):
+        """Per-row-group bounds in the data's domain; decimal columns
+        surface the exact Decimal copies when recorded (see
+        SqliteIndexCatalog._decode_rg_bounds)."""
+        if self.index_schema.get(column) == "decimal":
+            exact = rg.exact_bounds.get(column)
+            if exact is not None:
+                return exact
+        _, lo, hi = rg.columns.get(column, (None, None, None))
+        return lo, hi
+
     def column_bounds(self, column: str):
         """(min, max, complete) over every indexed row group; complete is
         False when any row group lacks stats for the column."""
@@ -205,7 +216,7 @@ class DataFrameIndexCatalog:
         complete = True
         for _, rgs in self._files.values():
             for rg in rgs:
-                _, lo, hi = rg.columns.get(column, (None, None, None))
+                lo, hi = self._rg_bounds(rg, column)
                 if lo is None:
                     complete = False
                     continue
@@ -228,7 +239,8 @@ class DataFrameIndexCatalog:
         out = {}
         for fs, rgs in self._files.values():
             for rg in rgs:
-                nc, lo, hi = rg.columns.get(column, (None, None, None))
+                nc, _, _ = rg.columns.get(column, (None, None, None))
+                lo, hi = self._rg_bounds(rg, column)
                 out[(fs.file_name, rg.row_group)] = (nc, lo, hi,
                                                      rg.row_count)
         return out
@@ -258,7 +270,8 @@ class DataFrameIndexCatalog:
         out = []
         for _, rgs in self._files.values():
             for rg in rgs:
-                nc, lo, hi = rg.columns.get(column, (None, None, None))
+                nc, _, _ = rg.columns.get(column, (None, None, None))
+                lo, hi = self._rg_bounds(rg, column)
                 out.append((nc, lo, hi, rg.row_count))
         return out
 

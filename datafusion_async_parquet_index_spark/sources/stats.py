@@ -285,9 +285,15 @@ def extract_file_stats(
                 # correctly-rounded (monotone) but a rounded-up min or
                 # rounded-down max could spuriously refute a strict
                 # comparison at the boundary. Widened bounds keep every
-                # rewrite sound; catalog-only ANSWERS (min_max) treat
-                # the category as never-exact and fall back to a scan.
+                # rewrite sound; the EXACT values (decoded from the
+                # footer's unscaled-int storage — numeric stats are
+                # never truncated) ride along in exact_bounds so
+                # catalog-only ANSWERS (min_max / count_rows_by) need
+                # no scan fallback.
+                import decimal as _d
                 import math
+                if isinstance(mn, _d.Decimal) and isinstance(mx, _d.Decimal):
+                    rg.exact_bounds[col] = (mn, mx)
                 mn = None if mn is None else math.nextafter(
                     float(mn), -math.inf)
                 mx = None if mx is None else math.nextafter(

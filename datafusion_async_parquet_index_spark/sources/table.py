@@ -691,7 +691,11 @@ class IndexedParquetTable:
         (see ``stats_exact_max_bytes``)."""
         cat = self.index_schema.get(column)
         if cat == "decimal":
-            return False
+            # the catalog readouts surface EXACT Decimal bounds (decoded
+            # from unscaled-int footer storage) when recorded; a float
+            # here is a widened pruning bound and never trusted
+            import decimal as _dec
+            return value is None or isinstance(value, _dec.Decimal)
         if cat == "float":
             return self._column_nan_free(column)
         if cat not in ("string", "binary"):
@@ -799,7 +803,12 @@ class IndexedParquetTable:
                 mn = mx = None
             if (complete and self._bound_is_exact(column, mn)
                     and self._bound_is_exact(column, mx)):
+                self.last_minmax_pushdown = {
+                    "full_row_groups":
+                        sum(f[2] for f in self.catalog.all_files()),
+                    "partial_row_groups": 0}
                 return mn, mx
+            self.last_minmax_pushdown = None
             row = self.to_df().agg(F.min(column).alias("mn"),
                                    F.max(column).alias("mx")).head()
             return row["mn"], row["mx"]

@@ -73,14 +73,35 @@ def test_decimal_boundary_predicates_stay_sound(dec_dir, spark):
         assert got == want, (pred.to_sql(), got, want)
 
 
-def test_decimal_minmax_falls_back_to_exact_scan(dec_dir, spark):
+def test_decimal_minmax_answers_from_catalog(dec_dir, spark):
+    """Round 5: the catalog keeps EXACT decimal bounds (str(Decimal)
+    side columns decoded from unscaled-int footer storage) next to the
+    widened pruning doubles, so MIN/MAX answers fold with zero Parquet
+    I/O and describe reports the bounds as trusted."""
     t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
     mn, mx = t.min_max("price")
     assert (mn, mx) == (D("1.00"), D("1500.00"))
     assert isinstance(mn, decimal.Decimal)
-    # the describe readout reports the bounds as untrusted-for-answers
+    pd = t.last_minmax_pushdown
+    assert pd is not None and pd["partial_row_groups"] == 0, pd
     info = t.describe_index()
-    assert info["columns"]["price"]["bounds_exact"] is False
+    assert info["columns"]["price"]["bounds_exact"] is True
+
+
+def test_decimal_minmax_backend_equivalence(dec_dir, spark):
+    """Both catalog backends must surface the same exact Decimal
+    bounds (SQLite stores str(Decimal) TEXT side columns; the
+    DataFrame backend keeps the Decimals in exact_bounds)."""
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+
+    t_sql = IndexedParquetTable(spark, dec_dir, index_columns=["price"])
+    t_df = IndexedParquetTable(spark, dec_dir, index_columns=["price"],
+                               catalog=DataFrameIndexCatalog(spark))
+    assert t_sql.min_max("price") == t_df.min_max("price")
+    assert t_sql.last_minmax_pushdown == t_df.last_minmax_pushdown
+    assert t_df.last_minmax_pushdown["partial_row_groups"] == 0
 
 
 def test_decimal_int_literal_predicates(dec_dir, spark):

@@ -86,7 +86,7 @@ def eval_row(e: Expr, row: dict):
         return eval_row(e.else_, row) if e.else_ is not None else None
     if isinstance(e, BinOp):
         l, r = eval_row(e.left, row), eval_row(e.right, row)
-        if e.op in ("+", "-", "*", "<<", ">>"):
+        if e.op in ("+", "-", "*", "<<", ">>", "/", "%"):
             if l is None or r is None:
                 return None
             # small generated values never overflow, so Python semantics
@@ -97,6 +97,16 @@ def eval_row(e: Expr, row: dict):
                 return l - r
             if e.op == "*":
                 return l * r
+            if e.op == "/":
+                # Spark casts both sides to double (TRUE division) and
+                # yields NULL for /0 in non-ANSI mode
+                return None if r == 0 else l / r
+            if e.op == "%":
+                # Java/Spark remainder: sign follows the DIVIDEND
+                # (Python's % follows the divisor); % 0 is NULL
+                if r == 0:
+                    return None
+                return (abs(l) % abs(r)) * (1 if l >= 0 else -1)
             return (l << r) if e.op == "<<" else (l >> r)
         if e.op == "AND":
             if l is False or r is False:
@@ -181,6 +191,16 @@ def leaf():
         lambda sop, k, op, w: BinOp(op, BinOp(sop, Col("v"), Lit(k)), Lit(w)),
         st.sampled_from(["<<", ">>"]), st.integers(0, 4),
         st.sampled_from(CMP_OPS), st.integers(-60, 60))
+    # TRUE division (c / k, double result) and Java-sign remainder
+    # (c % k) — including k = 0 (NULL result) and negative k; the folds
+    # in plans/pruning.py must agree with the row evaluator's Spark
+    # semantics above
+    div_cmp = st.builds(
+        lambda k, op, w: BinOp(op, BinOp("/", Col("v"), Lit(k)), Lit(w)),
+        st.integers(-5, 5), st.sampled_from(CMP_OPS), st.integers(-12, 12))
+    mod_cmp = st.builds(
+        lambda k, op, w: BinOp(op, BinOp("%", Col("v"), Lit(k)), Lit(w)),
+        st.integers(-5, 5), st.sampled_from(CMP_OPS), st.integers(-6, 6))
     # literal-armed CASE: the fold must agree with ternary CASE
     # evaluation (NULL arms, missing ELSE, unsatisfiable comparisons)
     case_cmp = st.builds(
@@ -201,7 +221,8 @@ def leaf():
         st.sampled_from(["v", "w"]))
     return st.one_of(num_cmp, float_cmp, str_cmp, like, null, inlist,
                      date_cmp, ts_cmp, ts_date_cmp, bin_cmp,
-                     arith_cmp, shift_cmp, case_cmp, colcol_cmp)
+                     arith_cmp, shift_cmp, div_cmp, mod_cmp,
+                     case_cmp, colcol_cmp)
 
 
 predicates = st.recursive(
@@ -397,21 +418,57 @@ def test_arith_fold_overflow_guard_keeps_wrapping_groups():
 
 
 def test_arith_fold_unfoldable_degrades_true():
-    """Division, modulo, nested arithmetic, float columns and col-col
-    arithmetic still degrade to conservative TRUE."""
+    """Nested arithmetic, col-col arithmetic, literal-over-column
+    division/modulo, and float operands still degrade to TRUE."""
     rw = PruningRewriter({"v": "int"})
     cases = [
-        BinOp(">", BinOp("/", Col("v"), Lit(2)), Lit(5)),
-        BinOp(">", BinOp("%", Col("v"), Lit(2)), Lit(0)),
         BinOp(">", BinOp("+", BinOp("+", Col("v"), Lit(1)), Lit(2)), Lit(5)),
         BinOp(">", BinOp("+", Col("v"), Col("v")), Lit(5)),
         BinOp(">", BinOp("<<", Col("v"), Lit(40)), Lit(5)),   # shift > 30
         BinOp(">", BinOp("+", Col("v"), Lit(1.5)), Lit(5)),   # float k
         BinOp(">", BinOp("+", Col("v"), Lit(1)), Lit(5.5)),   # float bound
+        BinOp(">", BinOp("/", Lit(10), Col("v")), Lit(5)),    # k / c
+        BinOp(">", BinOp("%", Lit(10), Col("v")), Lit(5)),    # k % c
+        BinOp(">", BinOp("/", Col("v"), Lit(2)), Lit(5.5)),   # float bound
     ]
     for e in cases:
         out = rw.rewrite(e)
         assert isinstance(out, Lit) and out.value is True, (e, out)
+
+
+def test_div_mod_fold_prunes():
+    """The round-5 extension: TRUE-division and remainder predicates
+    produce real stats pruning, not conservative TRUE."""
+    groups = [
+        # (row_count, null_count, min, max)
+        (4, 0, 0, 10),      # rg 0
+        (4, 0, 100, 200),   # rg 1
+        (4, 0, -50, -20),   # rg 2
+    ]
+    # v / 2 > 40  <->  v > 80: only group 1 survives
+    assert _surviving_groups(
+        groups, BinOp(">", BinOp("/", Col("v"), Lit(2)), Lit(40))) == {1}
+    # v / -2 >= 10  <->  v <= -20: only group 2
+    assert _surviving_groups(
+        groups, BinOp(">=", BinOp("/", Col("v"), Lit(-2)), Lit(10))) == {2}
+    # v / 3 = 50  <->  v = 150: only group 1
+    assert _surviving_groups(
+        groups, BinOp("=", BinOp("/", Col("v"), Lit(3)), Lit(50))) == {1}
+    # v / 0 CMP anything: NULL, refutes everything
+    assert _surviving_groups(
+        groups, BinOp("=", BinOp("/", Col("v"), Lit(0)), Lit(1))) == set()
+    # v % 7 = 9: impossible remainder, refuted with no stats at all
+    assert _surviving_groups(
+        groups, BinOp("=", BinOp("%", Col("v"), Lit(7)), Lit(9))) == set()
+    # v % 1000 > 50: groups inside |v| < 1000 fold onto v itself
+    assert _surviving_groups(
+        groups, BinOp(">", BinOp("%", Col("v"), Lit(1000)), Lit(50))) == {1}
+    # v % 100 > 50: group 1 reaches outside the identity window -> kept
+    assert _surviving_groups(
+        groups, BinOp(">", BinOp("%", Col("v"), Lit(100)), Lit(50))) == {1}
+    # v % 1000 < -10: only the negative group can produce negative rems
+    assert _surviving_groups(
+        groups, BinOp("<", BinOp("%", Col("v"), Lit(1000)), Lit(-10))) == {2}
 
 
 def test_matched_type_literals_still_prune():

@@ -76,12 +76,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    maint = None if only else _maintenance_bench(spark)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "maintenance": maint,
         "sf": _sf_from_dir(SF_DIR),
     }))
     # The driver records only the TAIL of stdout, and with 100+ queries
@@ -97,9 +100,80 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "cold": COLD,
+        "maintenance": maint,
         "sf": _sf_from_dir(SF_DIR),
     }))
     spark.stop()
+
+
+MAINT_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_MAINT_FILES", "200"))
+
+
+def _maintenance_bench(spark) -> dict:
+    """Index-maintenance cost on a many-small-file corpus — the numbers
+    behind the 100 TB posture 'footer-only build, steady-state refresh
+    independent of data size':
+
+      build_cold_sec      full index build over MAINT_FILES files
+                          (distributed footer extraction path)
+      refresh_noop_sec    nothing changed: O(directory listing) —
+                          every file short-circuits on size match
+      refresh_1file_sec   one new file arrived: O(1 footer read)
+      plan_scan_ms        predicate -> catalog lookup on the built
+                          index (no Parquet I/O; O(catalog) not O(data))
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = tempfile.mkdtemp(prefix="maint_bench_")
+    try:
+        rows_per = 2000
+        for i in range(MAINT_FILES):
+            lo = i * rows_per
+            pq.write_table(
+                pa.table({"k": pa.array(range(lo, lo + rows_per),
+                                        type=pa.int64())}),
+                os.path.join(d, f"f{i:04d}.parquet"), row_group_size=500)
+
+        t0 = time.perf_counter()
+        t = IndexedParquetTable(spark, d, index_columns=["k"])
+        build_cold = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        t.refresh()
+        refresh_noop = time.perf_counter() - t0
+
+        lo = MAINT_FILES * rows_per
+        pq.write_table(
+            pa.table({"k": pa.array(range(lo, lo + rows_per),
+                                    type=pa.int64())}),
+            os.path.join(d, "fnew.parquet"), row_group_size=500)
+        t0 = time.perf_counter()
+        t.refresh()
+        refresh_1file = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        dec = t.plan_scan(col("k") == rows_per * MAINT_FILES // 2)
+        plan_ms = (time.perf_counter() - t0) * 1000
+        assert dec.row_groups_scanned == 1, dec.describe()
+
+        return {
+            "files": MAINT_FILES + 1,
+            "build_cold_sec": round(build_cold, 3),
+            "refresh_noop_sec": round(refresh_noop, 3),
+            "refresh_1file_sec": round(refresh_1file, 3),
+            "plan_scan_ms": round(plan_ms, 2),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

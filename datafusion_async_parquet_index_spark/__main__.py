@@ -39,6 +39,19 @@ def main(argv: list[str]) -> int:
     table = IndexedParquetTable(spark, data_dir,
                                 index_columns=["value", "text"])
 
+    # catalog DESCRIBE — the freshness/completeness readout a 100 TB
+    # operator pages on (per-column stat coverage + bounds trust), zero
+    # Parquet I/O (table.describe_index)
+    info = table.describe_index()
+    per_col = "; ".join(
+        f"{c}[{v['category']}] stats "
+        f"{v['row_groups_with_stats']}/{info['row_groups']} rgs, "
+        f"bounds {'exact' if v['bounds_exact'] else 'inexact'}"
+        for c, v in sorted(info["columns"].items()))
+    print(f"index describe: {info['files']} files, "
+          f"{info['row_groups']} row groups, {info['rows']} rows | "
+          f"{per_col}")
+
     # the five demo queries, main.rs:135-182
     demos = [
         ("SELECT file_name, value FROM index_table LIMIT 10",

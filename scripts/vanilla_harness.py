@@ -11,9 +11,25 @@ driver (e.g. events.parquet's TIMESTAMP(NANOS) needing
 spark.sql.legacy.parquet.nanosAsLong).  Run this before trusting any
 query as "done".
 
-Usage: python scripts/vanilla_harness.py [sf_dir] [query ...]
+Usage:
+    python scripts/vanilla_harness.py [sf_dir] [query ...]
+    python scripts/vanilla_harness.py --stale
+
+Stale-green tripwire (``--stale``): every green run records a
+fingerprint per query — sha256 of the query callable's source plus its
+oracle SQL — into scripts/green_hashes.json. ``--stale`` compares the
+CURRENT fingerprints against the recorded ones without starting Spark
+and exits 1 listing every query whose body or oracle changed (or was
+never green-recorded) since its last green run. That list IS the next
+correctness window's tier 1: rotation stops being a hand-curated
+comment and becomes a mechanical readout. (Granularity is the query
+function's own source — a change to shared engine code doesn't flood
+the list; the golden-parity + property tests cover those paths every
+round.)
 """
 
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -55,7 +71,54 @@ def _normalize(rows, colnames):
     return sorted(out, key=repr)
 
 
+HASH_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "green_hashes.json")
+
+
+def _fingerprint(fn, oracle_sql):
+    """sha256 of the query callable's source + its oracle SQL — the
+    change signal the stale tripwire compares."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update((oracle_sql or "").encode())
+    return h.hexdigest()
+
+
+def _load_green_hashes():
+    try:
+        with open(HASH_FILE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def stale_check():
+    """Compare current fingerprints vs the green-recorded ones; print
+    the stale set (= the next window's tier 1) and exit 1 if any."""
+    import __spark_entry__ as entry_mod
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    recorded = _load_green_hashes()
+    stale = [n for n in queries
+             if recorded.get(n) != _fingerprint(queries[n], oracles.get(n))]
+    if not stale:
+        print(f"0/{len(queries)} stale — every registered query's body "
+              "and oracle are unchanged since their last green run")
+        return 0
+    print(f"{len(stale)}/{len(queries)} STALE (changed or never "
+          "green-recorded since last green run) — next window tier 1:")
+    for n in stale:
+        print(f"  {n}")
+    return 1
+
+
 def main():
+    if "--stale" in sys.argv[1:]:
+        sys.exit(stale_check())
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -113,6 +176,13 @@ def main():
         print("FAILED:", ", ".join(failed))
     with open("/tmp/vanilla_harness.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
+    # record green fingerprints for the stale tripwire (--stale)
+    recorded = _load_green_hashes()
+    for name, rec in results.items():
+        if name not in failed and rec["err"] is None:
+            recorded[name] = _fingerprint(queries[name], oracles.get(name))
+    with open(HASH_FILE, "w") as f:
+        json.dump(recorded, f, indent=1, sort_keys=True)
     sys.exit(1 if failed else 0)
 
 

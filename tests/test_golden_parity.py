@@ -153,3 +153,7 @@ def test_demo_main_runs(spark, demo_dir, capsys):
     assert "(1/3 files, 1/60 row groups)" in out      # value = 150
     assert "(2/3 files, 51/60 row groups)" in out     # OR range
     assert "(0/3 files, 0/60 row groups)" in out      # contradiction
+    # the catalog DESCRIBE line: coverage + bounds trust per column
+    assert "index describe: 3 files, 60 row groups, 3000 rows" in out
+    assert "value[int] stats 60/60 rgs, bounds exact" in out
+    assert "text[string] stats 60/60 rgs, bounds exact" in out

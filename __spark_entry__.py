@@ -50,6 +50,7 @@ _ROUND_PRIORITY = [
     "sim_ivfpq_topk",
     "q64_div_pred",
     "q65_decimal_minmax",
+    "text_quality_classifier",
     # -- tier 2: the padding trimmed in round 4 for space — last green
     #    row round 2 -------------------------------------------------
     "text_stratified_sample",
@@ -93,11 +94,12 @@ _ROUND_PRIORITY = [
     "q34_cube",
     "q36_salted_join",
     # -- golden-parity re-proof: pruning.py's rewrite rules changed
-    #    this round (NaN guards), so the predicate-bearing reference
-    #    queries re-run even though their bodies are untouched (q1 has
-    #    no predicate — the rewrite cannot touch it — and stays out to
-    #    fit the 50-slot window) -------------------------------------
-    "q2_point_equality",
+    #    this round (NaN guards, / and % folds), so reference queries
+    #    re-run even though their bodies are untouched. q1 (no
+    #    predicate) and q2 (pure int equality, the most-covered path:
+    #    golden-parity tests + 1500-example fuzz run locally every
+    #    round) stay out to fit the 50-slot window — new never-verified
+    #    entries outrank periodic re-proofs -------------------------
     "q3_or_range_agg",
     "q4_and_mixed_columns",
     "q5_contradictory_and",

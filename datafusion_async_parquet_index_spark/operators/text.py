@@ -444,6 +444,56 @@ def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_weights() -> list:
+    """Deterministic per-bucket weights for the linear quality scorer —
+    the stand-in for a trained fastText/CCNet classifier's weight
+    vector (integer in [-1000, 1000], derived from the shared hash60
+    primitive so both engines agree bit-for-bit)."""
+    from ..functions import py_hash60
+
+    return [py_hash60(f"qw|{j}") % 2001 - 1000
+            for j in range(NGRAM_FEATURE_BUCKETS)]
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed bigram features — the
+    SCORING half of the fastText/CCNet quality-filter pipeline whose
+    feature statistics text_hashed_ngram_features profiles: each
+    document's score is the sum of its bigrams' bucket weights
+    (hashing trick: no vocabulary shipped, the 256-int weight vector is
+    a broadcast literal), and keep = score >= 0 is the filter decision.
+    Entirely map-only — the weight lookup folds into the same
+    F.aggregate pass that walks the bigram array, so scoring 100 TB is
+    one zero-shuffle projection. All-integer arithmetic end to end
+    (weights, sums, threshold), so the decision boundary is
+    bit-deterministic across engines and cluster sizes — a document
+    never flips keep/drop between runs, which is what makes quality
+    filtering reproducible at corpus scale."""
+    from ..functions import hash60
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks"))
+    bigram_list = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("toks"), i - 2), F.get(F.col("toks"), i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wlit = F.array(*[F.lit(w) for w in _quality_weights()])
+    raw = F.aggregate(
+        bigram_list, F.lit(0).cast("long"),
+        lambda acc, bg: acc + F.element_at(
+            wlit,
+            (hash60(bg) % NGRAM_FEATURE_BUCKETS).cast("int") + 1))
+    return docs.select(
+        "doc_id",
+        F.size(bigram_list).cast("int").alias("n_bigrams"),
+        raw.alias("score_raw"),
+        (raw >= 0).alias("keep"))
+
+
 ZIPF_TOP_TERMS = 100
 
 
@@ -561,6 +611,7 @@ TEXT_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_score": text_bm25_score,
     "text_lang_confusion": text_lang_confusion,
     "text_hashed_ngram_features": text_hashed_ngram_features,
+    "text_quality_classifier": text_quality_classifier,
     "text_zipf_fit": text_zipf_fit,
     "text_bpe_pair_merge": text_bpe_pair_merge,
     "text_length_histogram": text_length_histogram,
@@ -818,6 +869,32 @@ TEXT_ORACLE["text_hashed_ngram_features"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
     FROM bg GROUP BY 1
+"""
+
+_QW = _quality_weights()
+
+TEXT_ORACLE["text_quality_classifier"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               list_transform(range(2, len(t) + 1),
+                              i -> t[i - 1] || ' ' || t[i]) AS bgs
+        FROM toks
+    ), wt AS (
+        SELECT {_QW} AS w
+    )
+    SELECT doc_id,
+           CAST(len(bgs) AS INT) AS n_bigrams,
+           CAST(COALESCE(list_sum(list_transform(
+               bgs,
+               bg -> w[CAST({sql_hash60('bg')} % {NGRAM_FEATURE_BUCKETS}
+                            AS INT) + 1])), 0) AS BIGINT) AS score_raw,
+           COALESCE(list_sum(list_transform(
+               bgs,
+               bg -> w[CAST({sql_hash60('bg')} % {NGRAM_FEATURE_BUCKETS}
+                            AS INT) + 1])), 0) >= 0 AS keep
+    FROM feats CROSS JOIN wt
 """
 
 TEXT_ORACLE["text_zipf_fit"] = f"""

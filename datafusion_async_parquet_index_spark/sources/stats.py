@@ -134,20 +134,22 @@ def extract_file_blooms(
 def extract_file_sums(
     path: str, sum_cols: Sequence[str],
 ) -> Dict[int, Dict[str, Tuple[int, int]]]:
-    """{row_group: {column: (sum, non_null_count)}} for integer
-    columns — the aggregate-statistics extension: Parquet footers carry
-    no sums, so (like the bloom build) this reads ONLY the requested
-    columns' pages, one row group at a time, and folds exact Python
-    ints. Opt-in: index build cost rises from footer-only to one
-    column scan per sum column, amortized over every pushed-down
-    SUM/AVG afterwards."""
+    """{row_group: {column: (sum, non_null_count)}} for integer and
+    decimal columns — the aggregate-statistics extension: Parquet
+    footers carry no sums, so (like the bloom build) this reads ONLY
+    the requested columns' pages, one row group at a time, and folds
+    exact sums. Decimal sums are stored as UNSCALED integers (the same
+    lossless discipline as the exact decimal bounds); the table layer
+    rescales them back to Decimal on readout. Opt-in: index build cost
+    rises from footer-only to one column scan per sum column,
+    amortized over every pushed-down SUM/AVG afterwards."""
     if not sum_cols:
         return {}
     pf = pq.ParquetFile(path)
     cols = [c for c in sum_cols
             if pf.schema_arrow.get_field_index(c) >= 0
-            and pa.types.is_integer(
-                pf.schema_arrow.field(c).type)]
+            and (pa.types.is_integer(pf.schema_arrow.field(c).type)
+                 or pa.types.is_decimal(pf.schema_arrow.field(c).type))]
     if not cols:
         return {}
     out: Dict[int, Dict[str, Tuple[int, int]]] = {}
@@ -156,9 +158,22 @@ def extract_file_sums(
         per_col: Dict[str, Tuple[int, int]] = {}
         for c in cols:
             arr = tbl.column(c)
+            typ = pf.schema_arrow.field(c).type
             n = len(arr) - arr.null_count
             if n == 0:
                 per_col[c] = (0, 0)
+                continue
+            if pa.types.is_decimal(typ):
+                # decimal128 accumulation is exact to precision 38; a
+                # true overflow raises and falls back to Python Decimal
+                import decimal as _d
+                try:
+                    s_dec = pc.sum(arr, min_count=0).as_py()
+                except Exception:
+                    s_dec = sum(
+                        (v for v in arr.to_pylist() if v is not None),
+                        _d.Decimal(0))
+                per_col[c] = (int(s_dec.scaleb(typ.scale)), n)
                 continue
             # vectorized kernels; Arrow's sum accumulates in int64 and
             # WRAPS silently on overflow, so prove overflow impossible

@@ -534,11 +534,26 @@ class IndexedParquetTable:
                                   columns=cols or None)
         return full_rows + df.filter(predicate.to_spark()).count()
 
+    def _sum_decoder(self, column: str):
+        """Stored catalog sums are raw ints for integer columns and
+        UNSCALED ints for decimal columns (lossless); this returns the
+        store->domain conversion for the column."""
+        from pyspark.sql import types as T
+
+        f = next((f for f in (self._schema.fields if self._schema else [])
+                  if f.name == column), None)
+        if f is not None and isinstance(f.dataType, T.DecimalType):
+            import decimal as _dec
+            scale = f.dataType.scale
+            return lambda s: _dec.Decimal(s).scaleb(-scale)
+        return lambda s: s
+
     def sum_rows(self, column: str, predicate: Optional[Expr] = None):
-        """(sum, non_null_count) of an integer column over matching
-        rows, pushed into the catalog the same way count_rows is: the
-        opt-in per-row-group sums (``sum_columns=[...]`` at
-        construction; exact Python-int arithmetic end to end) answer
+        """(sum, non_null_count) of an integer or decimal column over
+        matching rows, pushed into the catalog the same way count_rows
+        is: the opt-in per-row-group sums (``sum_columns=[...]`` at
+        construction; exact integer arithmetic end to end — decimal
+        sums ride as unscaled ints and rescale on readout) answer
         every satisfaction-proven row group unread, and only the
         boundary groups scan — SUM over a sorted time/key range reads
         two row groups at any corpus size, and the no-predicate total
@@ -551,6 +566,7 @@ class IndexedParquetTable:
         from pyspark.sql import functions as F
 
         sums = self.catalog.get_sums(column)
+        decode = self._sum_decoder(column)
 
         def _scan_agg(df) -> tuple:
             row = df.agg(
@@ -572,7 +588,7 @@ class IndexedParquetTable:
                 self.last_sum_pushdown = {
                     "full_row_groups": len(sums), "full_sum": s,
                     "partial_row_groups": 0}
-                return (s if n else None), n
+                return (decode(s) if n else None), n
             self.last_sum_pushdown = None
             return _scan_agg(self.to_df())
         decision = self.plan_scan(predicate)
@@ -604,7 +620,7 @@ class IndexedParquetTable:
             "full_row_groups": full_rgs, "full_sum": s_full,
             "partial_row_groups": sum(len(v) for v in partial.values())}
         if not partial:
-            return (s_full if n_full else None), n_full
+            return (decode(s_full) if n_full else None), n_full
         partial_decision = ScanDecision(
             decision.predicate, partial, decision.total_files,
             decision.total_row_groups)
@@ -612,7 +628,7 @@ class IndexedParquetTable:
         df = self._read_rowgroups(partial_decision, predicate, columns=cols)
         s_part, n_part = _scan_agg(df.filter(predicate.to_spark()))
         n = n_full + n_part
-        s = (s_full + (s_part or 0)) if n else None
+        s = (decode(s_full) + (s_part or 0)) if n else None
         return s, n
 
     def count_upper_bound(self, predicate: Optional[Expr] = None) -> int:
@@ -765,6 +781,7 @@ class IndexedParquetTable:
         except KeyError:
             return None
         sums = self.catalog.get_sums(sum_column)
+        decode = self._sum_decoder(sum_column)
         out: Dict = {}
         for key, (nc, lo, hi, _) in entries.items():
             if lo is None or lo != hi or (nc or 0) != 0:
@@ -777,7 +794,7 @@ class IndexedParquetTable:
             s, n = entry
             acc = out.get(lo, (0, 0))
             out[lo] = (acc[0] + s, acc[1] + n)
-        return out
+        return {k: (decode(s), n) for k, (s, n) in out.items()}
 
     def min_max(self, column: str, predicate: Optional[Expr] = None):
         """(min, max) for an indexed column, answered from the catalog

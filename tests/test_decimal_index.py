@@ -104,6 +104,32 @@ def test_decimal_minmax_backend_equivalence(dec_dir, spark):
     assert t_df.last_minmax_pushdown["partial_row_groups"] == 0
 
 
+def test_decimal_sum_pushdown(dec_dir, spark):
+    """Round 5: sum_columns accepts decimal columns — sums ride the
+    catalog as UNSCALED ints and rescale to exact Decimal on readout;
+    the no-predicate total is pure catalog arithmetic and a refutable
+    range sums boundary-free groups unread."""
+    t = IndexedParquetTable(spark, dec_dir, index_columns=["price"],
+                            sum_columns=["price"])
+    s, n = t.sum_rows("price")
+    expect = sum(p for p in [
+        D("1.00"), D("2.50"), D("3.75"), D("4.99"), D("5.00"),
+        D("100.00"), D("150.25"), D("175.50"), D("199.99"), D("200.00"),
+        D("1000.01"), D("1250.00"), D("1499.99"), D("1500.00"),
+        D("42.42"), D("42.42"), D("42.42"), D("42.42"), D("42.42")])
+    assert (s, n) == (expect, 19)
+    assert isinstance(s, decimal.Decimal)
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+
+    # predicated: the rg-0 interval [1.00, 5.00] satisfies < 50 fully…
+    s2, n2 = t.sum_rows("price", col("price") < D("50"))
+    assert (s2, n2) == (D("1.00") + D("2.50") + D("3.75") + D("4.99")
+                        + D("5.00") + 5 * D("42.42"), 10)
+    # …but decimal satisfaction never fires (widened bounds), so the
+    # answer comes from candidate-group scans — correctness over speed
+    assert t.last_sum_pushdown["full_row_groups"] == 0
+
+
 def test_decimal_int_literal_predicates(dec_dir, spark):
     """Plain int/float literals against a decimal column prune too."""
     t = IndexedParquetTable(spark, dec_dir, index_columns=["price"])

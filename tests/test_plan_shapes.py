@@ -92,6 +92,18 @@ def test_embedding_lsh_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivfpq_no_cartesian_no_python(spark, sf_dir):
+    """The IVFPQ composition must stay an equi-join on the probed cell
+    (qc == cc) with pure-JVM integer ADC math — no cartesian product,
+    no Python UDF anywhere in the plan."""
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        sim_ivfpq_topk,
+    )
+    plan = _plan(sim_ivfpq_topk(spark, str(sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_incremental_dedup_no_cartesian(spark, sf_dir):
     from datafusion_async_parquet_index_spark.operators.dedup import (
         dedup_incremental,

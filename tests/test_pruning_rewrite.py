@@ -124,9 +124,20 @@ def test_arithmetic_depth1_folds():
 
 
 def test_arithmetic_unfoldable_keeps_all():
-    # division and col-col arithmetic still degrade to conservative TRUE
-    assert survivors((col("value") / 2) == 37) == [0, 1, 2, 3, 4]
+    # col-col arithmetic still degrades to conservative TRUE
     assert survivors((col("value") + col("value")) == 150) == [0, 1, 2, 3, 4]
+
+
+def test_division_folds():
+    # round 5: TRUE division folds onto the column — value / 2 = 37.5
+    # has no integer preimage for = 37? no: c / 2 = 37 <-> c = 74,
+    # same survivors as the plain equality at 74
+    assert survivors((col("value") / 2) == 37) == survivors(
+        col("value") == 74)
+    # and the modulo identity window: value % 10000 < 20 behaves like
+    # value < 20 for groups proven inside |value| < 10000
+    assert survivors((col("value") % 10000) < 20) == survivors(
+        col("value") < 20)
 
 
 def test_case_literal_arm_prunes_via_condition():

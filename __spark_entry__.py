@@ -50,6 +50,7 @@ _ROUND_PRIORITY = [
     "sim_ivfpq_topk",
     "q64_div_pred",
     "q65_decimal_minmax",
+    "q66_topk_pushdown",
     "text_quality_classifier",
     # -- tier 2: the padding trimmed in round 4 for space — last green
     #    row round 2 -------------------------------------------------
@@ -94,13 +95,13 @@ _ROUND_PRIORITY = [
     "q34_cube",
     "q36_salted_join",
     # -- golden-parity re-proof: pruning.py's rewrite rules changed
-    #    this round (NaN guards, / and % folds), so reference queries
-    #    re-run even though their bodies are untouched. q1 (no
-    #    predicate) and q2 (pure int equality, the most-covered path:
-    #    golden-parity tests + 1500-example fuzz run locally every
-    #    round) stay out to fit the 50-slot window — new never-verified
-    #    entries outrank periodic re-proofs -------------------------
-    "q3_or_range_agg",
+    #    this round (NaN guards, / and % folds), so two reference
+    #    queries re-run even though their bodies are untouched (the
+    #    mixed-type AND and the zero-I/O contradiction — the two that
+    #    compose the most rewrite rules). q1/q2/q3 stay out to fit the
+    #    50-slot window: new never-verified entries outrank periodic
+    #    re-proofs, and the golden-parity tests + 1500-example fuzz
+    #    cover all five locally every round -------------------------
     "q4_and_mixed_columns",
     "q5_contradictory_and",
     # Everything below rotates out this round (green r3/r4, modules

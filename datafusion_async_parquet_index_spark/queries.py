@@ -1528,6 +1528,27 @@ def q65_decimal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_ep DOUBLE, max_ep DOUBLE, n_rows BIGINT")
 
 
+def q66_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopK (ORDER BY + LIMIT) pushdown through the index
+    (table.order_limit) — the ordering generalization of the
+    reference's LIMIT flow-through (main.rs:285): over the cents-sorted
+    layout, the 10 most expensive orders read ONLY the top row groups
+    (every group guarantees row_count - null_count values >= its min,
+    so accumulating guaranteed counts yields a threshold below which no
+    group can hold a top-k row). The assert pins the pruning; the
+    residual sort makes the answer exact, and the oracle recomputes the
+    top-10 with the identical NULLS LAST + tiebreak ordering."""
+    t = _cents_orders(spark, sf_dir)
+    df = t.order_limit("price_cents", 10, tiebreak=["o_orderkey"])
+    rows = df.collect()
+    pd = t.last_topk_pushdown
+    assert pd["threshold"] is not None, pd
+    assert pd["scanned_row_groups"] < pd["candidate_row_groups"], pd
+    return spark.createDataFrame(
+        [(r["o_orderkey"], r["price_cents"]) for r in rows],
+        "o_orderkey BIGINT, price_cents BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -1594,6 +1615,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_group_sum_pushdown": q63_group_sum_pushdown,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
+    "q66_topk_pushdown": q66_topk_pushdown,
 }
 
 
@@ -2214,6 +2236,14 @@ RELATIONAL_ORACLE["q64_div_pred"] = """
            CAST(COUNT(*) FILTER (WHERE cents % 100 >= 100) AS BIGINT)
                AS n_impossible
     FROM c
+"""
+
+RELATIONAL_ORACLE["q66_topk_pushdown"] = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY price_cents DESC NULLS LAST, o_orderkey ASC
+    LIMIT 10
 """
 
 RELATIONAL_ORACLE["q65_decimal_minmax"] = """

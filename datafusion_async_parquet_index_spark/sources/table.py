@@ -897,6 +897,110 @@ class IndexedParquetTable:
                 mx = hi if mx is None or hi > mx else mx
         return mn, mx
 
+    def order_limit(
+        self,
+        column: str,
+        k: int,
+        descending: bool = True,
+        tiebreak: Sequence[str] = (),
+        predicate: Optional[Expr] = None,
+    ) -> DataFrame:
+        """ORDER BY column LIMIT k through the index — TopK pushdown,
+        the ordering generalization of the reference's plain LIMIT
+        flow-through (main.rs:285): most row groups provably cannot
+        hold a top-k row and are never read.
+
+        Threshold derivation (descending; ascending mirrors): every
+        group guarantees (row_count - null_count) values >= its MIN, so
+        sorting group mins descending and accumulating those guaranteed
+        counts until >= k yields a bound t with at least k values >= t
+        in the table — the true k-th value is >= t, and only groups
+        whose MAX >= t can contribute. Groups with missing stats always
+        scan; if fewer than k non-null values are guaranteed the whole
+        candidate set scans (NULL rows may then appear in the tail,
+        Spark orders them last). Widened decimal bounds stay sound
+        (wider => keeps more); float columns prune only when PROVEN
+        NaN-free (``nan_count_columns``) because an invisible NaN
+        outranks every stats-visible value. The residual orderBy+limit
+        re-sorts scanned rows exactly, so pruning is (as everywhere)
+        an optimization, never a semantics change.
+
+        NULL ordering: NULLS LAST in BOTH directions (explicit sort
+        flags — Spark's bare ASC would put NULLs first while DuckDB
+        puts them last; the explicit form is the one semantics both
+        engines express identically, and the one the pruning analysis
+        assumes).
+
+        ``last_topk_pushdown`` records {threshold, scanned_row_groups,
+        candidate_row_groups}. At 100 TB: top-k by time or score reads
+        the few tail row groups of a sorted layout instead of the
+        corpus."""
+        from pyspark.sql import functions as F
+
+        order = [F.col(column).desc_nulls_last() if descending
+                 else F.col(column).asc_nulls_last()]
+        order += [F.col(c).asc_nulls_last() for c in tiebreak]
+        if getattr(self, "partitioned", False):
+            # the row-group reader cannot surface partition columns;
+            # partitioned layouts fall back to the pruned native scan
+            self.last_topk_pushdown = None
+            df = self.query(predicate) if predicate is not None \
+                else self.to_df()
+            return df.orderBy(*order).limit(k)
+        decision = self.plan_scan(predicate) if predicate is not None \
+            else self.plan_scan(None)
+        candidates = [(fn, rg) for fn, rgs in decision.files_scanned.items()
+                      for rg in rgs]
+        try:
+            entries = self.catalog.column_rg_entries_keyed(column)
+        except KeyError:
+            entries = None
+        nan_safe = (self.index_schema.get(column) != "float"
+                    or self._column_nan_free(column))
+        keep = candidates
+        threshold = None
+        if entries is not None and nan_safe and candidates:
+            guaranteed = []
+            for key in candidates:
+                nc, lo, hi, rc = entries.get(key, (None, None, None, None))
+                if lo is not None:
+                    guaranteed.append(((lo if descending else hi),
+                                       rc - (nc or 0)))
+            guaranteed.sort(key=lambda g: g[0], reverse=descending)
+            acc = 0
+            for bound, nn in guaranteed:
+                acc += nn
+                if acc >= k:
+                    threshold = bound
+                    break
+            if threshold is not None:
+                keep = []
+                for key in candidates:
+                    nc, lo, hi, rc = entries.get(
+                        key, (None, None, None, None))
+                    edge = hi if descending else lo
+                    if edge is None or (edge >= threshold if descending
+                                        else edge <= threshold):
+                        keep.append(key)
+        pruned: Dict[str, List[int]] = {}
+        for fn, rg in keep:
+            pruned.setdefault(fn, []).append(rg)
+        topk_decision = ScanDecision(
+            f"TOPK({column} {'DESC' if descending else 'ASC'} LIMIT {k})"
+            + (f" AND {decision.predicate}" if predicate is not None else ""),
+            {fn: sorted(rgs) for fn, rgs in pruned.items()},
+            decision.total_files, decision.total_row_groups)
+        self.last_scan = topk_decision
+        self.scan_history.append(topk_decision)
+        self.last_topk_pushdown = {
+            "threshold": threshold,
+            "scanned_row_groups": topk_decision.row_groups_scanned,
+            "candidate_row_groups": len(candidates)}
+        df = self._read_rowgroups(topk_decision, predicate)
+        if predicate is not None:
+            df = df.filter(predicate.to_spark())
+        return df.orderBy(*order).limit(k)
+
     def describe_index(self) -> Dict:
         """DESCRIBE-style catalog readout — the observability a 100 TB
         operator pages on: what is indexed, how fresh, how complete.

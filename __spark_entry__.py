@@ -51,6 +51,7 @@ _ROUND_PRIORITY = [
     "q64_div_pred",
     "q65_decimal_minmax",
     "q66_topk_pushdown",
+    "q67_group_minmax",
     "text_quality_classifier",
     # -- tier 2: the padding trimmed in round 4 for space — last green
     #    row round 2 -------------------------------------------------
@@ -95,14 +96,13 @@ _ROUND_PRIORITY = [
     "q34_cube",
     "q36_salted_join",
     # -- golden-parity re-proof: pruning.py's rewrite rules changed
-    #    this round (NaN guards, / and % folds), so two reference
-    #    queries re-run even though their bodies are untouched (the
-    #    mixed-type AND and the zero-I/O contradiction — the two that
-    #    compose the most rewrite rules). q1/q2/q3 stay out to fit the
-    #    50-slot window: new never-verified entries outrank periodic
-    #    re-proofs, and the golden-parity tests + 1500-example fuzz
-    #    cover all five locally every round -------------------------
-    "q4_and_mixed_columns",
+    #    this round (NaN guards, / and % folds), so the reference query
+    #    that composes the most rewrite rules (the zero-I/O
+    #    contradiction: AND + both comparison directions + mixed types)
+    #    re-runs even though its body is untouched. q1-q4 stay out to
+    #    fit the 50-slot window: new never-verified entries outrank
+    #    periodic re-proofs, and the golden-parity tests + 1500-example
+    #    fuzz cover all five locally every round ------------------
     "q5_contradictory_and",
     # Everything below rotates out this round (green r3/r4, modules
     # untouched since their rows). ROUND-6 PLAN: tier 1 = any red/new

@@ -1438,17 +1438,10 @@ def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATUS_CENTS_ENV = "SPARK_GRAFT_STATUS_CENTS_LAYOUT"
 
 
-def q63_group_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-I/O GROUP BY SUM (table.sum_rows_by): orders written once
-    per corpus as a hive layout partitioned by status with an exact
-    integer cents measure and per-row-group sums in the catalog —
-    revenue per status then folds entirely from the index (every row
-    group is single-valued on the partition column and carries a
-    stored sum), with no executor started. This is the aggregate-table
-    readout a lakehouse otherwise maintains as a materialized view;
-    here the index IS the view, kept current by the same transactional
-    per-file upsert as the stats. The oracle recomputes the grouped
-    sums the hard way, so the catalog arithmetic must be value-exact."""
+def _status_cents_orders(spark: SparkSession, sf_dir: str):
+    """Orders written once per corpus as a hive layout partitioned by
+    status with an exact integer cents measure and per-row-group sums —
+    shared by q63 (grouped SUM) and q67 (grouped MIN/MAX)."""
     from .operators.util import artifact_dir, ensure_complete, session_memo
 
     layout = artifact_dir(
@@ -1469,6 +1462,21 @@ def q63_group_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = memo[layout] = IndexedParquetTable(
             spark, layout, index_columns=["price_cents"],
             partitioned=True, sum_columns=["price_cents"])
+    return t
+
+
+def q63_group_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-I/O GROUP BY SUM (table.sum_rows_by): orders written once
+    per corpus as a hive layout partitioned by status with an exact
+    integer cents measure and per-row-group sums in the catalog —
+    revenue per status then folds entirely from the index (every row
+    group is single-valued on the partition column and carries a
+    stored sum), with no executor started. This is the aggregate-table
+    readout a lakehouse otherwise maintains as a materialized view;
+    here the index IS the view, kept current by the same transactional
+    per-file upsert as the stats. The oracle recomputes the grouped
+    sums the hard way, so the catalog arithmetic must be value-exact."""
+    t = _status_cents_orders(spark, sf_dir)
     groups = t.sum_rows_by("o_orderstatus", "price_cents")
     assert groups is not None, "partition layout must fold from catalog"
     rows = [(k, s, n) for k, (s, n) in sorted(groups.items())]
@@ -1526,6 +1534,25 @@ def q65_decimal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(mn), float(mx), n)],
         "min_ep DOUBLE, max_ep DOUBLE, n_rows BIGINT")
+
+
+def q67_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-I/O GROUP BY MIN/MAX (table.min_max_by): over the
+    status-partitioned cents layout every row group is single-valued on
+    the partition column and the int measure's footer bounds are exact
+    attained values, so per-status price extremes (and non-null counts)
+    fold entirely from the catalog — completing the grouped
+    aggregate-pushdown family (COUNT q51 / SUM q63 / MIN-MAX here):
+    COUNT, SUM, MIN, MAX, and AVG = SUM/COUNT all answerable with no
+    executor started. The oracle recomputes the grouped extremes the
+    hard way."""
+    t = _status_cents_orders(spark, sf_dir)
+    groups = t.min_max_by("o_orderstatus", "price_cents")
+    assert groups is not None, "partition layout must fold from catalog"
+    rows = [(k, mn, mx, n) for k, (mn, mx, n) in sorted(groups.items())]
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, min_cents BIGINT, "
+              "max_cents BIGINT, n BIGINT")
 
 
 def q66_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1616,6 +1643,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
+    "q67_group_minmax": q67_group_minmax,
 }
 
 
@@ -2236,6 +2264,19 @@ RELATIONAL_ORACLE["q64_div_pred"] = """
            CAST(COUNT(*) FILTER (WHERE cents % 100 >= 100) AS BIGINT)
                AS n_impossible
     FROM c
+"""
+
+RELATIONAL_ORACLE["q67_group_minmax"] = """
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(COUNT(cents) AS BIGINT) AS n
+    FROM c GROUP BY o_orderstatus
 """
 
 RELATIONAL_ORACLE["q66_topk_pushdown"] = """

@@ -796,6 +796,46 @@ class IndexedParquetTable:
             out[lo] = (acc[0] + s, acc[1] + n)
         return {k: (decode(s), n) for k, (s, n) in out.items()}
 
+    def min_max_by(self, group_column: str, target_column: str):
+        """Zero-I/O GROUP BY MIN/MAX: {group value: (min, max, count)}
+        answered from the catalog alone when EVERY row group is
+        single-valued on the group column (partition columns, perfectly
+        clustered layouts) AND the target column's bounds are trusted
+        as attained values in every group — the MIN/MAX sibling of
+        count_rows_by/sum_rows_by, completing the grouped
+        aggregate-pushdown family (COUNT/SUM/MIN/MAX, the index as the
+        materialized view). count is the target's NON-NULL count
+        (row_count - null_count, SQL MIN/MAX semantics); a group whose
+        target is all-NULL contributes (None, None, 0) bounds-free.
+        Returns None when any row group fails a trust condition (caller
+        falls back to a scan aggregate). O(catalog) driver-side fold."""
+        try:
+            groups = self.catalog.column_rg_entries_keyed(group_column)
+            targets = self.catalog.column_rg_entries_keyed(target_column)
+        except KeyError:
+            return None
+        out: Dict = {}
+        for key, (gnc, glo, ghi, _) in groups.items():
+            if glo is None or glo != ghi or (gnc or 0) != 0:
+                return None
+            if not self._bound_is_exact(group_column, glo):
+                return None
+            tnc, tlo, thi, trc = targets.get(key, (None, None, None, None))
+            mn, mx, n = out.get(glo, (None, None, 0))
+            if tlo is not None and thi is not None:
+                if not (self._bound_is_exact(target_column, tlo)
+                        and self._bound_is_exact(target_column, thi)):
+                    return None
+                mn = tlo if mn is None or tlo < mn else mn
+                mx = thi if mx is None or thi > mx else mx
+            elif not (tnc is not None and trc is not None and tnc == trc):
+                # bounds merely MISSING (not proven all-NULL): no
+                # catalog answer for this group's extremes
+                return None
+            n += (trc or 0) - (tnc or 0)
+            out[glo] = (mn, mx, n)
+        return out
+
     def min_max(self, column: str, predicate: Optional[Expr] = None):
         """(min, max) for an indexed column, answered from the catalog
         when every row group carries stats AND the bounds are trustable

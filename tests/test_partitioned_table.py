@@ -262,6 +262,28 @@ def test_count_rows_by_catalog_only(spark, part_table, part_dir):
     assert part_table.count_rows_by("no_such") is None
 
 
+def test_min_max_by_catalog_only(spark, part_table, part_dir):
+    """Grouped MIN/MAX from the catalog alone: per-partition int-column
+    extremes match a real scan aggregate; float targets without
+    NaN-free proof return None (trust contract); NULL-bearing targets
+    count only non-nulls."""
+    t = IndexedParquetTable(
+        spark, part_dir, index_columns=["o_custkey"], partitioned=True)
+    got = t.min_max_by("o_orderstatus", "o_custkey")
+    assert got is not None
+    expect = {r["o_orderstatus"]: (r["mn"], r["mx"], r["n"]) for r in
+              spark.read.parquet(part_dir)
+              .groupBy("o_orderstatus")
+              .agg(F.min("o_custkey").alias("mn"),
+                   F.max("o_custkey").alias("mx"),
+                   F.count("o_custkey").alias("n")).collect()}
+    assert got == expect
+    # float target: footer bounds are NaN-blind, not trusted -> None
+    assert part_table.min_max_by("o_orderstatus", "o_totalprice") is None
+    # non-single-valued group column -> None
+    assert t.min_max_by("o_custkey", "o_custkey") is None
+
+
 def test_full_scan_and_count_rows(spark, part_table, part_dir):
     plain = spark.read.parquet(part_dir).count()
     assert part_table.count_rows() == plain

@@ -28,7 +28,12 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-R = 10  # replicas
+# replica count (default 10 = one decade up). The exact-duplicate
+# cliques replication creates are quadratic for PAIR-MATERIALIZING
+# oracle SQL (each clique of R yields R*(R-1)/2 candidate pairs in the
+# DuckDB twin), so clique-heavy dedup oracles use a milder factor via
+# SF1_REPLICAS while the Spark side runs the full 10x.
+R = int(os.environ.get("SF1_REPLICAS", "10"))
 
 # per-table key columns to shift by replica * (10^ceil(log10(max+1)))
 SHIFT_KEYS = {

@@ -1092,6 +1092,12 @@ class IndexedParquetTable:
                     complete and self._bound_is_exact(col, mn)
                     and self._bound_is_exact(col, mx)),
             }
+            if cat == "float":
+                # NaN accounting status: True = proven NaN-free (opt-in
+                # counts recorded, all zero), False = NaN present or
+                # unknown — the reason a float's bounds_exact may be
+                # False despite complete stats
+                out["columns"][col]["nan_free"] = self._column_nan_free(col)
         return out
 
     # -- convenience ---------------------------------------------------

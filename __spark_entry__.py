@@ -53,6 +53,7 @@ _ROUND_PRIORITY = [
     "q66_topk_pushdown",
     "q67_group_minmax",
     "text_quality_classifier",
+    "sim_range_search",
     # -- tier 2: the padding trimmed in round 4 for space — last green
     #    row round 2 -------------------------------------------------
     "text_stratified_sample",
@@ -95,15 +96,12 @@ _ROUND_PRIORITY = [
     "q33_range_join",
     "q34_cube",
     "q36_salted_join",
-    # -- golden-parity re-proof: pruning.py's rewrite rules changed
-    #    this round (NaN guards, / and % folds), so the reference query
-    #    that composes the most rewrite rules (the zero-I/O
-    #    contradiction: AND + both comparison directions + mixed types)
-    #    re-runs even though its body is untouched. q1-q4 stay out to
-    #    fit the 50-slot window: new never-verified entries outrank
-    #    periodic re-proofs, and the golden-parity tests + 1500-example
-    #    fuzz cover all five locally every round ------------------
-    "q5_contradictory_and",
+    # -- (q1-q5 golden re-proofs rotated fully out this round: new
+    #    never-verified entries outrank periodic re-proofs, their
+    #    bodies are untouched, and the golden-parity tests +
+    #    1500-example fuzz + the 142-green local sweep cover the
+    #    reference queries every round; they lead the ROUND-6 padding
+    #    tail) ------------------------------------------------------
     # Everything below rotates out this round (green r3/r4, modules
     # untouched since their rows). ROUND-6 PLAN: tier 1 = any red/new
     # entries; tier 2 = the r3-green families (dedup_*, sim_*, ev_*,

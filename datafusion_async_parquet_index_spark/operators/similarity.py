@@ -189,6 +189,91 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_COS = 0.1   # cosine radius for the range-search operator
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search — the OTHER standard vector-search query
+    type next to top-k: every candidate within cosine >= RANGE_COS of
+    each query, with an exact-cosine threshold instead of a rank cut.
+    This is the query shape near-duplicate REMOVAL actually issues
+    ("everything within radius of this item"), where top-k would
+    truncate large duplicate clusters arbitrarily. Candidates come
+    from the query's NPROBE nearest IVF cells (the same multi-probe
+    assignment sim_ivf_nprobe_topk uses — cell-mates are
+    direction-close, which is what a cosine radius selects for; the
+    single-key LSH bucket table is too selective for radius work at
+    practical plane counts). Never all-pairs; recall < 1 by design and
+    the oracle replicates the same cell pipeline, so the check is
+    exact. Output carries the per-query match count so result sizes
+    are auditable per query."""
+    vec = _corpus_vectors(spark, sf_dir)
+    cells = _corpus_ivf_cells(spark, sf_dir, NPROBE)
+    assigned = vec.join(cells.filter(F.col("probe_rank") == 1)
+                        .select("vec_id", "cell"), "vec_id")
+    q = (vec.join(cells.select("vec_id", "cell"), "vec_id")
+         .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+                 F.col("cell").alias("qc")))
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), F.col("cell").alias("cc"))
+    pairs = c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
+                   & (F.col("query_id") != F.col("cand_id")))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    within = (pairs.select("query_id", "cand_id", cos.alias("cosine"))
+              .filter(F.col("cosine") >= RANGE_COS))
+    w = Window.partitionBy("query_id")
+    return (within
+            .withColumn("n_within", F.count(F.lit(1)).over(w)
+                        .cast("bigint"))
+            .select("query_id", "cand_id", "cosine", "n_within"))
+
+
+def _range_search_sql() -> str:
+    return f"""
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+        FROM n WHERE vec_id % {IVF_CENTROID_MOD} = 1
+    ), assign_scored AS (
+        SELECT n.vec_id, cent_id,
+               ROUND(list_dot_product(e, ce) / (nrm * cn), 6) AS cos
+        FROM n CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_id AS cell, rn AS probe_rank FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id ASC) AS rn
+            FROM assign_scored) t
+        WHERE rn <= {NPROBE}
+    ), q AS (
+        SELECT n.vec_id AS query_id, e AS qe, nrm AS qn, cell AS qc
+        FROM n JOIN cells ON cells.vec_id = n.vec_id
+        WHERE n.vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT n.vec_id AS cand_id, e AS ce, nrm AS cn, cell AS cc
+        FROM n JOIN cells ON cells.vec_id = n.vec_id
+                         AND cells.probe_rank = 1
+    ), within AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine
+        FROM c JOIN q ON qc = cc AND query_id != cand_id
+    ), filtered AS (
+        SELECT * FROM within WHERE cosine >= {RANGE_COS}
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+               AS n_within
+    FROM filtered
+    """
+
+
 # -- IVF-bucketed variant ---------------------------------------------------
 # Coarse quantizer: vectors with vec_id % IVF_CENTROID_MOD == 1 act as the
 # "trained" centroid set (deterministic stand-in for k-means — at 100 TB the
@@ -1185,6 +1270,7 @@ def _recall_sql() -> str:
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_range_search": sim_range_search,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_nprobe_topk": sim_ivf_nprobe_topk,
     "sim_ivf_layout_topk": sim_ivf_layout_topk,
@@ -1199,6 +1285,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_lsh_topk": _lsh_sql(),
+    "sim_range_search": _range_search_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_ivf_nprobe_topk": SIM_IVF_NPROBE_SQL,
     # row-identical to sim_ivf_topk at nprobe=1 by construction — the

@@ -452,10 +452,48 @@ class PruningRewriter:
     #   |rem| < |k| in both Spark and DuckDB — the remainder range
     #   refutes statically and the |c| < |k| identity region folds
     #   onto the raw column (_fold_mod).  ``k / c`` and ``k % c`` are
-    #   non-monotone around c = 0 and degrade to TRUE, as does nested
-    #   arithmetic.
+    #   non-monotone around c = 0 and degrade to TRUE.
+    # * NESTED chains ``((c OP k1) OP k2 ...) CMP v`` over + - * << >>
+    #   fold too (_fold_chain): exact interval preimages pull the
+    #   comparison back level by level, and a single certified no-wrap
+    #   window on the raw column (every level's safe input window
+    #   intersected) guards the whole chain. Depth capped at
+    #   _CHAIN_MAX_DEPTH; chains touching / or % degrade to TRUE.
 
     _FOLD_OPS = ("+", "-", "*", "<<", ">>", "/", "%")
+
+    _CHAIN_MAX_DEPTH = 4
+
+    def _parse_chain(self, e: Expr):
+        """Normalize nested arithmetic over ONE int column into
+        (column_name, [(op, k, k_left), ...] INNER-to-OUTER), or None.
+        Only + - * << >> participate in chains (each has an exact
+        integer interval preimage); / and % stay depth-1, handled by
+        their dedicated folds."""
+        ops = []
+        while isinstance(e, BinOp) and e.op in ("+", "-", "*", "<<", ">>"):
+            if len(ops) >= self._CHAIN_MAX_DEPTH:
+                return None
+            a, b = e.left, e.right
+            if isinstance(b, Lit) and not isinstance(a, Lit):
+                k, k_left, inner = b.value, False, a
+            elif (isinstance(a, Lit) and not isinstance(b, Lit)
+                  and e.op in ("+", "-", "*")):
+                k, k_left, inner = a.value, True, b
+            else:
+                return None
+            if isinstance(k, bool) or not isinstance(k, int):
+                return None
+            if e.op in ("<<", ">>") and not (0 <= k <= 30):
+                return None
+            ops.append((e.op, k, k_left))
+            e = inner
+        if not ops or not isinstance(e, Col):
+            return None
+        if self.indexed.get(e.name) != "int":
+            return None
+        ops.reverse()
+        return e.name, ops
 
     def _fold_arith(self, e: BinOp) -> Expr:
         l, r = e.left, e.right
@@ -474,6 +512,10 @@ class PruningRewriter:
             c, k, k_left = a, b.value, False
         elif isinstance(a, Lit) and isinstance(b, Col) and l.op in ("+", "-", "*"):
             c, k, k_left = b, a.value, True
+        elif l.op in ("+", "-", "*", "<<", ">>"):
+            # NESTED arithmetic: ((c OP k1) OP k2 ...) CMP v — fold the
+            # whole chain with exact interval preimages (round 5)
+            return self._fold_chain(l, e.op, v)
         else:
             return TRUE
         if isinstance(k, bool) or not isinstance(k, int):
@@ -716,6 +758,166 @@ class PruningRewriter:
             return TRUE
         outside = (_min(cname) < Lit(-r)) | (_max(cname) > Lit(r))
         return _guard(cname, outside | ident)
+
+    # -- nested arithmetic chains (round 5) ---------------------------
+    #
+    # ``((c OP k1) OP k2 ...) CMP v`` with each OP in + - * << >>:
+    # the comparison interval pulls back through the chain with EXACT
+    # integer preimages (each op's preimage of an interval is an
+    # interval, exact in both directions), valid wherever no level
+    # wraps. Wrap safety is certified by ONE window R on the raw
+    # column: the intersection of every level's no-wrap input window
+    # pulled back to c; groups whose stats may leave R are kept
+    # unconditionally (the same conservative int32-width posture as the
+    # depth-1 guards — a 64-bit column with huge values merely stays
+    # unpruned, never refuted).
+
+    @staticmethod
+    def _safe_window(op: str, k: int, k_left: bool):
+        """No-wrap INPUT window for one op (conservative int32 result
+        bounds; None = unbounded side). >> is total."""
+        if op == "+":
+            return (_I32_MIN - k, _I32_MAX - k)
+        if op == "-":
+            if k_left:  # k - x
+                return (k - _I32_MAX, k - _I32_MIN)
+            return (_I32_MIN + k, _I32_MAX + k)
+        if op == "*":
+            if k == 0:
+                return (None, None)  # constant 0: never wraps
+            if k > 0:
+                return (_ceildiv(_I32_MIN, k), _I32_MAX // k)
+            return (_ceildiv(_I32_MAX, k), _I32_MIN // k)
+        if op == "<<":
+            return (_I32_MIN >> k, _I32_MAX >> k)
+        return (None, None)
+
+    @staticmethod
+    def _pre_interval(op: str, k: int, k_left: bool, iv):
+        """EXACT integer preimage of output interval iv=(lo,hi) under
+        one non-wrapping op: x maps into iv  <=>  x in the result.
+        Returns "empty" when no input can reach iv."""
+        if iv == "empty":
+            return "empty"
+        lo, hi = iv
+        if op == "+":
+            return (None if lo is None else lo - k,
+                    None if hi is None else hi - k)
+        if op == "-":
+            if k_left:  # k - x in [lo, hi]  <=>  x in [k-hi, k-lo]
+                return (None if hi is None else k - hi,
+                        None if lo is None else k - lo)
+            return (None if lo is None else lo + k,
+                    None if hi is None else hi + k)
+        if op in ("*", "<<"):
+            m = k if op == "*" else (1 << k)
+            if m == 0:
+                inside = ((lo is None or lo <= 0)
+                          and (hi is None or hi >= 0))
+                return (None, None) if inside else "empty"
+            if m > 0:
+                out = (None if lo is None else _ceildiv(lo, m),
+                       None if hi is None else hi // m)
+            else:
+                out = (None if hi is None else _ceildiv(hi, m),
+                       None if lo is None else lo // m)
+        else:  # >> : floor division by 2^k
+            m = 1 << k
+            out = (None if lo is None else lo * m,
+                   None if hi is None else hi * m + (m - 1))
+        olo, ohi = out
+        if olo is not None and ohi is not None and olo > ohi:
+            return "empty"
+        return out
+
+    @staticmethod
+    def _iv_intersect(a, b):
+        if a == "empty" or b == "empty":
+            return "empty"
+        lo = a[0] if b[0] is None else (b[0] if a[0] is None
+                                        else max(a[0], b[0]))
+        hi = a[1] if b[1] is None else (b[1] if a[1] is None
+                                        else min(a[1], b[1]))
+        if lo is not None and hi is not None and lo > hi:
+            return "empty"
+        return (lo, hi)
+
+    def _fold_chain(self, l: BinOp, cmp: str, v: int) -> Expr:
+        parsed = self._parse_chain(l)
+        if parsed is None:
+            return TRUE
+        cname, ops = parsed
+        # certified no-wrap window R on the raw column: each level's
+        # safe input window pulled back through the levels below it
+        R = (None, None)
+        for i, (op, k, k_left) in enumerate(ops):
+            w = self._safe_window(op, k, k_left)
+            for pop, pk, pkl in reversed(ops[:i]):
+                w = self._pre_interval(pop, pk, pkl, w)
+            R = self._iv_intersect(R, w)
+            if R == "empty":
+                return TRUE  # nothing is certifiably wrap-free
+        guards = []
+        if R[0] is not None:
+            guards.append(_min(cname) < Lit(R[0]))
+        if R[1] is not None:
+            guards.append(_max(cname) > Lit(R[1]))
+
+        if cmp == "=":
+            iv = (v, v)
+        elif cmp == "<":
+            iv = (None, v - 1)
+        elif cmp == "<=":
+            iv = (None, v)
+        elif cmp == ">":
+            iv = (v + 1, None)
+        elif cmp == ">=":
+            iv = (v, None)
+        elif cmp == "!=":
+            # exact preimage of the point v: every c inside maps to v
+            # and nothing outside does, so != refutes exactly the
+            # single-interval-valued groups inside it
+            p = (v, v)
+            for op, k, k_left in reversed(ops):
+                p = self._pre_interval(op, k, k_left, p)
+            if p == "empty" or p[0] is None or p[1] is None:
+                return TRUE  # no (bounded) preimage: != never refutable
+            term: Expr = Not((_min(cname) >= Lit(p[0]))
+                             & (_max(cname) <= Lit(p[1])))
+            out = _guard(cname, term)
+            for g in guards:
+                out = out | g
+            return out
+        else:
+            return TRUE
+        for op, k, k_left in reversed(ops):
+            iv = self._pre_interval(op, k, k_left, iv)
+        if iv == "empty":
+            term = Lit(False)
+        else:
+            lo, hi = iv
+            if lo is not None and lo <= _I64_MIN:
+                lo = None
+            if hi is not None and hi >= _I64_MAX:
+                hi = None
+            if ((lo is not None and lo > _I64_MAX)
+                    or (hi is not None and hi < _I64_MIN)):
+                term = Lit(False)
+            else:
+                parts = []
+                if hi is not None:
+                    parts.append(_min(cname) <= Lit(hi))
+                if lo is not None:
+                    parts.append(_max(cname) >= Lit(lo))
+                if not parts:
+                    return TRUE
+                term = parts[0]
+                for pt in parts[1:]:
+                    term = term & pt
+        out = _guard(cname, term)
+        for g in guards:
+            out = out | g
+        return out
 
     def _sat_not(self, child: Expr) -> Expr:
         """Satisfaction of NOT x = satisfaction of x's exact negation;

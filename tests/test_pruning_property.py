@@ -198,6 +198,26 @@ def leaf():
     div_cmp = st.builds(
         lambda k, op, w: BinOp(op, BinOp("/", Col("v"), Lit(k)), Lit(w)),
         st.integers(-5, 5), st.sampled_from(CMP_OPS), st.integers(-12, 12))
+    # depth-2 chains: ((v OP1 k1) OP2 k2) CMP w — the nested fold's
+    # exact interval preimages + composed wrap window under fuzz.
+    # Shift amounts stay non-negative: Java MASKS negative shift
+    # amounts (s & 31/63) — semantics the rewriter degrades on and the
+    # Python evaluator cannot model (<< -1 raises).
+    chain_arith = st.sampled_from(["+", "-", "*", "<<", ">>"])
+
+    def _level(o, k, kl, inner):
+        k = abs(k) if o in ("<<", ">>") else k
+        if kl and o in ("+", "-", "*"):
+            return BinOp(o, Lit(k), inner)
+        return BinOp(o, inner, Lit(k))
+
+    chain_cmp = st.builds(
+        lambda o1, k1, kl1, o2, k2, kl2, op, w: BinOp(
+            op, _level(o2, k2, kl2, _level(o1, k1, kl1, Col("v"))),
+            Lit(w)),
+        chain_arith, st.integers(-4, 4), st.booleans(),
+        chain_arith, st.integers(-4, 4), st.booleans(),
+        st.sampled_from(CMP_OPS), st.integers(-40, 40))
     mod_cmp = st.builds(
         lambda k, op, w: BinOp(op, BinOp("%", Col("v"), Lit(k)), Lit(w)),
         st.integers(-5, 5), st.sampled_from(CMP_OPS), st.integers(-6, 6))
@@ -222,7 +242,7 @@ def leaf():
     return st.one_of(num_cmp, float_cmp, str_cmp, like, null, inlist,
                      date_cmp, ts_cmp, ts_date_cmp, bin_cmp,
                      arith_cmp, shift_cmp, div_cmp, mod_cmp,
-                     case_cmp, colcol_cmp)
+                     chain_cmp, case_cmp, colcol_cmp)
 
 
 predicates = st.recursive(
@@ -418,11 +438,11 @@ def test_arith_fold_overflow_guard_keeps_wrapping_groups():
 
 
 def test_arith_fold_unfoldable_degrades_true():
-    """Nested arithmetic, col-col arithmetic, literal-over-column
-    division/modulo, and float operands still degrade to TRUE."""
+    """Col-col arithmetic, float operands, out-of-range shifts,
+    literal-over-column division/modulo, and chains containing / or %
+    still degrade to TRUE."""
     rw = PruningRewriter({"v": "int"})
     cases = [
-        BinOp(">", BinOp("+", BinOp("+", Col("v"), Lit(1)), Lit(2)), Lit(5)),
         BinOp(">", BinOp("+", Col("v"), Col("v")), Lit(5)),
         BinOp(">", BinOp("<<", Col("v"), Lit(40)), Lit(5)),   # shift > 30
         BinOp(">", BinOp("+", Col("v"), Lit(1.5)), Lit(5)),   # float k
@@ -430,10 +450,55 @@ def test_arith_fold_unfoldable_degrades_true():
         BinOp(">", BinOp("/", Lit(10), Col("v")), Lit(5)),    # k / c
         BinOp(">", BinOp("%", Lit(10), Col("v")), Lit(5)),    # k % c
         BinOp(">", BinOp("/", Col("v"), Lit(2)), Lit(5.5)),   # float bound
+        # / nested inside a chain: stays depth-1-only
+        BinOp(">", BinOp("+", BinOp("/", Col("v"), Lit(2)), Lit(1)), Lit(5)),
     ]
     for e in cases:
         out = rw.rewrite(e)
         assert isinstance(out, Lit) and out.value is True, (e, out)
+
+
+def test_nested_arith_chain_folds():
+    """Round 5: depth-N + - * << >> chains fold with exact interval
+    preimages instead of degrading to TRUE."""
+    groups = [
+        # (row_count, null_count, min, max)
+        (4, 0, 0, 10),      # rg 0
+        (4, 0, 100, 200),   # rg 1
+        (4, 0, -50, -20),   # rg 2
+    ]
+    # (v + 1) * 2 > 300  <->  v > 149: only rg 1
+    assert _surviving_groups(
+        groups, BinOp(">", BinOp("*", BinOp("+", Col("v"), Lit(1)),
+                                 Lit(2)), Lit(300))) == {1}
+    # ((v * 2) - 10) <= -30  <->  v <= -10: only rg 2
+    assert _surviving_groups(
+        groups, BinOp("<=", BinOp("-", BinOp("*", Col("v"), Lit(2)),
+                                  Lit(10)), Lit(-30))) == {2}
+    # 100 - (v + 50) = 0  <->  v = 50... no group straddles 50 except
+    # none: rg0 max 10, rg1 min 100 -> refuted everywhere
+    assert _surviving_groups(
+        groups, BinOp("=", BinOp("-", Lit(100),
+                                 BinOp("+", Col("v"), Lit(50))),
+                      Lit(0))) == set()
+    # ((v >> 1) << 1) != v is col-col; instead: (v >> 1) + 1 = 6
+    # <-> v in [10, 11]: only rg 0
+    assert _surviving_groups(
+        groups, BinOp("=", BinOp("+", BinOp(">>", Col("v"), Lit(1)),
+                                 Lit(1)), Lit(6))) == {0}
+    # != with an exact chain preimage: (v + 1) * 2 != 8 <-> v != 3;
+    # single-valued-at-3 group refutes
+    groups2 = [(4, 0, 3, 3), (4, 0, 3, 4)]
+    assert _surviving_groups(
+        groups2, BinOp("!=", BinOp("*", BinOp("+", Col("v"), Lit(1)),
+                                   Lit(2)), Lit(8))) == {1}
+    # wrap guard: a group reaching the int32 range is kept even when
+    # the folded interval refutes it
+    big = 2**31 - 1
+    groups3 = [(4, 0, 0, big), (4, 0, 0, 10)]
+    assert _surviving_groups(
+        groups3, BinOp("<", BinOp("*", BinOp("+", Col("v"), Lit(1)),
+                                  Lit(2)), Lit(0))) == {0}
 
 
 def test_div_mod_fold_prunes():

@@ -129,6 +129,18 @@ def test_decimal_sum_pushdown(dec_dir, spark):
     # answer comes from candidate-group scans — correctness over speed
     assert t.last_sum_pushdown["full_row_groups"] == 0
 
+    # an INT predicate with a decimal MEASURE gets full pushdown: the
+    # satisfaction proof runs on the int column, the stored unscaled
+    # sums answer the proven groups unread
+    t2 = IndexedParquetTable(spark, dec_dir, index_columns=["id", "price"],
+                             sum_columns=["price"])
+    s3, n3 = t2.sum_rows("price", col("id") <= 9)
+    assert (s3, n3) == (D("1.00") + D("2.50") + D("3.75") + D("4.99")
+                        + D("5.00") + D("100.00") + D("150.25")
+                        + D("175.50") + D("199.99") + D("200.00"), 10)
+    assert t2.last_sum_pushdown["full_row_groups"] == 2
+    assert t2.last_sum_pushdown["partial_row_groups"] == 0
+
 
 def test_decimal_int_literal_predicates(dec_dir, spark):
     """Plain int/float literals against a decimal column prune too."""

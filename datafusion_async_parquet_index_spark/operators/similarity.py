@@ -1118,6 +1118,101 @@ def _ivfpq_sql(dim: int = 64) -> str:
     """
 
 
+IVFPQ_LAYOUT_ENV = "SPARK_GRAFT_IVFPQ_LAYOUT"
+
+
+def write_ivfpq_layout(spark: SparkSession, sf_dir: str,
+                       out_dir: str) -> None:
+    """The FAISS IVFPQ file layout on a lakehouse: per vector only its
+    M PQ codes, written under its nearest-cell directory
+    (``cell=<id>/``). An ANN probe then composes THREE prunings: the
+    directory structure is the coarse quantizer (partition pruning),
+    the codes column is the only column the approx stage reads (column
+    pruning: M small ints instead of the full vector), and the exact
+    re-rank fetches full vectors for just the bounded pool."""
+    vec, _ = _pq_corpus(spark, sf_dir)
+    cells = _corpus_ivf_cells(spark, sf_dir, 1).select("vec_id", "cell")
+    (vec.select("vec_id", "codes").join(cells, "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+
+
+def sim_ivfpq_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_ivfpq_topk`` served from the PHYSICAL code layout
+    (write_ivfpq_layout): the approx ADC stage scans ONLY the probed
+    ``cell=`` directories and ONLY their codes column — at 100 TB that
+    is nprobe/n_cells of the corpus times M bytes per vector, with the
+    full vectors touched just for the TOPK*PQ_CAND_FACTOR re-rank pool
+    (a broadcast-sized join back to the vector store). Same centroids,
+    codebooks, integer ADC, and tie-breaks as the logical operator, so
+    the result is row-identical and shares its oracle."""
+    import os
+
+    from .util import artifact_dir, ensure_complete
+
+    layout = artifact_dir(
+        IVFPQ_LAYOUT_ENV, "spark_graft_ivfpq_layout",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"mod={IVF_CENTROID_MOD}_m{PQ_M}k{PQ_K}")
+    memo = session_memo(spark, "ivfpq_layout")
+    out = memo.get(layout)
+    if out is not None:
+        return out
+    ensure_complete(layout, ["_SUCCESS"],
+                    lambda d: write_ivfpq_layout(spark, sf_dir, d))
+    vec, cb = _pq_corpus(spark, sf_dir)
+    dim = _embedding_dim(vec)
+    sd = dim // PQ_M
+    cells = _corpus_ivf_cells(spark, sf_dir, NPROBE)
+    q = (vec.join(cells.select("vec_id", "cell"), "vec_id")
+         .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+                 F.col("qv").alias("qq"), F.col("cell").alias("qc")))
+    # driver-side probed-cell list (queries x nprobe ids, tiny) ->
+    # partition filter literal: the codes scan prunes DIRECTORIES
+    probed = sorted({r["qc"] for r in q.select("qc").distinct().collect()})
+    codes_df = (spark.read.parquet(layout)
+                .filter(F.col("cell").isin(probed))
+                .select(F.col("vec_id").alias("cand_id"), "codes",
+                        F.col("cell").alias("cc")))
+    pairs = codes_df.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
+                          & (F.col("query_id") != F.col("cand_id")))
+    score = None
+    for m in range(PQ_M):
+        qsub = F.slice(F.col("qq"), m * sd + 1, sd)
+        cbm = F.array(*[F.array(*[F.lit(v) for v in cb[m][j]])
+                        for j in range(PQ_K)])
+        cvec = F.element_at(cbm, F.element_at(F.col("codes"), m + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(qsub, cvec, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        score = term if score is None else score + term
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id"))
+    pool = (
+        pairs.select("query_id", "cand_id", "qe", "qn",
+                     score.alias("score"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= TOPK * PQ_CAND_FACTOR)
+    )
+    corpus = _corpus_vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"))
+    rerank = corpus.join(F.broadcast(pool), "cand_id")
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    out = (
+        rerank.select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+    memo[layout] = out
+    return out
+
+
 def _pq_sql(dim: int = 64) -> str:
     """Oracle twin: derives the same maxabs scale, seed codebook,
     integer encodings, ADC scores, pool, and exact re-rank in SQL."""
@@ -1277,6 +1372,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_sq_topk": sim_sq_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_layout_topk": sim_ivfpq_layout_topk,
     "sim_recall_report": sim_recall_report,
     "emb_label_centroids": emb_label_centroids,
     "emb_kmeans_step": emb_kmeans_step,
@@ -1294,6 +1390,10 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_sq_topk": SIM_SQ_SQL,
     "sim_pq_topk": _pq_sql(),
     "sim_ivfpq_topk": _ivfpq_sql(),
+    # row-identical to sim_ivfpq_topk by construction (same centroids,
+    # codebooks, ADC, tie-breaks) — the oracle equality IS the
+    # physical-layout round-trip check, like sim_ivf_layout_topk's
+    "sim_ivfpq_layout_topk": _ivfpq_sql(),
     "sim_recall_report": _recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "emb_kmeans_step": EMB_KMEANS_SQL,

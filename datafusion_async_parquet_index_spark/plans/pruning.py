@@ -516,6 +516,9 @@ class PruningRewriter:
             # NESTED arithmetic: ((c OP k1) OP k2 ...) CMP v — fold the
             # whole chain with exact interval preimages (round 5)
             return self._fold_chain(l, e.op, v)
+        elif l.op in ("/", "%") and isinstance(l.left, BinOp):
+            # division/modulo ON TOP of a chain
+            return self._fold_outer_div_mod(l, e.op, v)
         else:
             return TRUE
         if isinstance(k, bool) or not isinstance(k, int):
@@ -843,6 +846,27 @@ class PruningRewriter:
         return (lo, hi)
 
     def _fold_chain(self, l: BinOp, cmp: str, v: int) -> Expr:
+        if cmp == "=":
+            iv = (v, v)
+        elif cmp == "<":
+            iv = (None, v - 1)
+        elif cmp == "<=":
+            iv = (None, v)
+        elif cmp == ">":
+            iv = (v + 1, None)
+        elif cmp == ">=":
+            iv = (v, None)
+        elif cmp == "!=":
+            iv = ("ne", v)
+        else:
+            return TRUE
+        return self._fold_chain_iv(l, iv)
+
+    def _fold_chain_iv(self, l: BinOp, iv) -> Expr:
+        """Shared tail of the chain folds: pull an output interval —
+        (lo, hi), or ("ne", t) for exact-point refutation — back
+        through the parsed chain with exact preimages, guarded by the
+        certified no-wrap window."""
         parsed = self._parse_chain(l)
         if parsed is None:
             return TRUE
@@ -863,21 +887,11 @@ class PruningRewriter:
         if R[1] is not None:
             guards.append(_max(cname) > Lit(R[1]))
 
-        if cmp == "=":
-            iv = (v, v)
-        elif cmp == "<":
-            iv = (None, v - 1)
-        elif cmp == "<=":
-            iv = (None, v)
-        elif cmp == ">":
-            iv = (v + 1, None)
-        elif cmp == ">=":
-            iv = (v, None)
-        elif cmp == "!=":
-            # exact preimage of the point v: every c inside maps to v
+        if iv[0] == "ne":
+            # exact preimage of the point: every c inside maps to it
             # and nothing outside does, so != refutes exactly the
             # single-interval-valued groups inside it
-            p = (v, v)
+            p = (iv[1], iv[1])
             for op, k, k_left in reversed(ops):
                 p = self._pre_interval(op, k, k_left, p)
             if p == "empty" or p[0] is None or p[1] is None:
@@ -888,8 +902,6 @@ class PruningRewriter:
             for g in guards:
                 out = out | g
             return out
-        else:
-            return TRUE
         for op, k, k_left in reversed(ops):
             iv = self._pre_interval(op, k, k_left, iv)
         if iv == "empty":
@@ -918,6 +930,51 @@ class PruningRewriter:
         for g in guards:
             out = out | g
         return out
+
+    def _fold_outer_div_mod(self, l: BinOp, cmp: str, v: int) -> Expr:
+        """``chain(c) / k CMP v`` and ``chain(c) % k CMP v`` — division
+        or modulo on TOP of an arithmetic chain. Division: the
+        comparison folds to integer thresholds on the chain OUTPUT via
+        the _fold_div rules, and within the certified no-wrap window
+        every chain output is int32-bounded, hence double-exact — the
+        separate double-exact guard of the depth-1 fold is implied.
+        Modulo contributes its STATIC remainder-range refutation
+        (|rem| < |k| holds for Spark's % regardless of wrap), and
+        degrades otherwise."""
+        k = l.right.value if isinstance(l.right, Lit) else None
+        if k is None or isinstance(k, bool) or not isinstance(k, int):
+            return TRUE
+        if not isinstance(l.left, BinOp):
+            return TRUE
+        if k == 0:
+            return Lit(False)  # NULL result: the comparison never holds
+        if l.op == "%":
+            r = abs(k) - 1
+            if ((cmp == "=" and not -r <= v <= r)
+                    or (cmp == ">" and v >= r)
+                    or (cmp == ">=" and v > r)
+                    or (cmp == "<" and v <= -r)
+                    or (cmp == "<=" and v < -r)):
+                return Lit(False)
+            return TRUE
+        # "/" — TRUE division over the chain output
+        if abs(k) > _DBL_EXACT or abs(v) > _DBL_EXACT:
+            return TRUE
+        t = v * k
+        slack = math.ceil(abs(k) * math.ulp(float(v)) / 2)
+        if cmp == "=":
+            iv = (t - slack, t + slack)
+        elif cmp == "!=":
+            if slack:
+                return TRUE
+            iv = ("ne", t)
+        elif cmp in _FLIP_CMP:
+            eff = cmp if k > 0 else _FLIP_CMP[cmp]
+            iv = {"<": (None, t - 1), "<=": (None, t + slack),
+                  ">": (t + 1, None), ">=": (t - slack, None)}[eff]
+        else:
+            return TRUE
+        return self._fold_chain_iv(l.left, iv)
 
     def _sat_not(self, child: Expr) -> Expr:
         """Satisfaction of NOT x = satisfaction of x's exact negation;

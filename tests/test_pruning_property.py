@@ -218,6 +218,14 @@ def leaf():
         chain_arith, st.integers(-4, 4), st.booleans(),
         chain_arith, st.integers(-4, 4), st.booleans(),
         st.sampled_from(CMP_OPS), st.integers(-40, 40))
+    # division / modulo ON TOP of a chain: ((v OP k1) / k2) CMP w
+    outer_div_cmp = st.builds(
+        lambda o1, k1, kl1, dop, k2, op, w: BinOp(
+            op, BinOp(dop, _level(o1, k1, kl1, Col("v")), Lit(k2)),
+            Lit(w)),
+        chain_arith, st.integers(-4, 4), st.booleans(),
+        st.sampled_from(["/", "%"]), st.integers(-5, 5),
+        st.sampled_from(CMP_OPS), st.integers(-12, 12))
     mod_cmp = st.builds(
         lambda k, op, w: BinOp(op, BinOp("%", Col("v"), Lit(k)), Lit(w)),
         st.integers(-5, 5), st.sampled_from(CMP_OPS), st.integers(-6, 6))
@@ -242,7 +250,7 @@ def leaf():
     return st.one_of(num_cmp, float_cmp, str_cmp, like, null, inlist,
                      date_cmp, ts_cmp, ts_date_cmp, bin_cmp,
                      arith_cmp, shift_cmp, div_cmp, mod_cmp,
-                     chain_cmp, case_cmp, colcol_cmp)
+                     chain_cmp, outer_div_cmp, case_cmp, colcol_cmp)
 
 
 predicates = st.recursive(
@@ -499,6 +507,15 @@ def test_nested_arith_chain_folds():
     assert _surviving_groups(
         groups3, BinOp("<", BinOp("*", BinOp("+", Col("v"), Lit(1)),
                                   Lit(2)), Lit(0))) == {0}
+    # division ON TOP of a chain: (v + 1) / 2 > 75 <-> v + 1 > 150
+    # <-> v > 149: only rg 1
+    assert _surviving_groups(
+        groups, BinOp(">", BinOp("/", BinOp("+", Col("v"), Lit(1)),
+                                 Lit(2)), Lit(75))) == {1}
+    # modulo on top of a chain: impossible remainder refutes statically
+    assert _surviving_groups(
+        groups, BinOp(">=", BinOp("%", BinOp("+", Col("v"), Lit(1)),
+                                  Lit(5)), Lit(9))) == set()
 
 
 def test_div_mod_fold_prunes():

@@ -513,6 +513,52 @@ def _verified_pairs_sql() -> str:
     """
 
 
+def dedup_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from which — the cross-source contamination
+    audit a curation run reports before choosing keep policies (e.g.
+    how much of a crawl duplicates the curated set decides which side's
+    copies get dropped): every VERIFIED near-dup pair joined to both
+    documents' source labels, counted per unordered source pair with
+    the summed Jaccard in integer basis points (mean = sum/n, derivable
+    exactly). Cost: the pair list the pipeline already memoizes + one
+    broadcastable doc->source map + a tiny (source, source) aggregate —
+    nothing touches pair-level text again, and at 100 TB the join is
+    pair-list-sized, never corpus-sized."""
+    vp = corpus_verified_pairs(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("sb"))
+    j = vp.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        j.select(F.least("sa", "sb").alias("source_a"),
+                 F.greatest("sa", "sb").alias("source_b"),
+                 F.round(F.col("jaccard") * 10000).cast("long")
+                 .alias("j_bp"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("j_bp").alias("sum_jaccard_bp"))
+    )
+
+
+def _source_crosstab_sql() -> str:
+    return f"""
+        WITH vp AS MATERIALIZED (
+            SELECT * FROM ({_verified_pairs_sql()}) t
+        )
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(round(jaccard * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_jaccard_bp
+        FROM vp
+        JOIN documents a ON a.doc_id = vp.doc_a
+        JOIN documents b ON b.doc_id = vp.doc_b
+        GROUP BY 1, 2
+    """
+
+
 def dedup_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production dedup pipeline in one operator: LSH
     candidates -> exact-Jaccard verification -> connected components ->
@@ -1441,6 +1487,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_verified_pairs": dedup_verified_pairs,
+    "dedup_source_crosstab": dedup_source_crosstab,
     "dedup_cross_modal": dedup_cross_modal,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_stats": dedup_cluster_stats,
@@ -1461,6 +1508,7 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_verified_pairs": _verified_pairs_sql(),
+    "dedup_source_crosstab": _source_crosstab_sql(),
     "dedup_cross_modal": _cross_modal_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_cluster_stats": _cluster_stats_sql(),

@@ -101,9 +101,11 @@ _ROUND_PRIORITY = [
     #    bodies are untouched, and the golden-parity tests +
     #    1500-example fuzz + the full local sweeps cover the reference
     #    queries every round. ROUND-6 tier 1 should lead with
-    #    sim_ivfpq_layout_topk — landed after this round's window
-    #    filled, locally green at sf0.01 — then q1-q5, then the
-    #    r3-green families oldest-first per the documented plan.) ----
+    #    sim_ivfpq_layout_topk and dedup_source_crosstab — landed
+    #    after this round's window filled, locally green at sf0.01 —
+    #    then q1-q5, then the r3-green families oldest-first per the
+    #    documented plan. `scripts/vanilla_harness.py --stale` emits
+    #    the changed-entry list mechanically.) ----------------------
     # Everything below rotates out this round (green r3/r4, modules
     # untouched since their rows). ROUND-6 PLAN: tier 1 = any red/new
     # entries; tier 2 = the r3-green families (dedup_*, sim_*, ev_*,

@@ -34,7 +34,73 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 5 WINDOW ==============================================
+    # == ROUND 6 WINDOW ==============================================
+    # -- tier 1: the two r5-landed entries that never got a driver
+    #    oracle row (VERDICT r5 ask #1 — the only gap between 143/145
+    #    and 145/145) --------------------------------------------------
+    "sim_ivfpq_layout_topk",
+    "dedup_source_crosstab",
+    # -- tier 1b: NEW in round 6 (never had a driver row) ------------
+    #    q68: VAR/STDDEV pushdown (VERDICT ask #7), q69: remote-style
+    #    DB-API catalog backend routed end-to-end (ask #4), ev_stream_
+    #    tumbling: a streaming-executed result oracle-gated against the
+    #    batch twin's SQL (ask #6)
+    "q68_var_pushdown",
+    "q69_remote_catalog",
+    "ev_stream_tumbling",
+    # -- tier 2: the 49 entries last proven green in round 3 (VERDICT
+    #    ask #3 — stale tripwire rotation, oldest-first by family:
+    #    dedup_*, sim_*, ev_*, mm_*, text/curation, then relational).
+    #    45 fit; the 4 deferred to lead r7 tier 2 are q37_case_pred,
+    #    q38_exists_subquery, q40_range_frame, q41_pivot (relational,
+    #    bodies untouched since r3, each covered by pytest + the
+    #    golden fuzz sweeps in the meantime). -------------------------
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_contamination",
+    "dedup_cross_modal",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_incremental_persisted",
+    "dedup_keep_policy",
+    "dedup_minhash_quality",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_substring_ngram",
+    "dedup_verified_clusters",
+    "sim_bruteforce_topk",
+    "sim_ivf_layout_topk",
+    "sim_ivf_nprobe_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "sim_recall_report",
+    "sim_sq_topk",
+    "ev_anomaly",
+    "ev_cms_user_counts",
+    "ev_interval_join",
+    "ev_json_extract",
+    "ev_retention",
+    "ev_sessionize",
+    "ev_sliding_agg",
+    "ev_tumbling_agg",
+    "ev_type_funnel",
+    "mm_frame_sample_stats",
+    "mm_metadata_extract",
+    "mm_modality_stats",
+    "mm_resize_stats",
+    "emb_label_centroids",
+    "text_domain_mixture",
+    "text_pii_scrub",
+    "text_quality_buckets",
+    "text_repetition_stats",
+    "text_winnow_fingerprint",
+    "q35_rowgroup_scan",
+    "q39_grouping_sets",
+    "q42_hll_estimate",
+    "q43_in_pred",
+    # == ROUND 5 WINDOW (kept for natural-order stability) ===========
     # -- tier 1: entries whose bodies or load-bearing dependencies
     #    changed this round — the NaN-soundness work (ADVICE r4) added
     #    opt-in NaN counting to q52/q54/q55/q61, rewrote

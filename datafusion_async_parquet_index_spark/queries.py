@@ -1378,14 +1378,19 @@ CENTS_LAYOUT_ENV = "SPARK_GRAFT_CENTS_LAYOUT"
 def _cents_orders(spark: SparkSession, sf_dir: str):
     """Orders written once per corpus as a cents-sorted 4-file layout
     (exact integer price_cents, small row groups) with per-row-group
-    sums in the catalog — shared by q62 (SUM pushdown) and q64
-    (arithmetic predicates), memoized per session."""
+    sums AND second moments in the catalog — shared by q62 (SUM
+    pushdown), q64 (arithmetic predicates) and q68 (VAR pushdown),
+    memoized per session. price_dollars (round(price), a monotone
+    companion of the sort key so dollar ranges still prune to boundary
+    groups) exists because Σcents² overflows what a BIGINT readback
+    can compare against DuckDB with, while Σdollars² fits comfortably;
+    it is the q68 measure."""
     from .operators.util import artifact_dir, ensure_complete, session_memo
     from .sources.layout import write_range_sorted
 
     layout = artifact_dir(
         CENTS_LAYOUT_ENV, "spark_graft_cents_layout",
-        os.path.join(sf_dir, "orders.parquet"), "cents_sorted")
+        os.path.join(sf_dir, "orders.parquet"), "cents_sorted_v2")
     memo = session_memo(spark, "cents_orders")
     t = memo.get(layout)
     if t is None:
@@ -1395,11 +1400,13 @@ def _cents_orders(spark: SparkSession, sf_dir: str):
                 _read(spark, sf_dir, "orders").select(
                     "o_orderkey",
                     F.round(F.col("o_totalprice") * 100).cast("long")
-                    .alias("price_cents")),
+                    .alias("price_cents"),
+                    F.round(F.col("o_totalprice")).cast("long")
+                    .alias("price_dollars")),
                 d, ["price_cents"], num_files=4, row_group_bytes=1 << 15))
         t = memo[layout] = IndexedParquetTable(
-            spark, layout, index_columns=["price_cents"],
-            sum_columns=["price_cents"])
+            spark, layout, index_columns=["price_cents", "price_dollars"],
+            sum_columns=["price_cents", "price_dollars"])
     return t
 
 
@@ -1433,6 +1440,44 @@ def q62_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents BIGINT, total_n BIGINT, "
         "range_cents BIGINT, range_n BIGINT, "
         "range_min BIGINT, range_max BIGINT")
+
+
+def q68_var_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR/STDDEV pushdown into the catalog (table.sum_sq_rows): the
+    index stores exact per-row-group second moments Σx² next to the
+    sums (same opt-in page scan, TEXT-encoded in SQLite because Σx²
+    exceeds int64 even when every x fits), so population variance over
+    the whole table is ZERO Parquet I/O and over a price range only
+    the boundary row groups scan — every interior group contributes
+    its stored (Σx, Σx², n) unread. All arithmetic is exact integers
+    end to end (Python bigints on the Spark side, HUGEINT in the
+    oracle); the derived var_pop is surfaced as an exact milli-units
+    floor quotient so no float accumulation can smear the comparison.
+    The asserts pin both pushdown shapes; the oracle recomputes every
+    moment from the flat table. Completes the aggregate-statistics
+    family COUNT (q61) / SUM (q62-63) / MIN-MAX (q66-67) — reference
+    index.rs:198-205 reads COUNT from its stats; the moment store is
+    the natural extension at 100 TB where a variance over a sorted
+    time range must not read the range."""
+    t = _cents_orders(spark, sf_dir)
+    s_all, sq_all, n_all = t.sum_sq_rows("price_dollars")
+    assert t.last_var_pushdown["partial_row_groups"] == 0, \
+        t.last_var_pushdown  # whole-table moments: pure catalog arithmetic
+    rng = ((xcol("price_dollars") >= 50_000)
+           & (xcol("price_dollars") <= 300_000))
+    s_r, sq_r, n_r = t.sum_sq_rows("price_dollars", rng)
+    pd = t.last_var_pushdown
+    assert pd["full_row_groups"] > 0, pd     # interior groups unread
+    # dollars is a monotone-rounded companion of the cents sort key, so
+    # a dollar range prunes to the boundary groups (+<=2 for rounding
+    # straddle at the half-cent edges)
+    assert pd["partial_row_groups"] <= 4, pd
+    var_pop_milli = (n_r * sq_r - s_r * s_r) * 1000 // (n_r * n_r)
+    return spark.createDataFrame(
+        [(s_all, sq_all, n_all, s_r, sq_r, n_r, var_pop_milli)],
+        "sum_all BIGINT, sumsq_all BIGINT, n_all BIGINT, "
+        "sum_rng BIGINT, sumsq_rng BIGINT, n_rng BIGINT, "
+        "var_pop_milli BIGINT")
 
 
 STATUS_CENTS_ENV = "SPARK_GRAFT_STATUS_CENTS_LAYOUT"
@@ -1640,6 +1685,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_count_pushdown": q61_count_pushdown,
     "q62_sum_pushdown": q62_sum_pushdown,
     "q63_group_sum_pushdown": q63_group_sum_pushdown,
+    "q68_var_pushdown": q68_var_pushdown,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2241,6 +2287,31 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q68_var_pushdown"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice) AS BIGINT) AS d FROM orders
+    ),
+    a AS (
+        SELECT CAST(SUM(d) AS BIGINT) AS sum_all,
+               CAST(SUM(d * d) AS BIGINT) AS sumsq_all,
+               CAST(COUNT(d) AS BIGINT) AS n_all
+        FROM c
+    ),
+    r AS (
+        SELECT CAST(SUM(d) AS BIGINT) AS sum_rng,
+               CAST(SUM(d * d) AS BIGINT) AS sumsq_rng,
+               CAST(COUNT(d) AS BIGINT) AS n_rng
+        FROM c WHERE d BETWEEN 50000 AND 300000
+    )
+    SELECT a.sum_all, a.sumsq_all, a.n_all,
+           r.sum_rng, r.sumsq_rng, r.n_rng,
+           CAST((CAST(r.n_rng AS HUGEINT) * r.sumsq_rng
+                 - CAST(r.sum_rng AS HUGEINT) * r.sum_rng) * 1000
+                // (CAST(r.n_rng AS HUGEINT) * r.n_rng)
+                AS BIGINT) AS var_pop_milli
+    FROM a, r
 """
 
 RELATIONAL_ORACLE["q63_group_sum_pushdown"] = """

@@ -266,6 +266,12 @@ class SqliteIndexCatalog:
             # computed at index time from the column pages — lets
             # SUM/AVG push down the same way COUNT does (satisfaction-
             # proven groups contribute stored sums unread)
+            # sumsq_value is TEXT (decimal string of an exact Python
+            # int): Σx² routinely exceeds int64 even when every x and
+            # Σx fit, and sqlite3 raises on >64-bit ints. NULL =
+            # unknown (e.g. decimal columns, or rows written before
+            # the VAR extension) — consumers demote those groups to
+            # the scanned set.
             self._conn.execute(
                 """CREATE TABLE IF NOT EXISTS row_group_sums (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -274,7 +280,14 @@ class SqliteIndexCatalog:
                        column_name TEXT NOT NULL,
                        sum_value INTEGER NOT NULL,
                        value_count INTEGER NOT NULL,
+                       sumsq_value TEXT,
                        PRIMARY KEY (file_id, row_group, column_name))""")
+            sums_cols = {r[1] for r in self._conn.execute(
+                "PRAGMA table_info(row_group_sums)")}
+            if "sumsq_value" not in sums_cols:
+                # persisted catalog built before the VAR extension
+                self._conn.execute(
+                    "ALTER TABLE row_group_sums ADD COLUMN sumsq_value TEXT")
             self._conn.execute(
                 """CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -343,14 +356,19 @@ class SqliteIndexCatalog:
             self._conn.execute(
                 "DELETE FROM row_group_sums WHERE file_id = ?", (file_id,))
             if sums:
+                # entries are (sum, n) or (sum, n, sumsq) — older
+                # writers/tests still pass 2-tuples; sumsq None/absent
+                # stores NULL (unknown)
                 self._conn.executemany(
                     """INSERT INTO row_group_sums
                            (file_id, row_group, column_name,
-                            sum_value, value_count)
-                       VALUES (?, ?, ?, ?, ?)""",
-                    [(file_id, rg, col, s, n)
+                            sum_value, value_count, sumsq_value)
+                       VALUES (?, ?, ?, ?, ?, ?)""",
+                    [(file_id, rg, col, entry[0], entry[1],
+                      None if len(entry) < 3 or entry[2] is None
+                      else str(entry[2]))
                      for rg, cols in sums.items()
-                     for col, (s, n) in cols.items()])
+                     for col, entry in cols.items()])
             self._conn.execute(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
@@ -406,16 +424,19 @@ class SqliteIndexCatalog:
 
     def get_sums(
         self, column: str
-    ) -> Dict[Tuple[str, int], Tuple[int, int]]:
-        """{(file_name, row_group): (sum, non_null_count)} for one
-        column. O(row_groups) rows, independent of data size."""
+    ) -> Dict[Tuple[str, int], Tuple[int, int, Optional[int]]]:
+        """{(file_name, row_group): (sum, non_null_count, sumsq)} for
+        one column; sumsq is None when the second moment was never
+        recorded. O(row_groups) rows, independent of data size."""
         with self._lock:
             rows = self._conn.execute(
-                """SELECT f.file_name, s.row_group, s.sum_value, s.value_count
+                """SELECT f.file_name, s.row_group, s.sum_value,
+                          s.value_count, s.sumsq_value
                    FROM row_group_sums s
                    JOIN file_statistics f ON f.file_id = s.file_id
                    WHERE s.column_name = ?""", (column,)).fetchall()
-        return {(fn, rg): (sv, vc) for fn, rg, sv, vc in rows}
+        return {(fn, rg): (sv, vc, None if sq is None else int(sq))
+                for fn, rg, sv, vc, sq in rows}
 
     def get_blooms(
         self, column: str

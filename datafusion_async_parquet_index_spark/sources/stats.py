@@ -133,16 +133,23 @@ def extract_file_blooms(
 
 def extract_file_sums(
     path: str, sum_cols: Sequence[str],
-) -> Dict[int, Dict[str, Tuple[int, int]]]:
-    """{row_group: {column: (sum, non_null_count)}} for integer and
-    decimal columns — the aggregate-statistics extension: Parquet
-    footers carry no sums, so (like the bloom build) this reads ONLY
-    the requested columns' pages, one row group at a time, and folds
-    exact sums. Decimal sums are stored as UNSCALED integers (the same
-    lossless discipline as the exact decimal bounds); the table layer
-    rescales them back to Decimal on readout. Opt-in: index build cost
-    rises from footer-only to one column scan per sum column,
-    amortized over every pushed-down SUM/AVG afterwards."""
+) -> Dict[int, Dict[str, Tuple[int, int, Optional[int]]]]:
+    """{row_group: {column: (sum, non_null_count, sum_of_squares)}} for
+    integer and decimal columns — the aggregate-statistics extension:
+    Parquet footers carry no sums, so (like the bloom build) this reads
+    ONLY the requested columns' pages, one row group at a time, and
+    folds exact sums. Decimal sums are stored as UNSCALED integers (the
+    same lossless discipline as the exact decimal bounds); the table
+    layer rescales them back to Decimal on readout. Opt-in: index build
+    cost rises from footer-only to one column scan per sum column,
+    amortized over every pushed-down SUM/AVG afterwards.
+
+    The second moment (exact integer Σx², None = not recorded) extends
+    the same store to VAR/STDDEV pushdown: variance over proven-full
+    row groups is pure catalog arithmetic from (Σx, Σx², n). Integer
+    columns only — decimal second moments would need 2×scale handling
+    downstream, so they stay None and VAR demotes those groups to the
+    scanned set (coverage degrades to correctness, never wrongness)."""
     if not sum_cols:
         return {}
     pf = pq.ParquetFile(path)
@@ -152,16 +159,16 @@ def extract_file_sums(
                  or pa.types.is_decimal(pf.schema_arrow.field(c).type))]
     if not cols:
         return {}
-    out: Dict[int, Dict[str, Tuple[int, int]]] = {}
+    out: Dict[int, Dict[str, Tuple[int, int, Optional[int]]]] = {}
     for i in range(pf.metadata.num_row_groups):
         tbl = pf.read_row_group(i, columns=cols)
-        per_col: Dict[str, Tuple[int, int]] = {}
+        per_col: Dict[str, Tuple[int, int, Optional[int]]] = {}
         for c in cols:
             arr = tbl.column(c)
             typ = pf.schema_arrow.field(c).type
             n = len(arr) - arr.null_count
             if n == 0:
-                per_col[c] = (0, 0)
+                per_col[c] = (0, 0, 0)
                 continue
             if pa.types.is_decimal(typ):
                 # decimal128 accumulation is exact to precision 38; a
@@ -173,7 +180,7 @@ def extract_file_sums(
                     s_dec = sum(
                         (v for v in arr.to_pylist() if v is not None),
                         _d.Decimal(0))
-                per_col[c] = (int(s_dec.scaleb(typ.scale)), n)
+                per_col[c] = (int(s_dec.scaleb(typ.scale)), n, None)
                 continue
             # vectorized kernels; Arrow's sum accumulates in int64 and
             # WRAPS silently on overflow, so prove overflow impossible
@@ -181,11 +188,21 @@ def extract_file_sums(
             # before trusting it, else fold exact Python ints
             mm = pc.min_max(arr)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if max(abs(lo), abs(hi)) <= (2 ** 63 - 1) // n:
+            maxabs = max(abs(lo), abs(hi))
+            i64 = 2 ** 63 - 1
+            if maxabs <= i64 // n:
                 s = pc.sum(arr).as_py()
             else:
                 s = sum(v for v in arr.to_pylist() if v is not None)
-            per_col[c] = (int(s), n)
+            # second moment: vectorized when n * maxabs² provably fits
+            # int64 (same wrap-proofing discipline as the sum), exact
+            # Python fold otherwise — the stored value is exact either
+            # way, Python ints don't overflow
+            if maxabs * maxabs <= i64 // n:
+                sq = pc.sum(pc.multiply(arr, arr)).as_py()
+            else:
+                sq = sum(v * v for v in arr.to_pylist() if v is not None)
+            per_col[c] = (int(s), n, int(sq))
         out[i] = per_col
     return out
 

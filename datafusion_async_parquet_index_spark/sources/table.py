@@ -631,6 +631,112 @@ class IndexedParquetTable:
         s = (decode(s_full) + (s_part or 0)) if n else None
         return s, n
 
+    def sum_sq_rows(self, column: str, predicate: Optional[Expr] = None):
+        """(sum, sum_of_squares, non_null_count) of an integer column
+        over matching rows — the VAR/STDDEV pushdown: the catalog's
+        per-row-group second moments (recorded by the same opt-in
+        ``sum_columns`` page scan that records sums) answer every
+        satisfaction-proven row group unread, exactly like sum_rows;
+        only boundary groups scan. From the exact integer triple the
+        caller derives VAR_POP = (n·Σx² − (Σx)²)/n² and VAR_SAMP /
+        STDDEV without ever touching Parquet for interior groups — at
+        100 TB a variance over a sorted key range reads two row groups.
+
+        All arithmetic is exact: catalog moments are Python ints
+        (sumsq rides as TEXT in SQLite since Σx² routinely exceeds
+        int64), and the boundary scan accumulates Σx² in DECIMAL(38,0)
+        so Spark cannot overflow a long. Groups whose stored entry
+        lacks a second moment (decimal columns, pre-extension rows)
+        demote to the scanned set — partial coverage degrades to
+        correctness. Falls back to a full aggregate when the column
+        has no sums at all or the layout is partitioned (same contract
+        as sum_rows). ``last_var_pushdown`` records the shape.
+        SQL semantics: NULLs ignored; (None, None, 0) when no row
+        matches."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        f = next((f for f in (self._schema.fields if self._schema else [])
+                  if f.name == column), None)
+        if f is not None and not isinstance(
+                f.dataType, (T.ByteType, T.ShortType, T.IntegerType,
+                             T.LongType)):
+            # the decimal(38,0) Σx² accumulator below would truncate
+            # fractional values; second moments are integer-only
+            raise TypeError(
+                f"sum_sq_rows supports integer columns only, "
+                f"{column} is {f.dataType.simpleString()}")
+
+        sums = self.catalog.get_sums(column)
+
+        def _scan_agg(df) -> tuple:
+            c = F.col(column)
+            row = df.agg(
+                F.sum(c).alias("s"),
+                F.sum(c.cast("decimal(38,0)") * c).alias("sq"),
+                F.count(c).alias("n")).head()
+            sq = None if row["sq"] is None else int(row["sq"])
+            return row["s"], sq, row["n"]
+
+        def _usable(entry) -> bool:
+            return len(entry) > 2 and entry[2] is not None
+
+        if (not any(_usable(e) for e in sums.values())
+                or getattr(self, "partitioned", False)):
+            self.last_var_pushdown = None
+            df = self.to_df() if predicate is None else self.query(predicate)
+            return _scan_agg(df)
+        if predicate is None:
+            indexed = {f[0]: f[2] for f in self.catalog.all_files()}
+            if all(_usable(sums.get((fn, rg), ()))
+                   for fn, n in indexed.items() for rg in range(n)):
+                s = sum(v[0] for v in sums.values())
+                sq = sum(v[2] for v in sums.values())
+                n = sum(v[1] for v in sums.values())
+                self.last_var_pushdown = {
+                    "full_row_groups": len(sums), "partial_row_groups": 0}
+                return ((s, sq, n) if n else (None, None, 0))
+            self.last_var_pushdown = None
+            return _scan_agg(self.to_df())
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
+            self.last_var_pushdown = {
+                "full_row_groups": 0, "partial_row_groups": 0}
+            return None, None, 0
+        sat = self._rewriter.satisfies(predicate)
+        full = dict(self.catalog.get_files(sat))
+        s_full = sq_full = n_full = full_rgs = 0
+        partial: Dict[str, List[int]] = {}
+        for fname, rgs in decision.files_scanned.items():
+            frg = set(full.get(fname, ()))
+            rest = []
+            for rg in rgs:
+                entry = sums.get((fname, rg))
+                if rg in frg and entry is not None and _usable(entry):
+                    s_full += entry[0]
+                    n_full += entry[1]
+                    sq_full += entry[2]
+                    full_rgs += 1
+                else:
+                    rest.append(rg)
+            if rest:
+                partial[fname] = rest
+        self.last_var_pushdown = {
+            "full_row_groups": full_rgs,
+            "partial_row_groups": sum(len(v) for v in partial.values())}
+        if not partial:
+            return ((s_full, sq_full, n_full) if n_full else (None, None, 0))
+        partial_decision = ScanDecision(
+            decision.predicate, partial, decision.total_files,
+            decision.total_row_groups)
+        cols = sorted(predicate.columns() | {column})
+        df = self._read_rowgroups(partial_decision, predicate, columns=cols)
+        s_p, sq_p, n_p = _scan_agg(df.filter(predicate.to_spark()))
+        n = n_full + n_p
+        if not n:
+            return None, None, 0
+        return s_full + (s_p or 0), sq_full + (sq_p or 0), n
+
     def count_upper_bound(self, predicate: Optional[Expr] = None) -> int:
         """Catalog-only upper bound: total rows in surviving row groups.
         Never touches Parquet; useful for planning (e.g. choosing

@@ -320,6 +320,71 @@ def test_sum_pushdown_without_sums_falls_back(spark, demo_dir):
     assert t.last_sum_pushdown is None
 
 
+def test_sum_sq_pushdown_matches_scan(spark, demo_dir, tmp_path):
+    """VAR pushdown (second moments): stored per-row-group Σx² answer
+    proven-full groups unread; boundary groups scan; NULL semantics;
+    >int64 moments survive the TEXT storage roundtrip exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = IndexedParquetTable(spark, demo_dir, index_columns=["value"],
+                            sum_columns=["value"])
+    want_sq = sum(v * v for v in range(3000))
+    assert t.sum_sq_rows("value") == (sum(range(3000)), want_sq, 3000)
+    assert t.last_var_pushdown["partial_row_groups"] == 0
+    s, sq, n = t.sum_sq_rows("value", col("value") <= 120)
+    assert (s, sq, n) == (sum(range(121)),
+                          sum(v * v for v in range(121)), 121)
+    assert t.last_var_pushdown["full_row_groups"] >= 2
+    assert t.last_var_pushdown["partial_row_groups"] == 1
+    assert t.sum_sq_rows("value", col("value") > 10_000) == (None, None, 0)
+    # NULLs ignored like SQL; sweep against the scan aggregate
+    d = str(tmp_path / "sq_nulls")
+    os.makedirs(d)
+    tbl = pa.table({"k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "x": pa.array([10, None, 30, None, 50, 60], pa.int64())})
+    pq.write_table(tbl, os.path.join(d, "p.parquet"), row_group_size=3)
+    t2 = IndexedParquetTable(spark, d, index_columns=["k", "x"],
+                             sum_columns=["x"])
+    assert t2.sum_sq_rows("x") == (150, 100 + 900 + 2500 + 3600, 4)
+    assert t2.sum_sq_rows("x", col("k") >= 4) == (110, 2500 + 3600, 2)
+    # Σx² beyond int64: element squares ~9.6e18 force the exact Python
+    # fold at extraction and the TEXT roundtrip in the catalog
+    d3 = str(tmp_path / "sq_big")
+    os.makedirs(d3)
+    big = [3_100_000_000 + i for i in range(6)]
+    pq.write_table(pa.table({"x": pa.array(big, pa.int64())}),
+                   os.path.join(d3, "p.parquet"), row_group_size=3)
+    t3 = IndexedParquetTable(spark, d3, index_columns=["x"],
+                             sum_columns=["x"])
+    s3, sq3, n3 = t3.sum_sq_rows("x")
+    assert (s3, sq3, n3) == (sum(big), sum(v * v for v in big), 6)
+    assert sq3 > 2 ** 63 - 1  # the case int64 storage could not carry
+    assert t3.last_var_pushdown["partial_row_groups"] == 0
+
+
+def test_sum_sq_fallback_and_type_guard(spark, demo_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    # no sums recorded -> full-scan fallback, pushdown marker None
+    t = IndexedParquetTable(spark, demo_dir, index_columns=["value"])
+    s, sq, n = t.sum_sq_rows("value", col("value") < 100)
+    assert (s, sq, n) == (sum(range(100)),
+                          sum(v * v for v in range(100)), 100)
+    assert t.last_var_pushdown is None
+    # non-integer columns refuse (the decimal(38,0) accumulator would
+    # truncate fractions)
+    d = str(tmp_path / "sq_float")
+    os.makedirs(d)
+    pq.write_table(pa.table({"f": pa.array([1.5, 2.5], pa.float64())}),
+                   os.path.join(d, "p.parquet"))
+    tf = IndexedParquetTable(spark, d, index_columns=["f"])
+    with pytest.raises(TypeError, match="integer columns only"):
+        tf.sum_sq_rows("f")
+
+
 def test_minmax_pushdown_with_predicate(spark, demo_dir, tmp_path):
     """Predicated MIN/MAX: satisfaction-proven groups answer from their
     exact-attained bounds; boundary groups scan; results always equal

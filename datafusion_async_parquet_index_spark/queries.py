@@ -47,23 +47,30 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _make_table(spark, sf_dir, table, index_columns, bloom_columns=(),
-                token_bloom_columns=(), nan_count_columns=()):
+                token_bloom_columns=(), nan_count_columns=(),
+                catalog_factory=None, catalog_tag=""):
     """IndexedParquetTable scoped to one table's parquet file (the
     testdata dir holds every table, so the ctor's glob would mix them).
     Keyed by the session too: a cached table holds the SparkSession it
     was built with, and reusing it from a different (or restarted)
-    session would read through a dead handle."""
+    session would read through a dead handle.
+
+    catalog_factory/catalog_tag: alternative catalog backend (e.g. the
+    DB-API remote-style backend, q69) — the tag keys the memo since
+    factories don't compare equal."""
     from .operators.util import session_memo
 
     _TABLES = session_memo(spark, "indexed_tables")
     key = (sf_dir, table, tuple(index_columns), tuple(bloom_columns),
-           tuple(token_bloom_columns), tuple(nan_count_columns))
+           tuple(token_bloom_columns), tuple(nan_count_columns),
+           catalog_tag)
     t = _TABLES.get(key)
     if t is None:
         t = IndexedParquetTable.__new__(IndexedParquetTable)
         t.spark = spark
         t.data_dir = sf_dir
-        t.catalog = SqliteIndexCatalog()
+        t.catalog = (catalog_factory() if catalog_factory
+                     else SqliteIndexCatalog())
         t.name = table
         t._files = [os.path.join(sf_dir, f"{table}.parquet")]
         t.bloom_columns = tuple(bloom_columns)
@@ -1480,6 +1487,45 @@ def q68_var_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_pop_milli BIGINT")
 
 
+def q69_remote_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOTE catalog backend end-to-end: plan + scan the orders
+    table through ``DBAPIIndexCatalog`` — the identical index schema
+    and SQL driven through an injected PEP 249 connection factory
+    (explicit cursors, explicit commit/rollback, portable
+    UPDATE-else-INSERT upsert, LIMIT-0 schema introspection), the
+    reference's stated design intent that the statistics "could be
+    stored in any database SQLx supports, including a remote Postgres
+    database" (main.rs:89-90). In production the factory is e.g.
+    ``lambda: psycopg2.connect(dsn)`` with ``paramstyle='format'``;
+    here it is an in-process sqlite3 connection reached through the
+    same generic code path (the paramstyle translation is pinned by
+    tests/test_catalog_backends.py). The assert proves the remote
+    backend's pruning decision is byte-identical to the in-process
+    backend's on the same predicate — backends are renderers, the
+    stats-space Expr is the single source of truth."""
+    import sqlite3
+
+    from .sources.catalog import DBAPIIndexCatalog
+
+    t = _make_table(
+        spark, sf_dir, "orders", ["o_totalprice"],
+        catalog_factory=lambda: DBAPIIndexCatalog(
+            lambda: sqlite3.connect(":memory:", check_same_thread=False)),
+        catalog_tag="dbapi")
+    pred = ((xcol("o_totalprice") >= 100_000.0)
+            & (xcol("o_totalprice") <= 200_000.0))
+    t_local = _make_table(spark, sf_dir, "orders", ["o_totalprice"])
+    assert (t.plan_scan(pred).files_scanned
+            == t_local.plan_scan(pred).files_scanned), \
+        "remote backend diverged from in-process backend"
+    df = t.query(pred)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"))
+
+
 STATUS_CENTS_ENV = "SPARK_GRAFT_STATUS_CENTS_LAYOUT"
 
 
@@ -1686,6 +1732,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_sum_pushdown": q62_sum_pushdown,
     "q63_group_sum_pushdown": q63_group_sum_pushdown,
     "q68_var_pushdown": q68_var_pushdown,
+    "q69_remote_catalog": q69_remote_catalog,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2287,6 +2334,15 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q69_remote_catalog"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           round(SUM(o_totalprice), 2) AS sum_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
 """
 
 RELATIONAL_ORACLE["q68_var_pushdown"] = """

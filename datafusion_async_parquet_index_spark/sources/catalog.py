@@ -188,15 +188,82 @@ class _SqliteStatsSql:
 
 
 class SqliteIndexCatalog:
-    """The external index over a directory of Parquet files."""
+    """The external index over a directory of Parquet files.
+
+    All database access routes through a small set of dialect hooks
+    (``_exec/_query/_execmany/_txn/_existing_columns/_upsert_file_row/
+    _binary/_pk_autoinc``) so ``DBAPIIndexCatalog`` below can retarget
+    the identical schema and SQL at any PEP 249 connection — the
+    reference's stated design intent that the index "could be stored in
+    any database that SQLx supports, including a remote Postgres
+    database" (``main.rs:89-90``)."""
 
     def __init__(self, db_path: str = ":memory:"):
         # check_same_thread=False: Spark tests may touch the catalog from
         # pytest fixtures and worker callbacks; guarded by a lock.
         self._conn = sqlite3.connect(db_path, check_same_thread=False)
         self._conn.execute("PRAGMA foreign_keys = ON")
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self.index_schema: Dict[str, str] = {}
+
+    # -- dialect hooks (the ONLY sqlite-specific surface) --------------
+    def _sql(self, sql: str) -> str:
+        """Placeholder/paramstyle translation point; qmark natively."""
+        return sql
+
+    def _exec(self, sql: str, params: Sequence = ()) -> None:
+        with self._lock:
+            self._conn.execute(self._sql(sql), tuple(params))
+
+    def _query(self, sql: str, params: Sequence = ()) -> List[tuple]:
+        with self._lock:
+            return self._conn.execute(
+                self._sql(sql), tuple(params)).fetchall()
+
+    def _execmany(self, sql: str, rows: List[Sequence]) -> None:
+        with self._lock:
+            self._conn.executemany(self._sql(sql), rows)
+
+    def _txn(self):
+        """Context manager: lock + transaction (commit on exit,
+        rollback on exception). sqlite3's connection CM does exactly
+        that."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with self._lock, self._conn:
+                yield
+        return cm()
+
+    def _existing_columns(self, table: str) -> set:
+        return {r[1] for r in self._query(f"PRAGMA table_info({table})")}
+
+    def _pk_autoinc(self) -> str:
+        """Column clause for the auto-generated file_id key."""
+        return "INTEGER PRIMARY KEY AUTOINCREMENT"
+
+    def _blob_type(self) -> str:
+        return "BLOB"
+
+    def _binary(self, b: bytes):
+        return sqlite3.Binary(b)
+
+    def _upsert_file_row(self, fs: FileStats) -> int:
+        """Insert-or-update the file_statistics row, return file_id.
+        Must run inside _txn()."""
+        row = self._query(
+            """INSERT INTO file_statistics
+                   (file_name, file_size_bytes, row_group_count, row_count)
+               VALUES (?, ?, ?, ?)
+               ON CONFLICT(file_name) DO UPDATE SET
+                   file_size_bytes = excluded.file_size_bytes,
+                   row_group_count = excluded.row_group_count,
+                   row_count = excluded.row_count
+               RETURNING file_id""",
+            (fs.file_name, fs.file_size_bytes, fs.row_group_count,
+             fs.row_count))
+        return row[0][0]
 
     # -- EP3: catalog bootstrap (reference index.rs:332-393) ----------
     def initialize(self, index_schema: Dict[str, str]) -> None:
@@ -206,7 +273,7 @@ class SqliteIndexCatalog:
         self.index_schema = dict(index_schema)
         cols = []
         for name, cat in self.index_schema.items():
-            sql_t = _SQL_TYPE[cat]
+            sql_t = self._blob_type() if cat == "binary" else _SQL_TYPE[cat]
             cols.append(f'"{name}_null_count" INTEGER')
             cols.append(f'"{name}_min" {sql_t}')
             cols.append(f'"{name}_max" {sql_t}')
@@ -223,15 +290,15 @@ class SqliteIndexCatalog:
                 cols.append(f'"{name}_exact_min" TEXT')
                 cols.append(f'"{name}_exact_max" TEXT')
         extra = (", " + ", ".join(cols)) if cols else ""
-        with self._lock, self._conn:
-            self._conn.execute(
-                """CREATE TABLE IF NOT EXISTS file_statistics (
-                       file_id INTEGER PRIMARY KEY AUTOINCREMENT,
+        with self._txn():
+            self._exec(
+                f"""CREATE TABLE IF NOT EXISTS file_statistics (
+                       file_id {self._pk_autoinc()},
                        file_name TEXT NOT NULL UNIQUE,
                        file_size_bytes INTEGER NOT NULL,
                        row_group_count INTEGER NOT NULL,
                        row_count INTEGER NOT NULL)""")
-            self._conn.execute(
+            self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_statistics (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
                            ON DELETE CASCADE,
@@ -242,10 +309,10 @@ class SqliteIndexCatalog:
             # directory learns its real index schema on first refresh):
             # CREATE IF NOT EXISTS won't extend an existing table, so add
             # any missing stat columns explicitly
-            existing = {r[1] for r in self._conn.execute(
-                "PRAGMA table_info(row_group_statistics)")}
+            existing = self._existing_columns("row_group_statistics")
             for name, cat in self.index_schema.items():
-                sql_t = _SQL_TYPE[cat]
+                sql_t = (self._blob_type() if cat == "binary"
+                         else _SQL_TYPE[cat])
                 growth = [(f"{name}_null_count", "INTEGER"),
                           (f"{name}_min", sql_t), (f"{name}_max", sql_t)]
                 if cat == "float":
@@ -255,7 +322,7 @@ class SqliteIndexCatalog:
                     growth.append((f"{name}_exact_max", "TEXT"))
                 for col_name, col_t in growth:
                     if col_name not in existing:
-                        self._conn.execute(
+                        self._exec(
                             f'ALTER TABLE row_group_statistics '
                             f'ADD COLUMN "{col_name}" {col_t}')
             # bloom extension (sources/bloom.py): per (row group, column)
@@ -272,7 +339,7 @@ class SqliteIndexCatalog:
             # unknown (e.g. decimal columns, or rows written before
             # the VAR extension) — consumers demote those groups to
             # the scanned set.
-            self._conn.execute(
+            self._exec(
                 """CREATE TABLE IF NOT EXISTS row_group_sums (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
                            ON DELETE CASCADE,
@@ -282,21 +349,19 @@ class SqliteIndexCatalog:
                        value_count INTEGER NOT NULL,
                        sumsq_value TEXT,
                        PRIMARY KEY (file_id, row_group, column_name))""")
-            sums_cols = {r[1] for r in self._conn.execute(
-                "PRAGMA table_info(row_group_sums)")}
-            if "sumsq_value" not in sums_cols:
+            if "sumsq_value" not in self._existing_columns("row_group_sums"):
                 # persisted catalog built before the VAR extension
-                self._conn.execute(
+                self._exec(
                     "ALTER TABLE row_group_sums ADD COLUMN sumsq_value TEXT")
-            self._conn.execute(
-                """CREATE TABLE IF NOT EXISTS row_group_blooms (
+            self._exec(
+                f"""CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
                            ON DELETE CASCADE,
                        row_group INTEGER NOT NULL,
                        column_name TEXT NOT NULL,
                        m_bits INTEGER NOT NULL,
                        k_hashes INTEGER NOT NULL,
-                       bits BLOB NOT NULL,
+                       bits {self._blob_type()} NOT NULL,
                        PRIMARY KEY (file_id, row_group, column_name))""")
 
     # -- EP2: transactional upsert (reference index.rs:242-329) -------
@@ -313,19 +378,9 @@ class SqliteIndexCatalog:
         blooms: optional {row_group: {column: (m_bits, k, bits)}} written
         alongside the stats in the same transaction.
         sums: optional {row_group: {column: (sum, non_null_count)}}."""
-        with self._lock, self._conn:
-            cur = self._conn.execute(
-                """INSERT INTO file_statistics
-                       (file_name, file_size_bytes, row_group_count, row_count)
-                   VALUES (?, ?, ?, ?)
-                   ON CONFLICT(file_name) DO UPDATE SET
-                       file_size_bytes = excluded.file_size_bytes,
-                       row_group_count = excluded.row_group_count,
-                       row_count = excluded.row_count
-                   RETURNING file_id""",
-                (fs.file_name, fs.file_size_bytes, fs.row_group_count, fs.row_count))
-            file_id = cur.fetchone()[0]
-            self._conn.execute(
+        with self._txn():
+            file_id = self._upsert_file_row(fs)
+            self._exec(
                 "DELETE FROM row_group_statistics WHERE file_id = ?", (file_id,))
             stat_cols = []
             for name, cat in self.index_schema.items():
@@ -350,16 +405,16 @@ class SqliteIndexCatalog:
                                 None if emx is None else str(emx)]
                 rows.append(row)
             if rows:
-                self._conn.executemany(
+                self._execmany(
                     f"INSERT INTO row_group_statistics ({', '.join(all_cols)}) "
                     f"VALUES ({placeholders})", rows)
-            self._conn.execute(
+            self._exec(
                 "DELETE FROM row_group_sums WHERE file_id = ?", (file_id,))
             if sums:
                 # entries are (sum, n) or (sum, n, sumsq) — older
                 # writers/tests still pass 2-tuples; sumsq None/absent
                 # stores NULL (unknown)
-                self._conn.executemany(
+                self._execmany(
                     """INSERT INTO row_group_sums
                            (file_id, row_group, column_name,
                             sum_value, value_count, sumsq_value)
@@ -369,21 +424,30 @@ class SqliteIndexCatalog:
                       else str(entry[2]))
                      for rg, cols in sums.items()
                      for col, entry in cols.items()])
-            self._conn.execute(
+            self._exec(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
-                self._conn.executemany(
+                self._execmany(
                     """INSERT INTO row_group_blooms
                            (file_id, row_group, column_name,
                             m_bits, k_hashes, bits)
                        VALUES (?, ?, ?, ?, ?, ?)""",
-                    [(file_id, rg, col, m, k, sqlite3.Binary(bits))
+                    [(file_id, rg, col, m, k, self._binary(bits))
                      for rg, cols in blooms.items()
                      for col, (m, k, bits) in cols.items()])
 
     def remove_file(self, file_name: str) -> None:
-        with self._lock, self._conn:
-            self._conn.execute(
+        # children deleted explicitly, not via ON DELETE CASCADE: the
+        # DB-API backend cannot assume FK enforcement is on (sqlite
+        # needs a per-connection PRAGMA; server engines vary)
+        with self._txn():
+            for child in ("row_group_statistics", "row_group_sums",
+                          "row_group_blooms"):
+                self._exec(
+                    f"""DELETE FROM {child} WHERE file_id IN
+                        (SELECT file_id FROM file_statistics
+                         WHERE file_name = ?)""", (file_name,))
+            self._exec(
                 "DELETE FROM file_statistics WHERE file_name = ?", (file_name,))
 
     # -- S3: index lookup (reference index.rs:102-176) ----------------
@@ -415,8 +479,7 @@ class SqliteIndexCatalog:
             INNER JOIN row_groups rg ON f.file_id = rg.file_id
             ORDER BY f.file_name, rg.row_group
         """
-        with self._lock:
-            rows = self._conn.execute(sql, renderer.params).fetchall()
+        rows = self._query(sql, renderer.params)
         out: Dict[str, List[int]] = {}
         for file_name, row_group in rows:
             out.setdefault(file_name, []).append(row_group)
@@ -428,13 +491,12 @@ class SqliteIndexCatalog:
         """{(file_name, row_group): (sum, non_null_count, sumsq)} for
         one column; sumsq is None when the second moment was never
         recorded. O(row_groups) rows, independent of data size."""
-        with self._lock:
-            rows = self._conn.execute(
-                """SELECT f.file_name, s.row_group, s.sum_value,
-                          s.value_count, s.sumsq_value
-                   FROM row_group_sums s
-                   JOIN file_statistics f ON f.file_id = s.file_id
-                   WHERE s.column_name = ?""", (column,)).fetchall()
+        rows = self._query(
+            """SELECT f.file_name, s.row_group, s.sum_value,
+                      s.value_count, s.sumsq_value
+               FROM row_group_sums s
+               JOIN file_statistics f ON f.file_id = s.file_id
+               WHERE s.column_name = ?""", (column,))
         return {(fn, rg): (sv, vc, None if sq is None else int(sq))
                 for fn, rg, sv, vc, sq in rows}
 
@@ -443,39 +505,35 @@ class SqliteIndexCatalog:
     ) -> Dict[Tuple[str, int], Tuple[int, int, bytes]]:
         """{(file_name, row_group): (m_bits, k, bits)} for one column.
         O(row_groups) rows, independent of data size."""
-        with self._lock:
-            rows = self._conn.execute(
-                """SELECT f.file_name, b.row_group, b.m_bits, b.k_hashes, b.bits
-                   FROM row_group_blooms b
-                   JOIN file_statistics f ON f.file_id = b.file_id
-                   WHERE b.column_name = ?""", (column,)).fetchall()
+        rows = self._query(
+            """SELECT f.file_name, b.row_group, b.m_bits, b.k_hashes, b.bits
+               FROM row_group_blooms b
+               JOIN file_statistics f ON f.file_id = b.file_id
+               WHERE b.column_name = ?""", (column,))
         return {(fn, rg): (m, k, bytes(bits)) for fn, rg, m, k, bits in rows}
 
     # -- introspection -------------------------------------------------
     def all_files(self) -> List[Tuple[str, int, int, int]]:
         """[(file_name, file_size_bytes, row_group_count, row_count)]"""
-        with self._lock:
-            return list(self._conn.execute(
-                """SELECT file_name, file_size_bytes, row_group_count, row_count
-                   FROM file_statistics ORDER BY file_name"""))
+        return self._query(
+            """SELECT file_name, file_size_bytes, row_group_count, row_count
+               FROM file_statistics ORDER BY file_name""")
 
     def row_group_count(self, file_name: str) -> int:
-        with self._lock:
-            row = self._conn.execute(
-                "SELECT row_group_count FROM file_statistics WHERE file_name = ?",
-                (file_name,)).fetchone()
-        if row is None:
+        rows = self._query(
+            "SELECT row_group_count FROM file_statistics WHERE file_name = ?",
+            (file_name,))
+        if not rows:
             raise KeyError(file_name)
-        return row[0]
+        return rows[0][0]
 
     def row_group_row_counts(self, file_name: str) -> Dict[int, int]:
         """{row_group: row_count} for one file (metadata-only answers)."""
-        with self._lock:
-            rows = self._conn.execute(
-                """SELECT rg.row_group, rg.row_count
-                   FROM row_group_statistics rg
-                   JOIN file_statistics f ON f.file_id = rg.file_id
-                   WHERE f.file_name = ?""", (file_name,)).fetchall()
+        rows = self._query(
+            """SELECT rg.row_group, rg.row_count
+               FROM row_group_statistics rg
+               JOIN file_statistics f ON f.file_id = rg.file_id
+               WHERE f.file_name = ?""", (file_name,))
         return {rg: rc for rg, rc in rows}
 
     def column_bounds(self, column: str):
@@ -490,11 +548,10 @@ class SqliteIndexCatalog:
         cat = self.index_schema[column]
         if cat == "decimal":
             import decimal as _d
-            with self._lock:
-                rows = self._conn.execute(
-                    f'''SELECT "{column}_min" IS NULL,
-                               "{column}_exact_min", "{column}_exact_max"
-                        FROM row_group_statistics''').fetchall()
+            rows = self._query(
+                f'''SELECT "{column}_min" IS NULL,
+                           "{column}_exact_min", "{column}_exact_max"
+                    FROM row_group_statistics''')
             complete = all(not missing for missing, _, _ in rows)
             mn = mx = None
             for missing, emn, emx in rows:
@@ -510,11 +567,10 @@ class SqliteIndexCatalog:
                 mx = hi if mx is None or hi > mx else mx
             else:
                 return mn, mx, complete
-        with self._lock:
-            row = self._conn.execute(
-                f"""SELECT MIN({column}_min), MAX({column}_max),
-                           SUM(CASE WHEN {column}_min IS NULL THEN 1 ELSE 0 END)
-                    FROM row_group_statistics""").fetchone()
+        row = self._query(
+            f"""SELECT MIN({column}_min), MAX({column}_max),
+                       SUM(CASE WHEN {column}_min IS NULL THEN 1 ELSE 0 END)
+                FROM row_group_statistics""")[0]
         mn, mx, missing = row
         return decode_value(cat, mn), decode_value(cat, mx), (missing or 0) == 0
 
@@ -533,11 +589,10 @@ class SqliteIndexCatalog:
         answers trust float max bounds as attained values."""
         if self.index_schema.get(column) != "float":
             raise KeyError(column)
-        with self._lock:
-            total, known, s = self._conn.execute(
-                f'''SELECT COUNT(*), COUNT("{column}_nan_count"),
-                           SUM("{column}_nan_count")
-                    FROM row_group_statistics''').fetchone()
+        total, known, s = self._query(
+            f'''SELECT COUNT(*), COUNT("{column}_nan_count"),
+                       SUM("{column}_nan_count")
+                FROM row_group_statistics''')[0]
         if known < total or total == 0:
             return None
         return int(s or 0)
@@ -560,15 +615,13 @@ class SqliteIndexCatalog:
         cat = self.index_schema[column]
         exact = (f', rg."{column}_exact_min", rg."{column}_exact_max"'
                  if cat == "decimal" else ", NULL, NULL")
-        with self._lock:
-            rows = self._conn.execute(
-                f"""SELECT f.file_name, rg.row_group,
-                           rg.{column}_null_count,
-                           rg.{column}_min, rg.{column}_max,
-                           rg.row_count{exact}
-                    FROM row_group_statistics rg
-                    JOIN file_statistics f ON f.file_id = rg.file_id"""
-            ).fetchall()
+        rows = self._query(
+            f"""SELECT f.file_name, rg.row_group,
+                       rg.{column}_null_count,
+                       rg.{column}_min, rg.{column}_max,
+                       rg.row_count{exact}
+                FROM row_group_statistics rg
+                JOIN file_statistics f ON f.file_id = rg.file_id""")
         return {(fn, rg): (nc, *self._decode_rg_bounds(cat, mn, mx, emn, emx),
                            rc)
                 for fn, rg, nc, mn, mx, rc, emn, emx in rows}
@@ -582,13 +635,146 @@ class SqliteIndexCatalog:
         cat = self.index_schema[column]
         exact = (f', "{column}_exact_min", "{column}_exact_max"'
                  if cat == "decimal" else ", NULL, NULL")
-        with self._lock:
-            rows = self._conn.execute(
-                f"""SELECT {column}_null_count, {column}_min,
-                           {column}_max, row_count{exact}
-                    FROM row_group_statistics""").fetchall()
+        rows = self._query(
+            f"""SELECT {column}_null_count, {column}_min,
+                       {column}_max, row_count{exact}
+                FROM row_group_statistics""")
         return [(nc, *self._decode_rg_bounds(cat, mn, mx, emn, emx), rc)
                 for nc, mn, mx, rc, emn, emx in rows]
 
     def close(self) -> None:
         self._conn.close()
+
+
+class DBAPIIndexCatalog(SqliteIndexCatalog):
+    """The REMOTE catalog backend: the identical index schema and SQL
+    retargeted at any injected PEP 249 (DB-API 2.0) connection — the
+    reference's explicit design intent that the statistics "could be
+    stored in any database that SQLx supports, including a remote
+    Postgres database" (``sqlx-sqlite/src/main.rs:89-90``).
+
+    Differences from the in-process SQLite backend are confined to the
+    dialect hooks:
+
+    - ``connect`` is a zero-arg factory returning a live connection
+      (e.g. ``lambda: psycopg2.connect(dsn)``); all statements go
+      through explicit cursors (plain DB-API has no
+      ``connection.execute`` shortcut) and explicit commit/rollback
+      (no sqlite3 context-manager transactions).
+    - ``paramstyle``: ``qmark`` (``?``) natively; ``format`` /
+      ``pyformat`` drivers (psycopg2, MySQLdb) get every placeholder
+      rewritten to ``%s`` — safe textually because the emitted SQL
+      never contains a literal ``?`` (all values are bound).
+    - ``pk_autoinc`` / ``blob_type``: DDL spellings for the
+      auto-generated key and blob storage (Postgres:
+      ``BIGSERIAL PRIMARY KEY`` / ``BYTEA``).
+    - the file upsert uses a portable UPDATE-else-INSERT inside the
+      transaction instead of sqlite's ``ON CONFLICT .. RETURNING``;
+      schema introspection uses a ``SELECT ... LIMIT 0`` cursor
+      description instead of ``PRAGMA table_info``.
+
+    Everything else — DDL shape, lookup CTE, sum/bloom side tables,
+    value encoding — is inherited verbatim, which is the point: the
+    equivalence suite (tests/test_catalog_backends.py) proves the
+    three backends decision-identical on the same corpus. Scale
+    posture: one catalog database serves every executor's planner;
+    lookups stay a single indexed SQL query, O(row-groups) not
+    O(data)."""
+
+    def __init__(self, connect, paramstyle: str = "qmark",
+                 pk_autoinc: str = "INTEGER PRIMARY KEY AUTOINCREMENT",
+                 blob_type: str = "BLOB", binary=None):
+        self._conn = connect()
+        self._lock = threading.RLock()
+        self.index_schema: Dict[str, str] = {}
+        self._paramstyle = paramstyle
+        self._pk = pk_autoinc
+        self._blob = blob_type
+        self._bin = binary if binary is not None else (
+            lambda b: b if isinstance(b, bytes) else bytes(b))
+
+    # -- dialect hooks -------------------------------------------------
+    def _sql(self, sql: str) -> str:
+        if self._paramstyle in ("format", "pyformat"):
+            return sql.replace("?", "%s")
+        return sql
+
+    def _exec(self, sql: str, params: Sequence = ()) -> None:
+        with self._lock:
+            cur = self._conn.cursor()
+            try:
+                cur.execute(self._sql(sql), tuple(params))
+            finally:
+                cur.close()
+
+    def _query(self, sql: str, params: Sequence = ()) -> List[tuple]:
+        with self._lock:
+            cur = self._conn.cursor()
+            try:
+                cur.execute(self._sql(sql), tuple(params))
+                return [tuple(r) for r in cur.fetchall()]
+            finally:
+                cur.close()
+
+    def _execmany(self, sql: str, rows: List[Sequence]) -> None:
+        with self._lock:
+            cur = self._conn.cursor()
+            try:
+                cur.executemany(self._sql(sql), [tuple(r) for r in rows])
+            finally:
+                cur.close()
+
+    def _txn(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with self._lock:
+                try:
+                    yield
+                except BaseException:
+                    self._conn.rollback()
+                    raise
+                self._conn.commit()
+        return cm()
+
+    def _existing_columns(self, table: str) -> set:
+        with self._lock:
+            cur = self._conn.cursor()
+            try:
+                cur.execute(self._sql(f"SELECT * FROM {table} LIMIT 0"))
+                return {d[0] for d in cur.description or ()}
+            finally:
+                cur.close()
+
+    def _pk_autoinc(self) -> str:
+        return self._pk
+
+    def _blob_type(self) -> str:
+        return self._blob
+
+    def _binary(self, b: bytes):
+        return self._bin(b)
+
+    def _upsert_file_row(self, fs: FileStats) -> int:
+        rows = self._query(
+            "SELECT file_id FROM file_statistics WHERE file_name = ?",
+            (fs.file_name,))
+        if rows:
+            self._exec(
+                """UPDATE file_statistics
+                   SET file_size_bytes = ?, row_group_count = ?,
+                       row_count = ?
+                   WHERE file_id = ?""",
+                (fs.file_size_bytes, fs.row_group_count, fs.row_count,
+                 rows[0][0]))
+            return rows[0][0]
+        self._exec(
+            """INSERT INTO file_statistics
+                   (file_name, file_size_bytes, row_group_count, row_count)
+               VALUES (?, ?, ?, ?)""",
+            (fs.file_name, fs.file_size_bytes, fs.row_group_count,
+             fs.row_count))
+        return self._query(
+            "SELECT file_id FROM file_statistics WHERE file_name = ?",
+            (fs.file_name,))[0][0]

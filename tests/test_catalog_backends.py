@@ -320,3 +320,120 @@ def test_distributed_build_matches_threaded(spark, tmp_path):
     b = dist.get_blooms("body#tokens")
     assert a.keys() == b.keys() and len(a) == n_files
     assert all(a[k] == b[k] for k in a)
+
+
+# -- remote-style DB-API backend (reference main.rs:89-90) -------------
+
+import sqlite3
+
+from datafusion_async_parquet_index_spark.sources.catalog import (
+    DBAPIIndexCatalog,
+)
+
+
+class _FormatParamCursor:
+    """Cursor shim that accepts ONLY %s placeholders — what a psycopg2/
+    MySQLdb driver would see — proving the catalog really translated
+    its qmark SQL rather than passing it through."""
+
+    def __init__(self, cur):
+        self._cur = cur
+
+    def _tr(self, sql):
+        assert "?" not in sql, f"qmark placeholder leaked to driver: {sql}"
+        return sql.replace("%s", "?")
+
+    def execute(self, sql, params=()):
+        self._cur.execute(self._tr(sql), params)
+
+    def executemany(self, sql, rows):
+        self._cur.executemany(self._tr(sql), rows)
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    @property
+    def description(self):
+        return self._cur.description
+
+    def close(self):
+        self._cur.close()
+
+
+class _FormatParamConn:
+    """Fake remote-DB connection (format paramstyle, explicit cursors,
+    explicit commit/rollback — the full PEP 249 surface the generic
+    backend must drive) over an in-process sqlite3 engine."""
+
+    def __init__(self):
+        self._c = sqlite3.connect(":memory:", check_same_thread=False)
+
+    def cursor(self):
+        return _FormatParamCursor(self._c.cursor())
+
+    def commit(self):
+        self._c.commit()
+
+    def rollback(self):
+        self._c.rollback()
+
+    def close(self):
+        self._c.close()
+
+
+def _dbapi_qmark():
+    return DBAPIIndexCatalog(
+        lambda: sqlite3.connect(":memory:", check_same_thread=False))
+
+
+def _dbapi_format():
+    return DBAPIIndexCatalog(_FormatParamConn, paramstyle="format")
+
+
+def test_dbapi_backend_decision_identical(spark, corpus):
+    """All four backends — in-process SQLite, stats-DataFrame, DB-API
+    over qmark, DB-API over a format-paramstyle remote-style driver —
+    return identical pruning decisions for every predicate."""
+    tables = [
+        IndexedParquetTable(spark, corpus, ["value", "text"],
+                            catalog=SqliteIndexCatalog()),
+        IndexedParquetTable(spark, corpus, ["value", "text"],
+                            catalog=DataFrameIndexCatalog(spark)),
+        IndexedParquetTable(spark, corpus, ["value", "text"],
+                            catalog=_dbapi_qmark()),
+        IndexedParquetTable(spark, corpus, ["value", "text"],
+                            catalog=_dbapi_format()),
+    ]
+    for pred in PREDICATES:
+        decisions = [t.plan_scan(pred).files_scanned for t in tables]
+        assert all(d == decisions[0] for d in decisions), (
+            f"backend divergence for {pred!r}: {decisions}")
+
+
+def test_dbapi_backend_full_protocol(spark, corpus):
+    """The generic backend exercises the whole catalog protocol:
+    metadata-only counts, bounds, sum store (incl. second moments),
+    idempotent upsert, and explicit-child-delete remove_file."""
+    from datafusion_async_parquet_index_spark.plans.expr import col as xc
+
+    t = IndexedParquetTable(spark, corpus, ["value", "text"],
+                            catalog=_dbapi_format(),
+                            sum_columns=["value"])
+    assert t.count_rows() == 3000
+    assert t.count_rows((xc("value") > 500) & (xc("text") == "a")) == 0
+    assert t.min_max("value") == (0, 2999)
+    assert t.sum_rows("value")[:2] == (sum(range(3000)), 3000)
+    s, sq, n = t.sum_sq_rows("value", xc("value") <= 120)
+    assert (s, sq, n) == (sum(range(121)),
+                          sum(v * v for v in range(121)), 121)
+    assert t.last_var_pushdown["partial_row_groups"] == 1
+    # idempotent re-upsert: refresh with no changes keeps the catalog
+    n_before = len(t.catalog.all_files())
+    t.refresh()
+    assert len(t.catalog.all_files()) == n_before
+    # remove_file drops children without relying on FK cascade
+    t.catalog.remove_file("file2.parquet")
+    assert t.plan_scan(xc("value") == 150).file_names == []
+    assert t.catalog.get_sums("value")  # other files' sums intact
+    assert all(fn != "file2.parquet"
+               for fn, _ in t.catalog.get_sums("value"))

@@ -9,6 +9,7 @@ to keep cross-engine hashing timestamp-repr-free.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -765,6 +766,94 @@ EV_LIFECYCLE_SQL = f"""
 """
 
 
+def ev_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STREAMING-EXECUTED result through the driver's oracle gate:
+    the watermarked tumbling-count stream
+    (streaming/events_stream.py:tumbling_counts_stream) runs over the
+    static events corpus replayed as 3 time-ordered micro-batches
+    through the file source (maxFilesPerTrigger=1 — three genuine
+    incremental triggers with state carried across them), lands in a
+    memory sink, and the sink table is returned. The DuckDB oracle
+    recomputes the same 300 s windows from the flat table, so the
+    streaming plan must produce exactly the batch answer on identical
+    input — no dropped, duplicated, or mis-bucketed windows across
+    micro-batch boundaries. Replay order is pinned by explicit
+    per-file mtimes (the file source triggers oldest-first), which
+    with the 3600 s watermark guarantees no batch can arrive behind
+    the horizon. At scale the same plan runs unchanged against a queue
+    source with a durable checkpoint; state is (window × type) rows
+    bounded by the watermark."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.events_stream import (
+        stream_events_from_dir, tumbling_counts_stream,
+    )
+    from .util import artifact_dir, ensure_complete, ensure_epoch_nanos
+
+    markers = [f"batch{i}.parquet" for i in range(3)]
+
+    def _write(dd):
+        os.makedirs(dd, exist_ok=True)
+        ev = ensure_epoch_nanos(
+            read_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type"))
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        step = (hi - lo) // 3 + 1
+        now = _time.time()
+        for i in range(3):
+            tmp = os.path.join(dd, f"_stage{i}")
+            (ev.filter((F.col("ts") >= lo + i * step)
+                       & (F.col("ts") < lo + (i + 1) * step))
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            dst = os.path.join(dd, f"batch{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            # deterministic oldest-first replay without sleeping
+            os.utime(dst, (now + i, now + i))
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    d = artifact_dir("SPARK_GRAFT_STREAM_DIR", "spark_graft_stream_events",
+                     os.path.join(sf_dir, "events.parquet"), "split3_v1")
+    ensure_complete(d, markers, _write)
+    sink = "ev_stream_tumbling_sink"
+    # streaming aggregations take shuffle.partitions as the state-store
+    # partition count at first start and AQE never coalesces them — a
+    # vanilla session's 200 means 200 state tasks per micro-batch for a
+    # (window × type)-sized state. Pin a sane width for the run and
+    # restore after (the memory sink table is already materialized).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (tumbling_counts_stream(stream_events_from_dir(spark, d),
+                                    window_sec=300, watermark_sec=3600)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="ckpt_ev_stream_tumbling_"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(sink).select("window_start", "event_type", "cnt")
+
+
+EV_STREAM_TUMBLING_SQL = """
+    SELECT CAST(floor(epoch(ts::TIMESTAMP) / 300) * 300 AS BIGINT)
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling_agg": ev_tumbling_agg,
     "ev_sliding_agg": ev_sliding_agg,
@@ -780,6 +869,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_markov_transitions": ev_markov_transitions,
     "ev_stream_rate": ev_stream_rate,
     "ev_user_lifecycle": ev_user_lifecycle,
+    "ev_stream_tumbling": ev_stream_tumbling,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -797,4 +887,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_markov_transitions": EV_MARKOV_SQL,
     "ev_stream_rate": EV_STREAM_RATE_SQL,
     "ev_user_lifecycle": EV_LIFECYCLE_SQL,
+    "ev_stream_tumbling": EV_STREAM_TUMBLING_SQL,
 }

@@ -897,7 +897,7 @@ class IndexedParquetTable:
             entry = sums.get(key)
             if entry is None:
                 return None
-            s, n = entry
+            s, n = entry[0], entry[1]  # entry may carry a 3rd moment
             acc = out.get(lo, (0, 0))
             out[lo] = (acc[0] + s, acc[1] + n)
         return {k: (decode(s), n) for k, (s, n) in out.items()}

@@ -16,6 +16,13 @@ Env knobs:
                             hashing behind the cached MinHash signatures)
                             are paid inside the measured window instead
                             of hiding behind a warm best-of-2
+  SPARK_GRAFT_BENCH_COLD_PASS=0  skip the default cold column (a second
+                            per-query-cleared single-run pass emitted as
+                            queries_cold/value_cold next to the warm
+                            numbers — the cache-masking tripwire)
+  SPARK_GRAFT_BENCH_FAMILY_CLEAR=1  clear operator caches at query-name
+                            family boundaries in the warm pass
+                            (diagnosis knob for cross-family coupling)
 """
 
 from __future__ import annotations
@@ -30,6 +37,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
 RUNS = 1 if COLD else int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# family-boundary cache clearing (diagnosis knob for the r5 warm-drift
+# question): drop operator memo/cache pools whenever the query-name
+# family prefix changes (dedup|emb|ev|mm|q|sim|text), so a family's
+# warm numbers can't be perturbed by an earlier family's accumulated
+# cached plans while intra-family reuse (the realistic serving shape)
+# stays warm
+FAMILY_CLEAR = os.environ.get("SPARK_GRAFT_BENCH_FAMILY_CLEAR", "") == "1"
+# cold-vs-warm column (round-5 verdict ask: cache-masking tripwire):
+# after the warm pass, run every query once more with operator caches +
+# the Spark cache cleared per query, and emit a parallel queries_cold
+# dict. Costs one extra single-run pass (~2.5 min at sf0.1); disable
+# with =0 for quick iteration runs. Skipped automatically in COLD mode
+# (the main pass already is cold) and under BENCH_ONLY.
+COLD_PASS = os.environ.get("SPARK_GRAFT_BENCH_COLD_PASS", "1") == "1"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -63,27 +84,59 @@ def main() -> None:
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
+    def _family(name: str) -> str:
+        head = name.split("_", 1)[0]
+        return "q" if head[:1] == "q" and head[1:].isdigit() else head
+
     timings: dict[str, float] = {}
+    prev_fam = None
     for name in sorted(queries):
-        if COLD:
+        fam = _family(name)
+        if COLD or (FAMILY_CLEAR and fam != prev_fam):
             clear_caches()
             spark.catalog.clearCache()
-        best = float("inf")
+        prev_fam = fam
+        samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        # adaptive third run: consecutive identical warm runs measure
+        # ±18% per query at p10-p90 on this host (round-6 diagnosis of
+        # the r5 "drift"), so when the two samples disagree by >30%
+        # take one more and keep the best — damps exactly the noisy
+        # sub-second queries without lengthening the whole suite
+        if len(samples) >= 2 and max(samples) > min(samples) * 1.3:
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+
+    cold_timings: dict[str, float] | None = None
+    if COLD_PASS and not COLD and not only:
+        cold_timings = {}
+        for name in sorted(queries):
+            clear_caches()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            cold_timings[name] = round(time.perf_counter() - t0, 4)
 
     maint = None if only else _maintenance_bench(spark)
 
     total = round(sum(timings.values()), 4)
+    total_cold = (round(sum(cold_timings.values()), 4)
+                  if cold_timings else None)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold_timings,
+        "value_cold": total_cold,
         "maintenance": maint,
         "sf": _sf_from_dir(SF_DIR),
     }))
@@ -100,6 +153,10 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "cold": COLD,
+        "value_cold": total_cold,
+        "cold_slowest": (dict(sorted(cold_timings.items(),
+                                     key=lambda kv: -kv[1])[:5])
+                         if cold_timings else None),
         "maintenance": maint,
         "sf": _sf_from_dir(SF_DIR),
     }))

@@ -503,9 +503,16 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1),
                    F.greatest(F.lit(1), F.size(hs) - (WINNOW_W - 1))),
         lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))
-    winned = hashed.select("doc_id", wins.alias("wins"),
-                           F.array_distinct(wins).alias("fps"))
-    return winned.select(
+    # same projection-boundary discipline as ``hs`` one level down:
+    # wins in its OWN select, fps derived from the attribute in the
+    # next — inlining the wins expression twice (direct + inside
+    # array_distinct) ran the O(windows x w) min-scan twice per row,
+    # and CollapseProject keeps the boundary because each alias is
+    # referenced more than once above
+    winned = hashed.select("doc_id", wins.alias("wins"))
+    fps = winned.select("doc_id", "wins",
+                        F.array_distinct("wins").alias("fps"))
+    return fps.select(
         "doc_id",
         F.size("wins").cast("bigint").alias("n_windows"),
         F.size("fps").cast("bigint").alias("n_fingerprints"),

@@ -647,6 +647,12 @@ def write_ivf_layout(emb: DataFrame, out_dir: str) -> None:
     cent.write.mode("overwrite").parquet(out_dir + "/_meta/centroids")
 
 
+# filled by ivf_layout_topk per call: {probed_cells, total_cells,
+# nprobe} — the partition-pruning observability the sf1 scale checks
+# record (scripts/sf1_ann_check.py)
+LAST_LAYOUT_PROBE: dict = {}
+
+
 def ivf_layout_topk(
     spark: SparkSession, layout_dir: str, nprobe: int = 1, k: int = TOPK,
 ) -> DataFrame:
@@ -680,6 +686,12 @@ def ivf_layout_topk(
     # filter literal, so the scan prunes DIRECTORIES, not rows
     probed = sorted({r.probe_cell for r in qcells.select("probe_cell")
                      .distinct().collect()})
+    # observability for the scale checks (scripts/sf1_ann_check.py):
+    # how many cell directories the probe actually opens
+    LAST_LAYOUT_PROBE.clear()
+    LAST_LAYOUT_PROBE.update({
+        "probed_cells": len(probed),
+        "total_cells": cent.count(), "nprobe": nprobe})
     c = emb.filter(F.col("cell").isin(probed)).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         l2_norm(F.col("embedding")).alias("cn"), F.col("cell").alias("cc"))
@@ -1171,6 +1183,11 @@ def sim_ivfpq_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side probed-cell list (queries x nprobe ids, tiny) ->
     # partition filter literal: the codes scan prunes DIRECTORIES
     probed = sorted({r["qc"] for r in q.select("qc").distinct().collect()})
+    LAST_LAYOUT_PROBE.clear()
+    LAST_LAYOUT_PROBE.update({
+        "probed_cells": len(probed),
+        "total_cells": cells.select("cell").distinct().count(),
+        "nprobe": NPROBE})
     codes_df = (spark.read.parquet(layout)
                 .filter(F.col("cell").isin(probed))
                 .select(F.col("vec_id").alias("cand_id"), "codes",

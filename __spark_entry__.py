@@ -100,6 +100,16 @@ _ROUND_PRIORITY = [
     "q39_grouping_sets",
     "q42_hll_estimate",
     "q43_in_pred",
+    # (window full at 50 here.)
+    # ROUND-7 PLAN (write as actual entries then): tier 1 = any red
+    # rows from CORRECTNESS_r06 + the entries landed after this
+    # round's window filled — q70_group_var_pushdown (grouped VAR from
+    # the catalog, locally green + fingerprinted) and anything later;
+    # tier 2 = the 4 r3-stale deferred here (q37_case_pred,
+    # q38_exists_subquery, q40_range_frame, q41_pivot); tier 3 = the
+    # 44 r4-green entries oldest-first (they become 3 rounds stale
+    # after r7). `scripts/vanilla_harness.py --stale` mechanizes the
+    # changed-entry list.
     # == ROUND 5 WINDOW (kept for natural-order stability) ===========
     # -- tier 1: entries whose bodies or load-bearing dependencies
     #    changed this round — the NaN-soundness work (ADVICE r4) added

@@ -1537,7 +1537,7 @@ def _status_cents_orders(spark: SparkSession, sf_dir: str):
 
     layout = artifact_dir(
         STATUS_CENTS_ENV, "spark_graft_status_cents",
-        os.path.join(sf_dir, "orders.parquet"), "by=status_cents")
+        os.path.join(sf_dir, "orders.parquet"), "by=status_cents_v2")
     memo = session_memo(spark, "status_cents_orders")
     t = memo.get(layout)
     if t is None:
@@ -1546,13 +1546,17 @@ def _status_cents_orders(spark: SparkSession, sf_dir: str):
             lambda d: (_read(spark, sf_dir, "orders")
                        .select("o_orderkey", "o_orderstatus",
                                F.round(F.col("o_totalprice") * 100)
-                               .cast("long").alias("price_cents"))
+                               .cast("long").alias("price_cents"),
+                               F.round(F.col("o_totalprice"))
+                               .cast("long").alias("price_dollars"))
                        .repartition(2)
                        .write.partitionBy("o_orderstatus")
                        .mode("overwrite").parquet(d)))
         t = memo[layout] = IndexedParquetTable(
-            spark, layout, index_columns=["price_cents"],
-            partitioned=True, sum_columns=["price_cents"])
+            spark, layout,
+            index_columns=["price_cents", "price_dollars"],
+            partitioned=True,
+            sum_columns=["price_cents", "price_dollars"])
     return t
 
 
@@ -1573,6 +1577,27 @@ def q63_group_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(k, s, n) for k, (s, n) in sorted(groups.items())]
     return spark.createDataFrame(
         rows, "o_orderstatus STRING, sum_cents BIGINT, n BIGINT")
+
+
+def q70_group_var_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-I/O GROUP BY VARIANCE (table.sum_sq_rows_by): over the
+    hive status layout every row group is single-valued on the
+    partition column and stores exact (Σx, Σx², n) for the integer
+    dollars measure, so per-status variance folds entirely from the
+    catalog — no executor starts. The grouped completion of the moment
+    store (q61 COUNT / q62-63 SUM / q66-67 MIN-MAX / q68 VAR): what a
+    lakehouse otherwise maintains as a variance materialized view is
+    here a catalog readout kept current by the per-file upsert. All
+    integers end to end; the derived per-group var_pop is an exact
+    milli-units floor quotient identical in both engines."""
+    t = _status_cents_orders(spark, sf_dir)
+    groups = t.sum_sq_rows_by("o_orderstatus", "price_dollars")
+    assert groups is not None, "hive layout must fold from the catalog"
+    rows = [(k, s, sq, n, (n * sq - s * s) * 1000 // (n * n))
+            for k, (s, sq, n) in sorted(groups.items())]
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, sum_dollars BIGINT, "
+              "sumsq_dollars BIGINT, n BIGINT, var_pop_milli BIGINT")
 
 
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,6 +1758,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_group_sum_pushdown": q63_group_sum_pushdown,
     "q68_var_pushdown": q68_var_pushdown,
     "q69_remote_catalog": q69_remote_catalog,
+    "q70_group_var_pushdown": q70_group_var_pushdown,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2334,6 +2360,23 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q70_group_var_pushdown"] = """
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice) AS BIGINT) AS d
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(d) AS BIGINT) AS sum_dollars,
+           CAST(SUM(d * d) AS BIGINT) AS sumsq_dollars,
+           CAST(COUNT(d) AS BIGINT) AS n,
+           CAST((CAST(COUNT(d) AS HUGEINT) * SUM(d * d)
+                 - CAST(SUM(d) AS HUGEINT) * SUM(d)) * 1000
+                // (CAST(COUNT(d) AS HUGEINT) * COUNT(d))
+                AS BIGINT) AS var_pop_milli
+    FROM c GROUP BY o_orderstatus
 """
 
 RELATIONAL_ORACLE["q69_remote_catalog"] = """

@@ -902,6 +902,35 @@ class IndexedParquetTable:
             out[lo] = (acc[0] + s, acc[1] + n)
         return {k: (decode(s), n) for k, (s, n) in out.items()}
 
+    def sum_sq_rows_by(self, group_column: str, sum_column: str):
+        """Zero-I/O GROUP BY VAR moments: {group value: (sum, sumsq,
+        non_null_count)} answered from the catalog alone — the grouped
+        generalization of sum_sq_rows under the same single-valued-
+        group trust rules as sum_rows_by, requiring every row group's
+        stored entry to carry a second moment (integer measures only;
+        the caller derives per-group VAR_POP/STDDEV from the exact
+        moments). Returns None when any row group fails a condition —
+        coverage degrades to a scan aggregate, never wrongness.
+        O(catalog) driver-side fold — no executor ever starts."""
+        try:
+            entries = self.catalog.column_rg_entries_keyed(group_column)
+        except KeyError:
+            return None
+        sums = self.catalog.get_sums(sum_column)
+        out: Dict = {}
+        for key, (nc, lo, hi, _) in entries.items():
+            if lo is None or lo != hi or (nc or 0) != 0:
+                return None
+            if not self._bound_is_exact(group_column, lo):
+                return None
+            entry = sums.get(key)
+            if entry is None or len(entry) < 3 or entry[2] is None:
+                return None
+            acc = out.get(lo, (0, 0, 0))
+            out[lo] = (acc[0] + entry[0], acc[1] + entry[2],
+                       acc[2] + entry[1])
+        return out
+
     def min_max_by(self, group_column: str, target_column: str):
         """Zero-I/O GROUP BY MIN/MAX: {group value: (min, max, count)}
         answered from the catalog alone when EVERY row group is

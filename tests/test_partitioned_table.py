@@ -313,3 +313,34 @@ def test_group_sum_pushdown_from_catalog(spark, tmp_path):
     assert got == want
     # a non-single-valued group column refuses (falls back to scan)
     assert t.sum_rows_by("x", "x") is None
+
+
+def test_group_var_pushdown_from_catalog(spark, tmp_path):
+    """sum_sq_rows_by over a partitioned layout with stored second
+    moments: grouped (Σx, Σx², n) fold from the catalog alone and match
+    the scan aggregate; refusal rules mirror sum_rows_by."""
+    from pyspark.sql import functions as F
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = str(tmp_path / "grp_var")
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).alias("x"))
+    df.repartition(2).write.partitionBy("g").mode("overwrite").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["x"],
+                            partitioned=True, sum_columns=["x"])
+    got = t.sum_sq_rows_by("g", "x")
+    assert got is not None
+    want = {r["g"]: (r["s"], r["sq"], r["n"]) for r in
+            spark.read.parquet(d).groupBy("g").agg(
+                F.sum("x").alias("s"),
+                F.sum(F.col("x") * F.col("x")).alias("sq"),
+                F.count("x").alias("n")).collect()}
+    assert got == want
+    assert t.sum_sq_rows_by("x", "x") is None
+    # without stored moments: refuses instead of guessing
+    t2 = IndexedParquetTable(spark, d, index_columns=["x"],
+                             partitioned=True)
+    assert t2.sum_sq_rows_by("g", "x") is None

@@ -104,7 +104,9 @@ _ROUND_PRIORITY = [
     # ROUND-7 PLAN (write as actual entries then): tier 1 = any red
     # rows from CORRECTNESS_r06 + the entries landed after this
     # round's window filled — q70_group_var_pushdown (grouped VAR from
-    # the catalog, locally green + fingerprinted) and anything later;
+    # the catalog) and ev_stream_sliding (second streaming-executed
+    # oracle row), both locally green + fingerprinted — and anything
+    # later;
     # tier 2 = the 4 r3-stale deferred here (q37_case_pred,
     # q38_exists_subquery, q40_range_frame, q41_pivot); tier 3 = the
     # 44 r4-green entries oldest-first (they become 3 rounds stale

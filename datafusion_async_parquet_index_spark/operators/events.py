@@ -766,29 +766,13 @@ EV_LIFECYCLE_SQL = f"""
 """
 
 
-def ev_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A STREAMING-EXECUTED result through the driver's oracle gate:
-    the watermarked tumbling-count stream
-    (streaming/events_stream.py:tumbling_counts_stream) runs over the
-    static events corpus replayed as 3 time-ordered micro-batches
-    through the file source (maxFilesPerTrigger=1 — three genuine
-    incremental triggers with state carried across them), lands in a
-    memory sink, and the sink table is returned. The DuckDB oracle
-    recomputes the same 300 s windows from the flat table, so the
-    streaming plan must produce exactly the batch answer on identical
-    input — no dropped, duplicated, or mis-bucketed windows across
-    micro-batch boundaries. Replay order is pinned by explicit
-    per-file mtimes (the file source triggers oldest-first), which
-    with the 3600 s watermark guarantees no batch can arrive behind
-    the horizon. At scale the same plan runs unchanged against a queue
-    source with a durable checkpoint; state is (window × type) rows
-    bounded by the watermark."""
-    import tempfile
+def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per corpus: the events table normalized to the queue
+    schema and split into 3 time-ordered parquet files with explicit
+    ascending mtimes, so the file-source stream replays them as 3
+    deterministic oldest-first micro-batches (no sleeping)."""
     import time as _time
 
-    from ..streaming.events_stream import (
-        stream_events_from_dir, tumbling_counts_stream,
-    )
     from .util import artifact_dir, ensure_complete, ensure_epoch_nanos
 
     markers = [f"batch{i}.parquet" for i in range(3)]
@@ -810,29 +794,32 @@ def ev_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if f.endswith(".parquet"))
             dst = os.path.join(dd, f"batch{i}.parquet")
             os.replace(os.path.join(tmp, part), dst)
-            # deterministic oldest-first replay without sleeping
             os.utime(dst, (now + i, now + i))
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
 
     d = artifact_dir("SPARK_GRAFT_STREAM_DIR", "spark_graft_stream_events",
                      os.path.join(sf_dir, "events.parquet"), "split3_v1")
-    ensure_complete(d, markers, _write)
-    sink = "ev_stream_tumbling_sink"
-    # streaming aggregations take shuffle.partitions as the state-store
-    # partition count at first start and AQE never coalesces them — a
-    # vanilla session's 200 means 200 state tasks per micro-batch for a
-    # (window × type)-sized state. Pin a sane width for the run and
-    # restore after (the memory sink table is already materialized).
+    return ensure_complete(d, markers, _write)
+
+
+def _run_stream_to_sink(spark: SparkSession, out_stream, sink: str):
+    """Run a (bounded) streaming DataFrame to completion into a memory
+    sink and return the sink table. Streaming aggregations take
+    shuffle.partitions as the state-store partition count at first
+    start and AQE never coalesces them — a vanilla session's 200 means
+    200 state tasks per micro-batch for a (window × type)-sized state,
+    so pin a sane width for the run and restore after (the sink table
+    is already materialized)."""
+    import tempfile
+
     old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (tumbling_counts_stream(stream_events_from_dir(spark, d),
-                                    window_sec=300, watermark_sec=3600)
-             .writeStream.format("memory").queryName(sink)
+        q = (out_stream.writeStream.format("memory").queryName(sink)
              .outputMode("complete")
              .option("checkpointLocation",
-                     tempfile.mkdtemp(prefix="ckpt_ev_stream_tumbling_"))
+                     tempfile.mkdtemp(prefix=f"ckpt_{sink}_"))
              .start())
         try:
             q.processAllAvailable()
@@ -841,7 +828,56 @@ def ev_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(sink).select("window_start", "event_type", "cnt")
+    return spark.table(sink)
+
+
+def ev_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STREAMING-EXECUTED result through the driver's oracle gate:
+    the watermarked tumbling-count stream
+    (streaming/events_stream.py:tumbling_counts_stream) runs over the
+    static events corpus replayed as 3 time-ordered micro-batches
+    through the file source (maxFilesPerTrigger=1 — three genuine
+    incremental triggers with state carried across them), lands in a
+    memory sink, and the sink table is returned. The DuckDB oracle
+    recomputes the same 300 s windows from the flat table, so the
+    streaming plan must produce exactly the batch answer on identical
+    input — no dropped, duplicated, or mis-bucketed windows across
+    micro-batch boundaries. Replay order is pinned by explicit
+    per-file mtimes (the file source triggers oldest-first), which
+    with the 3600 s watermark guarantees no batch can arrive behind
+    the horizon. At scale the same plan runs unchanged against a queue
+    source with a durable checkpoint; state is (window × type) rows
+    bounded by the watermark."""
+    from ..streaming.events_stream import (
+        stream_events_from_dir, tumbling_counts_stream,
+    )
+
+    d = _events_replay_dir(spark, sf_dir)
+    out = tumbling_counts_stream(stream_events_from_dir(spark, d),
+                                 window_sec=300, watermark_sec=3600)
+    sink = _run_stream_to_sink(spark, out, "ev_stream_tumbling_sink")
+    return sink.select("window_start", "event_type", "cnt")
+
+
+def ev_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming-executed oracle row: the SLIDING-window twin
+    (600 s window / 300 s slide — every event expands into exactly two
+    overlapping windows map-side) run over the same 3-micro-batch
+    replay as ev_stream_tumbling; the oracle recomputes both window
+    memberships per event relationally. Overlapping-window state is
+    the shape that breaks naive streaming aggregators at micro-batch
+    boundaries (an event's two windows can close in different
+    triggers), which is exactly what the equality proves correct."""
+    from ..streaming.events_stream import (
+        sliding_counts_stream, stream_events_from_dir,
+    )
+
+    d = _events_replay_dir(spark, sf_dir)
+    out = sliding_counts_stream(stream_events_from_dir(spark, d),
+                                window_sec=600, slide_sec=300,
+                                watermark_sec=3600)
+    sink = _run_stream_to_sink(spark, out, "ev_stream_sliding_sink")
+    return sink.select("window_start", "event_type", "cnt")
 
 
 EV_STREAM_TUMBLING_SQL = """
@@ -851,6 +887,21 @@ EV_STREAM_TUMBLING_SQL = """
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM events
     GROUP BY 1, 2
+"""
+
+EV_STREAM_SLIDING_SQL = """
+    WITH e AS (
+        SELECT CAST(floor(epoch(ts::TIMESTAMP) / 300) * 300 AS BIGINT)
+                   AS bin,
+               event_type
+        FROM events
+    ), expanded AS (
+        SELECT bin AS window_start, event_type FROM e
+        UNION ALL
+        SELECT bin - 300 AS window_start, event_type FROM e
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM expanded GROUP BY 1, 2
 """
 
 
@@ -870,6 +921,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_stream_rate": ev_stream_rate,
     "ev_user_lifecycle": ev_user_lifecycle,
     "ev_stream_tumbling": ev_stream_tumbling,
+    "ev_stream_sliding": ev_stream_sliding,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -888,4 +940,5 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_stream_rate": EV_STREAM_RATE_SQL,
     "ev_user_lifecycle": EV_LIFECYCLE_SQL,
     "ev_stream_tumbling": EV_STREAM_TUMBLING_SQL,
+    "ev_stream_sliding": EV_STREAM_SLIDING_SQL,
 }

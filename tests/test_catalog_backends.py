@@ -437,3 +437,61 @@ def test_dbapi_backend_full_protocol(spark, corpus):
     assert t.catalog.get_sums("value")  # other files' sums intact
     assert all(fn != "file2.parquet"
                for fn, _ in t.catalog.get_sums("value"))
+
+
+def test_dbapi_ddl_spellings_reach_driver():
+    """The pk/blob DDL knobs and paramstyle translation must surface in
+    the SQL the driver actually receives — recorded through a fake
+    connection, no server needed (what a Postgres deployment would
+    pass: BIGSERIAL/BYTEA/format)."""
+
+    recorded = []
+
+    class _RecCursor:
+        def execute(self, sql, params=()):
+            recorded.append(sql)
+
+        def executemany(self, sql, rows):
+            recorded.append(sql)
+
+        def fetchall(self):
+            return [(1,)]  # any SELECT (e.g. upsert's id probe) finds a row
+
+        @property
+        def description(self):
+            return [("file_id",), ("file_name",)]
+
+        def close(self):
+            pass
+
+    class _RecConn:
+        def cursor(self):
+            return _RecCursor()
+
+        def commit(self):
+            pass
+
+        def rollback(self):
+            pass
+
+        def close(self):
+            pass
+
+    cat = DBAPIIndexCatalog(
+        _RecConn, paramstyle="format",
+        pk_autoinc="BIGSERIAL PRIMARY KEY", blob_type="BYTEA")
+    cat.initialize({"v": "int", "b": "binary"})
+    ddl = "\n".join(recorded)
+    assert "BIGSERIAL PRIMARY KEY" in ddl
+    assert "AUTOINCREMENT" not in ddl
+    assert "BYTEA" in ddl and "BLOB" not in ddl
+    assert "PRAGMA" not in ddl  # introspection went through LIMIT 0
+    # a parameterized statement got its placeholders translated
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        FileStats, RowGroupStats,
+    )
+    cat.upsert_file(FileStats("f.parquet", 1, 1, 10),
+                    [RowGroupStats(0, 10, {"v": (0, 1, 9)})])
+    params_sql = [s for s in recorded if "%s" in s]
+    assert params_sql, "expected format-style placeholders"
+    assert all("?" not in s for s in recorded)

@@ -930,7 +930,21 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidate selection is bit-deterministic cross-engine; at scale
     the approx pass reads M small ints per candidate instead of the
     full vector — a deeper compression point than SQ8 on the same
-    memory/recall curve."""
+    memory/recall curve.
+
+    The built plan is memoized per (session, corpus): the ADC stage's
+    literal codebook tree (PQ_M x PQ_K x subdim F.lit nodes) costs
+    ~0.9 s of pure driver-side construction+analysis per build —
+    measured as the dominant share of this operator's warm time — and
+    the plan is deterministic for a corpus, so rebuilding it per call
+    bought nothing."""
+    def build():
+        return _pq_topk_plan(spark, sf_dir)
+
+    return _sim_corpus(spark, (sf_dir, "pq_topk_plan"), build)
+
+
+def _pq_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec, cb = _pq_corpus(spark, sf_dir)
     dim = _embedding_dim(vec)
     sd = dim // PQ_M
@@ -985,7 +999,17 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays deterministic cross-engine). At scale the probed-cell
     restriction is what turns ANN cost from O(N) codes per query into
     O(N * nprobe / n_cells) — see also sim_ivf_layout_topk, where the
-    same cell structure becomes physical partition pruning."""
+    same cell structure becomes physical partition pruning.
+
+    Plan memoized per (session, corpus) like sim_pq_topk — the ADC
+    literal codebook tree dominates warm time otherwise."""
+    def build():
+        return _ivfpq_topk_plan(spark, sf_dir)
+
+    return _sim_corpus(spark, (sf_dir, "ivfpq_topk_plan"), build)
+
+
+def _ivfpq_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec, cb = _pq_corpus(spark, sf_dir)
     dim = _embedding_dim(vec)
     sd = dim // PQ_M
@@ -1324,25 +1348,31 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins — uncached, the all-pairs brute-force scan would re-run
     # once per consumer (the corpus memos cover only the vector
     # artifacts, not this window's output)
-    exact = _sim_corpus(
-        spark, (sf_dir, "exact_topk_ids"),
-        lambda: track_cache(
-            sim_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")))
-    tot = exact.agg(F.count(F.lit(1)).alias("total"))
-    out = None
-    for method, fn in (("lsh", sim_lsh_topk), ("ivf", sim_ivf_topk),
-                       ("sq", sim_sq_topk)):
-        hits = (fn(spark, sf_dir).select("query_id", "cand_id")
-                .join(exact, ["query_id", "cand_id"])
-                .agg(F.count(F.lit(1)).alias("hits"))
-                .crossJoin(F.broadcast(tot))
-                .select(F.lit(method).alias("method"),
-                        F.col("hits").cast("bigint").alias("hits"),
-                        F.col("total").cast("bigint").alias("total"),
-                        F.round(F.col("hits") / F.col("total"), 4)
-                        .alias("recall")))
-        out = hits if out is None else out.unionAll(hits)
-    return out
+    def build():
+        exact = _sim_corpus(
+            spark, (sf_dir, "exact_topk_ids"),
+            lambda: track_cache(
+                sim_bruteforce_topk(spark, sf_dir)
+                .select("query_id", "cand_id")))
+        tot = exact.agg(F.count(F.lit(1)).alias("total"))
+        out = None
+        for method, fn in (("lsh", sim_lsh_topk), ("ivf", sim_ivf_topk),
+                           ("sq", sim_sq_topk)):
+            hits = (fn(spark, sf_dir).select("query_id", "cand_id")
+                    .join(exact, ["query_id", "cand_id"])
+                    .agg(F.count(F.lit(1)).alias("hits"))
+                    .crossJoin(F.broadcast(tot))
+                    .select(F.lit(method).alias("method"),
+                            F.col("hits").cast("bigint").alias("hits"),
+                            F.col("total").cast("bigint").alias("total"),
+                            F.round(F.col("hits") / F.col("total"), 4)
+                            .alias("recall")))
+            out = hits if out is None else out.unionAll(hits)
+        return out
+
+    # the composed 4-method plan is deterministic per corpus — memoize
+    # its construction like the PQ plans (driver-side build dominates)
+    return _sim_corpus(spark, (sf_dir, "recall_report_plan"), build)
 
 
 def _recall_sql() -> str:

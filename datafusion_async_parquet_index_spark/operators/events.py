@@ -803,7 +803,62 @@ def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return ensure_complete(d, markers, _write)
 
 
-def _run_stream_to_sink(spark: SparkSession, out_stream, sink: str):
+SESSIONIZE_SENTINEL_USER = -1
+
+
+def _sessionize_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The 3-batch time-ordered replay of ``_events_replay_dir`` plus
+    TWO trailing sentinel files (a far-future event for a reserved
+    user id, then one further still): the first advances the event-time
+    watermark past every real ``last_seen + gap`` horizon, the second
+    triggers the micro-batch in which those event-time timeouts fire —
+    so every open session closes deterministically from DATA, with no
+    wall-clock sleeps anywhere.  This is the bounded-replay stand-in
+    for what a live deployment gets for free (the watermark keeps
+    advancing as events flow)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from .util import artifact_dir, ensure_complete
+
+    markers = [f"batch{i}.parquet" for i in range(3)] + [
+        "sentinel0.parquet", "sentinel1.parquet"]
+
+    def _write(dd):
+        import shutil
+
+        base = _events_replay_dir(spark, sf_dir)
+        os.makedirs(dd, exist_ok=True)
+        now = _time.time()
+        for i in range(3):
+            dst = os.path.join(dd, f"batch{i}.parquet")
+            shutil.copyfile(os.path.join(base, f"batch{i}.parquet"), dst)
+            os.utime(dst, (now + i, now + i))
+        ev = read_table(spark, sf_dir, "events")
+        max_sec = int(ev.agg(
+            F.max(_ts_seconds(ev)).alias("m")).first()["m"])
+        for j in range(2):
+            sent_sec = max_sec + (10 + 10 * j) * SESSION_GAP_SEC
+            tbl = pa.table({
+                "event_id": pa.array([-(j + 1)], pa.int64()),
+                "ts": pa.array([sent_sec * 1_000_000_000], pa.int64()),
+                "user_id": pa.array([SESSIONIZE_SENTINEL_USER], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+            })
+            dst = os.path.join(dd, f"sentinel{j}.parquet")
+            papq.write_table(tbl, dst)
+            os.utime(dst, (now + 3 + j, now + 3 + j))
+
+    d = artifact_dir("SPARK_GRAFT_STREAM_DIR", "spark_graft_stream_events",
+                     os.path.join(sf_dir, "events.parquet"),
+                     "split3_sentinel_v1")
+    return ensure_complete(d, markers, _write)
+
+
+def _run_stream_to_sink(spark: SparkSession, out_stream, sink: str,
+                        mode: str = "complete"):
     """Run a (bounded) streaming DataFrame to completion into a memory
     sink and return the sink table. Streaming aggregations take
     shuffle.partitions as the state-store partition count at first
@@ -817,7 +872,7 @@ def _run_stream_to_sink(spark: SparkSession, out_stream, sink: str):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (out_stream.writeStream.format("memory").queryName(sink)
-             .outputMode("complete")
+             .outputMode(mode)
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix=f"ckpt_{sink}_"))
              .start())
@@ -880,6 +935,42 @@ def ev_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select("window_start", "event_type", "cnt")
 
 
+def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM STATEFUL streaming operator through the driver's oracle
+    gate: gap sessionization via ``applyInPandasWithState`` with
+    EVENT-TIME timeouts (streaming/events_stream.py:
+    sessionize_event_time_stream) runs over the 3-micro-batch
+    time-ordered replay, sessions close exactly when the watermark
+    proves the gap (no wall-clock anywhere — two far-future sentinel
+    events flush the last open sessions), and the per-user rollup of
+    the emitted sessions must equal the batch lag+cumsum answer
+    (EV_SESSIONIZE_SQL).  This is the hardest streaming shape to get
+    right — per-key state carried across micro-batch boundaries with
+    data-driven AND timeout-driven emissions — and the equality proves
+    both paths bucket every event into the same session the batch
+    window computation does.  The time-split replay makes each
+    timeout-close provably correct: when the watermark (max sec seen,
+    delay 0) passes ``last_seen + gap``, every unprocessed event has
+    ts beyond the split boundary and therefore beyond the gap.  At
+    scale: state is one row per active user in the RocksDB store,
+    removed at close; swap the file source for the queue feed."""
+    from ..streaming.events_stream import (
+        sessionize_event_time_stream, stream_events_from_dir,
+    )
+
+    d = _sessionize_replay_dir(spark, sf_dir)
+    out = sessionize_event_time_stream(
+        stream_events_from_dir(spark, d), gap_sec=SESSION_GAP_SEC)
+    sink = _run_stream_to_sink(spark, out, "ev_stream_sessionize_sink",
+                               mode="append")
+    return (
+        sink.filter(F.col("user_id") != SESSIONIZE_SENTINEL_USER)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("session_events").alias("max_session_events"))
+    )
+
+
 EV_STREAM_TUMBLING_SQL = """
     SELECT CAST(floor(epoch(ts::TIMESTAMP) / 300) * 300 AS BIGINT)
                AS window_start,
@@ -922,6 +1013,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_user_lifecycle": ev_user_lifecycle,
     "ev_stream_tumbling": ev_stream_tumbling,
     "ev_stream_sliding": ev_stream_sliding,
+    "ev_stream_sessionize": ev_stream_sessionize,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -941,4 +1033,7 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_user_lifecycle": EV_LIFECYCLE_SQL,
     "ev_stream_tumbling": EV_STREAM_TUMBLING_SQL,
     "ev_stream_sliding": EV_STREAM_SLIDING_SQL,
+    # streaming-executed custom stateful sessionize must reproduce the
+    # batch sessionize rollup exactly on identical input
+    "ev_stream_sessionize": EV_SESSIONIZE_SQL,
 }

@@ -296,6 +296,85 @@ def interval_join_stream(
     )
 
 
+def _make_sessionize_event_time_fn(gap_sec: int):
+    """Per-user gap sessionizer with EVENT-TIME session close: a session
+    is emitted exactly when the stream can PROVE it is over — either a
+    same-user event beyond the gap arrives (data-driven close), or the
+    event-time watermark passes ``last_seen + gap`` with no such event
+    (timeout-driven close).  Unlike the processing-time variant
+    (``_make_sessionize_fn``), no wall-clock enters the semantics, so
+    the emitted session set is a deterministic function of the input —
+    which is what lets the result face a relational oracle.  State is
+    removed on close: bounded by ACTIVE users, the production posture
+    (session ordinals, if needed downstream, come from a batch-layer
+    renumber, not from unbounded per-user counters)."""
+    cols = [f.name for f in _SESSION_OUT_SCHEMA]
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n_events, n_closed = state.get
+        else:
+            start = last = None
+            n_events = 0
+            n_closed = 0
+
+        if state.hasTimedOut:
+            out = []
+            if n_events:
+                out.append((user_id, n_closed + 1, n_events, start, last))
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for sec in sorted(int(s) for s in pdf["sec"].tolist()):
+                if last is not None and sec - last > gap_sec:
+                    n_closed += 1
+                    rows.append((user_id, n_closed, n_events, start, last))
+                    start, n_events = sec, 0
+                if start is None:
+                    start = sec
+                if last is None or sec > last:
+                    last = sec
+                if sec < start:  # out-of-order arrival: extend backwards
+                    start = sec
+                n_events += 1
+        state.update((start, last, n_events, n_closed))
+        # close when the watermark proves no in-gap event can still come
+        state.setTimeoutTimestamp((last + gap_sec) * 1000 + 1000)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return _fn
+
+
+def sessionize_event_time_stream(
+    events: DataFrame, gap_sec: int = SESSION_GAP_SEC,
+    watermark_sec: int = 0,
+) -> DataFrame:
+    """Gap sessionization as a custom stateful operator whose session
+    CLOSE is driven by the event-time watermark (EventTimeTimeout) —
+    deterministic on a replayed feed, late-data-tolerant up to
+    ``watermark_sec`` on a live one.  One state row per ACTIVE user,
+    removed at close; at cluster scale the state lives in the
+    RocksDB-backed store partitioned by user_id."""
+    prepared = events.select(
+        "user_id",
+        F.col("event_ts"),
+        F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("sec"),
+    ).withWatermark("event_ts", f"{watermark_sec} seconds")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_event_time_fn(gap_sec),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_sec: int = SESSION_GAP_SEC,

@@ -523,3 +523,21 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert late_window not in starts, \
         "late event beyond the watermark must be dropped"
     assert fresh_window in starts, "fresh event must be aggregated"
+
+
+def test_event_time_sessionize_stream_matches_batch(spark, sf_dir):
+    """The streaming-executed event-time sessionize (applyInPandasWithState
+    + EventTimeTimeout + sentinel flush) must reproduce the batch
+    lag+cumsum sessionization's per-user rollup exactly — both the
+    data-driven closes (gap observed inside the stream) and the
+    timeout-driven closes (watermark passed last_seen+gap) land every
+    event in the same session."""
+    from datafusion_async_parquet_index_spark.operators.events import (
+        ev_sessionize, ev_stream_sessionize,
+    )
+
+    got = {(r.user_id, r.n_sessions, r.max_session_events)
+           for r in ev_stream_sessionize(spark, sf_dir).collect()}
+    want = {(r.user_id, r.n_sessions, r.max_session_events)
+            for r in ev_sessionize(spark, sf_dir).collect()}
+    assert got == want

@@ -1302,6 +1302,89 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus((spark, sf_dir, "incremental_persisted"), build)
 
 
+def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The NEW batch of the incremental split (doc_id % NEW_BATCH_MOD
+    == 0) written as 3 doc-id-ranged parquet files with ascending
+    mtimes, so the file-source stream replays them as 3 deterministic
+    micro-batches of 'arriving' documents."""
+    import time as _time
+
+    from .util import artifact_dir, ensure_complete
+
+    markers = [f"batch{i}.parquet" for i in range(3)]
+
+    def _write(dd):
+        import shutil
+
+        os.makedirs(dd, exist_ok=True)
+        docs = (read_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+                .select("doc_id", "text"))
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        step = (hi - lo) // 3 + 1
+        now = _time.time()
+        for i in range(3):
+            tmp = os.path.join(dd, f"_stage{i}")
+            (docs.filter((F.col("doc_id") >= lo + i * step)
+                         & (F.col("doc_id") < lo + (i + 1) * step))
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            dst = os.path.join(dd, f"batch{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    d = artifact_dir("SPARK_GRAFT_STREAM_DIR", "spark_graft_stream_docs",
+                     os.path.join(sf_dir, "documents.parquet"),
+                     f"split3_mod{NEW_BATCH_MOD}_v1")
+    return ensure_complete(d, markers, _write)
+
+
+def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED incremental dedup through the oracle gate:
+    the nightly batch arrives as 3 micro-batches through a file-source
+    stream, each foreachBatch invocation probes the PERSISTED corpus
+    signature store (only the arriving docs are shingled/hashed —
+    streaming/incremental_dedup.py:dedup_against_store_stream) and
+    appends its matches to a quarantine parquet table; the union of
+    the per-batch matches is returned and must equal the one-shot
+    batch answer (``dedup_incremental``'s SQL oracle) exactly —
+    per-doc matching depends only on (doc, corpus), so micro-batch
+    boundaries must not change the result, and this row proves the
+    foreachBatch plumbing (checkpoint, store probe, sink append)
+    preserves that.  At scale this is the ingest deployment shape:
+    queue source, RocksDB-less (stateless per batch), quarantine
+    table partitioned by ingest date."""
+    import tempfile
+
+    from ..streaming.incremental_dedup import (
+        dedup_against_store_stream, stream_docs_from_dir,
+    )
+
+    def build():
+        store = signature_store_dir(sf_dir)
+        _corpus_signature_store(spark, sf_dir)  # ensure written
+        d = _docs_replay_dir(spark, sf_dir)
+        out_dir = tempfile.mkdtemp(prefix="dedup_stream_matches_")
+
+        def _quarantine(matches: DataFrame, batch_id: int) -> None:
+            matches.write.mode("append").parquet(out_dir)
+
+        q = dedup_against_store_stream(
+            stream_docs_from_dir(spark, d), store, _quarantine,
+            checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_dedup_stream_"),
+            threshold=0.25, trigger_once=False,
+            query_name="dedup_stream_incremental")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir)
+
+    return _corpus((spark, sf_dir, "stream_incremental"), build)
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup at scale: multi-table hyperplane LSH
 # ---------------------------------------------------------------------------
@@ -1498,6 +1581,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_persisted": dedup_incremental_persisted,
+    "dedup_stream_incremental": dedup_stream_incremental,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_containment": dedup_containment,
     "dedup_keep_policy": dedup_keep_policy,
@@ -1521,6 +1605,9 @@ DEDUP_ORACLE: Dict[str, str] = {
     # result-identical to dedup_incremental by construction; the oracle
     # equality is exactly the persisted-store round-trip check
     "dedup_incremental_persisted": _incremental_sql(),
+    # streaming-executed: the 3-micro-batch foreachBatch run must equal
+    # the one-shot batch answer (per-doc matching is batch-invariant)
+    "dedup_stream_incremental": _incremental_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "dedup_containment": _containment_sql(),
     "dedup_keep_policy": _keep_policy_sql(),

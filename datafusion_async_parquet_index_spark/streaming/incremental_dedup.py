@@ -26,10 +26,31 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
 from ..operators.dedup import (
     _band_hashes, _minhash_signatures, match_against_corpus,
 )
 from ..operators.util import track_cache
+
+DOC_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+def stream_docs_from_dir(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over a directory of (doc_id, text) parquet
+    files — each file is one arriving micro-batch of new documents (the
+    local stand-in for the ingest queue; swap ``format`` only)."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
 
 
 def corpus_signature_store(corpus_docs: DataFrame):

@@ -541,3 +541,18 @@ def test_event_time_sessionize_stream_matches_batch(spark, sf_dir):
     want = {(r.user_id, r.n_sessions, r.max_session_events)
             for r in ev_sessionize(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_dedup_stream_incremental_matches_batch(spark, sf_dir):
+    """The 3-micro-batch streaming-executed incremental dedup must equal
+    the one-shot batch operator pair-for-pair (matching is per-doc, so
+    micro-batch boundaries cannot change the result)."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        dedup_incremental, dedup_stream_incremental,
+    )
+
+    got = {(r.new_id, r.corpus_id, r.est_jaccard)
+           for r in dedup_stream_incremental(spark, sf_dir).collect()}
+    want = {(r.new_id, r.corpus_id, r.est_jaccard)
+            for r in dedup_incremental(spark, sf_dir).collect()}
+    assert got == want

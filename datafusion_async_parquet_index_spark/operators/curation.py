@@ -664,6 +664,113 @@ DEDUP_SNAPSHOT_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Table A1 — public rule set), re-cut for
+# this corpus's ranges so every rule actually discriminates here.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MWL = 4     # mean word length lower bound (chars/word)
+GOPHER_MAX_MWL = 10
+GOPHER_MIN_ALPHA_BP = 8000   # >= 80% of words contain a letter
+GOPHER_MIN_STOPWORDS = 2     # >= 2 distinct stopwords present
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter: per-document rule flags
+    (word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, distinct-stopword floor) rolled up per language into
+    per-rule failure counts + the pass-all count — the go/no-go report
+    a curation run reads before dropping documents.  Every comparison
+    is exact-integer (mean word length as a cross-multiplication,
+    alpha fraction in basis points), so the oracle agrees bit-for-bit.
+    Map-only per document (native split/filter/length — no UDFs), one
+    tiny (lang)-keyed aggregate: linear scale-out, shuffle moves one
+    row per (partition, lang).  Word boundaries are raw whitespace
+    (``\\s+`` means the same ASCII class in Java regex and DuckDB's
+    RE2 for this corpus); stopword hits reuse the shared normalized
+    tokenizer so the rule set composes with text.py's metrics."""
+    from ..functions import STOPWORDS, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_words = F.size(ws)
+    sum_chars = F.length(F.concat_ws("", ws))
+    n_alpha = F.size(F.filter(ws, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.array_distinct(F.filter(
+        tokens(F.col("text")), lambda t: t.isin(*STOPWORDS))))
+    per_doc = docs.select(
+        "lang",
+        ((n_words >= GOPHER_MIN_WORDS)
+         & (n_words <= GOPHER_MAX_WORDS)).alias("words_ok"),
+        ((sum_chars >= GOPHER_MIN_MWL * n_words)
+         & (sum_chars <= GOPHER_MAX_MWL * n_words)).alias("mwl_ok"),
+        (n_alpha * 10000 >= GOPHER_MIN_ALPHA_BP * n_words).alias("alpha_ok"),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("stop_ok"),
+    )
+    fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0))  # noqa: E731
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        fail("words_ok").cast("long").alias("fail_word_count"),
+        fail("mwl_ok").cast("long").alias("fail_mean_word_len"),
+        fail("alpha_ok").cast("long").alias("fail_alpha_frac"),
+        fail("stop_ok").cast("long").alias("fail_stopwords"),
+        F.sum(F.when(F.col("words_ok") & F.col("mwl_ok")
+                     & F.col("alpha_ok") & F.col("stop_ok"), 1)
+              .otherwise(0)).cast("long").alias("pass_all"),
+    )
+
+
+def _gopher_sql() -> str:
+    from ..functions import sql_stopword_list, sql_tokens
+
+    stops = sql_stopword_list()
+    toks = sql_tokens("text")
+    return rf"""
+        WITH m AS (
+            SELECT lang,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t != '')) AS n_words,
+                   list_sum(list_transform(
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t != ''),
+                       t -> length(t))) AS sum_chars,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> t != '' AND regexp_matches(t, '[a-zA-Z]')))
+                       AS n_alpha,
+                   len(list_distinct(list_filter({toks},
+                       t -> t IN {stops}))) AS n_stop
+            FROM documents
+        ), r AS (
+            SELECT lang,
+                   (n_words >= {GOPHER_MIN_WORDS}
+                    AND n_words <= {GOPHER_MAX_WORDS}) AS words_ok,
+                   (sum_chars >= {GOPHER_MIN_MWL} * n_words
+                    AND sum_chars <= {GOPHER_MAX_MWL} * n_words) AS mwl_ok,
+                   (n_alpha * 10000 >= {GOPHER_MIN_ALPHA_BP} * n_words)
+                       AS alpha_ok,
+                   (n_stop >= {GOPHER_MIN_STOPWORDS}) AS stop_ok
+            FROM m
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fail_word_count,
+               CAST(SUM(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fail_mean_word_len,
+               CAST(SUM(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fail_alpha_frac,
+               CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fail_stopwords,
+               CAST(SUM(CASE WHEN words_ok AND mwl_ok AND alpha_ok
+                             AND stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_all
+        FROM r GROUP BY lang
+    """
+
+
 CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "text_domain_mixture": text_domain_mixture,
@@ -673,6 +780,7 @@ CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_contamination": dedup_contamination,
     "text_repetition_stats": text_repetition_stats,
     "dedup_snapshot_diff": dedup_snapshot_diff,
+    "text_gopher_filter": text_gopher_filter,
 }
 
 CURATION_ORACLE: Dict[str, str] = {
@@ -684,4 +792,5 @@ CURATION_ORACLE: Dict[str, str] = {
     "dedup_contamination": DEDUP_CONTAMINATION_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "dedup_snapshot_diff": DEDUP_SNAPSHOT_SQL,
+    "text_gopher_filter": _gopher_sql(),
 }

@@ -169,3 +169,25 @@ def test_sq_topk_shape_and_recall(spark, sf_dir):
     # int8 quantization with a 4x candidate pool loses little: demand
     # high (not perfect — it IS approximate) agreement with exact top-k
     assert hits / total >= 0.8, f"recall@{TOPK} = {hits / total:.2f}"
+
+
+def test_gopher_filter_flags_are_consistent(spark, sf_dir):
+    """Per-language rule rollup invariants: pass_all can never exceed
+    n_docs minus the largest single-rule failure count, every count is
+    bounded by n_docs, and the language totals cover the corpus."""
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        text_gopher_filter,
+    )
+    from datafusion_async_parquet_index_spark.operators.util import read_table
+
+    rows = text_gopher_filter(spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        total += r.n_docs
+        fails = [r.fail_word_count, r.fail_mean_word_len,
+                 r.fail_alpha_frac, r.fail_stopwords]
+        for f in fails:
+            assert 0 <= f <= r.n_docs
+        assert 0 <= r.pass_all <= r.n_docs - max(fails)
+    assert total == read_table(spark, sf_dir, "documents").count()

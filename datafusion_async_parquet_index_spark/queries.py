@@ -1600,6 +1600,44 @@ def q70_group_var_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
               "sumsq_dollars BIGINT, n BIGINT, var_pop_milli BIGINT")
 
 
+def q71_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog as a complete one-pass statistics profile: per-status
+    COUNT + SUM + MIN + MAX + AVG + VAR folded ENTIRELY from the index
+    (count_rows_by / sum_rows_by / min_max_by / sum_sq_rows_by over the
+    hive status layout) — zero Parquet I/O, no executor starts, the
+    whole answer is an O(catalog) driver-side fold. This is DESCRIBE /
+    summary() served the way the reference serves COUNT from its stats
+    (index.rs:198-205), generalized to every moment the store keeps;
+    at 100 TB it replaces a full-table profiling scan with a catalog
+    read, which is the difference between minutes and milliseconds for
+    a data-quality dashboard. Exact integers end to end: AVG and
+    VAR_POP surface as milli-unit floor quotients so no float
+    accumulation can smear the oracle comparison; the asserts pin that
+    every one of the four folds really answered from the catalog
+    (None = fallback would mean a scan)."""
+    t = _status_cents_orders(spark, sf_dir)
+    counts = t.count_rows_by("o_orderstatus")
+    sums = t.sum_rows_by("o_orderstatus", "price_dollars")
+    moments = t.sum_sq_rows_by("o_orderstatus", "price_dollars")
+    bounds = t.min_max_by("o_orderstatus", "price_dollars")
+    for name, d in [("count", counts), ("sum", sums),
+                    ("moments", moments), ("bounds", bounds)]:
+        assert d is not None, f"{name} fold must answer from the catalog"
+    rows = []
+    for status in sorted(counts):
+        n_rows = counts[status]
+        s, n = sums[status]
+        _, sq, n2 = moments[status]
+        mn, mx, n3 = bounds[status]
+        assert n == n2 == n3 == n_rows  # no-null measure: all folds agree
+        rows.append((status, n_rows, s, mn, mx,
+                     s * 1000 // n, (n * sq - s * s) * 1000 // (n * n)))
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, n_rows BIGINT, sum_dollars BIGINT, "
+              "min_dollars BIGINT, max_dollars BIGINT, avg_milli BIGINT, "
+              "var_pop_milli BIGINT")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -1759,6 +1797,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_var_pushdown": q68_var_pushdown,
     "q69_remote_catalog": q69_remote_catalog,
     "q70_group_var_pushdown": q70_group_var_pushdown,
+    "q71_catalog_profile": q71_catalog_profile,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2360,6 +2399,23 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q71_catalog_profile"] = """
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice) AS BIGINT) AS d
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(d) AS BIGINT) AS sum_dollars,
+           CAST(MIN(d) AS BIGINT) AS min_dollars,
+           CAST(MAX(d) AS BIGINT) AS max_dollars,
+           CAST(SUM(d) * 1000 // COUNT(*) AS BIGINT) AS avg_milli,
+           CAST((COUNT(*) * SUM(d * d) - SUM(d) * SUM(d)) * 1000
+                // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_pop_milli
+    FROM c GROUP BY o_orderstatus
 """
 
 RELATIONAL_ORACLE["q70_group_var_pushdown"] = """

@@ -344,3 +344,30 @@ def test_group_var_pushdown_from_catalog(spark, tmp_path):
     t2 = IndexedParquetTable(spark, d, index_columns=["x"],
                              partitioned=True)
     assert t2.sum_sq_rows_by("g", "x") is None
+
+
+def test_catalog_profile_matches_scan_aggregate(spark, sf_dir):
+    """q71's all-from-catalog profile (COUNT/SUM/MIN/MAX/AVG/VAR per
+    status, zero Parquet I/O) must equal the scan-side aggregate."""
+    from pyspark.sql import functions as F
+
+    from datafusion_async_parquet_index_spark.queries import (
+        q71_catalog_profile,
+    )
+
+    got = {r.o_orderstatus: (r.n_rows, r.sum_dollars, r.min_dollars,
+                             r.max_dollars, r.avg_milli, r.var_pop_milli)
+           for r in q71_catalog_profile(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice")).cast("long").alias("d"))
+    want = {}
+    for r in orders.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("s"),
+            F.min("d").alias("mn"), F.max("d").alias("mx"),
+            F.sum(F.col("d") * F.col("d")).alias("sq")).collect():
+        n, s, sq = int(r.n), int(r.s), int(r.sq)
+        want[r.o_orderstatus] = (
+            n, s, r.mn, r.mx, s * 1000 // n,
+            (n * sq - s * s) * 1000 // (n * n))
+    assert got == want

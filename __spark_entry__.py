@@ -40,6 +40,17 @@ _ROUND_PRIORITY = [
     #    and 145/145) --------------------------------------------------
     "sim_ivfpq_layout_topk",
     "dedup_source_crosstab",
+    # -- tier 1a: NEW mid-round-6 (never had a driver row) -----------
+    #    two streaming-EXECUTED rows (custom stateful sessionize with
+    #    event-time timeouts; foreachBatch incremental dedup against
+    #    the persisted store), the Gopher-rule quality filter, and the
+    #    all-from-catalog stats profile. Each locally oracle-green at
+    #    sf0.001 AND sf0.01 on a vanilla session before entering the
+    #    window.
+    "ev_stream_sessionize",
+    "dedup_stream_incremental",
+    "text_gopher_filter",
+    "q71_catalog_profile",
     # -- tier 1b: NEW in round 6 (never had a driver row) ------------
     #    q68: VAR/STDDEV pushdown (VERDICT ask #7), q69: remote-style
     #    DB-API catalog backend routed end-to-end (ask #4), ev_stream_
@@ -96,10 +107,6 @@ _ROUND_PRIORITY = [
     "text_quality_buckets",
     "text_repetition_stats",
     "text_winnow_fingerprint",
-    "q35_rowgroup_scan",
-    "q39_grouping_sets",
-    "q42_hll_estimate",
-    "q43_in_pred",
     # (window full at 50 here.)
     # ROUND-7 PLAN (write as actual entries then): tier 1 = any red
     # rows from CORRECTNESS_r06 + the entries landed after this
@@ -107,11 +114,16 @@ _ROUND_PRIORITY = [
     # the catalog) and ev_stream_sliding (second streaming-executed
     # oracle row), both locally green + fingerprinted — and anything
     # later;
-    # tier 2 = the 4 r3-stale deferred here (q37_case_pred,
-    # q38_exists_subquery, q40_range_frame, q41_pivot); tier 3 = the
-    # 44 r4-green entries oldest-first (they become 3 rounds stale
-    # after r7). `scripts/vanilla_harness.py --stale` mechanizes the
-    # changed-entry list.
+    # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,
+    # q37_case_pred, q38_exists_subquery, q39_grouping_sets,
+    # q40_range_frame, q41_pivot, q42_hll_estimate, q43_in_pred —
+    # relational, bodies untouched since r3, each covered by pytest +
+    # the golden fuzz sweeps; 4 were displaced by the mid-round-6
+    # tier-1a landings so those could enter THIS round's gate instead
+    # of shipping row-less); tier 3 = the 44 r4-green entries
+    # oldest-first (they become 3 rounds stale after r7).
+    # `scripts/vanilla_harness.py --stale` mechanizes the changed-entry
+    # list.
     # == ROUND 5 WINDOW (kept for natural-order stability) ===========
     # -- tier 1: entries whose bodies or load-bearing dependencies
     #    changed this round — the NaN-soundness work (ADVICE r4) added

@@ -995,6 +995,35 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_result_memo(spark, (sf_dir, "sessionize"), build)
 
 
+def ev_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stream-stream join executed through the oracle
+    gate: the ±60 s per-user interval self-join
+    (streaming/events_stream.py:interval_join_stream — watermarks on
+    BOTH sides + a two-directionally bounded time condition, so the
+    join state provably evicts) runs over the 3-micro-batch replay;
+    the emitted pair stream is rolled up per event and must equal the
+    batch banded-join answer (EV_INTERVAL_SQL).  Cross-boundary pairs
+    are the proof point: an event late in batch 1 must still meet its
+    within-60 s neighbors arriving in batch 2, which requires the join
+    state to survive exactly as long as the watermark horizon says —
+    premature eviction loses pairs, no eviction is unbounded state.
+    At scale this is the RocksDB-backed equi-join on user_id with the
+    interval as a post-condition; no custom operator code anywhere."""
+    def build():
+        from ..streaming.events_stream import (
+            interval_join_stream, stream_events_from_dir,
+        )
+
+        d = _events_replay_dir(spark, sf_dir)
+        out = interval_join_stream(stream_events_from_dir(spark, d))
+        sink = _run_stream_to_sink(spark, out, "ev_stream_interval_sink",
+                                   mode="append")
+        return (sink.groupBy("event_id", "user_id")
+                .agg(F.count(F.lit(1)).alias("n_nearby")))
+
+    return _stream_result_memo(spark, (sf_dir, "interval"), build)
+
+
 EV_STREAM_TUMBLING_SQL = """
     SELECT CAST(floor(epoch(ts::TIMESTAMP) / 300) * 300 AS BIGINT)
                AS window_start,
@@ -1038,6 +1067,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_stream_tumbling": ev_stream_tumbling,
     "ev_stream_sliding": ev_stream_sliding,
     "ev_stream_sessionize": ev_stream_sessionize,
+    "ev_stream_interval_join": ev_stream_interval_join,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -1060,4 +1090,6 @@ EVENTS_ORACLE: Dict[str, str] = {
     # streaming-executed custom stateful sessionize must reproduce the
     # batch sessionize rollup exactly on identical input
     "ev_stream_sessionize": EV_SESSIONIZE_SQL,
+    # native stream-stream join execution vs the batch banded join
+    "ev_stream_interval_join": EV_INTERVAL_SQL,
 }

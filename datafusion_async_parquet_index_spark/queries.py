@@ -1638,6 +1638,69 @@ def q71_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
               "var_pop_milli BIGINT")
 
 
+EVOLVED_ENV = "SPARK_GRAFT_EVOLVED_LAYOUT"
+
+
+def q72_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the indexed path: orders written as TWO
+    ERAS — era 0 (even o_orderkey) predates the ``price_cents`` column,
+    era 1 (odd) carries it — merge_schema unions the footers, and the
+    index records the pre-evolution files as PROVEN all-null on the new
+    column (stats.py extract_file_stats), so a predicate on it prunes
+    the entire old era from the catalog alone (asserted: only era-1
+    files scan). This is the add-a-column-this-year / skip-years-of-
+    history shape every long-lived 100 TB table hits; the reference
+    assumes a single immutable schema (main.rs:228-237), so this is
+    pure extension. The oracle replays the era split relationally
+    (even keys have NULL cents => only odd keys can match); IS NULL
+    counts the old era exactly."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        EVOLVED_ENV, "spark_graft_evolved",
+        os.path.join(sf_dir, "orders.parquet"), "two_era_v1")
+    memo = session_memo(spark, "evolved_orders")
+    t = memo.get(layout)
+    if t is None:
+        def _write(d):
+            os.makedirs(d, exist_ok=True)
+            base = _read(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice")
+            (base.filter(F.col("o_orderkey") % 2 == 0)
+             .select("o_orderkey")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(d, "era0")))
+            (base.filter(F.col("o_orderkey") % 2 == 1)
+             .select("o_orderkey",
+                     F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("price_cents"))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(d, "era1")))
+            import shutil
+            for era in ("era0", "era1"):
+                src = os.path.join(d, era)
+                part = next(f for f in sorted(os.listdir(src))
+                            if f.endswith(".parquet"))
+                os.replace(os.path.join(src, part),
+                           os.path.join(d, f"{era}.parquet"))
+                shutil.rmtree(src, ignore_errors=True)
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+
+        ensure_complete(layout, ["_SUCCESS"], _write)
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_orderkey", "price_cents"],
+            merge_schema=True)
+    hi = t.query(xcol("price_cents") > 30_000_000)
+    dec = t.last_scan
+    assert set(dec.files_scanned) <= {"era1.parquet"}, dec.describe()
+    agg = hi.agg(F.count(F.lit(1)).alias("n_hi"),
+                 F.sum("price_cents").alias("sum_hi_cents")).head()
+    n_old = t.count_rows(xcol("price_cents").is_null())
+    return spark.createDataFrame(
+        [(agg["n_hi"], agg["sum_hi_cents"], n_old)],
+        "n_hi BIGINT, sum_hi_cents BIGINT, n_pre_evolution BIGINT")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -1798,6 +1861,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_remote_catalog": q69_remote_catalog,
     "q70_group_var_pushdown": q70_group_var_pushdown,
     "q71_catalog_profile": q71_catalog_profile,
+    "q72_schema_evolution": q72_schema_evolution,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2398,6 +2462,23 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
                                    AND 30000000) AS BIGINT) AS range_min,
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q72_schema_evolution"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 1
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+               END AS cents
+        FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN cents > 30000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hi,
+           CAST(SUM(CASE WHEN cents > 30000000 THEN cents END)
+                AS BIGINT) AS sum_hi_cents,
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pre_evolution
     FROM c
 """
 

@@ -299,6 +299,16 @@ def extract_file_stats(
                 continue
             ci = name_to_idx.get(col)
             if ci is None:
+                # Schema evolution: a file written BEFORE the column was
+                # added reads as NULL for every row in a schema-merged
+                # scan, so "column absent from this file's schema" is a
+                # PROVEN all-null statistic (the same degenerate form as
+                # a hive __HIVE_DEFAULT_PARTITION__ value) — not an
+                # unknown. Recording it lets `new_col = x` predicates
+                # prune every pre-evolution file from the catalog alone,
+                # which at 100 TB is the difference between scanning
+                # years of history and skipping it.
+                rg.columns[col] = (rg_md.num_rows, None, None)
                 continue
             st = rg_md.column(ci).statistics
             if st is None:
@@ -462,6 +472,19 @@ def build_index(
     # free); a name collision with a footer column keeps the footer's
     # stats (hive layouts don't duplicate partition cols in the data)
     schema = index_schema_for(first.schema_arrow, index_columns)
+    # Schema evolution: a requested column the FIRST file predates must
+    # still be typed — probe later footers (newest-last ordering makes
+    # reverse iteration find a late-added column almost immediately;
+    # footer-only, no data read). Files that lack the column then index
+    # it as proven all-null (see extract_file_stats), so predicates on
+    # it prune the pre-evolution era from the catalog alone.
+    missing = [c for c in index_columns if c not in schema]
+    for p in reversed(files[1:]):
+        if not missing:
+            break
+        schema.update(index_schema_for(pq.ParquetFile(p).schema_arrow,
+                                       missing))
+        missing = [c for c in missing if c not in schema]
     if partition_schema:
         for c, cat in partition_schema.items():
             schema.setdefault(c, cat)

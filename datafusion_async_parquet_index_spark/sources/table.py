@@ -111,6 +111,7 @@ class IndexedParquetTable:
         sum_columns: Optional[Sequence[str]] = None,
         nan_count_columns: Optional[Sequence[str]] = None,
         stats_exact_max_bytes: int = STATS_EXACT_MAX_BYTES,
+        merge_schema: bool = False,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -152,6 +153,7 @@ class IndexedParquetTable:
         self.sum_columns = tuple(sum_columns or ())
         self.nan_count_columns = tuple(nan_count_columns or ())
         self.stats_exact_max_bytes = stats_exact_max_bytes
+        self.merge_schema = merge_schema
         self._nan_free_cache: Dict[str, bool] = {}
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
@@ -186,6 +188,16 @@ class IndexedParquetTable:
             # union across directories (Spark's own partition
             # discovery, a listing + sampled footers — no data read)
             return self.spark.read.parquet(self.data_dir).schema
+        if getattr(self, "merge_schema", False) and len(self._files) > 1:
+            # Schema-evolved flat layout: the first file may PREDATE a
+            # column. mergeSchema unions every footer's schema (a
+            # distributed footer-only pass — no data read), so queries
+            # on late-added columns see them, and pre-evolution files
+            # read as NULL. Opt-in: single-schema tables (the common
+            # case, and the reference's stated assumption,
+            # main.rs:228-237) skip the extra footer pass.
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*self._files).schema)
         return self.spark.read.parquet(self._files[0]).schema
 
     def _partition_index_kwargs(self) -> dict:

@@ -432,3 +432,50 @@ def test_refresh_maintains_sums(spark, tmp_path):
     assert t.sum_rows("x") == (sum(range(20)), 20)
     assert t.last_sum_pushdown["partial_row_groups"] == 0
     assert t.describe_index()["sum_coverage"]["x"] >= 2
+
+
+def test_schema_evolution_prunes_pre_evolution_files(spark, tmp_path):
+    """A file written before a column was added is a PROVEN all-null
+    row group for that column: equality on the new column must prune it
+    from the catalog alone, IS NULL must keep it, and merge_schema
+    inference must surface the late-added column regardless of file
+    order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = str(tmp_path / "evolved")
+    import os
+    os.makedirs(d)
+    # 'a_old' sorts FIRST and PREDATES the column -> first-file
+    # inference would drop 'extra'; merge_schema must union it in
+    pq.write_table(
+        pa.table({"id": pa.array(range(100), pa.int64())}),
+        os.path.join(d, "a_old.parquet"))
+    pq.write_table(
+        pa.table({"id": pa.array(range(100, 200), pa.int64()),
+                  "extra": pa.array(range(100), pa.int64())}),
+        os.path.join(d, "b_new.parquet"))
+
+    t = IndexedParquetTable(spark, d, index_columns=["id", "extra"],
+                            merge_schema=True)
+    assert "extra" in [f.name for f in t._schema.fields]
+
+    df = t.query(col("extra") == 50)
+    assert set(t.last_scan.files_scanned) == {"b_new.parquet"}, \
+        t.last_scan.describe()  # pre-evolution file pruned, zero I/O
+    assert df.count() == 1
+
+    # IS NULL: the pre-evolution file IS the answer and must survive
+    nulls = t.query(col("extra").is_null())
+    assert "a_old.parquet" in t.last_scan.files_scanned, \
+        t.last_scan.describe()
+    assert nulls.count() == 100
+
+    # range predicate over both eras stays correct
+    both = t.query((col("id") >= 50) & (col("id") < 150))
+    assert both.count() == 100

@@ -995,6 +995,97 @@ def ev_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_result_memo(spark, (sf_dir, "sessionize"), build)
 
 
+DEDUP_REDELIVER_SEC = 1800   # cross-batch re-deliveries stay this close
+                             # to the batch boundary — half the 3600 s
+                             # watermark, so the first-seen key state is
+                             # provably still alive when the copy lands
+
+
+def _dedup_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The 3-batch time-ordered replay with AT-LEAST-ONCE damage
+    injected deterministically: every ``event_id % 7 == 0`` event is
+    delivered twice within its own batch (producer retry), and every
+    ``event_id % 5 == 0`` event within DEDUP_REDELIVER_SEC of a batch
+    boundary is re-delivered in the NEXT batch (broker redelivery
+    across a consumer restart). Both damage classes are inside the
+    3600 s watermark horizon by construction, so exactly-once repair
+    is required of the operator, not hoped for."""
+    import time as _time
+
+    from .util import artifact_dir, ensure_complete, ensure_epoch_nanos
+
+    markers = [f"batch{i}.parquet" for i in range(3)]
+
+    def _write(dd):
+        import shutil
+
+        os.makedirs(dd, exist_ok=True)
+        ev = ensure_epoch_nanos(
+            read_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type"))
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        step = (hi - lo) // 3 + 1
+        now = _time.time()
+        for i in range(3):
+            b_lo, b_hi = lo + i * step, lo + (i + 1) * step
+            cur = ev.filter((F.col("ts") >= b_lo) & (F.col("ts") < b_hi))
+            parts = [cur, cur.filter(F.col("event_id") % 7 == 0)]
+            if i > 0:
+                boundary = b_lo - DEDUP_REDELIVER_SEC * 1_000_000_000
+                parts.append(ev.filter(
+                    (F.col("ts") >= boundary) & (F.col("ts") < b_lo)
+                    & (F.col("event_id") % 5 == 0)))
+            batch = parts[0]
+            for p in parts[1:]:
+                batch = batch.unionAll(p)
+            tmp = os.path.join(dd, f"_stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            dst = os.path.join(dd, f"batch{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    d = artifact_dir("SPARK_GRAFT_STREAM_DIR", "spark_graft_stream_events",
+                     os.path.join(sf_dir, "events.parquet"),
+                     f"split3_dupes{DEDUP_REDELIVER_SEC}_v1")
+    return ensure_complete(d, markers, _write)
+
+
+def ev_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once repair through the oracle gate:
+    ``dropDuplicatesWithinWatermark`` (streaming/events_stream.py:
+    dedup_stream) runs over a replay whose batches carry deterministic
+    at-least-once damage — within-batch producer retries AND
+    cross-batch broker re-deliveries, all inside the watermark — and
+    the surviving stream must be EXACTLY the original events table: no
+    duplicate passes (repair works) and no original is dropped (state
+    was not evicted early; the re-delivery margin is half the
+    watermark by construction). This is the ingestion-front repair
+    every queue-fed training pipeline needs before counts mean
+    anything; at scale the key state lives in the RocksDB store and
+    is evicted per the watermark, bounded by keys-per-horizon."""
+    def build():
+        from ..streaming.events_stream import (
+            dedup_stream, stream_events_from_dir,
+        )
+
+        d = _dedup_replay_dir(spark, sf_dir)
+        out = dedup_stream(stream_events_from_dir(spark, d),
+                           key_cols=("event_id",), watermark_sec=3600)
+        sink = _run_stream_to_sink(spark, out, "ev_stream_dedup_sink",
+                                   mode="append")
+        return sink.select("event_id", "user_id", "event_type")
+
+    return _stream_result_memo(spark, (sf_dir, "dedup"), build)
+
+
+EV_STREAM_DEDUP_SQL = """
+    SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def ev_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE stream-stream join executed through the oracle
     gate: the ±60 s per-user interval self-join
@@ -1068,6 +1159,7 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_stream_sliding": ev_stream_sliding,
     "ev_stream_sessionize": ev_stream_sessionize,
     "ev_stream_interval_join": ev_stream_interval_join,
+    "ev_stream_dedup": ev_stream_dedup,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -1092,4 +1184,7 @@ EVENTS_ORACLE: Dict[str, str] = {
     "ev_stream_sessionize": EV_SESSIONIZE_SQL,
     # native stream-stream join execution vs the batch banded join
     "ev_stream_interval_join": EV_INTERVAL_SQL,
+    # exactly-once repair of an at-least-once replay must reproduce the
+    # undamaged events table
+    "ev_stream_dedup": EV_STREAM_DEDUP_SQL,
 }

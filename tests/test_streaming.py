@@ -556,3 +556,24 @@ def test_dedup_stream_incremental_matches_batch(spark, sf_dir):
     want = {(r.new_id, r.corpus_id, r.est_jaccard)
             for r in dedup_incremental(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_stream_dedup_repairs_injected_redeliveries(spark, sf_dir):
+    """The damaged replay must actually contain duplicates, and the
+    exactly-once repair stream must return precisely the original
+    events — nothing dropped, nothing duplicated."""
+    from datafusion_async_parquet_index_spark.operators.events import (
+        _dedup_replay_dir, ev_stream_dedup,
+    )
+
+    d = _dedup_replay_dir(spark, sf_dir)
+    delivered = spark.read.parquet(f"{d}/batch0.parquet",
+                                   f"{d}/batch1.parquet",
+                                   f"{d}/batch2.parquet")
+    n_delivered = delivered.count()
+    n_distinct = delivered.select("event_id").distinct().count()
+    assert n_delivered > n_distinct, "replay must inject duplicates"
+
+    out = ev_stream_dedup(spark, sf_dir)
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct

@@ -114,10 +114,11 @@ _ROUND_PRIORITY = [
     # the catalog), ev_stream_sliding (second streaming-executed
     # oracle row), ev_stream_interval_join (native stream-stream
     # join execution), q72_schema_evolution (pre-evolution files
-    # indexed as proven all-null and pruned), and ev_stream_dedup
-    # (exactly-once repair of an at-least-once replay), each locally
-    # green + fingerprinted at both sf0.001 and sf0.01 — and anything
-    # later;
+    # indexed as proven all-null and pruned), ev_stream_dedup
+    # (exactly-once repair of an at-least-once replay), and
+    # q73_compaction (compaction preserves results AND pruning), each
+    # locally green + fingerprinted at both sf0.001 and sf0.01 — and
+    # anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,
     # q37_case_pred, q38_exists_subquery, q39_grouping_sets,
     # q40_range_frame, q41_pivot, q42_hll_estimate, q43_in_pred —

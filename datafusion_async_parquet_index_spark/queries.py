@@ -1701,6 +1701,61 @@ def q72_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hi BIGINT, sum_hi_cents BIGINT, n_pre_evolution BIGINT")
 
 
+COMPACT_ENV = "SPARK_GRAFT_COMPACT_LAYOUT"
+
+
+def q73_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as a first-class lifecycle operation through the
+    gate: the 4-file cents layout is compacted (layout.compact_to —
+    functional, source untouched, fresh index over the new directory)
+    into a single range-sorted file with small row groups, and the
+    same indexed range query must (a) return byte-identical aggregates
+    on both layouts — compaction is invisible to results, (b) scan
+    FEWER files after compaction, and (c) still row-group-prune inside
+    the survivor — compaction must not cost the index its
+    selectivity. Small-file proliferation is the other big pruning
+    killer at 100 TB (footer/task overhead grows with file count while
+    row groups stay tiny); this row proves the repair loop preserves
+    correctness and pruning in one pass. The oracle recomputes the
+    range aggregate from the flat table."""
+    from .operators.util import artifact_dir, session_memo
+    from .sources.layout import compact_to
+
+    t = _cents_orders(spark, sf_dir)
+    dest = artifact_dir(
+        COMPACT_ENV, "spark_graft_compacted",
+        os.path.join(sf_dir, "orders.parquet"), "cents_compact_v1")
+    memo = session_memo(spark, "compacted_orders")
+    t2 = memo.get(dest)
+    if t2 is None:
+        marker = os.path.join(dest, "_COMPACTED")
+        if not os.path.exists(marker):
+            t2 = compact_to(t, dest, ["price_cents"],
+                            target_file_bytes=1 << 30,
+                            row_group_bytes=1 << 15)
+            open(marker, "w").close()
+        else:
+            t2 = IndexedParquetTable(
+                spark, dest, index_columns=list(t.index_schema))
+        memo[dest] = t2
+    rng = ((xcol("price_cents") >= 10_000_000)
+           & (xcol("price_cents") <= 20_000_000))
+    n_before = t.query(rng).count()
+    dec_before = t.last_scan
+    agg = t2.query(rng).agg(
+        F.count(F.lit(1)).alias("n_rng"),
+        F.sum("price_cents").alias("sum_rng_cents")).head()
+    dec_after = t2.last_scan
+    assert len(dec_after.files_scanned) <= len(dec_before.files_scanned)
+    assert len(dec_after.files_scanned) == 1, dec_after.describe()
+    assert 0 < dec_after.row_groups_scanned < dec_after.total_row_groups, \
+        dec_after.describe()  # pruning survives compaction
+    assert agg["n_rng"] == n_before  # results invariant under compaction
+    return spark.createDataFrame(
+        [(agg["n_rng"], agg["sum_rng_cents"])],
+        "n_rng BIGINT, sum_rng_cents BIGINT")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -1862,6 +1917,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_group_var_pushdown": q70_group_var_pushdown,
     "q71_catalog_profile": q71_catalog_profile,
     "q72_schema_evolution": q72_schema_evolution,
+    "q73_compaction": q73_compaction,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2463,6 +2519,16 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q73_compaction"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rng,
+           CAST(SUM(cents) AS BIGINT) AS sum_rng_cents
+    FROM c WHERE cents BETWEEN 10000000 AND 20000000
 """
 
 RELATIONAL_ORACLE["q72_schema_evolution"] = """

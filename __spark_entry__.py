@@ -116,8 +116,11 @@ _ROUND_PRIORITY = [
     # join execution), q72_schema_evolution (pre-evolution files
     # indexed as proven all-null and pruned), ev_stream_dedup
     # (exactly-once repair of an at-least-once replay), and
-    # q73_compaction (compaction preserves results AND pruning), each
-    # locally green + fingerprinted at both sf0.001 and sf0.01 — and
+    # q73_compaction (compaction preserves results AND pruning),
+    # ev_session_window_agg + ev_stream_session_window (native session
+    # windows, batch + streaming-executed, closing the three-way
+    # sessionizer equivalence triangle), each locally green +
+    # fingerprinted at both sf0.001 and sf0.01 (and sf0.1) — and
     # anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,
     # q37_case_pred, q38_exists_subquery, q39_grouping_sets,

@@ -150,6 +150,33 @@ EV_SESSIONIZE_SQL = f"""
 """
 
 
+def ev_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window operator —
+    the engine-provided twin of ev_sessionize's lag+cumsum formulation
+    (and the one that runs unchanged under Structured Streaming).
+    session_window's merge bound is INCLUSIVE (an event exactly
+    gap_param after the previous one still merges — verified
+    empirically: gap==param merges, gap==param+1 splits), which is
+    precisely the lag formulation's `gap > SESSION_GAP_SEC starts a
+    new session` convention, so the same gap parameter serves both
+    and all three sessionizers — lag+cumsum, the custom stateful
+    stream, and this native operator — face the SAME oracle. Shuffle
+    is (user, session) sized; the merge itself is Spark's native
+    window-merging aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    ts = F.timestamp_seconds(_ts_seconds(ev))
+    per_session = (
+        ev.select("user_id", ts.alias("ets"))
+        .groupBy("user_id",
+                 F.session_window("ets", f"{SESSION_GAP_SEC} seconds"))
+        .agg(F.count(F.lit(1)).alias("session_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
 def ev_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window aggregate (600 s window, 300 s slide): every event
     lands in exactly two overlapping windows. Spark's window() expands
@@ -1086,6 +1113,38 @@ EV_STREAM_DEDUP_SQL = """
 """
 
 
+def ev_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native STREAMING session windows through the oracle gate: the
+    same sentinel-flushed replay as ev_stream_sessionize, but the
+    sessionizer is Spark's built-in session_window aggregation (state
+    = open windows in the state store, merged natively, emitted in
+    append mode once the watermark passes each session's close) —
+    zero custom operator code. Three sessionizers now face one oracle:
+    batch lag+cumsum (ev_sessionize), the custom stateful stream
+    (ev_stream_sessionize), and this native-streaming form — a
+    cross-implementation equivalence triangle on the trickiest
+    streaming semantics (cross-batch session merging, boundary
+    conventions, final-session flushing)."""
+    def build():
+        from ..streaming.events_stream import (
+            session_window_counts_stream, stream_events_from_dir,
+        )
+
+        d = _sessionize_replay_dir(spark, sf_dir)
+        out = session_window_counts_stream(
+            stream_events_from_dir(spark, d), gap_sec=SESSION_GAP_SEC)
+        sink = _run_stream_to_sink(
+            spark, out, "ev_stream_session_window_sink", mode="append")
+        return (
+            sink.filter(F.col("user_id") != SESSIONIZE_SENTINEL_USER)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("session_events").alias("max_session_events"))
+        )
+
+    return _stream_result_memo(spark, (sf_dir, "session_window"), build)
+
+
 def ev_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE stream-stream join executed through the oracle
     gate: the ±60 s per-user interval self-join
@@ -1160,6 +1219,8 @@ EVENTS_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_stream_sessionize": ev_stream_sessionize,
     "ev_stream_interval_join": ev_stream_interval_join,
     "ev_stream_dedup": ev_stream_dedup,
+    "ev_session_window_agg": ev_session_window_agg,
+    "ev_stream_session_window": ev_stream_session_window,
 }
 
 EVENTS_ORACLE: Dict[str, str] = {
@@ -1187,4 +1248,8 @@ EVENTS_ORACLE: Dict[str, str] = {
     # exactly-once repair of an at-least-once replay must reproduce the
     # undamaged events table
     "ev_stream_dedup": EV_STREAM_DEDUP_SQL,
+    # both native session-window forms (batch + streaming-executed)
+    # face the same oracle as the lag+cumsum and custom-stateful forms
+    "ev_session_window_agg": EV_SESSIONIZE_SQL,
+    "ev_stream_session_window": EV_SESSIONIZE_SQL,
 }

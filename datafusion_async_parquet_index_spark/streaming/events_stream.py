@@ -296,6 +296,29 @@ def interval_join_stream(
     )
 
 
+def session_window_counts_stream(
+    events: DataFrame, gap_sec: int = SESSION_GAP_SEC,
+    watermark_sec: int = 0,
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE streaming session_window
+    — no custom operator code at all: the state store holds open
+    session windows per user, merges them as events arrive, and emits
+    a (user, session) row once the watermark passes the session's
+    close. session_window's merge bound is inclusive (gap == gap_sec
+    merges, gap_sec+1 splits — see
+    operators.events.ev_session_window_agg), which is exactly the
+    batch lag-formulation's gap > gap_sec new-session convention."""
+    return (
+        events.withWatermark("event_ts", f"{watermark_sec} seconds")
+        .groupBy(
+            "user_id",
+            F.session_window("event_ts", f"{gap_sec} seconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("session_events"))
+        .select("user_id", "session_events")
+    )
+
+
 def _make_sessionize_event_time_fn(gap_sec: int):
     """Per-user gap sessionizer with EVENT-TIME session close: a session
     is emitted exactly when the stream can PROVE it is over — either a

@@ -577,3 +577,23 @@ def test_stream_dedup_repairs_injected_redeliveries(spark, sf_dir):
     out = ev_stream_dedup(spark, sf_dir)
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_three_sessionizers_agree(spark, sf_dir):
+    """Cross-implementation equivalence triangle: lag+cumsum batch,
+    custom stateful stream (EventTimeTimeout), and native
+    session_window (batch and streaming-executed) must produce one
+    identical per-user rollup."""
+    from datafusion_async_parquet_index_spark.operators.events import (
+        ev_session_window_agg, ev_sessionize, ev_stream_session_window,
+        ev_stream_sessionize,
+    )
+
+    def key(df):
+        return {(r.user_id, r.n_sessions, r.max_session_events)
+                for r in df.collect()}
+
+    want = key(ev_sessionize(spark, sf_dir))
+    assert key(ev_session_window_agg(spark, sf_dir)) == want
+    assert key(ev_stream_sessionize(spark, sf_dir)) == want
+    assert key(ev_stream_session_window(spark, sf_dir)) == want

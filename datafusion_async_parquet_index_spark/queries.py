@@ -1756,6 +1756,65 @@ def q73_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rng BIGINT, sum_rng_cents BIGINT")
 
 
+def q74_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The async maintenance loop itself through the oracle gate (the
+    reference's whole reason to exist — its tokio task re-indexing
+    arrivals, index.rs:179): a table is built over two base files,
+    'tonight's' file lands AFTER construction (invisible by design —
+    plan_scan serves only indexed files, consistently for both the
+    predicate and full-scan paths), one incremental refresh() indexes
+    exactly the new file (size short-circuit skips the bases), and
+    the indexed range query over the now-3-file table must equal the
+    flat-table oracle over ALL of orders — proving the refresh left a
+    complete, correct, still-pruning index. Runs the
+    build→arrive→refresh sequence for real on every cold execution
+    (fresh scratch dir; memoized per session for warm repeats)."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    def build():
+        d = tempfile.mkdtemp(prefix="spark_graft_refresh_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("price_cents"))
+        def _one_file(df, name):
+            tmp = os.path.join(d, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(d, name))
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+        _one_file(base.filter(F.col("o_orderkey") % 3 == 1), "base1.parquet")
+        _one_file(base.filter(F.col("o_orderkey") % 3 == 2), "base2.parquet")
+        t = IndexedParquetTable(spark, d, index_columns=["price_cents"])
+        n_before = t.count_rows()
+        assert len(t._files) == 2
+        # tonight's arrival: invisible until the maintenance pass runs
+        _one_file(base.filter(F.col("o_orderkey") % 3 == 0), "new.parquet")
+        assert t.count_rows() == n_before, \
+            "unindexed arrival must not leak into catalog answers"
+        t.refresh()
+        assert len(t._files) == 3
+        n_after = t.count_rows()  # catalog metadata count, zero I/O
+        assert n_after > n_before
+        df = t.query((xcol("price_cents") >= 10_000_000)
+                     & (xcol("price_cents") <= 20_000_000))
+        agg = df.agg(F.count(F.lit(1)).alias("n_rng"),
+                     F.sum("price_cents").alias("sum_rng_cents")).head()
+        return spark.createDataFrame(
+            [(n_after, agg["n_rng"], agg["sum_rng_cents"])],
+            "n_total BIGINT, n_rng BIGINT, sum_rng_cents BIGINT")
+
+    memo = session_memo(spark, "refresh_query")
+    df = memo.get(sf_dir)
+    if df is None:
+        df = memo[sf_dir] = build()
+    return df
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -1918,6 +1977,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_catalog_profile": q71_catalog_profile,
     "q72_schema_evolution": q72_schema_evolution,
     "q73_compaction": q73_compaction,
+    "q74_incremental_refresh": q74_incremental_refresh,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2518,6 +2578,19 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
                                    AND 30000000) AS BIGINT) AS range_min,
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q74_incremental_refresh"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN cents BETWEEN 10000000 AND 20000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rng,
+           CAST(SUM(CASE WHEN cents BETWEEN 10000000 AND 20000000
+                         THEN cents END) AS BIGINT) AS sum_rng_cents
     FROM c
 """
 

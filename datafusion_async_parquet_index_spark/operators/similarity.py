@@ -631,6 +631,65 @@ EMB_KMEANS_SQL = f"""
 """
 
 
+PCA_SCALE = 10_000
+
+
+def emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PCA power-iteration step, fully deterministic — the other
+    iterative-ML primitive (next to emb_kmeans_step) a curation
+    pipeline runs over embeddings, e.g. to find the dominant drift
+    direction of a corpus snapshot: with the fixed all-ones start
+    vector, each vector's projection is a sequential double fold
+    (identical in both engines), and the updated direction
+    v1[d] = Σ_i proj_i · x_i[d] is accumulated as exact integer basis
+    points (per-row contribution floored to bp, then integer-summed)
+    so no cross-row float accumulation order can smear the result —
+    the same fixed-point posture as emb_kmeans_step's centroid sums.
+    Power iteration is scale-invariant, so the caller normalizes the
+    returned direction; subsequent steps pass it back in. Plan:
+    map-only projection, one posexplode, one (dim)-keyed aggregate —
+    at 100 TB one hash exchange of |dims| partial sums per partition,
+    never a vector collect."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda x: F.coalesce(x.cast("double"), F.lit(0.0))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    pe = emb.select(proj.alias("proj"),
+                    F.posexplode("embedding").alias("dim", "v"))
+    contrib = F.floor(
+        F.col("proj") * F.coalesce(F.col("v").cast("double"), F.lit(0.0))
+        * F.lit(PCA_SCALE)).cast("long")
+    return (
+        pe.select(F.col("dim").cast("long").alias("dim"),
+                  contrib.alias("c"))
+        .groupBy("dim")
+        .agg(F.sum("c").alias("sum_contrib_bp"),
+             F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+EMB_PCA_SQL = f"""
+    WITH p AS (
+        SELECT embedding,
+               list_sum(list_transform(embedding,
+                   x -> COALESCE(CAST(x AS DOUBLE), 0))) AS proj
+        FROM embeddings
+    ), e AS (
+        SELECT proj,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS v
+        FROM p
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(CAST(floor(proj * COALESCE(CAST(v AS DOUBLE), 0)
+                                * {PCA_SCALE}) AS BIGINT)) AS BIGINT)
+               AS sum_contrib_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM e GROUP BY dim
+"""
+
+
 def write_ivf_layout(emb: DataFrame, out_dir: str) -> None:
     """Physical IVF layout: every vector written under its nearest-cell
     directory (``cell=<id>/``) via partitionBy, with the centroid set
@@ -1423,6 +1482,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_report": sim_recall_report,
     "emb_label_centroids": emb_label_centroids,
     "emb_kmeans_step": emb_kmeans_step,
+    "emb_pca_power_step": emb_pca_power_step,
 }
 
 SIMILARITY_ORACLE: Dict[str, str] = {
@@ -1444,4 +1504,5 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_recall_report": _recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "emb_kmeans_step": EMB_KMEANS_SQL,
+    "emb_pca_power_step": EMB_PCA_SQL,
 }

@@ -121,9 +121,10 @@ _ROUND_PRIORITY = [
     # windows, batch + streaming-executed, closing the three-way
     # sessionizer equivalence triangle), q74_incremental_refresh (the
     # build→arrive→refresh maintenance loop executed inside the gate),
-    # and emb_pca_power_step (deterministic fixed-point power
-    # iteration), each locally green + fingerprinted at both sf0.001
-    # and sf0.01 (several also at sf0.1) — and anything later;
+    # emb_pca_power_step (deterministic fixed-point power iteration),
+    # and sim_filtered_topk (metadata-filtered vector search), each
+    # locally green + fingerprinted at both sf0.001 and sf0.01
+    # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,
     # q37_case_pred, q38_exists_subquery, q39_grouping_sets,
     # q40_range_frame, q41_pivot, q42_hll_estimate, q43_in_pred —

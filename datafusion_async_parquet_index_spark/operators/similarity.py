@@ -631,6 +631,70 @@ EMB_KMEANS_SQL = f"""
 """
 
 
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — the vector-DB feature ANN
+    papers skip and production queries always need ("nearest neighbors
+    WHERE label = X"): exact cosine top-k restricted to candidates
+    sharing the query's label, the correctness baseline every filtered-
+    ANN approximation is judged against. The filter joins BEFORE
+    scoring (label equality rides the broadcast-join condition), so
+    the scored candidate set shrinks by the label selectivity — the
+    cheap-filter-first rule; at 100 TB the scale path is the same
+    query over the label-partitioned physical layout (partition
+    pruning serves the filter for free, exactly like write_ivf_layout
+    serves cells) or an IVF probe with over-fetch + post-filter.
+    Deterministic: 6-decimal rounding + vec_id tie-break, as all
+    sim_* rows."""
+    emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
+    vec = emb.select("vec_id", "embedding", "label",
+                     l2_norm(F.col("embedding")).alias("nrm"))
+    q = vec.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("label").alias("qlabel"))
+    c = vec.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"),
+                   F.col("nrm").alias("cn"), F.col("label").alias("clabel"))
+    pairs = c.join(F.broadcast(q),
+                   (F.col("query_id") != F.col("cand_id"))
+                   & (F.col("qlabel") == F.col("clabel")))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SIM_FILTERED_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+               label AS qlabel
+        FROM embeddings WHERE vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce,
+               label AS clabel
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM c JOIN q ON query_id != cand_id AND qlabel = clabel
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+"""
+
+
 PCA_SCALE = 10_000
 
 
@@ -1483,6 +1547,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_centroids": emb_label_centroids,
     "emb_kmeans_step": emb_kmeans_step,
     "emb_pca_power_step": emb_pca_power_step,
+    "sim_filtered_topk": sim_filtered_topk,
 }
 
 SIMILARITY_ORACLE: Dict[str, str] = {
@@ -1505,4 +1570,5 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "emb_kmeans_step": EMB_KMEANS_SQL,
     "emb_pca_power_step": EMB_PCA_SQL,
+    "sim_filtered_topk": SIM_FILTERED_SQL,
 }

@@ -122,7 +122,9 @@ _ROUND_PRIORITY = [
     # sessionizer equivalence triangle), q74_incremental_refresh (the
     # build→arrive→refresh maintenance loop executed inside the gate),
     # emb_pca_power_step (deterministic fixed-point power iteration),
-    # and sim_filtered_topk (metadata-filtered vector search), each
+    # sim_filtered_topk (metadata-filtered vector search), and
+    # q75_hist_quantiles (histogram statistics in the catalog →
+    # zero-I/O P50/P90/P99, the estimate itself oracle-pinned), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -1815,6 +1815,45 @@ def q74_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+HIST_NBINS = 64
+HIST_QS = (500, 900, 990)  # P50 / P90 / P99 in permille
+
+
+def q75_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM statistics in the catalog → zero-I/O quantiles: the
+    index stores per-row-group equi-width bin counts for the integer
+    cents measure (``hist_columns`` — the same opt-in page-scan cost
+    model as the sum store), and P50/P90/P99 fold entirely from the
+    catalog (table.hist_quantiles): an O(row_groups·nbins) driver-side
+    integer fold, no executor ever starts. This extends the
+    aggregate-statistics family (COUNT q61 / SUM q62-63 / MIN-MAX
+    q66-67 / VAR q68-70 / profile q71) from moments to the
+    DISTRIBUTION'S SHAPE — the P99 a data-quality dashboard needs,
+    answered the way the reference answers COUNT from its stats
+    (index.rs:198-205). The estimate is a deterministic pure-integer
+    function of (bin counts, domain), so the oracle recomputes the
+    IDENTICAL value by re-binning the flat table relationally — the
+    estimate itself is pinned, not just bracketed. The histogram
+    domain comes from the catalog's exact bounds (min_max — also zero
+    I/O); the assert pins that the fold really answered."""
+    base = _cents_orders(spark, sf_dir)
+    mn, mx = base.min_max("price_cents")
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "hist_orders")
+    t = memo.get(base.data_dir)
+    if t is None:
+        t = memo[base.data_dir] = IndexedParquetTable(
+            spark, base.data_dir, index_columns=["price_cents"],
+            hist_columns={"price_cents": (int(mn), int(mx), HIST_NBINS)})
+    res = t.hist_quantiles("price_cents", list(HIST_QS))
+    assert res is not None, "quantiles must fold from the catalog"
+    assert t.last_hist_pushdown["nbins"] == HIST_NBINS
+    return spark.createDataFrame(
+        [(q, est, n) for q, est, n in res],
+        "q_permille BIGINT, est_cents BIGINT, n_rows BIGINT")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -1978,6 +2017,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_schema_evolution": q72_schema_evolution,
     "q73_compaction": q73_compaction,
     "q74_incremental_refresh": q74_incremental_refresh,
+    "q75_hist_quantiles": q75_hist_quantiles,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2579,6 +2619,45 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q75_hist_quantiles"] = f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ), b AS (
+        SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM c
+    ), binned AS (
+        SELECT LEAST(GREATEST((v - lo) * {HIST_NBINS} // (hi - lo + 1),
+                              0), {HIST_NBINS - 1}) AS bin
+        FROM c CROSS JOIN b
+    ), hist AS (
+        SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin) AS cum_through,
+               SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+        FROM hist
+    ), qs AS (
+        SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q
+    ), t AS (
+        SELECT q, LEAST(GREATEST((q * n + 999) // 1000, 1), n) AS target,
+               lo, hi, n
+        FROM qs CROSS JOIN b
+    ), pick AS (
+        SELECT t.q, t.n, t.lo, t.hi, t.target,
+               cum.bin, cum.cnt, cum.cum_before,
+               ROW_NUMBER() OVER (PARTITION BY t.q
+                                  ORDER BY cum.bin) AS rn
+        FROM t JOIN cum ON cum.cum_through >= t.target
+    )
+    SELECT CAST(q AS BIGINT) AS q_permille,
+           CAST(lo + ((hi - lo + 1) * bin) // {HIST_NBINS}
+                   + (((hi - lo + 1) // {HIST_NBINS})
+                      * (target - cum_before - 1))
+                     // GREATEST(cnt, 1)
+                AS BIGINT) AS est_cents,
+           CAST(n AS BIGINT) AS n_rows
+    FROM pick WHERE rn = 1
 """
 
 RELATIONAL_ORACLE["q74_incremental_refresh"] = """

@@ -353,6 +353,23 @@ class SqliteIndexCatalog:
                 # persisted catalog built before the VAR extension
                 self._exec(
                     "ALTER TABLE row_group_sums ADD COLUMN sumsq_value TEXT")
+            # histogram extension: per (row group, integer column)
+            # equi-width bin counts over a caller-fixed domain —
+            # quantiles fold from the catalog the way COUNT/SUM/VAR
+            # do. lo/hi stored as TEXT (decimal strings: portable
+            # across backends and safe for >64-bit domains); counts
+            # as a comma-joined TEXT list.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS row_group_hists (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       lo TEXT NOT NULL,
+                       hi TEXT NOT NULL,
+                       nbins INTEGER NOT NULL,
+                       counts TEXT NOT NULL,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
             self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -369,6 +386,8 @@ class SqliteIndexCatalog:
         self, fs: FileStats, rgs: Sequence[RowGroupStats],
         blooms: Optional[Dict[int, Dict[str, Tuple[int, int, bytes]]]] = None,
         sums: Optional[Dict[int, Dict[str, Tuple[int, int]]]] = None,
+        hists: Optional[
+            Dict[int, Dict[str, Tuple[int, int, int, List[int]]]]] = None,
     ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
@@ -425,6 +444,18 @@ class SqliteIndexCatalog:
                      for rg, cols in sums.items()
                      for col, entry in cols.items()])
             self._exec(
+                "DELETE FROM row_group_hists WHERE file_id = ?", (file_id,))
+            if hists:
+                self._execmany(
+                    """INSERT INTO row_group_hists
+                           (file_id, row_group, column_name,
+                            lo, hi, nbins, counts)
+                       VALUES (?, ?, ?, ?, ?, ?, ?)""",
+                    [(file_id, rg, col, str(lo), str(hi), nbins,
+                      ",".join(str(x) for x in counts))
+                     for rg, cols in hists.items()
+                     for col, (lo, hi, nbins, counts) in cols.items()])
+            self._exec(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
                 self._execmany(
@@ -442,7 +473,7 @@ class SqliteIndexCatalog:
         # needs a per-connection PRAGMA; server engines vary)
         with self._txn():
             for child in ("row_group_statistics", "row_group_sums",
-                          "row_group_blooms"):
+                          "row_group_hists", "row_group_blooms"):
                 self._exec(
                     f"""DELETE FROM {child} WHERE file_id IN
                         (SELECT file_id FROM file_statistics
@@ -499,6 +530,22 @@ class SqliteIndexCatalog:
                WHERE s.column_name = ?""", (column,))
         return {(fn, rg): (sv, vc, None if sq is None else int(sq))
                 for fn, rg, sv, vc, sq in rows}
+
+    def get_hists(
+        self, column: str
+    ) -> Dict[Tuple[str, int], Tuple[int, int, int, List[int]]]:
+        """{(file_name, row_group): (lo, hi, nbins, counts)} for one
+        column's histogram extension. O(row_groups · nbins) ints,
+        independent of data size."""
+        rows = self._query(
+            """SELECT f.file_name, h.row_group, h.lo, h.hi, h.nbins,
+                      h.counts
+               FROM row_group_hists h
+               JOIN file_statistics f ON f.file_id = h.file_id
+               WHERE h.column_name = ?""", (column,))
+        return {(fn, rg): (int(lo), int(hi), int(nb),
+                           [int(x) for x in counts.split(",")])
+                for fn, rg, lo, hi, nb, counts in rows}
 
     def get_blooms(
         self, column: str

@@ -62,6 +62,8 @@ class DataFrameIndexCatalog:
         self._blooms: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         # file_name -> {row_group: {column: (sum, non_null_count)}}
         self._sums: Dict[str, Dict[int, Dict[str, tuple]]] = {}
+        # file_name -> {row_group: {column: (lo, hi, nbins, counts)}}
+        self._hists: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -90,7 +92,7 @@ class DataFrameIndexCatalog:
     # -- maintenance (reference index.rs:242-329) -----------------------
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats], blooms=None,
-        sums=None,
+        sums=None, hists=None,
     ) -> None:
         """Idempotent per file: replaces any previous stats for the same
         file_name (the reference's ON CONFLICT + delete-then-insert).
@@ -107,13 +109,28 @@ class DataFrameIndexCatalog:
             self._sums[fs.file_name] = dict(sums)
         else:
             self._sums.pop(fs.file_name, None)
+        if hists:
+            self._hists[fs.file_name] = dict(hists)
+        else:
+            self._hists.pop(fs.file_name, None)
         self._df = None
 
     def remove_file(self, file_name: str) -> None:
         self._files.pop(file_name, None)
         self._blooms.pop(file_name, None)
         self._sums.pop(file_name, None)
+        self._hists.pop(file_name, None)
         self._df = None
+
+    def get_hists(self, column: str):
+        """{(file_name, row_group): (lo, hi, nbins, counts)} — same
+        protocol as SqliteIndexCatalog.get_hists."""
+        out = {}
+        for fname, per_rg in self._hists.items():
+            for rg, cols in per_rg.items():
+                if column in cols:
+                    out[(fname, rg)] = cols[column]
+        return out
 
     def get_sums(self, column: str):
         """{(file_name, row_group): (sum, non_null_count)} — same

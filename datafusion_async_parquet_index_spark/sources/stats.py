@@ -207,6 +207,61 @@ def extract_file_sums(
     return out
 
 
+def extract_file_hists(
+    path: str, hist_specs: Dict[str, Tuple[int, int, int]],
+) -> Dict[int, Dict[str, Tuple[int, int, int, List[int]]]]:
+    """{row_group: {column: (lo, hi, nbins, counts)}} — the HISTOGRAM
+    statistics extension: per-row-group equi-width bin counts for an
+    integer column over a caller-fixed [lo, hi] domain, computed at
+    index time from the column pages (same opt-in cost model as the
+    sum store). Bin of value v: ((v - lo) * nbins) // (hi - lo + 1),
+    clamped to [0, nbins-1] — pure integer arithmetic, so any engine
+    recomputes the identical binning, and out-of-domain values land
+    deterministically in the edge bins (spec the true domain for a
+    meaningful estimate; correctness of the DETERMINISTIC estimate
+    never depends on it). Nulls are excluded. Quantiles then fold
+    from the catalog with zero Parquet I/O (table.hist_quantiles) —
+    the moment-store idea extended from Σx/Σx² to the distribution's
+    shape, which is what a P99 needs."""
+    import numpy as np
+
+    if not hist_specs:
+        return {}
+    pf = pq.ParquetFile(path)
+    cols = {c: spec for c, spec in hist_specs.items()
+            if pf.schema_arrow.get_field_index(c) >= 0
+            and pa.types.is_integer(pf.schema_arrow.field(c).type)}
+    if not cols:
+        return {}
+    out: Dict[int, Dict[str, Tuple[int, int, int, List[int]]]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=list(cols))
+        per_col: Dict[str, Tuple[int, int, int, List[int]]] = {}
+        for c, (lo, hi, nbins) in cols.items():
+            span = hi - lo + 1
+            assert span > 0 and nbins > 0
+            arr = tbl.column(c).combine_chunks()
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            if len(vals) == 0:
+                per_col[c] = (lo, hi, nbins, [0] * nbins)
+                continue
+            vmax_abs = max(abs(int(vals.min()) - lo),
+                           abs(int(vals.max()) - lo))
+            if vmax_abs <= (2 ** 63 - 1) // max(nbins, 1):
+                idx = (vals.astype(np.int64) - lo) * nbins // span
+                idx = np.clip(idx, 0, nbins - 1)
+                counts = np.bincount(idx, minlength=nbins)
+            else:  # wrap-proof Python fold (astronomical domains)
+                counts = np.zeros(nbins, dtype=np.int64)
+                for v in vals.tolist():
+                    b = min(max((int(v) - lo) * nbins // span, 0),
+                            nbins - 1)
+                    counts[b] += 1
+            per_col[c] = (lo, hi, nbins, [int(x) for x in counts])
+        out[i] = per_col
+    return out
+
+
 def extract_file_nan_counts(
     path: str, nan_cols: Sequence[str],
 ) -> Dict[int, Dict[str, int]]:
@@ -427,6 +482,7 @@ def build_index(
     token_bloom_columns: Optional[Sequence[str]] = None,
     sum_columns: Optional[Sequence[str]] = None,
     nan_count_columns: Optional[Sequence[str]] = None,
+    hist_columns: Optional[Dict[str, Tuple[int, int, int]]] = None,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -507,6 +563,7 @@ def build_index(
 
     sum_cols = tuple(sum_columns or ())
     nan_cols = tuple(nan_count_columns or ())
+    hist_specs = dict(hist_columns or {})
 
     def _apply_nans(p, rgs):
         if nan_cols:
@@ -521,7 +578,8 @@ def build_index(
         blooms = (extract_file_blooms(p, bloom_schema, bloom_fpp)
                   if bloom_schema else None)
         sums = extract_file_sums(p, sum_cols) if sum_cols else None
-        return fs, _apply_nans(p, rgs), blooms, sums
+        hists = extract_file_hists(p, hist_specs) if hist_specs else None
+        return fs, _apply_nans(p, rgs), blooms, sums, hists
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -541,18 +599,20 @@ def build_index(
         meta_b = sc.broadcast((names, part_values))
 
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
-                          _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols):
+                          _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols,
+                          _hs=hist_specs):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
             blooms = (extract_file_blooms(p, _bs.value, _fpp)
                       if _bs.value else None)
             sums = extract_file_sums(p, _sc) if _sc else None
+            hists = extract_file_hists(p, _hs) if _hs else None
             if _nc:
                 nans = extract_file_nan_counts(p, _nc)
                 for rg in rgs:
                     rg.nan_counts.update(nans.get(rg.row_group, {}))
-            return fs, rgs, blooms, sums
+            return fs, rgs, blooms, sums, hists
 
         results = (
             sc.parallelize(files, min(len(files), 256))
@@ -565,6 +625,6 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms, sums in results:
-        catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums)
+    for fs, rgs, blooms, sums, hists in results:
+        catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists)
     return schema

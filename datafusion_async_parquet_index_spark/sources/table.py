@@ -112,6 +112,7 @@ class IndexedParquetTable:
         nan_count_columns: Optional[Sequence[str]] = None,
         stats_exact_max_bytes: int = STATS_EXACT_MAX_BYTES,
         merge_schema: bool = False,
+        hist_columns: Optional[Dict[str, Tuple[int, int, int]]] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -154,6 +155,7 @@ class IndexedParquetTable:
         self.nan_count_columns = tuple(nan_count_columns or ())
         self.stats_exact_max_bytes = stats_exact_max_bytes
         self.merge_schema = merge_schema
+        self.hist_columns = dict(hist_columns or {})
         self._nan_free_cache: Dict[str, bool] = {}
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
@@ -171,7 +173,8 @@ class IndexedParquetTable:
             bloom_columns=self.bloom_columns,
             token_bloom_columns=self.token_bloom_columns,
             sum_columns=self.sum_columns,
-            nan_count_columns=self.nan_count_columns, **part_kw)
+            nan_count_columns=self.nan_count_columns,
+            hist_columns=self.hist_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -261,6 +264,8 @@ class IndexedParquetTable:
                                  sum_columns=getattr(self, "sum_columns", ()),
                                  nan_count_columns=getattr(
                                      self, "nan_count_columns", ()),
+                                 hist_columns=getattr(
+                                     self, "hist_columns", None),
                                  **self._partition_index_kwargs())
         self._nan_free_cache = {}
         if new_schema != self.index_schema:
@@ -941,6 +946,62 @@ class IndexedParquetTable:
             acc = out.get(lo, (0, 0, 0))
             out[lo] = (acc[0] + entry[0], acc[1] + entry[2],
                        acc[2] + entry[1])
+        return out
+
+    def hist_quantiles(self, column: str, qs_permille: Sequence[int]):
+        """Zero-I/O QUANTILE estimates from the catalog's histogram
+        extension: per-row-group equi-width bin counts (stored at index
+        time, `hist_columns`) fold into one global histogram — an
+        O(row_groups · nbins) driver-side integer fold, no executor
+        starts — and each requested q (permille) reads off the
+        deterministic estimate: target rank r = ceil(q·n/1000), first
+        bin whose cumulative count reaches r, then integer
+        interpolation within the bin. Every operation is exact integer
+        arithmetic, so any engine recomputing the same binning formula
+        produces the identical estimate (this is what lets a DuckDB
+        oracle pin it). Returns [(q, estimate, n)] or None when any
+        row group lacks the histogram or the specs disagree — coverage
+        degrades to a scan-side quantile, never wrongness. This is the
+        P99-dashboard readout at 100 TB: distribution shape served the
+        way COUNT/SUM/VAR already are, from the index alone."""
+        try:
+            hists = self.catalog.get_hists(column)
+        except Exception:
+            return None
+        if not hists:
+            return None
+        expected = {(f[0], rg) for f in self.catalog.all_files()
+                    for rg in range(f[2])}
+        if set(hists) != expected:
+            return None  # a row group without the histogram: no answer
+        specs = {(lo, hi, nb) for (lo, hi, nb, _) in hists.values()}
+        if len(specs) != 1:
+            return None  # mixed bin specs cannot fold
+        lo, hi, nbins = specs.pop()
+        span = hi - lo + 1
+        total = [0] * nbins
+        for (_, _, _, counts) in hists.values():
+            for b, c in enumerate(counts):
+                total[b] += c
+        n = sum(total)
+        if n == 0:
+            return None
+        width = span // nbins
+        out = []
+        for q in qs_permille:
+            target = min(max(1, (q * n + 999) // 1000), n)
+            cum = 0
+            b = 0
+            for b, cnt in enumerate(total):
+                if cum + cnt >= target:
+                    break
+                cum += cnt
+            rank_in = target - cum  # 1-based rank inside bin b
+            left = lo + (span * b) // nbins
+            est = left + (width * (rank_in - 1)) // max(total[b], 1)
+            out.append((q, est, n))
+        self.last_hist_pushdown = {"row_groups": len(hists),
+                                   "nbins": nbins, "n": n}
         return out
 
     def min_max_by(self, group_column: str, target_column: str):

@@ -371,3 +371,57 @@ def test_catalog_profile_matches_scan_aggregate(spark, sf_dir):
             n, s, r.mn, r.mx, s * 1000 // n,
             (n * sq - s * s) * 1000 // (n * n))
     assert got == want
+
+
+def test_hist_quantiles_fold_and_fallbacks(spark, tmp_path):
+    """Histogram extension: the catalog fold must equal a direct
+    recompute from the data, and coverage gaps (no histogram, wrong
+    column) must return None, never a wrong estimate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = str(tmp_path / "hist")
+    import os
+    os.makedirs(d)
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 500, 3000)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"v": pa.array(vals[i*1000:(i+1)*1000], pa.int64())}),
+            os.path.join(d, f"f{i}.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"],
+                            hist_columns={"v": (0, 499, 32)})
+    res = t.hist_quantiles("v", [250, 500, 750, 990])
+    assert res is not None and len(res) == 4
+    # recompute the deterministic estimate directly from the values
+    lo, hi, nbins = 0, 499, 32
+    span = hi - lo + 1
+    counts = np.bincount(
+        np.clip((vals - lo) * nbins // span, 0, nbins - 1),
+        minlength=nbins)
+    n = int(counts.sum())
+    for q, est, n_got in res:
+        assert n_got == n
+        target = min(max(1, (q * n + 999) // 1000), n)
+        cum = 0
+        for b, cnt in enumerate(counts):
+            if cum + cnt >= target:
+                break
+            cum += cnt
+        left = lo + (span * b) // nbins
+        want = left + ((span // nbins) * (target - cum - 1)) // max(int(counts[b]), 1)
+        assert est == want, (q, est, want)
+    # estimates bracket the true quantile within one bin width
+    sv = np.sort(vals)
+    for q, est, _ in res:
+        exact = int(sv[min(max((q * n + 999) // 1000, 1), n) - 1])
+        assert abs(est - exact) <= span // nbins + 1
+    # fallbacks
+    assert t.hist_quantiles("nope", [500]) is None
+    t2 = IndexedParquetTable(spark, d, index_columns=["v"])
+    assert t2.hist_quantiles("v", [500]) is None

@@ -123,8 +123,9 @@ _ROUND_PRIORITY = [
     # build→arrive→refresh maintenance loop executed inside the gate),
     # emb_pca_power_step (deterministic fixed-point power iteration),
     # sim_filtered_topk (metadata-filtered vector search), and
-    # q75_hist_quantiles (histogram statistics in the catalog →
-    # zero-I/O P50/P90/P99, the estimate itself oracle-pinned), each
+    # q75_hist_quantiles + q76_group_hist_quantiles (histogram
+    # statistics in the catalog → zero-I/O P50/P90/P99, whole-table
+    # and per-group, the estimates themselves oracle-pinned), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -1854,6 +1854,39 @@ def q75_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_permille BIGINT, est_cents BIGINT, n_rows BIGINT")
 
 
+def q76_group_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-I/O GROUP BY quantiles (table.hist_quantiles_by): over the
+    hive status layout every row group is single-valued on the
+    partition column AND carries histogram bin counts for the integer
+    dollars measure, so per-status P50/P90/P99 fold entirely from the
+    catalog — the P99-per-tenant dashboard readout with no executor
+    started, completing the grouped family (COUNT q51 / SUM q63 /
+    MIN-MAX q67 / VAR q70 / profile q71 / quantiles here). Same
+    deterministic integer estimate as q75, same global bin domain
+    from the catalog's exact bounds; the oracle re-bins the flat
+    table per status and must reproduce every estimate exactly."""
+    from .operators.util import session_memo
+
+    base = _status_cents_orders(spark, sf_dir)
+    mn, mx = base.min_max("price_dollars")
+    memo = session_memo(spark, "hist_status_orders")
+    t = memo.get(base.data_dir)
+    if t is None:
+        t = memo[base.data_dir] = IndexedParquetTable(
+            spark, base.data_dir, index_columns=["price_dollars"],
+            partitioned=True,
+            hist_columns={"price_dollars": (int(mn), int(mx), HIST_NBINS)})
+    groups = t.hist_quantiles_by("o_orderstatus", "price_dollars",
+                                 list(HIST_QS))
+    assert groups is not None, "grouped quantiles must fold from catalog"
+    rows = [(g, q, est, n)
+            for g in sorted(groups)
+            for q, est, n in groups[g]]
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, q_permille BIGINT, "
+              "est_dollars BIGINT, n_rows BIGINT")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -2018,6 +2051,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_compaction": q73_compaction,
     "q74_incremental_refresh": q74_incremental_refresh,
     "q75_hist_quantiles": q75_hist_quantiles,
+    "q76_group_hist_quantiles": q76_group_hist_quantiles,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2619,6 +2653,51 @@ RELATIONAL_ORACLE["q62_sum_pushdown"] = """
            CAST(MAX(cents) FILTER (WHERE cents BETWEEN 5000000
                                    AND 30000000) AS BIGINT) AS range_max
     FROM c
+"""
+
+RELATIONAL_ORACLE["q76_group_hist_quantiles"] = f"""
+    WITH c AS (
+        SELECT o_orderstatus AS g,
+               CAST(round(o_totalprice) AS BIGINT) AS v
+        FROM orders
+    ), b AS (
+        SELECT MIN(v) AS lo, MAX(v) AS hi FROM c
+    ), binned AS (
+        SELECT g, LEAST(GREATEST((v - lo) * {HIST_NBINS} // (hi - lo + 1),
+                                 0), {HIST_NBINS - 1}) AS bin
+        FROM c CROSS JOIN b
+    ), hist AS (
+        SELECT g, bin, COUNT(*) AS cnt FROM binned GROUP BY g, bin
+    ), tot AS (
+        SELECT g, SUM(cnt) AS n FROM hist GROUP BY g
+    ), cum AS (
+        SELECT g, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum_through,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt
+                   AS cum_before
+        FROM hist
+    ), qs AS (
+        SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q
+    ), t AS (
+        SELECT tot.g, q,
+               LEAST(GREATEST((q * n + 999) // 1000, 1), n) AS target, n
+        FROM qs CROSS JOIN tot
+    ), pick AS (
+        SELECT t.g, t.q, t.n, t.target,
+               cum.bin, cum.cnt, cum.cum_before,
+               ROW_NUMBER() OVER (PARTITION BY t.g, t.q
+                                  ORDER BY cum.bin) AS rn
+        FROM t JOIN cum ON cum.g = t.g AND cum.cum_through >= t.target
+    )
+    SELECT g AS o_orderstatus,
+           CAST(q AS BIGINT) AS q_permille,
+           CAST(lo + ((hi - lo + 1) * bin) // {HIST_NBINS}
+                   + (((hi - lo + 1) // {HIST_NBINS})
+                      * (target - cum_before - 1))
+                     // GREATEST(cnt, 1)
+                AS BIGINT) AS est_dollars,
+           CAST(n AS BIGINT) AS n_rows
+    FROM pick CROSS JOIN b WHERE rn = 1
 """
 
 RELATIONAL_ORACLE["q75_hist_quantiles"] = f"""

@@ -1004,6 +1004,58 @@ class IndexedParquetTable:
                                    "nbins": nbins, "n": n}
         return out
 
+    def hist_quantiles_by(self, group_column: str, column: str,
+                          qs_permille: Sequence[int]):
+        """Zero-I/O GROUP BY quantiles: {group value: [(q, est, n)]}
+        from the histogram store, under the same single-valued-group
+        trust rules as sum_rows_by (every row group single-valued on
+        the group column — partition columns, perfectly clustered
+        layouts) — P99-per-tenant served entirely from the catalog.
+        Same deterministic integer estimate as hist_quantiles, folded
+        per group; None when any row group fails a trust condition or
+        lacks the histogram (scan fallback, never wrongness)."""
+        try:
+            entries = self.catalog.column_rg_entries_keyed(group_column)
+            hists = self.catalog.get_hists(column)
+        except Exception:
+            return None
+        if not hists or set(hists) != set(entries):
+            return None
+        specs = {(lo, hi, nb) for (lo, hi, nb, _) in hists.values()}
+        if len(specs) != 1:
+            return None
+        lo, hi, nbins = specs.pop()
+        span = hi - lo + 1
+        width = span // nbins
+        per_group: Dict = {}
+        for key, (nc, glo, ghi, _) in entries.items():
+            if glo is None or glo != ghi or (nc or 0) != 0:
+                return None
+            if not self._bound_is_exact(group_column, glo):
+                return None
+            acc = per_group.setdefault(glo, [0] * nbins)
+            for b, c in enumerate(hists[key][3]):
+                acc[b] += c
+        out: Dict = {}
+        for g, total in per_group.items():
+            n = sum(total)
+            if n == 0:
+                continue
+            ests = []
+            for q in qs_permille:
+                target = min(max(1, (q * n + 999) // 1000), n)
+                cum = 0
+                b = 0
+                for b, cnt in enumerate(total):
+                    if cum + cnt >= target:
+                        break
+                    cum += cnt
+                left = lo + (span * b) // nbins
+                ests.append((q, left + (width * (target - cum - 1))
+                             // max(total[b], 1), n))
+            out[g] = ests
+        return out
+
     def min_max_by(self, group_column: str, target_column: str):
         """Zero-I/O GROUP BY MIN/MAX: {group value: (min, max, count)}
         answered from the catalog alone when EVERY row group is

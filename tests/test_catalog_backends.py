@@ -495,3 +495,59 @@ def test_dbapi_ddl_spellings_reach_driver():
     params_sql = [s for s in recorded if "%s" in s]
     assert params_sql, "expected format-style placeholders"
     assert all("?" not in s for s in recorded)
+
+
+def test_hist_store_round_trips_on_all_backends():
+    """The histogram extension must survive upsert→get on the SQLite
+    and DB-API (both paramstyles) backends identically — including
+    >64-bit domains (lo/hi travel as decimal-string TEXT). The
+    DataFrame backend's dict mirror is exercised by
+    test_df_hist_mirror below with a live session."""
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        FileStats, RowGroupStats, SqliteIndexCatalog,
+    )
+
+    fs = FileStats("f.parquet", 10, 2, 100)
+    rgs = [RowGroupStats(row_group=0, row_count=50),
+           RowGroupStats(row_group=1, row_count=50)]
+    big = 2 ** 70
+    hists = {0: {"v": (0, 99, 4, [10, 20, 15, 5]),
+                 "w": (big, big + 99, 2, [30, 20])},
+             1: {"v": (0, 99, 4, [1, 2, 3, 44])}}
+
+    def check(cat):
+        cat.initialize({"v": "int"})
+        cat.upsert_file(fs, rgs, hists=hists)
+        got = cat.get_hists("v")
+        assert got[("f.parquet", 0)] == (0, 99, 4, [10, 20, 15, 5])
+        assert got[("f.parquet", 1)] == (0, 99, 4, [1, 2, 3, 44])
+        gw = cat.get_hists("w")
+        assert gw[("f.parquet", 0)] == (big, big + 99, 2, [30, 20])
+        assert ("f.parquet", 1) not in gw
+        # re-upsert without hists clears them (idempotent replace)
+        cat.upsert_file(fs, rgs)
+        assert cat.get_hists("v") == {}
+
+    check(SqliteIndexCatalog())
+    check(_dbapi_qmark())
+    check(_dbapi_format())
+
+
+def test_df_hist_mirror(spark):
+    """DataFrame-backend hist mirror: upsert→get→replace parity with
+    the SQL backends."""
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        FileStats, RowGroupStats,
+    )
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+
+    cat = DataFrameIndexCatalog(spark)
+    cat.initialize({"v": "int"})
+    fs = FileStats("f.parquet", 10, 1, 50)
+    rgs = [RowGroupStats(row_group=0, row_count=50)]
+    cat.upsert_file(fs, rgs, hists={0: {"v": (0, 9, 2, [30, 20])}})
+    assert cat.get_hists("v") == {("f.parquet", 0): (0, 9, 2, [30, 20])}
+    cat.upsert_file(fs, rgs)
+    assert cat.get_hists("v") == {}

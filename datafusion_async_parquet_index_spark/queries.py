@@ -1887,6 +1887,89 @@ def q76_group_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
               "est_dollars BIGINT, n_rows BIGINT")
 
 
+NDV_LAYOUT_ENV = "SPARK_GRAFT_NDV_LAYOUT"
+
+
+def _ndv_status_orders(spark: SparkSession, sf_dir: str):
+    """Orders written once per corpus as a hive layout partitioned by
+    status carrying the raw key columns, with per-row-group HyperLogLog
+    registers in the catalog (``ndv_columns``) — shared by q77
+    (whole-table NDV: registers merge across every partition dir) and
+    q78 (per-status NDV under the single-valued-group trust rules)."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        NDV_LAYOUT_ENV, "spark_graft_ndv_layout",
+        os.path.join(sf_dir, "orders.parquet"), "by=status_ndv_v1")
+    memo = session_memo(spark, "ndv_status_orders")
+    t = memo.get(layout)
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: (_read(spark, sf_dir, "orders")
+                       .select("o_orderkey", "o_orderstatus", "o_custkey")
+                       .repartition(2)
+                       .write.partitionBy("o_orderstatus")
+                       .mode("overwrite").parquet(d)))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_custkey"], partitioned=True,
+            ndv_columns=["o_custkey", "o_orderkey"])
+    return t
+
+
+def q77_ndv_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV statistics in the catalog → zero-I/O approximate COUNT
+    DISTINCT (table.ndv_estimate): the index stores per-row-group
+    HyperLogLog registers (``ndv_columns`` — the sum store's opt-in
+    page-scan cost model; 64 small ints per row group regardless of
+    cardinality), and the distinct-count estimate folds entirely from
+    the catalog by elementwise register MAX — an O(row_groups · 64)
+    driver-side integer fold; NO executor starts anywhere in this
+    query (row count too comes from the file stats). Register merging
+    is associative, so the folded registers EQUAL a single pass over
+    all rows, making the estimate a deterministic pure function of
+    the value set: the oracle rebuilds the same registers relationally
+    (the q28/q42 hash/bucket/rank formula — functions.hash60 and a
+    CASE-chain rank, bit-identical across engines) and must reproduce
+    the estimate EXACTLY, not within a tolerance. This extends the
+    aggregate-statistics family (COUNT q61 / SUM q62-63 / MIN-MAX
+    q66-67 / VAR q68-70 / quantiles q75-76) to cardinality — at
+    100 TB, the distinct-users dashboard that never reads the data,
+    with registers that keep merging across partitions, days, or
+    tables (the raw estimator's accuracy audit is q42's job)."""
+    t = _ndv_status_orders(spark, sf_dir)
+    est_cust = t.ndv_estimate("o_custkey")
+    assert est_cust is not None, "NDV must fold from the catalog"
+    total_rgs = sum(f[2] for f in t.catalog.all_files())
+    assert t.last_ndv_pushdown["row_groups"] == total_rgs
+    est_okey = t.ndv_estimate("o_orderkey")
+    assert est_okey is not None
+    n_rows = sum(f[3] for f in t.catalog.all_files())  # file stats only
+    return spark.createDataFrame(
+        [(est_cust, est_okey, int(n_rows))],
+        "ndv_custkey DOUBLE, ndv_orderkey DOUBLE, n_rows BIGINT")
+
+
+def q78_group_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-I/O GROUP BY approximate COUNT DISTINCT (table.ndv_by):
+    over the hive status layout every row group is single-valued on
+    the partition column AND carries HyperLogLog registers for the
+    customer key, so distinct-customers-per-status folds entirely from
+    the catalog — the distinct-users-per-tenant readout with no
+    executor started, completing the grouped family (COUNT q51 / SUM
+    q63 / MIN-MAX q67 / VAR q70 / quantiles q76 / NDV here). Same
+    deterministic register formula as q77 folded per group under the
+    same trust rules as the other grouped folds; the oracle rebuilds
+    each group's registers from the flat table and must reproduce
+    every estimate exactly."""
+    t = _ndv_status_orders(spark, sf_dir)
+    groups = t.ndv_by("o_orderstatus", "o_custkey")
+    assert groups is not None, "grouped NDV must fold from the catalog"
+    rows = [(g, est) for g, est in sorted(groups.items())]
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, ndv_custkey DOUBLE")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -2052,6 +2135,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_incremental_refresh": q74_incremental_refresh,
     "q75_hist_quantiles": q75_hist_quantiles,
     "q76_group_hist_quantiles": q76_group_hist_quantiles,
+    "q77_ndv_pushdown": q77_ndv_pushdown,
+    "q78_group_ndv": q78_group_ndv,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2698,6 +2783,64 @@ RELATIONAL_ORACLE["q76_group_hist_quantiles"] = f"""
                 AS BIGINT) AS est_dollars,
            CAST(n AS BIGINT) AS n_rows
     FROM pick CROSS JOIN b WHERE rn = 1
+"""
+
+RELATIONAL_ORACLE["q77_ndv_pushdown"] = f"""
+    WITH hc AS (
+        SELECT {_sql_hash60('o_custkey::VARCHAR')} AS hv FROM orders
+        WHERE o_custkey IS NOT NULL
+    ), regsc AS (
+        SELECT hv % {HLL_BUCKETS} AS bucket,
+               MAX({_hll_rho_sql('hv')}) AS register
+        FROM hc GROUP BY 1
+    ), fullc AS (
+        SELECT COALESCE(register, 0) AS register
+        FROM range(0, {HLL_BUCKETS}) t(b)
+        LEFT JOIN regsc ON bucket = b
+    ), sc AS (
+        SELECT SUM(1::BIGINT << (55 - register)) AS ind_sum FROM fullc
+    ), ho AS (
+        SELECT {_sql_hash60('o_orderkey::VARCHAR')} AS hv FROM orders
+        WHERE o_orderkey IS NOT NULL
+    ), regso AS (
+        SELECT hv % {HLL_BUCKETS} AS bucket,
+               MAX({_hll_rho_sql('hv')}) AS register
+        FROM ho GROUP BY 1
+    ), fullo AS (
+        SELECT COALESCE(register, 0) AS register
+        FROM range(0, {HLL_BUCKETS}) t(b)
+        LEFT JOIN regso ON bucket = b
+    ), so AS (
+        SELECT SUM(1::BIGINT << (55 - register)) AS ind_sum FROM fullo
+    )
+    SELECT ROUND({_HLL_A!r} / sc.ind_sum, 2) AS ndv_custkey,
+           ROUND({_HLL_A!r} / so.ind_sum, 2) AS ndv_orderkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows
+    FROM sc CROSS JOIN so
+"""
+
+RELATIONAL_ORACLE["q78_group_ndv"] = f"""
+    WITH h AS (
+        SELECT o_orderstatus AS g,
+               {_sql_hash60('o_custkey::VARCHAR')} AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), regs AS (
+        SELECT g, hv % {HLL_BUCKETS} AS bucket,
+               MAX({_hll_rho_sql('hv')}) AS register
+        FROM h GROUP BY 1, 2
+    ), groups AS (
+        SELECT DISTINCT o_orderstatus AS g FROM orders
+    ), fullregs AS (
+        SELECT groups.g, COALESCE(register, 0) AS register
+        FROM groups CROSS JOIN range(0, {HLL_BUCKETS}) t(b)
+        LEFT JOIN regs ON regs.g = groups.g AND regs.bucket = b
+    ), s AS (
+        SELECT g, SUM(1::BIGINT << (55 - register)) AS ind_sum
+        FROM fullregs GROUP BY g
+    )
+    SELECT g AS o_orderstatus,
+           ROUND({_HLL_A!r} / ind_sum, 2) AS ndv_custkey
+    FROM s
 """
 
 RELATIONAL_ORACLE["q75_hist_quantiles"] = f"""

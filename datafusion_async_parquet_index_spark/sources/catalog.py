@@ -370,6 +370,18 @@ class SqliteIndexCatalog:
                        nbins INTEGER NOT NULL,
                        counts TEXT NOT NULL,
                        PRIMARY KEY (file_id, row_group, column_name))""")
+            # NDV extension: per (row group, column) HyperLogLog
+            # registers (stats.HLL_REGS small ints, comma-joined TEXT)
+            # — approximate COUNT DISTINCT folds from the catalog by
+            # elementwise MAX the way COUNT/SUM/VAR fold by addition.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS row_group_ndv (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       registers TEXT NOT NULL,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
             self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -388,6 +400,7 @@ class SqliteIndexCatalog:
         sums: Optional[Dict[int, Dict[str, Tuple[int, int]]]] = None,
         hists: Optional[
             Dict[int, Dict[str, Tuple[int, int, int, List[int]]]]] = None,
+        ndvs: Optional[Dict[int, Dict[str, List[int]]]] = None,
     ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
@@ -456,6 +469,16 @@ class SqliteIndexCatalog:
                      for rg, cols in hists.items()
                      for col, (lo, hi, nbins, counts) in cols.items()])
             self._exec(
+                "DELETE FROM row_group_ndv WHERE file_id = ?", (file_id,))
+            if ndvs:
+                self._execmany(
+                    """INSERT INTO row_group_ndv
+                           (file_id, row_group, column_name, registers)
+                       VALUES (?, ?, ?, ?)""",
+                    [(file_id, rg, col, ",".join(str(x) for x in regs))
+                     for rg, cols in ndvs.items()
+                     for col, regs in cols.items()])
+            self._exec(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
                 self._execmany(
@@ -473,7 +496,8 @@ class SqliteIndexCatalog:
         # needs a per-connection PRAGMA; server engines vary)
         with self._txn():
             for child in ("row_group_statistics", "row_group_sums",
-                          "row_group_hists", "row_group_blooms"):
+                          "row_group_hists", "row_group_ndv",
+                          "row_group_blooms"):
                 self._exec(
                     f"""DELETE FROM {child} WHERE file_id IN
                         (SELECT file_id FROM file_statistics
@@ -546,6 +570,18 @@ class SqliteIndexCatalog:
         return {(fn, rg): (int(lo), int(hi), int(nb),
                            [int(x) for x in counts.split(",")])
                 for fn, rg, lo, hi, nb, counts in rows}
+
+    def get_ndvs(self, column: str) -> Dict[Tuple[str, int], List[int]]:
+        """{(file_name, row_group): registers} for one column's NDV
+        extension. O(row_groups · HLL_REGS) ints, independent of data
+        size or cardinality."""
+        rows = self._query(
+            """SELECT f.file_name, n.row_group, n.registers
+               FROM row_group_ndv n
+               JOIN file_statistics f ON f.file_id = n.file_id
+               WHERE n.column_name = ?""", (column,))
+        return {(fn, rg): [int(x) for x in regs.split(",")]
+                for fn, rg, regs in rows}
 
     def get_blooms(
         self, column: str

@@ -64,6 +64,8 @@ class DataFrameIndexCatalog:
         self._sums: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         # file_name -> {row_group: {column: (lo, hi, nbins, counts)}}
         self._hists: Dict[str, Dict[int, Dict[str, tuple]]] = {}
+        # file_name -> {row_group: {column: registers}}
+        self._ndvs: Dict[str, Dict[int, Dict[str, list]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -92,7 +94,7 @@ class DataFrameIndexCatalog:
     # -- maintenance (reference index.rs:242-329) -----------------------
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats], blooms=None,
-        sums=None, hists=None,
+        sums=None, hists=None, ndvs=None,
     ) -> None:
         """Idempotent per file: replaces any previous stats for the same
         file_name (the reference's ON CONFLICT + delete-then-insert).
@@ -113,6 +115,10 @@ class DataFrameIndexCatalog:
             self._hists[fs.file_name] = dict(hists)
         else:
             self._hists.pop(fs.file_name, None)
+        if ndvs:
+            self._ndvs[fs.file_name] = dict(ndvs)
+        else:
+            self._ndvs.pop(fs.file_name, None)
         self._df = None
 
     def remove_file(self, file_name: str) -> None:
@@ -120,6 +126,7 @@ class DataFrameIndexCatalog:
         self._blooms.pop(file_name, None)
         self._sums.pop(file_name, None)
         self._hists.pop(file_name, None)
+        self._ndvs.pop(file_name, None)
         self._df = None
 
     def get_hists(self, column: str):
@@ -127,6 +134,16 @@ class DataFrameIndexCatalog:
         protocol as SqliteIndexCatalog.get_hists."""
         out = {}
         for fname, per_rg in self._hists.items():
+            for rg, cols in per_rg.items():
+                if column in cols:
+                    out[(fname, rg)] = cols[column]
+        return out
+
+    def get_ndvs(self, column: str):
+        """{(file_name, row_group): registers} — same protocol as
+        SqliteIndexCatalog.get_ndvs."""
+        out = {}
+        for fname, per_rg in self._ndvs.items():
             for rg, cols in per_rg.items():
                 if column in cols:
                     out[(fname, rg)] = cols[column]

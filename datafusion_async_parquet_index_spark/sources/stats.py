@@ -262,6 +262,79 @@ def extract_file_hists(
     return out
 
 
+HLL_REGS = 64  # 2^6 registers: 60-bit hash -> 6 bucket bits + 54-bit rest
+# raw-estimator constant alpha_m * m^2, pre-scaled by 2^55 so the
+# indicator sum Σ 2^(55-M_j) stays exact in integers and the float
+# division happens exactly once (the q42 formula, shared here so
+# table.ndv_estimate and the queries agree to the last bit)
+HLL_ALPHA_SCALED = (0.7213 / (1 + 1.079 / HLL_REGS)
+                    * HLL_REGS * HLL_REGS * float(2 ** 55))
+
+
+def hll_rho(v: int) -> int:
+    """Rank of the 54-bit hash remainder — position of the highest set
+    bit counted from 54 down (55 for v == 0), via integer compares
+    only (no floating log). The Python twin of queries._hll_rho_sql /
+    _hll_rho_col, so registers computed at index time, by a Spark job,
+    or by a SQL oracle over the raw rows are bit-identical."""
+    for k in range(53, -1, -1):
+        if v >= 1 << k:
+            return 54 - k
+    return 55
+
+
+def extract_file_ndv(
+    path: str, ndv_cols: Sequence[str],
+) -> Dict[int, Dict[str, List[int]]]:
+    """{row_group: {column: registers}} — the NDV statistics extension:
+    per-row-group HyperLogLog registers (HLL_REGS buckets) for an
+    integer or string column, computed at index time from the column
+    pages (opt-in, the sum store's cost model). Register j is the MAX
+    over the row group's distinct values hashing to bucket j of
+    hll_rho(hash >> 6), with hash = int of the first 15 md5 hex chars
+    of the value's canonical string (functions.hash60 — verified
+    identical in Spark, DuckDB and Python). Registers merge by
+    elementwise MAX — across row groups, files, partitions or days —
+    so an approximate COUNT DISTINCT folds from the catalog with ZERO
+    Parquet I/O (table.ndv_estimate), and because register merging is
+    associative the folded registers EQUAL the registers a single
+    pass over the whole table would build: the estimate is a
+    deterministic pure function of the value set, pinnable by an
+    oracle. Nulls are excluded (COUNT DISTINCT semantics). Cost is
+    O(distinct values) per row group at index time; the per-row-group
+    footprint is HLL_REGS small ints regardless of cardinality."""
+    import hashlib
+
+    if not ndv_cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    cols = [c for c in ndv_cols
+            if pf.schema_arrow.get_field_index(c) >= 0
+            and (pa.types.is_integer(pf.schema_arrow.field(c).type)
+                 or pa.types.is_string(pf.schema_arrow.field(c).type)
+                 or pa.types.is_large_string(pf.schema_arrow.field(c).type))]
+    if not cols:
+        return {}
+    out: Dict[int, Dict[str, List[int]]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=cols)
+        per_col: Dict[str, List[int]] = {}
+        for c in cols:
+            uniq = pc.unique(
+                tbl.column(c).combine_chunks().drop_null()).to_pylist()
+            regs = [0] * HLL_REGS
+            for v in uniq:
+                h = int(hashlib.md5(
+                    str(v).encode("utf-8")).hexdigest()[:15], 16)
+                r = hll_rho(h >> 6)
+                b = h % HLL_REGS
+                if r > regs[b]:
+                    regs[b] = r
+            per_col[c] = regs
+        out[i] = per_col
+    return out
+
+
 def extract_file_nan_counts(
     path: str, nan_cols: Sequence[str],
 ) -> Dict[int, Dict[str, int]]:
@@ -483,6 +556,7 @@ def build_index(
     sum_columns: Optional[Sequence[str]] = None,
     nan_count_columns: Optional[Sequence[str]] = None,
     hist_columns: Optional[Dict[str, Tuple[int, int, int]]] = None,
+    ndv_columns: Optional[Sequence[str]] = None,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -564,6 +638,7 @@ def build_index(
     sum_cols = tuple(sum_columns or ())
     nan_cols = tuple(nan_count_columns or ())
     hist_specs = dict(hist_columns or {})
+    ndv_cols = tuple(ndv_columns or ())
 
     def _apply_nans(p, rgs):
         if nan_cols:
@@ -579,7 +654,8 @@ def build_index(
                   if bloom_schema else None)
         sums = extract_file_sums(p, sum_cols) if sum_cols else None
         hists = extract_file_hists(p, hist_specs) if hist_specs else None
-        return fs, _apply_nans(p, rgs), blooms, sums, hists
+        ndvs = extract_file_ndv(p, ndv_cols) if ndv_cols else None
+        return fs, _apply_nans(p, rgs), blooms, sums, hists, ndvs
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -600,7 +676,7 @@ def build_index(
 
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
                           _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols,
-                          _hs=hist_specs):
+                          _hs=hist_specs, _nd=ndv_cols):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
@@ -608,11 +684,12 @@ def build_index(
                       if _bs.value else None)
             sums = extract_file_sums(p, _sc) if _sc else None
             hists = extract_file_hists(p, _hs) if _hs else None
+            ndvs = extract_file_ndv(p, _nd) if _nd else None
             if _nc:
                 nans = extract_file_nan_counts(p, _nc)
                 for rg in rgs:
                     rg.nan_counts.update(nans.get(rg.row_group, {}))
-            return fs, rgs, blooms, sums, hists
+            return fs, rgs, blooms, sums, hists, ndvs
 
         results = (
             sc.parallelize(files, min(len(files), 256))
@@ -625,6 +702,7 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms, sums, hists in results:
-        catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists)
+    for fs, rgs, blooms, sums, hists, ndvs in results:
+        catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists,
+                            ndvs=ndvs)
     return schema

@@ -113,6 +113,7 @@ class IndexedParquetTable:
         stats_exact_max_bytes: int = STATS_EXACT_MAX_BYTES,
         merge_schema: bool = False,
         hist_columns: Optional[Dict[str, Tuple[int, int, int]]] = None,
+        ndv_columns: Optional[Sequence[str]] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -156,6 +157,7 @@ class IndexedParquetTable:
         self.stats_exact_max_bytes = stats_exact_max_bytes
         self.merge_schema = merge_schema
         self.hist_columns = dict(hist_columns or {})
+        self.ndv_columns = tuple(ndv_columns or ())
         self._nan_free_cache: Dict[str, bool] = {}
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
@@ -174,7 +176,8 @@ class IndexedParquetTable:
             token_bloom_columns=self.token_bloom_columns,
             sum_columns=self.sum_columns,
             nan_count_columns=self.nan_count_columns,
-            hist_columns=self.hist_columns, **part_kw)
+            hist_columns=self.hist_columns,
+            ndv_columns=self.ndv_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -266,6 +269,8 @@ class IndexedParquetTable:
                                      self, "nan_count_columns", ()),
                                  hist_columns=getattr(
                                      self, "hist_columns", None),
+                                 ndv_columns=getattr(
+                                     self, "ndv_columns", ()),
                                  **self._partition_index_kwargs())
         self._nan_free_cache = {}
         if new_schema != self.index_schema:
@@ -1054,6 +1059,89 @@ class IndexedParquetTable:
                 ests.append((q, left + (width * (target - cum - 1))
                              // max(total[b], 1), n))
             out[g] = ests
+        return out
+
+    def _fold_ndv_registers(self, reg_lists):
+        """Elementwise-MAX merge + the shared integer-scaled raw HLL
+        estimator (stats.HLL_ALPHA_SCALED / Σ 2^(55-M_j), rounded to 2
+        decimals — one float division total, so any engine recomputing
+        the same registers reproduces the identical estimate)."""
+        from .stats import HLL_ALPHA_SCALED, HLL_REGS
+
+        merged = [0] * HLL_REGS
+        for regs in reg_lists:
+            if len(regs) != HLL_REGS:
+                return None
+            for j, r in enumerate(regs):
+                if r > merged[j]:
+                    merged[j] = r
+        ind_sum = sum(1 << (55 - r) for r in merged)
+        return round(HLL_ALPHA_SCALED / ind_sum, 2)
+
+    def ndv_estimate(self, column: str):
+        """Zero-I/O approximate COUNT DISTINCT from the catalog's NDV
+        extension: per-row-group HyperLogLog registers (stored at index
+        time, ``ndv_columns``) merge by elementwise MAX into the
+        whole-table registers — an O(row_groups · HLL_REGS) driver-side
+        integer fold, no executor starts — and the raw estimator reads
+        off the estimate. Because register merging is associative, the
+        folded registers EQUAL what one pass over all rows would build,
+        so the estimate is a deterministic pure function of the value
+        set (a DuckDB oracle recomputing the same hash/bucket/rank
+        formula pins the VALUE). Returns the rounded estimate, or None
+        when any row group lacks registers (coverage degrades to a
+        scan-side distinct, never wrongness). Completes the
+        aggregate-statistics family — COUNT/SUM/MIN-MAX/VAR/quantiles/
+        NDV all served from the index the way the reference serves
+        COUNT from its stats (index.rs:198-205); at 100 TB this is the
+        cardinality dashboard that never touches the data, and the
+        registers keep merging across partitions, days, or tables."""
+        try:
+            ndvs = self.catalog.get_ndvs(column)
+        except Exception:
+            return None
+        if not ndvs:
+            return None
+        expected = {(f[0], rg) for f in self.catalog.all_files()
+                    for rg in range(f[2])}
+        if set(ndvs) != expected:
+            return None  # a row group without registers: no answer
+        est = self._fold_ndv_registers(ndvs.values())
+        if est is None:
+            return None
+        self.last_ndv_pushdown = {"row_groups": len(ndvs),
+                                  "registers": len(next(iter(ndvs.values())))}
+        return est
+
+    def ndv_by(self, group_column: str, column: str):
+        """Zero-I/O GROUP BY approximate COUNT DISTINCT: {group value:
+        estimate} from the NDV register store, under the same
+        single-valued-group trust rules as sum_rows_by / hist_quantiles_by
+        (every row group single-valued on the group column — partition
+        columns, perfectly clustered layouts). Distinct-users-per-tenant
+        served entirely from the catalog; None when any row group fails
+        a trust condition or lacks registers (scan fallback, never
+        wrongness)."""
+        try:
+            entries = self.catalog.column_rg_entries_keyed(group_column)
+            ndvs = self.catalog.get_ndvs(column)
+        except Exception:
+            return None
+        if not ndvs or set(ndvs) != set(entries):
+            return None
+        per_group: Dict = {}
+        for key, (nc, glo, ghi, _) in entries.items():
+            if glo is None or glo != ghi or (nc or 0) != 0:
+                return None
+            if not self._bound_is_exact(group_column, glo):
+                return None
+            per_group.setdefault(glo, []).append(ndvs[key])
+        out: Dict = {}
+        for g, reg_lists in per_group.items():
+            est = self._fold_ndv_registers(reg_lists)
+            if est is None:
+                return None
+            out[g] = est
         return out
 
     def min_max_by(self, group_column: str, target_column: str):

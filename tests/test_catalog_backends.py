@@ -533,6 +533,92 @@ def test_hist_store_round_trips_on_all_backends():
     check(_dbapi_format())
 
 
+def test_ndv_store_round_trips_on_all_backends():
+    """The NDV extension must survive upsert→get on the SQLite and
+    DB-API (both paramstyles) backends identically; re-upsert without
+    registers clears them (idempotent replace)."""
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        FileStats, RowGroupStats, SqliteIndexCatalog,
+    )
+
+    fs = FileStats("f.parquet", 10, 2, 100)
+    rgs = [RowGroupStats(row_group=0, row_count=50),
+           RowGroupStats(row_group=1, row_count=50)]
+    r0 = [0] * 64
+    r0[3], r0[17] = 5, 12
+    r1 = [0] * 64
+    r1[3] = 7
+    ndvs = {0: {"v": r0, "w": [1] * 64}, 1: {"v": r1}}
+
+    def check(cat):
+        cat.initialize({"v": "int"})
+        cat.upsert_file(fs, rgs, ndvs=ndvs)
+        got = cat.get_ndvs("v")
+        assert got[("f.parquet", 0)] == r0
+        assert got[("f.parquet", 1)] == r1
+        gw = cat.get_ndvs("w")
+        assert gw[("f.parquet", 0)] == [1] * 64
+        assert ("f.parquet", 1) not in gw
+        cat.upsert_file(fs, rgs)
+        assert cat.get_ndvs("v") == {}
+        # removal drops the child rows too
+        cat.upsert_file(fs, rgs, ndvs=ndvs)
+        cat.remove_file("f.parquet")
+        assert cat.get_ndvs("v") == {}
+
+    check(SqliteIndexCatalog())
+    check(_dbapi_qmark())
+    check(_dbapi_format())
+
+
+def test_ndv_estimate_folds_and_degrades(tmp_path, spark):
+    """Table-level NDV fold: the catalog estimate must equal the
+    single-pass estimate an engine computes over the raw rows (register
+    merging is associative), and coverage gaps must return None, never
+    a wrong number."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_async_parquet_index_spark.sources.stats import (
+        HLL_ALPHA_SCALED, HLL_REGS, hll_rho,
+    )
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = tmp_path / "ndv"
+    d.mkdir()
+    vals = [i % 311 for i in range(4000)]
+    for part in range(2):
+        chunk = vals[part * 2000:(part + 1) * 2000]
+        pq.write_table(pa.table({"k": pa.array(chunk, type=pa.int64())}),
+                       str(d / f"part-{part}.parquet"), row_group_size=700)
+    t = IndexedParquetTable(spark, str(d), index_columns=["k"],
+                            ndv_columns=["k"])
+    est = t.ndv_estimate("k")
+    assert est is not None
+    regs = [0] * HLL_REGS
+    for v in set(vals):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        b, r = h % HLL_REGS, hll_rho(h >> 6)
+        regs[b] = max(regs[b], r)
+    ind = sum(1 << (55 - r) for r in regs)
+    assert est == round(HLL_ALPHA_SCALED / ind, 2)
+    # a column never indexed for NDV: no answer (not a wrong one)
+    assert t.ndv_estimate("missing") is None
+    # coverage gap: drop one file's registers via a bare re-upsert
+    fs, rgs = None, None
+    from datafusion_async_parquet_index_spark.sources.stats import (
+        extract_file_stats,
+    )
+    fs, rgs = extract_file_stats(str(d / "part-0.parquet"), {"k": "int"},
+                                 file_name="part-0.parquet")
+    t.catalog.upsert_file(fs, rgs)
+    assert t.ndv_estimate("k") is None
+
+
 def test_df_hist_mirror(spark):
     """DataFrame-backend hist mirror: upsert→get→replace parity with
     the SQL backends."""

@@ -125,7 +125,10 @@ _ROUND_PRIORITY = [
     # sim_filtered_topk (metadata-filtered vector search), and
     # q75_hist_quantiles + q76_group_hist_quantiles (histogram
     # statistics in the catalog → zero-I/O P50/P90/P99, whole-table
-    # and per-group, the estimates themselves oracle-pinned), each
+    # and per-group, the estimates themselves oracle-pinned),
+    # q77_ndv_pushdown + q78_group_ndv (HyperLogLog registers in the
+    # catalog → zero-I/O approximate COUNT DISTINCT, whole-table and
+    # per-group, estimates oracle-pinned exactly), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -128,7 +128,10 @@ _ROUND_PRIORITY = [
     # and per-group, the estimates themselves oracle-pinned),
     # q77_ndv_pushdown + q78_group_ndv (HyperLogLog registers in the
     # catalog → zero-I/O approximate COUNT DISTINCT, whole-table and
-    # per-group, estimates oracle-pinned exactly), each
+    # per-group, estimates oracle-pinned exactly),
+    # q79_catalog_join_strategy (catalog-cost-based join planning:
+    # pruned-scan row-count bound decides broadcast vs shuffle at plan
+    # time, both branches pinned via the physical plan string), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

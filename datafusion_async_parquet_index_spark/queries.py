@@ -1970,6 +1970,53 @@ def q78_group_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "o_orderstatus STRING, ndv_custkey DOUBLE")
 
 
+def q79_catalog_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-cost-based join planning (table.join_planned): Spark's
+    static size estimator sees the orders layout's FULL file footprint,
+    so with auto-broadcast disabled (simulating a table too big for the
+    static threshold — the 100 TB posture) a selective join side would
+    shuffle; the external index knows at plan time that only a few row
+    groups survive the cents predicate, bounds the surviving rows by
+    their exact stored row counts, and broadcasts the pruned side —
+    the move AQE only makes at runtime, decided here from the catalog
+    before any job starts. Both branches are exercised and PINNED: the
+    narrow slice must plan a BroadcastHashJoin, the whole-table side
+    must not (threshold at 80% of the table rows: row-group granularity
+    at tiny SFs makes the boundary groups a large table fraction, and
+    the whole-table side always exceeds 80%, so the split is
+    deterministic at every SF); the strategy can never change values; the
+    oracle recomputes both joins' aggregates from flat tables."""
+    t = _cents_orders(spark, sf_dir)
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty"))
+    total_rows = sum(f[3] for f in t.catalog.all_files())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        narrow = xcol("price_cents") >= 35_000_000
+        j1 = t.join_planned(narrow, li, "o_orderkey", "l_orderkey",
+                            broadcast_max_rows=(total_rows * 4) // 5)
+        assert t.last_join_plan["strategy"] == "broadcast", t.last_join_plan
+        assert t.last_join_plan["est_rows_upper"] < total_rows
+        plan1 = j1._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan1, plan1
+        a1 = j1.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("qty").alias("s")).head()
+        j2 = t.join_planned(xcol("price_cents") >= 0, li,
+                            "o_orderkey", "l_orderkey",
+                            broadcast_max_rows=(total_rows * 4) // 5)
+        assert t.last_join_plan["strategy"] == "shuffle", t.last_join_plan
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2, plan2
+        a2 = j2.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("qty").alias("s")).head()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.createDataFrame(
+        [(a1["n"], a1["s"], a2["n"], a2["s"])],
+        "n_narrow BIGINT, qty_narrow BIGINT, n_all BIGINT, qty_all BIGINT")
+
+
 def q64_div_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division and remainder arithmetic in predicates through the
     indexed scan path (reference conversions.rs:21-25 translates / and
@@ -2137,6 +2184,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_group_hist_quantiles": q76_group_hist_quantiles,
     "q77_ndv_pushdown": q77_ndv_pushdown,
     "q78_group_ndv": q78_group_ndv,
+    "q79_catalog_join_strategy": q79_catalog_join_strategy,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2783,6 +2831,24 @@ RELATIONAL_ORACLE["q76_group_hist_quantiles"] = f"""
                 AS BIGINT) AS est_dollars,
            CAST(n AS BIGINT) AS n_rows
     FROM pick CROSS JOIN b WHERE rn = 1
+"""
+
+RELATIONAL_ORACLE["q79_catalog_join_strategy"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), j AS (
+        SELECT cents, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem JOIN c ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(SUM(CASE WHEN cents >= 35000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_narrow,
+           CAST(SUM(CASE WHEN cents >= 35000000 THEN qty END)
+                AS BIGINT) AS qty_narrow,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(qty) AS BIGINT) AS qty_all
+    FROM j
 """
 
 RELATIONAL_ORACLE["q77_ndv_pushdown"] = f"""

@@ -823,6 +823,55 @@ class IndexedParquetTable:
         full = derived if predicate is None else (predicate & derived)
         return self.query(full, **kw)
 
+    def join_planned(
+        self,
+        predicate: Optional[Expr],
+        other_df: DataFrame,
+        key_column: str,
+        other_key: str,
+        broadcast_max_rows: Optional[int] = None,
+    ) -> DataFrame:
+        """Catalog-cost-based join strategy — the external-index CBO
+        move the reference delegates to DataFusion's planner: Spark's
+        STATIC size estimator sees a table's full file footprint, so a
+        selective predicate over a big table never auto-broadcasts
+        (AQE can fix it, but only at runtime after the first shuffle
+        stage is planned). The index already knows better at PLAN time:
+        the pruning decision's surviving row groups carry exact row
+        counts, whose sum is a hard UPPER BOUND on the rows this side
+        can produce. If that bound fits under broadcast_max_rows the
+        pruned side is broadcast (each executor gets a copy — zero
+        shuffle of the big probe side); otherwise the join shuffles
+        normally. Like every narrowing here the decision affects only
+        the PHYSICAL strategy, never the result: the join condition is
+        enforced exactly either way. The decision is recorded in
+        ``last_join_plan`` {est_rows_upper, threshold, strategy} so
+        tests pin it. At 100 TB this is the difference between
+        shuffling a petabyte probe side and shipping a few thousand
+        surviving rows to each executor."""
+        df = self.query(predicate) if predicate is not None else (
+            self.to_df())
+        if predicate is not None:
+            dec = self.last_scan
+            est = 0
+            for fname, rgs in dec.files_scanned.items():
+                rc = self.catalog.row_group_row_counts(fname)
+                est += sum(rc[rg] for rg in rgs)
+        else:
+            est = sum(f[3] for f in self.catalog.all_files())
+        if broadcast_max_rows is None:
+            broadcast_max_rows = 500_000
+        strategy = ("broadcast" if est <= broadcast_max_rows
+                    else "shuffle")
+        self.last_join_plan = {"est_rows_upper": int(est),
+                               "threshold": int(broadcast_max_rows),
+                               "strategy": strategy}
+        from pyspark.sql import functions as F
+
+        side = F.broadcast(df) if strategy == "broadcast" else df
+        return side.join(other_df,
+                         side[key_column] == other_df[other_key])
+
     def _bound_is_exact(self, column: str, value) -> bool:
         """Whether a catalog min/max value can be trusted as the ACTUAL
         attained value (not just a valid bound). int / date / timestamp

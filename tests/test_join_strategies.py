@@ -60,3 +60,53 @@ def test_write_bucketed_helper(spark, sf_dir, tmp_path):
         assert spark.table("nation_b").count() == df.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_b")
+
+
+def test_join_planned_strategy_and_result(spark, sf_dir, tmp_path):
+    """Catalog-cost-based join planning: a selective predicate whose
+    surviving row groups bound few rows must broadcast the pruned side
+    (with auto-broadcast off, only our decision can produce the
+    BroadcastHashJoin); an unselective one must not — and both produce
+    exactly the plain join's rows."""
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.layout import (
+        write_range_sorted,
+    )
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    d = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, d, ["o_orderkey"], num_files=4,
+                       row_group_bytes=1 << 15)
+    t = IndexedParquetTable(spark, d, index_columns=["o_orderkey"])
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    total = sum(f[3] for f in t.catalog.all_files())
+    hi = orders.agg(F.max("o_orderkey")).head()[0]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = t.join_planned(col("o_orderkey") > hi - 5, li,
+                           "o_orderkey", "l_orderkey",
+                           broadcast_max_rows=(total * 4) // 5)
+        assert t.last_join_plan["strategy"] == "broadcast"
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        expected = sorted(map(tuple, (
+            orders.filter(F.col("o_orderkey") > hi - 5)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .collect())))
+        assert sorted(map(tuple, j.collect())) == expected
+        j2 = t.join_planned(col("o_orderkey") >= 0, li,
+                            "o_orderkey", "l_orderkey",
+                            broadcast_max_rows=(total * 4) // 5)
+        assert t.last_join_plan["strategy"] == "shuffle"
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+        assert j2.count() == li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

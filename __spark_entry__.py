@@ -131,7 +131,11 @@ _ROUND_PRIORITY = [
     # per-group, estimates oracle-pinned exactly),
     # q79_catalog_join_strategy (catalog-cost-based join planning:
     # pruned-scan row-count bound decides broadcast vs shuffle at plan
-    # time, both branches pinned via the physical plan string), each
+    # time, both branches pinned via the physical plan string),
+    # q80_dict_groupby + q81_dict_distinct + q82_dict_pruning
+    # (dictionary/frequency statistics: exact zero-I/O GROUP BY on a
+    # jumbled flat layout, exact zero-I/O DISTINCT, and != / NOT IN
+    # row-group pruning that min/max and blooms cannot make), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

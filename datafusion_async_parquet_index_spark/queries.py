@@ -2109,6 +2109,180 @@ def q66_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey BIGINT, price_cents BIGINT")
 
 
+DICT_LAYOUT_ENV = "SPARK_GRAFT_DICT_LAYOUT"
+DICT_SPLIT_ENV = "SPARK_GRAFT_DICT_SPLIT_LAYOUT"
+
+
+def _dict_orders(spark: SparkSession, sf_dir: str):
+    """Orders written once per corpus as a flat JUMBLED 2-file layout
+    (hash repartition — deliberately no clustering, no partitioning,
+    small row groups) with dictionary/frequency statistics in the
+    catalog for the two low-cardinality columns plus the deliberately
+    over-cap key column — shared by q80 (zero-I/O GROUP BY) and q81
+    (zero-I/O DISTINCT + the cap's honest refusal)."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        DICT_LAYOUT_ENV, "spark_graft_dict_layout",
+        os.path.join(sf_dir, "orders.parquet"), "dict_jumbled_v1")
+    memo = session_memo(spark, "dict_orders")
+    t = memo.get(layout)
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"],
+            lambda d: (_read(spark, sf_dir, "orders")
+                       .select("o_orderkey", "o_orderstatus",
+                               "o_orderpriority")
+                       .repartition(2)
+                       .write.option("parquet.block.size", str(1 << 15))
+                       .mode("overwrite").parquet(d)))
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_orderkey"],
+            dict_columns=["o_orderstatus", "o_orderpriority",
+                          "o_orderkey"])
+    return t
+
+
+def q80_dict_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICTIONARY/FREQUENCY statistics in the catalog → exact zero-I/O
+    GROUP BY (table.group_counts): the index stores the per-row-group
+    distinct-value → row-count map of a LOW-cardinality column
+    (``dict_columns`` — the sum store's opt-in page-scan cost model,
+    capped at 64 distincts per row group so the catalog stays
+    O(row_groups · cap)), and ``GROUP BY o_orderstatus, COUNT(*)``
+    folds entirely from the catalog by map ADDITION — an
+    O(row_groups · cap) driver-side integer fold, no executor starts.
+    Unlike q51's grouped counts this needs NO layout trust rules: the
+    layout here is deliberately hash-JUMBLED (no partitioning, no
+    clustering — every row group mixes all statuses) and the fold is
+    still exact, because the maps are exact per row group wherever
+    recorded. The counts are pure integers — the oracle recomputes the
+    GROUP BY from the flat table and must match exactly. Extends the
+    aggregate-statistics family (COUNT q61 / SUM q62-63 / MIN-MAX
+    q66-67 / VAR q68-70 / quantiles q75-76 / NDV q77-78) to
+    low-cardinality DISTRIBUTIONS — at 100 TB, the label/status/
+    language breakdown dashboard that never reads the data, with maps
+    that keep folding across partitions, days, or tables."""
+    t = _dict_orders(spark, sf_dir)
+    counts = t.group_counts("o_orderstatus")
+    assert counts is not None, "group counts must fold from the catalog"
+    total_rgs = sum(f[2] for f in t.catalog.all_files())
+    assert t.last_dict_pushdown["row_groups"] == total_rgs
+    return spark.createDataFrame(
+        sorted(counts.items()), "o_orderstatus STRING, cnt BIGINT")
+
+
+def q81_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact zero-I/O SELECT DISTINCT (table.distinct_values): the union
+    of the per-row-group dictionary value sets IS the column's exact
+    distinct set — served from the catalog with no executor started,
+    over the same jumbled layout as q80 (no trust rules). The honest
+    boundary is exercised in the same query: the key column's
+    per-row-group cardinality exceeds the index-time cap, so the
+    catalog recorded NOTHING for it and group_counts/distinct_values
+    return None (scan fallback) rather than an answer — coverage
+    degrades, wrongness is impossible. The oracle recomputes the
+    distinct set from the flat table."""
+    t = _dict_orders(spark, sf_dir)
+    vals = t.distinct_values("o_orderpriority")
+    assert vals is not None, "distinct must fold from the catalog"
+    assert t.group_counts("o_orderkey") is None, \
+        "over-cap column must refuse a catalog answer, not guess"
+    return spark.createDataFrame(
+        [(v,) for v in vals], "o_orderpriority STRING")
+
+
+def _dict_split_orders(spark: SparkSession, sf_dir: str):
+    """Orders PARTITIONED BY VALUE-SET (not by range): file a.parquet
+    holds every F and P row interleaved (its status range [F, P]
+    CONTAINS the absent 'O'), file b.parquet holds every O row. The
+    shape where min/max is structurally blind — only the recorded value
+    SET knows 'O' is missing from a. Shared by q82's two refutations."""
+    import shutil
+
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        DICT_SPLIT_ENV, "spark_graft_dict_split",
+        os.path.join(sf_dir, "orders.parquet"), "dict_split_v1")
+    memo = session_memo(spark, "dict_split_orders")
+    t = memo.get(layout)
+
+    def _write(d):
+        df = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus")
+        for name, part in (
+                ("a", df.filter(F.col("o_orderstatus").isin("F", "P"))),
+                ("b", df.filter(F.col("o_orderstatus") == "O"))):
+            tmp = os.path.join(d, f"_tmp_{name}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(p for p in sorted(os.listdir(tmp))
+                       if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, src),
+                       os.path.join(d, f"{name}.parquet"))
+            shutil.rmtree(tmp)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    if t is None:
+        ensure_complete(layout, ["_SUCCESS", "a.parquet", "b.parquet"],
+                        _write)
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_orderstatus"],
+            dict_columns=["o_orderstatus"])
+    return t
+
+
+def q82_dict_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-set row-group pruning (table._dict_refine) — the
+    refutations min/max and Bloom filters structurally CANNOT make,
+    over a layout partitioned by value-set: file a holds every F and P
+    row interleaved (status range [F, P], which CONTAINS the absent
+    'O'), file b holds every O row.
+
+    - ``o_orderstatus = 'O'``: a's range covers 'O', so min/max keeps
+      it — but the recorded value set {F, P} lacks 'O', so the dict
+      refutes file a entirely (exact membership, unlike a Bloom
+      filter's maybe).
+    - ``NOT (o_orderstatus IN ('F','P'))``: negative pruning — a's
+      value set is CONTAINED in the excluded literals, so every
+      non-null row fails and null rows fail any comparison: refuted.
+      Min/max can only make this refutation when min = max (a's range
+      is [F, P], useless); a Bloom filter can never prove absence of
+      everything-but-the-excluded.
+
+    Both predicates select exactly the O rows, so the two pruned scans
+    must return identical aggregates — and the asserts pin that each
+    plan dropped row groups via the dictionary specifically
+    (decision.dict_skipped > 0) and never reads file a. The residual
+    filter keeps the inexact contract; the oracle recomputes both
+    aggregates from the flat table. At 100 TB this is
+    needle-in-a-category lookup and churn-exclusion (`status NOT IN
+    (retired...)`) skipping entire value-set-partitioned eras from the
+    catalog alone."""
+    t = _dict_split_orders(spark, sf_dir)
+    eq = xcol("o_orderstatus") == "O"
+    df_eq = t.query(eq)
+    dec_eq = t.last_scan
+    assert dec_eq.dict_skipped > 0, dec_eq.describe()
+    assert not any(f.startswith("a") for f in dec_eq.file_names), \
+        dec_eq.describe()
+    a_eq = df_eq.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("o_orderkey").alias("s")).head()
+    from .plans.expr import InList, Lit, Not
+    notin = Not(InList(xcol("o_orderstatus"), [Lit("F"), Lit("P")]))
+    df_ni = t.query(notin)
+    dec_ni = t.last_scan
+    assert dec_ni.dict_skipped > 0, dec_ni.describe()
+    assert not any(f.startswith("a") for f in dec_ni.file_names), \
+        dec_ni.describe()
+    a_ni = df_ni.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("o_orderkey").alias("s")).head()
+    assert (a_eq["n"], a_eq["s"]) == (a_ni["n"], a_ni["s"])
+    return spark.createDataFrame(
+        [(a_eq["n"], a_eq["s"], a_ni["n"], a_ni["s"])],
+        "n_eq BIGINT, sum_eq BIGINT, n_notin BIGINT, sum_notin BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -2185,6 +2359,9 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_ndv_pushdown": q77_ndv_pushdown,
     "q78_group_ndv": q78_group_ndv,
     "q79_catalog_join_strategy": q79_catalog_join_strategy,
+    "q80_dict_groupby": q80_dict_groupby,
+    "q81_dict_distinct": q81_dict_distinct,
+    "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
@@ -2946,6 +3123,28 @@ RELATIONAL_ORACLE["q75_hist_quantiles"] = f"""
                 AS BIGINT) AS est_cents,
            CAST(n AS BIGINT) AS n_rows
     FROM pick WHERE rn = 1
+"""
+
+RELATIONAL_ORACLE["q80_dict_groupby"] = """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_orderstatus IS NOT NULL
+    GROUP BY o_orderstatus
+"""
+
+RELATIONAL_ORACLE["q81_dict_distinct"] = """
+    SELECT DISTINCT o_orderpriority
+    FROM orders WHERE o_orderpriority IS NOT NULL
+"""
+
+RELATIONAL_ORACLE["q82_dict_pruning"] = """
+    WITH o AS (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eq,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_eq,
+           CAST(COUNT(*) AS BIGINT) AS n_notin,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_notin
+    FROM o
 """
 
 RELATIONAL_ORACLE["q74_incremental_refresh"] = """

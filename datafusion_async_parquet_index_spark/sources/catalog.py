@@ -382,6 +382,21 @@ class SqliteIndexCatalog:
                        column_name TEXT NOT NULL,
                        registers TEXT NOT NULL,
                        PRIMARY KEY (file_id, row_group, column_name))""")
+            # dictionary/frequency extension: per (row group, column)
+            # exact distinct-value -> count map for LOW-cardinality
+            # columns (capped at index time) — entries stored as a JSON
+            # array of [value, count] pairs sorted by value (portable
+            # TEXT across backends); category recorded so decode is
+            # type-faithful without consulting the index schema.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS row_group_dicts (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       category TEXT NOT NULL,
+                       entries TEXT NOT NULL,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
             self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -401,6 +416,7 @@ class SqliteIndexCatalog:
         hists: Optional[
             Dict[int, Dict[str, Tuple[int, int, int, List[int]]]]] = None,
         ndvs: Optional[Dict[int, Dict[str, List[int]]]] = None,
+        dicts: Optional[Dict[int, Dict[str, List[Tuple[Any, int]]]]] = None,
     ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
@@ -479,6 +495,21 @@ class SqliteIndexCatalog:
                      for rg, cols in ndvs.items()
                      for col, regs in cols.items()])
             self._exec(
+                "DELETE FROM row_group_dicts WHERE file_id = ?", (file_id,))
+            if dicts:
+                import json
+                self._execmany(
+                    """INSERT INTO row_group_dicts
+                           (file_id, row_group, column_name,
+                            category, entries)
+                       VALUES (?, ?, ?, ?, ?)""",
+                    [(file_id, rg, col,
+                      "int" if entries and isinstance(entries[0][0], int)
+                      else "string",
+                      json.dumps([[v, c] for v, c in entries]))
+                     for rg, cols in dicts.items()
+                     for col, entries in cols.items()])
+            self._exec(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
                 self._execmany(
@@ -497,7 +528,7 @@ class SqliteIndexCatalog:
         with self._txn():
             for child in ("row_group_statistics", "row_group_sums",
                           "row_group_hists", "row_group_ndv",
-                          "row_group_blooms"):
+                          "row_group_dicts", "row_group_blooms"):
                 self._exec(
                     f"""DELETE FROM {child} WHERE file_id IN
                         (SELECT file_id FROM file_statistics
@@ -582,6 +613,29 @@ class SqliteIndexCatalog:
                WHERE n.column_name = ?""", (column,))
         return {(fn, rg): [int(x) for x in regs.split(",")]
                 for fn, rg, regs in rows}
+
+    def get_dicts(
+        self, column: str
+    ) -> Dict[Tuple[str, int], List[Tuple[Any, int]]]:
+        """{(file_name, row_group): [(value, count), ...] sorted by
+        value} for one column's dictionary/frequency extension — only
+        row groups whose distinct count fit under the index-time cap
+        appear. O(row_groups · cap) entries, independent of data
+        size."""
+        import json
+        rows = self._query(
+            """SELECT f.file_name, d.row_group, d.category, d.entries
+               FROM row_group_dicts d
+               JOIN file_statistics f ON f.file_id = d.file_id
+               WHERE d.column_name = ?""", (column,))
+        out: Dict[Tuple[str, int], List[Tuple[Any, int]]] = {}
+        for fn, rg, cat, entries in rows:
+            pairs = json.loads(entries)
+            if cat == "int":
+                out[(fn, rg)] = [(int(v), int(c)) for v, c in pairs]
+            else:
+                out[(fn, rg)] = [(v, int(c)) for v, c in pairs]
+        return out
 
     def get_blooms(
         self, column: str

@@ -66,6 +66,8 @@ class DataFrameIndexCatalog:
         self._hists: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         # file_name -> {row_group: {column: registers}}
         self._ndvs: Dict[str, Dict[int, Dict[str, list]]] = {}
+        # file_name -> {row_group: {column: [(value, count), ...]}}
+        self._dicts: Dict[str, Dict[int, Dict[str, list]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -94,7 +96,7 @@ class DataFrameIndexCatalog:
     # -- maintenance (reference index.rs:242-329) -----------------------
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats], blooms=None,
-        sums=None, hists=None, ndvs=None,
+        sums=None, hists=None, ndvs=None, dicts=None,
     ) -> None:
         """Idempotent per file: replaces any previous stats for the same
         file_name (the reference's ON CONFLICT + delete-then-insert).
@@ -119,6 +121,10 @@ class DataFrameIndexCatalog:
             self._ndvs[fs.file_name] = dict(ndvs)
         else:
             self._ndvs.pop(fs.file_name, None)
+        if dicts:
+            self._dicts[fs.file_name] = dict(dicts)
+        else:
+            self._dicts.pop(fs.file_name, None)
         self._df = None
 
     def remove_file(self, file_name: str) -> None:
@@ -127,6 +133,7 @@ class DataFrameIndexCatalog:
         self._sums.pop(file_name, None)
         self._hists.pop(file_name, None)
         self._ndvs.pop(file_name, None)
+        self._dicts.pop(file_name, None)
         self._df = None
 
     def get_hists(self, column: str):
@@ -147,6 +154,16 @@ class DataFrameIndexCatalog:
             for rg, cols in per_rg.items():
                 if column in cols:
                     out[(fname, rg)] = cols[column]
+        return out
+
+    def get_dicts(self, column: str):
+        """{(file_name, row_group): [(value, count), ...]} — same
+        protocol as SqliteIndexCatalog.get_dicts."""
+        out = {}
+        for fname, per_rg in self._dicts.items():
+            for rg, cols in per_rg.items():
+                if column in cols:
+                    out[(fname, rg)] = [(v, int(c)) for v, c in cols[column]]
         return out
 
     def get_sums(self, column: str):

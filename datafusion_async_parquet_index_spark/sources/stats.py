@@ -335,6 +335,64 @@ def extract_file_ndv(
     return out
 
 
+DICT_MAX_VALUES = 64  # per (row group, column) distinct-value cap
+
+
+def extract_file_dicts(
+    path: str, dict_cols: Sequence[str], cap: int = DICT_MAX_VALUES,
+) -> Dict[int, Dict[str, List[Tuple[Any, int]]]]:
+    """{row_group: {column: [(value, count), ...] sorted by value}} — the
+    DICTIONARY/FREQUENCY statistics extension: the exact distinct-value →
+    row-count map of a LOW-CARDINALITY int or string column per row
+    group, computed at index time from the column pages (the sum store's
+    opt-in cost model). Nulls are excluded (null_count already lives in
+    the base stats). A (row group, column) whose distinct count exceeds
+    ``cap`` records NOTHING — unknown, so consumers fall back to a scan;
+    the catalog footprint stays O(row_groups · cap) regardless of data
+    volume.
+
+    Three capabilities none of the other statistics give:
+
+    - exact zero-I/O ``GROUP BY col, COUNT(*)`` on a FLAT layout
+      (table.group_counts) — counts fold by addition across row groups
+      with no single-valued-group trust rules, unlike count_rows_by
+      which needs a partitioned/clustered layout;
+    - exact zero-I/O ``SELECT DISTINCT col`` (table.distinct_values) —
+      set union across row groups;
+    - ``!=`` / ``NOT IN`` row-group pruning (table._dict_refine): a row
+      group whose recorded value set is contained in the excluded
+      literal set cannot satisfy the predicate (nulls fail it too), so
+      it is skipped — a refutation min/max can only make when min = max
+      and a Bloom filter can never make (membership proves presence,
+      not absence of everything else).
+
+    The map is a pure function of the row group's rows, so any engine
+    recomputing it relationally (GROUP BY + COUNT) reproduces it
+    exactly — DuckDB-oracle-pinnable end to end."""
+    if not dict_cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    cols = [c for c in dict_cols
+            if pf.schema_arrow.get_field_index(c) >= 0
+            and (pa.types.is_integer(pf.schema_arrow.field(c).type)
+                 or pa.types.is_string(pf.schema_arrow.field(c).type)
+                 or pa.types.is_large_string(pf.schema_arrow.field(c).type))]
+    if not cols:
+        return {}
+    out: Dict[int, Dict[str, List[Tuple[Any, int]]]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=cols)
+        per_col: Dict[str, List[Tuple[Any, int]]] = {}
+        for c in cols:
+            vc = pc.value_counts(tbl.column(c).combine_chunks().drop_null())
+            if len(vc) > cap:
+                continue  # too many distincts: record nothing (unknown)
+            per_col[c] = sorted(
+                (d["values"], int(d["counts"])) for d in vc.to_pylist())
+        out[i] = per_col
+    return out
+
+
 def extract_file_nan_counts(
     path: str, nan_cols: Sequence[str],
 ) -> Dict[int, Dict[str, int]]:
@@ -557,6 +615,8 @@ def build_index(
     nan_count_columns: Optional[Sequence[str]] = None,
     hist_columns: Optional[Dict[str, Tuple[int, int, int]]] = None,
     ndv_columns: Optional[Sequence[str]] = None,
+    dict_columns: Optional[Sequence[str]] = None,
+    dict_max_values: int = DICT_MAX_VALUES,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -639,6 +699,7 @@ def build_index(
     nan_cols = tuple(nan_count_columns or ())
     hist_specs = dict(hist_columns or {})
     ndv_cols = tuple(ndv_columns or ())
+    dict_cols = tuple(dict_columns or ())
 
     def _apply_nans(p, rgs):
         if nan_cols:
@@ -655,7 +716,9 @@ def build_index(
         sums = extract_file_sums(p, sum_cols) if sum_cols else None
         hists = extract_file_hists(p, hist_specs) if hist_specs else None
         ndvs = extract_file_ndv(p, ndv_cols) if ndv_cols else None
-        return fs, _apply_nans(p, rgs), blooms, sums, hists, ndvs
+        dicts = (extract_file_dicts(p, dict_cols, dict_max_values)
+                 if dict_cols else None)
+        return fs, _apply_nans(p, rgs), blooms, sums, hists, ndvs, dicts
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -676,7 +739,8 @@ def build_index(
 
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
                           _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols,
-                          _hs=hist_specs, _nd=ndv_cols):
+                          _hs=hist_specs, _nd=ndv_cols, _dc=dict_cols,
+                          _dm=dict_max_values):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
@@ -685,11 +749,12 @@ def build_index(
             sums = extract_file_sums(p, _sc) if _sc else None
             hists = extract_file_hists(p, _hs) if _hs else None
             ndvs = extract_file_ndv(p, _nd) if _nd else None
+            dicts = extract_file_dicts(p, _dc, _dm) if _dc else None
             if _nc:
                 nans = extract_file_nan_counts(p, _nc)
                 for rg in rgs:
                     rg.nan_counts.update(nans.get(rg.row_group, {}))
-            return fs, rgs, blooms, sums, hists, ndvs
+            return fs, rgs, blooms, sums, hists, ndvs, dicts
 
         results = (
             sc.parallelize(files, min(len(files), 256))
@@ -702,7 +767,7 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms, sums, hists, ndvs in results:
+    for fs, rgs, blooms, sums, hists, ndvs, dicts in results:
         catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists,
-                            ndvs=ndvs)
+                            ndvs=ndvs, dicts=dicts)
     return schema

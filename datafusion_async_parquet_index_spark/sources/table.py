@@ -70,6 +70,7 @@ class ScanDecision:
     total_files: int
     total_row_groups: int
     bloom_skipped: int = 0                # row groups removed by blooms
+    dict_skipped: int = 0                 # row groups removed by dicts
 
     @property
     def file_names(self) -> List[str]:
@@ -90,6 +91,9 @@ class ScanDecision:
             lines.append(f"  {f}: row_groups={rgs}")
         if self.bloom_skipped:
             lines.append(f"  bloom filters skipped {self.bloom_skipped} "
+                         "additional row groups")
+        if self.dict_skipped:
+            lines.append(f"  dictionary stats skipped {self.dict_skipped} "
                          "additional row groups")
         return "\n".join(lines)
 
@@ -114,6 +118,8 @@ class IndexedParquetTable:
         merge_schema: bool = False,
         hist_columns: Optional[Dict[str, Tuple[int, int, int]]] = None,
         ndv_columns: Optional[Sequence[str]] = None,
+        dict_columns: Optional[Sequence[str]] = None,
+        dict_max_values: Optional[int] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -158,6 +164,10 @@ class IndexedParquetTable:
         self.merge_schema = merge_schema
         self.hist_columns = dict(hist_columns or {})
         self.ndv_columns = tuple(ndv_columns or ())
+        self.dict_columns = tuple(dict_columns or ())
+        from .stats import DICT_MAX_VALUES
+        self.dict_max_values = (DICT_MAX_VALUES if dict_max_values is None
+                                else dict_max_values)
         self._nan_free_cache: Dict[str, bool] = {}
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
@@ -177,7 +187,9 @@ class IndexedParquetTable:
             sum_columns=self.sum_columns,
             nan_count_columns=self.nan_count_columns,
             hist_columns=self.hist_columns,
-            ndv_columns=self.ndv_columns, **part_kw)
+            ndv_columns=self.ndv_columns,
+            dict_columns=self.dict_columns,
+            dict_max_values=self.dict_max_values, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -271,6 +283,10 @@ class IndexedParquetTable:
                                      self, "hist_columns", None),
                                  ndv_columns=getattr(
                                      self, "ndv_columns", ()),
+                                 dict_columns=getattr(
+                                     self, "dict_columns", ()),
+                                 dict_max_values=getattr(
+                                     self, "dict_max_values", 64),
                                  **self._partition_index_kwargs())
         self._nan_free_cache = {}
         if new_schema != self.index_schema:
@@ -298,9 +314,10 @@ class IndexedParquetTable:
             stats_pred = self._rewriter.rewrite(predicate)
             survivors = dict(self.catalog.get_files(stats_pred))
             skipped = self._bloom_refine(predicate, survivors)
+            dict_skipped = self._dict_refine(predicate, survivors)
             decision = ScanDecision(
                 predicate.to_sql(), survivors, len(self._files), total_rgs,
-                bloom_skipped=skipped)
+                bloom_skipped=skipped, dict_skipped=dict_skipped)
         self.last_scan = decision
         self.scan_history.append(decision)
         return decision
@@ -372,6 +389,109 @@ class IndexedParquetTable:
                     if blo is None or any(
                             bloom_contains(blo[2], blo[0], blo[1], cb)
                             for cb in canons):
+                        kept.append(rg)
+                    else:
+                        skipped += 1
+                if kept:
+                    survivors[fname] = kept
+                else:
+                    del survivors[fname]
+        return skipped
+
+    def _dict_refine(
+        self, predicate: Expr, survivors: Dict[str, List[int]]
+    ) -> int:
+        """Drop candidate row groups the dictionary/frequency stats
+        refute (sources/stats.py extract_file_dicts). Two refutation
+        shapes, both over top-level AND conjuncts on dict-indexed
+        columns:
+
+        - positive (col = lit / col IN lits): the row group's recorded
+          value set lacks every literal — like a Bloom filter but exact
+          (the set IS the distinct values, no false positives);
+        - negative (col != lit / NOT (col IN lits) / NOT (col = lit)):
+          the recorded value set is CONTAINED in the excluded literals —
+          every non-null row fails the predicate and null rows fail any
+          comparison, so the group cannot match. Min/max can only make
+          this refutation when min = max; a Bloom filter never can.
+
+        Row groups without a dict row (cardinality exceeded the
+        index-time cap) are untouched — over-approximation holds; the
+        mandatory residual filter keeps the contract inexact-safe."""
+        dict_cols = getattr(self, "dict_columns", ())
+        if not dict_cols or not survivors:
+            return 0
+        from ..plans.expr import BinOp, Col, InList, Lit, Not
+
+        def conjuncts(e):
+            if isinstance(e, BinOp) and e.op == "AND":
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        def eq_sides(c):
+            """(column_name, literal) for col = lit / lit = col."""
+            for a, b in ((c.left, c.right), (c.right, c.left)):
+                if (isinstance(a, Col) and isinstance(b, Lit)
+                        and a.name in dict_cols):
+                    return a.name, b.value
+            return None
+
+        constraints: List[tuple] = []  # (column, values, negated)
+        for c in conjuncts(predicate):
+            if isinstance(c, BinOp) and c.op in ("=", "!="):
+                hit = eq_sides(c)
+                if hit:
+                    constraints.append(
+                        (hit[0], [hit[1]], c.op == "!="))
+            elif (isinstance(c, InList) and isinstance(c.child, Col)
+                  and c.child.name in dict_cols
+                  and all(isinstance(v, Lit) for v in c.values)):
+                constraints.append(
+                    (c.child.name, [v.value for v in c.values], False))
+            elif isinstance(c, Not):
+                inner = c.child
+                if (isinstance(inner, InList)
+                        and isinstance(inner.child, Col)
+                        and inner.child.name in dict_cols
+                        and all(isinstance(v, Lit) for v in inner.values)):
+                    constraints.append(
+                        (inner.child.name,
+                         [v.value for v in inner.values], True))
+                elif isinstance(inner, BinOp) and inner.op == "=":
+                    hit = eq_sides(inner)
+                    if hit:
+                        constraints.append((hit[0], [hit[1]], True))
+        skipped = 0
+        for column, values, negated in constraints:
+            try:
+                dicts = self.catalog.get_dicts(column)
+            except Exception:
+                continue
+            if not dicts:
+                continue
+            lits = set()
+            for v in values:
+                if not isinstance(v, (int, str)) or isinstance(v, bool):
+                    lits = None  # un-dictable literal type: stay sound
+                    break
+                lits.add(v)
+            if lits is None:
+                continue
+            for fname in list(survivors):
+                kept = []
+                for rg in survivors[fname]:
+                    entries = dicts.get((fname, rg))
+                    if entries is None:
+                        kept.append(rg)
+                        continue
+                    keys = {v for v, _ in entries}
+                    alive = ((keys <= lits) if negated
+                             else bool(keys & lits))
+                    # negated: value set ⊆ excluded → refuted; else the
+                    # intersection must be non-empty to possibly match
+                    if (not alive) if negated else alive:
                         kept.append(rg)
                     else:
                         skipped += 1
@@ -1192,6 +1312,52 @@ class IndexedParquetTable:
                 return None
             out[g] = est
         return out
+
+    def group_counts(self, column: str):
+        """Exact zero-I/O ``GROUP BY col, COUNT(*)`` from the catalog's
+        dictionary/frequency extension: per-row-group value→count maps
+        (stored at index time, ``dict_columns``, for columns whose
+        per-row-group cardinality fits the cap) fold by ADDITION into
+        the whole-table group counts — an O(row_groups · cap)
+        driver-side integer fold, no executor starts. Unlike
+        count_rows_by this needs NO layout trust rules (no
+        single-valued-group requirement, no partitioning): the maps are
+        exact per row group wherever they were recorded, so any flat
+        jumbled layout folds exactly. Returns {value: count} over
+        NON-NULL values (SQL GROUP BY's null group reads off the base
+        null_count stats when the column is also min/max-indexed), or
+        None when any row group lacks a dict row (cardinality blew the
+        cap there — coverage degrades to a scan-side groupBy, never
+        wrongness). At 100 TB this is the label/status/language
+        distribution dashboard served from the index alone, and the
+        maps keep folding across partitions, days, or tables."""
+        try:
+            dicts = self.catalog.get_dicts(column)
+        except Exception:
+            return None
+        if not dicts:
+            return None
+        expected = {(f[0], rg) for f in self.catalog.all_files()
+                    for rg in range(f[2])}
+        if set(dicts) != expected:
+            return None  # a row group over the cap: no exact answer
+        out: Dict = {}
+        for entries in dicts.values():
+            for v, c in entries:
+                out[v] = out.get(v, 0) + c
+        self.last_dict_pushdown = {"row_groups": len(dicts),
+                                   "groups": len(out)}
+        return out
+
+    def distinct_values(self, column: str):
+        """Exact zero-I/O ``SELECT DISTINCT col`` from the dictionary
+        extension: the union of the per-row-group value sets, sorted.
+        Same coverage rule as group_counts (every row group must carry
+        a dict row); None otherwise — scan fallback, never wrongness."""
+        counts = self.group_counts(column)
+        if counts is None:
+            return None
+        return sorted(counts)
 
     def min_max_by(self, group_column: str, target_column: str):
         """Zero-I/O GROUP BY MIN/MAX: {group value: (min, max, count)}

@@ -135,7 +135,10 @@ _ROUND_PRIORITY = [
     # q80_dict_groupby + q81_dict_distinct + q82_dict_pruning
     # (dictionary/frequency statistics: exact zero-I/O GROUP BY on a
     # jumbled flat layout, exact zero-I/O DISTINCT, and != / NOT IN
-    # row-group pruning that min/max and blooms cannot make), each
+    # row-group pruning that min/max and blooms cannot make),
+    # dedup_semantic (SemDeDup-style cluster-scoped embedding dedup)
+    # and sim_hybrid_rrf (lexical+vector reciprocal-rank fusion over
+    # an inverted-index join), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -1566,6 +1566,133 @@ def _minhash_quality_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster first, pair only within clusters)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8      # k-means clusters (same deterministic seeds as
+                    # similarity.emb_kmeans_step: the K lowest vec_ids)
+SEMDEDUP_TAU = 0.35  # near-dup cosine threshold (on the 6dp-rounded value)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the corpus by embedding, then
+    search near-duplicates ONLY within clusters — the published recipe
+    that makes embedding dedup feasible at web scale, because the pair
+    space shrinks from O(N²) to O(Σ cluster²) and the pair join
+    shuffles on the cluster id (bounded, balanced groups) instead of
+    broadcasting anything. Complements the existing embedding-dedup
+    entries: dedup_embedding_cosine is the bounded-subset exact
+    baseline, dedup_embedding_lsh restricts candidates by hyperplane
+    buckets (recall limited by banding), and THIS restricts them by
+    learned cluster structure — the variant that exploits the corpus's
+    own geometry.
+
+    Fully deterministic twin of the oracle: cluster assignment is ONE
+    Lloyd step from the K-lowest-vec_id seeds with the exact
+    element-coalesced squared-L2 emb_kmeans_step pins (ties broken by
+    seed id); pair cosine uses the precomputed-norm dot the sim_*
+    family pins, rounded to 6 decimals; a document is a DUPLICATE when
+    some lower-id cluster-mate sits at or above SEMDEDUP_TAU, and its
+    kept anchor is the LOWEST such mate (the keep-first policy of
+    dedup_keep_policy, applied semantically). Returns one row per
+    duplicate: (dup_id, cluster, kept_id, cosine-to-anchor).
+
+    Plan shape: K-row broadcast + one row_number window per vector
+    (assignment), one hash shuffle on cluster for the self-join, one
+    window per dup for the anchor — no collect, no cartesian, no
+    skew beyond cluster imbalance (at 100 TB pick K ~ N/50k and the
+    within-cluster join stays bounded; SemDeDup's own operating
+    point)."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = (emb.orderBy("vec_id").limit(SEMDEDUP_K)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce")))
+
+    def _sqdiff(x, y):
+        d = (F.coalesce(x.cast("double"), F.lit(0.0))
+             - F.coalesce(y.cast("double"), F.lit(0.0)))
+        return d * d
+
+    dist = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("ce"), _sqdiff),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "cid", dist.alias("dist"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    from ..functions import dot_double, l2_norm
+    assigned = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding",
+                l2_norm(F.col("embedding")).alias("nrm")))
+    a = assigned.select(F.col("vec_id").alias("u"), "cid",
+                        F.col("embedding").alias("ue"),
+                        F.col("nrm").alias("un"))
+    b = assigned.select(F.col("vec_id").alias("v"),
+                        F.col("cid").alias("cid2"),
+                        F.col("embedding").alias("ve"),
+                        F.col("nrm").alias("vn"))
+    cos = F.round(dot_double(F.col("ue"), F.col("ve"))
+                  / (F.col("un") * F.col("vn")), 6)
+    pairs = (a.join(b, (F.col("cid") == F.col("cid2"))
+                    & (F.col("u") < F.col("v")))
+             .select("cid", "u", "v", cos.alias("cosine"))
+             .filter(F.col("cosine") >= SEMDEDUP_TAU))
+    w2 = Window.partitionBy("v").orderBy("u")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v").alias("dup_id"),
+                F.col("cid").cast("bigint").alias("cluster"),
+                F.col("u").alias("kept_id"), "cosine")
+    )
+
+
+def _semantic_sql() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), seeds AS (
+        SELECT vec_id AS cid, e AS ce FROM e ORDER BY vec_id
+        LIMIT {SEMDEDUP_K}
+    ), d AS (
+        SELECT e.vec_id, e.e, s.cid,
+               list_sum(list_transform(
+                   range(1, GREATEST(len(e.e), len(s.ce)) + 1),
+                   i -> (COALESCE(e.e[i], 0) - COALESCE(s.ce[i], 0))
+                        * (COALESCE(e.e[i], 0) - COALESCE(s.ce[i], 0))))
+                   AS dist
+        FROM e CROSS JOIN seeds s
+    ), a AS (
+        SELECT vec_id, e, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    ), asn AS (
+        SELECT vec_id, e, cid,
+               sqrt(list_dot_product(e, e)) AS nrm
+        FROM a WHERE rn = 1
+    ), p AS (
+        SELECT x.cid, x.vec_id AS u, y.vec_id AS v,
+               ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)
+                   AS cosine
+        FROM asn x JOIN asn y
+          ON x.cid = y.cid AND x.vec_id < y.vec_id
+    ), sel AS (
+        SELECT v, cid, u, cosine,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) AS rn
+        FROM p WHERE cosine >= {SEMDEDUP_TAU}
+    )
+    SELECT v AS dup_id, CAST(cid AS BIGINT) AS cluster,
+           u AS kept_id, cosine
+    FROM sel WHERE rn = 1
+"""
+
+
 DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1586,6 +1713,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": dedup_containment,
     "dedup_keep_policy": dedup_keep_policy,
     "dedup_minhash_quality": dedup_minhash_quality,
+    "dedup_semantic": dedup_semantic,
 }
 
 DEDUP_ORACLE: Dict[str, str] = {
@@ -1612,4 +1740,5 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_containment": _containment_sql(),
     "dedup_keep_policy": _keep_policy_sql(),
     "dedup_minhash_quality": _minhash_quality_sql(),
+    "dedup_semantic": _semantic_sql(),
 }

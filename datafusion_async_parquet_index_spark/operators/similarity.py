@@ -1532,6 +1532,160 @@ def _recall_sql() -> str:
     """
 
 
+# -- hybrid (text + vector) retrieval with reciprocal-rank fusion -----------
+
+RRF_K = 60        # the standard RRF constant (Cormack et al., SIGIR 2009)
+RRF_POOL = 20     # per-modality candidate pool depth
+HYBRID_TOPK = 5   # fused results returned per query
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — BM25-family lexical retrieval fused with vector
+    similarity by reciprocal-rank fusion (RRF, Cormack et al. 2009:
+    score = Σ 1/(k + rank)), the default ranking recipe of production
+    hybrid search engines. Query-by-example over the joint id space
+    (doc_id == vec_id): each query document retrieves two top-POOL
+    candidate lists —
+
+    - lexical: idf-weighted distinct-token overlap, computed through an
+      INVERTED-INDEX join (corpus (doc, term) table self-joined on the
+      term — the shuffle key is the term, never a doc pair; the
+      scalable retrieval shape at 100 TB), with the per-(query, cand)
+      score as an exact INTEGER sum of basis-point idfs so no float
+      accumulation order can smear ranks;
+    - vector: exact cosine, the 5-query broadcast map-only pass
+      sim_bruteforce_topk pins.
+
+    RRF then needs only the two rank columns (full outer join on the
+    candidate pair, absent list ⇒ no contribution), so modalities with
+    incomparable score scales fuse without calibration — the reason RRF
+    won out in practice. Deterministic end to end: integer lexical
+    scores, 6dp-rounded cosines, vec_id tie-breaks at every window, and
+    the fused score is one small-integer-reciprocal sum rounded to 6dp
+    — the DuckDB oracle rebuilds both lists and the fusion exactly."""
+    from ..functions import sql_tokens, tokens  # noqa: F401 (sql twin)
+
+    vec = _corpus_vectors(spark, sf_dir)
+    q = vec.filter(F.col("vec_id") % N_QUERIES_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"))
+    c = vec.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"),
+                   F.col("nrm").alias("cn"))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    vec_ranks = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") <= RRF_POOL)
+        .select("query_id", "cand_id", "vrank"))
+
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_bp = F.round(F.log(F.col("n_docs") / F.col("df")) * 10000) \
+        .cast("long")
+    qt = (terms.filter(F.col("doc_id") % N_QUERIES_MOD == 0)
+          .select(F.col("doc_id").alias("query_id"), "term"))
+    ct = terms.select(F.col("doc_id").alias("cand_id"), "term")
+    overlap = (
+        qt.join(ct, "term")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(idf_bp).alias("score_bp")))
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("score_bp"), F.asc("cand_id"))
+    text_ranks = (overlap.withColumn("trank", F.row_number().over(wt))
+                  .filter(F.col("trank") <= RRF_POOL)
+                  .select("query_id", "cand_id", "trank"))
+
+    contrib = (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vrank")),
+                          F.lit(0.0))
+               + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("trank")),
+                            F.lit(0.0)))
+    fused = (vec_ranks.join(text_ranks, ["query_id", "cand_id"], "full")
+             .select("query_id", "cand_id",
+                     F.round(contrib, 6).alias("rrf")))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("cand_id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= HYBRID_TOPK)
+            .select("query_id", "cand_id", "rrf",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _hybrid_sql() -> str:
+    from ..functions import sql_tokens
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings
+    ), vscored AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM c JOIN q ON query_id != cand_id
+    ), vranks AS (
+        SELECT query_id, cand_id, vrank FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id ASC)
+                       AS vrank
+            FROM vscored) t
+        WHERE vrank <= {RRF_POOL}
+    ), terms AS (
+        SELECT doc_id, unnest(list_distinct({sql_tokens('text')})) AS term
+        FROM documents
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), overlap AS (
+        SELECT qt.doc_id AS query_id, ct.doc_id AS cand_id,
+               SUM(CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000)
+                        AS BIGINT)) AS score_bp
+        FROM terms qt
+        JOIN terms ct ON qt.term = ct.term AND qt.doc_id != ct.doc_id
+        JOIN dfreq ON dfreq.term = qt.term
+        CROSS JOIN n
+        WHERE qt.doc_id % {N_QUERIES_MOD} = 0
+        GROUP BY 1, 2
+    ), tranks AS (
+        SELECT query_id, cand_id, trank FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_bp DESC, cand_id ASC)
+                       AS trank
+            FROM overlap) t
+        WHERE trank <= {RRF_POOL}
+    ), fused AS (
+        SELECT query_id, cand_id,
+               ROUND(COALESCE(1.0::DOUBLE / ({RRF_K} + vrank), 0)
+                     + COALESCE(1.0::DOUBLE / ({RRF_K} + trank), 0), 6)
+                   AS rrf
+        FROM vranks FULL OUTER JOIN tranks USING (query_id, cand_id)
+    )
+    SELECT query_id, cand_id, rrf, rank FROM (
+        SELECT query_id, cand_id, rrf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, cand_id ASC)
+                    AS INT) AS rank
+        FROM fused) t
+    WHERE rank <= {HYBRID_TOPK}
+"""
+
+
 SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_topk": sim_lsh_topk,
@@ -1548,6 +1702,7 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans_step": emb_kmeans_step,
     "emb_pca_power_step": emb_pca_power_step,
     "sim_filtered_topk": sim_filtered_topk,
+    "sim_hybrid_rrf": sim_hybrid_rrf,
 }
 
 SIMILARITY_ORACLE: Dict[str, str] = {
@@ -1571,4 +1726,5 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "emb_kmeans_step": EMB_KMEANS_SQL,
     "emb_pca_power_step": EMB_PCA_SQL,
     "sim_filtered_topk": SIM_FILTERED_SQL,
+    "sim_hybrid_rrf": _hybrid_sql(),
 }

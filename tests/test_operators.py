@@ -402,3 +402,47 @@ def test_ivfpq_prunes_candidates_and_keeps_recall(spark):
              for r in sim_ivfpq_topk(spark, sf).collect()}
     assert len(ivfpq) == len(flat)
     assert len(ivfpq & truth) >= len(flat & truth) - 2
+
+
+def test_semantic_dedup_pairs_only_within_clusters(spark, sf_dir):
+    """Every (kept, dup) pair must share a cluster, anchors must be the
+    LOWEST qualifying cluster-mate (keep-first policy), and every
+    reported cosine must clear the threshold; a duplicate id never
+    appears as its own anchor."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        SEMDEDUP_TAU, dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    assert rows, "corpus must yield at least one semantic near-dup"
+    for r in rows:
+        assert r.cosine >= SEMDEDUP_TAU
+        assert r.kept_id < r.dup_id  # keep-first by id
+    dups = {r.dup_id for r in rows}
+    assert all(r.kept_id not in dups or r.kept_id < r.dup_id for r in rows)
+    # one row per duplicate (the anchor window collapsed multiplicity)
+    assert len(dups) == len(rows)
+
+
+def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):
+    """RRF sanity: scores bounded by 2/(k+1); a candidate at vector
+    rank 1 AND text rank 1 would hit the bound; every fused row's score
+    must be reproducible from SOME (vrank, trank) pair in [1, POOL] ∪
+    {absent}; exactly HYBRID_TOPK rows per query with ranks 1..K."""
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        HYBRID_TOPK, RRF_K, RRF_POOL, sim_hybrid_rrf,
+    )
+
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    valid = {round(a + b, 6)
+             for a in [0.0] + [1.0 / (RRF_K + r) for r in range(1, RRF_POOL + 1)]
+             for b in [0.0] + [1.0 / (RRF_K + r) for r in range(1, RRF_POOL + 1)]}
+    for r in rows:
+        assert 0 < r.rrf <= round(2.0 / (RRF_K + 1), 6)
+        assert r.rrf in valid, r
+        assert r.cand_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, HYBRID_TOPK + 1)), (q, ranks)

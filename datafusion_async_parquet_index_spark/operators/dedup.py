@@ -1600,46 +1600,55 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate: (dup_id, cluster, kept_id, cosine-to-anchor).
 
     Plan shape: K-row broadcast + one row_number window per vector
-    (assignment), one hash shuffle on cluster for the self-join, one
-    window per dup for the anchor — no collect, no cartesian, no
-    skew beyond cluster imbalance (at 100 TB pick K ~ N/50k and the
-    within-cluster join stays bounded; SemDeDup's own operating
-    point)."""
+    (assignment, computed once per session — the persisted
+    cluster-assignment table of a production SemDeDup run), then the
+    within-cluster self-join SALTED over the cluster key: K clusters
+    alone would give the shuffle only K distinct keys (each cluster's
+    O(c²) cosine work landing on ONE task — the classic low-NDV join
+    straggler), so the left side spreads over n_salts sub-keys and the
+    right replicates, keeping every core busy while the result set is
+    provably identical (operators/joins.salted_join). No collect, no
+    cartesian; at 100 TB pick K ~ N/50k and the within-cluster join
+    stays bounded — SemDeDup's own operating point."""
     from pyspark.sql import Window
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    seeds = (emb.orderBy("vec_id").limit(SEMDEDUP_K)
-             .select(F.col("vec_id").alias("cid"),
-                     F.col("embedding").alias("ce")))
-
-    def _sqdiff(x, y):
-        d = (F.coalesce(x.cast("double"), F.lit(0.0))
-             - F.coalesce(y.cast("double"), F.lit(0.0)))
-        return d * d
-
-    dist = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("ce"), _sqdiff),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cand = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "embedding", "cid", dist.alias("dist"))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     from ..functions import dot_double, l2_norm
-    assigned = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding",
-                l2_norm(F.col("embedding")).alias("nrm")))
+    from .joins import salted_join
+
+    def build():
+        emb = read_table(spark, sf_dir, "embeddings")
+        seeds = (emb.orderBy("vec_id").limit(SEMDEDUP_K)
+                 .select(F.col("vec_id").alias("cid"),
+                         F.col("embedding").alias("ce")))
+
+        def _sqdiff(x, y):
+            d = (F.coalesce(x.cast("double"), F.lit(0.0))
+                 - F.coalesce(y.cast("double"), F.lit(0.0)))
+            return d * d
+
+        dist = F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("ce"), _sqdiff),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cand = emb.crossJoin(F.broadcast(seeds)).select(
+            "vec_id", "embedding", "cid", dist.alias("dist"))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return track_cache(
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "embedding",
+                    l2_norm(F.col("embedding")).alias("nrm")))
+
+    assigned = _corpus((spark, sf_dir, "semantic_assigned"), build)
     a = assigned.select(F.col("vec_id").alias("u"), "cid",
                         F.col("embedding").alias("ue"),
                         F.col("nrm").alias("un"))
-    b = assigned.select(F.col("vec_id").alias("v"),
-                        F.col("cid").alias("cid2"),
+    b = assigned.select(F.col("vec_id").alias("v"), "cid",
                         F.col("embedding").alias("ve"),
                         F.col("nrm").alias("vn"))
     cos = F.round(dot_double(F.col("ue"), F.col("ve"))
                   / (F.col("un") * F.col("vn")), 6)
-    pairs = (a.join(b, (F.col("cid") == F.col("cid2"))
-                    & (F.col("u") < F.col("v")))
+    pairs = (salted_join(a, b, on="cid", n_salts=8)
+             .filter(F.col("u") < F.col("v"))
              .select("cid", "u", "v", cos.alias("cosine"))
              .filter(F.col("cosine") >= SEMDEDUP_TAU))
     w2 = Window.partitionBy("v").orderBy("u")

@@ -1583,23 +1583,31 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "vrank"))
 
     docs = read_table(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
+    terms = _sim_corpus(
+        spark, (sf_dir, "doc_terms"),
+        lambda: track_cache(docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text"))))
+            .alias("term"))))
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf_bp = F.round(F.log(F.col("n_docs") / F.col("df")) * 10000) \
         .cast("long")
-    qt = (terms.filter(F.col("doc_id") % N_QUERIES_MOD == 0)
-          .select(F.col("doc_id").alias("query_id"), "term"))
+    # the query side (Q docs' terms + their idf weights) is TINY — join
+    # it to the per-term stats first, then BROADCAST it against the
+    # corpus terms: the big side never shuffles (map-side inverted-index
+    # probe) and the partial aggregation combines (query, cand) scores
+    # before the only real exchange
+    qti = (terms.filter(F.col("doc_id") % N_QUERIES_MOD == 0)
+           .select(F.col("doc_id").alias("query_id"), "term")
+           .join(dfreq, "term").crossJoin(n)
+           .select("query_id", "term", idf_bp.alias("idf_bp")))
     ct = terms.select(F.col("doc_id").alias("cand_id"), "term")
     overlap = (
-        qt.join(ct, "term")
+        ct.join(F.broadcast(qti), "term")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
         .groupBy("query_id", "cand_id")
-        .agg(F.sum(idf_bp).alias("score_bp")))
+        .agg(F.sum("idf_bp").alias("score_bp")))
     wt = Window.partitionBy("query_id").orderBy(
         F.desc("score_bp"), F.asc("cand_id"))
     text_ranks = (overlap.withColumn("trank", F.row_number().over(wt))

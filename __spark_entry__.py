@@ -136,9 +136,11 @@ _ROUND_PRIORITY = [
     # (dictionary/frequency statistics: exact zero-I/O GROUP BY on a
     # jumbled flat layout, exact zero-I/O DISTINCT, and != / NOT IN
     # row-group pruning that min/max and blooms cannot make),
-    # dedup_semantic (SemDeDup-style cluster-scoped embedding dedup)
-    # and sim_hybrid_rrf (lexical+vector reciprocal-rank fusion over
-    # an inverted-index join), each
+    # dedup_semantic (SemDeDup-style cluster-scoped embedding dedup),
+    # sim_hybrid_rrf (lexical+vector reciprocal-rank fusion over
+    # an inverted-index join), and q83_time_travel (snapshot
+    # isolation: as-of reads from frozen catalog file sets, loud
+    # failure on unreconstructable snapshots), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

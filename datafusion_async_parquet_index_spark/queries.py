@@ -1815,6 +1815,77 @@ def q74_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q83_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ISOLATION / TIME TRAVEL over the external index
+    (table.snapshot + query(as_of=...)): the maintenance loop the
+    reference leaves implicit — its tokio task re-indexes arrivals
+    (index.rs:179) but gives readers no way to keep seeing yesterday's
+    table — closed with pure catalog metadata: snapshot() freezes the
+    indexed file set (name + size, O(files) tiny rows), and an as-of
+    read intersects the pruned plan with that set, excluding every
+    later arrival, while a snapshot whose files changed or vanished
+    raises (the Delta after-VACUUM contract: loud failure, never a
+    silently different answer). Executed for real inside the gate:
+    build over two base files (o_orderkey % 3 ∈ {1,2}) → snapshot →
+    'tonight's' file (% 3 = 0) lands → refresh() indexes it → the
+    CURRENT range query sees all three files while the AS-OF query
+    still answers from the two recorded ones, with the plan pinned to
+    exclude the arrival. The oracle recomputes both eras from the flat
+    table via the same deterministic key split. At 100 TB this is the
+    reproducible-training-run story: pin the corpus snapshot a run
+    read, keep ingesting, re-run byte-identical later."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    def build():
+        d = tempfile.mkdtemp(prefix="spark_graft_timetravel_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("price_cents"))
+
+        def _one_file(df, name):
+            import shutil
+            tmp = os.path.join(d, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(d, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _one_file(base.filter(F.col("o_orderkey") % 3 == 1), "base1.parquet")
+        _one_file(base.filter(F.col("o_orderkey") % 3 == 2), "base2.parquet")
+        t = IndexedParquetTable(spark, d, index_columns=["price_cents"])
+        snap = t.snapshot()
+        _one_file(base.filter(F.col("o_orderkey") % 3 == 0), "new.parquet")
+        t.refresh()
+        assert len(t._files) == 3
+        n_current = t.count_rows()  # catalog metadata, all three files
+        rng = ((xcol("price_cents") >= 10_000_000)
+               & (xcol("price_cents") <= 20_000_000))
+        old_plan = t.plan_scan(rng, as_of=snap)
+        assert "new.parquet" not in old_plan.files_scanned, \
+            old_plan.describe()  # the arrival is invisible as-of snap
+        cur_plan = t.plan_scan(rng)
+        assert "new.parquet" in cur_plan.files_scanned, \
+            cur_plan.describe()  # ...and visible now
+        n_asof = t.query(None, as_of=snap).count()
+        agg = (t.query(rng, as_of=snap)
+               .agg(F.count(F.lit(1)).alias("n_rng"),
+                    F.sum("price_cents").alias("sum_rng")).head())
+        return spark.createDataFrame(
+            [(n_current, n_asof, agg["n_rng"], agg["sum_rng"])],
+            "n_current BIGINT, n_asof BIGINT, "
+            "n_rng_asof BIGINT, sum_rng_asof_cents BIGINT")
+
+    memo = session_memo(spark, "time_travel_query")
+    df = memo.get(sf_dir)
+    if df is None:
+        df = memo[sf_dir] = build()
+    return df
+
+
 HIST_NBINS = 64
 HIST_QS = (500, 900, 990)  # P50 / P90 / P99 in permille
 
@@ -2360,6 +2431,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_group_ndv": q78_group_ndv,
     "q79_catalog_join_strategy": q79_catalog_join_strategy,
     "q80_dict_groupby": q80_dict_groupby,
+    "q83_time_travel": q83_time_travel,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3123,6 +3195,24 @@ RELATIONAL_ORACLE["q75_hist_quantiles"] = f"""
                 AS BIGINT) AS est_cents,
            CAST(n AS BIGINT) AS n_rows
     FROM pick WHERE rn = 1
+"""
+
+RELATIONAL_ORACLE["q83_time_travel"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_current,
+           CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_asof,
+           CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
+                          AND cents BETWEEN 10000000 AND 20000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rng_asof,
+           CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
+                          AND cents BETWEEN 10000000 AND 20000000
+                         THEN cents END) AS BIGINT) AS sum_rng_asof_cents
+    FROM c
 """
 
 RELATIONAL_ORACLE["q80_dict_groupby"] = """

@@ -382,6 +382,24 @@ class SqliteIndexCatalog:
                        column_name TEXT NOT NULL,
                        registers TEXT NOT NULL,
                        PRIMARY KEY (file_id, row_group, column_name))""")
+            # snapshot extension (time travel): a numbered, immutable
+            # record of the indexed file set (name + size) at
+            # create_snapshot() time. O(snapshots x files) tiny TEXT
+            # rows; reads as-of a snapshot intersect the current plan
+            # with the recorded set and FAIL LOUDLY if any recorded
+            # file has since changed or vanished (the Delta-after-
+            # VACUUM contract: a snapshot that cannot be reconstructed
+            # raises, never silently returns different rows).
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS catalog_snapshot_meta (
+                       snapshot_id INTEGER PRIMARY KEY,
+                       file_count INTEGER NOT NULL)""")
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS catalog_snapshots (
+                       snapshot_id INTEGER NOT NULL,
+                       file_name TEXT NOT NULL,
+                       file_size_bytes INTEGER NOT NULL,
+                       PRIMARY KEY (snapshot_id, file_name))""")
             # dictionary/frequency extension: per (row group, column)
             # exact distinct-value -> count map for LOW-cardinality
             # columns (capped at index time) — entries stored as a JSON
@@ -648,6 +666,44 @@ class SqliteIndexCatalog:
                JOIN file_statistics f ON f.file_id = b.file_id
                WHERE b.column_name = ?""", (column,))
         return {(fn, rg): (m, k, bytes(bits)) for fn, rg, m, k, bits in rows}
+
+    # -- snapshots (time travel) ----------------------------------------
+    def create_snapshot(self) -> int:
+        """Record the CURRENT indexed file set as the next numbered
+        snapshot and return its id. Monotonic ids, no wall clock —
+        deterministic and replayable. The snapshot is pure metadata
+        (name + size per file): O(files) tiny rows, written in one
+        transaction next to the stats it freezes."""
+        with self._txn():
+            sid = self._query(
+                "SELECT COALESCE(MAX(snapshot_id), 0) + 1 "
+                "FROM catalog_snapshot_meta")[0][0]
+            files = self.all_files()
+            self._exec(
+                "INSERT INTO catalog_snapshot_meta "
+                "(snapshot_id, file_count) VALUES (?, ?)",
+                (sid, len(files)))
+            if files:
+                self._execmany(
+                    """INSERT INTO catalog_snapshots
+                           (snapshot_id, file_name, file_size_bytes)
+                       VALUES (?, ?, ?)""",
+                    [(sid, name, size) for name, size, _, _ in files])
+            return sid
+
+    def snapshot_files(self, snapshot_id: int) -> Dict[str, int]:
+        """{file_name: file_size_bytes} recorded at snapshot time.
+        Raises KeyError for an id that was never created (an empty
+        catalog's snapshot legitimately returns {})."""
+        meta = self._query(
+            "SELECT file_count FROM catalog_snapshot_meta "
+            "WHERE snapshot_id = ?", (snapshot_id,))
+        if not meta:
+            raise KeyError(f"unknown snapshot id {snapshot_id}")
+        rows = self._query(
+            """SELECT file_name, file_size_bytes FROM catalog_snapshots
+               WHERE snapshot_id = ?""", (snapshot_id,))
+        return {name: size for name, size in rows}
 
     # -- introspection -------------------------------------------------
     def all_files(self) -> List[Tuple[str, int, int, int]]:

@@ -68,6 +68,8 @@ class DataFrameIndexCatalog:
         self._ndvs: Dict[str, Dict[int, Dict[str, list]]] = {}
         # file_name -> {row_group: {column: [(value, count), ...]}}
         self._dicts: Dict[str, Dict[int, Dict[str, list]]] = {}
+        # snapshot_id -> {file_name: file_size_bytes} (time travel)
+        self._snapshots: Dict[int, Dict[str, int]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -155,6 +157,20 @@ class DataFrameIndexCatalog:
                 if column in cols:
                     out[(fname, rg)] = cols[column]
         return out
+
+    def create_snapshot(self) -> int:
+        """Same protocol as SqliteIndexCatalog.create_snapshot."""
+        sid = max(self._snapshots, default=0) + 1
+        self._snapshots[sid] = {
+            fs.file_name: fs.file_size_bytes
+            for fs, _ in self._files.values()}
+        return sid
+
+    def snapshot_files(self, snapshot_id: int):
+        """Same protocol as SqliteIndexCatalog.snapshot_files."""
+        if snapshot_id not in self._snapshots:
+            raise KeyError(f"unknown snapshot id {snapshot_id}")
+        return dict(self._snapshots[snapshot_id])
 
     def get_dicts(self, column: str):
         """{(file_name, row_group): [(value, count), ...]} — same

@@ -296,10 +296,40 @@ class IndexedParquetTable:
             self.index_schema = new_schema
             self._rewriter = PruningRewriter(self.index_schema)
 
+    # -- snapshots (time travel) ----------------------------------------
+    def snapshot(self) -> int:
+        """Freeze the current indexed file set as a numbered snapshot
+        (pure catalog metadata — name + size per file). Later reads
+        with ``query(..., as_of=id)`` see exactly the files indexed
+        NOW: arrivals indexed by subsequent refresh() calls are
+        excluded from the as-of plan, and a snapshot that can no
+        longer be reconstructed (a recorded file rewritten or deleted
+        since) raises instead of silently answering differently —
+        Delta's after-VACUUM time-travel contract. Under the
+        immutable-file lakehouse convention (writers add and remove
+        whole files, never mutate them) every snapshot of live files
+        stays serveable forever at O(files) metadata per snapshot."""
+        return self.catalog.create_snapshot()
+
+    def _snapshot_filter(
+        self, as_of: int, survivors: Dict[str, List[int]]
+    ) -> Dict[str, List[int]]:
+        snap = self.catalog.snapshot_files(as_of)
+        current = {f[0]: f[1] for f in self.catalog.all_files()}
+        broken = sorted(n for n, sz in snap.items()
+                        if current.get(n) != sz)
+        if broken:
+            raise ValueError(
+                f"snapshot {as_of} is no longer reconstructable: "
+                f"{broken} changed or vanished since it was taken")
+        return {n: rgs for n, rgs in survivors.items() if n in snap}
+
     # -- planning ------------------------------------------------------
-    def plan_scan(self, predicate: Optional[Expr]) -> ScanDecision:
+    def plan_scan(self, predicate: Optional[Expr],
+                  as_of: Optional[int] = None) -> ScanDecision:
         """Steps 1-2: compile the predicate to stats space and consult the
-        catalog. Does not touch Parquet."""
+        catalog. Does not touch Parquet. as_of: restrict the plan to a
+        snapshot's file set (see snapshot())."""
         total_rgs = sum(f[2] for f in self.catalog.all_files())
         if predicate is None:
             # catalog-driven file list: a file dropped into the directory
@@ -309,12 +339,16 @@ class IndexedParquetTable:
             files = {name: list(range(indexed[name]))
                      for p in self._files
                      if (name := self._file_key(p)) in indexed}
+            if as_of is not None:
+                files = self._snapshot_filter(as_of, files)
             decision = ScanDecision("TRUE", files, len(self._files), total_rgs)
         else:
             stats_pred = self._rewriter.rewrite(predicate)
             survivors = dict(self.catalog.get_files(stats_pred))
             skipped = self._bloom_refine(predicate, survivors)
             dict_skipped = self._dict_refine(predicate, survivors)
+            if as_of is not None:
+                survivors = self._snapshot_filter(as_of, survivors)
             decision = ScanDecision(
                 predicate.to_sql(), survivors, len(self._files), total_rgs,
                 bloom_skipped=skipped, dict_skipped=dict_skipped)
@@ -507,17 +541,20 @@ class IndexedParquetTable:
         predicate: Optional[Expr] = None,
         columns: Optional[Sequence[str]] = None,
         mode: str = "files",
+        as_of: Optional[int] = None,
     ) -> DataFrame:
         """Pruned scan + mandatory residual filter.
 
         columns: optional projection pushed into the scan (Catalyst prunes
         Parquet columns natively; reference main.rs:283-284).
+        as_of: serve a snapshot() — only files recorded in it are read
+        (raises if any has changed or vanished since).
         """
         if self._schema is None:
             raise ValueError(
                 f"table {self.name!r} has no parquet files under "
                 f"{self.data_dir!r}; add data and call refresh()")
-        decision = self.plan_scan(predicate)
+        decision = self.plan_scan(predicate, as_of=as_of)
         partitioned = getattr(self, "partitioned", False)
         if mode == "rowgroups" and partitioned:
             raise ValueError(

@@ -1,0 +1,138 @@
+"""Snapshot isolation / time travel over the external index
+(catalog.create_snapshot / snapshot_files, table.snapshot /
+query(as_of=...)).
+
+Contract: an as-of read sees EXACTLY the files recorded at snapshot
+time; later arrivals (indexed by refresh) are invisible to it; a
+snapshot any of whose files changed or vanished since raises instead of
+silently answering differently (the Delta after-VACUUM posture). The
+reference's maintenance loop re-indexes arrivals (index.rs:179) but has
+no reader-side versioning — this is the extension that closes it."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.plans.expr import Col, Lit
+from datafusion_async_parquet_index_spark.sources.catalog import (
+    SqliteIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.df_catalog import (
+    DataFrameIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+
+def _one_file(spark, df, path):
+    import shutil
+    tmp = path + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.replace(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("backend", ["sqlite", "dataframe"])
+def test_asof_excludes_later_arrivals(spark, tmp_path, backend):
+    d = str(tmp_path / f"tt_{backend}")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    _one_file(spark, base.filter(F.col("k") < 50),
+              os.path.join(d, "base.parquet"))
+    cat = (SqliteIndexCatalog() if backend == "sqlite"
+           else DataFrameIndexCatalog(spark))
+    t = IndexedParquetTable(spark, d, index_columns=["v"], catalog=cat)
+    snap = t.snapshot()
+    _one_file(spark, base.filter(F.col("k") >= 50),
+              os.path.join(d, "late.parquet"))
+    t.refresh()
+    assert t.query(None).count() == 100
+    assert t.query(None, as_of=snap).count() == 50
+    # pruned as-of plan: predicate + snapshot compose
+    pred = Col("v") >= Lit(200)
+    dec = t.plan_scan(pred, as_of=snap)
+    assert "late.parquet" not in dec.files_scanned
+    got = sorted(r["k"] for r in t.query(pred, as_of=snap).collect())
+    assert got == list(range(20, 50))
+    # a snapshot taken NOW sees both files
+    snap2 = t.snapshot()
+    assert t.query(None, as_of=snap2).count() == 100
+    # and the old snapshot still answers the old way (isolation)
+    assert t.query(None, as_of=snap).count() == 50
+
+
+def test_unknown_snapshot_raises(spark, tmp_path):
+    d = str(tmp_path / "tt_unknown")
+    _one_file(spark, spark.range(10).select(F.col("id").alias("v")),
+              os.path.join(d, "f.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    with pytest.raises(KeyError):
+        t.query(None, as_of=99)
+
+
+def test_vanished_file_breaks_snapshot_loudly(spark, tmp_path):
+    d = str(tmp_path / "tt_vanish")
+    base = spark.range(40).select(F.col("id").alias("v"))
+    _one_file(spark, base.filter(F.col("v") < 20),
+              os.path.join(d, "a.parquet"))
+    _one_file(spark, base.filter(F.col("v") >= 20),
+              os.path.join(d, "b.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    snap = t.snapshot()
+    os.remove(os.path.join(d, "b.parquet"))
+    t.refresh()
+    assert t.query(None).count() == 20  # current era is consistent
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        t.query(None, as_of=snap)
+
+
+def test_rewritten_file_breaks_snapshot_loudly(spark, tmp_path):
+    d = str(tmp_path / "tt_rewrite")
+    _one_file(spark, spark.range(30).select(F.col("id").alias("v")),
+              os.path.join(d, "a.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    snap = t.snapshot()
+    # in-place rewrite with different contents (different size)
+    _one_file(spark, spark.range(500).select(F.col("id").alias("v")),
+              os.path.join(d, "a.parquet"))
+    t.refresh()
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        t.query(None, as_of=snap)
+
+
+def test_snapshot_of_empty_catalog(spark, tmp_path):
+    d = str(tmp_path / "tt_empty")
+    os.makedirs(d)
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    snap = t.snapshot()
+    assert t.catalog.snapshot_files(snap) == {}
+    _one_file(spark, spark.range(5).select(F.col("id").alias("v")),
+              os.path.join(d, "f.parquet"))
+    t.refresh()
+    assert t.query(None).count() == 5
+    assert t.query(None, as_of=snap).count() == 0
+
+
+def test_snapshot_survives_sqlite_reopen(spark, tmp_path):
+    """Snapshots are catalog rows, so a file-backed catalog reopened in
+    a new process-equivalent still serves them."""
+    d = str(tmp_path / "tt_persist")
+    db = str(tmp_path / "tt.db")
+    base = spark.range(60).select(F.col("id").alias("v"))
+    _one_file(spark, base.filter(F.col("v") < 30),
+              os.path.join(d, "a.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"],
+                            catalog=SqliteIndexCatalog(db))
+    snap = t.snapshot()
+    _one_file(spark, base.filter(F.col("v") >= 30),
+              os.path.join(d, "b.parquet"))
+    t.refresh()
+    t.catalog.close()
+    t2 = IndexedParquetTable(spark, d, index_columns=["v"],
+                             catalog=SqliteIndexCatalog(db))
+    assert t2.query(None, as_of=snap).count() == 30
+    assert t2.query(None).count() == 60

@@ -138,9 +138,12 @@ _ROUND_PRIORITY = [
     # row-group pruning that min/max and blooms cannot make),
     # dedup_semantic (SemDeDup-style cluster-scoped embedding dedup),
     # sim_hybrid_rrf (lexical+vector reciprocal-rank fusion over
-    # an inverted-index join), and q83_time_travel (snapshot
+    # an inverted-index join), q83_time_travel (snapshot
     # isolation: as-of reads from frozen catalog file sets, loud
-    # failure on unreconstructable snapshots), each
+    # failure on unreconstructable snapshots), q84_snapshot_delta
+    # (incremental read between snapshots — the change-feed manifest
+    # is catalog metadata, the scan reads exactly the arrivals), and
+    # q85_asof_pushdown (zero-I/O COUNT/SUM as-of a snapshot), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

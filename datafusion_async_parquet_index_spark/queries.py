@@ -1815,6 +1815,49 @@ def q74_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _time_travel_table(spark: SparkSession, sf_dir: str):
+    """(table, snap1, snap2) shared by q83/q84/q85: built over two base
+    files (o_orderkey % 3 ∈ {1, 2}, exact integer cents, per-row-group
+    sums), snapshot 1 taken, 'tonight's' file (% 3 = 0) lands AFTER
+    construction, one incremental refresh() indexes it, snapshot 2
+    taken. Memoized per session; every cold execution runs the
+    build→snapshot→arrive→refresh→snapshot sequence for real."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "time_travel_table")
+    hit = memo.get(sf_dir)
+    if hit is not None:
+        return hit
+    d = tempfile.mkdtemp(prefix="spark_graft_timetravel_")
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_cents"))
+
+    def _one_file(df, name):
+        import shutil
+        tmp = os.path.join(d, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(d, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _one_file(base.filter(F.col("o_orderkey") % 3 == 1), "base1.parquet")
+    _one_file(base.filter(F.col("o_orderkey") % 3 == 2), "base2.parquet")
+    t = IndexedParquetTable(spark, d, index_columns=["price_cents"],
+                            sum_columns=["price_cents"])
+    s1 = t.snapshot()
+    _one_file(base.filter(F.col("o_orderkey") % 3 == 0), "new.parquet")
+    t.refresh()
+    assert len(t._files) == 3
+    s2 = t.snapshot()
+    memo[sf_dir] = (t, s1, s2)
+    return memo[sf_dir]
+
+
 def q83_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT ISOLATION / TIME TRAVEL over the external index
     (table.snapshot + query(as_of=...)): the maintenance loop the
@@ -1834,56 +1877,76 @@ def q83_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table via the same deterministic key split. At 100 TB this is the
     reproducible-training-run story: pin the corpus snapshot a run
     read, keep ingesting, re-run byte-identical later."""
-    import tempfile
+    t, snap, _ = _time_travel_table(spark, sf_dir)
+    n_current = t.count_rows()  # catalog metadata, all three files
+    rng = ((xcol("price_cents") >= 10_000_000)
+           & (xcol("price_cents") <= 20_000_000))
+    old_plan = t.plan_scan(rng, as_of=snap)
+    assert "new.parquet" not in old_plan.files_scanned, \
+        old_plan.describe()  # the arrival is invisible as-of snap
+    cur_plan = t.plan_scan(rng)
+    assert "new.parquet" in cur_plan.files_scanned, \
+        cur_plan.describe()  # ...and visible now
+    n_asof = t.query(None, as_of=snap).count()
+    agg = (t.query(rng, as_of=snap)
+           .agg(F.count(F.lit(1)).alias("n_rng"),
+                F.sum("price_cents").alias("sum_rng")).head())
+    return spark.createDataFrame(
+        [(n_current, n_asof, agg["n_rng"], agg["sum_rng"])],
+        "n_current BIGINT, n_asof BIGINT, "
+        "n_rng_asof BIGINT, sum_rng_asof_cents BIGINT")
 
-    from .operators.util import session_memo
 
-    def build():
-        d = tempfile.mkdtemp(prefix="spark_graft_timetravel_")
-        base = _read(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long")
-            .alias("price_cents"))
+def q84_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL READ between snapshots (table.snapshot_delta /
+    read_delta) — Delta/Iceberg's change feed re-expressed over the
+    external index: the delta manifest (files added/removed/changed
+    between two snapshots, or snapshot → now) is pure catalog
+    metadata, and the delta scan reads EXACTLY the added files — the
+    primitive that keeps nightly pipeline runs O(arrivals) instead of
+    O(corpus), with no streaming runtime. The asserts pin the manifest
+    (exactly the one arrival, nothing removed or rewritten) and that
+    the snapshot→now manifest agrees with the snapshot→snapshot one;
+    the aggregates over the delta read must equal the flat-table
+    oracle over the arrival's deterministic key slice (% 3 = 0)."""
+    t, s1, s2 = _time_travel_table(spark, sf_dir)
+    delta = t.snapshot_delta(s1, s2)
+    assert delta["added"] == ["new.parquet"], delta
+    assert delta["removed"] == [] and delta["changed"] == [], delta
+    assert t.snapshot_delta(s1) == delta  # snapshot -> now agrees
+    df = t.read_delta(s1, s2)
+    agg = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("price_cents").alias("s")).head()
+    return spark.createDataFrame(
+        [(len(delta["added"]), agg["n"], agg["s"])],
+        "n_added_files BIGINT, n_delta BIGINT, sum_delta_cents BIGINT")
 
-        def _one_file(df, name):
-            import shutil
-            tmp = os.path.join(d, f"_stage_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(f for f in sorted(os.listdir(tmp))
-                        if f.endswith(".parquet"))
-            os.replace(os.path.join(tmp, part), os.path.join(d, name))
-            shutil.rmtree(tmp, ignore_errors=True)
 
-        _one_file(base.filter(F.col("o_orderkey") % 3 == 1), "base1.parquet")
-        _one_file(base.filter(F.col("o_orderkey") % 3 == 2), "base2.parquet")
-        t = IndexedParquetTable(spark, d, index_columns=["price_cents"])
-        snap = t.snapshot()
-        _one_file(base.filter(F.col("o_orderkey") % 3 == 0), "new.parquet")
-        t.refresh()
-        assert len(t._files) == 3
-        n_current = t.count_rows()  # catalog metadata, all three files
-        rng = ((xcol("price_cents") >= 10_000_000)
-               & (xcol("price_cents") <= 20_000_000))
-        old_plan = t.plan_scan(rng, as_of=snap)
-        assert "new.parquet" not in old_plan.files_scanned, \
-            old_plan.describe()  # the arrival is invisible as-of snap
-        cur_plan = t.plan_scan(rng)
-        assert "new.parquet" in cur_plan.files_scanned, \
-            cur_plan.describe()  # ...and visible now
-        n_asof = t.query(None, as_of=snap).count()
-        agg = (t.query(rng, as_of=snap)
-               .agg(F.count(F.lit(1)).alias("n_rng"),
-                    F.sum("price_cents").alias("sum_rng")).head())
-        return spark.createDataFrame(
-            [(n_current, n_asof, agg["n_rng"], agg["sum_rng"])],
-            "n_current BIGINT, n_asof BIGINT, "
-            "n_rng_asof BIGINT, sum_rng_asof_cents BIGINT")
-
-    memo = session_memo(spark, "time_travel_query")
-    df = memo.get(sf_dir)
-    if df is None:
-        df = memo[sf_dir] = build()
-    return df
+def q85_asof_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL AGGREGATES WITH ZERO PARQUET I/O (count_rows /
+    sum_rows with as_of): the snapshot's file set and the per-row-group
+    sum store are BOTH catalog metadata, so COUNT and SUM as-of a
+    snapshot fold entirely from the index — yesterday's revenue total
+    re-derivable forever without touching yesterday's data, the
+    composition of the aggregate-statistics family (COUNT q61 / SUM
+    q62) with snapshot isolation (q83). The asserts pin that the as-of
+    sum answered from stored sums alone (zero partial row groups) and
+    that both eras' aggregates fold; the oracle recomputes both eras
+    from the flat table via the deterministic key split."""
+    t, s1, _ = _time_travel_table(spark, sf_dir)
+    n_asof = t.count_rows(as_of=s1)          # snapshot file stats only
+    s_asof, ns = t.sum_rows("price_cents", as_of=s1)
+    assert t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0, \
+        t.last_sum_pushdown  # pure catalog arithmetic, as-of the snapshot
+    assert ns == n_asof
+    n_cur = t.count_rows()
+    s_cur, _ = t.sum_rows("price_cents")
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n_asof, s_asof, n_cur, s_cur)],
+        "n_asof BIGINT, sum_asof_cents BIGINT, "
+        "n_current BIGINT, sum_current_cents BIGINT")
 
 
 HIST_NBINS = 64
@@ -2432,6 +2495,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_catalog_join_strategy": q79_catalog_join_strategy,
     "q80_dict_groupby": q80_dict_groupby,
     "q83_time_travel": q83_time_travel,
+    "q84_snapshot_delta": q84_snapshot_delta,
+    "q85_asof_pushdown": q85_asof_pushdown,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3212,6 +3277,33 @@ RELATIONAL_ORACLE["q83_time_travel"] = """
            CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
                           AND cents BETWEEN 10000000 AND 20000000
                          THEN cents END) AS BIGINT) AS sum_rng_asof_cents
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q84_snapshot_delta"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT CAST(1 AS BIGINT) AS n_added_files,
+           CAST(COUNT(*) AS BIGINT) AS n_delta,
+           CAST(SUM(cents) AS BIGINT) AS sum_delta_cents
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q85_asof_pushdown"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_asof,
+           CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
+                         THEN cents END) AS BIGINT) AS sum_asof_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_current,
+           CAST(SUM(cents) AS BIGINT) AS sum_current_cents
     FROM c
 """
 

@@ -311,9 +311,10 @@ class IndexedParquetTable:
         stays serveable forever at O(files) metadata per snapshot."""
         return self.catalog.create_snapshot()
 
-    def _snapshot_filter(
-        self, as_of: int, survivors: Dict[str, List[int]]
-    ) -> Dict[str, List[int]]:
+    def _snapshot_guard(self, as_of: int) -> Dict[str, int]:
+        """The snapshot's {file: size}, after verifying every recorded
+        file is still indexed unchanged — raises otherwise (loud
+        failure, never a silently different answer)."""
         snap = self.catalog.snapshot_files(as_of)
         current = {f[0]: f[1] for f in self.catalog.all_files()}
         broken = sorted(n for n, sz in snap.items()
@@ -322,7 +323,58 @@ class IndexedParquetTable:
             raise ValueError(
                 f"snapshot {as_of} is no longer reconstructable: "
                 f"{broken} changed or vanished since it was taken")
+        return snap
+
+    def _snapshot_filter(
+        self, as_of: int, survivors: Dict[str, List[int]]
+    ) -> Dict[str, List[int]]:
+        snap = self._snapshot_guard(as_of)
         return {n: rgs for n, rgs in survivors.items() if n in snap}
+
+    def snapshot_delta(self, base: int,
+                       target: Optional[int] = None) -> Dict[str, list]:
+        """What changed between two snapshots (or base → now):
+        {"added": [...], "removed": [...], "changed": [...]} file
+        names, O(files) metadata — the incremental-read manifest of a
+        Delta/Iceberg-style `readChangeFeed`, derived purely from the
+        catalog."""
+        base_files = self.catalog.snapshot_files(base)
+        tgt = (self.catalog.snapshot_files(target) if target is not None
+               else {f[0]: f[1] for f in self.catalog.all_files()})
+        return {
+            "added": sorted(n for n in tgt if n not in base_files),
+            "removed": sorted(n for n in base_files if n not in tgt),
+            "changed": sorted(n for n in tgt
+                              if n in base_files and tgt[n] != base_files[n]),
+        }
+
+    def read_delta(self, base: int, target: Optional[int] = None,
+                   columns: Optional[Sequence[str]] = None) -> DataFrame:
+        """Rows ADDED between snapshot ``base`` and snapshot ``target``
+        (or now): read exactly the files the delta manifest lists — the
+        incremental-processing primitive (process only what arrived
+        since the last run) without a streaming runtime. Raises if any
+        common file changed in place (the immutable-file convention the
+        size-based refresh also assumes); removed files need no read.
+        At 100 TB this is how nightly jobs stay O(arrivals): the
+        manifest is catalog metadata, the scan touches only new
+        files."""
+        delta = self.snapshot_delta(base, target)
+        if delta["changed"]:
+            raise ValueError(
+                f"files changed in place between snapshots: "
+                f"{delta['changed']} — the append-only delta read "
+                f"cannot represent rewrites")
+        if not delta["added"]:
+            return self.spark.createDataFrame([], self._schema)
+        paths = [os.path.join(self.data_dir, n) for n in delta["added"]]
+        reader = self.spark.read
+        if getattr(self, "partitioned", False):
+            reader = reader.option("basePath", self.data_dir)
+        df = reader.schema(self._schema).parquet(*paths)
+        if columns:
+            df = df.select(*columns)
+        return df
 
     # -- planning ------------------------------------------------------
     def plan_scan(self, predicate: Optional[Expr],
@@ -654,7 +706,8 @@ class IndexedParquetTable:
         return native.unionByName(parts_df) if parts_df is not None else native
 
     # -- metadata-only answers ----------------------------------------
-    def count_rows(self, predicate: Optional[Expr] = None) -> int:
+    def count_rows(self, predicate: Optional[Expr] = None,
+                   as_of: Optional[int] = None) -> int:
         """Exact row count with COUNT PUSHDOWN into the catalog:
 
         - no predicate: the sum of catalog row_counts — zero Parquet
@@ -674,10 +727,19 @@ class IndexedParquetTable:
         ``last_count_pushdown`` records {full_row_groups, full_rows,
         partial_row_groups} for observability/tests. Partitioned
         layouts fall back to pruned-scan counting (the row-group reader
-        cannot surface partition columns)."""
+        cannot surface partition columns).
+
+        as_of: answer as of a snapshot() — the count folds from the
+        snapshot's file set only (still zero Parquet I/O when
+        unpredicated: time-travel aggregates are catalog arithmetic
+        too)."""
         if predicate is None:
-            return sum(f[3] for f in self.catalog.all_files())
-        decision = self.plan_scan(predicate)
+            if as_of is None:
+                return sum(f[3] for f in self.catalog.all_files())
+            snap = self._snapshot_guard(as_of)
+            return sum(f[3] for f in self.catalog.all_files()
+                       if f[0] in snap)
+        decision = self.plan_scan(predicate, as_of=as_of)
         if not decision.files_scanned:
             self.last_count_pushdown = {
                 "full_row_groups": 0, "full_rows": 0,
@@ -685,7 +747,7 @@ class IndexedParquetTable:
             return 0
         if getattr(self, "partitioned", False):
             self.last_count_pushdown = None
-            return self.query(predicate).count()
+            return self.query(predicate, as_of=as_of).count()
         sat = self._rewriter.satisfies(predicate)
         full = dict(self.catalog.get_files(sat))
         full_rows = 0
@@ -727,7 +789,8 @@ class IndexedParquetTable:
             return lambda s: _dec.Decimal(s).scaleb(-scale)
         return lambda s: s
 
-    def sum_rows(self, column: str, predicate: Optional[Expr] = None):
+    def sum_rows(self, column: str, predicate: Optional[Expr] = None,
+                 as_of: Optional[int] = None):
         """(sum, non_null_count) of an integer or decimal column over
         matching rows, pushed into the catalog the same way count_rows
         is: the opt-in per-row-group sums (``sum_columns=[...]`` at
@@ -755,22 +818,26 @@ class IndexedParquetTable:
 
         if not sums or getattr(self, "partitioned", False):
             self.last_sum_pushdown = None
-            if predicate is None:
-                return _scan_agg(self.to_df())
-            return _scan_agg(self.query(predicate))
+            return _scan_agg(self.query(predicate, as_of=as_of))
         if predicate is None:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
+            if as_of is not None:
+                # time-travel aggregate: fold only the snapshot's files
+                snap = self._snapshot_guard(as_of)
+                indexed = {fn: c for fn, c in indexed.items() if fn in snap}
             if all((fn, rg) in sums
                    for fn, n in indexed.items() for rg in range(n)):
-                s = sum(v[0] for v in sums.values())
-                n = sum(v[1] for v in sums.values())
+                entries = [sums[(fn, rg)]
+                           for fn, n in indexed.items() for rg in range(n)]
+                s = sum(v[0] for v in entries)
+                n = sum(v[1] for v in entries)
                 self.last_sum_pushdown = {
-                    "full_row_groups": len(sums), "full_sum": s,
+                    "full_row_groups": len(entries), "full_sum": s,
                     "partial_row_groups": 0}
                 return (decode(s) if n else None), n
             self.last_sum_pushdown = None
-            return _scan_agg(self.to_df())
-        decision = self.plan_scan(predicate)
+            return _scan_agg(self.query(None, as_of=as_of))
+        decision = self.plan_scan(predicate, as_of=as_of)
         if not decision.files_scanned:
             self.last_sum_pushdown = {
                 "full_row_groups": 0, "full_sum": 0,

@@ -136,3 +136,42 @@ def test_snapshot_survives_sqlite_reopen(spark, tmp_path):
                              catalog=SqliteIndexCatalog(db))
     assert t2.query(None, as_of=snap).count() == 30
     assert t2.query(None).count() == 60
+
+
+def test_snapshot_delta_and_incremental_read(spark, tmp_path):
+    """The delta manifest lists exactly the arrivals between snapshots;
+    read_delta returns exactly their rows; removed files appear in the
+    manifest but never break the read; in-place rewrites do."""
+    d = str(tmp_path / "tt_delta")
+    base = spark.range(90).select(F.col("id").alias("v"))
+    _one_file(spark, base.filter(F.col("v") < 30),
+              os.path.join(d, "a.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    s1 = t.snapshot()
+    _one_file(spark, base.filter((F.col("v") >= 30) & (F.col("v") < 60)),
+              os.path.join(d, "b.parquet"))
+    t.refresh()
+    s2 = t.snapshot()
+    delta = t.snapshot_delta(s1, s2)
+    assert delta == {"added": ["b.parquet"], "removed": [], "changed": []}
+    got = sorted(r["v"] for r in t.read_delta(s1, s2).collect())
+    assert got == list(range(30, 60))
+    # empty delta: same snapshot twice
+    assert t.read_delta(s2, s2).count() == 0
+    # removal shows in the manifest; the delta READ (added files only)
+    # still works
+    os.remove(os.path.join(d, "a.parquet"))
+    _one_file(spark, base.filter(F.col("v") >= 60),
+              os.path.join(d, "c.parquet"))
+    t.refresh()
+    d3 = t.snapshot_delta(s2)
+    assert d3["added"] == ["c.parquet"] and d3["removed"] == ["a.parquet"]
+    assert t.read_delta(s2).count() == 30
+    # a file rewritten after s2 but absent FROM s2 counts as added (its
+    # current contents are the delta) — only rewrites of files the base
+    # snapshot RECORDED refuse:
+    _one_file(spark, spark.range(500).select(F.col("id").alias("v")),
+              os.path.join(d, "b.parquet"))  # b IS in s2
+    t.refresh()
+    with pytest.raises(ValueError, match="changed in place"):
+        t.read_delta(s2)

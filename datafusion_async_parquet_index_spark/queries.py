@@ -1949,6 +1949,87 @@ def q85_asof_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_current BIGINT, sum_current_cents BIGINT")
 
 
+TOPK_HH_K = 8   # stored values per row group (the summary width)
+TOPK_HH_N = 5   # heavy hitters returned
+TOPK_LAYOUT_ENV = "SPARK_GRAFT_TOPK_LAYOUT"
+
+
+def _topk_orders(spark: SparkSession, sf_dir: str):
+    """Orders written once per corpus as FOUR single-row-group files
+    split by o_orderkey % 4 — a deterministic row-group partition of
+    the data (each customer's orders SPREAD across all four groups,
+    since the split key is independent of the measured column), so the
+    DuckDB oracle can rebuild the exact per-row-group top-k summaries
+    relationally. Shared fixture for q86."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        TOPK_LAYOUT_ENV, "spark_graft_topk_layout",
+        os.path.join(sf_dir, "orders.parquet"), "topk_mod4_v1")
+    memo = session_memo(spark, "topk_orders")
+    t = memo.get(layout)
+
+    def _write(d):
+        import shutil
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey")
+        for i in range(4):
+            tmp = os.path.join(d, f"_stage_{i}")
+            (base.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+             .write.option("parquet.block.size", str(1 << 30))
+             .mode("overwrite").parquet(tmp))
+            part = next(p for p in sorted(os.listdir(tmp))
+                        if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part),
+                       os.path.join(d, f"mod{i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    if t is None:
+        ensure_complete(
+            layout, ["_SUCCESS"] + [f"mod{i}.parquet" for i in range(4)],
+            _write)
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_orderkey"],
+            topk_columns=["o_custkey"], topk_k=TOPK_HH_K)
+        # one row group per file, or the oracle's %4 → row-group map
+        # (and hence the whole parity check) is meaningless
+        assert all(f[2] == 1 for f in t.catalog.all_files()), \
+            t.catalog.all_files()
+    return t
+
+
+def q86_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY HITTERS from the catalog with deterministic error bounds
+    (table.heavy_hitters): the index stores, per row group, the k most
+    frequent values of a HIGH-cardinality column with exact counts
+    plus (rest_rows, kth_count) — the order-free sibling of
+    Misra-Gries/Space-Saving summaries (those depend on arrival order;
+    an exact per-row-group top-k does not, which is what lets an
+    oracle pin every number). The whole-table fold is zero Parquet
+    I/O: lower(v) = Σ stored counts, upper(v) adds min(kth_count,
+    rest_rows) for each row group that did not store v — it provably
+    failed that group's top-k, so both bound its count there. Where
+    the dictionary store (q80) refuses above its cap, this keeps
+    answering at ANY cardinality with honest intervals; together they
+    complete the frequency family (exact low-cardinality GROUP BY q80
+    / bounded heavy hitters here / NDV q77 / histograms q75). The
+    oracle rebuilds the same per-row-group summaries relationally
+    (the layout's row groups ARE o_orderkey % 4 slices) and must
+    reproduce value, lower, and upper exactly — the repeat-buyer
+    dashboard at 100 TB, summaries folding across partitions or days."""
+    t = _topk_orders(spark, sf_dir)
+    hh = t.heavy_hitters("o_custkey", TOPK_HH_N)
+    assert hh is not None, "heavy hitters must fold from the catalog"
+    total_rgs = sum(f[2] for f in t.catalog.all_files())
+    assert t.last_hh_pushdown["row_groups"] == total_rgs
+    for _, lo, hi in hh:
+        assert lo <= hi
+    return spark.createDataFrame(
+        [(v, lo, hi) for v, lo, hi in hh],
+        "value BIGINT, lower_cnt BIGINT, upper_cnt BIGINT")
+
+
 HIST_NBINS = 64
 HIST_QS = (500, 900, 990)  # P50 / P90 / P99 in permille
 
@@ -2497,6 +2578,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_time_travel": q83_time_travel,
     "q84_snapshot_delta": q84_snapshot_delta,
     "q85_asof_pushdown": q85_asof_pushdown,
+    "q86_heavy_hitters": q86_heavy_hitters,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3278,6 +3360,43 @@ RELATIONAL_ORACLE["q83_time_travel"] = """
                           AND cents BETWEEN 10000000 AND 20000000
                          THEN cents END) AS BIGINT) AS sum_rng_asof_cents
     FROM c
+"""
+
+RELATIONAL_ORACLE["q86_heavy_hitters"] = f"""
+    WITH g AS (
+        SELECT o_orderkey % 4 AS rg, o_custkey AS v
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), cnt AS (
+        SELECT rg, v, COUNT(*) AS c FROM g GROUP BY rg, v
+    ), ranked AS (
+        SELECT rg, v, c,
+               ROW_NUMBER() OVER (PARTITION BY rg
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM cnt
+    ), stored AS (
+        SELECT rg, v, c FROM ranked WHERE rn <= {TOPK_HH_K}
+    ), pergroup AS (
+        SELECT rg,
+               MAX(CASE WHEN rn = {TOPK_HH_K} THEN c ELSE 0 END) AS kth,
+               SUM(c) - SUM(CASE WHEN rn <= {TOPK_HH_K} THEN c
+                            ELSE 0 END) AS rest
+        FROM ranked GROUP BY rg
+    ), lower_b AS (
+        SELECT v, SUM(c) AS lo FROM stored GROUP BY v
+    ), slack AS (
+        SELECT l.v,
+               SUM(CASE WHEN s.v IS NULL
+                        THEN LEAST(p.kth, p.rest) ELSE 0 END) AS sl
+        FROM lower_b l
+        CROSS JOIN pergroup p
+        LEFT JOIN stored s ON s.rg = p.rg AND s.v = l.v
+        GROUP BY l.v
+    )
+    SELECT l.v AS value, CAST(l.lo AS BIGINT) AS lower_cnt,
+           CAST(l.lo + k.sl AS BIGINT) AS upper_cnt
+    FROM lower_b l JOIN slack k ON k.v = l.v
+    ORDER BY l.lo DESC, l.v ASC
+    LIMIT {TOPK_HH_N}
 """
 
 RELATIONAL_ORACLE["q84_snapshot_delta"] = """

@@ -415,6 +415,23 @@ class SqliteIndexCatalog:
                        category TEXT NOT NULL,
                        entries TEXT NOT NULL,
                        PRIMARY KEY (file_id, row_group, column_name))""")
+            # heavy-hitter (top-k frequency) extension: per (row group,
+            # column) the k most frequent values with exact counts
+            # (JSON [value, count] pairs, count-desc/value-asc), plus
+            # rest_rows (uncovered non-null rows) and kth_count — the
+            # order-free mergeable summary that folds into whole-table
+            # heavy hitters with deterministic [lower, upper] bounds.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS row_group_topk (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       category TEXT NOT NULL,
+                       entries TEXT NOT NULL,
+                       rest_rows INTEGER NOT NULL,
+                       kth_count INTEGER NOT NULL,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
             self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_blooms (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -435,6 +452,9 @@ class SqliteIndexCatalog:
             Dict[int, Dict[str, Tuple[int, int, int, List[int]]]]] = None,
         ndvs: Optional[Dict[int, Dict[str, List[int]]]] = None,
         dicts: Optional[Dict[int, Dict[str, List[Tuple[Any, int]]]]] = None,
+        topks: Optional[
+            Dict[int, Dict[str, Tuple[List[Tuple[Any, int]], int, int]]]]
+        = None,
     ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
@@ -528,6 +548,22 @@ class SqliteIndexCatalog:
                      for rg, cols in dicts.items()
                      for col, entries in cols.items()])
             self._exec(
+                "DELETE FROM row_group_topk WHERE file_id = ?", (file_id,))
+            if topks:
+                import json
+                self._execmany(
+                    """INSERT INTO row_group_topk
+                           (file_id, row_group, column_name,
+                            category, entries, rest_rows, kth_count)
+                       VALUES (?, ?, ?, ?, ?, ?, ?)""",
+                    [(file_id, rg, col,
+                      "int" if entries and isinstance(entries[0][0], int)
+                      else "string",
+                      json.dumps([[v, c] for v, c in entries]),
+                      rest, kth)
+                     for rg, cols in topks.items()
+                     for col, (entries, rest, kth) in cols.items()])
+            self._exec(
                 "DELETE FROM row_group_blooms WHERE file_id = ?", (file_id,))
             if blooms:
                 self._execmany(
@@ -546,7 +582,8 @@ class SqliteIndexCatalog:
         with self._txn():
             for child in ("row_group_statistics", "row_group_sums",
                           "row_group_hists", "row_group_ndv",
-                          "row_group_dicts", "row_group_blooms"):
+                          "row_group_dicts", "row_group_topk",
+                          "row_group_blooms"):
                 self._exec(
                     f"""DELETE FROM {child} WHERE file_id IN
                         (SELECT file_id FROM file_statistics
@@ -653,6 +690,30 @@ class SqliteIndexCatalog:
                 out[(fn, rg)] = [(int(v), int(c)) for v, c in pairs]
             else:
                 out[(fn, rg)] = [(v, int(c)) for v, c in pairs]
+        return out
+
+    def get_topk(
+        self, column: str
+    ) -> Dict[Tuple[str, int], Tuple[List[Tuple[Any, int]], int, int]]:
+        """{(file_name, row_group): (entries, rest_rows, kth_count)} for
+        one column's heavy-hitter extension. O(row_groups · k) entries,
+        independent of data size or cardinality."""
+        import json
+        rows = self._query(
+            """SELECT f.file_name, t.row_group, t.category, t.entries,
+                      t.rest_rows, t.kth_count
+               FROM row_group_topk t
+               JOIN file_statistics f ON f.file_id = t.file_id
+               WHERE t.column_name = ?""", (column,))
+        out: Dict[Tuple[str, int],
+                  Tuple[List[Tuple[Any, int]], int, int]] = {}
+        for fn, rg, cat, entries, rest, kth in rows:
+            pairs = json.loads(entries)
+            if cat == "int":
+                decoded = [(int(v), int(c)) for v, c in pairs]
+            else:
+                decoded = [(v, int(c)) for v, c in pairs]
+            out[(fn, rg)] = (decoded, int(rest), int(kth))
         return out
 
     def get_blooms(

@@ -70,6 +70,8 @@ class DataFrameIndexCatalog:
         self._dicts: Dict[str, Dict[int, Dict[str, list]]] = {}
         # snapshot_id -> {file_name: file_size_bytes} (time travel)
         self._snapshots: Dict[int, Dict[str, int]] = {}
+        # file_name -> {row_group: {column: (entries, rest, kth)}}
+        self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -98,7 +100,7 @@ class DataFrameIndexCatalog:
     # -- maintenance (reference index.rs:242-329) -----------------------
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats], blooms=None,
-        sums=None, hists=None, ndvs=None, dicts=None,
+        sums=None, hists=None, ndvs=None, dicts=None, topks=None,
     ) -> None:
         """Idempotent per file: replaces any previous stats for the same
         file_name (the reference's ON CONFLICT + delete-then-insert).
@@ -127,6 +129,10 @@ class DataFrameIndexCatalog:
             self._dicts[fs.file_name] = dict(dicts)
         else:
             self._dicts.pop(fs.file_name, None)
+        if topks:
+            self._topks[fs.file_name] = dict(topks)
+        else:
+            self._topks.pop(fs.file_name, None)
         self._df = None
 
     def remove_file(self, file_name: str) -> None:
@@ -136,6 +142,7 @@ class DataFrameIndexCatalog:
         self._hists.pop(file_name, None)
         self._ndvs.pop(file_name, None)
         self._dicts.pop(file_name, None)
+        self._topks.pop(file_name, None)
         self._df = None
 
     def get_hists(self, column: str):
@@ -171,6 +178,19 @@ class DataFrameIndexCatalog:
         if snapshot_id not in self._snapshots:
             raise KeyError(f"unknown snapshot id {snapshot_id}")
         return dict(self._snapshots[snapshot_id])
+
+    def get_topk(self, column: str):
+        """{(file_name, row_group): (entries, rest_rows, kth_count)} —
+        same protocol as SqliteIndexCatalog.get_topk."""
+        out = {}
+        for fname, per_rg in self._topks.items():
+            for rg, cols in per_rg.items():
+                if column in cols:
+                    entries, rest, kth = cols[column]
+                    out[(fname, rg)] = (
+                        [(v, int(c)) for v, c in entries],
+                        int(rest), int(kth))
+        return out
 
     def get_dicts(self, column: str):
         """{(file_name, row_group): [(value, count), ...]} — same

@@ -393,6 +393,62 @@ def extract_file_dicts(
     return out
 
 
+TOPK_K = 8  # stored values per (row group, column) in the top-k store
+
+
+def extract_file_topk(
+    path: str, topk_cols: Sequence[str], k: int = TOPK_K,
+) -> Dict[int, Dict[str, Tuple[List[Tuple[Any, int]], int, int]]]:
+    """{row_group: {column: (entries, rest_rows, kth_count)}} — the
+    HEAVY-HITTER statistics extension: per row group, the k most
+    frequent values of an int/string column with their exact counts
+    (ties broken by value ascending, so the selection is a
+    deterministic pure function of the multiset), plus ``rest_rows``
+    (non-null rows NOT covered by the stored values) and ``kth_count``
+    (the k-th stored count; 0 when the row group has fewer distincts).
+
+    Unlike the dictionary store this works at ANY cardinality — the
+    summaries are lossy but carry deterministic error bounds that fold:
+    a value's whole-table count is at least the sum of its stored
+    counts (lower), and in a row group that did NOT store it the count
+    is at most min(kth_count, rest_rows) (it failed to make the top-k
+    there), so upper = lower + Σ of that min over the missing row
+    groups. This is the mergeable-summary shape of the
+    Space-Saving/Misra-Gries family, but built offline per row group —
+    which makes it ORDER-FREE (MG's decrements depend on arrival
+    order; a per-row-group exact top-k does not), hence reproducible
+    by any engine and DuckDB-oracle-pinnable. O(row_groups · k)
+    catalog footprint; summaries keep folding across partitions, days,
+    or tables at 100 TB — the repeat-buyer / hot-key dashboard from
+    the index alone."""
+    if not topk_cols:
+        return {}
+    pf = pq.ParquetFile(path)
+    cols = [c for c in topk_cols
+            if pf.schema_arrow.get_field_index(c) >= 0
+            and (pa.types.is_integer(pf.schema_arrow.field(c).type)
+                 or pa.types.is_string(pf.schema_arrow.field(c).type)
+                 or pa.types.is_large_string(pf.schema_arrow.field(c).type))]
+    if not cols:
+        return {}
+    out: Dict[int, Dict[str, Tuple[List[Tuple[Any, int]], int, int]]] = {}
+    for i in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(i, columns=cols)
+        per_col: Dict[str, Tuple[List[Tuple[Any, int]], int, int]] = {}
+        for c in cols:
+            vc = pc.value_counts(tbl.column(c).combine_chunks().drop_null())
+            pairs = sorted(((d["values"], int(d["counts"]))
+                            for d in vc.to_pylist()),
+                           key=lambda e: (-e[1], e[0]))
+            stored = pairs[:k]
+            total = sum(cnt for _, cnt in pairs)
+            rest = total - sum(cnt for _, cnt in stored)
+            kth = stored[k - 1][1] if len(stored) == k else 0
+            per_col[c] = (stored, rest, kth)
+        out[i] = per_col
+    return out
+
+
 def extract_file_nan_counts(
     path: str, nan_cols: Sequence[str],
 ) -> Dict[int, Dict[str, int]]:
@@ -617,6 +673,8 @@ def build_index(
     ndv_columns: Optional[Sequence[str]] = None,
     dict_columns: Optional[Sequence[str]] = None,
     dict_max_values: int = DICT_MAX_VALUES,
+    topk_columns: Optional[Sequence[str]] = None,
+    topk_k: int = TOPK_K,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -700,6 +758,7 @@ def build_index(
     hist_specs = dict(hist_columns or {})
     ndv_cols = tuple(ndv_columns or ())
     dict_cols = tuple(dict_columns or ())
+    topk_cols = tuple(topk_columns or ())
 
     def _apply_nans(p, rgs):
         if nan_cols:
@@ -718,7 +777,9 @@ def build_index(
         ndvs = extract_file_ndv(p, ndv_cols) if ndv_cols else None
         dicts = (extract_file_dicts(p, dict_cols, dict_max_values)
                  if dict_cols else None)
-        return fs, _apply_nans(p, rgs), blooms, sums, hists, ndvs, dicts
+        topks = extract_file_topk(p, topk_cols, topk_k) if topk_cols else None
+        return (fs, _apply_nans(p, rgs), blooms, sums, hists, ndvs, dicts,
+                topks)
 
     if incremental:
         known = {name: size for name, size, _, _ in catalog.all_files()}
@@ -740,7 +801,7 @@ def build_index(
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
                           _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols,
                           _hs=hist_specs, _nd=ndv_cols, _dc=dict_cols,
-                          _dm=dict_max_values):
+                          _dm=dict_max_values, _tc=topk_cols, _tk=topk_k):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
@@ -750,11 +811,12 @@ def build_index(
             hists = extract_file_hists(p, _hs) if _hs else None
             ndvs = extract_file_ndv(p, _nd) if _nd else None
             dicts = extract_file_dicts(p, _dc, _dm) if _dc else None
+            topks = extract_file_topk(p, _tc, _tk) if _tc else None
             if _nc:
                 nans = extract_file_nan_counts(p, _nc)
                 for rg in rgs:
                     rg.nan_counts.update(nans.get(rg.row_group, {}))
-            return fs, rgs, blooms, sums, hists, ndvs, dicts
+            return fs, rgs, blooms, sums, hists, ndvs, dicts, topks
 
         results = (
             sc.parallelize(files, min(len(files), 256))
@@ -767,7 +829,7 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms, sums, hists, ndvs, dicts in results:
+    for fs, rgs, blooms, sums, hists, ndvs, dicts, topks in results:
         catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists,
-                            ndvs=ndvs, dicts=dicts)
+                            ndvs=ndvs, dicts=dicts, topks=topks)
     return schema

@@ -241,3 +241,64 @@ def test_refresh_updates_dicts(spark, tmp_path):
         os.path.join(d, "two.parquet"))
     t.refresh()
     assert t.group_counts("s") == {"a": 10, "b": 5}
+
+
+def test_topk_store_round_trips_on_all_backends():
+    """upsert→get of the heavy-hitter summaries on SQLite and DB-API
+    (both paramstyles): entries/rest/kth decode faithfully, re-upsert
+    without topks clears, removal drops child rows."""
+    from test_catalog_backends import _dbapi_format, _dbapi_qmark
+
+    fs = FileStats("f.parquet", 10, 2, 100)
+    rgs = [RowGroupStats(row_group=0, row_count=50),
+           RowGroupStats(row_group=1, row_count=50)]
+    topks = {0: {"v": ([(7, 30), (3, 12)], 8, 12),
+                 "s": ([("a", 50)], 0, 0)},
+             1: {"v": ([(3, 49), (9, 1)], 0, 1)}}
+
+    def check(cat):
+        cat.initialize({"v": "int"})
+        cat.upsert_file(fs, rgs, topks=topks)
+        gv = cat.get_topk("v")
+        assert gv[("f.parquet", 0)] == ([(7, 30), (3, 12)], 8, 12)
+        assert gv[("f.parquet", 1)] == ([(3, 49), (9, 1)], 0, 1)
+        assert isinstance(gv[("f.parquet", 0)][0][0][0], int)
+        gs = cat.get_topk("s")
+        assert gs[("f.parquet", 0)] == ([("a", 50)], 0, 0)
+        cat.upsert_file(fs, rgs)
+        assert cat.get_topk("v") == {}
+        cat.upsert_file(fs, rgs, topks=topks)
+        cat.remove_file("f.parquet")
+        assert cat.get_topk("v") == {}
+
+    check(SqliteIndexCatalog())
+    check(_dbapi_qmark())
+    check(_dbapi_format())
+
+
+def test_heavy_hitter_bounds_are_sound(spark, tmp_path):
+    """Every returned candidate's true whole-table count must sit
+    inside [lower, upper]; lower is exact when the value was stored in
+    every row group; coverage gaps (no topk rows at all) return None."""
+    d = str(tmp_path / "hh")
+    # zipf-ish: value i appears ~ 600/(i+1) times, scattered over files
+    rows = [(j, i) for i in range(60) for j in range(600 // (i + 1))]
+    df = spark.createDataFrame(rows, "seq LONG, v LONG")
+    (df.repartition(3).write.option("parquet.block.size", str(1 << 14))
+     .mode("overwrite").parquet(d))
+    t = IndexedParquetTable(spark, d, index_columns=["seq"],
+                            topk_columns=["v"], topk_k=4)
+    hh = t.heavy_hitters("v", 10)
+    # candidates = union of per-group stored values; with a global zipf
+    # head every group stores the same top-4, so fewer than 10 is fine
+    assert hh is not None and 4 <= len(hh) <= 10
+    truth = {r["v"]: r["c"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for v, lo, hi in hh:
+        assert lo <= truth[v] <= hi, (v, lo, truth[v], hi)
+    # the runaway top value (600 occurrences, stored in every row
+    # group) has an EXACT interval and ranks first
+    assert hh[0][0] == 0 and hh[0][1] == truth[0] == hh[0][2]
+    # a table indexed WITHOUT topk_columns refuses
+    t2 = IndexedParquetTable(spark, d, index_columns=["seq"])
+    assert t2.heavy_hitters("v") is None

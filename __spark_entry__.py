@@ -144,9 +144,10 @@ _ROUND_PRIORITY = [
     # (incremental read between snapshots — the change-feed manifest
     # is catalog metadata, the scan reads exactly the arrivals), and
     # q85_asof_pushdown (zero-I/O COUNT/SUM as-of a snapshot), and
-    # q86_heavy_hitters (order-free top-k frequency summaries in the
-    # catalog -> whole-table heavy hitters with deterministic
-    # [lower, upper] bounds at any cardinality), each
+    # q86_heavy_hitters + q87_group_heavy_hitters (order-free top-k
+    # frequency summaries in the catalog -> whole-table and per-group
+    # heavy hitters with deterministic [lower, upper] bounds at any
+    # cardinality), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -1999,6 +1999,80 @@ def _topk_orders(spark: SparkSession, sf_dir: str):
     return t
 
 
+TOPK_STATUS_ENV = "SPARK_GRAFT_TOPK_STATUS_LAYOUT"
+
+
+def _topk_status_orders(spark: SparkSession, sf_dir: str):
+    """Orders as a hive layout partitioned by status, each partition
+    exactly TWO single-row-group files split by o_orderkey % 2 — so a
+    row group is the (status, o_orderkey % 2) slice and the DuckDB
+    oracle can rebuild every per-row-group top-k summary relationally.
+    Fixture for q87 (grouped heavy hitters)."""
+    from .operators.util import artifact_dir, ensure_complete, session_memo
+
+    layout = artifact_dir(
+        TOPK_STATUS_ENV, "spark_graft_topk_status",
+        os.path.join(sf_dir, "orders.parquet"), "by=status_topk_v1")
+    memo = session_memo(spark, "topk_status_orders")
+    t = memo.get(layout)
+
+    def _write(d):
+        import shutil
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_custkey")
+        statuses = sorted(r[0] for r in
+                          base.select("o_orderstatus").distinct().collect())
+        for s in statuses:
+            for i in range(2):
+                part = base.filter(
+                    (F.col("o_orderstatus") == s)
+                    & (F.col("o_orderkey") % 2 == i)).drop("o_orderstatus")
+                tmp = os.path.join(d, f"_stage_{s}_{i}")
+                (part.coalesce(1)
+                 .write.option("parquet.block.size", str(1 << 30))
+                 .mode("overwrite").parquet(tmp))
+                src = next(p for p in sorted(os.listdir(tmp))
+                           if p.endswith(".parquet"))
+                dest = os.path.join(d, f"o_orderstatus={s}",
+                                    f"slice{i}.parquet")
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(os.path.join(tmp, src), dest)
+                shutil.rmtree(tmp, ignore_errors=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    if t is None:
+        ensure_complete(layout, ["_SUCCESS"], _write)
+        t = memo[layout] = IndexedParquetTable(
+            spark, layout, index_columns=["o_orderkey"], partitioned=True,
+            topk_columns=["o_custkey"], topk_k=TOPK_HH_K)
+        assert all(f[2] == 1 for f in t.catalog.all_files()), \
+            t.catalog.all_files()  # one rg per file or the oracle map breaks
+    return t
+
+
+def q87_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED heavy hitters from the catalog (table.heavy_hitters_by):
+    per-status top customers with deterministic [lower, upper] count
+    bounds, folded entirely from the per-row-group top-k store under
+    the same single-valued-group trust rules as the other grouped
+    folds — completing the grouped family (COUNT q51 / SUM q63 /
+    MIN-MAX q67 / VAR q70 / quantiles q76 / NDV q78 / heavy hitters
+    here): the hot-keys-per-tenant dashboard with no executor started.
+    Same order-free bound formula as q86, folded per group; the oracle
+    rebuilds each (status, o_orderkey % 2) row-group summary
+    relationally and must reproduce every value and both bounds
+    exactly."""
+    t = _topk_status_orders(spark, sf_dir)
+    groups = t.heavy_hitters_by("o_orderstatus", "o_custkey", TOPK_HH_N)
+    assert groups is not None, "grouped heavy hitters must fold from catalog"
+    rows = [(g, v, lo, hi)
+            for g in sorted(groups)
+            for v, lo, hi in groups[g]]
+    return spark.createDataFrame(
+        rows, "o_orderstatus STRING, value BIGINT, "
+              "lower_cnt BIGINT, upper_cnt BIGINT")
+
+
 def q86_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAVY HITTERS from the catalog with deterministic error bounds
     (table.heavy_hitters): the index stores, per row group, the k most
@@ -2579,6 +2653,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_snapshot_delta": q84_snapshot_delta,
     "q85_asof_pushdown": q85_asof_pushdown,
     "q86_heavy_hitters": q86_heavy_hitters,
+    "q87_group_heavy_hitters": q87_group_heavy_hitters,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3397,6 +3472,46 @@ RELATIONAL_ORACLE["q86_heavy_hitters"] = f"""
     FROM lower_b l JOIN slack k ON k.v = l.v
     ORDER BY l.lo DESC, l.v ASC
     LIMIT {TOPK_HH_N}
+"""
+
+RELATIONAL_ORACLE["q87_group_heavy_hitters"] = f"""
+    WITH g AS (
+        SELECT o_orderstatus AS grp, o_orderkey % 2 AS rg, o_custkey AS v
+        FROM orders WHERE o_custkey IS NOT NULL
+    ), cnt AS (
+        SELECT grp, rg, v, COUNT(*) AS c FROM g GROUP BY grp, rg, v
+    ), ranked AS (
+        SELECT grp, rg, v, c,
+               ROW_NUMBER() OVER (PARTITION BY grp, rg
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM cnt
+    ), stored AS (
+        SELECT grp, rg, v, c FROM ranked WHERE rn <= {TOPK_HH_K}
+    ), pergroup AS (
+        SELECT grp, rg,
+               MAX(CASE WHEN rn = {TOPK_HH_K} THEN c ELSE 0 END) AS kth,
+               SUM(c) - SUM(CASE WHEN rn <= {TOPK_HH_K} THEN c
+                            ELSE 0 END) AS rest
+        FROM ranked GROUP BY grp, rg
+    ), lower_b AS (
+        SELECT grp, v, SUM(c) AS lo FROM stored GROUP BY grp, v
+    ), slack AS (
+        SELECT l.grp, l.v,
+               SUM(CASE WHEN s.v IS NULL
+                        THEN LEAST(p.kth, p.rest) ELSE 0 END) AS sl
+        FROM lower_b l
+        JOIN pergroup p ON p.grp = l.grp
+        LEFT JOIN stored s ON s.grp = l.grp AND s.rg = p.rg AND s.v = l.v
+        GROUP BY l.grp, l.v
+    ), fused AS (
+        SELECT l.grp, l.v, l.lo, l.lo + k.sl AS hi,
+               ROW_NUMBER() OVER (PARTITION BY l.grp
+                                  ORDER BY l.lo DESC, l.v ASC) AS rn
+        FROM lower_b l JOIN slack k ON k.grp = l.grp AND k.v = l.v
+    )
+    SELECT grp AS o_orderstatus, v AS value,
+           CAST(lo AS BIGINT) AS lower_cnt, CAST(hi AS BIGINT) AS upper_cnt
+    FROM fused WHERE rn <= {TOPK_HH_N}
 """
 
 RELATIONAL_ORACLE["q84_snapshot_delta"] = """

@@ -1516,6 +1516,46 @@ class IndexedParquetTable:
                                  "candidates": len(out)}
         return out[:n]
 
+    def heavy_hitters_by(self, group_column: str, column: str,
+                         n: int = 5):
+        """Per-group heavy hitters with deterministic bounds: the
+        grouped sibling of heavy_hitters, under the same
+        single-valued-group trust rules as the other grouped folds
+        (sum_rows_by / ndv_by / hist_quantiles_by — every row group
+        single-valued on the group column: partition columns, perfectly
+        clustered layouts). Returns {group: [(value, lower, upper)]}
+        or None on any coverage/trust failure — scan fallback, never
+        wrongness. Hot-keys-per-tenant from the index alone."""
+        try:
+            entries = self.catalog.column_rg_entries_keyed(group_column)
+            topks = self.catalog.get_topk(column)
+        except Exception:
+            return None
+        if not topks or set(topks) != set(entries):
+            return None
+        per_group: Dict = {}
+        for key, (nc, glo, ghi, _) in entries.items():
+            if glo is None or glo != ghi or (nc or 0) != 0:
+                return None
+            if not self._bound_is_exact(group_column, glo):
+                return None
+            per_group.setdefault(glo, []).append(topks[key])
+        out: Dict = {}
+        for g, summaries in per_group.items():
+            lower: Dict = {}
+            for ents, _, _ in summaries:
+                for v, c in ents:
+                    lower[v] = lower.get(v, 0) + c
+            rows = []
+            for v, lo in lower.items():
+                slack = sum(min(kth, rest)
+                            for ents, rest, kth in summaries
+                            if all(sv != v for sv, _ in ents))
+                rows.append((v, lo, lo + slack))
+            rows.sort(key=lambda e: (-e[1], e[0]))
+            out[g] = rows[:n]
+        return out
+
     def min_max_by(self, group_column: str, target_column: str):
         """Zero-I/O GROUP BY MIN/MAX: {group value: (min, max, count)}
         answered from the catalog alone when EVERY row group is

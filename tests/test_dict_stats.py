@@ -302,3 +302,32 @@ def test_heavy_hitter_bounds_are_sound(spark, tmp_path):
     # a table indexed WITHOUT topk_columns refuses
     t2 = IndexedParquetTable(spark, d, index_columns=["seq"])
     assert t2.heavy_hitters("v") is None
+
+
+def test_grouped_heavy_hitters_trust_rules(spark, tmp_path):
+    """heavy_hitters_by folds per group over a clustered layout (every
+    row group single-valued on the group column) and refuses on a
+    mixed layout — the shared grouped-fold trust posture."""
+    d = str(tmp_path / "hhby")
+    rows = [(i, "g%d" % (i % 2), i % 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "k LONG, g STRING, v LONG")
+    for gval in ("g0", "g1"):
+        _write_single(spark, df.filter(F.col("g") == gval),
+                      os.path.join(d, f"{gval}.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["g"],
+                            topk_columns=["v"], topk_k=4)
+    out = t.heavy_hitters_by("g", "v", 3)
+    assert out is not None and set(out) == {"g0", "g1"}
+    truth = {(r["g"], r["v"]): r["c"] for r in
+             df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+             .collect()}
+    for g, lst in out.items():
+        assert len(lst) == 3
+        for v, lo, hi in lst:
+            assert lo <= truth[(g, v)] <= hi
+    # jumbled layout: group column not single-valued per row group
+    d2 = str(tmp_path / "hhby_mixed")
+    df.repartition(2).write.mode("overwrite").parquet(d2)
+    t2 = IndexedParquetTable(spark, d2, index_columns=["g"],
+                             topk_columns=["v"], topk_k=4)
+    assert t2.heavy_hitters_by("g", "v", 3) is None

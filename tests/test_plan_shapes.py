@@ -347,3 +347,44 @@ def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
     plan = _plan(q58_unpivot(spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_semantic_dedup_salted_join_no_cartesian(spark, sf_dir):
+    """The within-cluster pair join must be a salted equi-join (the
+    low-NDV cluster key alone would serialize each cluster's O(c²)
+    work onto one task) — never a cartesian/nested-loop, and the salt
+    column must be in the join keys."""
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        dedup_semantic,
+    )
+    plan = _plan(dedup_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "_salt" in plan  # the low-NDV key really is salted
+
+
+def test_hybrid_rrf_broadcasts_query_side(spark, sf_dir):
+    """The lexical probe must broadcast the tiny weighted query-terms
+    side against the corpus terms (map-side inverted-index join) — the
+    big side never shuffles before the aggregate — and the whole plan
+    stays cartesian-free."""
+    from datafusion_async_parquet_index_spark.operators.similarity import (
+        sim_hybrid_rrf,
+    )
+    plan = _plan(sim_hybrid_rrf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dict_pruning_scan_location_excludes_refuted_file(spark, sf_dir):
+    """q82's equality scan must not even LIST file a (value-set
+    refuted) in the Parquet scan location — the pruning is visible in
+    the physical plan, not just the ScanDecision."""
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.queries import (
+        _dict_split_orders,
+    )
+    t = _dict_split_orders(spark, sf_dir)
+    df = t.query(col("o_orderstatus") == "O")
+    plan = _plan(df)
+    assert "b.parquet" in plan
+    assert "a.parquet" not in plan

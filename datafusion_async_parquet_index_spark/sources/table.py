@@ -1426,7 +1426,7 @@ class IndexedParquetTable:
             out[g] = est
         return out
 
-    def group_counts(self, column: str):
+    def group_counts(self, column: str, as_of: Optional[int] = None):
         """Exact zero-I/O ``GROUP BY col, COUNT(*)`` from the catalog's
         dictionary/frequency extension: per-row-group value→count maps
         (stored at index time, ``dict_columns``, for columns whose
@@ -1441,33 +1441,38 @@ class IndexedParquetTable:
         null_count stats when the column is also min/max-indexed), or
         None when any row group lacks a dict row (cardinality blew the
         cap there — coverage degrades to a scan-side groupBy, never
-        wrongness). At 100 TB this is the label/status/language
-        distribution dashboard served from the index alone, and the
-        maps keep folding across partitions, days, or tables."""
+        wrongness). as_of: fold only a snapshot()'s files — yesterday's
+        label distribution, still zero I/O. At 100 TB this is the
+        label/status/language distribution dashboard served from the
+        index alone, and the maps keep folding across partitions,
+        days, or tables."""
         try:
             dicts = self.catalog.get_dicts(column)
         except Exception:
             return None
         if not dicts:
             return None
-        expected = {(f[0], rg) for f in self.catalog.all_files()
-                    for rg in range(f[2])}
-        if set(dicts) != expected:
+        files = self.catalog.all_files()
+        if as_of is not None:
+            snap = self._snapshot_guard(as_of)
+            files = [f for f in files if f[0] in snap]
+        expected = {(f[0], rg) for f in files for rg in range(f[2])}
+        if not expected or not expected <= set(dicts):
             return None  # a row group over the cap: no exact answer
         out: Dict = {}
-        for entries in dicts.values():
-            for v, c in entries:
+        for key in expected:
+            for v, c in dicts[key]:
                 out[v] = out.get(v, 0) + c
-        self.last_dict_pushdown = {"row_groups": len(dicts),
+        self.last_dict_pushdown = {"row_groups": len(expected),
                                    "groups": len(out)}
         return out
 
-    def distinct_values(self, column: str):
+    def distinct_values(self, column: str, as_of: Optional[int] = None):
         """Exact zero-I/O ``SELECT DISTINCT col`` from the dictionary
         extension: the union of the per-row-group value sets, sorted.
         Same coverage rule as group_counts (every row group must carry
         a dict row); None otherwise — scan fallback, never wrongness."""
-        counts = self.group_counts(column)
+        counts = self.group_counts(column, as_of=as_of)
         if counts is None:
             return None
         return sorted(counts)

@@ -175,3 +175,24 @@ def test_snapshot_delta_and_incremental_read(spark, tmp_path):
     t.refresh()
     with pytest.raises(ValueError, match="changed in place"):
         t.read_delta(s2)
+
+
+def test_asof_dict_fold(spark, tmp_path):
+    """group_counts composes with snapshots: yesterday's label
+    distribution folds from the snapshot's files only — zero I/O in
+    both eras."""
+    d = str(tmp_path / "tt_dict")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)]
+        + [(i + 100, "c") for i in range(50)], "k LONG, s STRING")
+    _one_file(spark, base.filter(F.col("k") < 100),
+              os.path.join(d, "old.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["k"],
+                            dict_columns=["s"])
+    snap = t.snapshot()
+    _one_file(spark, base.filter(F.col("k") >= 100),
+              os.path.join(d, "new.parquet"))
+    t.refresh()
+    assert t.group_counts("s") == {"a": 50, "b": 50, "c": 50}
+    assert t.group_counts("s", as_of=snap) == {"a": 50, "b": 50}
+    assert t.distinct_values("s", as_of=snap) == ["a", "b"]

@@ -147,7 +147,10 @@ _ROUND_PRIORITY = [
     # q86_heavy_hitters + q87_group_heavy_hitters (order-free top-k
     # frequency summaries in the catalog -> whole-table and per-group
     # heavy hitters with deterministic [lower, upper] bounds at any
-    # cardinality), each
+    # cardinality), and q88_stream_ingest (the async maintenance loop
+    # streaming-executed: foreachBatch ingest into an empty indexed
+    # table, incremental refresh + snapshot per batch, prefixes
+    # reproduced via zero-I/O as-of COUNT/SUM), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -1949,6 +1949,94 @@ def q85_asof_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_current BIGINT, sum_current_cents BIGINT")
 
 
+def q88_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ASYNC MAINTENANCE LOOP, STREAMING-EXECUTED UNDER THE ORACLE —
+    the closest thing to running the reference's whole architecture as
+    one test: orders replay as 3 time-ordered micro-batches through the
+    file source (o_orderkey % 3 = batch, mtime-pinned order), a
+    ``foreachBatch`` sink (streaming/ingest.indexed_ingest_sink) writes
+    each batch into an initially-EMPTY IndexedParquetTable directory
+    under idempotent deterministic names and incrementally refresh()es
+    the catalog (the reference's out-of-band tokio add_file,
+    index.rs:179), and the catalog is SNAPSHOTTED after every batch.
+    The proof then composes three extensions end to end with ZERO
+    Parquet I/O: each per-batch snapshot must reproduce its exact
+    ingest prefix via as-of COUNT and as-of SUM from the sum store
+    (q85's fold), and the final table must hold every order. The
+    oracle recomputes all three prefixes from the flat table via the
+    deterministic key split. At 100 TB this is the production loop:
+    executors write batch files, only new footers are read, snapshots
+    give readers repeatable prefixes of a live feed."""
+    import tempfile
+    import time as _time
+
+    from .operators.util import session_memo
+    from .streaming.ingest import indexed_ingest_sink
+
+    def build():
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("price_cents"))
+        replay = tempfile.mkdtemp(prefix="spark_graft_ingest_replay_")
+        now = _time.time()
+        for i in range(3):
+            tmp = os.path.join(replay, f"_stage_{i}")
+            (base.filter(F.col("o_orderkey") % 3 == i).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = next(p for p in sorted(os.listdir(tmp))
+                        if p.endswith(".parquet"))
+            dst = os.path.join(replay, f"batch{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (now + i, now + i))
+        table_dir = tempfile.mkdtemp(prefix="spark_graft_ingest_table_")
+        t = IndexedParquetTable(spark, table_dir,
+                                index_columns=["price_cents"],
+                                sum_columns=["price_cents"])
+        inner = indexed_ingest_sink(t)
+        snaps: list = []
+
+        def _sink(batch_df, batch_id):
+            inner(batch_df, batch_id)
+            snaps.append(t.snapshot())
+
+        stream = (spark.readStream
+                  .schema("o_orderkey LONG, price_cents LONG")
+                  .option("maxFilesPerTrigger", 1).parquet(replay))
+        q = (stream.writeStream.outputMode("append").foreachBatch(_sink)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="ckpt_ingest_"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        assert len(snaps) == 3, snaps  # three genuine triggers
+        out = []
+        for sid in snaps[:2]:
+            n = t.count_rows(as_of=sid)
+            s, ns = t.sum_rows("price_cents", as_of=sid)
+            assert t.last_sum_pushdown["partial_row_groups"] == 0
+            assert ns == n
+            out += [n, s]
+        n_all = t.count_rows()
+        s_all, _ = t.sum_rows("price_cents")
+        assert t.last_sum_pushdown["partial_row_groups"] == 0
+        out += [n_all, s_all]
+        return spark.createDataFrame(
+            [tuple(out)],
+            "n_b0 BIGINT, sum_b0_cents BIGINT, n_b1 BIGINT, "
+            "sum_b1_cents BIGINT, n_all BIGINT, sum_all_cents BIGINT")
+
+    memo = session_memo(spark, "stream_ingest_query")
+    df = memo.get(sf_dir)
+    if df is None:
+        df = memo[sf_dir] = build()
+    return df
+
+
 TOPK_HH_K = 8   # stored values per row group (the summary width)
 TOPK_HH_N = 5   # heavy hitters returned
 TOPK_LAYOUT_ENV = "SPARK_GRAFT_TOPK_LAYOUT"
@@ -2654,6 +2742,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_asof_pushdown": q85_asof_pushdown,
     "q86_heavy_hitters": q86_heavy_hitters,
     "q87_group_heavy_hitters": q87_group_heavy_hitters,
+    "q88_stream_ingest": q88_stream_ingest,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3434,6 +3523,25 @@ RELATIONAL_ORACLE["q83_time_travel"] = """
            CAST(SUM(CASE WHEN o_orderkey % 3 IN (1, 2)
                           AND cents BETWEEN 10000000 AND 20000000
                          THEN cents END) AS BIGINT) AS sum_rng_asof_cents
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q88_stream_ingest"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b0,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN cents END)
+                AS BIGINT) AS sum_b0_cents,
+           CAST(SUM(CASE WHEN o_orderkey % 3 IN (0, 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b1,
+           CAST(SUM(CASE WHEN o_orderkey % 3 IN (0, 1) THEN cents END)
+                AS BIGINT) AS sum_b1_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(cents) AS BIGINT) AS sum_all_cents
     FROM c
 """
 

@@ -736,6 +736,7 @@ class SqliteIndexCatalog:
         (name + size per file): O(files) tiny rows, written in one
         transaction next to the stats it freezes."""
         with self._txn():
+            # MAX over meta INCLUDING tombstones: ids are never reused
             sid = self._query(
                 "SELECT COALESCE(MAX(snapshot_id), 0) + 1 "
                 "FROM catalog_snapshot_meta")[0][0]
@@ -752,6 +753,29 @@ class SqliteIndexCatalog:
                     [(sid, name, size) for name, size, _, _ in files])
             return sid
 
+    def expire_snapshots(self, keep_last: int) -> List[int]:
+        """Retention (the VACUUM of the snapshot store): drop all but
+        the newest ``keep_last`` snapshots and return the expired ids.
+        Purely a metadata delete — data files are never touched (file
+        garbage collection is the table owner's job, and an expired
+        snapshot simply becomes unknown: later as-of reads raise
+        KeyError, the same loud-failure contract as a broken one).
+        Expired ids leave a TOMBSTONE meta row (file_count = -1), so
+        ids are never reused — a stale reference to an expired
+        snapshot can never silently resolve to a newer one."""
+        with self._txn():
+            ids = [r[0] for r in self._query(
+                "SELECT snapshot_id FROM catalog_snapshot_meta "
+                "WHERE file_count >= 0 ORDER BY snapshot_id")]
+            expired = ids[:-keep_last] if keep_last > 0 else ids
+            for sid in expired:
+                self._exec("DELETE FROM catalog_snapshots "
+                           "WHERE snapshot_id = ?", (sid,))
+                self._exec("UPDATE catalog_snapshot_meta "
+                           "SET file_count = -1 "
+                           "WHERE snapshot_id = ?", (sid,))
+            return expired
+
     def snapshot_files(self, snapshot_id: int) -> Dict[str, int]:
         """{file_name: file_size_bytes} recorded at snapshot time.
         Raises KeyError for an id that was never created (an empty
@@ -761,6 +785,8 @@ class SqliteIndexCatalog:
             "WHERE snapshot_id = ?", (snapshot_id,))
         if not meta:
             raise KeyError(f"unknown snapshot id {snapshot_id}")
+        if meta[0][0] < 0:
+            raise KeyError(f"snapshot id {snapshot_id} has been expired")
         rows = self._query(
             """SELECT file_name, file_size_bytes FROM catalog_snapshots
                WHERE snapshot_id = ?""", (snapshot_id,))

@@ -68,8 +68,10 @@ class DataFrameIndexCatalog:
         self._ndvs: Dict[str, Dict[int, Dict[str, list]]] = {}
         # file_name -> {row_group: {column: [(value, count), ...]}}
         self._dicts: Dict[str, Dict[int, Dict[str, list]]] = {}
-        # snapshot_id -> {file_name: file_size_bytes} (time travel)
+        # snapshot_id -> {file_name: file_size_bytes} (time travel);
+        # the seq counter never rewinds, so expired ids are not reused
         self._snapshots: Dict[int, Dict[str, int]] = {}
+        self._snapshot_seq = 0
         # file_name -> {row_group: {column: (entries, rest, kth)}}
         self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
@@ -167,11 +169,20 @@ class DataFrameIndexCatalog:
 
     def create_snapshot(self) -> int:
         """Same protocol as SqliteIndexCatalog.create_snapshot."""
-        sid = max(self._snapshots, default=0) + 1
+        self._snapshot_seq += 1
+        sid = self._snapshot_seq
         self._snapshots[sid] = {
             fs.file_name: fs.file_size_bytes
             for fs, _ in self._files.values()}
         return sid
+
+    def expire_snapshots(self, keep_last: int):
+        """Same protocol as SqliteIndexCatalog.expire_snapshots."""
+        ids = sorted(self._snapshots)
+        expired = ids[:-keep_last] if keep_last > 0 else ids
+        for sid in expired:
+            del self._snapshots[sid]
+        return expired
 
     def snapshot_files(self, snapshot_id: int):
         """Same protocol as SqliteIndexCatalog.snapshot_files."""

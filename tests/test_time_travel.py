@@ -196,3 +196,41 @@ def test_asof_dict_fold(spark, tmp_path):
     assert t.group_counts("s") == {"a": 50, "b": 50, "c": 50}
     assert t.group_counts("s", as_of=snap) == {"a": 50, "b": 50}
     assert t.distinct_values("s", as_of=snap) == ["a", "b"]
+
+
+@pytest.mark.parametrize("backend", ["sqlite", "dataframe"])
+def test_expire_snapshots_retention(spark, tmp_path, backend):
+    """expire_snapshots keeps the newest N; expired ids become unknown
+    (KeyError on as-of — the same loud contract as a broken snapshot);
+    new snapshot ids keep increasing monotonically past expiry."""
+    d = str(tmp_path / f"tt_expire_{backend}")
+    _one_file(spark, spark.range(10).select(F.col("id").alias("v")),
+              os.path.join(d, "f.parquet"))
+    cat = (SqliteIndexCatalog() if backend == "sqlite"
+           else DataFrameIndexCatalog(spark))
+    t = IndexedParquetTable(spark, d, index_columns=["v"], catalog=cat)
+    s1, s2, s3 = t.snapshot(), t.snapshot(), t.snapshot()
+    expired = t.catalog.expire_snapshots(keep_last=1)
+    assert expired == [s1, s2]
+    assert t.query(None, as_of=s3).count() == 10
+    with pytest.raises(KeyError):
+        t.query(None, as_of=s1)
+    s4 = t.snapshot()
+    assert s4 > s3  # ids never reused after expiry
+    assert t.query(None, as_of=s4).count() == 10
+
+
+def test_expired_ids_never_reused(spark, tmp_path):
+    """Expiring EVERY snapshot must not let ids restart: a stale
+    reference to an expired id raises instead of silently resolving to
+    a newer snapshot that happens to share the number."""
+    d = str(tmp_path / "tt_noreuse")
+    _one_file(spark, spark.range(5).select(F.col("id").alias("v")),
+              os.path.join(d, "f.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    s1 = t.snapshot()
+    assert t.catalog.expire_snapshots(keep_last=0) == [s1]
+    s2 = t.snapshot()
+    assert s2 > s1
+    with pytest.raises(KeyError):
+        t.query(None, as_of=s1)

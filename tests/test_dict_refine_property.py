@@ -1,0 +1,119 @@
+"""Property-based soundness of dictionary-set row-group refinement
+(table._dict_refine): for random per-row-group value multisets (with
+NULLs and random cap coverage) and random =, !=, IN, NOT IN predicates
+— alone and under AND — every row group containing a row that SATISFIES
+the predicate (SQL ternary logic) must survive refinement.
+Over-selection is allowed; under-selection never. No Spark needed: the
+refinement consults only the catalog, exercised through the real SQLite
+JSON round-trip."""
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_async_parquet_index_spark.plans.expr import (
+    BinOp, Col, InList, Lit, Not,
+)
+from datafusion_async_parquet_index_spark.sources.catalog import (
+    FileStats, RowGroupStats, SqliteIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+
+class _Shim:
+    def __init__(self, cat, col):
+        self.catalog = cat
+        self.dict_columns = (col,)
+        self.index_schema = {}
+
+    _dict_refine = IndexedParquetTable._dict_refine
+
+
+_INTS = st.one_of(st.integers(min_value=0, max_value=6), st.none())
+_STRS = st.one_of(st.sampled_from(["a", "b", "c", "d"]), st.none())
+
+
+def _sat(row, pred):
+    """SQL ternary-logic row evaluation, True only when satisfied."""
+    if isinstance(pred, BinOp) and pred.op == "AND":
+        l, r = _sat(row, pred.left), _sat(row, pred.right)
+        return (l is True) and (r is True)
+    if isinstance(pred, BinOp):
+        lit = pred.right.value if isinstance(pred.right, Lit) \
+            else pred.left.value
+        if row is None:
+            return None
+        return row == lit if pred.op == "=" else row != lit
+    if isinstance(pred, InList):
+        if row is None:
+            return None
+        return row in [v.value for v in pred.values]
+    if isinstance(pred, Not):
+        inner = _sat(row, pred.child)
+        return None if inner is None else not inner
+    raise AssertionError(pred)
+
+
+def _preds(col, lits):
+    a, b = lits
+    return [
+        Col(col) == Lit(a),
+        Lit(a) == Col(col),
+        Col(col) != Lit(a),
+        Lit(a) != Col(col),
+        InList(Col(col), [Lit(a), Lit(b)]),
+        Not(InList(Col(col), [Lit(a), Lit(b)])),
+        Not(Col(col) == Lit(a)),
+        (Col(col) != Lit(a)) & (Col(col) != Lit(b)),
+        (Col(col) == Lit(a)) & Not(InList(Col(col), [Lit(b)])),
+    ]
+
+
+def _run(groups, lits, cap):
+    cat = SqliteIndexCatalog()
+    cat.initialize({})
+    fs = FileStats("f.parquet", 1, len(groups), sum(len(g) for g in groups))
+    rgs = [RowGroupStats(row_group=i, row_count=len(g))
+           for i, g in enumerate(groups)]
+    dicts = {}
+    for i, g in enumerate(groups):
+        cnt = Counter(v for v in g if v is not None)
+        # random cap coverage: over-cap row groups record nothing
+        dicts[i] = {"s": sorted(cnt.items())} if len(cnt) <= cap else {}
+    cat.upsert_file(fs, rgs, dicts=dicts)
+    shim = _Shim(cat, "s")
+    for pred in _preds("s", lits):
+        survivors = {"f.parquet": list(range(len(groups)))}
+        shim._dict_refine(pred, survivors)
+        kept = set(survivors.get("f.parquet", []))
+        for i, g in enumerate(groups):
+            if any(_sat(v, pred) is True for v in g):
+                assert i in kept, (
+                    pred.to_sql(), i, g, dicts[i], kept)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    groups=st.lists(st.lists(_INTS, min_size=0, max_size=12),
+                    min_size=1, max_size=4),
+    lits=st.tuples(st.integers(min_value=0, max_value=7),
+                   st.integers(min_value=0, max_value=7)),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_int_dict_refine_never_under_selects(groups, lits, cap):
+    _run(groups, list(lits), cap)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    groups=st.lists(st.lists(_STRS, min_size=0, max_size=12),
+                    min_size=1, max_size=4),
+    lits=st.tuples(st.sampled_from(["a", "b", "c", "d", "z"]),
+                   st.sampled_from(["a", "b", "c", "d", "z"])),
+    cap=st.integers(min_value=1, max_value=5),
+)
+def test_string_dict_refine_never_under_selects(groups, lits, cap):
+    _run(groups, list(lits), cap)

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.expr import Expr, Lit, and_all
 from ..plans.pruning import PruningRewriter
+from . import stats as _stats
 from .catalog import SqliteIndexCatalog
 from .stats import build_index, list_parquet_files
 
@@ -292,10 +293,12 @@ class IndexedParquetTable:
                                  dict_columns=getattr(
                                      self, "dict_columns", ()),
                                  dict_max_values=getattr(
-                                     self, "dict_max_values", 64),
+                                     self, "dict_max_values",
+                                     _stats.DICT_MAX_VALUES),
                                  topk_columns=getattr(
                                      self, "topk_columns", ()),
-                                 topk_k=getattr(self, "topk_k", 8),
+                                 topk_k=getattr(self, "topk_k",
+                                                _stats.TOPK_K),
                                  **self._partition_index_kwargs())
         self._nan_free_cache = {}
         if new_schema != self.index_schema:
@@ -317,7 +320,13 @@ class IndexedParquetTable:
         Delta's after-VACUUM time-travel contract. Under the
         immutable-file lakehouse convention (writers add and remove
         whole files, never mutate them) every snapshot of live files
-        stays serveable forever at O(files) metadata per snapshot."""
+        stays serveable forever at O(files) metadata per snapshot.
+        Change detection is SIZE-based, deliberately matching
+        refresh()'s own short-circuit: an in-place rewrite that
+        preserves the exact byte size evades both (and every other
+        consumer of the catalog) — the convention makes that safe;
+        rewriting files in place voids the whole index, not just
+        snapshots."""
         return self.catalog.create_snapshot()
 
     def _snapshot_guard(self, as_of: int) -> Dict[str, int]:
@@ -376,6 +385,22 @@ class IndexedParquetTable:
                 f"cannot represent rewrites")
         if not delta["added"]:
             return self.spark.createDataFrame([], self._schema)
+        if target is not None:
+            # explicit historical target: the added files are read from
+            # DISK NOW, so each must still be indexed at the size the
+            # target snapshot recorded — otherwise a later in-place
+            # rewrite would silently serve rows that were never the
+            # base→target delta (the snapshot manifests alone cannot
+            # see it: the file is identical across base-vs-target)
+            tgt = self.catalog.snapshot_files(target)
+            current = {f[0]: f[1] for f in self.catalog.all_files()}
+            broken = sorted(n for n in delta["added"]
+                            if current.get(n) != tgt[n])
+            if broken:
+                raise ValueError(
+                    f"delta of snapshots {base}->{target} is no longer "
+                    f"reconstructable: added files {broken} changed or "
+                    f"vanished since snapshot {target} was taken")
         paths = [os.path.join(self.data_dir, n) for n in delta["added"]]
         reader = self.spark.read
         if getattr(self, "partitioned", False):
@@ -559,11 +584,14 @@ class IndexedParquetTable:
                     if hit:
                         constraints.append((hit[0], [hit[1]], True))
         skipped = 0
+        dicts_by_col: Dict[str, Dict] = {}  # one fetch+decode per column
         for column, values, negated in constraints:
-            try:
-                dicts = self.catalog.get_dicts(column)
-            except Exception:
-                continue
+            if column not in dicts_by_col:
+                try:
+                    dicts_by_col[column] = self.catalog.get_dicts(column)
+                except Exception:
+                    dicts_by_col[column] = {}
+            dicts = dicts_by_col[column]
             if not dicts:
                 continue
             lits = set()
@@ -1487,7 +1515,14 @@ class IndexedParquetTable:
         is bounded by both. Returns the n largest candidates by
         (lower DESC, value ASC) as [(value, lower, upper)], or None
         when any row group lacks a top-k row (coverage degrades to a
-        scan-side groupBy, never wrongness). Because the per-row-group
+        scan-side groupBy, never wrongness). Honesty signal: a value
+        stored in NO row group is invisible to the candidate set, and
+        its count can still reach Σ min(kth_count, rest_rows) over all
+        row groups — that ceiling is exposed as
+        ``last_hh_pushdown["unseen_upper"]``. When the n-th candidate's
+        LOWER bound clears the ceiling, the returned top-n provably
+        contains every true top-n value; when it does not, widen k or
+        fall back to a scan. Because the per-row-group
         summaries are exact top-k selections (order-free, unlike
         Misra-Gries whose decrements depend on arrival order), the
         whole answer is a deterministic pure function of the data —
@@ -1517,8 +1552,10 @@ class IndexedParquetTable:
                         if all(sv != v for sv, _ in entries))
             out.append((v, lo, lo + slack))
         out.sort(key=lambda e: (-e[1], e[0]))
-        self.last_hh_pushdown = {"row_groups": len(topks),
-                                 "candidates": len(out)}
+        self.last_hh_pushdown = {
+            "row_groups": len(topks), "candidates": len(out),
+            "unseen_upper": sum(min(kth, rest)
+                                for _, rest, kth in topks.values())}
         return out[:n]
 
     def heavy_hitters_by(self, group_column: str, column: str,

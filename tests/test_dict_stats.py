@@ -331,3 +331,38 @@ def test_grouped_heavy_hitters_trust_rules(spark, tmp_path):
     t2 = IndexedParquetTable(spark, d2, index_columns=["g"],
                              topk_columns=["v"], topk_k=4)
     assert t2.heavy_hitters_by("g", "v", 3) is None
+
+
+def test_heavy_hitters_unseen_ceiling_signals_blindness(spark, tmp_path):
+    """A value that never makes any row group's top-k is invisible to
+    the candidate set; the fold must expose the ceiling such a hidden
+    value could reach (unseen_upper), and when a candidate's lower
+    bound clears that ceiling the ranking is provably safe."""
+    d = str(tmp_path / "hh_blind")
+    # 3 row groups; value 99 appears 4x in each (12 total, the true #2)
+    # but each group has 2 local values with 5+ counts, so with k=2 the
+    # hidden value is stored nowhere
+    rows = []
+    seq = 0
+    for g in range(3):
+        for v, c in ((g * 10, 6), (g * 10 + 1, 5), (99, 4)):
+            for _ in range(c):
+                rows.append((seq, v))
+                seq += 1
+    df = spark.createDataFrame(rows, "seq LONG, v LONG")
+    for g in range(3):
+        _write_single(spark, df.filter((F.col("seq") >= g * 15)
+                                       & (F.col("seq") < (g + 1) * 15)),
+                      os.path.join(d, f"g{g}.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["seq"],
+                            topk_columns=["v"], topk_k=2)
+    hh = t.heavy_hitters("v", 3)
+    assert hh is not None
+    assert all(v != 99 for v, _, _ in hh)  # hidden from candidates
+    ceiling = t.last_hh_pushdown["unseen_upper"]
+    # every group's kth=5, rest=4 -> min 4 each -> ceiling 12 == the
+    # hidden value's true count: the bound is tight here
+    assert ceiling == 12
+    # candidates with lower >= ceiling are provably true heavy hitters;
+    # candidates below it are NOT trustworthy as a closed top-n
+    assert any(lo < ceiling for _, lo, _ in hh)

@@ -419,9 +419,15 @@ def test_semantic_dedup_pairs_only_within_clusters(spark, sf_dir):
         assert r.cosine >= SEMDEDUP_TAU
         assert r.kept_id < r.dup_id  # keep-first by id
     dups = {r.dup_id for r in rows}
-    assert all(r.kept_id not in dups or r.kept_id < r.dup_id for r in rows)
     # one row per duplicate (the anchor window collapsed multiplicity)
     assert len(dups) == len(rows)
+    # anchor minimality: an anchor that is ITSELF a duplicate must have
+    # been marked against a strictly lower anchor — the greedy-by-id
+    # chain always terminates at a kept (non-dup) document
+    by_dup = {r.dup_id: r.kept_id for r in rows}
+    for r in rows:
+        if r.kept_id in by_dup:
+            assert by_dup[r.kept_id] < r.kept_id
 
 
 def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):

@@ -234,3 +234,28 @@ def test_expired_ids_never_reused(spark, tmp_path):
     assert s2 > s1
     with pytest.raises(KeyError):
         t.query(None, as_of=s1)
+
+
+def test_read_delta_explicit_target_guards_added_rewrites(spark, tmp_path):
+    """A file ADDED between base and target, then rewritten in place
+    AFTER target, must make read_delta(base, target) raise — the two
+    snapshot manifests alone cannot see the rewrite (the file is
+    'added' in both comparisons), so the added files are verified
+    against the live catalog."""
+    d = str(tmp_path / "tt_delta_guard")
+    base = spark.range(60).select(F.col("id").alias("v"))
+    _one_file(spark, base.filter(F.col("v") < 20),
+              os.path.join(d, "a.parquet"))
+    t = IndexedParquetTable(spark, d, index_columns=["v"])
+    s1 = t.snapshot()
+    _one_file(spark, base.filter((F.col("v") >= 20) & (F.col("v") < 40)),
+              os.path.join(d, "b.parquet"))
+    t.refresh()
+    s2 = t.snapshot()
+    assert t.read_delta(s1, s2).count() == 20
+    # rewrite the ADDED file after s2 (different size)
+    _one_file(spark, spark.range(500).select(F.col("id").alias("v")),
+              os.path.join(d, "b.parquet"))
+    t.refresh()
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        t.read_delta(s1, s2)

@@ -1,0 +1,142 @@
+"""Operational CLI over the indexed-table engine.
+
+The reference ships as a runnable binary (``cargo run`` —
+sqlx-sqlite/src/main.rs:119); a user operating THIS engine needs the
+same day-to-day verbs without writing a script. Every subcommand is a
+thin argparse shell over the library (sources/table.py) — no logic
+lives here, so the CLI can never drift from the tested API.
+
+    python -m datafusion_async_parquet_index_spark.cli <verb> DIR [...]
+
+Verbs:
+
+    build DIR --columns a,b [--sum-columns x] [--dict-columns s]
+              [--topk-columns k] [--catalog path.db]
+        Index every parquet file under DIR (footer-only pass) into a
+        fresh or existing catalog; prints the per-file stats summary.
+
+    refresh DIR --columns a,b [--catalog path.db]
+        Incremental maintenance: index new/changed files, drop deleted
+        ones (size short-circuit — O(changed files)).
+
+    snapshot DIR --columns a,b --catalog path.db
+        Freeze the current indexed file set; prints the snapshot id.
+
+    query DIR --columns a,b "WHERE-clause" [--as-of N] [--limit N]
+              [--catalog path.db]
+        Parse the WHERE clause, prune through the index, print the
+        pruning trace and the first rows.
+
+    describe DIR --columns a,b [--catalog path.db]
+        The catalog DESCRIBE readout (per-column stats completeness,
+        bounds, trust flags) — pure catalog fold, no data read.
+
+A file-backed --catalog makes the verbs compose across invocations
+(build once, snapshot, keep querying as-of); without it each run
+indexes into a private in-memory catalog first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _split(s):
+    return [c for c in (s or "").split(",") if c]
+
+
+def _table(args):
+    from .session import get_spark
+    from .sources.catalog import SqliteIndexCatalog
+    from .sources.table import IndexedParquetTable
+
+    spark = get_spark("cli")
+    catalog = (SqliteIndexCatalog(args.catalog) if args.catalog
+               else None)
+    return IndexedParquetTable(
+        spark, args.dir,
+        index_columns=_split(args.columns),
+        catalog=catalog,
+        sum_columns=_split(getattr(args, "sum_columns", "")),
+        dict_columns=_split(getattr(args, "dict_columns", "")),
+        topk_columns=_split(getattr(args, "topk_columns", "")),
+        bloom_columns=_split(getattr(args, "bloom_columns", "")),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m datafusion_async_parquet_index_spark.cli",
+        description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    def common(sp):
+        sp.add_argument("dir")
+        sp.add_argument("--columns", required=True,
+                        help="comma-separated min/max index columns")
+        sp.add_argument("--catalog", default=None,
+                        help="file-backed SQLite catalog path")
+        sp.add_argument("--sum-columns", default="")
+        sp.add_argument("--dict-columns", default="")
+        sp.add_argument("--topk-columns", default="")
+        sp.add_argument("--bloom-columns", default="")
+
+    common(sub.add_parser("build"))
+    common(sub.add_parser("refresh"))
+    common(sub.add_parser("snapshot"))
+    q = sub.add_parser("query")
+    common(q)
+    q.add_argument("where", help="SQL WHERE clause, e.g. \"a = 5\"")
+    q.add_argument("--as-of", type=int, default=None, dest="as_of")
+    q.add_argument("--limit", type=int, default=20)
+    common(sub.add_parser("describe"))
+
+    args = p.parse_args(argv)
+    before = None
+    if args.verb == "refresh" and args.catalog:
+        # capture the prior file set BEFORE construction — building the
+        # table over the directory already indexes whatever is on disk
+        import sqlite3
+        try:
+            conn = sqlite3.connect(args.catalog)
+            before = {r[0] for r in conn.execute(
+                "SELECT file_name FROM file_statistics")}
+            conn.close()
+        except sqlite3.OperationalError:
+            before = set()  # first run: no catalog tables yet
+    t = _table(args)
+
+    if args.verb == "build":
+        for name, size, rgs, rows in t.catalog.all_files():
+            print(f"{name}\t{size} bytes\t{rgs} row groups\t{rows} rows")
+        print(f"indexed {len(t.catalog.all_files())} files")
+    elif args.verb == "refresh":
+        if before is None:
+            before = {f[0] for f in t.catalog.all_files()}
+        t.refresh()
+        after = {f[0] for f in t.catalog.all_files()}
+        print(f"added={sorted(after - before)} "
+              f"removed={sorted(before - after)} total={len(after)}")
+    elif args.verb == "snapshot":
+        if not args.catalog:
+            print("snapshot without --catalog is useless "
+                  "(in-memory catalogs die with the process)",
+                  file=sys.stderr)
+            return 2
+        print(f"snapshot {t.snapshot()}")
+    elif args.verb == "query":
+        from .plans.sql_predicate import parse_predicate
+        pred = parse_predicate(args.where)
+        df = t.query(pred, as_of=args.as_of)
+        print(t.last_scan.describe())
+        df.show(args.limit, truncate=False)
+    elif args.verb == "describe":
+        import json
+        print(json.dumps(t.describe_index(), indent=2, default=str))
+    t.spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""The operational CLI (cli.py) drives the tested library verbs
+end-to-end: build -> snapshot -> append -> refresh -> query (current
+and as-of) -> describe, composing across invocations through a
+file-backed catalog. main() is invoked in-process (each call builds on
+the shared session via get_spark), stdout is captured and asserted."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def corpus_dir(spark, tmp_path):
+    import shutil
+    from pyspark.sql import functions as F
+    d = str(tmp_path / "cli_data")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tmp = d + "_tmp"
+    df.filter(F.col("k") < 60).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    os.makedirs(d, exist_ok=True)
+    part = next(p for p in sorted(os.listdir(tmp))
+                if p.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(d, "a.parquet"))
+    shutil.rmtree(tmp)
+    return d, df
+
+
+def _run(capsys, *argv):
+    # spark.stop() inside main() would kill the shared test session;
+    # the session factory returns the same live session and stop() is
+    # monkeypatched out by the caller
+    from datafusion_async_parquet_index_spark import cli
+    rc = cli.main(list(argv))
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_cli_lifecycle(spark, corpus_dir, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d, df = corpus_dir
+    db = str(tmp_path / "cli_catalog.db")
+
+    rc, out = _run(capsys, "build", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0 and "indexed 1 files" in out and "a.parquet" in out
+
+    rc, out = _run(capsys, "snapshot", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0 and out.startswith("snapshot ")
+    snap = int(out.split()[1])
+
+    # append a file, refresh through the CLI
+    import shutil
+    from pyspark.sql import functions as F
+    tmp = d + "_tmp2"
+    df.filter(F.col("k") >= 60).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = next(p for p in sorted(os.listdir(tmp))
+                if p.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(d, "b.parquet"))
+    shutil.rmtree(tmp)
+    rc, out = _run(capsys, "refresh", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0 and "added=['b.parquet']" in out and "total=2" in out
+
+    # query current: sees both files; the trace prints
+    rc, out = _run(capsys, "query", d, "--columns", "v",
+                   "v >= 150", "--catalog", db, "--limit", "5")
+    assert rc == 0 and "Files scanned" in out and "b.parquet" in out
+
+    # query as-of the snapshot: the arrival is invisible, result empty
+    rc, out = _run(capsys, "query", d, "--columns", "v",
+                   "v >= 150", "--catalog", db, "--as-of", str(snap))
+    assert rc == 0 and "b.parquet" not in out.split("Files scanned")[1]
+
+    rc, out = _run(capsys, "describe", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0 and '"v"' in out
+
+    # snapshot without a file catalog is refused loudly
+    rc, _ = _run(capsys, "snapshot", d, "--columns", "v")
+    assert rc == 2

@@ -150,7 +150,9 @@ _ROUND_PRIORITY = [
     # cardinality), and q88_stream_ingest (the async maintenance loop
     # streaming-executed: foreachBatch ingest into an empty indexed
     # table, incremental refresh + snapshot per batch, prefixes
-    # reproduced via zero-I/O as-of COUNT/SUM), each
+    # reproduced via zero-I/O as-of COUNT/SUM), and q89_sql_pushdown
+    # (full-statement SQL through the index: the WHERE drives the
+    # pruned scan, the rest of the statement runs on Catalyst), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

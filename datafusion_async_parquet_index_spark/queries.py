@@ -2037,6 +2037,30 @@ def q88_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q89_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-STATEMENT SQL through the index (table.sql) — the
+    reference's primary interface shape (main.rs:146-149 hands whole
+    SELECT statements to DataFusion and pruning happens inside the
+    scan): projections, GROUP BY, ORDER BY and LIMIT run through
+    Catalyst while the statement's WHERE clause drives the external
+    index, so the scan underneath the aggregation reads only the
+    surviving row groups of the cents-sorted layout (asserted: a
+    strict subset). Completes the entry-point triple — DataFrame
+    (q2...), WHERE-clause SQL (query_sql), and now whole statements —
+    so a user of the reference can paste their SQL. The oracle runs
+    the same statement semantics on the flat table."""
+    t = _cents_orders(spark, sf_dir)
+    df = t.sql(
+        "SELECT price_cents % 10 AS last_digit, COUNT(*) AS n, "
+        "SUM(price_cents) AS sum_cents FROM self "
+        "WHERE price_cents >= 5000000 AND price_cents <= 30000000 "
+        "GROUP BY price_cents % 10")
+    dec = t.last_scan
+    assert 0 < dec.row_groups_scanned < dec.total_row_groups, \
+        dec.describe()  # the statement's WHERE really pruned the scan
+    return df
+
+
 TOPK_HH_K = 8   # stored values per row group (the summary width)
 TOPK_HH_N = 5   # heavy hitters returned
 TOPK_LAYOUT_ENV = "SPARK_GRAFT_TOPK_LAYOUT"
@@ -2743,6 +2767,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_heavy_hitters": q86_heavy_hitters,
     "q87_group_heavy_hitters": q87_group_heavy_hitters,
     "q88_stream_ingest": q88_stream_ingest,
+    "q89_sql_pushdown": q89_sql_pushdown,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3524,6 +3549,18 @@ RELATIONAL_ORACLE["q83_time_travel"] = """
                           AND cents BETWEEN 10000000 AND 20000000
                          THEN cents END) AS BIGINT) AS sum_rng_asof_cents
     FROM c
+"""
+
+RELATIONAL_ORACLE["q89_sql_pushdown"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT cents % 10 AS last_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c WHERE cents BETWEEN 5000000 AND 30000000
+    GROUP BY cents % 10
 """
 
 RELATIONAL_ORACLE["q88_stream_ingest"] = """

@@ -1912,3 +1912,64 @@ class IndexedParquetTable:
 
     def create_temp_view(self, view_name: Optional[str] = None) -> None:
         self.to_df().createOrReplaceTempView(view_name or self.name)
+
+    def sql(self, statement: str) -> DataFrame:
+        """FULL-STATEMENT SQL with index pruning inside — the
+        reference's primary interface (main.rs:146-149 runs whole
+        SELECTs through DataFusion, whose scan prunes): ``t.sql(
+        "SELECT k, SUM(v) FROM self WHERE v > 5 GROUP BY k LIMIT 3")``.
+
+        The statement's single FROM target must be the literal word
+        ``self``. The top-level WHERE clause (up to GROUP BY / HAVING /
+        ORDER BY / LIMIT, paren-depth 0) is parsed with the same
+        grammar query_sql uses and drives the pruned scan; the pruned
+        (residual-filtered) DataFrame is registered under a statement-
+        local view and the FULL statement — projections, aggregates,
+        windows, ORDER BY, LIMIT — executes on it through Catalyst.
+        The WHERE clause is kept in the rewritten statement too
+        (evaluating it twice is free after pushdown and keeps the SQL
+        semantics authoritative). Statements without a WHERE run on
+        the catalog-consistent full scan (query(None)). Subqueries or
+        joins inside the statement still work as long as the OUTER
+        FROM is ``self`` — they see Catalyst, not the index."""
+        import re
+
+        m = re.search(r"\bFROM\s+self\b", statement, flags=re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                "t.sql() requires the FROM target to be the literal "
+                "word 'self' (got: %r)" % statement)
+        # locate the top-level WHERE and its end (depth-0 keyword scan)
+        upper = statement.upper()
+        depth = 0
+        where_start = where_end = None
+        i = m.end()
+        enders = ("GROUP BY", "HAVING", "ORDER BY", "LIMIT", "WINDOW")
+        while i < len(statement):
+            ch = statement[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                if where_start is None and upper.startswith("WHERE", i) \
+                        and (i == 0 or not statement[i - 1].isalnum()):
+                    where_start = i
+                    i += 5
+                    continue
+                if where_start is not None and any(
+                        upper.startswith(k, i) for k in enders):
+                    where_end = i
+                    break
+            i += 1
+        from ..plans.sql_predicate import parse_predicate
+        if where_start is not None:
+            clause = statement[where_start + 5:
+                               where_end if where_end else len(statement)]
+            df = self.query(parse_predicate(clause))
+        else:
+            df = self.query(None)
+        view = f"_idx_sql_{self.name}_{abs(hash(statement)) % 10 ** 8}"
+        df.createOrReplaceTempView(view)
+        return self.spark.sql(
+            statement[:m.start()] + f"FROM {view}" + statement[m.end():])

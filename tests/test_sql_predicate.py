@@ -179,3 +179,32 @@ def test_contains_token_rejects_non_string():
     )
     with _pytest.raises(SqlPredicateError):
         parse_predicate("contains_token(body, 42)")
+
+
+def test_full_statement_sql_routes_through_index(spark, demo_dir):
+    """t.sql(): whole SELECT statements execute through Catalyst while
+    the top-level WHERE drives the pruned scan; no-WHERE statements run
+    the catalog-consistent full scan; a non-'self' FROM is rejected."""
+    import pytest as _pytest
+
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    t = IndexedParquetTable(spark, demo_dir, ["value", "text"])
+    df = t.sql("SELECT file_name, COUNT(*) AS n FROM self "
+               "WHERE value = 150 GROUP BY file_name")
+    assert t.last_scan.row_groups_scanned == 1  # the golden Q2 prune
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n"] >= 1
+    # parens inside WHERE must not confuse the depth-0 ender scan
+    df2 = t.sql("SELECT value FROM self WHERE value IN (150, 250) "
+                "ORDER BY value LIMIT 3")
+    got = [r["value"] for r in df2.collect()]
+    assert got == sorted(got) and set(got) <= {150, 250}
+    assert t.last_scan.row_groups_scanned < t.last_scan.total_row_groups
+    # no WHERE: full catalog-consistent scan
+    n_all = t.sql("SELECT COUNT(*) AS n FROM self").head()["n"]
+    assert n_all == t.count_rows()
+    with _pytest.raises(ValueError, match="FROM target"):
+        t.sql("SELECT * FROM other_table WHERE value = 1")

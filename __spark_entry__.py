@@ -152,7 +152,10 @@ _ROUND_PRIORITY = [
     # table, incremental refresh + snapshot per batch, prefixes
     # reproduced via zero-I/O as-of COUNT/SUM), and q89_sql_pushdown
     # (full-statement SQL through the index: the WHERE drives the
-    # pruned scan, the rest of the statement runs on Catalyst), each
+    # pruned scan, the rest of the statement runs on Catalyst), and
+    # text_temperature_resample (XLM-R-style alpha=0.5 mixture
+    # smoothing with a UniMax-style keep-all cap, deterministic
+    # hash-coin acceptance), each
     # locally green + fingerprinted at both sf0.001 and sf0.01
     # (several also at sf0.1) — and anything later;
     # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,

@@ -90,6 +90,13 @@ def main(argv=None) -> int:
     q.add_argument("where", help="SQL WHERE clause, e.g. \"a = 5\"")
     q.add_argument("--as-of", type=int, default=None, dest="as_of")
     q.add_argument("--limit", type=int, default=20)
+    s = sub.add_parser("sql")
+    common(s)
+    s.add_argument("statement",
+                   help="full SELECT with FROM self, e.g. "
+                        "\"SELECT k, SUM(v) FROM self WHERE v > 5 "
+                        "GROUP BY k\"")
+    s.add_argument("--limit", type=int, default=20)
     common(sub.add_parser("describe"))
 
     args = p.parse_args(argv)
@@ -129,6 +136,10 @@ def main(argv=None) -> int:
         from .plans.sql_predicate import parse_predicate
         pred = parse_predicate(args.where)
         df = t.query(pred, as_of=args.as_of)
+        print(t.last_scan.describe())
+        df.show(args.limit, truncate=False)
+    elif args.verb == "sql":
+        df = t.sql(args.statement)
         print(t.last_scan.describe())
         df.show(args.limit, truncate=False)
     elif args.verb == "describe":

@@ -247,6 +247,78 @@ TEXT_MIXTURE_SQL = f"""
 """
 
 
+def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE (α = 0.5) mixture resampling across sources — the
+    multilingual-LM rebalancing step (XLM-R's exponent-smoothed
+    sampling, Conneau et al. 2020; UniMax is the capped refinement):
+    sample probability q_s ∝ n_s^α flattens the source distribution so
+    head sources shrink and tail sources keep (nearly) everything.
+    Per-source keep rate = min(1, q_s / p_s) — sampling without
+    replacement, so upsampling caps at keeping all (the UniMax-style
+    cap); with α = 1/2 that is N / (√n_s · Σ√n_t).
+
+    Determinism contract (what lets the oracle pin every number): the
+    √ is the integer floor-sqrt (exact in both engines for any
+    realistic count), the rate is pure integer arithmetic in basis
+    points of MIX_BP_DENOM, and per-document acceptance is the shared
+    hash60 coin — same rows kept on every run, every engine, any
+    cluster size. Plan shape: one map-side-combined count aggregate,
+    a scalar broadcast, a tiny rates broadcast joined back, one
+    filtered recount — no shuffle of the corpus beyond the two
+    aggregates."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    isqrt = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    tot = counts.agg(F.sum("n_docs").alias("n_total"),
+                     F.sum(isqrt).alias("sum_sqrt"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .withColumn("num", F.lit(MIX_BP_DENOM) * F.col("n_total"))
+             .withColumn("den", isqrt * F.col("sum_sqrt"))
+             .select("source", "n_docs",
+                     F.least(F.lit(MIX_BP_DENOM).cast("long"),
+                             F.expr("num div den")).alias("keep_bp")))
+    coin = hash60(F.concat(F.col("doc_id").cast("string"),
+                           F.lit("|tsamp"))) % MIX_BP_DENOM
+    kept = (docs.join(F.broadcast(rates), "source")
+            .filter(coin < F.col("keep_bp"))
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")))
+    return (rates.join(kept, "source", "left")
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("keep_bp").cast("long").alias("keep_bp"),
+                    F.coalesce(F.col("n_kept"), F.lit(0))
+                    .cast("long").alias("n_kept")))
+
+
+TEXT_TSAMP_SQL = f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+        SELECT SUM(n_docs) AS n_total,
+               SUM(CAST(FLOOR(SQRT(n_docs)) AS BIGINT)) AS sum_sqrt
+        FROM c
+    ), r AS (
+        SELECT source, n_docs,
+               LEAST({MIX_BP_DENOM},
+                     ({MIX_BP_DENOM} * n_total)
+                     // (CAST(FLOOR(SQRT(n_docs)) AS BIGINT) * sum_sqrt))
+                   AS keep_bp
+        FROM c CROSS JOIN t
+    ), k AS (
+        SELECT d.source, COUNT(*) AS n_kept
+        FROM documents d JOIN r USING (source)
+        WHERE {sql_hash60("d.doc_id::VARCHAR || '|tsamp'")}
+              % {MIX_BP_DENOM} < keep_bp
+        GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(keep_bp AS BIGINT) AS keep_bp,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k USING (source)
+"""
+
+
 # -- Exact-substring (word n-gram) duplication coverage ---------------------
 
 NGRAM_W = 8  # word n-gram width (Lee et al. use 50 BPE tokens; 8 words
@@ -781,6 +853,7 @@ CURATION_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition_stats": text_repetition_stats,
     "dedup_snapshot_diff": dedup_snapshot_diff,
     "text_gopher_filter": text_gopher_filter,
+    "text_temperature_resample": text_temperature_resample,
 }
 
 CURATION_ORACLE: Dict[str, str] = {
@@ -793,4 +866,5 @@ CURATION_ORACLE: Dict[str, str] = {
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "dedup_snapshot_diff": DEDUP_SNAPSHOT_SQL,
     "text_gopher_filter": _gopher_sql(),
+    "text_temperature_resample": TEXT_TSAMP_SQL,
 }

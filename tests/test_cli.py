@@ -75,6 +75,12 @@ def test_cli_lifecycle(spark, corpus_dir, tmp_path, capsys, monkeypatch):
                    "v >= 150", "--catalog", db, "--as-of", str(snap))
     assert rc == 0 and "b.parquet" not in out.split("Files scanned")[1]
 
+    # full-statement SQL through the CLI (t.sql underneath)
+    rc, out = _run(capsys, "sql", d, "--columns", "v",
+                   "SELECT COUNT(*) AS n FROM self WHERE v >= 150",
+                   "--catalog", db)
+    assert rc == 0 and "Files scanned" in out
+
     rc, out = _run(capsys, "describe", d, "--columns", "v",
                    "--catalog", db)
     assert rc == 0 and '"v"' in out

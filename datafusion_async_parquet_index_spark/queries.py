@@ -2061,6 +2061,49 @@ def q89_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q90_rtree_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-TREE-ACCELERATED PLANNING end-to-end (catalog rtree_columns +
+    table._rtree_window): planning latency is the index's value
+    proposition, and the plain stats lookup scans the whole catalog —
+    linear in the file population (measured 264 ms point plans at the
+    100 TB-shaped 200k-file catalog; the R-tree stabs the same plan in
+    0.02 ms — 13,000×, scripts/catalog_scale_probe.py). The contract
+    this query pins at the gate scale is DECISION IDENTITY: for a
+    point lookup, a closed range, and an IN-list (one indexed stab per
+    literal), the rtree-prefiltered plan must equal the plain
+    catalog's plan byte-for-byte — f32-widened intervals and
+    full-domain sentinels for unknown bounds make the prefilter a pure
+    over-approximation the exact stats SQL then reduces. The oracle
+    recomputes the returned aggregates from the flat table; strategy
+    can never affect values."""
+    t_plain = _make_table(spark, sf_dir, "orders", ["o_totalprice"])
+    t_rt = _make_table(
+        spark, sf_dir, "orders", ["o_totalprice"],
+        catalog_factory=lambda: SqliteIndexCatalog(
+            rtree_columns=("o_totalprice",)),
+        catalog_tag="rtree")
+    assert t_rt.catalog._rtree_active == ["o_totalprice"]
+    from .plans.expr import InList, Lit
+    preds = [
+        xcol("o_totalprice") == 100_000.0,
+        (xcol("o_totalprice") >= 100_000.0)
+        & (xcol("o_totalprice") <= 200_000.0),
+        InList(xcol("o_totalprice"),
+               [Lit(50_000.0), Lit(150_000.0), Lit(450_000.0)]),
+    ]
+    for p in preds:
+        assert (t_plain.plan_scan(p).files_scanned
+                == t_rt.plan_scan(p).files_scanned), p.to_sql()
+    rng = ((xcol("o_totalprice") >= 100_000.0)
+           & (xcol("o_totalprice") <= 200_000.0))
+    df = t_rt.query(rng)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"))
+
+
 TOPK_HH_K = 8   # stored values per row group (the summary width)
 TOPK_HH_N = 5   # heavy hitters returned
 TOPK_LAYOUT_ENV = "SPARK_GRAFT_TOPK_LAYOUT"
@@ -2768,6 +2811,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_group_heavy_hitters": q87_group_heavy_hitters,
     "q88_stream_ingest": q88_stream_ingest,
     "q89_sql_pushdown": q89_sql_pushdown,
+    "q90_rtree_plan": q90_rtree_plan,
     "q81_dict_distinct": q81_dict_distinct,
     "q82_dict_pruning": q82_dict_pruning,
     "q64_div_pred": q64_div_pred,
@@ -3780,6 +3824,15 @@ RELATIONAL_ORACLE["q70_group_var_pushdown"] = """
                 // (CAST(COUNT(d) AS HUGEINT) * COUNT(d))
                 AS BIGINT) AS var_pop_milli
     FROM c GROUP BY o_orderstatus
+"""
+
+RELATIONAL_ORACLE["q90_rtree_plan"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           round(SUM(o_totalprice), 2) AS sum_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
 """
 
 RELATIONAL_ORACLE["q69_remote_catalog"] = """

@@ -123,6 +123,7 @@ class IndexedParquetTable:
         dict_max_values: Optional[int] = None,
         topk_columns: Optional[Sequence[str]] = None,
         topk_k: Optional[int] = None,
+        rtree_columns: Optional[Sequence[str]] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -149,7 +150,13 @@ class IndexedParquetTable:
         files written with a smaller truncation threshold."""
         self.spark = spark
         self.data_dir = data_dir
-        self.catalog = catalog or SqliteIndexCatalog()
+        # rtree_columns: numeric columns whose per-row-group [min, max]
+        # intervals also enter a SQLite R-tree, turning planning's
+        # stats-table scan into an O(log n) interval stab (see
+        # catalog.get_files prefilter). Only meaningful for the default
+        # SQLite catalog; an injected catalog brings its own setting.
+        self.catalog = catalog or SqliteIndexCatalog(
+            rtree_columns=rtree_columns or ())
         self.name = name or os.path.basename(data_dir.rstrip("/"))
         flat = list_parquet_files(data_dir)
         if partitioned is None:
@@ -430,7 +437,12 @@ class IndexedParquetTable:
             decision = ScanDecision("TRUE", files, len(self._files), total_rgs)
         else:
             stats_pred = self._rewriter.rewrite(predicate)
-            survivors = dict(self.catalog.get_files(stats_pred))
+            window = self._rtree_window(predicate)
+            if window is not None:
+                survivors = dict(self.catalog.get_files(
+                    stats_pred, prefilter=window))
+            else:
+                survivors = dict(self.catalog.get_files(stats_pred))
             skipped = self._bloom_refine(predicate, survivors)
             dict_skipped = self._dict_refine(predicate, survivors)
             if as_of is not None:
@@ -517,6 +529,95 @@ class IndexedParquetTable:
                 else:
                     del survivors[fname]
         return skipped
+
+    _RTREE_MAX_STABS = 16  # IN-lists beyond this fall back to the envelope
+
+    def _rtree_window(self, predicate: Expr):
+        """(column, [(lo, hi), ...]) in the encoded numeric domain for
+        the catalog's rtree prefilter (sources/catalog.py get_files),
+        or None. Extracted from TOP-LEVEL AND conjuncts of comparison /
+        IN shapes on an rtree-active column; every other shape (OR
+        arms, arithmetic, unknown nodes) contributes nothing — the
+        windows may only be WIDER than the predicate's true support,
+        never narrower, because the exact stats SQL still evaluates
+        over the candidates. The windows come from ONE conjunct group
+        (the first IN-list if present — one point stab per literal, k
+        indexed stabs beat one domain-spanning envelope by orders of
+        magnitude — else the closed comparison envelope): a single
+        group is by construction a SUPERSET of the stats SQL's
+        candidate set, so plan decisions stay byte-identical to the
+        plain catalog (fuzz-pinned); combining groups by intersection
+        could legally prune more but would break that identity. CLOSED
+        envelopes only: an open side (pure > / <) can cover most of
+        the domain, where the candidate join costs more than the plain
+        scan it replaces."""
+        active = getattr(self.catalog, "_rtree_active", ())
+        if not active:
+            return None
+        from ..plans.expr import BinOp, Col, InList, Lit
+        from .catalog import encode_value
+
+        def enc(name, v):
+            if isinstance(v, bool):
+                return None
+            cat = self.index_schema.get(name)
+            if cat is None:
+                return None
+            try:
+                e = encode_value(cat, v)
+            except Exception:
+                return None
+            return e if isinstance(e, (int, float)) else None
+
+        envelope: Dict[str, list] = {}   # col -> [lo, hi]
+        points: Dict[str, list] = {}     # col -> FIRST IN conjunct's lits
+
+        def tighten(name, lo=None, hi=None):
+            w = envelope.setdefault(name, [None, None])
+            if lo is not None:
+                w[0] = lo if w[0] is None else max(w[0], lo)
+            if hi is not None:
+                w[1] = hi if w[1] is None else min(w[1], hi)
+
+        def visit(c):
+            if isinstance(c, BinOp) and c.op == "AND":
+                visit(c.left)
+                visit(c.right)
+            elif isinstance(c, BinOp) and c.op in ("=", "<", "<=",
+                                                   ">", ">="):
+                if isinstance(c.left, Lit) and isinstance(c.right, Col):
+                    c = c.flipped()
+                if (isinstance(c.left, Col) and isinstance(c.right, Lit)
+                        and c.left.name in active):
+                    v = enc(c.left.name, c.right.value)
+                    if v is None:
+                        return
+                    if c.op == "=":
+                        tighten(c.left.name, lo=v, hi=v)
+                    elif c.op in (">", ">="):
+                        tighten(c.left.name, lo=v)
+                    else:
+                        tighten(c.left.name, hi=v)
+            elif (isinstance(c, InList) and isinstance(c.child, Col)
+                  and c.child.name in active
+                  and all(isinstance(x, Lit) for x in c.values)
+                  and c.values):
+                vs = [enc(c.child.name, x.value) for x in c.values]
+                if all(v is not None for v in vs):
+                    name = c.child.name
+                    points.setdefault(name, sorted(set(vs)))
+
+        visit(predicate)
+        for name in active:  # deterministic pick: catalog's own order
+            pts = points.get(name)
+            if pts is not None:
+                if len(pts) <= self._RTREE_MAX_STABS:
+                    return (name, [(p, p) for p in pts])
+                return (name, [(pts[0], pts[-1])])
+            lo, hi = envelope.get(name, (None, None))
+            if lo is not None and hi is not None:
+                return (name, [(lo, hi)])
+        return None
 
     def _dict_refine(
         self, predicate: Expr, survivors: Dict[str, List[int]]

@@ -637,3 +637,87 @@ def test_df_hist_mirror(spark):
     assert cat.get_hists("v") == {("f.parquet", 0): (0, 9, 2, [30, 20])}
     cat.upsert_file(fs, rgs)
     assert cat.get_hists("v") == {}
+
+
+def test_rtree_prefilter_decision_identical(spark, corpus):
+    """With an R-tree on the numeric column, every pruning decision must
+    be identical to the plain catalog's across all predicate shapes —
+    the prefilter is a pure over-approximation; the exact stats SQL has
+    the final word. Includes f32-widening edge values (int64 bounds
+    that round in float32) and the unknown-bounds full-domain rows."""
+    from datafusion_async_parquet_index_spark.plans.expr import (
+        Col, InList, Lit,
+    )
+
+    t0 = IndexedParquetTable(spark, corpus, ["value", "text"])
+    t1 = IndexedParquetTable(spark, corpus, ["value", "text"],
+                             rtree_columns=["value"])
+    assert t1.catalog._rtree_active == ["value"]
+    preds = [
+        Col("value") == Lit(150),
+        (Col("value") >= Lit(50)) & (Col("value") < Lit(250)),
+        (Col("value") > Lit(500)) & (Col("text") == Lit("a")),
+        InList(Col("value"), [Lit(1), Lit(150), Lit(2999)]),
+        Col("text") == Lit("a"),                      # no window at all
+        (Col("value") >= Lit(100)) & (Col("value") <= Lit(50)),
+        (Col("value") == Lit(150)) | (Col("value") == Lit(2999)),
+        Col("value") != Lit(150),
+        Col("value").is_null(),
+    ]
+    for p in preds:
+        assert t0.plan_scan(p).files_scanned == \
+            t1.plan_scan(p).files_scanned, p.to_sql()
+
+
+def test_rtree_f32_widening_never_drops_boundary(spark, tmp_path):
+    """int64 bounds too precise for float32: the stored interval widens
+    OUTWARD, so point queries at the exact (unrepresentable) bounds
+    still keep the row group."""
+    import os as _os
+
+    from datafusion_async_parquet_index_spark.plans.expr import Col, Lit
+
+    big = (1 << 60) + 12345  # not representable in f32
+    d = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [(big,), (big + 7,)], "v LONG")
+    tmp = d + "_t"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(_os.listdir(tmp))
+                if p.endswith(".parquet"))
+    _os.makedirs(d, exist_ok=True)
+    _os.replace(_os.path.join(tmp, part), _os.path.join(d, "f.parquet"))
+    t = IndexedParquetTable(spark, d, ["v"], rtree_columns=["v"])
+    for probe in (big, big + 7):
+        dec = t.plan_scan(Col("v") == Lit(probe))
+        assert dec.row_groups_scanned == 1, dec.describe()
+        assert t.query(Col("v") == Lit(probe)).count() == 1
+
+
+def test_rtree_maintenance_tracks_refresh(spark, tmp_path):
+    """refresh() after arrivals/removals keeps the rtree in lockstep:
+    decisions stay identical to a plain catalog over the same state."""
+    import os as _os
+
+    from datafusion_async_parquet_index_spark.plans.expr import Col, Lit
+
+    d = str(tmp_path / "rt_m")
+    def onefile(lo, hi, name):
+        df = spark.range(lo, hi).selectExpr("id AS v")
+        tmp = str(tmp_path / "_t")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(_os.listdir(tmp))
+                    if p.endswith(".parquet"))
+        _os.makedirs(d, exist_ok=True)
+        _os.replace(_os.path.join(tmp, part), _os.path.join(d, name))
+    onefile(0, 100, "a.parquet")
+    t = IndexedParquetTable(spark, d, ["v"], rtree_columns=["v"])
+    onefile(100, 200, "b.parquet")
+    t.refresh()
+    dec = t.plan_scan(Col("v") == Lit(150))
+    assert list(dec.files_scanned) == ["b.parquet"]
+    _os.remove(_os.path.join(d, "a.parquet"))
+    t.refresh()
+    dec = t.plan_scan(Col("v") == Lit(50))
+    assert dec.files_scanned == {}  # removed file left no rtree ghost
+    assert t.query(None).count() == 100

@@ -117,3 +117,86 @@ def test_int_dict_refine_never_under_selects(groups, lits, cap):
 )
 def test_string_dict_refine_never_under_selects(groups, lits, cap):
     _run(groups, list(lits), cap)
+
+
+# -- R-tree prefilter: decision identity under fuzz -------------------------
+
+from hypothesis import strategies as _st
+
+from datafusion_async_parquet_index_spark.plans.pruning import (
+    PruningRewriter,
+)
+
+
+class _TblShim:
+    """Just enough of IndexedParquetTable for _rtree_window + plan."""
+
+    def __init__(self, cat, schema):
+        self.catalog = cat
+        self.index_schema = schema
+
+    _rtree_window = IndexedParquetTable._rtree_window
+    _RTREE_MAX_STABS = IndexedParquetTable._RTREE_MAX_STABS
+
+
+def _mk_catalogs(groups):
+    out = []
+    for rtree in (False, True):
+        cat = SqliteIndexCatalog(rtree_columns=("v",) if rtree else ())
+        cat.initialize({"v": "int"})
+        fs = FileStats("f.parquet", 1, len(groups), 0)
+        rgs = []
+        for i, g in enumerate(groups):
+            vals = [v for v in g if v is not None]
+            rgs.append(RowGroupStats(
+                row_group=i, row_count=len(g),
+                columns={"v": (len(g) - len(vals),
+                               min(vals) if vals else None,
+                               max(vals) if vals else None)}))
+        cat.upsert_file(fs, rgs)
+        out.append(cat)
+    return out
+
+
+_LIT = _st.integers(min_value=-(1 << 61), max_value=1 << 61)
+
+
+def _preds_strategy():
+    leaf = _st.one_of(
+        _st.tuples(_st.sampled_from(["=", "<", "<=", ">", ">="]), _LIT)
+        .map(lambda t: BinOp(t[0], Col("v"), Lit(t[1]))),
+        _st.lists(_LIT, min_size=1, max_size=4)
+        .map(lambda vs: InList(Col("v"), [Lit(v) for v in vs])),
+    )
+    return _st.recursive(
+        leaf,
+        lambda inner: _st.tuples(
+            _st.sampled_from(["AND", "OR"]), inner, inner)
+        .map(lambda t: BinOp(t[0], t[1], t[2])),
+        max_leaves=4)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(st.one_of(st.integers(min_value=-(1 << 60),
+                                       max_value=1 << 60), st.none()),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=5),
+    pred=_preds_strategy(),
+)
+def test_rtree_prefilter_decision_identical_fuzz(groups, pred):
+    """For arbitrary int64 row-group populations (incl. all-null
+    unknown-bounds groups) and arbitrary comparison/IN/AND/OR
+    predicates, the rtree-prefiltered plan equals the plain plan —
+    f32 widening and full-domain sentinels can add candidates, never
+    drop one, and the exact SQL removes the extras."""
+    plain, rt = _mk_catalogs(groups)
+    rw = PruningRewriter({"v": "int"})
+    sp = rw.rewrite(pred)
+    shim = _TblShim(rt, {"v": "int"})
+    window = shim._rtree_window(pred)
+    got_plain = plain.get_files(sp)
+    got_rt = (rt.get_files(sp, prefilter=window) if window is not None
+              else rt.get_files(sp))
+    assert got_plain == got_rt, (pred.to_sql(), window)

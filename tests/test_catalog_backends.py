@@ -721,3 +721,35 @@ def test_rtree_maintenance_tracks_refresh(spark, tmp_path):
     dec = t.plan_scan(Col("v") == Lit(50))
     assert dec.files_scanned == {}  # removed file left no rtree ghost
     assert t.query(None).count() == 100
+
+
+def test_rtree_timestamp_column(spark, tmp_path):
+    """rtree windows on a TIMESTAMP column: literals encode through the
+    same typed domain as the stats columns, decisions stay identical to
+    the plain catalog."""
+    import datetime as _dt
+    import os as _os
+
+    from datafusion_async_parquet_index_spark.plans.expr import Col, Lit
+
+    d = str(tmp_path / "rt_ts")
+    df = spark.sql(
+        "SELECT id AS k, timestamp'2024-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, 0, 0, CAST(id AS INT), 0) AS ts "
+        "FROM range(0, 120)")
+    tmp = str(tmp_path / "_t")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(_os.listdir(tmp))
+                if p.endswith(".parquet"))
+    _os.makedirs(d, exist_ok=True)
+    _os.replace(_os.path.join(tmp, part), _os.path.join(d, "f.parquet"))
+    t0 = IndexedParquetTable(spark, d, ["ts"])
+    t1 = IndexedParquetTable(spark, d, ["ts"], rtree_columns=["ts"])
+    assert t1.catalog._rtree_active == ["ts"]
+    a = _dt.datetime(2024, 1, 1, 0, 30)
+    b = _dt.datetime(2024, 1, 1, 1, 0)
+    pred = (Col("ts") >= Lit(a)) & (Col("ts") <= Lit(b))
+    assert t1._rtree_window(pred) is not None  # typed literals encoded
+    assert t0.plan_scan(pred).files_scanned == \
+        t1.plan_scan(pred).files_scanned
+    assert t1.query(pred).count() == t0.query(pred).count() == 31

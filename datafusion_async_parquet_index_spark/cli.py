@@ -62,6 +62,11 @@ def _table(args):
         dict_columns=_split(getattr(args, "dict_columns", "")),
         topk_columns=_split(getattr(args, "topk_columns", "")),
         bloom_columns=_split(getattr(args, "bloom_columns", "")),
+        # a file-backed catalog composes across invocations: attach
+        # with the size short-circuit so repeat verbs cost O(changed
+        # files), not a full re-index (the 'build' verb always does
+        # the full pass)
+        incremental_attach=bool(args.catalog and args.verb != "build"),
     )
 
 
@@ -100,6 +105,12 @@ def main(argv=None) -> int:
     common(sub.add_parser("describe"))
 
     args = p.parse_args(argv)
+    if args.verb == "snapshot" and not args.catalog:
+        # refuse BEFORE starting Spark / indexing anything
+        print("snapshot without --catalog is useless "
+              "(in-memory catalogs die with the process)",
+              file=sys.stderr)
+        return 2
     before = None
     if args.verb == "refresh" and args.catalog:
         # capture the prior file set BEFORE construction — building the
@@ -115,9 +126,10 @@ def main(argv=None) -> int:
     t = _table(args)
 
     if args.verb == "build":
-        for name, size, rgs, rows in t.catalog.all_files():
+        files = t.catalog.all_files()
+        for name, size, rgs, rows in files:
             print(f"{name}\t{size} bytes\t{rgs} row groups\t{rows} rows")
-        print(f"indexed {len(t.catalog.all_files())} files")
+        print(f"indexed {len(files)} files")
     elif args.verb == "refresh":
         if before is None:
             before = {f[0] for f in t.catalog.all_files()}
@@ -126,11 +138,6 @@ def main(argv=None) -> int:
         print(f"added={sorted(after - before)} "
               f"removed={sorted(before - after)} total={len(after)}")
     elif args.verb == "snapshot":
-        if not args.catalog:
-            print("snapshot without --catalog is useless "
-                  "(in-memory catalogs die with the process)",
-                  file=sys.stderr)
-            return 2
         print(f"snapshot {t.snapshot()}")
     elif args.verb == "query":
         from .plans.sql_predicate import parse_predicate

@@ -194,8 +194,9 @@ class _SqliteStatsSql:
 # the exact interval test — false positives (filtered by the exact SQL
 # afterward) are possible, false negatives are not.
 
-_RTREE_FULL_LO = -3.0e38   # "unknown bounds" rows span the full domain
-_RTREE_FULL_HI = 3.0e38
+_RTREE_FULL_LO = float("-inf")  # "unknown bounds" rows span everything
+_RTREE_FULL_HI = float("inf")   # (f32 infinities store fine in rtree)
+_F32_MAX = 3.4028234663852886e38
 _RTREE_ID_STRIDE = 1_000_000  # rtree id = file_id * stride + row_group
 _RTREE_CATS = {"int", "float", "timestamp", "date"}
 
@@ -214,21 +215,37 @@ def _f32_step(f: float, up: bool) -> float:
 
 
 def rtree_lo(v) -> float:
-    """Largest f32 <= v (clamped to the full-domain floor)."""
+    """Largest f32 <= v. Saturates OUTWARD (never inward — an inward
+    clamp would violate the never-drop-a-match invariant for values in
+    the f32-overflow band): v beyond +f32max floors to +f32max (still
+    <= v), v beyond -f32max floors to -inf; NaN (unknowable) floors to
+    -inf."""
+    import math
     import struct
     v = float(v)
-    if v <= _RTREE_FULL_LO:
+    if math.isnan(v):
+        return _RTREE_FULL_LO
+    if v > _F32_MAX:
+        return _F32_MAX if math.isfinite(v) else _RTREE_FULL_HI
+    if v < -_F32_MAX:
         return _RTREE_FULL_LO
     f = struct.unpack("<f", struct.pack("<f", v))[0]
     return _f32_step(f, up=False) if f > v else f
 
 
 def rtree_hi(v) -> float:
-    """Smallest f32 >= v (clamped to the full-domain ceiling)."""
+    """Smallest f32 >= v. Saturates OUTWARD: v beyond +f32max ceils to
+    +inf, v beyond -f32max ceils to -f32max (still >= v); NaN ceils to
+    +inf."""
+    import math
     import struct
     v = float(v)
-    if v >= _RTREE_FULL_HI:
+    if math.isnan(v):
         return _RTREE_FULL_HI
+    if v > _F32_MAX:
+        return _RTREE_FULL_HI
+    if v < -_F32_MAX:
+        return -_F32_MAX if math.isfinite(v) else _RTREE_FULL_LO
     f = struct.unpack("<f", struct.pack("<f", v))[0]
     return _f32_step(f, up=True) if f < v else f
 

@@ -124,6 +124,7 @@ class IndexedParquetTable:
         topk_columns: Optional[Sequence[str]] = None,
         topk_k: Optional[int] = None,
         rtree_columns: Optional[Sequence[str]] = None,
+        incremental_attach: bool = False,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -192,8 +193,18 @@ class IndexedParquetTable:
         # catalog pruning and the residual filter agree by construction
         self._schema = self._infer_schema()
         part_kw = self._partition_index_kwargs()
+        # incremental_attach: re-attaching to a PERSISTED catalog (the
+        # CLI's file-backed --catalog, a reopened SQLite path) — the
+        # initial build uses the same size short-circuit as refresh(),
+        # so attaching to a 200k-file table re-reads no unchanged
+        # footers; end state is identical to a full build PROVIDED the
+        # stats options (sum/dict/topk/bloom columns...) match the ones
+        # the catalog was built with — refresh() shares exactly this
+        # contract; rebuild with incremental_attach=False to change
+        # options.
         self.index_schema = build_index(
             self.catalog, self._files, index_columns, spark=spark,
+            incremental=bool(incremental_attach),
             bloom_columns=self.bloom_columns,
             token_bloom_columns=self.token_bloom_columns,
             sum_columns=self.sum_columns,
@@ -529,6 +540,22 @@ class IndexedParquetTable:
                 else:
                     del survivors[fname]
         return skipped
+
+    def _get_files_prefiltered(self, stats_pred: Expr,
+                               data_pred: Optional[Expr]):
+        """catalog.get_files with the rtree prefilter when available —
+        the shared lookup for the aggregate-pushdown planners'
+        SATISFACTION sets (count_rows/sum_rows/sum_sq_rows/min_max), so
+        they get the same O(log n) planning as plan_scan instead of the
+        full catalog scan. Consumers only read the satisfaction set at
+        keys already inside the (equally prefiltered) refutation
+        decision, so the window restriction cannot change any
+        answer."""
+        window = (self._rtree_window(data_pred)
+                  if data_pred is not None else None)
+        if window is not None:
+            return self.catalog.get_files(stats_pred, prefilter=window)
+        return self.catalog.get_files(stats_pred)
 
     _RTREE_MAX_STABS = 16  # IN-lists beyond this fall back to the envelope
 
@@ -887,7 +914,7 @@ class IndexedParquetTable:
             self.last_count_pushdown = None
             return self.query(predicate, as_of=as_of).count()
         sat = self._rewriter.satisfies(predicate)
-        full = dict(self.catalog.get_files(sat))
+        full = dict(self._get_files_prefiltered(sat, predicate))
         full_rows = 0
         full_rgs = 0
         partial: Dict[str, List[int]] = {}
@@ -982,7 +1009,7 @@ class IndexedParquetTable:
                 "partial_row_groups": 0}
             return None, 0
         sat = self._rewriter.satisfies(predicate)
-        full = dict(self.catalog.get_files(sat))
+        full = dict(self._get_files_prefiltered(sat, predicate))
         s_full = 0
         n_full = 0
         full_rgs = 0
@@ -1088,7 +1115,7 @@ class IndexedParquetTable:
                 "full_row_groups": 0, "partial_row_groups": 0}
             return None, None, 0
         sat = self._rewriter.satisfies(predicate)
-        full = dict(self.catalog.get_files(sat))
+        full = dict(self._get_files_prefiltered(sat, predicate))
         s_full = sq_full = n_full = full_rgs = 0
         partial: Dict[str, List[int]] = {}
         for fname, rgs in decision.files_scanned.items():
@@ -1783,7 +1810,7 @@ class IndexedParquetTable:
                 F.min(column).alias("mn"), F.max(column).alias("mx")).head()
             return row["mn"], row["mx"]
         sat = self._rewriter.satisfies(predicate)
-        full = dict(self.catalog.get_files(sat))
+        full = dict(self._get_files_prefiltered(sat, predicate))
         try:
             entries = self.catalog.column_rg_entries_keyed(column)
         except KeyError:
@@ -2020,57 +2047,91 @@ class IndexedParquetTable:
         SELECTs through DataFusion, whose scan prunes): ``t.sql(
         "SELECT k, SUM(v) FROM self WHERE v > 5 GROUP BY k LIMIT 3")``.
 
-        The statement's single FROM target must be the literal word
-        ``self``. The top-level WHERE clause (up to GROUP BY / HAVING /
-        ORDER BY / LIMIT, paren-depth 0) is parsed with the same
+        The statement must reference the table as the literal word
+        ``self``. With exactly ONE ``FROM self`` occurrence, the
+        top-level WHERE clause (up to GROUP BY / HAVING / ORDER BY /
+        LIMIT / WINDOW at paren-depth 0, string literals skipped,
+        keyword word-boundaries respected) is parsed with the same
         grammar query_sql uses and drives the pruned scan; the pruned
         (residual-filtered) DataFrame is registered under a statement-
         local view and the FULL statement — projections, aggregates,
         windows, ORDER BY, LIMIT — executes on it through Catalyst.
         The WHERE clause is kept in the rewritten statement too
         (evaluating it twice is free after pushdown and keeps the SQL
-        semantics authoritative). Statements without a WHERE run on
-        the catalog-consistent full scan (query(None)). Subqueries or
-        joins inside the statement still work as long as the OUTER
-        FROM is ``self`` — they see Catalyst, not the index."""
+        semantics authoritative). Statements without a WHERE, with a
+        WHERE outside the parser's grammar, or with SEVERAL ``self``
+        references (e.g. a subquery over self — whose rows the outer
+        WHERE must NOT filter) run on the catalog-consistent full scan
+        instead: correctness always wins; pruning applies to the
+        single-reference shape."""
         import re
 
-        m = re.search(r"\bFROM\s+self\b", statement, flags=re.IGNORECASE)
-        if not m:
+        occurrences = list(re.finditer(r"\bFROM\s+self\b", statement,
+                                       flags=re.IGNORECASE))
+        if not occurrences:
             raise ValueError(
                 "t.sql() requires the FROM target to be the literal "
                 "word 'self' (got: %r)" % statement)
-        # locate the top-level WHERE and its end (depth-0 keyword scan)
-        upper = statement.upper()
-        depth = 0
-        where_start = where_end = None
-        i = m.end()
-        enders = ("GROUP BY", "HAVING", "ORDER BY", "LIMIT", "WINDOW")
-        while i < len(statement):
-            ch = statement[i]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0:
-                if where_start is None and upper.startswith("WHERE", i) \
-                        and (i == 0 or not statement[i - 1].isalnum()):
-                    where_start = i
-                    i += 5
-                    continue
-                if where_start is not None and any(
-                        upper.startswith(k, i) for k in enders):
-                    where_end = i
-                    break
-            i += 1
-        from ..plans.sql_predicate import parse_predicate
-        if where_start is not None:
-            clause = statement[where_start + 5:
-                               where_end if where_end else len(statement)]
-            df = self.query(parse_predicate(clause))
-        else:
+
+        def _kw_at(i, kw):
+            """keyword at i with word boundaries on BOTH sides."""
+            if not statement.upper().startswith(kw, i):
+                return False
+            if i > 0 and (statement[i - 1].isalnum()
+                          or statement[i - 1] == "_"):
+                return False
+            j = i + len(kw)
+            return j >= len(statement) or not (statement[j].isalnum()
+                                               or statement[j] == "_")
+
+        df = None
+        if len(occurrences) == 1:
+            m = occurrences[0]
+            # top-level WHERE span: depth-0 scan, 'quotes' skipped
+            depth = 0
+            where_start = where_end = None
+            i = m.end()
+            enders = ("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW")
+            while i < len(statement):
+                ch = statement[i]
+                if ch == "'":
+                    i += 1
+                    while i < len(statement):
+                        if statement[i] == "'":
+                            if i + 1 < len(statement) \
+                                    and statement[i + 1] == "'":
+                                i += 2  # '' escape
+                                continue
+                            break
+                        i += 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0:
+                    if where_start is None and _kw_at(i, "WHERE"):
+                        where_start = i
+                        i += 5
+                        continue
+                    if where_start is not None and any(
+                            _kw_at(i, k) for k in enders):
+                        where_end = i
+                        break
+                i += 1
+            if where_start is not None:
+                from ..plans.sql_predicate import parse_predicate
+                clause = statement[where_start + 5:
+                                   where_end if where_end
+                                   else len(statement)]
+                try:
+                    df = self.query(parse_predicate(clause))
+                except Exception:
+                    df = None  # outside the grammar: full scan instead
+        if df is None:
             df = self.query(None)
-        view = f"_idx_sql_{self.name}_{abs(hash(statement)) % 10 ** 8}"
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", self.name)
+        view = f"_idx_sql_{safe}_{abs(hash(statement)) % 10 ** 8}"
         df.createOrReplaceTempView(view)
         return self.spark.sql(
-            statement[:m.start()] + f"FROM {view}" + statement[m.end():])
+            re.sub(r"\bFROM\s+self\b", f"FROM {view}", statement,
+                   flags=re.IGNORECASE))

@@ -753,3 +753,33 @@ def test_rtree_timestamp_column(spark, tmp_path):
     assert t0.plan_scan(pred).files_scanned == \
         t1.plan_scan(pred).files_scanned
     assert t1.query(pred).count() == t0.query(pred).count() == 31
+
+
+def test_rtree_f32_overflow_band_never_drops(spark, tmp_path):
+    """Float values in the f32-overflow band (|v| > ~3.4e38 can't even
+    pack; 3.0e38-3.4e38 is representable but beyond a naive sentinel
+    clamp): stored intervals saturate OUTWARD, so the row group always
+    stays a candidate, and query literals beyond f32 max must not
+    crash the planner."""
+    import os as _os
+
+    from datafusion_async_parquet_index_spark.plans.expr import Col, Lit
+
+    d = str(tmp_path / "rt_f32")
+    df = spark.createDataFrame(
+        [(1.5e38,), (3.2e38,), (-3.3e38,)], "v DOUBLE")
+    tmp = str(tmp_path / "_t")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(_os.listdir(tmp))
+                if p.endswith(".parquet"))
+    _os.makedirs(d, exist_ok=True)
+    _os.replace(_os.path.join(tmp, part), _os.path.join(d, "f.parquet"))
+    t0 = IndexedParquetTable(spark, d, ["v"])
+    t1 = IndexedParquetTable(spark, d, ["v"], rtree_columns=["v"])
+    for probe in (3.2e38, -3.3e38, 1.5e38, 5e38, -1e39):
+        p = Col("v") == Lit(probe)
+        assert t0.plan_scan(p).files_scanned == \
+            t1.plan_scan(p).files_scanned, probe
+    assert t1.query(Col("v") == Lit(3.2e38)).count() == 1
+    rng = (Col("v") >= Lit(3.1e38)) & (Col("v") <= Lit(3.4e38))
+    assert t1.query(rng).count() == 1

@@ -200,3 +200,55 @@ def test_rtree_prefilter_decision_identical_fuzz(groups, pred):
     got_rt = (rt.get_files(sp, prefilter=window) if window is not None
               else rt.get_files(sp))
     assert got_plain == got_rt, (pred.to_sql(), window)
+
+
+_FLIT = _st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e39, max_value=1e39, width=64)
+
+
+def _mk_float_catalogs(groups):
+    out = []
+    for rtree in (False, True):
+        cat = SqliteIndexCatalog(rtree_columns=("v",) if rtree else ())
+        cat.initialize({"v": "float"})
+        fs = FileStats("f.parquet", 1, len(groups), 0)
+        rgs = []
+        for i, g in enumerate(groups):
+            vals = [v for v in g if v is not None]
+            rgs.append(RowGroupStats(
+                row_group=i, row_count=len(g),
+                columns={"v": (len(g) - len(vals),
+                               min(vals) if vals else None,
+                               max(vals) if vals else None)}))
+        cat.upsert_file(fs, rgs)
+        out.append(cat)
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(st.one_of(_FLIT, st.none()), min_size=0, max_size=5),
+        min_size=1, max_size=4),
+    pred=_st.builds(
+        lambda op, v: BinOp(op, Col("v"), Lit(v)),
+        _st.sampled_from(["=", "<", "<=", ">", ">="]), _FLIT)
+    | _st.builds(
+        lambda a, b: (Col("v") >= Lit(min(a, b)))
+        & (Col("v") <= Lit(max(a, b))), _FLIT, _FLIT),
+)
+def test_rtree_float_overflow_band_identity_fuzz(groups, pred):
+    """FLOAT domain incl. the f32-overflow band (|v| up to 1e39, beyond
+    f32 max ~3.4e38): the rtree-prefiltered plan equals the plain plan
+    — outward saturation keeps every stored interval and query window
+    an over-approximation, and nothing crashes on unpackable
+    literals."""
+    plain, rt = _mk_float_catalogs(groups)
+    rw = PruningRewriter({"v": "float"})
+    sp = rw.rewrite(pred)
+    shim = _TblShim(rt, {"v": "float"})
+    window = shim._rtree_window(pred)
+    got_plain = plain.get_files(sp)
+    got_rt = (rt.get_files(sp, prefilter=window) if window is not None
+              else rt.get_files(sp))
+    assert got_plain == got_rt, (pred.to_sql(), window)

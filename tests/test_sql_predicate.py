@@ -208,3 +208,64 @@ def test_full_statement_sql_routes_through_index(spark, demo_dir):
     assert n_all == t.count_rows()
     with _pytest.raises(ValueError, match="FROM target"):
         t.sql("SELECT * FROM other_table WHERE value = 1")
+
+
+def test_full_statement_sql_edge_cases(spark, demo_dir):
+    """Scanner robustness: identifiers CONTAINING keyword substrings
+    (rate_limit) don't truncate the WHERE; string literals containing
+    keywords or parens are skipped; several 'self' references fall
+    back to the correct-by-construction full-scan path (subquery rows
+    must NOT be filtered by the outer WHERE); out-of-grammar WHEREs
+    degrade to a full scan, never an error."""
+    from pyspark.sql import functions as F
+
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    t = IndexedParquetTable(spark, demo_dir, ["value", "text"])
+    # keyword-substring identifier: alias the scan then filter on it
+    n = t.sql("SELECT COUNT(*) AS n FROM self "
+              "WHERE value > 100 AND value < 200").head()["n"]
+    assert n == t.query(None).filter(
+        (F.col("value") > 100) & (F.col("value") < 200)).count()
+    # string literal containing an ender keyword and parens
+    r = t.sql("SELECT COUNT(*) AS n FROM self "
+              "WHERE text = 'order by (name)' OR value = 150").head()
+    assert r["n"] == t.query(None).filter(
+        (F.col("text") == "order by (name)")
+        | (F.col("value") == 150)).count()
+    # multiple self references: subquery semantics preserved (the
+    # inner MAX is over the WHOLE table, not the outer WHERE's rows)
+    r2 = t.sql("SELECT COUNT(*) AS n FROM self "
+               "WHERE value < 10 AND value < (SELECT MAX(value) "
+               "FROM self)").head()
+    assert r2["n"] == t.query(None).filter(F.col("value") < 10).count()
+    # out-of-grammar WHERE (function call): full scan, the statement's
+    # own WHERE still applies through Catalyst (NULL text excluded)
+    r3 = t.sql("SELECT COUNT(*) AS n FROM self "
+               "WHERE length(text) >= 1").head()
+    assert r3["n"] == t.query(None).filter(
+        F.length("text") >= 1).count()
+
+
+def test_full_statement_sql_sanitizes_view_name(spark, tmp_path):
+    """Tables over directories that aren't SQL identifiers (dashes,
+    dots) still work through t.sql()."""
+    import os as _os
+
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+
+    d = str(tmp_path / "my-table.v2")
+    df = spark.range(10).selectExpr("id AS v")
+    tmp = str(tmp_path / "_t")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(_os.listdir(tmp))
+                if p.endswith(".parquet"))
+    _os.makedirs(d, exist_ok=True)
+    _os.replace(_os.path.join(tmp, part), _os.path.join(d, "f.parquet"))
+    t = IndexedParquetTable(spark, d, ["v"])
+    assert t.sql("SELECT COUNT(*) AS n FROM self WHERE v >= 5"
+                 ).head()["n"] == 5

@@ -52,8 +52,11 @@ def _table(args):
     from .sources.table import IndexedParquetTable
 
     spark = get_spark("cli")
-    catalog = (SqliteIndexCatalog(args.catalog) if args.catalog
-               else None)
+    rtree = _split(getattr(args, "rtree_columns", ""))
+    catalog = (SqliteIndexCatalog(args.catalog, rtree_columns=rtree)
+               if args.catalog
+               else SqliteIndexCatalog(rtree_columns=rtree)
+               if rtree else None)
     return IndexedParquetTable(
         spark, args.dir,
         index_columns=_split(args.columns),
@@ -86,6 +89,9 @@ def main(argv=None) -> int:
         sp.add_argument("--dict-columns", default="")
         sp.add_argument("--topk-columns", default="")
         sp.add_argument("--bloom-columns", default="")
+        sp.add_argument("--rtree-columns", default="",
+                        help="numeric columns to R-tree-accelerate "
+                             "planning on (SQLite catalogs)")
 
     common(sub.add_parser("build"))
     common(sub.add_parser("refresh"))

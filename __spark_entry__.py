@@ -169,7 +169,11 @@ _ROUND_PRIORITY = [
     # of shipping row-less); tier 3 = the 44 r4-green entries
     # oldest-first (they become 3 rounds stale after r7).
     # `scripts/vanilla_harness.py --stale` mechanizes the changed-entry
-    # list.
+    # list, and `scripts/next_window.py` now mechanizes THIS WHOLE
+    # rotation: it derives tier 0 (unresolved reds) / tier 1 (never
+    # driver-proven, 39 entries as of end-r6) / tier 2 (stalest greens
+    # first) from the cumulative CORRECTNESS_r*.json and prints a
+    # paste-ready 50-entry list — run it at the start of round 7.
     # == ROUND 5 WINDOW (kept for natural-order stability) ===========
     # -- tier 1: entries whose bodies or load-bearing dependencies
     #    changed this round — the NaN-soundness work (ADVICE r4) added

@@ -34,38 +34,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 6 WINDOW ==============================================
-    # -- tier 1: the two r5-landed entries that never got a driver
-    #    oracle row (VERDICT r5 ask #1 — the only gap between 143/145
-    #    and 145/145) --------------------------------------------------
+    # == ROUND 7 WINDOW (scripts/next_window.py output, start of r7) =
+    # tier 0 (unresolved reds): none — CORRECTNESS_r06 was 50/50 green.
+    # tier 1: the 30 entries landed after the r6 window filled, never
+    #   driver-proven (each locally oracle-green + fingerprinted at
+    #   sf0.001 and sf0.01 when it landed; re-swept at round start).
+    # tier 2: stalest driver greens first — the 8 r3-green deferrals,
+    #   then the oldest r4 greens, filling the window to 50.
+    "q70_group_var_pushdown",
+    "q72_schema_evolution",
+    "q73_compaction",
+    "q74_incremental_refresh",
+    "q75_hist_quantiles",
+    "q76_group_hist_quantiles",
+    "q77_ndv_pushdown",
+    "q78_group_ndv",
+    "q79_catalog_join_strategy",
+    "q80_dict_groupby",
+    "q83_time_travel",
+    "q84_snapshot_delta",
+    "q85_asof_pushdown",
+    "q86_heavy_hitters",
+    "q87_group_heavy_hitters",
+    "q88_stream_ingest",
+    "q89_sql_pushdown",
+    "q90_rtree_plan",
+    "q81_dict_distinct",
+    "q82_dict_pruning",
+    "dedup_semantic",
+    "emb_pca_power_step",
+    "sim_filtered_topk",
+    "sim_hybrid_rrf",
+    "ev_stream_sliding",
+    "ev_stream_interval_join",
+    "ev_stream_dedup",
+    "ev_session_window_agg",
+    "ev_stream_session_window",
+    "text_temperature_resample",
+    # -- tier 2 ----------------------------------------------------
+    "q35_rowgroup_scan",
+    "q37_case_pred",
+    "q38_exists_subquery",
+    "q39_grouping_sets",
+    "q40_range_frame",
+    "q41_pivot",
+    "q42_hll_estimate",
+    "q43_in_pred",
+    "q1_select_limit",
+    "q2_point_equality",
+    "q3_or_range_agg",
+    "q4_and_mixed_columns",
+    "q5_contradictory_and",
+    "q44_isnull_pred",
+    "q45_binned_quantiles",
+    "q46_partitioned_scan",
+    "q47_zorder_scan",
+    "q48_metadata_count",
+    "q49_token_search",
+    "q50_join_pruned_scan",
+    # (window full at 50 here. Older windows below are kept for
+    #  natural-order stability of the full registry.)
+    # == ROUND 6 WINDOW (kept for natural-order stability) ===========
     "sim_ivfpq_layout_topk",
     "dedup_source_crosstab",
-    # -- tier 1a: NEW mid-round-6 (never had a driver row) -----------
-    #    two streaming-EXECUTED rows (custom stateful sessionize with
-    #    event-time timeouts; foreachBatch incremental dedup against
-    #    the persisted store), the Gopher-rule quality filter, and the
-    #    all-from-catalog stats profile. Each locally oracle-green at
-    #    sf0.001 AND sf0.01 on a vanilla session before entering the
-    #    window.
     "ev_stream_sessionize",
     "dedup_stream_incremental",
     "text_gopher_filter",
     "q71_catalog_profile",
-    # -- tier 1b: NEW in round 6 (never had a driver row) ------------
-    #    q68: VAR/STDDEV pushdown (VERDICT ask #7), q69: remote-style
-    #    DB-API catalog backend routed end-to-end (ask #4), ev_stream_
-    #    tumbling: a streaming-executed result oracle-gated against the
-    #    batch twin's SQL (ask #6)
     "q68_var_pushdown",
     "q69_remote_catalog",
     "ev_stream_tumbling",
-    # -- tier 2: the 49 entries last proven green in round 3 (VERDICT
-    #    ask #3 — stale tripwire rotation, oldest-first by family:
-    #    dedup_*, sim_*, ev_*, mm_*, text/curation, then relational).
-    #    45 fit; the 4 deferred to lead r7 tier 2 are q37_case_pred,
-    #    q38_exists_subquery, q40_range_frame, q41_pivot (relational,
-    #    bodies untouched since r3, each covered by pytest + the
-    #    golden fuzz sweeps in the meantime). -------------------------
     "dedup_clusters",
     "dedup_containment",
     "dedup_contamination",
@@ -107,73 +145,6 @@ _ROUND_PRIORITY = [
     "text_quality_buckets",
     "text_repetition_stats",
     "text_winnow_fingerprint",
-    # (window full at 50 here.)
-    # ROUND-7 PLAN (write as actual entries then): tier 1 = any red
-    # rows from CORRECTNESS_r06 + the entries landed after this
-    # round's window filled — q70_group_var_pushdown (grouped VAR from
-    # the catalog), ev_stream_sliding (second streaming-executed
-    # oracle row), ev_stream_interval_join (native stream-stream
-    # join execution), q72_schema_evolution (pre-evolution files
-    # indexed as proven all-null and pruned), ev_stream_dedup
-    # (exactly-once repair of an at-least-once replay), and
-    # q73_compaction (compaction preserves results AND pruning),
-    # ev_session_window_agg + ev_stream_session_window (native session
-    # windows, batch + streaming-executed, closing the three-way
-    # sessionizer equivalence triangle), q74_incremental_refresh (the
-    # build→arrive→refresh maintenance loop executed inside the gate),
-    # emb_pca_power_step (deterministic fixed-point power iteration),
-    # sim_filtered_topk (metadata-filtered vector search), and
-    # q75_hist_quantiles + q76_group_hist_quantiles (histogram
-    # statistics in the catalog → zero-I/O P50/P90/P99, whole-table
-    # and per-group, the estimates themselves oracle-pinned),
-    # q77_ndv_pushdown + q78_group_ndv (HyperLogLog registers in the
-    # catalog → zero-I/O approximate COUNT DISTINCT, whole-table and
-    # per-group, estimates oracle-pinned exactly),
-    # q79_catalog_join_strategy (catalog-cost-based join planning:
-    # pruned-scan row-count bound decides broadcast vs shuffle at plan
-    # time, both branches pinned via the physical plan string),
-    # q80_dict_groupby + q81_dict_distinct + q82_dict_pruning
-    # (dictionary/frequency statistics: exact zero-I/O GROUP BY on a
-    # jumbled flat layout, exact zero-I/O DISTINCT, and != / NOT IN
-    # row-group pruning that min/max and blooms cannot make),
-    # dedup_semantic (SemDeDup-style cluster-scoped embedding dedup),
-    # sim_hybrid_rrf (lexical+vector reciprocal-rank fusion over
-    # an inverted-index join), q83_time_travel (snapshot
-    # isolation: as-of reads from frozen catalog file sets, loud
-    # failure on unreconstructable snapshots), q84_snapshot_delta
-    # (incremental read between snapshots — the change-feed manifest
-    # is catalog metadata, the scan reads exactly the arrivals), and
-    # q85_asof_pushdown (zero-I/O COUNT/SUM as-of a snapshot), and
-    # q86_heavy_hitters + q87_group_heavy_hitters (order-free top-k
-    # frequency summaries in the catalog -> whole-table and per-group
-    # heavy hitters with deterministic [lower, upper] bounds at any
-    # cardinality), and q88_stream_ingest (the async maintenance loop
-    # streaming-executed: foreachBatch ingest into an empty indexed
-    # table, incremental refresh + snapshot per batch, prefixes
-    # reproduced via zero-I/O as-of COUNT/SUM), and q89_sql_pushdown
-    # (full-statement SQL through the index: the WHERE drives the
-    # pruned scan, the rest of the statement runs on Catalyst), and
-    # text_temperature_resample (XLM-R-style alpha=0.5 mixture
-    # smoothing with a UniMax-style keep-all cap, deterministic
-    # hash-coin acceptance), and q90_rtree_plan (R-tree-accelerated
-    # planning: 264 ms -> 0.02 ms point plans at a 200k-file catalog,
-    # decision identity fuzz-pinned), each
-    # locally green + fingerprinted at both sf0.001 and sf0.01
-    # (several also at sf0.1) — and anything later;
-    # tier 2 = the 8 r3-stale deferred here (q35_rowgroup_scan,
-    # q37_case_pred, q38_exists_subquery, q39_grouping_sets,
-    # q40_range_frame, q41_pivot, q42_hll_estimate, q43_in_pred —
-    # relational, bodies untouched since r3, each covered by pytest +
-    # the golden fuzz sweeps; 4 were displaced by the mid-round-6
-    # tier-1a landings so those could enter THIS round's gate instead
-    # of shipping row-less); tier 3 = the 44 r4-green entries
-    # oldest-first (they become 3 rounds stale after r7).
-    # `scripts/vanilla_harness.py --stale` mechanizes the changed-entry
-    # list, and `scripts/next_window.py` now mechanizes THIS WHOLE
-    # rotation: it derives tier 0 (unresolved reds) / tier 1 (never
-    # driver-proven, 39 entries as of end-r6) / tier 2 (stalest greens
-    # first) from the cumulative CORRECTNESS_r*.json and prints a
-    # paste-ready 50-entry list — run it at the start of round 7.
     # == ROUND 5 WINDOW (kept for natural-order stability) ===========
     # -- tier 1: entries whose bodies or load-bearing dependencies
     #    changed this round — the NaN-soundness work (ADVICE r4) added

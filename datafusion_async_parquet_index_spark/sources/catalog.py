@@ -523,12 +523,63 @@ class SqliteIndexCatalog:
             # the DBAPI backend targets generic servers and skips it;
             # a Postgres deployment would use GiST the same way)
             self._rtree_active = []
+            active = {c for c in getattr(self, "rtree_columns", ())
+                      if self.index_schema.get(c) in _RTREE_CATS}
+            # Drop rtrees for columns NOT activated this session: upserts
+            # stop maintaining them, so a later re-activation must rebuild
+            # from the stored stats rather than trust stale intervals
+            # (an out-of-sync rtree is an INNER-JOIN prefilter that would
+            # silently drop valid row groups).
+            if isinstance(getattr(self, "_conn", None), sqlite3.Connection):
+                # match only the virtual tables themselves — an rtree
+                # spawns shadow tables (_node/_rowid/_parent) that also
+                # start with rg_rtree_ and must never be dropped directly
+                for (tbl,) in self._query(
+                        "SELECT name FROM sqlite_master WHERE type = 'table' "
+                        "AND name LIKE 'rg_rtree_%' "
+                        "AND sql LIKE 'CREATE VIRTUAL TABLE%'"):
+                    if tbl[len("rg_rtree_"):] not in active:
+                        self._exec(f'DROP TABLE IF EXISTS "{tbl}"')
             for c in getattr(self, "rtree_columns", ()):
-                if self.index_schema.get(c) in _RTREE_CATS:
+                if c in active:
                     self._exec(
                         f'CREATE VIRTUAL TABLE IF NOT EXISTS '
                         f'"rg_rtree_{c}" USING rtree(id, mn, mx)')
+                    self._reconcile_rtree(c)
                     self._rtree_active.append(c)
+
+    def _reconcile_rtree(self, c: str) -> None:
+        """Backfill ``rg_rtree_<c>`` from ``row_group_statistics`` when
+        the two disagree — e.g. ``rtree_columns`` newly enabled on a
+        catalog persisted without it (the CLI builds without the flag,
+        then queries/refreshes with it; ``incremental_attach`` skips
+        unchanged files so the rtree would stay empty and the INNER-JOIN
+        prefilter in ``get_files`` would drop every valid row group)."""
+        have = self._query(f'SELECT COUNT(*) FROM "rg_rtree_{c}"')[0][0]
+        want = self._query(
+            "SELECT COUNT(*) FROM row_group_statistics")[0][0]
+        if have == want:
+            return
+        self._exec(f'DELETE FROM "rg_rtree_{c}"')
+        ent = []
+        for fid, rg, mn, mx in self._query(
+                f'SELECT file_id, row_group, "{c}_min", "{c}_max" '
+                f"FROM row_group_statistics"):
+            if rg >= _RTREE_ID_STRIDE:
+                raise ValueError(
+                    f"row_group {rg} >= rtree id stride "
+                    f"{_RTREE_ID_STRIDE}; rtree ids would alias")
+            if mn is None or mx is None:
+                lo, hi = _RTREE_FULL_LO, _RTREE_FULL_HI
+            else:
+                # stored min/max are already encode_value()-encoded, the
+                # same form the upsert path feeds rtree_lo/rtree_hi
+                lo, hi = rtree_lo(mn), rtree_hi(mx)
+            ent.append((fid * _RTREE_ID_STRIDE + rg, lo, hi))
+        if ent:
+            self._execmany(
+                f'INSERT INTO "rg_rtree_{c}" (id, mn, mx) '
+                f'VALUES (?, ?, ?)', ent)
 
     # -- EP2: transactional upsert (reference index.rs:242-329) -------
     def upsert_file(
@@ -551,6 +602,15 @@ class SqliteIndexCatalog:
         blooms: optional {row_group: {column: (m_bits, k, bits)}} written
         alongside the stats in the same transaction.
         sums: optional {row_group: {column: (sum, non_null_count)}}."""
+        if fs.row_group_count >= _RTREE_ID_STRIDE:
+            # rtree id = file_id * stride + row_group: a file at or past
+            # the stride would alias into the next file_id's id space and
+            # silently corrupt the candidate mapping — enforce the
+            # invariant instead of relying on the comment
+            raise ValueError(
+                f"file {fs.file_name!r} has {fs.row_group_count} row "
+                f"groups >= rtree id stride {_RTREE_ID_STRIDE}; "
+                f"rtree ids would alias across files")
         with self._txn():
             # old row-group count BEFORE the file row is overwritten:
             # rtree cleanup must delete by EXACT rowid (rowid RANGE

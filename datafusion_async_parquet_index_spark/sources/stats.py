@@ -239,7 +239,14 @@ def extract_file_hists(
         per_col: Dict[str, Tuple[int, int, int, List[int]]] = {}
         for c, (lo, hi, nbins) in cols.items():
             span = hi - lo + 1
-            assert span > 0 and nbins > 0
+            if span <= 0 or nbins <= 0:
+                # explicit (not assert): under `python -O` an assert
+                # vanishes and a bad spec silently produces garbage bins
+                # (negative-span floor division) that hist_quantiles
+                # would fold into wrong estimates
+                raise ValueError(
+                    f"invalid hist spec for {c!r}: lo={lo} hi={hi} "
+                    f"nbins={nbins} (need hi >= lo and nbins > 0)")
             arr = tbl.column(c).combine_chunks()
             vals = arr.drop_null().to_numpy(zero_copy_only=False)
             if len(vals) == 0:

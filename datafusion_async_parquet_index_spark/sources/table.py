@@ -738,6 +738,17 @@ class IndexedParquetTable:
                         kept.append(rg)
                         continue
                     keys = {v for v, _ in entries}
+                    # literal type must match the stored category: an int
+                    # literal against string-categorized dict values (or
+                    # vice versa) intersects empty here, yet Spark's
+                    # implicit cast in the residual filter could match —
+                    # refining would UNDER-select. Mirror the un-dictable-
+                    # literal bail-out and keep the row group.
+                    keys_int = keys and isinstance(next(iter(keys)), int)
+                    if keys and any(isinstance(l, int) != keys_int
+                                    for l in lits):
+                        kept.append(rg)
+                        continue
                     alive = ((keys <= lits) if negated
                              else bool(keys & lits))
                     # negated: value set ⊆ excluded → refuted; else the

@@ -197,6 +197,19 @@ class _SqliteStatsSql:
 _RTREE_FULL_LO = float("-inf")  # "unknown bounds" rows span everything
 _RTREE_FULL_HI = float("inf")   # (f32 infinities store fine in rtree)
 _F32_MAX = 3.4028234663852886e38
+def _ranges_from_positions(sorted_pos: Sequence[int]) -> List[List[int]]:
+    """Sorted distinct row positions -> [[start, length], ...] runs
+    (the storage form of a deletion vector: contiguous deletes — the
+    common case for time- or key-clustered data — compress to O(runs))."""
+    out: List[List[int]] = []
+    for p in sorted_pos:
+        if out and p == out[-1][0] + out[-1][1]:
+            out[-1][1] += 1
+        else:
+            out.append([p, 1])
+    return out
+
+
 _RTREE_ID_STRIDE = 1_000_000  # rtree id = file_id * stride + row_group
 _RTREE_CATS = {"int", "float", "timestamp", "date"}
 
@@ -477,6 +490,48 @@ class SqliteIndexCatalog:
                        file_name TEXT NOT NULL,
                        file_size_bytes INTEGER NOT NULL,
                        PRIMARY KEY (snapshot_id, file_name))""")
+            # deletion-vector extension (merge-on-read row-level
+            # deletes): per file, the sorted row positions (file-scoped
+            # row_index, range-compressed JSON [[start, length], ...])
+            # of rows logically deleted WITHOUT rewriting the file —
+            # Delta/Iceberg's deletion-vector design re-expressed as
+            # catalog metadata. Side tables carry the per-row-group
+            # deleted row counts and the deleted rows' exact per-column
+            # sum/count/sumsq contributions (captured at delete time,
+            # when the rows are read anyway), so COUNT/SUM/VAR
+            # pushdowns stay EXACT under deletes by subtraction;
+            # min/max/dict/topk/ndv/hist answers cannot be repaired
+            # that way and refuse until compaction. A snapshot records
+            # a fingerprint of the whole DV state so time travel fails
+            # loudly when deletes happened after the snapshot.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS deletion_vectors (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       ranges TEXT NOT NULL,
+                       deleted_rows INTEGER NOT NULL,
+                       PRIMARY KEY (file_id))""")
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS dv_rg_adjust (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       deleted_rows INTEGER NOT NULL,
+                       PRIMARY KEY (file_id, row_group))""")
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS dv_sum_adjust (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       deleted_sum TEXT,
+                       deleted_nonnull INTEGER NOT NULL,
+                       deleted_sumsq TEXT,
+                       PRIMARY KEY (file_id, row_group, column_name))""")
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS snapshot_dv_state (
+                       snapshot_id INTEGER PRIMARY KEY,
+                       fingerprint TEXT NOT NULL)""")
             # dictionary/frequency extension: per (row group, column)
             # exact distinct-value -> count map for LOW-cardinality
             # columns (capped at index time) — entries stored as a JSON
@@ -624,6 +679,14 @@ class SqliteIndexCatalog:
             file_id = self._upsert_file_row(fs)
             self._exec(
                 "DELETE FROM row_group_statistics WHERE file_id = ?", (file_id,))
+            # a re-indexed file was rewritten on disk: its old row
+            # positions are meaningless — deletion vectors die with the
+            # old bytes (refresh() skips unchanged files, so live DVs
+            # on untouched files survive)
+            for dv_tbl in ("deletion_vectors", "dv_rg_adjust",
+                           "dv_sum_adjust"):
+                self._exec(
+                    f"DELETE FROM {dv_tbl} WHERE file_id = ?", (file_id,))
             stat_cols = []
             for name, cat in self.index_schema.items():
                 stat_cols += [f'"{name}_null_count"', f'"{name}_min"', f'"{name}_max"']
@@ -769,7 +832,8 @@ class SqliteIndexCatalog:
             for child in ("row_group_statistics", "row_group_sums",
                           "row_group_hists", "row_group_ndv",
                           "row_group_dicts", "row_group_topk",
-                          "row_group_blooms"):
+                          "row_group_blooms", "deletion_vectors",
+                          "dv_rg_adjust", "dv_sum_adjust"):
                 self._exec(
                     f"""DELETE FROM {child} WHERE file_id IN
                         (SELECT file_id FROM file_statistics
@@ -972,7 +1036,174 @@ class SqliteIndexCatalog:
                            (snapshot_id, file_name, file_size_bytes)
                        VALUES (?, ?, ?)""",
                     [(sid, name, size) for name, size, _, _ in files])
+            # freeze the deletion-vector state too: deletes change
+            # results without changing any file size, so the file-set
+            # check alone cannot see them — the as-of guard compares
+            # this fingerprint and fails loudly on drift
+            self._exec(
+                "INSERT INTO snapshot_dv_state (snapshot_id, fingerprint) "
+                "VALUES (?, ?)", (sid, self.dv_fingerprint()))
             return sid
+
+    # -- deletion vectors (merge-on-read row-level deletes) ------------
+    def dv_fingerprint(self) -> str:
+        """Deterministic digest of the whole DV state (file name +
+        range list per file); the empty state has a fixed value so
+        snapshots from pre-DV catalogs verify cleanly."""
+        import hashlib
+        rows = self._query(
+            """SELECT f.file_name, d.ranges FROM deletion_vectors d
+               JOIN file_statistics f ON f.file_id = d.file_id
+               ORDER BY f.file_name""")
+        h = hashlib.sha256()
+        for fn, ranges in rows:
+            h.update(fn.encode())
+            h.update(b"\x00")
+            h.update(ranges.encode())
+            h.update(b"\x01")
+        return h.hexdigest()
+
+    def snapshot_dv_fingerprint(self, snapshot_id: int) -> str:
+        """The DV fingerprint recorded at snapshot time; snapshots
+        written before the DV extension existed (no row) report the
+        empty-state fingerprint."""
+        rows = self._query(
+            "SELECT fingerprint FROM snapshot_dv_state "
+            "WHERE snapshot_id = ?", (snapshot_id,))
+        if rows:
+            return rows[0][0]
+        import hashlib
+        return hashlib.sha256().hexdigest()
+
+    def upsert_dv(
+        self,
+        file_name: str,
+        positions_by_rg: Dict[int, Sequence[int]],
+        sum_adjust: Optional[Dict[int, Dict[str, Tuple[int, int,
+                                                       Optional[int]]]]]
+        = None,
+    ) -> int:
+        """Merge newly deleted FILE-SCOPED row positions (grouped by
+        row group) into the file's deletion vector; returns the file's
+        total deleted-row count after the merge. positions must be new
+        (the read path already excludes previously deleted rows, so a
+        re-delete never re-submits them). sum_adjust:
+        {row_group: {column: (sum, non_null_count, sumsq|None)}} — the
+        deleted rows' exact contributions, ADDED to any prior
+        adjustments in the same transaction."""
+        import json
+        new_pos = sorted(p for ps in positions_by_rg.values() for p in ps)
+        if not new_pos:
+            return self.dv_deleted_rows().get(file_name, 0)
+        with self._txn():
+            rows = self._query(
+                "SELECT file_id FROM file_statistics WHERE file_name = ?",
+                (file_name,))
+            if not rows:
+                raise KeyError(file_name)
+            fid = rows[0][0]
+            old = self._query(
+                "SELECT ranges FROM deletion_vectors WHERE file_id = ?",
+                (fid,))
+            pos = set(new_pos)
+            if old:
+                for s, ln in json.loads(old[0][0]):
+                    pos.update(range(s, s + ln))
+            ranges = _ranges_from_positions(sorted(pos))
+            self._exec(
+                "DELETE FROM deletion_vectors WHERE file_id = ?", (fid,))
+            self._exec(
+                "INSERT INTO deletion_vectors "
+                "(file_id, ranges, deleted_rows) VALUES (?, ?, ?)",
+                (fid, json.dumps(ranges), len(pos)))
+            for rg, ps in positions_by_rg.items():
+                if not ps:
+                    continue
+                prior = self._query(
+                    "SELECT deleted_rows FROM dv_rg_adjust "
+                    "WHERE file_id = ? AND row_group = ?", (fid, rg))
+                n = (prior[0][0] if prior else 0) + len(ps)
+                self._exec(
+                    "DELETE FROM dv_rg_adjust "
+                    "WHERE file_id = ? AND row_group = ?", (fid, rg))
+                self._exec(
+                    "INSERT INTO dv_rg_adjust "
+                    "(file_id, row_group, deleted_rows) VALUES (?, ?, ?)",
+                    (fid, rg, n))
+            for rg, cols in (sum_adjust or {}).items():
+                for col, (s, nn, sq) in cols.items():
+                    prior = self._query(
+                        """SELECT deleted_sum, deleted_nonnull,
+                                  deleted_sumsq FROM dv_sum_adjust
+                           WHERE file_id = ? AND row_group = ?
+                           AND column_name = ?""", (fid, rg, col))
+                    if prior:
+                        ps_, pn, pq_ = prior[0]
+                        s = s + int(ps_ or 0)
+                        nn = nn + pn
+                        sq = (None if sq is None or pq_ is None
+                              else sq + int(pq_))
+                        self._exec(
+                            """DELETE FROM dv_sum_adjust
+                               WHERE file_id = ? AND row_group = ?
+                               AND column_name = ?""", (fid, rg, col))
+                    self._exec(
+                        """INSERT INTO dv_sum_adjust
+                               (file_id, row_group, column_name,
+                                deleted_sum, deleted_nonnull,
+                                deleted_sumsq)
+                           VALUES (?, ?, ?, ?, ?, ?)""",
+                        (fid, rg, col, str(s), nn,
+                         None if sq is None else str(sq)))
+            return len(pos)
+
+    def get_dv_ranges(self) -> Dict[str, List[Tuple[int, int]]]:
+        """{file_name: [(start, length), ...] sorted} for every file
+        with a deletion vector. O(deleted ranges) metadata."""
+        import json
+        return {fn: [tuple(r) for r in json.loads(ranges)]
+                for fn, ranges in self._query(
+                    """SELECT f.file_name, d.ranges FROM deletion_vectors d
+                       JOIN file_statistics f ON f.file_id = d.file_id""")}
+
+    def dv_deleted_rows(self) -> Dict[str, int]:
+        """{file_name: total deleted rows} for every DV'd file."""
+        return {fn: n for fn, n in self._query(
+            """SELECT f.file_name, d.deleted_rows FROM deletion_vectors d
+               JOIN file_statistics f ON f.file_id = d.file_id""")}
+
+    def dv_rg_deleted(self) -> Dict[Tuple[str, int], int]:
+        """{(file_name, row_group): deleted rows} adjustments."""
+        return {(fn, rg): n for fn, rg, n in self._query(
+            """SELECT f.file_name, a.row_group, a.deleted_rows
+               FROM dv_rg_adjust a
+               JOIN file_statistics f ON f.file_id = a.file_id""")}
+
+    def dv_sum_adjustments(
+        self, column: str
+    ) -> Dict[Tuple[str, int], Tuple[int, int, Optional[int]]]:
+        """{(file_name, row_group): (deleted_sum, deleted_nonnull,
+        deleted_sumsq|None)} for one column — the exact amounts to
+        subtract from the stored per-row-group sums."""
+        return {(fn, rg): (int(s or 0), nn,
+                           None if sq is None else int(sq))
+                for fn, rg, s, nn, sq in self._query(
+                    """SELECT f.file_name, a.row_group, a.deleted_sum,
+                              a.deleted_nonnull, a.deleted_sumsq
+                       FROM dv_sum_adjust a
+                       JOIN file_statistics f ON f.file_id = a.file_id
+                       WHERE a.column_name = ?""", (column,))}
+
+    def clear_dv(self, file_name: str) -> None:
+        """Drop a file's deletion vector and adjustments (after the
+        file was compacted — the deleted rows are physically gone)."""
+        with self._txn():
+            for tbl in ("deletion_vectors", "dv_rg_adjust",
+                        "dv_sum_adjust"):
+                self._exec(
+                    f"""DELETE FROM {tbl} WHERE file_id IN
+                        (SELECT file_id FROM file_statistics
+                         WHERE file_name = ?)""", (file_name,))
 
     def expire_snapshots(self, keep_last: int) -> List[int]:
         """Retention (the VACUUM of the snapshot store): drop all but

@@ -34,7 +34,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -319,6 +319,9 @@ class IndexedParquetTable:
                                                 _stats.TOPK_K),
                                  **self._partition_index_kwargs())
         self._nan_free_cache = {}
+        # a changed file's upsert cleared its deletion vector; removed
+        # files dropped theirs — re-read DV state lazily
+        self._dv_cache = None
         if new_schema != self.index_schema:
             # first files after empty-dir construction (or a schema
             # evolution): adopt the derived schema and rebuild the
@@ -359,6 +362,15 @@ class IndexedParquetTable:
             raise ValueError(
                 f"snapshot {as_of} is no longer reconstructable: "
                 f"{broken} changed or vanished since it was taken")
+        # row-level deletes change results without changing any file
+        # size; the DV fingerprint recorded at snapshot time catches
+        # what the file-set check cannot (same loud-failure contract)
+        if (self.catalog.dv_fingerprint()
+                != self.catalog.snapshot_dv_fingerprint(as_of)):
+            raise ValueError(
+                f"snapshot {as_of} is no longer reconstructable: the "
+                f"deletion-vector state changed since it was taken "
+                f"(run compact-and-resnapshot, or query current state)")
         return snap
 
     def _snapshot_filter(
@@ -419,11 +431,19 @@ class IndexedParquetTable:
                     f"delta of snapshots {base}->{target} is no longer "
                     f"reconstructable: added files {broken} changed or "
                     f"vanished since snapshot {target} was taken")
+        if target is not None and (
+                self.catalog.dv_fingerprint()
+                != self.catalog.snapshot_dv_fingerprint(target)):
+            raise ValueError(
+                f"delta of snapshots {base}->{target} is no longer "
+                f"reconstructable: the deletion-vector state changed "
+                f"since snapshot {target} was taken")
         paths = [os.path.join(self.data_dir, n) for n in delta["added"]]
         reader = self.spark.read
         if getattr(self, "partitioned", False):
             reader = reader.option("basePath", self.data_dir)
         df = reader.schema(self._schema).parquet(*paths)
+        df = self._dv_apply(df, delta["added"])
         if columns:
             df = df.select(*columns)
         return df
@@ -763,6 +783,57 @@ class IndexedParquetTable:
                     del survivors[fname]
         return skipped
 
+    # -- deletion vectors (merge-on-read row-level deletes) -------------
+    def _dvs(self) -> Dict[str, List[Tuple[int, int]]]:
+        """Cached {file_name: [(start, length), ...]} deletion-vector
+        ranges; invalidated by every mutation (delete/compact/refresh)."""
+        if getattr(self, "_dv_cache", None) is None:
+            self._dv_cache = self.catalog.get_dv_ranges()
+        return self._dv_cache
+
+    def _dv_guard(self, what: str) -> None:
+        """Catalog-only answers that fold min/max/dict/topk/ndv/hist
+        statistics cannot be repaired under row-level deletes (the
+        deleted rows' effect on those summaries is not a subtraction);
+        refuse loudly instead of answering over ghosts."""
+        if self._dvs():
+            raise ValueError(
+                f"{what} cannot answer from the catalog while deletion "
+                f"vectors are present on "
+                f"{sorted(self._dvs())}; run compact_deletes() first "
+                f"(COUNT/SUM/VAR pushdowns and all scans remain exact)")
+
+    def _dv_apply(self, df: DataFrame,
+                  file_names: Sequence[str]) -> DataFrame:
+        """Filter logically deleted rows out of a fresh parquet scan:
+        broadcast-join the (tiny) per-file range lists on file name and
+        drop rows whose ``_metadata.row_index`` falls in a deleted
+        range. All JVM-side (broadcast hash join + array ``exists``),
+        O(ranges) metadata per file — at 100 TB the DV stream is
+        distributed with the plan, never the data. Must run on the raw
+        scan BEFORE projection (needs ``_metadata``)."""
+        from pyspark.sql import functions as F
+
+        dvs = self._dvs()
+        hit = [f for f in file_names if f in dvs]
+        if not hit:
+            return df
+        rows = [(f, [(int(s), int(s + ln - 1)) for s, ln in dvs[f]])
+                for f in hit]
+        dv_df = self.spark.createDataFrame(
+            rows, "dv_file string, dv_ranges array<struct<s:bigint,e:bigint>>")
+        out = (df
+               .withColumn("__dv_file", F.element_at(
+                   F.split(F.col("_metadata.file_path"), "/"), -1))
+               .withColumn("__dv_ridx", F.col("_metadata.row_index"))
+               .join(F.broadcast(dv_df),
+                     F.col("__dv_file") == F.col("dv_file"), "left")
+               .filter(F.col("dv_ranges").isNull() | ~F.expr(
+                   "exists(dv_ranges, r -> "
+                   "__dv_ridx >= r.s AND __dv_ridx <= r.e)"))
+               .drop("__dv_file", "__dv_ridx", "dv_file", "dv_ranges"))
+        return out
+
     # -- reading -------------------------------------------------------
     def query(
         self,
@@ -795,6 +866,13 @@ class IndexedParquetTable:
         if not decision.files_scanned:
             df = self.spark.createDataFrame([], self._schema)
         elif mode == "rowgroups":
+            dv_hit = [f for f in decision.file_names if f in self._dvs()]
+            if dv_hit:
+                raise ValueError(
+                    f"mode='rowgroups' cannot serve files with deletion "
+                    f"vectors ({dv_hit}): the raw row-group reader has "
+                    f"no row positions to anti-filter on. Use the "
+                    f"default mode='files' or compact_deletes() first.")
             df = self._read_rowgroups(decision, predicate, columns)
         else:
             paths = [os.path.join(self.data_dir, f) for f in decision.file_names]
@@ -805,6 +883,7 @@ class IndexedParquetTable:
                 # them
                 reader = reader.option("basePath", self.data_dir)
             df = reader.schema(self._schema).parquet(*paths)
+            df = self._dv_apply(df, decision.file_names)
         if predicate is not None:
             df = df.filter(predicate.to_spark())  # Inexact => residual filter
         if columns:
@@ -825,6 +904,262 @@ class IndexedParquetTable:
         ``table.query_sql("value = 150 AND text LIKE 'a%'")``."""
         from ..plans.sql_predicate import parse_predicate
         return self.query(parse_predicate(where), **kw)
+
+    # -- writing: row-level deletes / upserts (merge-on-read) -----------
+    DV_MAX_DELETED_PER_CALL = 2_000_000
+
+    def delete_where(self, predicate: Expr) -> int:
+        """Row-level DELETE without rewriting any file — the
+        Delta/Iceberg deletion-vector design over the external index:
+        one pruned job finds the matching rows' (file, row position)
+        pairs via ``_metadata.row_index`` plus, in the same pass, their
+        exact per-column sum contributions; the positions are merged
+        into per-file deletion vectors in the catalog (range-compressed
+        metadata), and every read surface anti-filters them. Files are
+        never touched — at 100 TB a targeted delete is one pruned scan
+        plus O(deleted ranges) metadata, not a rewrite of the table.
+
+        COUNT/SUM/VAR pushdowns stay exact (the recorded contributions
+        subtract); min/max/dict/topk/ndv/hist catalog answers refuse
+        until ``compact_deletes()``. Idempotent: already-deleted rows
+        are invisible to the scan, so re-running the same delete
+        matches nothing. Returns the number of rows newly deleted.
+
+        DV assembly is driver-side, capped at DV_MAX_DELETED_PER_CALL
+        positions per call (~ the point where a physical rewrite is
+        cheaper than a vector; Delta draws the same line)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if getattr(self, "partitioned", False):
+            raise ValueError(
+                "delete_where supports flat layouts only (partitioned "
+                "directories: rewrite the affected partitions instead)")
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
+            return 0
+        paths = [os.path.join(self.data_dir, f)
+                 for f in decision.file_names]
+        df = self.spark.read.schema(self._schema).parquet(*paths)
+        df = self._dv_apply(df, decision.file_names)   # idempotence
+        df = df.filter(predicate.to_spark())
+        sum_cols = [c for c in getattr(self, "sum_columns", ())]
+        # one distributed pass: file, position, and the deleted rows'
+        # sum contributions (exact: integer/decimal sums in
+        # decimal(38,0); second moments integer-only, like the store)
+        aggs = [F.sort_array(F.collect_list("__pos")).alias("pos"),
+                F.count(F.lit(1)).alias("n")]
+        schema_by_name = {f.name: f.dataType for f in self._schema.fields}
+        for c in sum_cols:
+            dt = schema_by_name.get(c)
+            aggs.append(F.sum(F.col(c).cast("decimal(38,0)")
+                              if not isinstance(dt, T.DecimalType)
+                              else F.col(c)).alias(f"__sum_{c}"))
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+                aggs.append(F.sum(F.col(c).cast("decimal(38,0)")
+                                  * F.col(c)).alias(f"__sq_{c}"))
+        hits = (df.select(
+                    F.element_at(F.split(F.col("_metadata.file_path"),
+                                         "/"), -1).alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                    *[F.col(c) for c in sum_cols])
+                .groupBy("__file").agg(*aggs).collect())
+        total = sum(r["n"] for r in hits)
+        if total > self.DV_MAX_DELETED_PER_CALL:
+            raise ValueError(
+                f"delete matches {total} rows > "
+                f"DV_MAX_DELETED_PER_CALL={self.DV_MAX_DELETED_PER_CALL}"
+                f"; a physical rewrite (compact_to / overwrite) is the "
+                f"right tool at that volume")
+        deleted = 0
+        for r in hits:
+            fname, positions = r["__file"], r["pos"]
+            if not positions:
+                continue
+            counts = self.catalog.row_group_row_counts(fname)
+            starts = []
+            acc = 0
+            for rg in range(len(counts)):
+                starts.append(acc)
+                acc += counts[rg]
+            # split file-scoped positions into row groups (positions
+            # sorted; starts ascending)
+            by_rg: Dict[int, List[int]] = {}
+            rg = 0
+            for p in positions:
+                while rg + 1 < len(starts) and p >= starts[rg + 1]:
+                    rg += 1
+                by_rg.setdefault(rg, []).append(p)
+            # per-rg sum adjustments need per-rg re-aggregation only
+            # when a file spans several row groups AND sums are kept;
+            # the single-rg fast path (the common fixture layout)
+            # reuses the file-level aggregates
+            sum_adjust: Dict[int, Dict[str, tuple]] = {}
+            if sum_cols and len(by_rg) == 1:
+                only_rg = next(iter(by_rg))
+                sum_adjust[only_rg] = self._dv_sum_entries(r, sum_cols)
+            elif sum_cols:
+                sum_adjust = self._dv_rg_sums(fname, by_rg, sum_cols)
+            deleted += len(positions)
+            self.catalog.upsert_dv(fname, by_rg, sum_adjust)
+        self._dv_cache = None
+        return deleted
+
+    def _dv_sum_entries(self, row, sum_cols):
+        """Decode one collected aggregate row into the catalog's
+        (sum, nonnull, sumsq|None) integer triples."""
+        import decimal as _dec
+        from pyspark.sql import types as T
+
+        schema_by_name = {f.name: f.dataType for f in self._schema.fields}
+        out = {}
+        for c in sum_cols:
+            s = row[f"__sum_{c}"]
+            dt = schema_by_name.get(c)
+            if isinstance(dt, T.DecimalType):
+                # store UNSCALED ints, the row_group_sums convention
+                s_int = 0 if s is None else int(
+                    _dec.Decimal(s).scaleb(dt.scale))
+            else:
+                s_int = 0 if s is None else int(s)
+            sq = row[f"__sq_{c}"] if f"__sq_{c}" in row.asDict() else None
+            out[c] = (s_int, row[f"__nn_{c}"],
+                      None if sq is None else int(sq))
+        return out
+
+    def _dv_rg_sums(self, fname: str, by_rg: Dict[int, List[int]],
+                    sum_cols) -> Dict[int, Dict[str, tuple]]:
+        """Per-row-group deleted-sum contributions for a multi-row-group
+        file: re-read exactly the deleted positions with pyarrow (a few
+        row groups of one file — bounded work on the driver, mirroring
+        how the stats extractors already read footers)."""
+        import decimal as _dec
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        schema_by_name = {f.name: f.dataType for f in self._schema.fields}
+        pf = pq.ParquetFile(os.path.join(self.data_dir, fname))
+        counts = self.catalog.row_group_row_counts(fname)
+        starts = []
+        acc = 0
+        for rg in range(len(counts)):
+            starts.append(acc)
+            acc += counts[rg]
+        out: Dict[int, Dict[str, tuple]] = {}
+        for rg, positions in by_rg.items():
+            tbl = pf.read_row_group(rg, columns=list(sum_cols))
+            local = [p - starts[rg] for p in positions]
+            sub = tbl.take(local)
+            entries = {}
+            for c in sum_cols:
+                vals = [v for v in sub.column(c).to_pylist()
+                        if v is not None]
+                dt = schema_by_name.get(c)
+                if isinstance(dt, T.DecimalType):
+                    s_int = int(sum(_dec.Decimal(v).scaleb(dt.scale)
+                                    for v in vals)) if vals else 0
+                    sq = None
+                else:
+                    s_int = sum(int(v) for v in vals)
+                    sq = sum(int(v) * int(v) for v in vals) \
+                        if isinstance(dt, (T.ByteType, T.ShortType,
+                                           T.IntegerType, T.LongType)) \
+                        else None
+                entries[c] = (s_int, len(vals), sq)
+            out[rg] = entries
+        return out
+
+    def compact_deletes(self) -> int:
+        """Physically rewrite every file that carries a deletion vector,
+        dropping the deleted rows, then refresh() — the re-indexed
+        files get fresh exact statistics and their DVs are cleared
+        (upsert_file drops them with the old bytes), restoring every
+        catalog-only answer surface. Files without DVs are untouched:
+        at 100 TB compaction cost is O(deleted-from files), not
+        O(table). Returns the number of files rewritten. Rewrites
+        preserve the original row-group partitioning (minus the holes),
+        so pruning granularity survives compaction."""
+        import pyarrow.parquet as pq
+
+        dvs = self.catalog.get_dv_ranges()
+        for fname, ranges in sorted(dvs.items()):
+            path = os.path.join(self.data_dir, fname)
+            pf = pq.ParquetFile(path)
+            deleted = set()
+            for s, ln in ranges:
+                deleted.update(range(s, s + ln))
+            tmp = path + ".compact.tmp"
+            writer = None
+            base = 0
+            try:
+                for rg in range(pf.metadata.num_row_groups):
+                    tbl = pf.read_row_group(rg)
+                    keep = [i for i in range(tbl.num_rows)
+                            if base + i not in deleted]
+                    base += tbl.num_rows
+                    if not keep:
+                        continue
+                    live = tbl.take(keep)
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, live.schema)
+                    writer.write_table(live,
+                                       row_group_size=max(len(keep), 1))
+            finally:
+                if writer is not None:
+                    writer.close()
+            if writer is None:
+                # every row deleted: the file disappears entirely
+                os.remove(path)
+                self.catalog.remove_file(fname)
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            else:
+                os.replace(tmp, path)
+        self.refresh()
+        self._dv_cache = None
+        return len(dvs)
+
+    def merge_upsert(self, updates: DataFrame, key_column: str,
+                     max_keys: int = 100_000) -> Tuple[int, int]:
+        """MERGE (upsert) by key: logically delete current rows whose
+        key appears in ``updates`` (deletion vectors — no file
+        rewrite), land the updates as ONE new file, and refresh() the
+        index over it. Returns (rows_deleted, rows_inserted). The
+        harvested key list is driver-side metadata, capped at
+        ``max_keys`` (beyond that a join-based rewrite is the right
+        tool — same line Delta's MERGE draws between DV updates and
+        file rewrites)."""
+        from ..plans.expr import col as xcol
+        from pyspark.sql import functions as F
+
+        keys = [r[0] for r in
+                updates.select(key_column)
+                .where(F.col(key_column).isNotNull())
+                .distinct().limit(max_keys + 1).collect()]
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"merge_upsert harvested > max_keys={max_keys} distinct "
+                f"keys; use a join-based rewrite for bulk merges")
+        n_del = self.delete_where(xcol(key_column).isin(sorted(keys))) \
+            if keys else 0
+        existing = {f[0] for f in self.catalog.all_files()}
+        i = 0
+        while f"upsert_{i:06d}.parquet" in existing:
+            i += 1
+        name = f"upsert_{i:06d}.parquet"
+        tmp = os.path.join(self.data_dir, f"_stage_{name}")
+        updates.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(self.data_dir, name))
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        n_ins = updates.count()
+        self.refresh()
+        return n_del, n_ins
 
     def _read_rowgroups(
         self,
@@ -910,11 +1245,15 @@ class IndexedParquetTable:
         unpredicated: time-travel aggregates are catalog arithmetic
         too)."""
         if predicate is None:
+            deleted = self.catalog.dv_deleted_rows()
             if as_of is None:
-                return sum(f[3] for f in self.catalog.all_files())
+                return (sum(f[3] for f in self.catalog.all_files())
+                        - sum(deleted.values()))
             snap = self._snapshot_guard(as_of)
-            return sum(f[3] for f in self.catalog.all_files()
-                       if f[0] in snap)
+            # the guard verified the DV state matches the snapshot's
+            # fingerprint, so current adjustments ARE the as-of ones
+            return sum(f[3] - deleted.get(f[0], 0)
+                       for f in self.catalog.all_files() if f[0] in snap)
         decision = self.plan_scan(predicate, as_of=as_of)
         if not decision.files_scanned:
             self.last_count_pushdown = {
@@ -926,6 +1265,7 @@ class IndexedParquetTable:
             return self.query(predicate, as_of=as_of).count()
         sat = self._rewriter.satisfies(predicate)
         full = dict(self._get_files_prefiltered(sat, predicate))
+        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
         full_rows = 0
         full_rgs = 0
         partial: Dict[str, List[int]] = {}
@@ -934,10 +1274,21 @@ class IndexedParquetTable:
             frg = set(full.get(fname, ()))
             rest = [rg for rg in rgs if rg not in frg]
             hit = [rg for rg in rgs if rg in frg]
-            full_rows += sum(counts[rg] for rg in hit)
+            # a satisfaction-proven group under deletes: every LIVE row
+            # still satisfies (the proof covers all rows), so the live
+            # contribution is row_count minus the recorded deletions
+            full_rows += sum(counts[rg] - dv_rg.get((fname, rg), 0)
+                             for rg in hit)
             full_rgs += len(hit)
             if rest:
                 partial[fname] = rest
+        if any((fname, rg) in dv_rg
+               for fname, rgs in partial.items() for rg in rgs):
+            # boundary groups WITH deletions: the raw row-group reader
+            # cannot anti-filter positions — demote to the pruned
+            # file-level scan, which applies the DV exactly
+            self.last_count_pushdown = None
+            return self.query(predicate, as_of=as_of).count()
         self.last_count_pushdown = {
             "full_row_groups": full_rgs, "full_rows": full_rows,
             "partial_row_groups": sum(len(v) for v in partial.values())}
@@ -995,6 +1346,8 @@ class IndexedParquetTable:
         if not sums or getattr(self, "partitioned", False):
             self.last_sum_pushdown = None
             return _scan_agg(self.query(predicate, as_of=as_of))
+        dv_adj = (self.catalog.dv_sum_adjustments(column)
+                  if self._dvs() else {})
         if predicate is None:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
             if as_of is not None:
@@ -1003,12 +1356,14 @@ class IndexedParquetTable:
                 indexed = {fn: c for fn, c in indexed.items() if fn in snap}
             if all((fn, rg) in sums
                    for fn, n in indexed.items() for rg in range(n)):
-                entries = [sums[(fn, rg)]
-                           for fn, n in indexed.items() for rg in range(n)]
-                s = sum(v[0] for v in entries)
-                n = sum(v[1] for v in entries)
+                keys = [(fn, rg)
+                        for fn, n in indexed.items() for rg in range(n)]
+                s = sum(sums[k][0] - dv_adj.get(k, (0, 0, None))[0]
+                        for k in keys)
+                n = sum(sums[k][1] - dv_adj.get(k, (0, 0, None))[1]
+                        for k in keys)
                 self.last_sum_pushdown = {
-                    "full_row_groups": len(entries), "full_sum": s,
+                    "full_row_groups": len(keys), "full_sum": s,
                     "partial_row_groups": 0}
                 return (decode(s) if n else None), n
             self.last_sum_pushdown = None
@@ -1031,13 +1386,22 @@ class IndexedParquetTable:
             for rg in rgs:
                 entry = sums.get((fname, rg))
                 if rg in frg and entry is not None:
-                    s_full += entry[0]
-                    n_full += entry[1]
+                    # proven-full group: every live row satisfies, so
+                    # the live sum is the stored sum minus the deleted
+                    # rows' recorded contribution
+                    adj = dv_adj.get((fname, rg), (0, 0, None))
+                    s_full += entry[0] - adj[0]
+                    n_full += entry[1] - adj[1]
                     full_rgs += 1
                 else:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
+        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
+        if any((fname, rg) in dv_rg
+               for fname, rgs in partial.items() for rg in rgs):
+            self.last_sum_pushdown = None
+            return _scan_agg(self.query(predicate, as_of=as_of))
         self.last_sum_pushdown = {
             "full_row_groups": full_rgs, "full_sum": s_full,
             "partial_row_groups": sum(len(v) for v in partial.values())}
@@ -1106,20 +1470,34 @@ class IndexedParquetTable:
         if (not any(_usable(e) for e in sums.values())
                 or getattr(self, "partitioned", False)):
             self.last_var_pushdown = None
-            df = self.to_df() if predicate is None else self.query(predicate)
+            df = self.query(None) if predicate is None \
+                else self.query(predicate)
             return _scan_agg(df)
+        dv_adj = (self.catalog.dv_sum_adjustments(column)
+                  if self._dvs() else {})
+
+        def _adj_ok(key) -> bool:
+            # a deleted-rows adjustment without a recorded second moment
+            # cannot repair the stored sumsq — demote the group
+            a = dv_adj.get(key)
+            return a is None or a[2] is not None
+
         if predicate is None:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
-            if all(_usable(sums.get((fn, rg), ()))
+            if all(_usable(sums.get((fn, rg), ())) and _adj_ok((fn, rg))
                    for fn, n in indexed.items() for rg in range(n)):
                 s = sum(v[0] for v in sums.values())
                 sq = sum(v[2] for v in sums.values())
                 n = sum(v[1] for v in sums.values())
+                for a_s, a_n, a_sq in dv_adj.values():
+                    s -= a_s
+                    n -= a_n
+                    sq -= a_sq or 0
                 self.last_var_pushdown = {
                     "full_row_groups": len(sums), "partial_row_groups": 0}
                 return ((s, sq, n) if n else (None, None, 0))
             self.last_var_pushdown = None
-            return _scan_agg(self.to_df())
+            return _scan_agg(self.query(None))
         decision = self.plan_scan(predicate)
         if not decision.files_scanned:
             self.last_var_pushdown = {
@@ -1134,15 +1512,22 @@ class IndexedParquetTable:
             rest = []
             for rg in rgs:
                 entry = sums.get((fname, rg))
-                if rg in frg and entry is not None and _usable(entry):
-                    s_full += entry[0]
-                    n_full += entry[1]
-                    sq_full += entry[2]
+                if (rg in frg and entry is not None and _usable(entry)
+                        and _adj_ok((fname, rg))):
+                    adj = dv_adj.get((fname, rg), (0, 0, 0))
+                    s_full += entry[0] - adj[0]
+                    n_full += entry[1] - adj[1]
+                    sq_full += entry[2] - (adj[2] or 0)
                     full_rgs += 1
                 else:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
+        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
+        if any((fname, rg) in dv_rg
+               for fname, rgs in partial.items() for rg in rgs):
+            self.last_var_pushdown = None
+            return _scan_agg(self.query(predicate))
         self.last_var_pushdown = {
             "full_row_groups": full_rgs,
             "partial_row_groups": sum(len(v) for v in partial.values())}
@@ -1328,6 +1713,7 @@ class IndexedParquetTable:
         share a truncated prefix). Values are returned in the data's
         domain (the catalog decodes its storage encoding). At 100 TB
         this is an O(catalog) driver-side fold — no executor starts."""
+        self._dv_guard("count_rows_by")
         try:
             entries = self.catalog.column_rg_entries(column)
         except KeyError:
@@ -1353,6 +1739,7 @@ class IndexedParquetTable:
         count_rows_by (no NULL group values, no truncated-bound
         single-valuedness claims). O(catalog) driver-side fold — no
         executor ever starts."""
+        self._dv_guard("sum_rows_by")
         try:
             entries = self.catalog.column_rg_entries_keyed(group_column)
         except KeyError:
@@ -1383,6 +1770,7 @@ class IndexedParquetTable:
         moments). Returns None when any row group fails a condition —
         coverage degrades to a scan aggregate, never wrongness.
         O(catalog) driver-side fold — no executor ever starts."""
+        self._dv_guard("sum_sq_rows_by")
         try:
             entries = self.catalog.column_rg_entries_keyed(group_column)
         except KeyError:
@@ -1418,6 +1806,7 @@ class IndexedParquetTable:
         degrades to a scan-side quantile, never wrongness. This is the
         P99-dashboard readout at 100 TB: distribution shape served the
         way COUNT/SUM/VAR already are, from the index alone."""
+        self._dv_guard("hist_quantiles")
         try:
             hists = self.catalog.get_hists(column)
         except Exception:
@@ -1468,6 +1857,7 @@ class IndexedParquetTable:
         Same deterministic integer estimate as hist_quantiles, folded
         per group; None when any row group fails a trust condition or
         lacks the histogram (scan fallback, never wrongness)."""
+        self._dv_guard("hist_quantiles_by")
         try:
             entries = self.catalog.column_rg_entries_keyed(group_column)
             hists = self.catalog.get_hists(column)
@@ -1545,6 +1935,7 @@ class IndexedParquetTable:
         COUNT from its stats (index.rs:198-205); at 100 TB this is the
         cardinality dashboard that never touches the data, and the
         registers keep merging across partitions, days, or tables."""
+        self._dv_guard("ndv_estimate")
         try:
             ndvs = self.catalog.get_ndvs(column)
         except Exception:
@@ -1571,6 +1962,7 @@ class IndexedParquetTable:
         served entirely from the catalog; None when any row group fails
         a trust condition or lacks registers (scan fallback, never
         wrongness)."""
+        self._dv_guard("ndv_by")
         try:
             entries = self.catalog.column_rg_entries_keyed(group_column)
             ndvs = self.catalog.get_ndvs(column)
@@ -1613,6 +2005,7 @@ class IndexedParquetTable:
         label/status/language distribution dashboard served from the
         index alone, and the maps keep folding across partitions,
         days, or tables."""
+        self._dv_guard("group_counts")
         try:
             dicts = self.catalog.get_dicts(column)
         except Exception:
@@ -1639,6 +2032,7 @@ class IndexedParquetTable:
         extension: the union of the per-row-group value sets, sorted.
         Same coverage rule as group_counts (every row group must carry
         a dict row); None otherwise — scan fallback, never wrongness."""
+        self._dv_guard("distinct_values")
         counts = self.group_counts(column, as_of=as_of)
         if counts is None:
             return None
@@ -1670,6 +2064,7 @@ class IndexedParquetTable:
         O(row_groups · k) driver fold; the hot-key/repeat-buyer
         dashboard at 100 TB, with summaries that keep folding across
         partitions, days, or tables."""
+        self._dv_guard("heavy_hitters")
         try:
             topks = self.catalog.get_topk(column)
         except Exception:
@@ -1707,6 +2102,7 @@ class IndexedParquetTable:
         clustered layouts). Returns {group: [(value, lower, upper)]}
         or None on any coverage/trust failure — scan fallback, never
         wrongness. Hot-keys-per-tenant from the index alone."""
+        self._dv_guard("heavy_hitters_by")
         try:
             entries = self.catalog.column_rg_entries_keyed(group_column)
             topks = self.catalog.get_topk(column)
@@ -1750,6 +2146,7 @@ class IndexedParquetTable:
         target is all-NULL contributes (None, None, 0) bounds-free.
         Returns None when any row group fails a trust condition (caller
         falls back to a scan aggregate). O(catalog) driver-side fold."""
+        self._dv_guard("min_max_by")
         try:
             groups = self.catalog.column_rg_entries_keyed(group_column)
             targets = self.catalog.column_rg_entries_keyed(target_column)
@@ -1791,6 +2188,7 @@ class IndexedParquetTable:
         the answer unread; groups whose bounds cannot be trusted as
         attained demote to the scanned set alongside the boundary
         groups. ``last_minmax_pushdown`` records the split."""
+        self._dv_guard("min_max")
         from pyspark.sql import functions as F
 
         if predicate is None:
@@ -1921,12 +2319,14 @@ class IndexedParquetTable:
         order = [F.col(column).desc_nulls_last() if descending
                  else F.col(column).asc_nulls_last()]
         order += [F.col(c).asc_nulls_last() for c in tiebreak]
-        if getattr(self, "partitioned", False):
-            # the row-group reader cannot surface partition columns;
-            # partitioned layouts fall back to the pruned native scan
+        if getattr(self, "partitioned", False) or self._dvs():
+            # the row-group reader cannot surface partition columns —
+            # nor row positions for the deletion-vector anti-filter;
+            # both layouts fall back to the pruned native scan (which
+            # applies DVs exactly)
             self.last_topk_pushdown = None
             df = self.query(predicate) if predicate is not None \
-                else self.to_df()
+                else self.query(None)
             return df.orderBy(*order).limit(k)
         decision = self.plan_scan(predicate) if predicate is not None \
             else self.plan_scan(None)
@@ -2043,11 +2443,16 @@ class IndexedParquetTable:
 
     # -- convenience ---------------------------------------------------
     def to_df(self) -> DataFrame:
-        """Unpruned full-table scan through Spark's native reader."""
+        """Unpruned full-table scan through Spark's native reader
+        (deletion vectors still apply — every read surface hides
+        logically deleted rows)."""
         if getattr(self, "partitioned", False):
             return self.spark.read.schema(self._schema).parquet(self.data_dir)
-        return self.spark.read.schema(self._schema).parquet(
+        df = self.spark.read.schema(self._schema).parquet(
             os.path.join(self.data_dir, "*.parquet"))
+        if self._dvs():
+            df = self._dv_apply(df, list(self._dvs()))
+        return df
 
     def create_temp_view(self, view_name: Optional[str] = None) -> None:
         self.to_df().createOrReplaceTempView(view_name or self.name)

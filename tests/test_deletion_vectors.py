@@ -1,0 +1,246 @@
+"""Deletion vectors (merge-on-read row-level deletes): delete_where /
+compact_deletes / merge_upsert and the DV-awareness of every read and
+catalog-answer surface.
+
+Design (Delta/Iceberg deletion vectors re-expressed as catalog
+metadata): one pruned job finds matching (file, row position) pairs via
+``_metadata.row_index`` and their exact per-column sum contributions;
+positions merge into per-file range-compressed vectors; reads
+anti-filter them JVM-side (broadcast join + array exists); COUNT/SUM/
+VAR pushdowns subtract the recorded contributions exactly;
+min/max/dict/topk/ndv/hist catalog answers refuse until compaction;
+snapshots record a DV fingerprint so time travel fails loudly after
+later deletes."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+
+def _one_file(df, d, name, block=1 << 14):
+    tmp = os.path.join(d, f"_stage_{name}")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.block.size", str(block)).parquet(tmp))
+    part = next(f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(d, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture()
+def dv_table(spark, tmp_path):
+    d = str(tmp_path / "dv")
+    os.makedirs(d)
+    base = spark.range(4_000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 7 % 1000).cast("long").alias("v"),
+        F.md5(F.col("id").cast("string")).alias("pay"))
+    _one_file(base.filter(F.col("k") % 2 == 0).orderBy("k"),
+              d, "even.parquet")
+    _one_file(base.filter(F.col("k") % 2 == 1).orderBy("k"),
+              d, "odd.parquet")
+    t = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    return t, base
+
+
+DEL = (col("v") % 10) == 3          # hits odd ids only (7*9 = 63)
+
+
+def LIVE():
+    return ~((F.col("v") % 10) == 3)
+
+
+def test_delete_where_counts_and_read_surfaces(spark, dv_table):
+    t, base = dv_table
+    n0 = t.count_rows()
+    ndel = t.delete_where(DEL)
+    assert ndel == base.filter(~LIVE()).count() > 0
+    live = base.filter(LIVE())
+    # every read surface excludes the deleted rows
+    assert t.query(None).count() == n0 - ndel
+    assert t.to_df().count() == n0 - ndel
+    got = sorted(r["k"] for r in
+                 t.query((col("v") >= 100) & (col("v") < 200)).collect())
+    want = sorted(r["k"] for r in live.filter(
+        (F.col("v") >= 100) & (F.col("v") < 200)).collect())
+    assert got == want
+    # registered view rides to_df -> also DV-filtered
+    t.create_temp_view("dv_view")
+    assert spark.sql("SELECT COUNT(*) c FROM dv_view").head()["c"] \
+        == n0 - ndel
+
+
+def test_delete_is_idempotent(spark, dv_table):
+    t, _ = dv_table
+    first = t.delete_where(DEL)
+    assert first > 0
+    assert t.delete_where(DEL) == 0  # already-deleted rows are invisible
+
+
+def test_count_sum_var_pushdowns_stay_exact(spark, dv_table):
+    t, base = dv_table
+    t.delete_where(DEL)
+    live = base.filter(LIVE())
+    exp = live.agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+                   F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+                   .alias("sq")).head()
+    assert t.count_rows() == exp["n"]
+    s, nn = t.sum_rows("v")
+    assert (s, nn) == (exp["s"], exp["n"])
+    # pure catalog arithmetic — no boundary scan
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+    s_, sq_, n_ = t.sum_sq_rows("v")
+    assert (s_, sq_, n_) == (exp["s"], int(exp["sq"]), exp["n"])
+    # predicated: full + boundary groups, still exact
+    p = (col("v") >= 100) & (col("v") < 500)
+    lp = (F.col("v") >= 100) & (F.col("v") < 500)
+    assert t.count_rows(p) == live.filter(lp).count()
+    sp, _ = t.sum_rows("v", p)
+    assert sp == live.filter(lp).agg(F.sum("v")).head()[0]
+
+
+def test_unrepairable_catalog_answers_refuse(spark, dv_table):
+    t, _ = dv_table
+    t.delete_where(DEL)
+    for call in (lambda: t.min_max("v"),
+                 lambda: t.group_counts("v"),
+                 lambda: t.heavy_hitters("v"),
+                 lambda: t.ndv_estimate("v"),
+                 lambda: t.hist_quantiles("v", [500])):
+        with pytest.raises(ValueError, match="deletion vectors"):
+            call()
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.query(DEL, mode="rowgroups")
+    # count_upper_bound stays a valid over-approximation
+    assert t.count_upper_bound() >= t.count_rows()
+
+
+def test_order_limit_falls_back_and_is_exact(spark, dv_table):
+    t, base = dv_table
+    t.delete_where(DEL)
+    live = base.filter(LIVE())
+    got = [r["v"] for r in
+           t.order_limit("v", 7, descending=True, tiebreak=["k"])
+           .collect()]
+    want = [r["v"] for r in
+            live.orderBy(F.col("v").desc_nulls_last(),
+                         F.col("k").asc_nulls_last()).limit(7).collect()]
+    assert got == want
+
+
+def test_snapshot_guard_sees_deletes(spark, dv_table):
+    t, _ = dv_table
+    snap = t.snapshot()
+    assert t.query(None, as_of=snap).count() == t.count_rows()
+    t.delete_where(DEL)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.query(None, as_of=snap)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.count_rows(as_of=snap)
+    # a snapshot taken AFTER the delete verifies (DV state frozen in it)
+    snap2 = t.snapshot()
+    assert t.query(None, as_of=snap2).count() == t.count_rows()
+    assert t.count_rows(as_of=snap2) == t.count_rows()
+
+
+def test_compaction_materializes_and_restores(spark, dv_table):
+    t, base = dv_table
+    t.delete_where(DEL)
+    n_live = t.count_rows()
+    s_live, _ = t.sum_rows("v")
+    rewritten = t.compact_deletes()
+    assert rewritten == 1  # only odd.parquet had deletions
+    assert not t.catalog.get_dv_ranges()
+    assert t.count_rows() == n_live
+    s2, _ = t.sum_rows("v")
+    assert s2 == s_live
+    # catalog-only answers work again and match the live data
+    lo, hi = t.min_max("v")[:2]
+    live = base.filter(LIVE())
+    assert lo == live.agg(F.min("v")).head()[0]
+    # pruning still works over the rewritten file
+    dec = t.plan_scan(col("k") == 1_001)
+    assert dec.row_groups_scanned < dec.total_row_groups
+
+
+def test_compaction_drops_fully_deleted_file(spark, tmp_path):
+    d = str(tmp_path / "dvall")
+    os.makedirs(d)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    _one_file(df.filter(F.col("k") < 50), d, "a.parquet")
+    _one_file(df.filter(F.col("k") >= 50), d, "b.parquet")
+    t = IndexedParquetTable(spark, d, ["k"])
+    t.delete_where(col("k") >= 50)      # everything in b.parquet
+    assert t.count_rows() == 50
+    t.compact_deletes()
+    assert not os.path.exists(os.path.join(d, "b.parquet"))
+    assert t.count_rows() == 50
+    assert [f[0] for f in t.catalog.all_files()] == ["a.parquet"]
+
+
+def test_merge_upsert(spark, dv_table):
+    t, base = dv_table
+    updates = spark.createDataFrame(
+        [(2, 9999, "upd"), (3, 8888, "upd"), (4_001, 7777, "new")],
+        "k LONG, v LONG, pay STRING")
+    n_del, n_ins = t.merge_upsert(updates, "k")
+    assert (n_del, n_ins) == (2, 3)     # k=2,3 existed; 4001 is new
+    assert t.count_rows() == 4_000 - 2 + 3
+    rows = {r["k"]: r["v"] for r in
+            t.query(col("k").isin([2, 3, 4_001])).collect()}
+    assert rows == {2: 9999, 3: 8888, 4_001: 7777}
+    # the landed file is indexed: a point query prunes to it
+    dec = t.plan_scan(col("v") == 7777)
+    assert list(dec.files_scanned) == ["upsert_000000.parquet"]
+
+
+def test_refresh_clears_dv_on_rewritten_file(spark, dv_table):
+    t, base = dv_table
+    t.delete_where(DEL)
+    assert t.catalog.get_dv_ranges()
+    # odd.parquet is rewritten externally (immutable-file convention
+    # violated deliberately): its positions are meaningless, the
+    # upsert drops its DV with the old bytes
+    d = t.data_dir
+    _one_file(base.filter(F.col("k") % 2 == 1).orderBy(F.desc("k")),
+              d, "odd.parquet", block=1 << 20)
+    t.refresh()
+    assert "odd.parquet" not in t.catalog.get_dv_ranges()
+    assert t.count_rows() == 4_000  # rewrite resurrected the rows
+
+
+def test_decimal_sum_column_adjusts_exactly(spark, tmp_path):
+    d = str(tmp_path / "dvdec")
+    os.makedirs(d)
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(12,2)") / 4).alias("price"))
+    _one_file(df, d, "p.parquet")
+    t = IndexedParquetTable(spark, d, ["k", "price"],
+                            sum_columns=["price"])
+    t.delete_where((col("k") % 5) == 0)
+    live = df.filter(~((F.col("k") % 5) == 0))
+    s, n = t.sum_rows("price")
+    exp = live.agg(F.sum("price").alias("s"),
+                   F.count("price").alias("n")).head()
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+    assert (s, n) == (exp["s"], exp["n"])
+
+
+def test_read_delta_applies_dvs(spark, dv_table):
+    t, base = dv_table
+    s1 = t.snapshot()
+    d = t.data_dir
+    _one_file(base.filter(F.col("k") % 2 == 1)
+              .withColumn("k", F.col("k") + 10_000), d, "late.parquet")
+    t.refresh()
+    t.delete_where(col("k") == 10_001)   # one row of the arrival
+    n_added = t.read_delta(s1).count()
+    assert n_added == 2_000 - 1          # the delta read is DV-filtered

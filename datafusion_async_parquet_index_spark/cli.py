@@ -31,6 +31,14 @@ Verbs:
         The catalog DESCRIBE readout (per-column stats completeness,
         bounds, trust flags) — pure catalog fold, no data read.
 
+    delete DIR --columns a,b "WHERE-clause" --catalog path.db
+        Row-level DELETE via deletion vectors: no file is rewritten;
+        matching rows vanish from every read. Prints the count.
+
+    compact DIR --columns a,b --catalog path.db
+        Materialize deletion vectors: rewrite only the DV'd files
+        without their deleted rows, refresh, clear the vectors.
+
 A file-backed --catalog makes the verbs compose across invocations
 (build once, snapshot, keep querying as-of); without it each run
 indexes into a private in-memory catalog first.
@@ -109,11 +117,15 @@ def main(argv=None) -> int:
                         "GROUP BY k\"")
     s.add_argument("--limit", type=int, default=20)
     common(sub.add_parser("describe"))
+    dl = sub.add_parser("delete")
+    common(dl)
+    dl.add_argument("where", help="SQL WHERE clause selecting rows to delete")
+    common(sub.add_parser("compact"))
 
     args = p.parse_args(argv)
-    if args.verb == "snapshot" and not args.catalog:
+    if args.verb in ("snapshot", "delete", "compact") and not args.catalog:
         # refuse BEFORE starting Spark / indexing anything
-        print("snapshot without --catalog is useless "
+        print(f"{args.verb} without --catalog is useless "
               "(in-memory catalogs die with the process)",
               file=sys.stderr)
         return 2
@@ -155,6 +167,14 @@ def main(argv=None) -> int:
         df = t.sql(args.statement)
         print(t.last_scan.describe())
         df.show(args.limit, truncate=False)
+    elif args.verb == "delete":
+        from .plans.sql_predicate import parse_predicate
+        n = t.delete_where(parse_predicate(args.where))
+        print(f"deleted {n} rows "
+              f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
+    elif args.verb == "compact":
+        n = t.compact_deletes()
+        print(f"rewrote {n} files; deletion vectors cleared")
     elif args.verb == "describe":
         import json
         print(json.dumps(t.describe_index(), indent=2, default=str))

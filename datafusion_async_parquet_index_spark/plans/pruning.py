@@ -1041,6 +1041,11 @@ class PruningRewriter:
         if isinstance(e, Like):
             return self._sat_like(e)
         if isinstance(e, InList):
+            if len(e.values) > self.INLIST_PRUNE_CAP:
+                # satisfaction is the under-approximation dual: "don't
+                # know" is Lit(False) — the group just stays a boundary
+                # group and scans (correct, never wrong)
+                return Lit(False)
             out: Optional[Expr] = None
             for v in e.values:
                 sub = self._sat_cmp(BinOp("=", e.child, v))
@@ -1196,7 +1201,28 @@ class PruningRewriter:
             term = term & (_min(c) < nxt)
         return _guard(c, term)
 
+    INLIST_PRUNE_CAP = 64
+
     def _rw_inlist(self, e: InList) -> Expr:
+        if len(e.values) > self.INLIST_PRUNE_CAP:
+            # a per-value OR chain beyond this size stops paying for
+            # itself and the generated stats SQL gets deep enough to
+            # overflow SQL parsers (SQLite's recursion limit ~ a few
+            # hundred nested terms); degrade to the enclosing [min,max]
+            # window — a sound over-approximation (every listed value
+            # lies inside it), same cap query_join_pruned applies to
+            # its harvested key lists
+            try:
+                vals = [v.value for v in e.values
+                        if isinstance(v, Lit) and v.value is not None]
+                if not vals:
+                    return TRUE
+                lo, hi = min(vals), max(vals)
+            except TypeError:   # un-orderable / mixed literal types
+                return TRUE
+            return self._rw(BinOp("AND",
+                                  BinOp(">=", e.child, Lit(lo)),
+                                  BinOp("<=", e.child, Lit(hi))))
         out: Optional[Expr] = None
         for v in e.values:
             sub = self._rw_cmp(BinOp("=", e.child, v))

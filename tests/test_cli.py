@@ -88,3 +88,37 @@ def test_cli_lifecycle(spark, corpus_dir, tmp_path, capsys, monkeypatch):
     # snapshot without a file catalog is refused loudly
     rc, _ = _run(capsys, "snapshot", d, "--columns", "v")
     assert rc == 2
+
+
+def test_cli_delete_compact(spark, corpus_dir, tmp_path, capsys,
+                            monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d, df = corpus_dir
+    db = str(tmp_path / "cli_dv.db")
+
+    rc, out = _run(capsys, "build", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0
+
+    rc, out = _run(capsys, "delete", d, "--columns", "v",
+                   "v < 10", "--catalog", db)
+    assert rc == 0 and out.startswith("deleted 5 rows"), out
+
+    # the DV persists in the file-backed catalog across invocations
+    rc, out = _run(capsys, "sql", d, "--columns", "v",
+                   "SELECT COUNT(*) AS n_live FROM self",
+                   "--catalog", db)
+    assert rc == 0 and "|55 " in out.replace("| 55", "|55 "), out
+
+    rc, out = _run(capsys, "compact", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0 and "rewrote 1 files" in out, out
+
+    rc, out = _run(capsys, "sql", d, "--columns", "v",
+                   "SELECT COUNT(*) AS n_live FROM self",
+                   "--catalog", db)
+    assert rc == 0 and "|55 " in out.replace("| 55", "|55 "), out
+
+    # delete without a file catalog is refused loudly
+    rc, _ = _run(capsys, "delete", d, "--columns", "v", "v < 10")
+    assert rc == 2

@@ -292,3 +292,41 @@ def test_colcol_cross_category_bails():
 
 def test_colcol_unindexed_side_bails():
     assert survivors2(col("a") < col("zzz")) == [0, 1, 2, 3, 4]
+
+
+def test_large_inlist_degrades_to_bounds_soundly():
+    """An IN-list past INLIST_PRUNE_CAP must degrade to the enclosing
+    [min, max] window: still prunes groups fully outside the hull,
+    never drops a group containing a listed value, and the rendered
+    SQL stays O(1) in the list size (a per-value OR chain past a few
+    hundred terms overflows SQLite's parser stack)."""
+    from datafusion_async_parquet_index_spark.plans.expr import InList
+
+    cap = PruningRewriter.INLIST_PRUNE_CAP
+    values = [lit(v) for v in range(60, 60 + cap + 40)]  # 60..163
+    pred = InList(col("value"), values)
+    kept = survivors(pred)
+    # rg0 (0..49) is fully outside the hull [60, 163] -> pruned;
+    # rg1 (50..99) and rg2 (100..149) intersect -> kept;
+    # rg3 (stats missing) must be kept conservatively.
+    assert 0 not in kept
+    assert {1, 2, 3} <= set(kept)
+    # SQL size bounded: the capped rewrite emits one window, not
+    # len(values) OR terms
+    rw = PruningRewriter(SCHEMA)
+    sql_capped = rw.rewrite(pred).to_sql()
+    sql_small = rw.rewrite(
+        InList(col("value"), [lit(60), lit(163)])).to_sql()
+    assert len(sql_capped) < len(sql_small) * 4
+
+
+def test_large_inlist_satisfaction_is_never_claimed():
+    """The satisfaction dual under the cap answers Lit(False) — groups
+    demote to boundary scans, never to a wrong catalog-only answer."""
+    from datafusion_async_parquet_index_spark.plans.expr import InList, Lit as L
+
+    cap = PruningRewriter.INLIST_PRUNE_CAP
+    rw = PruningRewriter(SCHEMA)
+    sat = rw.satisfies(InList(col("value"),
+                              [lit(v) for v in range(cap + 10)]))
+    assert isinstance(sat, L) and sat.value is False

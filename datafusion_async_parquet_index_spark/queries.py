@@ -2896,6 +2896,71 @@ def q94_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total BIGINT, sum_cents BIGINT, n_updated BIGINT")
 
 
+def q95_dedup_delete_vectors(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """DEDUP APPLIED WITHOUT REWRITING THE CORPUS — the composition the
+    whole deletion-vector design exists for in a training-data
+    pipeline: compute dedup losers (here: exact prefix-fingerprint
+    dedup, keep the lowest doc_id per fingerprint), hand the loser SET
+    to ``delete_matching`` (distributed semi-join victim location — no
+    driver-side key list, scan pruned to the victims' key window), and
+    the corpus is deduplicated in place: zero file rewrites, O(losers)
+    catalog metadata, and the live COUNT/SUM still answer from pure
+    catalog arithmetic (stored sums minus the recorded deletions —
+    asserted boundary-free). The oracle recomputes the keeper set
+    relationally. At 100 TB this is 'dedup the corpus tonight, serve
+    the deduped view tomorrow, compact whenever' instead of a
+    full-table rewrite between every curation iteration."""
+    import shutil
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "dv_dedup_table")
+    if sf_dir not in memo:
+        d = tempfile.mkdtemp(prefix="spark_graft_dvdedup_")
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+
+        def _one_file(df, name):
+            tmp = os.path.join(d, f"_stage_{name}")
+            (df.coalesce(1).write.mode("overwrite")
+             .option("parquet.block.size", str(1 << 16)).parquet(tmp))
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(d, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _one_file(docs.filter(F.col("doc_id") % 2 == 0)
+                  .orderBy("doc_id"), "even.parquet")
+        _one_file(docs.filter(F.col("doc_id") % 2 == 1)
+                  .orderBy("doc_id"), "odd.parquet")
+        t = IndexedParquetTable(spark, d, ["doc_id"],
+                                sum_columns=["doc_id"])
+        fp = F.md5(F.substring("text", 1, 40)).alias("fp")
+        keep = (docs.select("doc_id", fp)
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("keep_id")))
+        losers = (docs.select("doc_id", fp)
+                  .join(keep, "fp")
+                  .filter(F.col("doc_id") != F.col("keep_id"))
+                  .select("doc_id"))
+        n_del = t.delete_matching(losers, "doc_id")
+        memo[sf_dir] = (t, n_del)
+    t, n_del = memo[sf_dir]
+    assert t.delete_matching(
+        t.spark.createDataFrame([], "doc_id LONG"), "doc_id") == 0
+    n_live = t.count_rows()
+    s_live, nn = t.sum_rows("doc_id")
+    assert t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0, \
+        t.last_sum_pushdown   # pure catalog arithmetic under the DV
+    assert nn == n_live
+    return spark.createDataFrame(
+        [(n_live, s_live, n_del)],
+        "n_live BIGINT, sum_doc_id BIGINT, n_deleted BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -2992,6 +3057,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_dv_count_sum_pushdown": q92_dv_count_sum_pushdown,
     "q93_dv_compaction": q93_dv_compaction,
     "q94_merge_upsert": q94_merge_upsert,
+    "q95_dedup_delete_vectors": q95_dedup_delete_vectors,
 }
 
 
@@ -4158,4 +4224,16 @@ RELATIONAL_ORACLE["q94_merge_upsert"] = """
            CAST(SUM(CASE WHEN o_orderkey % 97 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
     FROM c
+"""
+
+RELATIONAL_ORACLE["q95_dedup_delete_vectors"] = """
+    WITH f AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents
+    ),
+    k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST((SELECT COUNT(*) FROM f) - COUNT(*) AS BIGINT)
+               AS n_deleted
+    FROM k
 """

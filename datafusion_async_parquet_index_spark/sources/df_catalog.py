@@ -68,6 +68,14 @@ class DataFrameIndexCatalog:
         self._ndvs: Dict[str, Dict[int, Dict[str, list]]] = {}
         # file_name -> {row_group: {column: [(value, count), ...]}}
         self._dicts: Dict[str, Dict[int, Dict[str, list]]] = {}
+        # deletion vectors — same protocol as SqliteIndexCatalog:
+        # file_name -> [(start, length), ...]; (file, rg) -> deleted n;
+        # (file, rg, column) -> (sum, nonnull, sumsq|None) adjustments;
+        # snapshot_id -> DV-state fingerprint
+        self._dv: Dict[str, list] = {}
+        self._dv_rg: Dict[Tuple[str, int], int] = {}
+        self._dv_sums: Dict[Tuple[str, int, str], tuple] = {}
+        self._snap_dv_fp: Dict[int, str] = {}
         # snapshot_id -> {file_name: file_size_bytes} (time travel);
         # the seq counter never rewinds, so expired ids are not reused
         self._snapshots: Dict[int, Dict[str, int]] = {}
@@ -135,10 +143,19 @@ class DataFrameIndexCatalog:
             self._topks[fs.file_name] = dict(topks)
         else:
             self._topks.pop(fs.file_name, None)
+        self._drop_dv_state(fs.file_name)   # rewritten bytes: DV dies
         self._df = None
+
+    def _drop_dv_state(self, file_name: str) -> None:
+        self._dv.pop(file_name, None)
+        for k in [k for k in self._dv_rg if k[0] == file_name]:
+            del self._dv_rg[k]
+        for k in [k for k in self._dv_sums if k[0] == file_name]:
+            del self._dv_sums[k]
 
     def remove_file(self, file_name: str) -> None:
         self._files.pop(file_name, None)
+        self._drop_dv_state(file_name)
         self._blooms.pop(file_name, None)
         self._sums.pop(file_name, None)
         self._hists.pop(file_name, None)
@@ -174,6 +191,7 @@ class DataFrameIndexCatalog:
         self._snapshots[sid] = {
             fs.file_name: fs.file_size_bytes
             for fs, _ in self._files.values()}
+        self._snap_dv_fp[sid] = self.dv_fingerprint()
         return sid
 
     def expire_snapshots(self, keep_last: int):
@@ -372,6 +390,71 @@ class DataFrameIndexCatalog:
                 lo, hi = self._rg_bounds(rg, column)
                 out.append((nc, lo, hi, rg.row_count))
         return out
+
+    # -- deletion vectors (same protocol as SqliteIndexCatalog) --------
+    def dv_fingerprint(self) -> str:
+        import hashlib
+        import json
+        h = hashlib.sha256()
+        for fn in sorted(self._dv):
+            h.update(fn.encode())
+            h.update(b"\x00")
+            h.update(json.dumps(
+                [list(r) for r in self._dv[fn]]).encode())
+            h.update(b"\x01")
+        return h.hexdigest()
+
+    def snapshot_dv_fingerprint(self, snapshot_id: int) -> str:
+        import hashlib
+        return self._snap_dv_fp.get(
+            snapshot_id, hashlib.sha256().hexdigest())
+
+    def upsert_dv(self, file_name, positions_by_rg, sum_adjust=None):
+        new_pos = sorted(
+            p for ps in positions_by_rg.values() for p in ps)
+        if not new_pos:
+            return sum(ln for _, ln in self._dv.get(file_name, ()))
+        if file_name not in self._files:
+            raise KeyError(file_name)
+        pos = set(new_pos)
+        for st, ln in self._dv.get(file_name, ()):
+            pos.update(range(st, st + ln))
+        from .catalog import _ranges_from_positions
+        self._dv[file_name] = [tuple(r) for r in
+                               _ranges_from_positions(sorted(pos))]
+        for rg, ps in positions_by_rg.items():
+            if ps:
+                k = (file_name, rg)
+                self._dv_rg[k] = self._dv_rg.get(k, 0) + len(ps)
+        for rg, cols in (sum_adjust or {}).items():
+            for col_, (sv, nn, sq) in cols.items():
+                k = (file_name, rg, col_)
+                prior = self._dv_sums.get(k)
+                if prior:
+                    sv = sv + prior[0]
+                    nn = nn + prior[1]
+                    sq = (None if sq is None or prior[2] is None
+                          else sq + prior[2])
+                self._dv_sums[k] = (sv, nn, sq)
+        return len(pos)
+
+    def get_dv_ranges(self):
+        return {fn: list(rs) for fn, rs in self._dv.items()}
+
+    def dv_deleted_rows(self):
+        return {fn: sum(ln for _, ln in rs)
+                for fn, rs in self._dv.items()}
+
+    def dv_rg_deleted(self):
+        return dict(self._dv_rg)
+
+    def dv_sum_adjustments(self, column: str):
+        return {(fn, rg): v
+                for (fn, rg, c), v in self._dv_sums.items()
+                if c == column}
+
+    def clear_dv(self, file_name: str) -> None:
+        self._drop_dv_state(file_name)
 
     def close(self) -> None:
         self._df = None

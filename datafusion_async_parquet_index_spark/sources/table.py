@@ -943,6 +943,55 @@ class IndexedParquetTable:
         df = self.spark.read.schema(self._schema).parquet(*paths)
         df = self._dv_apply(df, decision.file_names)   # idempotence
         df = df.filter(predicate.to_spark())
+        return self._dv_collect_and_store(df)
+
+    def delete_matching(self, victims: DataFrame, key_column: str) -> int:
+        """Set-based row-level DELETE: remove every row whose
+        ``key_column`` appears in ``victims`` — the scalable dual of
+        ``delete_where`` for victim sets too large for a predicate
+        (dedup losers, GDPR keys, retraction feeds). The victim
+        locating pass is a distributed semi-join (AQE picks broadcast
+        vs shuffle from the victim size); the scan itself is pruned to
+        the victims' [min, max] key window first (one tiny aggregate
+        job — sorted/clustered layouts prune hard, the join does the
+        exact matching either way). Same DV semantics, idempotence,
+        and per-call cap as delete_where."""
+        from ..plans.expr import col as xcol
+        from pyspark.sql import functions as F
+
+        if getattr(self, "partitioned", False):
+            raise ValueError(
+                "delete_matching supports flat layouts only")
+        keys = victims.select(
+            F.col(key_column).alias("__dv_victim_key")).where(
+            F.col("__dv_victim_key").isNotNull()).distinct()
+        bounds = keys.agg(F.min("__dv_victim_key").alias("mn"),
+                          F.max("__dv_victim_key").alias("mx")).head()
+        if bounds["mn"] is None:
+            return 0
+        window = ((xcol(key_column) >= bounds["mn"])
+                  & (xcol(key_column) <= bounds["mx"]))
+        decision = self.plan_scan(window)
+        if not decision.files_scanned:
+            return 0
+        paths = [os.path.join(self.data_dir, f)
+                 for f in decision.file_names]
+        df = self.spark.read.schema(self._schema).parquet(*paths)
+        df = self._dv_apply(df, decision.file_names)   # idempotence
+        df = df.join(keys,
+                     df[key_column] == keys["__dv_victim_key"],
+                     "leftsemi")
+        return self._dv_collect_and_store(df)
+
+    def _dv_collect_and_store(self, df: DataFrame) -> int:
+        """Shared tail of the delete paths: one distributed pass over
+        the victim DataFrame (which still carries ``_metadata``)
+        collects per-file sorted positions, counts, and exact
+        per-sum-column contributions; positions are merged into the
+        catalog's deletion vectors."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         sum_cols = [c for c in getattr(self, "sum_columns", ())]
         # one distributed pass: file, position, and the deleted rows'
         # sum contributions (exact: integer/decimal sums in
@@ -1122,29 +1171,17 @@ class IndexedParquetTable:
         self._dv_cache = None
         return len(dvs)
 
-    def merge_upsert(self, updates: DataFrame, key_column: str,
-                     max_keys: int = 100_000) -> Tuple[int, int]:
+    def merge_upsert(self, updates: DataFrame,
+                     key_column: str) -> Tuple[int, int]:
         """MERGE (upsert) by key: logically delete current rows whose
-        key appears in ``updates`` (deletion vectors — no file
-        rewrite), land the updates as ONE new file, and refresh() the
-        index over it. Returns (rows_deleted, rows_inserted). The
-        harvested key list is driver-side metadata, capped at
-        ``max_keys`` (beyond that a join-based rewrite is the right
-        tool — same line Delta's MERGE draws between DV updates and
-        file rewrites)."""
-        from ..plans.expr import col as xcol
+        key appears in ``updates`` (deletion vectors via the
+        distributed semi-join in ``delete_matching`` — no driver-side
+        key list, no file rewrite), land the updates as ONE new file,
+        and refresh() the index over it. Returns (rows_deleted,
+        rows_inserted)."""
         from pyspark.sql import functions as F
 
-        keys = [r[0] for r in
-                updates.select(key_column)
-                .where(F.col(key_column).isNotNull())
-                .distinct().limit(max_keys + 1).collect()]
-        if len(keys) > max_keys:
-            raise ValueError(
-                f"merge_upsert harvested > max_keys={max_keys} distinct "
-                f"keys; use a join-based rewrite for bulk merges")
-        n_del = self.delete_where(xcol(key_column).isin(sorted(keys))) \
-            if keys else 0
+        n_del = self.delete_matching(updates, key_column)
         existing = {f[0] for f in self.catalog.all_files()}
         i = 0
         while f"upsert_{i:06d}.parquet" in existing:

@@ -783,3 +783,37 @@ def test_rtree_f32_overflow_band_never_drops(spark, tmp_path):
     assert t1.query(Col("v") == Lit(3.2e38)).count() == 1
     rng = (Col("v") >= Lit(3.1e38)) & (Col("v") <= Lit(3.4e38))
     assert t1.query(rng).count() == 1
+
+
+def test_dv_protocol_identical_across_backends(spark, corpus):
+    """Deletion vectors behave identically on all four backends: same
+    delete counts, same live COUNT/SUM arithmetic (pure catalog, zero
+    boundary row groups), same post-delete query results, same refusal
+    contract, same snapshot-fingerprint guard."""
+    from datafusion_async_parquet_index_spark.plans.expr import col as xc
+
+    results = []
+    for make in (lambda: SqliteIndexCatalog(),
+                 lambda: DataFrameIndexCatalog(spark),
+                 _dbapi_qmark, _dbapi_format):
+        t = IndexedParquetTable(spark, corpus, ["value", "text"],
+                                catalog=make(), sum_columns=["value"])
+        snap = t.snapshot()
+        ndel = t.delete_where((xc("value") % 10) == 7)
+        n = t.count_rows()
+        s, nn = t.sum_rows("value")
+        assert t.last_sum_pushdown["partial_row_groups"] == 0
+        rows = sorted(r["value"] for r in
+                      t.query((xc("value") >= 140)
+                              & (xc("value") <= 160)).collect())
+        with pytest.raises(ValueError, match="deletion vectors"):
+            t.min_max("value")
+        with pytest.raises(ValueError, match="deletion-vector"):
+            t.count_rows(as_of=snap)
+        assert t.delete_where((xc("value") % 10) == 7) == 0
+        results.append((ndel, n, s, nn, rows))
+    assert all(r == results[0] for r in results), results
+    ndel, n, s, _, rows = results[0]
+    assert ndel == 300 and n == 2700
+    assert s == sum(v for v in range(3000) if v % 10 != 7)
+    assert rows == [v for v in range(140, 161) if v % 10 != 7]

@@ -244,3 +244,34 @@ def test_read_delta_applies_dvs(spark, dv_table):
     t.delete_where(col("k") == 10_001)   # one row of the arrival
     n_added = t.read_delta(s1).count()
     assert n_added == 2_000 - 1          # the delta read is DV-filtered
+
+
+def test_delete_matching_semi_join(spark, dv_table):
+    t, base = dv_table
+    victims = spark.range(100).select(
+        (F.col("id") * 3).alias("k"))        # k in {0,3,...,297}
+    n = t.delete_matching(victims, "k")
+    assert n == 100
+    assert t.count_rows() == 4_000 - 100
+    # idempotent: the located rows are already invisible
+    assert t.delete_matching(victims, "k") == 0
+    # NULL victim keys never match
+    nulls = spark.createDataFrame([(None,)], "k LONG")
+    assert t.delete_matching(nulls, "k") == 0
+    # sum arithmetic stays exact under the set delete
+    live = base.filter(~((F.col("k") % 3 == 0) & (F.col("k") < 300)))
+    s, nn = t.sum_rows("v")
+    exp = live.agg(F.sum("v"), F.count("v")).head()
+    assert (s, nn) == (exp[0], exp[1])
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+
+
+def test_delete_matching_prunes_to_key_window(spark, dv_table):
+    t, _ = dv_table
+    # victims all in the low-key range: the even/odd files both span
+    # it, but the scan must still be pruned by the [min,max] window
+    victims = spark.createDataFrame([(5,), (6,)], "k LONG")
+    n = t.delete_matching(victims, "k")
+    assert n == 2
+    dec = t.last_scan  # the window plan_scan is the last decision
+    assert dec.row_groups_scanned < dec.total_row_groups

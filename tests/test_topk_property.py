@@ -36,6 +36,8 @@ class _Shim:
         self.catalog = cat
 
     heavy_hitters = IndexedParquetTable.heavy_hitters
+    _dvs = IndexedParquetTable._dvs
+    _dv_guard = IndexedParquetTable._dv_guard
 
 
 @settings(max_examples=200, deadline=None)
@@ -84,6 +86,8 @@ class _DictShim:
 
     group_counts = IndexedParquetTable.group_counts
     distinct_values = IndexedParquetTable.distinct_values
+    _dvs = IndexedParquetTable._dvs
+    _dv_guard = IndexedParquetTable._dv_guard
 
 
 @settings(max_examples=200, deadline=None)

@@ -806,12 +806,19 @@ class IndexedParquetTable:
     def _dv_apply(self, df: DataFrame,
                   file_names: Sequence[str]) -> DataFrame:
         """Filter logically deleted rows out of a fresh parquet scan:
-        broadcast-join the (tiny) per-file range lists on file name and
-        drop rows whose ``_metadata.row_index`` falls in a deleted
-        range. All JVM-side (broadcast hash join + array ``exists``),
-        O(ranges) metadata per file — at 100 TB the DV stream is
-        distributed with the plan, never the data. Must run on the raw
-        scan BEFORE projection (needs ``_metadata``)."""
+        a broadcast hash ANTI-join on (file name, row position). The
+        driver ships only the range-compressed vectors; the ranges
+        explode to exact positions JVM-side (``explode(sequence(...))``)
+        inside the broadcast build, so each scan row pays one O(1) hash
+        probe. (The first implementation kept the ranges as an array
+        and ran ``exists`` per row — linear in the DV size, which on a
+        SCATTERED delete (every range a single position) degenerated to
+        rows x deletions: measured 949 s for a 1.5M-row scan against a
+        214k-position DV at sf1, vs ~3 s for the hash anti-join.)
+        Position count is bounded by DV_MAX_DELETED_PER_CALL per
+        delete, so the broadcast stays tens of MB at worst — the same
+        line Delta draws for its DV bitmaps. Must run on the raw scan
+        BEFORE projection (needs ``_metadata``)."""
         from pyspark.sql import functions as F
 
         dvs = self._dvs()
@@ -820,18 +827,25 @@ class IndexedParquetTable:
             return df
         rows = [(f, [(int(s), int(s + ln - 1)) for s, ln in dvs[f]])
                 for f in hit]
-        dv_df = self.spark.createDataFrame(
-            rows, "dv_file string, dv_ranges array<struct<s:bigint,e:bigint>>")
+        dv_pos = (self.spark.createDataFrame(
+                      rows,
+                      "dv_file string, "
+                      "dv_ranges array<struct<s:bigint,e:bigint>>")
+                  .select("dv_file",
+                          F.explode("dv_ranges").alias("__r"))
+                  .select("dv_file",
+                          F.explode(F.sequence(F.col("__r.s"),
+                                               F.col("__r.e")))
+                          .alias("dv_pos")))
         out = (df
                .withColumn("__dv_file", F.element_at(
                    F.split(F.col("_metadata.file_path"), "/"), -1))
                .withColumn("__dv_ridx", F.col("_metadata.row_index"))
-               .join(F.broadcast(dv_df),
-                     F.col("__dv_file") == F.col("dv_file"), "left")
-               .filter(F.col("dv_ranges").isNull() | ~F.expr(
-                   "exists(dv_ranges, r -> "
-                   "__dv_ridx >= r.s AND __dv_ridx <= r.e)"))
-               .drop("__dv_file", "__dv_ridx", "dv_file", "dv_ranges"))
+               .join(F.broadcast(dv_pos),
+                     (F.col("__dv_file") == F.col("dv_file"))
+                     & (F.col("__dv_ridx") == F.col("dv_pos")),
+                     "left_anti")
+               .drop("__dv_file", "__dv_ridx"))
         return out
 
     # -- reading -------------------------------------------------------

@@ -222,12 +222,27 @@ def _maintenance_bench(spark) -> dict:
         plan_ms = (time.perf_counter() - t0) * 1000
         assert dec.row_groups_scanned == 1, dec.describe()
 
+        # DML maintenance: a 1%-of-rows scattered delete (deletion
+        # vectors — no rewrite) and its compaction (rewrite only the
+        # DV'd files). delete cost = one pruned scan + O(deleted)
+        # metadata; compact cost = O(deleted-from files).
+        t0 = time.perf_counter()
+        n_del = t.delete_where((col("k") % 100) == 0)
+        delete_1pct = time.perf_counter() - t0
+        assert n_del == (MAINT_FILES + 1) * rows_per // 100, n_del
+        t0 = time.perf_counter()
+        t.compact_deletes()
+        compact = time.perf_counter() - t0
+        assert t.count_rows() == (MAINT_FILES + 1) * rows_per - n_del
+
         return {
             "files": MAINT_FILES + 1,
             "build_cold_sec": round(build_cold, 3),
             "refresh_noop_sec": round(refresh_noop, 3),
             "refresh_1file_sec": round(refresh_1file, 3),
             "plan_scan_ms": round(plan_ms, 2),
+            "delete_1pct_sec": round(delete_1pct, 3),
+            "compact_deletes_sec": round(compact, 3),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -2961,6 +2961,95 @@ def q95_dedup_delete_vectors(spark: SparkSession, sf_dir: str
         "n_live BIGINT, sum_doc_id BIGINT, n_deleted BIGINT")
 
 
+def q96_stream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STREAMING RETRACTION FEED APPLIED AS DELETION VECTORS — the
+    GDPR-eraser / label-retraction shape of a production corpus: delete
+    keys arrive as a stream (3 time-ordered micro-batches through the
+    file source), a ``foreachBatch`` sink applies each batch with
+    ``delete_matching`` (distributed semi-join victim location, no file
+    rewrites) and snapshots the table, and because snapshots COPY the
+    DV state, every era remains queryable afterwards with exact
+    catalog-arithmetic COUNTs — as-of batch 0 sees only batch 0's
+    deletions, as-of batch 1 sees 0+1, live sees all three. The oracle
+    recomputes each era from the flat table with the cumulative delete
+    predicate. At 100 TB this is 'process the retraction feed tonight,
+    keep every intermediate corpus version auditable' with O(deleted)
+    metadata per batch and zero rewrites."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "dv_stream_retraction")
+    if sf_dir not in memo:
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        d = tempfile.mkdtemp(prefix="spark_graft_dvstream_")
+
+        def _one_file(df, dirname, name):
+            tmp = os.path.join(dirname, f"_stage_{name}")
+            (df.coalesce(1).write.mode("overwrite")
+             .option("parquet.block.size", str(1 << 16)).parquet(tmp))
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part),
+                       os.path.join(dirname, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _one_file(base.filter(F.col("o_orderkey") % 2 == 0)
+                  .orderBy("o_orderkey"), d, "even.parquet")
+        _one_file(base.filter(F.col("o_orderkey") % 2 == 1)
+                  .orderBy("o_orderkey"), d, "odd.parquet")
+        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                                sum_columns=["cents"])
+        # the retraction feed: keys of every order with cents % 10 = 3,
+        # split into 3 time-ordered batches by o_orderkey % 3
+        feed = tempfile.mkdtemp(prefix="spark_graft_dvfeed_")
+        victims = base.filter(F.col("cents") % 10 == 3) \
+            .select("o_orderkey")
+        now = _time.time()
+        for i in range(3):
+            _one_file(victims.filter(F.col("o_orderkey") % 3 == i),
+                      feed, f"batch{i}.parquet")
+            os.utime(os.path.join(feed, f"batch{i}.parquet"),
+                     (now + i, now + i))
+        snaps: list = []
+        deleted: list = []
+
+        def _sink(batch_df, batch_id):
+            deleted.append(t.delete_matching(batch_df, "o_orderkey"))
+            snaps.append(t.snapshot())
+
+        q = (spark.readStream.schema("o_orderkey LONG")
+             .option("maxFilesPerTrigger", 1).parquet(feed)
+             .writeStream.outputMode("append").foreachBatch(_sink)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="ckpt_dvfeed_"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        assert len(snaps) == 3, snaps
+        memo[sf_dir] = (t, snaps, deleted)
+    t, snaps, deleted = memo[sf_dir]
+    n_era = [t.count_rows(as_of=sid) for sid in snaps]
+    assert n_era[0] - sum(deleted[1:2]) >= n_era[1] >= n_era[2]
+    n_live = t.count_rows()
+    assert n_live == n_era[2]
+    s_live, nn = t.sum_rows("cents")
+    assert t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    assert nn == n_live
+    return spark.createDataFrame(
+        [(n_era[0], n_era[1], n_live, s_live, sum(deleted))],
+        "n_era0 BIGINT, n_era1 BIGINT, n_live BIGINT, "
+        "sum_live_cents BIGINT, n_retracted BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3058,6 +3147,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_dv_compaction": q93_dv_compaction,
     "q94_merge_upsert": q94_merge_upsert,
     "q95_dedup_delete_vectors": q95_dedup_delete_vectors,
+    "q96_stream_retraction": q96_stream_retraction,
 }
 
 
@@ -4236,4 +4326,25 @@ RELATIONAL_ORACLE["q95_dedup_delete_vectors"] = """
            CAST((SELECT COUNT(*) FROM f) - COUNT(*) AS BIGINT)
                AS n_deleted
     FROM k
+"""
+
+RELATIONAL_ORACLE["q96_stream_retraction"] = """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN NOT (cents % 10 = 3
+                                   AND o_orderkey % 3 <= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_era0,
+           CAST(SUM(CASE WHEN NOT (cents % 10 = 3
+                                   AND o_orderkey % 3 <= 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_era1,
+           CAST(SUM(CASE WHEN cents % 10 <> 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN cents % 10 <> 3
+                         THEN cents END) AS BIGINT) AS sum_live_cents,
+           CAST(SUM(CASE WHEN cents % 10 = 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retracted
+    FROM c
 """

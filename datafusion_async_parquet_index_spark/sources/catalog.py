@@ -532,6 +532,37 @@ class SqliteIndexCatalog:
                 """CREATE TABLE IF NOT EXISTS snapshot_dv_state (
                        snapshot_id INTEGER PRIMARY KEY,
                        fingerprint TEXT NOT NULL)""")
+            # per-snapshot COPY of the DV state (Delta/Iceberg snapshot
+            # their delete files the same way): as-of reads anti-filter
+            # with the snapshot's vectors and as-of COUNT/SUM/VAR
+            # subtract the snapshot's adjustments — time travel stays
+            # exact under row-level DML. O(snapshots x DV ranges) tiny
+            # rows; expire_snapshots drops them with the manifest.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS snapshot_dvs (
+                       snapshot_id INTEGER NOT NULL,
+                       file_name TEXT NOT NULL,
+                       ranges TEXT NOT NULL,
+                       deleted_rows INTEGER NOT NULL,
+                       PRIMARY KEY (snapshot_id, file_name))""")
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS snapshot_dv_rg (
+                       snapshot_id INTEGER NOT NULL,
+                       file_name TEXT NOT NULL,
+                       row_group INTEGER NOT NULL,
+                       deleted_rows INTEGER NOT NULL,
+                       PRIMARY KEY (snapshot_id, file_name, row_group))""")
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS snapshot_dv_sums (
+                       snapshot_id INTEGER NOT NULL,
+                       file_name TEXT NOT NULL,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       deleted_sum TEXT,
+                       deleted_nonnull INTEGER NOT NULL,
+                       deleted_sumsq TEXT,
+                       PRIMARY KEY (snapshot_id, file_name, row_group,
+                                    column_name))""")
             # dictionary/frequency extension: per (row group, column)
             # exact distinct-value -> count map for LOW-cardinality
             # columns (capped at index time) — entries stored as a JSON
@@ -1038,11 +1069,42 @@ class SqliteIndexCatalog:
                     [(sid, name, size) for name, size, _, _ in files])
             # freeze the deletion-vector state too: deletes change
             # results without changing any file size, so the file-set
-            # check alone cannot see them — the as-of guard compares
-            # this fingerprint and fails loudly on drift
+            # manifest alone cannot represent them — the snapshot
+            # copies the vectors and adjustments (O(DV) tiny rows), and
+            # as-of reads serve with THESE instead of the live state
             self._exec(
                 "INSERT INTO snapshot_dv_state (snapshot_id, fingerprint) "
                 "VALUES (?, ?)", (sid, self.dv_fingerprint()))
+            for fn, ranges, n in self._query(
+                    """SELECT f.file_name, d.ranges, d.deleted_rows
+                       FROM deletion_vectors d
+                       JOIN file_statistics f ON f.file_id = d.file_id"""):
+                self._exec(
+                    """INSERT INTO snapshot_dvs
+                           (snapshot_id, file_name, ranges, deleted_rows)
+                       VALUES (?, ?, ?, ?)""", (sid, fn, ranges, n))
+            for fn, rg, n in self._query(
+                    """SELECT f.file_name, a.row_group, a.deleted_rows
+                       FROM dv_rg_adjust a
+                       JOIN file_statistics f ON f.file_id = a.file_id"""):
+                self._exec(
+                    """INSERT INTO snapshot_dv_rg
+                           (snapshot_id, file_name, row_group,
+                            deleted_rows)
+                       VALUES (?, ?, ?, ?)""", (sid, fn, rg, n))
+            for fn, rg, c, s, nn, sq in self._query(
+                    """SELECT f.file_name, a.row_group, a.column_name,
+                              a.deleted_sum, a.deleted_nonnull,
+                              a.deleted_sumsq
+                       FROM dv_sum_adjust a
+                       JOIN file_statistics f ON f.file_id = a.file_id"""):
+                self._exec(
+                    """INSERT INTO snapshot_dv_sums
+                           (snapshot_id, file_name, row_group,
+                            column_name, deleted_sum, deleted_nonnull,
+                            deleted_sumsq)
+                       VALUES (?, ?, ?, ?, ?, ?, ?)""",
+                    (sid, fn, rg, c, s, nn, sq))
             return sid
 
     # -- deletion vectors (merge-on-read row-level deletes) ------------
@@ -1157,42 +1219,69 @@ class SqliteIndexCatalog:
                          None if sq is None else str(sq)))
             return len(pos)
 
-    def get_dv_ranges(self) -> Dict[str, List[Tuple[int, int]]]:
+    def get_dv_ranges(
+        self, as_of: Optional[int] = None
+    ) -> Dict[str, List[Tuple[int, int]]]:
         """{file_name: [(start, length), ...] sorted} for every file
-        with a deletion vector. O(deleted ranges) metadata."""
+        with a deletion vector — the LIVE state, or a snapshot's
+        recorded copy with ``as_of``. O(deleted ranges) metadata."""
         import json
+        if as_of is not None:
+            return {fn: [tuple(r) for r in json.loads(ranges)]
+                    for fn, ranges in self._query(
+                        "SELECT file_name, ranges FROM snapshot_dvs "
+                        "WHERE snapshot_id = ?", (as_of,))}
         return {fn: [tuple(r) for r in json.loads(ranges)]
                 for fn, ranges in self._query(
                     """SELECT f.file_name, d.ranges FROM deletion_vectors d
                        JOIN file_statistics f ON f.file_id = d.file_id""")}
 
-    def dv_deleted_rows(self) -> Dict[str, int]:
+    def dv_deleted_rows(self, as_of: Optional[int] = None
+                        ) -> Dict[str, int]:
         """{file_name: total deleted rows} for every DV'd file."""
+        if as_of is not None:
+            return {fn: n for fn, n in self._query(
+                "SELECT file_name, deleted_rows FROM snapshot_dvs "
+                "WHERE snapshot_id = ?", (as_of,))}
         return {fn: n for fn, n in self._query(
             """SELECT f.file_name, d.deleted_rows FROM deletion_vectors d
                JOIN file_statistics f ON f.file_id = d.file_id""")}
 
-    def dv_rg_deleted(self) -> Dict[Tuple[str, int], int]:
+    def dv_rg_deleted(self, as_of: Optional[int] = None
+                      ) -> Dict[Tuple[str, int], int]:
         """{(file_name, row_group): deleted rows} adjustments."""
+        if as_of is not None:
+            return {(fn, rg): n for fn, rg, n in self._query(
+                "SELECT file_name, row_group, deleted_rows "
+                "FROM snapshot_dv_rg WHERE snapshot_id = ?", (as_of,))}
         return {(fn, rg): n for fn, rg, n in self._query(
             """SELECT f.file_name, a.row_group, a.deleted_rows
                FROM dv_rg_adjust a
                JOIN file_statistics f ON f.file_id = a.file_id""")}
 
     def dv_sum_adjustments(
-        self, column: str
+        self, column: str, as_of: Optional[int] = None
     ) -> Dict[Tuple[str, int], Tuple[int, int, Optional[int]]]:
         """{(file_name, row_group): (deleted_sum, deleted_nonnull,
         deleted_sumsq|None)} for one column — the exact amounts to
         subtract from the stored per-row-group sums."""
+        if as_of is not None:
+            rows = self._query(
+                """SELECT file_name, row_group, deleted_sum,
+                          deleted_nonnull, deleted_sumsq
+                   FROM snapshot_dv_sums
+                   WHERE snapshot_id = ? AND column_name = ?""",
+                (as_of, column))
+        else:
+            rows = self._query(
+                """SELECT f.file_name, a.row_group, a.deleted_sum,
+                          a.deleted_nonnull, a.deleted_sumsq
+                   FROM dv_sum_adjust a
+                   JOIN file_statistics f ON f.file_id = a.file_id
+                   WHERE a.column_name = ?""", (column,))
         return {(fn, rg): (int(s or 0), nn,
                            None if sq is None else int(sq))
-                for fn, rg, s, nn, sq in self._query(
-                    """SELECT f.file_name, a.row_group, a.deleted_sum,
-                              a.deleted_nonnull, a.deleted_sumsq
-                       FROM dv_sum_adjust a
-                       JOIN file_statistics f ON f.file_id = a.file_id
-                       WHERE a.column_name = ?""", (column,))}
+                for fn, rg, s, nn, sq in rows}
 
     def clear_dv(self, file_name: str) -> None:
         """Drop a file's deletion vector and adjustments (after the
@@ -1223,6 +1312,10 @@ class SqliteIndexCatalog:
             for sid in expired:
                 self._exec("DELETE FROM catalog_snapshots "
                            "WHERE snapshot_id = ?", (sid,))
+                for tbl in ("snapshot_dvs", "snapshot_dv_rg",
+                            "snapshot_dv_sums", "snapshot_dv_state"):
+                    self._exec(f"DELETE FROM {tbl} "
+                               f"WHERE snapshot_id = ?", (sid,))
                 self._exec("UPDATE catalog_snapshot_meta "
                            "SET file_count = -1 "
                            "WHERE snapshot_id = ?", (sid,))

@@ -76,6 +76,10 @@ class DataFrameIndexCatalog:
         self._dv_rg: Dict[Tuple[str, int], int] = {}
         self._dv_sums: Dict[Tuple[str, int, str], tuple] = {}
         self._snap_dv_fp: Dict[int, str] = {}
+        # per-snapshot copies of the DV state (time travel under DML)
+        self._snap_dv: Dict[int, Dict[str, list]] = {}
+        self._snap_dv_rg: Dict[int, Dict[Tuple[str, int], int]] = {}
+        self._snap_dv_sums: Dict[int, Dict[Tuple[str, int, str], tuple]] = {}
         # snapshot_id -> {file_name: file_size_bytes} (time travel);
         # the seq counter never rewinds, so expired ids are not reused
         self._snapshots: Dict[int, Dict[str, int]] = {}
@@ -192,6 +196,9 @@ class DataFrameIndexCatalog:
             fs.file_name: fs.file_size_bytes
             for fs, _ in self._files.values()}
         self._snap_dv_fp[sid] = self.dv_fingerprint()
+        self._snap_dv[sid] = {fn: list(rs) for fn, rs in self._dv.items()}
+        self._snap_dv_rg[sid] = dict(self._dv_rg)
+        self._snap_dv_sums[sid] = dict(self._dv_sums)
         return sid
 
     def expire_snapshots(self, keep_last: int):
@@ -200,6 +207,9 @@ class DataFrameIndexCatalog:
         expired = ids[:-keep_last] if keep_last > 0 else ids
         for sid in expired:
             del self._snapshots[sid]
+            for store in (self._snap_dv, self._snap_dv_rg,
+                          self._snap_dv_sums, self._snap_dv_fp):
+                store.pop(sid, None)
         return expired
 
     def snapshot_files(self, snapshot_id: int):
@@ -438,19 +448,25 @@ class DataFrameIndexCatalog:
                 self._dv_sums[k] = (sv, nn, sq)
         return len(pos)
 
-    def get_dv_ranges(self):
-        return {fn: list(rs) for fn, rs in self._dv.items()}
+    def get_dv_ranges(self, as_of=None):
+        src = self._snap_dv.get(as_of, {}) if as_of is not None \
+            else self._dv
+        return {fn: list(rs) for fn, rs in src.items()}
 
-    def dv_deleted_rows(self):
-        return {fn: sum(ln for _, ln in rs)
-                for fn, rs in self._dv.items()}
+    def dv_deleted_rows(self, as_of=None):
+        src = self._snap_dv.get(as_of, {}) if as_of is not None \
+            else self._dv
+        return {fn: sum(ln for _, ln in rs) for fn, rs in src.items()}
 
-    def dv_rg_deleted(self):
+    def dv_rg_deleted(self, as_of=None):
+        if as_of is not None:
+            return dict(self._snap_dv_rg.get(as_of, {}))
         return dict(self._dv_rg)
 
-    def dv_sum_adjustments(self, column: str):
-        return {(fn, rg): v
-                for (fn, rg, c), v in self._dv_sums.items()
+    def dv_sum_adjustments(self, column: str, as_of=None):
+        src = self._snap_dv_sums.get(as_of, {}) if as_of is not None \
+            else self._dv_sums
+        return {(fn, rg): v for (fn, rg, c), v in src.items()
                 if c == column}
 
     def clear_dv(self, file_name: str) -> None:

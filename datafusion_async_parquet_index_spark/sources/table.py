@@ -363,14 +363,10 @@ class IndexedParquetTable:
                 f"snapshot {as_of} is no longer reconstructable: "
                 f"{broken} changed or vanished since it was taken")
         # row-level deletes change results without changing any file
-        # size; the DV fingerprint recorded at snapshot time catches
-        # what the file-set check cannot (same loud-failure contract)
-        if (self.catalog.dv_fingerprint()
-                != self.catalog.snapshot_dv_fingerprint(as_of)):
-            raise ValueError(
-                f"snapshot {as_of} is no longer reconstructable: the "
-                f"deletion-vector state changed since it was taken "
-                f"(run compact-and-resnapshot, or query current state)")
+        # size — but the snapshot COPIED the DV state, so as-of reads
+        # serve with the recorded vectors (time travel stays exact
+        # under DML; no refusal needed). The file-set check above still
+        # guards the bytes the positions refer to.
         return snap
 
     def _snapshot_filter(
@@ -431,19 +427,12 @@ class IndexedParquetTable:
                     f"delta of snapshots {base}->{target} is no longer "
                     f"reconstructable: added files {broken} changed or "
                     f"vanished since snapshot {target} was taken")
-        if target is not None and (
-                self.catalog.dv_fingerprint()
-                != self.catalog.snapshot_dv_fingerprint(target)):
-            raise ValueError(
-                f"delta of snapshots {base}->{target} is no longer "
-                f"reconstructable: the deletion-vector state changed "
-                f"since snapshot {target} was taken")
         paths = [os.path.join(self.data_dir, n) for n in delta["added"]]
         reader = self.spark.read
         if getattr(self, "partitioned", False):
             reader = reader.option("basePath", self.data_dir)
         df = reader.schema(self._schema).parquet(*paths)
-        df = self._dv_apply(df, delta["added"])
+        df = self._dv_apply(df, delta["added"], as_of=target)
         if columns:
             df = df.select(*columns)
         return df
@@ -803,8 +792,8 @@ class IndexedParquetTable:
                 f"{sorted(self._dvs())}; run compact_deletes() first "
                 f"(COUNT/SUM/VAR pushdowns and all scans remain exact)")
 
-    def _dv_apply(self, df: DataFrame,
-                  file_names: Sequence[str]) -> DataFrame:
+    def _dv_apply(self, df: DataFrame, file_names: Sequence[str],
+                  as_of: Optional[int] = None) -> DataFrame:
         """Filter logically deleted rows out of a fresh parquet scan:
         a broadcast hash ANTI-join on (file name, row position). The
         driver ships only the range-compressed vectors; the ranges
@@ -821,7 +810,8 @@ class IndexedParquetTable:
         BEFORE projection (needs ``_metadata``)."""
         from pyspark.sql import functions as F
 
-        dvs = self._dvs()
+        dvs = self._dvs() if as_of is None \
+            else self.catalog.get_dv_ranges(as_of=as_of)
         hit = [f for f in file_names if f in dvs]
         if not hit:
             return df
@@ -880,7 +870,9 @@ class IndexedParquetTable:
         if not decision.files_scanned:
             df = self.spark.createDataFrame([], self._schema)
         elif mode == "rowgroups":
-            dv_hit = [f for f in decision.file_names if f in self._dvs()]
+            era = self._dvs() if as_of is None \
+                else self.catalog.get_dv_ranges(as_of=as_of)
+            dv_hit = [f for f in decision.file_names if f in era]
             if dv_hit:
                 raise ValueError(
                     f"mode='rowgroups' cannot serve files with deletion "
@@ -897,7 +889,7 @@ class IndexedParquetTable:
                 # them
                 reader = reader.option("basePath", self.data_dir)
             df = reader.schema(self._schema).parquet(*paths)
-            df = self._dv_apply(df, decision.file_names)
+            df = self._dv_apply(df, decision.file_names, as_of=as_of)
         if predicate is not None:
             df = df.filter(predicate.to_spark())  # Inexact => residual filter
         if columns:
@@ -1296,13 +1288,14 @@ class IndexedParquetTable:
         unpredicated: time-travel aggregates are catalog arithmetic
         too)."""
         if predicate is None:
-            deleted = self.catalog.dv_deleted_rows()
             if as_of is None:
+                deleted = self.catalog.dv_deleted_rows()
                 return (sum(f[3] for f in self.catalog.all_files())
                         - sum(deleted.values()))
             snap = self._snapshot_guard(as_of)
-            # the guard verified the DV state matches the snapshot's
-            # fingerprint, so current adjustments ARE the as-of ones
+            # era-correct: the snapshot's RECORDED deletions, not the
+            # live ones — deletes after the snapshot are invisible
+            deleted = self.catalog.dv_deleted_rows(as_of=as_of)
             return sum(f[3] - deleted.get(f[0], 0)
                        for f in self.catalog.all_files() if f[0] in snap)
         decision = self.plan_scan(predicate, as_of=as_of)
@@ -1316,7 +1309,8 @@ class IndexedParquetTable:
             return self.query(predicate, as_of=as_of).count()
         sat = self._rewriter.satisfies(predicate)
         full = dict(self._get_files_prefiltered(sat, predicate))
-        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
+        dv_rg = self.catalog.dv_rg_deleted(as_of=as_of) \
+            if (self._dvs() or as_of is not None) else {}
         full_rows = 0
         full_rgs = 0
         partial: Dict[str, List[int]] = {}
@@ -1397,8 +1391,8 @@ class IndexedParquetTable:
         if not sums or getattr(self, "partitioned", False):
             self.last_sum_pushdown = None
             return _scan_agg(self.query(predicate, as_of=as_of))
-        dv_adj = (self.catalog.dv_sum_adjustments(column)
-                  if self._dvs() else {})
+        dv_adj = (self.catalog.dv_sum_adjustments(column, as_of=as_of)
+                  if (self._dvs() or as_of is not None) else {})
         if predicate is None:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
             if as_of is not None:
@@ -1448,7 +1442,8 @@ class IndexedParquetTable:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
-        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
+        dv_rg = self.catalog.dv_rg_deleted(as_of=as_of) \
+            if (self._dvs() or as_of is not None) else {}
         if any((fname, rg) in dv_rg
                for fname, rgs in partial.items() for rg in rgs):
             self.last_sum_pushdown = None

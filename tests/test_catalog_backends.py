@@ -808,8 +808,8 @@ def test_dv_protocol_identical_across_backends(spark, corpus):
                               & (xc("value") <= 160)).collect())
         with pytest.raises(ValueError, match="deletion vectors"):
             t.min_max("value")
-        with pytest.raises(ValueError, match="deletion-vector"):
-            t.count_rows(as_of=snap)
+        # the pre-delete snapshot serves the pre-delete era exactly
+        assert t.count_rows(as_of=snap) == n + ndel
         assert t.delete_where((xc("value") % 10) == 7) == 0
         results.append((ndel, n, s, nn, rows))
     assert all(r == results[0] for r in results), results

@@ -135,19 +135,39 @@ def test_order_limit_falls_back_and_is_exact(spark, dv_table):
     assert got == want
 
 
-def test_snapshot_guard_sees_deletes(spark, dv_table):
-    t, _ = dv_table
-    snap = t.snapshot()
-    assert t.query(None, as_of=snap).count() == t.count_rows()
-    t.delete_where(DEL)
-    with pytest.raises(ValueError, match="deletion-vector"):
-        t.query(None, as_of=snap)
-    with pytest.raises(ValueError, match="deletion-vector"):
-        t.count_rows(as_of=snap)
-    # a snapshot taken AFTER the delete verifies (DV state frozen in it)
-    snap2 = t.snapshot()
-    assert t.query(None, as_of=snap2).count() == t.count_rows()
-    assert t.count_rows(as_of=snap2) == t.count_rows()
+def test_snapshots_version_the_dv_state(spark, dv_table):
+    """Snapshots COPY the DV state (Delta/Iceberg snapshot their delete
+    files the same way): as-of reads serve with the recorded vectors —
+    time travel stays exact under row-level DML, each era answering
+    with its own deletions."""
+    t, base = dv_table
+    n0 = t.count_rows()
+    snap0 = t.snapshot()                  # era 0: nothing deleted
+    nd1 = t.delete_where(DEL)
+    snap1 = t.snapshot()                  # era 1: DEL applied
+    nd2 = t.delete_where((col("v") % 10) == 4)
+    # live: both deletes; snap1: only DEL; snap0: none
+    assert t.count_rows() == n0 - nd1 - nd2
+    assert t.count_rows(as_of=snap1) == n0 - nd1
+    assert t.count_rows(as_of=snap0) == n0
+    assert t.query(None, as_of=snap0).count() == n0
+    assert t.query(None, as_of=snap1).count() == n0 - nd1
+    # as-of SUM folds with the era's recorded adjustments — exact
+    live1 = base.filter(LIVE())
+    s1, nn1 = t.sum_rows("v", as_of=snap1)
+    exp1 = live1.agg(F.sum("v"), F.count("v")).head()
+    assert (s1, nn1) == (exp1[0], exp1[1])
+    assert t.last_sum_pushdown["partial_row_groups"] == 0
+    s0, nn0 = t.sum_rows("v", as_of=snap0)
+    exp0 = base.agg(F.sum("v"), F.count("v")).head()
+    assert (s0, nn0) == (exp0[0], exp0[1])
+    # era-correct rows, not just counts
+    rows1 = sorted(r["v"] for r in
+                   t.query((col("v") >= 100) & (col("v") < 130),
+                           as_of=snap1).collect())
+    want1 = sorted(r["v"] for r in live1.filter(
+        (F.col("v") >= 100) & (F.col("v") < 130)).collect())
+    assert rows1 == want1
 
 
 def test_compaction_materializes_and_restores(spark, dv_table):

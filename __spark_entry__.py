@@ -94,6 +94,15 @@ _ROUND_PRIORITY = [
     "q50_join_pruned_scan",
     # (window full at 50 here. Older windows below are kept for
     #  natural-order stability of the full registry.)
+    # ROUND-8 PLAN: run `python scripts/next_window.py` at round start
+    # (it mechanizes the whole rotation). Expected tier 1 = the round-7
+    # landings, never driver-proven: q91_delete_scan,
+    # q92_dv_count_sum_pushdown, q93_dv_compaction, q94_merge_upsert,
+    # q95_dedup_delete_vectors, q96_stream_retraction (the
+    # deletion-vector / merge-on-read DML family — each locally
+    # oracle-green at sf0.001+sf0.01, most at sf0.1 and sf1, on
+    # vanilla sessions); tier 2 = the r4-green entries displaced from
+    # this round's window (q6..q29 era), stalest first.
     # == ROUND 6 WINDOW (kept for natural-order stability) ===========
     "sim_ivfpq_layout_topk",
     "dedup_source_crosstab",

@@ -828,8 +828,7 @@ class IndexedParquetTable:
                                                F.col("__r.e")))
                           .alias("dv_pos")))
         out = (df
-               .withColumn("__dv_file", F.element_at(
-                   F.split(F.col("_metadata.file_path"), "/"), -1))
+               .withColumn("__dv_file", self._dv_file_key_col())
                .withColumn("__dv_ridx", F.col("_metadata.row_index"))
                .join(F.broadcast(dv_pos),
                      (F.col("__dv_file") == F.col("dv_file"))
@@ -837,6 +836,20 @@ class IndexedParquetTable:
                      "left_anti")
                .drop("__dv_file", "__dv_ridx"))
         return out
+
+    def _dv_file_key_col(self):
+        """Column expression mapping ``_metadata.file_path`` to the
+        catalog's file key: the dir-relative path for partitioned
+        layouts (basenames repeat across partition dirs), the basename
+        otherwise — the read-side twin of ``_file_key``."""
+        from pyspark.sql import functions as F
+
+        if getattr(self, "partitioned", False):
+            prefix = "file:" + os.path.abspath(self.data_dir) + "/"
+            return F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})")
+        return F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1)
 
     # -- reading -------------------------------------------------------
     def query(
@@ -937,16 +950,15 @@ class IndexedParquetTable:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if getattr(self, "partitioned", False):
-            raise ValueError(
-                "delete_where supports flat layouts only (partitioned "
-                "directories: rewrite the affected partitions instead)")
         decision = self.plan_scan(predicate)
         if not decision.files_scanned:
             return 0
         paths = [os.path.join(self.data_dir, f)
                  for f in decision.file_names]
-        df = self.spark.read.schema(self._schema).parquet(*paths)
+        reader = self.spark.read
+        if getattr(self, "partitioned", False):
+            reader = reader.option("basePath", self.data_dir)
+        df = reader.schema(self._schema).parquet(*paths)
         df = self._dv_apply(df, decision.file_names)   # idempotence
         df = df.filter(predicate.to_spark())
         return self._dv_collect_and_store(df)
@@ -965,9 +977,6 @@ class IndexedParquetTable:
         from ..plans.expr import col as xcol
         from pyspark.sql import functions as F
 
-        if getattr(self, "partitioned", False):
-            raise ValueError(
-                "delete_matching supports flat layouts only")
         keys = victims.select(
             F.col(key_column).alias("__dv_victim_key")).where(
             F.col("__dv_victim_key").isNotNull()).distinct()
@@ -982,7 +991,10 @@ class IndexedParquetTable:
             return 0
         paths = [os.path.join(self.data_dir, f)
                  for f in decision.file_names]
-        df = self.spark.read.schema(self._schema).parquet(*paths)
+        reader = self.spark.read
+        if getattr(self, "partitioned", False):
+            reader = reader.option("basePath", self.data_dir)
+        df = reader.schema(self._schema).parquet(*paths)
         df = self._dv_apply(df, decision.file_names)   # idempotence
         df = df.join(keys,
                      df[key_column] == keys["__dv_victim_key"],
@@ -1016,8 +1028,7 @@ class IndexedParquetTable:
                 aggs.append(F.sum(F.col(c).cast("decimal(38,0)")
                                   * F.col(c)).alias(f"__sq_{c}"))
         hits = (df.select(
-                    F.element_at(F.split(F.col("_metadata.file_path"),
-                                         "/"), -1).alias("__file"),
+                    self._dv_file_key_col().alias("__file"),
                     F.col("_metadata.row_index").alias("__pos"),
                     *[F.col(c) for c in sum_cols])
                 .groupBy("__file").agg(*aggs).collect())
@@ -1187,6 +1198,11 @@ class IndexedParquetTable:
         rows_inserted)."""
         from pyspark.sql import functions as F
 
+        if getattr(self, "partitioned", False):
+            raise ValueError(
+                "merge_upsert lands ONE flat file and cannot place it "
+                "in a partitioned layout; delete_matching + a "
+                "partition-aware append is the composition there")
         n_del = self.delete_matching(updates, key_column)
         existing = {f[0] for f in self.catalog.all_files()}
         i = 0
@@ -2493,9 +2509,11 @@ class IndexedParquetTable:
         (deletion vectors still apply — every read surface hides
         logically deleted rows)."""
         if getattr(self, "partitioned", False):
-            return self.spark.read.schema(self._schema).parquet(self.data_dir)
-        df = self.spark.read.schema(self._schema).parquet(
-            os.path.join(self.data_dir, "*.parquet"))
+            df = self.spark.read.schema(self._schema).parquet(
+                self.data_dir)
+        else:
+            df = self.spark.read.schema(self._schema).parquet(
+                os.path.join(self.data_dir, "*.parquet"))
         if self._dvs():
             df = self._dv_apply(df, list(self._dvs()))
         return df

@@ -295,3 +295,57 @@ def test_delete_matching_prunes_to_key_window(spark, dv_table):
     assert n == 2
     dec = t.last_scan  # the window plan_scan is the last decision
     assert dec.row_groups_scanned < dec.total_row_groups
+
+
+def test_partitioned_layout_deletes(spark, tmp_path):
+    """DVs on a hive-partitioned layout: the file key is the
+    dir-relative path (basenames repeat across partition dirs), reads
+    surface partition columns via basePath, and delete/query/count/sum
+    /compact all hold. The 100 TB norm is partitioned, so the DML
+    surface must not be flat-only."""
+    d = str(tmp_path / "dvpart")
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 3 % 100).alias("v"))
+    (df.repartition(1).write.partitionBy("p")
+     .mode("overwrite").parquet(d))
+    t = IndexedParquetTable(spark, d, index_columns=["k", "v"],
+                            sum_columns=["v"])
+    assert t.partitioned
+
+    # delete a slice touching every partition dir
+    ndel = t.delete_where((col("v") % 10) == 1)
+    live = df.filter(~((F.col("v") % 10) == 1))
+    assert ndel == 2_000 - live.count() > 0
+
+    # mixed partition + data predicate, DV-filtered
+    got = sorted(r["k"] for r in t.query(
+        (col("p") == 2) & (col("v") < 50)).collect())
+    want = sorted(r["k"] for r in live.filter(
+        (F.col("p") == 2) & (F.col("v") < 50)).collect())
+    assert got == want
+
+    # counts/sums (partitioned falls back to the DV-filtered scan)
+    assert t.count_rows() == live.count()
+    s, nn = t.sum_rows("v")
+    exp = live.agg(F.sum("v"), F.count("v")).head()
+    assert (s, nn) == (exp[0], exp[1])
+
+    # set-based delete on a partitioned layout
+    n2 = t.delete_matching(
+        spark.createDataFrame([(7,), (8,)], "k LONG"), "k")
+    assert 0 <= n2 <= 2
+    live2_n = live.filter(~F.col("k").isin([7, 8])).count()
+    assert t.count_rows() == live2_n
+
+    # compaction rewrites only the DV'd files, in place, per dir
+    t.compact_deletes()
+    assert not t.catalog.get_dv_ranges()
+    assert t.count_rows() == live2_n
+    got2 = sorted(r["k"] for r in t.query(
+        (col("p") == 2) & (col("v") < 50)).collect())
+    want2 = sorted(r["k"] for r in live.filter(
+        (F.col("p") == 2) & (F.col("v") < 50)
+        & ~F.col("k").isin([7, 8])).collect())
+    assert got2 == want2

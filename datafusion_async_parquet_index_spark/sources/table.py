@@ -2476,6 +2476,15 @@ class IndexedParquetTable:
             "sum_coverage": {
                 c: len(self.catalog.get_sums(c))
                 for c in getattr(self, "sum_columns", ())},
+            # merge-on-read DML state: how much of the table is
+            # logically deleted and where — the operator's signal for
+            # when compact_deletes() pays for itself
+            "deletion_vectors": {
+                "files_with_dvs": len(self._dvs()),
+                "deleted_rows": sum(
+                    self.catalog.dv_deleted_rows().values()),
+                "ranges": sum(len(r) for r in self._dvs().values()),
+            },
             "columns": {},
         }
         for col, cat in self.index_schema.items():

@@ -2727,6 +2727,24 @@ def q82_dict_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eq BIGINT, sum_eq BIGINT, n_notin BIGINT, sum_notin BIGINT")
 
 
+
+def _stage_one_file(df, dirname: str, name: str,
+                    block_bytes: int = 1 << 16) -> None:
+    """Write df as EXACTLY ONE parquet file at dirname/name (atomic
+    rename from a staging dir) — the deterministic-layout primitive
+    every catalog-family fixture uses. block_bytes maps to
+    parquet.block.size (small => several row groups per file)."""
+    import shutil
+
+    tmp = os.path.join(dirname, f"_stage_{name}")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.block.size", str(block_bytes)).parquet(tmp))
+    part = next(f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(dirname, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str):
     """A fresh indexed orders table (o_orderkey, exact integer cents;
     two deterministic files split by o_orderkey % 2, several row groups
@@ -2734,7 +2752,6 @@ def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str):
     memo_key gets its OWN directory because q93/q94 mutate theirs
     (compaction / upsert); q91/q92 share one instance with the delete
     already applied."""
-    import shutil
     import tempfile
 
     from .operators.util import session_memo
@@ -2747,20 +2764,10 @@ def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str):
     base = _read(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-
-    def _one_file(df, name):
-        tmp = os.path.join(d, f"_stage_{name}")
-        (df.coalesce(1).write.mode("overwrite")
-         .option("parquet.block.size", str(1 << 16)).parquet(tmp))
-        part = next(f for f in sorted(os.listdir(tmp))
-                    if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, part), os.path.join(d, name))
-        shutil.rmtree(tmp, ignore_errors=True)
-
-    _one_file(base.filter(F.col("o_orderkey") % 2 == 0)
-              .orderBy("o_orderkey"), "even.parquet")
-    _one_file(base.filter(F.col("o_orderkey") % 2 == 1)
-              .orderBy("o_orderkey"), "odd.parquet")
+    _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 0)
+                    .orderBy("o_orderkey"), d, "even.parquet")
+    _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 1)
+                    .orderBy("o_orderkey"), d, "odd.parquet")
     t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
                             sum_columns=["cents"])
     memo[sf_dir] = (t, base)
@@ -2887,8 +2894,11 @@ def q94_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("o_orderkey")).head()[0]
     got = t.query(xcol("o_orderkey") == int(probe)).collect()
     assert len(got) == 1, got
-    assert "upsert_000000.parquet" in t.last_scan.files_scanned \
-        or len(t.last_scan.files_scanned) >= 1
+    orig = base.filter(F.col("o_orderkey") == int(probe)) \
+        .head()["cents"]
+    # the point query must serve the UPDATED row (cents + 1), i.e. the
+    # landed file's copy, never the DV'd original
+    assert got[0]["cents"] == orig + 1, (got[0]["cents"], orig)
     n = t.count_rows()
     s, _ = t.sum_rows("cents")
     return spark.createDataFrame(
@@ -2911,7 +2921,6 @@ def q95_dedup_delete_vectors(spark: SparkSession, sf_dir: str
     relationally. At 100 TB this is 'dedup the corpus tonight, serve
     the deduped view tomorrow, compact whenever' instead of a
     full-table rewrite between every curation iteration."""
-    import shutil
     import tempfile
 
     from .operators.util import session_memo
@@ -2921,20 +2930,10 @@ def q95_dedup_delete_vectors(spark: SparkSession, sf_dir: str
         d = tempfile.mkdtemp(prefix="spark_graft_dvdedup_")
         docs = _read(spark, sf_dir, "documents").select(
             "doc_id", "text")
-
-        def _one_file(df, name):
-            tmp = os.path.join(d, f"_stage_{name}")
-            (df.coalesce(1).write.mode("overwrite")
-             .option("parquet.block.size", str(1 << 16)).parquet(tmp))
-            part = next(f for f in sorted(os.listdir(tmp))
-                        if f.endswith(".parquet"))
-            os.replace(os.path.join(tmp, part), os.path.join(d, name))
-            shutil.rmtree(tmp, ignore_errors=True)
-
-        _one_file(docs.filter(F.col("doc_id") % 2 == 0)
-                  .orderBy("doc_id"), "even.parquet")
-        _one_file(docs.filter(F.col("doc_id") % 2 == 1)
-                  .orderBy("doc_id"), "odd.parquet")
+        _stage_one_file(docs.filter(F.col("doc_id") % 2 == 0)
+                        .orderBy("doc_id"), d, "even.parquet")
+        _stage_one_file(docs.filter(F.col("doc_id") % 2 == 1)
+                        .orderBy("doc_id"), d, "odd.parquet")
         t = IndexedParquetTable(spark, d, ["doc_id"],
                                 sum_columns=["doc_id"])
         fp = F.md5(F.substring("text", 1, 40)).alias("fp")
@@ -2975,7 +2974,6 @@ def q96_stream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate. At 100 TB this is 'process the retraction feed tonight,
     keep every intermediate corpus version auditable' with O(deleted)
     metadata per batch and zero rewrites."""
-    import shutil
     import tempfile
     import time as _time
 
@@ -2988,21 +2986,10 @@ def q96_stream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long")
             .alias("cents"))
         d = tempfile.mkdtemp(prefix="spark_graft_dvstream_")
-
-        def _one_file(df, dirname, name):
-            tmp = os.path.join(dirname, f"_stage_{name}")
-            (df.coalesce(1).write.mode("overwrite")
-             .option("parquet.block.size", str(1 << 16)).parquet(tmp))
-            part = next(f for f in sorted(os.listdir(tmp))
-                        if f.endswith(".parquet"))
-            os.replace(os.path.join(tmp, part),
-                       os.path.join(dirname, name))
-            shutil.rmtree(tmp, ignore_errors=True)
-
-        _one_file(base.filter(F.col("o_orderkey") % 2 == 0)
-                  .orderBy("o_orderkey"), d, "even.parquet")
-        _one_file(base.filter(F.col("o_orderkey") % 2 == 1)
-                  .orderBy("o_orderkey"), d, "odd.parquet")
+        _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 0)
+                        .orderBy("o_orderkey"), d, "even.parquet")
+        _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 1)
+                        .orderBy("o_orderkey"), d, "odd.parquet")
         t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
                                 sum_columns=["cents"])
         # the retraction feed: keys of every order with cents % 10 = 3,
@@ -3012,8 +2999,9 @@ def q96_stream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey")
         now = _time.time()
         for i in range(3):
-            _one_file(victims.filter(F.col("o_orderkey") % 3 == i),
-                      feed, f"batch{i}.parquet")
+            _stage_one_file(
+                victims.filter(F.col("o_orderkey") % 3 == i),
+                feed, f"batch{i}.parquet")
             os.utime(os.path.join(feed, f"batch{i}.parquet"),
                      (now + i, now + i))
         snaps: list = []

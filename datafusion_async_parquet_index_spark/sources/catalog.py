@@ -501,9 +501,9 @@ class SqliteIndexCatalog:
             # when the rows are read anyway), so COUNT/SUM/VAR
             # pushdowns stay EXACT under deletes by subtraction;
             # min/max/dict/topk/ndv/hist answers cannot be repaired
-            # that way and refuse until compaction. A snapshot records
-            # a fingerprint of the whole DV state so time travel fails
-            # loudly when deletes happened after the snapshot.
+            # that way and refuse until compaction. Snapshots COPY the
+            # whole DV state (tables below), so as-of reads serve each
+            # era with its own deletions.
             self._exec(
                 """CREATE TABLE IF NOT EXISTS deletion_vectors (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -528,10 +528,6 @@ class SqliteIndexCatalog:
                        deleted_nonnull INTEGER NOT NULL,
                        deleted_sumsq TEXT,
                        PRIMARY KEY (file_id, row_group, column_name))""")
-            self._exec(
-                """CREATE TABLE IF NOT EXISTS snapshot_dv_state (
-                       snapshot_id INTEGER PRIMARY KEY,
-                       fingerprint TEXT NOT NULL)""")
             # per-snapshot COPY of the DV state (Delta/Iceberg snapshot
             # their delete files the same way): as-of reads anti-filter
             # with the snapshot's vectors and as-of COUNT/SUM/VAR
@@ -1072,9 +1068,6 @@ class SqliteIndexCatalog:
             # manifest alone cannot represent them — the snapshot
             # copies the vectors and adjustments (O(DV) tiny rows), and
             # as-of reads serve with THESE instead of the live state
-            self._exec(
-                "INSERT INTO snapshot_dv_state (snapshot_id, fingerprint) "
-                "VALUES (?, ?)", (sid, self.dv_fingerprint()))
             for fn, ranges, n in self._query(
                     """SELECT f.file_name, d.ranges, d.deleted_rows
                        FROM deletion_vectors d
@@ -1108,35 +1101,6 @@ class SqliteIndexCatalog:
             return sid
 
     # -- deletion vectors (merge-on-read row-level deletes) ------------
-    def dv_fingerprint(self) -> str:
-        """Deterministic digest of the whole DV state (file name +
-        range list per file); the empty state has a fixed value so
-        snapshots from pre-DV catalogs verify cleanly."""
-        import hashlib
-        rows = self._query(
-            """SELECT f.file_name, d.ranges FROM deletion_vectors d
-               JOIN file_statistics f ON f.file_id = d.file_id
-               ORDER BY f.file_name""")
-        h = hashlib.sha256()
-        for fn, ranges in rows:
-            h.update(fn.encode())
-            h.update(b"\x00")
-            h.update(ranges.encode())
-            h.update(b"\x01")
-        return h.hexdigest()
-
-    def snapshot_dv_fingerprint(self, snapshot_id: int) -> str:
-        """The DV fingerprint recorded at snapshot time; snapshots
-        written before the DV extension existed (no row) report the
-        empty-state fingerprint."""
-        rows = self._query(
-            "SELECT fingerprint FROM snapshot_dv_state "
-            "WHERE snapshot_id = ?", (snapshot_id,))
-        if rows:
-            return rows[0][0]
-        import hashlib
-        return hashlib.sha256().hexdigest()
-
     def upsert_dv(
         self,
         file_name: str,
@@ -1313,7 +1277,7 @@ class SqliteIndexCatalog:
                 self._exec("DELETE FROM catalog_snapshots "
                            "WHERE snapshot_id = ?", (sid,))
                 for tbl in ("snapshot_dvs", "snapshot_dv_rg",
-                            "snapshot_dv_sums", "snapshot_dv_state"):
+                            "snapshot_dv_sums"):
                     self._exec(f"DELETE FROM {tbl} "
                                f"WHERE snapshot_id = ?", (sid,))
                 self._exec("UPDATE catalog_snapshot_meta "

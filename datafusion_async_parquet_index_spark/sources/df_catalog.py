@@ -70,12 +70,10 @@ class DataFrameIndexCatalog:
         self._dicts: Dict[str, Dict[int, Dict[str, list]]] = {}
         # deletion vectors — same protocol as SqliteIndexCatalog:
         # file_name -> [(start, length), ...]; (file, rg) -> deleted n;
-        # (file, rg, column) -> (sum, nonnull, sumsq|None) adjustments;
-        # snapshot_id -> DV-state fingerprint
+        # (file, rg, column) -> (sum, nonnull, sumsq|None) adjustments
         self._dv: Dict[str, list] = {}
         self._dv_rg: Dict[Tuple[str, int], int] = {}
         self._dv_sums: Dict[Tuple[str, int, str], tuple] = {}
-        self._snap_dv_fp: Dict[int, str] = {}
         # per-snapshot copies of the DV state (time travel under DML)
         self._snap_dv: Dict[int, Dict[str, list]] = {}
         self._snap_dv_rg: Dict[int, Dict[Tuple[str, int], int]] = {}
@@ -195,7 +193,6 @@ class DataFrameIndexCatalog:
         self._snapshots[sid] = {
             fs.file_name: fs.file_size_bytes
             for fs, _ in self._files.values()}
-        self._snap_dv_fp[sid] = self.dv_fingerprint()
         self._snap_dv[sid] = {fn: list(rs) for fn, rs in self._dv.items()}
         self._snap_dv_rg[sid] = dict(self._dv_rg)
         self._snap_dv_sums[sid] = dict(self._dv_sums)
@@ -208,7 +205,7 @@ class DataFrameIndexCatalog:
         for sid in expired:
             del self._snapshots[sid]
             for store in (self._snap_dv, self._snap_dv_rg,
-                          self._snap_dv_sums, self._snap_dv_fp):
+                          self._snap_dv_sums):
                 store.pop(sid, None)
         return expired
 
@@ -402,23 +399,6 @@ class DataFrameIndexCatalog:
         return out
 
     # -- deletion vectors (same protocol as SqliteIndexCatalog) --------
-    def dv_fingerprint(self) -> str:
-        import hashlib
-        import json
-        h = hashlib.sha256()
-        for fn in sorted(self._dv):
-            h.update(fn.encode())
-            h.update(b"\x00")
-            h.update(json.dumps(
-                [list(r) for r in self._dv[fn]]).encode())
-            h.update(b"\x01")
-        return h.hexdigest()
-
-    def snapshot_dv_fingerprint(self, snapshot_id: int) -> str:
-        import hashlib
-        return self._snap_dv_fp.get(
-            snapshot_id, hashlib.sha256().hexdigest())
-
     def upsert_dv(self, file_name, positions_by_rg, sum_adjust=None):
         new_pos = sorted(
             p for ps in positions_by_rg.values() for p in ps)

@@ -815,41 +815,54 @@ class IndexedParquetTable:
         hit = [f for f in file_names if f in dvs]
         if not hit:
             return df
-        rows = [(f, [(int(s), int(s + ln - 1)) for s, ln in dvs[f]])
+        rows = [(self._dv_quote(f),
+                 [(int(s), int(s + ln - 1)) for s, ln in dvs[f]])
                 for f in hit]
         dv_pos = (self.spark.createDataFrame(
                       rows,
-                      "dv_file string, "
-                      "dv_ranges array<struct<s:bigint,e:bigint>>")
-                  .select("dv_file",
-                          F.explode("dv_ranges").alias("__r"))
-                  .select("dv_file",
+                      "__dv_bfile string, "
+                      "__dv_branges array<struct<s:bigint,e:bigint>>")
+                  .select("__dv_bfile",
+                          F.explode("__dv_branges").alias("__r"))
+                  .select("__dv_bfile",
                           F.explode(F.sequence(F.col("__r.s"),
                                                F.col("__r.e")))
-                          .alias("dv_pos")))
+                          .alias("__dv_bpos")))
         out = (df
                .withColumn("__dv_file", self._dv_file_key_col())
                .withColumn("__dv_ridx", F.col("_metadata.row_index"))
                .join(F.broadcast(dv_pos),
-                     (F.col("__dv_file") == F.col("dv_file"))
-                     & (F.col("__dv_ridx") == F.col("dv_pos")),
+                     (F.col("__dv_file") == F.col("__dv_bfile"))
+                     & (F.col("__dv_ridx") == F.col("__dv_bpos")),
                      "left_anti")
                .drop("__dv_file", "__dv_ridx"))
         return out
 
+    # the characters java.net.URI leaves RAW in a path — Spark renders
+    # _metadata.file_path through it, so DV file-key matching happens in
+    # URI space: catalog keys are quoted with the SAME set before the
+    # join, and keys collected from scans are unquoted back. A raw
+    # string comparison silently mismatches on any space/%/non-ASCII in
+    # a partition value or the data_dir (the anti-join would no-op and
+    # serve deleted rows).
+    _DV_URI_SAFE = "/!$&'()*+,;=:@~-._"
+
+    def _dv_quote(self, key: str) -> str:
+        from urllib.parse import quote
+        return quote(key, safe=self._DV_URI_SAFE)
+
     def _dv_file_key_col(self):
         """Column expression mapping ``_metadata.file_path`` to the
-        catalog's file key: the dir-relative path for partitioned
-        layouts (basenames repeat across partition dirs), the basename
-        otherwise — the read-side twin of ``_file_key``."""
+        catalog's file key IN URI SPACE: strip the (quoted) data-dir
+        prefix, leaving the dir-relative path for partitioned layouts
+        and the basename for flat ones — the read-side twin of
+        ``_file_key`` composed with ``_dv_quote``."""
         from pyspark.sql import functions as F
 
-        if getattr(self, "partitioned", False):
-            prefix = "file:" + os.path.abspath(self.data_dir) + "/"
-            return F.expr(
-                f"substring(_metadata.file_path, {len(prefix) + 1})")
-        return F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1)
+        prefix = "file:" + self._dv_quote(
+            os.path.abspath(self.data_dir)) + "/"
+        return F.expr(
+            f"substring(_metadata.file_path, {len(prefix) + 1})")
 
     # -- reading -------------------------------------------------------
     def query(
@@ -1027,21 +1040,26 @@ class IndexedParquetTable:
                                T.LongType)):
                 aggs.append(F.sum(F.col(c).cast("decimal(38,0)")
                                   * F.col(c)).alias(f"__sq_{c}"))
-        hits = (df.select(
-                    self._dv_file_key_col().alias("__file"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                    *[F.col(c) for c in sum_cols])
-                .groupBy("__file").agg(*aggs).collect())
-        total = sum(r["n"] for r in hits)
+        victims = df.select(
+            self._dv_file_key_col().alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+            *[F.col(c) for c in sum_cols])
+        # enforce the cap BEFORE materializing any positions on the
+        # driver — the cap exists to protect driver memory, so it must
+        # not itself require the collect it guards against
+        total = victims.count()
         if total > self.DV_MAX_DELETED_PER_CALL:
             raise ValueError(
                 f"delete matches {total} rows > "
                 f"DV_MAX_DELETED_PER_CALL={self.DV_MAX_DELETED_PER_CALL}"
                 f"; a physical rewrite (compact_to / overwrite) is the "
                 f"right tool at that volume")
+        hits = victims.groupBy("__file").agg(*aggs).collect()
+        from urllib.parse import unquote
         deleted = 0
         for r in hits:
-            fname, positions = r["__file"], r["pos"]
+            # scan-side keys are URI-space; the catalog's are raw
+            fname, positions = unquote(r["__file"]), r["pos"]
             if not positions:
                 continue
             counts = self.catalog.row_group_row_counts(fname)
@@ -1071,6 +1089,8 @@ class IndexedParquetTable:
             deleted += len(positions)
             self.catalog.upsert_dv(fname, by_rg, sum_adjust)
         self._dv_cache = None
+        if deleted:
+            self._refresh_views()
         return deleted
 
     def _dv_sum_entries(self, row, sum_cols):
@@ -1157,7 +1177,12 @@ class IndexedParquetTable:
             deleted = set()
             for s, ln in ranges:
                 deleted.update(range(s, s + ln))
-            tmp = path + ".compact.tmp"
+            # dot-prefixed staging name: Spark's directory listings
+            # ignore dotfiles, so a crash mid-compact can never leak a
+            # partial rewrite into partitioned to_df()/sql() scans
+            tmp = os.path.join(os.path.dirname(path),
+                               "." + os.path.basename(path)
+                               + ".compact.tmp")
             writer = None
             base = 0
             try:
@@ -1173,19 +1198,30 @@ class IndexedParquetTable:
                         writer = pq.ParquetWriter(tmp, live.schema)
                     writer.write_table(live,
                                        row_group_size=max(len(keep), 1))
-            finally:
+                if writer is not None:
+                    writer.close()   # idempotent; footer written here
+            except BaseException:
                 if writer is not None:
                     writer.close()
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
+            # evict the file from the catalog BEFORE swapping bytes:
+            # refresh() then re-indexes it unconditionally — a rewrite
+            # that happens to land at the identical byte size must not
+            # ride the size-match short-circuit and keep the stale DV
+            # (whose positions index the OLD layout)
+            self.catalog.remove_file(fname)
             if writer is None:
                 # every row deleted: the file disappears entirely
                 os.remove(path)
-                self.catalog.remove_file(fname)
                 if os.path.exists(tmp):
                     os.remove(tmp)
             else:
                 os.replace(tmp, path)
         self.refresh()
         self._dv_cache = None
+        self._refresh_views()
         return len(dvs)
 
     def merge_upsert(self, updates: DataFrame,
@@ -1213,11 +1249,17 @@ class IndexedParquetTable:
         updates.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in sorted(os.listdir(tmp))
                     if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, part), os.path.join(self.data_dir, name))
+        staged = os.path.join(tmp, part)
+        # count from the staged footer: re-executing the updates plan
+        # AFTER landing would double-count when updates derives from
+        # this very table (to_df() re-lists the directory per action)
+        import pyarrow.parquet as _pq
+        n_ins = _pq.ParquetFile(staged).metadata.num_rows
+        os.replace(staged, os.path.join(self.data_dir, name))
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
-        n_ins = updates.count()
         self.refresh()
+        self._refresh_views()
         return n_del, n_ins
 
     def _read_rowgroups(
@@ -2528,7 +2570,20 @@ class IndexedParquetTable:
         return df
 
     def create_temp_view(self, view_name: Optional[str] = None) -> None:
-        self.to_df().createOrReplaceTempView(view_name or self.name)
+        """Register the (DV-filtered) full scan as a temp view. A view
+        pins its plan at registration, so every DML mutation
+        (delete/merge/compact) re-registers the views this table
+        created — the 'every read surface hides deleted rows' contract
+        holds through views too."""
+        name = view_name or self.name
+        self.to_df().createOrReplaceTempView(name)
+        if not hasattr(self, "_registered_views"):
+            self._registered_views = set()
+        self._registered_views.add(name)
+
+    def _refresh_views(self) -> None:
+        for name in getattr(self, "_registered_views", ()):
+            self.to_df().createOrReplaceTempView(name)
 
     def sql(self, statement: str) -> DataFrame:
         """FULL-STATEMENT SQL with index pruning inside — the

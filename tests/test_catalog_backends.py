@@ -789,7 +789,7 @@ def test_dv_protocol_identical_across_backends(spark, corpus):
     """Deletion vectors behave identically on all four backends: same
     delete counts, same live COUNT/SUM arithmetic (pure catalog, zero
     boundary row groups), same post-delete query results, same refusal
-    contract, same snapshot-fingerprint guard."""
+    contract, same era-correct as-of serving."""
     from datafusion_async_parquet_index_spark.plans.expr import col as xc
 
     results = []

@@ -9,8 +9,8 @@ positions merge into per-file range-compressed vectors; reads
 anti-filter them JVM-side (broadcast join + array exists); COUNT/SUM/
 VAR pushdowns subtract the recorded contributions exactly;
 min/max/dict/topk/ndv/hist catalog answers refuse until compaction;
-snapshots record a DV fingerprint so time travel fails loudly after
-later deletes."""
+snapshots COPY the DV state so time travel serves every era with its
+own deletions."""
 
 import os
 import shutil
@@ -349,3 +349,53 @@ def test_partitioned_layout_deletes(spark, tmp_path):
         (F.col("p") == 2) & (F.col("v") < 50)
         & ~F.col("k").isin([7, 8])).collect())
     assert got2 == want2
+
+
+def test_dv_matching_survives_uri_hostile_paths(spark, tmp_path):
+    """Spark renders _metadata.file_path through java.net.URI (space ->
+    %20, %% -> %25 on top of hive's own %%25 dir escaping; '+' stays
+    raw), so DV matching happens in URI space: catalog keys are quoted
+    with the same character set before the join and unquoted after the
+    victim collection. A raw string comparison silently no-ops the
+    anti-join and serves deleted rows — this pins the hostile cases."""
+    d = str(tmp_path / "dv space dir")
+    df = spark.createDataFrame(
+        [(i, ["New York", "a+b", "x%y", "plain"][i % 4], i * 7 % 50)
+         for i in range(400)], "k LONG, p STRING, v LONG")
+    df.repartition(1).write.partitionBy("p").mode("overwrite").parquet(d)
+    t = IndexedParquetTable(spark, d, index_columns=["k", "v"])
+    assert t.partitioned
+    ndel = t.delete_where((col("v") % 5) == 2)
+    live = df.filter(~((F.col("v") % 5) == 2))
+    assert ndel == 400 - live.count() > 0
+    # every partition dir must actually anti-filter (the silent-no-op
+    # failure mode leaves counts unchanged)
+    for pv in ["New York", "a+b", "x%y", "plain"]:
+        got = t.query(col("p") == pv).count()
+        want = live.filter(F.col("p") == pv).count()
+        assert got == want, (pv, got, want)
+    assert t.count_rows() == live.count()
+    # the delete itself stored catalog-space keys: compact resolves them
+    t.compact_deletes()
+    assert not t.catalog.get_dv_ranges()
+    assert t.count_rows() == live.count()
+
+
+def test_views_track_dml(spark, dv_table):
+    """A temp view pins its plan at registration; DML mutations must
+    re-register the table's views or a pre-delete view would keep
+    serving deleted rows, contradicting the every-read-surface
+    contract."""
+    t, base = dv_table
+    t.create_temp_view("dv_live_view")
+    n0 = spark.sql("SELECT COUNT(*) c FROM dv_live_view").head()["c"]
+    ndel = t.delete_where(DEL)
+    assert spark.sql("SELECT COUNT(*) c FROM dv_live_view").head()["c"] \
+        == n0 - ndel
+    n2 = t.delete_matching(
+        spark.createDataFrame([(2,), (4,)], "k LONG"), "k")
+    assert spark.sql("SELECT COUNT(*) c FROM dv_live_view").head()["c"] \
+        == n0 - ndel - n2
+    t.compact_deletes()
+    assert spark.sql("SELECT COUNT(*) c FROM dv_live_view").head()["c"] \
+        == n0 - ndel - n2

@@ -34,7 +34,66 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 7 WINDOW (scripts/next_window.py output, start of r7) =
+    # == ROUND 8 WINDOW (scripts/next_window.py output, start of r8) =
+    # tier 0 (unresolved reds): none — CORRECTNESS_r07 was 50/50 green.
+    # tier 1: the 6 round-7 landings never driver-proven — the whole
+    #   deletion-vector / merge-on-read DML family (VERDICT r7 ask #1).
+    # tier 2: stalest driver greens first — 32 r4 greens, then the 12
+    #   oldest r5 greens, filling the window to 50.
+    "q91_delete_scan",
+    "q92_dv_count_sum_pushdown",
+    "q93_dv_compaction",
+    "q94_merge_upsert",
+    "q95_dedup_delete_vectors",
+    "q96_stream_retraction",
+    # -- tier 2 (r4-stale) ------------------------------------------
+    "q51_partition_group_count",
+    "q53_hll_union_merge",
+    "q56_bucketed_join",
+    "q57_rank_family",
+    "q58_unpivot",
+    "q59_nullsafe_join",
+    "q60_decimal_pred",
+    "text_quality_metrics",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_bigram_logprob",
+    "text_tfidf_topk",
+    "text_bm25_score",
+    "text_lang_confusion",
+    "text_hashed_ngram_features",
+    "text_zipf_fit",
+    "text_bpe_pair_merge",
+    "text_length_histogram",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "dedup_cluster_stats",
+    "sim_pq_topk",
+    "emb_kmeans_step",
+    "ev_attribution",
+    "ev_funnel_ordered",
+    "ev_markov_transitions",
+    "ev_stream_rate",
+    "ev_user_lifecycle",
+    "mm_feature_extract",
+    "dedup_snapshot_diff",
+    # -- tier 2 (r5-stale) ------------------------------------------
+    "q6_pricing_summary",
+    "q7_join_revenue_by_nation",
+    "q8_distinct",
+    "q9_window_topn",
+    "q10_like_prefix",
+    "q11_case_when_agg",
+    "q12_in_filter_join",
+    "q13_union_set_op",
+    "q14_not_null_arith",
+    "q15_multi_join_lineitem",
+    "q16_date_range",
+    "q17_rollup",
+    # (window full at 50 here.)
+    # == ROUND 7 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r06 was 50/50 green.
     # tier 1: the 30 entries landed after the r6 window filled, never
     #   driver-proven (each locally oracle-green + fingerprinted at

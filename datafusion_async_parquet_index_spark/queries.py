@@ -2781,7 +2781,8 @@ def q91_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims' (file, row position) pairs via ``_metadata.row_index``,
     the positions persist as range-compressed per-file catalog
     metadata, and every subsequent read anti-filters them JVM-side
-    (broadcast join + array ``exists``; no file bytes change). Executed
+    (explode+hash anti-join on (file, row position), broadcast under
+    a cumulative position cap; no file bytes change). Executed
     inside the gate: DELETE WHERE cents % 7 = 0, then a grouped
     aggregate over a cents range must see only live rows — the oracle
     recomputes from the flat table with the delete predicate negated.

@@ -703,17 +703,29 @@ class SqliteIndexCatalog:
                 "SELECT file_id, row_group_count FROM file_statistics "
                 "WHERE file_name = ?", (fs.file_name,)) \
                 if getattr(self, "_rtree_active", ()) else []
+            prior_size = self._query(
+                "SELECT file_size_bytes FROM file_statistics "
+                "WHERE file_name = ?", (fs.file_name,))
             file_id = self._upsert_file_row(fs)
             self._exec(
                 "DELETE FROM row_group_statistics WHERE file_id = ?", (file_id,))
-            # a re-indexed file was rewritten on disk: its old row
-            # positions are meaningless — deletion vectors die with the
-            # old bytes (refresh() skips unchanged files, so live DVs
-            # on untouched files survive)
-            for dv_tbl in ("deletion_vectors", "dv_rg_adjust",
-                           "dv_sum_adjust"):
-                self._exec(
-                    f"DELETE FROM {dv_tbl} WHERE file_id = ?", (file_id,))
+            # a re-indexed file whose BYTES changed was rewritten on
+            # disk: its old row positions are meaningless — deletion
+            # vectors die with the old bytes. But deletion vectors are
+            # DML state, not derived statistics: re-indexing UNCHANGED
+            # bytes (a full non-incremental rebuild, a reopen with
+            # incremental_attach=False) must preserve them, or every
+            # logically deleted row silently resurrects on a plain
+            # rebuild over a persisted catalog. Size-based change
+            # detection, deliberately the same convention as the
+            # refresh() short-circuit (immutable-file layouts; in-place
+            # same-size rewrites void the whole index, not just DVs).
+            if not prior_size or prior_size[0][0] != fs.file_size_bytes:
+                for dv_tbl in ("deletion_vectors", "dv_rg_adjust",
+                               "dv_sum_adjust"):
+                    self._exec(
+                        f"DELETE FROM {dv_tbl} WHERE file_id = ?",
+                        (file_id,))
             stat_cols = []
             for name, cat in self.index_schema.items():
                 stat_cols += [f'"{name}_null_count"', f'"{name}_min"', f'"{name}_max"']

@@ -159,6 +159,10 @@ class IndexedParquetTable:
         self.catalog = catalog or SqliteIndexCatalog(
             rtree_columns=rtree_columns or ())
         self.name = name or os.path.basename(data_dir.rstrip("/"))
+        # heal any compaction that crashed between its byte swap and
+        # its catalog evict BEFORE the initial (size-short-circuited)
+        # build can trust a stale entry
+        self._recover_compaction_markers()
         flat = list_parquet_files(data_dir)
         if partitioned is None:
             partitioned = not flat and any(
@@ -288,6 +292,7 @@ class IndexedParquetTable:
         files; stats for deleted files are dropped. Idempotent per file —
         the catalog upsert replaces stale stats — and O(changed files) in
         the steady state (size-match short-circuit)."""
+        self._recover_compaction_markers()
         self._files = list_parquet_files(
             self.data_dir, recursive=getattr(self, "partitioned", False))
         if self._schema is None and self._files:
@@ -795,18 +800,27 @@ class IndexedParquetTable:
     def _dv_apply(self, df: DataFrame, file_names: Sequence[str],
                   as_of: Optional[int] = None) -> DataFrame:
         """Filter logically deleted rows out of a fresh parquet scan:
-        a broadcast hash ANTI-join on (file name, row position). The
-        driver ships only the range-compressed vectors; the ranges
-        explode to exact positions JVM-side (``explode(sequence(...))``)
-        inside the broadcast build, so each scan row pays one O(1) hash
-        probe. (The first implementation kept the ranges as an array
-        and ran ``exists`` per row — linear in the DV size, which on a
+        a hash ANTI-join on (file name, row position). The driver
+        ships only the range-compressed vectors; the ranges explode to
+        exact positions JVM-side (``explode(sequence(...))``) inside
+        the join build, so each scan row pays one O(1) hash probe.
+        (The first implementation kept the ranges as an array and ran
+        ``exists`` per row — linear in the DV size, which on a
         SCATTERED delete (every range a single position) degenerated to
         rows x deletions: measured 949 s for a 1.5M-row scan against a
         214k-position DV at sf1, vs ~3 s for the hash anti-join.)
-        Position count is bounded by DV_MAX_DELETED_PER_CALL per
-        delete, so the broadcast stays tens of MB at worst — the same
-        line Delta draws for its DV bitmaps. Must run on the raw scan
+
+        The build side is force-broadcast only while the CUMULATIVE
+        live position count over the scanned files stays under
+        DV_BROADCAST_MAX_POSITIONS: each delete call is capped at
+        DV_MAX_DELETED_PER_CALL, but vectors accumulate across calls
+        until compact_deletes(), so N deletes could otherwise pile
+        N x 2M positions into one forced broadcast and OOM executors
+        (or trip Spark's broadcast limit). Past the threshold the
+        explicit broadcast is dropped and AQE picks the join strategy
+        (shuffle hash — still one O(1) probe per row, just exchanged).
+        The position total is O(ranges) driver arithmetic from the
+        catalog metadata, never a count job. Must run on the raw scan
         BEFORE projection (needs ``_metadata``)."""
         from pyspark.sql import functions as F
 
@@ -815,6 +829,7 @@ class IndexedParquetTable:
         hit = [f for f in file_names if f in dvs]
         if not hit:
             return df
+        total_pos = sum(ln for f in hit for _, ln in dvs[f])
         rows = [(self._dv_quote(f),
                  [(int(s), int(s + ln - 1)) for s, ln in dvs[f]])
                 for f in hit]
@@ -828,10 +843,12 @@ class IndexedParquetTable:
                           F.explode(F.sequence(F.col("__r.s"),
                                                F.col("__r.e")))
                           .alias("__dv_bpos")))
+        if total_pos <= self.DV_BROADCAST_MAX_POSITIONS:
+            dv_pos = F.broadcast(dv_pos)
         out = (df
                .withColumn("__dv_file", self._dv_file_key_col())
                .withColumn("__dv_ridx", F.col("_metadata.row_index"))
-               .join(F.broadcast(dv_pos),
+               .join(dv_pos,
                      (F.col("__dv_file") == F.col("__dv_bfile"))
                      & (F.col("__dv_ridx") == F.col("__dv_bpos")),
                      "left_anti")
@@ -939,6 +956,10 @@ class IndexedParquetTable:
 
     # -- writing: row-level deletes / upserts (merge-on-read) -----------
     DV_MAX_DELETED_PER_CALL = 2_000_000
+    # cumulative exploded-position ceiling for the forced broadcast on
+    # the DV read path (~64 MB of (string, long) build rows); above it
+    # _dv_apply leaves the anti-join strategy to AQE
+    DV_BROADCAST_MAX_POSITIONS = 4_000_000
 
     def delete_where(self, predicate: Expr) -> int:
         """Row-level DELETE without rewriting any file — the
@@ -1158,6 +1179,64 @@ class IndexedParquetTable:
             out[rg] = entries
         return out
 
+    @staticmethod
+    def _compact_marker_path(path: str) -> str:
+        """Dot-prefixed (listing-invisible) intent marker recording the
+        ORIGINAL bytes' (size, mtime_ns) across a compaction swap."""
+        return os.path.join(os.path.dirname(path),
+                            "." + os.path.basename(path)
+                            + ".compact.intent")
+
+    def _recover_compaction_markers(self) -> None:
+        """Heal a compaction that crashed mid-file. The marker brackets
+        the swap-then-evict pair; the original (size, mtime_ns) it
+        recorded discriminates which side of the swap the crash hit:
+
+        - file unchanged (stat matches the marker): the swap never
+          happened — catalog + DV are intact and authoritative; drop
+          any staged ``.compact.tmp`` and the marker.
+        - file changed or gone: the swap (or all-rows-deleted remove)
+          DID happen but the catalog evict may not have — evict now, so
+          the following (re)build re-indexes the new bytes and drops
+          the stale DV even when the rewrite landed at the identical
+          byte size (the size-match short-circuit must never decide
+          this case).
+        Runs at construction and at the head of every refresh();
+        touches only catalog rows, markers, and staging dotfiles —
+        never data bytes."""
+        markers = []
+        for dirpath, _dirs, names in os.walk(self.data_dir):
+            markers.extend(os.path.join(dirpath, n) for n in names
+                           if n.startswith(".")
+                           and n.endswith(".compact.intent"))
+        for marker in markers:
+            base = os.path.basename(marker)[1:-len(".compact.intent")]
+            path = os.path.join(os.path.dirname(marker), base)
+            try:
+                with open(marker) as fh:
+                    want = json.load(fh)
+            except (OSError, ValueError):
+                want = None   # unreadable marker: treat as post-swap
+            swapped = True
+            if want is not None and os.path.exists(path):
+                st = os.stat(path)
+                swapped = (st.st_size != want.get("size")
+                           or st.st_mtime_ns != want.get("mtime_ns"))
+            if swapped:
+                rel = os.path.relpath(path, self.data_dir)
+                fname = base if rel == base else rel
+                try:
+                    self.catalog.remove_file(fname)
+                except Exception:
+                    pass   # already evicted: the crash hit after it
+            tmp = os.path.join(os.path.dirname(path),
+                               "." + base + ".compact.tmp")
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            os.remove(marker)
+        if markers:
+            self._dv_cache = None
+
     def compact_deletes(self) -> int:
         """Physically rewrite every file that carries a deletion vector,
         dropping the deleted rows, then refresh() — the re-indexed
@@ -1206,12 +1285,29 @@ class IndexedParquetTable:
                 if os.path.exists(tmp):
                     os.remove(tmp)
                 raise
-            # evict the file from the catalog BEFORE swapping bytes:
-            # refresh() then re-indexes it unconditionally — a rewrite
-            # that happens to land at the identical byte size must not
-            # ride the size-match short-circuit and keep the stale DV
-            # (whose positions index the OLD layout)
-            self.catalog.remove_file(fname)
+            # crash-ordering: swap the BYTES first, evict the catalog
+            # entry second. The reverse order opens a resurrection
+            # window — a crash after remove_file but before os.replace
+            # leaves the ORIGINAL bytes on disk with no catalog row and
+            # no DV, so the next refresh() re-indexes the old bytes and
+            # every logically deleted row silently comes back (the
+            # worst failure for the GDPR/retraction deletes this serves).
+            # With bytes-first, a crash before the swap leaves the
+            # catalog + DV fully intact (reads stay exact); a crash
+            # between swap and evict is healed by the intent marker
+            # below: it records the ORIGINAL bytes' (size, mtime_ns),
+            # and the recovery pass at the head of every refresh()
+            # compares — unchanged file means the swap never happened
+            # (keep catalog + DV), anything else means it did (evict
+            # and re-index). The marker, not the byte size, is what
+            # defeats the size-match short-circuit, so even a rewrite
+            # landing at the identical byte size can never keep the
+            # stale DV (whose positions index the OLD layout).
+            st = os.stat(path)
+            marker = self._compact_marker_path(path)
+            with open(marker, "w") as fh:
+                json.dump({"size": st.st_size,
+                           "mtime_ns": st.st_mtime_ns}, fh)
             if writer is None:
                 # every row deleted: the file disappears entirely
                 os.remove(path)
@@ -1219,6 +1315,8 @@ class IndexedParquetTable:
                     os.remove(tmp)
             else:
                 os.replace(tmp, path)
+            self.catalog.remove_file(fname)
+            os.remove(marker)
         self.refresh()
         self._dv_cache = None
         self._refresh_views()
@@ -1226,23 +1324,40 @@ class IndexedParquetTable:
 
     def merge_upsert(self, updates: DataFrame,
                      key_column: str) -> Tuple[int, int]:
-        """MERGE (upsert) by key: logically delete current rows whose
-        key appears in ``updates`` (deletion vectors via the
-        distributed semi-join in ``delete_matching`` — no driver-side
-        key list, no file rewrite), land the updates as ONE new file,
-        and refresh() the index over it. Returns (rows_deleted,
-        rows_inserted)."""
-        from pyspark.sql import functions as F
+        """MERGE (upsert) by key: land the updates as ONE new file,
+        logically delete current rows whose key appears in it
+        (deletion vectors via the distributed semi-join in
+        ``delete_matching`` — no driver-side key list, no file
+        rewrite), then refresh() the index over both. Returns
+        (rows_deleted, rows_inserted).
 
+        Failure-atomicity ordering: the new versions land on disk
+        FIRST. A landed file is invisible to every catalog-driven
+        surface until refresh() (plan_scan/query/delete read the
+        catalog's file list, and refresh only runs after both steps
+        succeed), so a crash between the two steps leaves RECOVERABLE
+        duplicates — old and new versions both present after the next
+        refresh — never silently lost rows. (The reverse order commits
+        the deletes first; dying before the updates land loses the
+        merged keys' rows from every surface.) To recover from a crash
+        in the window, run ``delete_matching(spark.read.parquet(
+        <landed upsert file>), key)`` BEFORE any refresh, then
+        refresh(); or simply deduplicate by key downstream. The delete
+        step derives its victim keys from the landed file itself, so a
+        nondeterministic ``updates`` plan cannot delete keys it never
+        inserted."""
         if getattr(self, "partitioned", False):
             raise ValueError(
                 "merge_upsert lands ONE flat file and cannot place it "
                 "in a partitioned layout; delete_matching + a "
                 "partition-aware append is the composition there")
-        n_del = self.delete_matching(updates, key_column)
         existing = {f[0] for f in self.catalog.all_files()}
         i = 0
-        while f"upsert_{i:06d}.parquet" in existing:
+        while (f"upsert_{i:06d}.parquet" in existing
+               or os.path.exists(os.path.join(
+                   self.data_dir, f"upsert_{i:06d}.parquet"))):
+            # the disk check skips a landed-but-uncataloged file a
+            # crashed merge left behind instead of overwriting it
             i += 1
         name = f"upsert_{i:06d}.parquet"
         tmp = os.path.join(self.data_dir, f"_stage_{name}")
@@ -1250,14 +1365,18 @@ class IndexedParquetTable:
         part = next(f for f in sorted(os.listdir(tmp))
                     if f.endswith(".parquet"))
         staged = os.path.join(tmp, part)
-        # count from the staged footer: re-executing the updates plan
-        # AFTER landing would double-count when updates derives from
-        # this very table (to_df() re-lists the directory per action)
+        # count from the staged footer, not a second plan execution
         import pyarrow.parquet as _pq
         n_ins = _pq.ParquetFile(staged).metadata.num_rows
-        os.replace(staged, os.path.join(self.data_dir, name))
+        landed = os.path.join(self.data_dir, name)
+        os.replace(staged, landed)
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+        # victims from the LANDED bytes (deterministic, single
+        # execution of the updates plan above); the landed file itself
+        # is not in the catalog yet, so its rows cannot be deleted
+        victims = self.spark.read.parquet(landed)
+        n_del = self.delete_matching(victims, key_column)
         self.refresh()
         self._refresh_views()
         return n_del, n_ins
@@ -1451,14 +1570,23 @@ class IndexedParquetTable:
             return _scan_agg(self.query(predicate, as_of=as_of))
         dv_adj = (self.catalog.dv_sum_adjustments(column, as_of=as_of)
                   if (self._dvs() or as_of is not None) else {})
+        dv_rg = (self.catalog.dv_rg_deleted(as_of=as_of)
+                 if (self._dvs() or as_of is not None) else {})
         if predicate is None:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
             if as_of is not None:
                 # time-travel aggregate: fold only the snapshot's files
                 snap = self._snapshot_guard(as_of)
                 indexed = {fn: c for fn, c in indexed.items() if fn in snap}
-            if all((fn, rg) in sums
-                   for fn, n in indexed.items() for rg in range(n)):
+            # a group with recorded deletions (dv_rg_adjust) but no
+            # recorded sum adjustment for THIS column — deletes issued
+            # by a session that tracked different/empty sum_columns —
+            # cannot be repaired by subtraction; the zero default would
+            # silently return the pre-delete sum. Demote to a scan.
+            if (all((fn, rg) in sums
+                    for fn, n in indexed.items() for rg in range(n))
+                    and all(k in dv_adj
+                            for k in dv_rg if k[0] in indexed)):
                 keys = [(fn, rg)
                         for fn, n in indexed.items() for rg in range(n)]
                 s = sum(sums[k][0] - dv_adj.get(k, (0, 0, None))[0]
@@ -1488,11 +1616,15 @@ class IndexedParquetTable:
             rest = []
             for rg in rgs:
                 entry = sums.get((fname, rg))
-                if rg in frg and entry is not None:
+                k = (fname, rg)
+                if (rg in frg and entry is not None
+                        and (k not in dv_rg or k in dv_adj)):
                     # proven-full group: every live row satisfies, so
                     # the live sum is the stored sum minus the deleted
-                    # rows' recorded contribution
-                    adj = dv_adj.get((fname, rg), (0, 0, None))
+                    # rows' recorded contribution. A group with
+                    # recorded deletions but no adjustment for this
+                    # column demotes to the scanned set instead.
+                    adj = dv_adj.get(k, (0, 0, None))
                     s_full += entry[0] - adj[0]
                     n_full += entry[1] - adj[1]
                     full_rgs += 1
@@ -1500,8 +1632,6 @@ class IndexedParquetTable:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
-        dv_rg = self.catalog.dv_rg_deleted(as_of=as_of) \
-            if (self._dvs() or as_of is not None) else {}
         if any((fname, rg) in dv_rg
                for fname, rgs in partial.items() for rg in rgs):
             self.last_sum_pushdown = None
@@ -1579,12 +1709,18 @@ class IndexedParquetTable:
             return _scan_agg(df)
         dv_adj = (self.catalog.dv_sum_adjustments(column)
                   if self._dvs() else {})
+        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
 
         def _adj_ok(key) -> bool:
             # a deleted-rows adjustment without a recorded second moment
-            # cannot repair the stored sumsq — demote the group
+            # cannot repair the stored sumsq, and a group with recorded
+            # deletions (dv_rg_adjust) but NO adjustment for this
+            # column (deletes issued under different/empty sum_columns)
+            # would silently keep the pre-delete sums — demote both
             a = dv_adj.get(key)
-            return a is None or a[2] is not None
+            if a is None:
+                return key not in dv_rg
+            return a[2] is not None
 
         if predicate is None:
             indexed = {f[0]: f[2] for f in self.catalog.all_files()}
@@ -1627,7 +1763,6 @@ class IndexedParquetTable:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
-        dv_rg = self.catalog.dv_rg_deleted() if self._dvs() else {}
         if any((fname, rg) in dv_rg
                for fname, rgs in partial.items() for rg in rgs):
             self.last_var_pushdown = None

@@ -6,7 +6,8 @@ Design (Delta/Iceberg deletion vectors re-expressed as catalog
 metadata): one pruned job finds matching (file, row position) pairs via
 ``_metadata.row_index`` and their exact per-column sum contributions;
 positions merge into per-file range-compressed vectors; reads
-anti-filter them JVM-side (broadcast join + array exists); COUNT/SUM/
+anti-filter them JVM-side (explode+hash anti-join on (file, row
+position), broadcast under a cumulative position cap); COUNT/SUM/
 VAR pushdowns subtract the recorded contributions exactly;
 min/max/dict/topk/ndv/hist catalog answers refuse until compaction;
 snapshots COPY the DV state so time travel serves every era with its

@@ -11,12 +11,21 @@ The reference scans each file as its own partition for parallelism
 ("default to scanning them all in parallel", main.rs:287-288); here each
 partition is a bounded chunk of row groups so a single huge file still
 fans out across executors.
+
+Deletion-vector awareness: the optional ``dv`` option carries
+{file path: [[start, length], ...]} FILE-scoped deleted row ranges.
+``read`` reconstructs each returned row's file-scoped position from the
+footer's per-row-group offsets and drops deleted positions with one
+vectorized binary search over the sorted ranges (O(rows · log ranges) —
+never a per-row Python loop, and never an exploded position set in
+task memory), so exact row-group reads serve files under merge-on-read
+DML with the same semantics as the native path's anti-join.
 """
 
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -26,22 +35,30 @@ _REGISTERED = set()
 
 
 class RowGroupInputPartition(InputPartition):
-    def __init__(self, path: str, row_groups: List[int]):
+    def __init__(self, path: str, row_groups: List[int],
+                 dv_ranges: Optional[Sequence[Tuple[int, int]]] = None):
         self.path = path
         self.row_groups = row_groups
+        # file-scoped deleted [(start, length)] ranges, or None; the
+        # per-row-group overlap is resolved at read time
+        self.dv_ranges = dv_ranges
 
 
 class RowGroupParquetReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
         self.plan: Dict[str, List[int]] = json.loads(options["access_plan"])
+        self.dvs: Dict[str, List[List[int]]] = json.loads(
+            options.get("dv", "{}") or "{}")
         self.columns = [f.name for f in schema.fields]
 
     def partitions(self):
         parts = []
         for path, rgs in sorted(self.plan.items()):
+            dv = self.dvs.get(path)
             for i in range(0, len(rgs), _CHUNK):
-                parts.append(RowGroupInputPartition(path, rgs[i:i + _CHUNK]))
+                parts.append(RowGroupInputPartition(
+                    path, rgs[i:i + _CHUNK], dv_ranges=dv))
         return parts or [RowGroupInputPartition("", [])]
 
     def read(self, partition: RowGroupInputPartition) -> Iterator:
@@ -51,6 +68,31 @@ class RowGroupParquetReader(DataSourceReader):
 
         pf = pq.ParquetFile(partition.path)
         table = pf.read_row_groups(partition.row_groups, columns=self.columns)
+        if partition.dv_ranges and table.num_rows:
+            import numpy as np
+            import pyarrow as pa
+
+            md = pf.metadata
+            starts, acc = [], 0
+            for i in range(md.num_row_groups):
+                starts.append(acc)
+                acc += md.row_group(i).num_rows
+            # file-scoped position of every returned row, in read order
+            pos = np.concatenate([
+                np.arange(starts[rg],
+                          starts[rg] + md.row_group(rg).num_rows,
+                          dtype=np.int64)
+                for rg in partition.row_groups])
+            ranges = sorted((int(s), int(ln))
+                            for s, ln in partition.dv_ranges)
+            rs = np.fromiter((s for s, _ in ranges), np.int64,
+                             len(ranges))
+            re_ = np.fromiter((s + ln for s, ln in ranges), np.int64,
+                              len(ranges))
+            idx = np.searchsorted(rs, pos, side="right") - 1
+            deleted = (idx >= 0) & (pos < re_[np.clip(idx, 0, None)])
+            if deleted.any():
+                table = table.filter(pa.array(~deleted))
         for batch in table.to_batches():
             yield batch
 

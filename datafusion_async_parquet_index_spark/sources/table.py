@@ -915,14 +915,9 @@ class IndexedParquetTable:
         elif mode == "rowgroups":
             era = self._dvs() if as_of is None \
                 else self.catalog.get_dv_ranges(as_of=as_of)
-            dv_hit = [f for f in decision.file_names if f in era]
-            if dv_hit:
-                raise ValueError(
-                    f"mode='rowgroups' cannot serve files with deletion "
-                    f"vectors ({dv_hit}): the raw row-group reader has "
-                    f"no row positions to anti-filter on. Use the "
-                    f"default mode='files' or compact_deletes() first.")
-            df = self._read_rowgroups(decision, predicate, columns)
+            dvs = {f: era[f] for f in decision.file_names if f in era}
+            df = self._read_rowgroups(decision, predicate, columns,
+                                      dvs=dvs or None, as_of=as_of)
         else:
             paths = [os.path.join(self.data_dir, f) for f in decision.file_names]
             reader = self.spark.read
@@ -1386,6 +1381,8 @@ class IndexedParquetTable:
         decision: ScanDecision,
         predicate: Optional[Expr] = None,
         columns: Optional[Sequence[str]] = None,
+        dvs: Optional[Dict[str, List[Tuple[int, int]]]] = None,
+        as_of: Optional[int] = None,
     ) -> DataFrame:
         """Exact row-group scan via the Python DataSource (Spark 4).
         Column pruning is pushed into the reader by narrowing the schema
@@ -1399,7 +1396,17 @@ class IndexedParquetTable:
         fallback*, used only for files where the access plan actually
         skips row groups. Files the plan covers completely read through
         the native vectorized reader — identical semantics, zero tax —
-        and the two halves union (both are scans; no shuffle)."""
+        and the two halves union (both are scans; no shuffle).
+
+        dvs: optional {file_name: [(start, length), ...]} deletion
+        vectors for scanned files. The Python-DataSource half
+        anti-filters positionally inside read() (it knows each row
+        group's file-scoped row offsets from the footer); the native
+        half rides the same ``_dv_apply`` anti-join the files mode
+        uses. Both halves therefore serve merge-on-read DML exactly —
+        callers whose arithmetic assumes PRE-delete row counts (the
+        count/sum pushdowns) must keep passing dvs=None and demote
+        DV'd groups themselves, as they already do."""
         schema = self._schema
         if columns:
             needed = set(columns)
@@ -1409,7 +1416,7 @@ class IndexedParquetTable:
             if pruned:
                 from pyspark.sql.types import StructType
                 schema = StructType(pruned)
-        full_files, partial = [], {}
+        full_files, full_names, partial = [], [], {}
         for fname, rgs in decision.files_scanned.items():
             try:
                 total = self.catalog.row_group_count(fname)
@@ -1417,23 +1424,32 @@ class IndexedParquetTable:
                 total = None  # not in catalog: stay on the exact path
             if total is not None and len(rgs) >= total:
                 full_files.append(os.path.join(self.data_dir, fname))
+                full_names.append(fname)
             else:
                 partial[os.path.join(self.data_dir, fname)] = rgs
         parts_df = None
         if partial:
             from .rowgroup_source import ensure_registered
             ensure_registered(self.spark)
-            parts_df = (
+            reader = (
                 self.spark.read.format("rowgroup_parquet")
                 .schema(schema)
-                .option("access_plan", json.dumps(partial))
-                .load()
-            )
+                .option("access_plan", json.dumps(partial)))
+            if dvs:
+                dv_by_path = {
+                    os.path.join(self.data_dir, fn):
+                        [[int(s), int(ln)] for s, ln in ranges]
+                    for fn, ranges in dvs.items()
+                    if os.path.join(self.data_dir, fn) in partial}
+                if dv_by_path:
+                    reader = reader.option("dv", json.dumps(dv_by_path))
+            parts_df = reader.load()
         if not full_files:
             return parts_df
-        native = (
-            self.spark.read.schema(self._schema).parquet(*full_files)
-            .select(*[f.name for f in schema.fields]))
+        native = self.spark.read.schema(self._schema).parquet(*full_files)
+        if dvs and any(fn in dvs for fn in full_names):
+            native = self._dv_apply(native, full_names, as_of=as_of)
+        native = native.select(*[f.name for f in schema.fields])
         return native.unionByName(parts_df) if parts_df is not None else native
 
     # -- metadata-only answers ----------------------------------------

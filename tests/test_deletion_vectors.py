@@ -117,10 +117,48 @@ def test_unrepairable_catalog_answers_refuse(spark, dv_table):
                  lambda: t.hist_quantiles("v", [500])):
         with pytest.raises(ValueError, match="deletion vectors"):
             call()
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.query(DEL, mode="rowgroups")
     # count_upper_bound stays a valid over-approximation
     assert t.count_upper_bound() >= t.count_rows()
+
+
+def test_rowgroups_mode_serves_dvs(spark, dv_table):
+    """mode='rowgroups' (the exact ParquetAccessPlan path) anti-filters
+    deleted positions inside the Python DataSource read — it matches
+    the files-mode result on every shape: residual predicate (partial
+    row-group coverage), full-file coverage, and projection."""
+    t, base = dv_table
+    ndel = t.delete_where(DEL)
+    assert ndel > 0
+    live = base.filter(LIVE())
+    # partial coverage: a range predicate leaves boundary row groups
+    p = (col("v") >= 100) & (col("v") < 500)
+    lp = (F.col("v") >= 100) & (F.col("v") < 500)
+    got = sorted((r["k"], r["v"])
+                 for r in t.query(p, mode="rowgroups").collect())
+    want = sorted((r["k"], r["v"])
+                  for r in live.filter(lp).select("k", "v").collect())
+    assert got == want
+    assert got == sorted((r["k"], r["v"])
+                         for r in t.query(p).collect())
+    # full coverage (no predicate): the native half applies the
+    # anti-join too
+    assert t.query(None, mode="rowgroups").count() == live.count()
+    # projection still prunes columns
+    cols = t.query(p, columns=["k"], mode="rowgroups").columns
+    assert cols == ["k"]
+
+
+def test_rowgroups_mode_serves_dvs_as_of(spark, dv_table):
+    """Time travel through the exact path: each era's rowgroups read
+    answers with its own recorded deletions."""
+    t, base = dv_table
+    s0 = t.snapshot()
+    t.delete_where(DEL)
+    s1 = t.snapshot()
+    n0 = base.count()
+    n1 = base.filter(LIVE()).count()
+    assert t.query(None, mode="rowgroups", as_of=s0).count() == n0
+    assert t.query(None, mode="rowgroups", as_of=s1).count() == n1
 
 
 def test_order_limit_falls_back_and_is_exact(spark, dv_table):

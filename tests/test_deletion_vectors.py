@@ -148,6 +148,35 @@ def test_rowgroups_mode_serves_dvs(spark, dv_table):
     assert cols == ["k"]
 
 
+def test_expired_snapshot_with_dv_copy_fails_loudly(spark, dv_table):
+    """Retention × DML: expire_snapshots drops the per-snapshot DV
+    copies — an as-of read whose era relied on a recorded DV copy must
+    then raise on EVERY surface, never silently serve the wrong era
+    (e.g. the live DV state, or no deletions at all)."""
+    t, base = dv_table
+    t.delete_where(DEL)
+    s1 = t.snapshot()           # era with its own DV copy
+    t.delete_where(col("v") < 50)
+    s2 = t.snapshot()
+    n1 = base.filter(LIVE()).count()
+    # sanity: before expiry the DV-backed era answers exactly
+    assert t.query(None, as_of=s1).count() == n1
+    assert t.count_rows(as_of=s1) == n1
+    expired = t.catalog.expire_snapshots(keep_last=1)
+    assert s1 in expired and s2 not in expired
+    for call in (lambda: t.query(None, as_of=s1).count(),
+                 lambda: t.query(None, mode="rowgroups",
+                                 as_of=s1).count(),
+                 lambda: t.count_rows(as_of=s1),
+                 lambda: t.sum_rows("v", as_of=s1)):
+        with pytest.raises(KeyError, match="expired"):
+            call()
+    # the surviving era still answers with ITS recorded deletions
+    n2 = base.filter(LIVE()).filter(F.col("v") >= 50).count()
+    assert t.query(None, as_of=s2).count() == n2
+    assert t.count_rows(as_of=s2) == n2
+
+
 def test_rowgroups_mode_serves_dvs_as_of(spark, dv_table):
     """Time travel through the exact path: each era's rowgroups read
     answers with its own recorded deletions."""

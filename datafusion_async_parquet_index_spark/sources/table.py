@@ -1383,6 +1383,7 @@ class IndexedParquetTable:
         columns: Optional[Sequence[str]] = None,
         dvs: Optional[Dict[str, List[Tuple[int, int]]]] = None,
         as_of: Optional[int] = None,
+        local_max_bytes: int = 0,
     ) -> DataFrame:
         """Exact row-group scan via the Python DataSource (Spark 4).
         Column pruning is pushed into the reader by narrowing the schema
@@ -1406,7 +1407,24 @@ class IndexedParquetTable:
         uses. Both halves therefore serve merge-on-read DML exactly —
         callers whose arithmetic assumes PRE-delete row counts (the
         count/sum pushdowns) must keep passing dvs=None and demote
-        DV'd groups themselves, as they already do."""
+        DV'd groups themselves, as they already do.
+
+        local_max_bytes > 0 arms a driver-side fast path for the
+        internal boundary scans (count/sum/var/min-max pushdowns):
+        when every scanned group is partial, no DVs apply, and the
+        groups' total COMPRESSED size (from the footers the planner
+        already prices everything with) fits the cap, the row groups
+        are read with pyarrow on the driver and returned as a local
+        DataFrame — skipping the Python DataSource's fixed per-query
+        tax (a planning round trip + Python worker spin-up, ~0.5 s
+        warm) that dwarfs the few-KB boundary read itself. This is the
+        reference's own posture of bounded driver-side planning data
+        (index.rs:158-161). The byte cap guards driver memory: above
+        it — or on any conversion surprise — the distributed exact
+        reader serves as before, so correctness never depends on the
+        fast path. User-facing query(mode='rowgroups') keeps
+        local_max_bytes=0: its result is a composable scan, not a
+        bounded aggregate input."""
         schema = self._schema
         if columns:
             needed = set(columns)
@@ -1429,6 +1447,11 @@ class IndexedParquetTable:
                 partial[os.path.join(self.data_dir, fname)] = rgs
         parts_df = None
         if partial:
+            if local_max_bytes and not full_files and not dvs:
+                local = self._read_rowgroups_local(
+                    partial, schema, local_max_bytes)
+                if local is not None:
+                    return local
             from .rowgroup_source import ensure_registered
             ensure_registered(self.spark)
             reader = (
@@ -1451,6 +1474,48 @@ class IndexedParquetTable:
             native = self._dv_apply(native, full_names, as_of=as_of)
         native = native.select(*[f.name for f in schema.fields])
         return native.unionByName(parts_df) if parts_df is not None else native
+
+    # compressed-byte ceiling for the driver-side boundary read; the
+    # pushdowns' boundary sets are 1-2 row groups per file by
+    # construction, so this is generous while still bounding driver
+    # memory at ~the size of a few row groups
+    ROWGROUP_LOCAL_MAX_BYTES = 8 << 20
+
+    def _read_rowgroups_local(
+        self,
+        partial: Dict[str, List[int]],
+        schema,
+        max_bytes: int,
+    ) -> Optional[DataFrame]:
+        """Bounded driver-side exact row-group read (see
+        _read_rowgroups). Returns None — caller falls back to the
+        distributed reader — when the groups' compressed footprint
+        exceeds max_bytes or the Arrow->Spark conversion balks."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        handles = []
+        total = 0
+        for path, rgs in sorted(partial.items()):
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            for rg in rgs:
+                # total_byte_size is the UNCOMPRESSED footprint — the
+                # conservative side for a driver-memory guard
+                total += md.row_group(rg).total_byte_size
+            if total > max_bytes:
+                return None
+            handles.append((pf, rgs))
+        cols = [f.name for f in schema.fields]
+        try:
+            tables = [pf.read_row_groups(list(rgs), columns=cols)
+                      for pf, rgs in handles]
+            tbl = pa.concat_tables(tables) if len(tables) > 1 \
+                else tables[0]
+            return self.spark.createDataFrame(tbl.select(cols),
+                                              schema=schema)
+        except Exception:
+            return None
 
     # -- metadata-only answers ----------------------------------------
     def count_rows(self, predicate: Optional[Expr] = None,
@@ -1537,7 +1602,8 @@ class IndexedParquetTable:
             decision.total_row_groups)
         cols = sorted(predicate.columns())
         df = self._read_rowgroups(partial_decision, predicate,
-                                  columns=cols or None)
+                                  columns=cols or None,
+                                  local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         return full_rows + df.filter(predicate.to_spark()).count()
 
     def _sum_decoder(self, column: str):
@@ -1661,7 +1727,8 @@ class IndexedParquetTable:
             decision.predicate, partial, decision.total_files,
             decision.total_row_groups)
         cols = sorted(predicate.columns() | {column})
-        df = self._read_rowgroups(partial_decision, predicate, columns=cols)
+        df = self._read_rowgroups(partial_decision, predicate, columns=cols,
+                                  local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         s_part, n_part = _scan_agg(df.filter(predicate.to_spark()))
         n = n_full + n_part
         s = (decode(s_full) + (s_part or 0)) if n else None
@@ -1792,7 +1859,8 @@ class IndexedParquetTable:
             decision.predicate, partial, decision.total_files,
             decision.total_row_groups)
         cols = sorted(predicate.columns() | {column})
-        df = self._read_rowgroups(partial_decision, predicate, columns=cols)
+        df = self._read_rowgroups(partial_decision, predicate, columns=cols,
+                                  local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         s_p, sq_p, n_p = _scan_agg(df.filter(predicate.to_spark()))
         n = n_full + n_p
         if not n:
@@ -2522,7 +2590,9 @@ class IndexedParquetTable:
                 decision.total_row_groups)
             cols = sorted(predicate.columns() | {column})
             df = self._read_rowgroups(partial_decision, predicate,
-                                      columns=cols)
+                                      columns=cols,
+                                      local_max_bytes=self
+                                      .ROWGROUP_LOCAL_MAX_BYTES)
             row = df.filter(predicate.to_spark()).agg(
                 F.min(column).alias("mn"), F.max(column).alias("mx")).head()
             lo, hi = row["mn"], row["mx"]

@@ -3039,6 +3039,44 @@ def q96_stream_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_live_cents BIGINT, n_retracted BIGINT")
 
 
+def q97_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED (table.read_changes): Delta-CDF semantics over
+    the external index — every row inserted or deleted between two
+    snapshots, derived from pure catalog arithmetic (snapshot file
+    sets + the deletion-vector DELTA on the range-compressed form)
+    plus pruned positional reads. Executed in the gate: snapshot s0,
+    DELETE WHERE cents % 7 = 0, MERGE the o_orderkey % 97 = 0 batch
+    with cents + 1, snapshot s1; the s0→s1 feed must contain exactly
+    the deleted originals (the predicate's rows plus the merged keys'
+    live old versions) as deletes and the merge batch as inserts — the
+    oracle recomputes both sides relationally from the flat table.
+    Unchanged files are never read: at 100 TB the feed costs
+    O(changed files + deleted positions), which is what lets
+    downstream consumers (a training-set differ, an index rebuilder, a
+    GDPR auditor) subscribe to a corpus instead of re-diffing it."""
+    from .operators.util import session_memo
+
+    t, base = _dv_fixture(spark, sf_dir, "dv_table_cdf")
+    memo = session_memo(spark, "dv_cdf_done")
+    if sf_dir not in memo:
+        s0 = t.snapshot()
+        t.delete_where((xcol("cents") % 7) == 0)
+        updates = base.filter(F.col("o_orderkey") % 97 == 0) \
+            .withColumn("cents", F.col("cents") + 1)
+        t.merge_upsert(updates, "o_orderkey")
+        s1 = t.snapshot()
+        memo[sf_dir] = (s0, s1)
+    s0, s1 = memo[sf_dir]
+    ch = t.read_changes(s0, s1)
+    # idempotent probe: the same era pair always serves the same feed
+    assert ch.columns[0] == "_change_type"
+    return (ch.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.sum("o_orderkey").alias("sum_key"))
+            .orderBy("change_type"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3137,6 +3175,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_merge_upsert": q94_merge_upsert,
     "q95_dedup_delete_vectors": q95_dedup_delete_vectors,
     "q96_stream_retraction": q96_stream_retraction,
+    "q97_change_feed": q97_change_feed,
 }
 
 
@@ -4315,6 +4354,34 @@ RELATIONAL_ORACLE["q95_dedup_delete_vectors"] = """
            CAST((SELECT COUNT(*) FROM f) - COUNT(*) AS BIGINT)
                AS n_deleted
     FROM k
+"""
+
+RELATIONAL_ORACLE["q97_change_feed"] = """
+    WITH c AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    dels AS (
+        SELECT k, cents FROM c WHERE cents % 7 = 0
+        UNION ALL
+        SELECT k, cents FROM c WHERE k % 97 = 0 AND cents % 7 <> 0
+    ),
+    ins AS (
+        SELECT k, cents + 1 AS cents FROM c WHERE k % 97 = 0
+    )
+    SELECT 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(k) AS BIGINT) AS sum_key
+    FROM dels
+    UNION ALL
+    SELECT 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(k) AS BIGINT) AS sum_key
+    FROM ins
+    ORDER BY change_type
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

@@ -826,13 +826,24 @@ class IndexedParquetTable:
 
         dvs = self._dvs() if as_of is None \
             else self.catalog.get_dv_ranges(as_of=as_of)
-        hit = [f for f in file_names if f in dvs]
+        hit = {f: dvs[f] for f in file_names if f in dvs}
         if not hit:
             return df
-        total_pos = sum(ln for f in hit for _, ln in dvs[f])
+        return self._dv_position_join(df, hit, "left_anti")
+
+    def _dv_positions_df(self, dvs: Dict[str, List[Tuple[int, int]]]
+                         ) -> DataFrame:
+        """(file key URI-quoted, exact position) build side for the
+        positional joins: ranges explode JVM-side; force-broadcast
+        only under the cumulative DV_BROADCAST_MAX_POSITIONS cap (see
+        _dv_apply)."""
+        from pyspark.sql import functions as F
+
+        total_pos = sum(ln for ranges in dvs.values()
+                        for _, ln in ranges)
         rows = [(self._dv_quote(f),
-                 [(int(s), int(s + ln - 1)) for s, ln in dvs[f]])
-                for f in hit]
+                 [(int(s), int(s + ln - 1)) for s, ln in ranges])
+                for f, ranges in sorted(dvs.items())]
         dv_pos = (self.spark.createDataFrame(
                       rows,
                       "__dv_bfile string, "
@@ -845,15 +856,26 @@ class IndexedParquetTable:
                           .alias("__dv_bpos")))
         if total_pos <= self.DV_BROADCAST_MAX_POSITIONS:
             dv_pos = F.broadcast(dv_pos)
-        out = (df
-               .withColumn("__dv_file", self._dv_file_key_col())
-               .withColumn("__dv_ridx", F.col("_metadata.row_index"))
-               .join(dv_pos,
-                     (F.col("__dv_file") == F.col("__dv_bfile"))
-                     & (F.col("__dv_ridx") == F.col("__dv_bpos")),
-                     "left_anti")
-               .drop("__dv_file", "__dv_ridx"))
-        return out
+        return dv_pos
+
+    def _dv_position_join(self, df: DataFrame,
+                          dvs: Dict[str, List[Tuple[int, int]]],
+                          how: str) -> DataFrame:
+        """Join a raw scan (still carrying ``_metadata``) against a
+        position set: ``left_anti`` drops the listed positions (the DV
+        read path), ``left_semi`` keeps ONLY them (the change-feed
+        delete extraction)."""
+        from pyspark.sql import functions as F
+
+        dv_pos = self._dv_positions_df(dvs)
+        return (df
+                .withColumn("__dv_file", self._dv_file_key_col())
+                .withColumn("__dv_ridx", F.col("_metadata.row_index"))
+                .join(dv_pos,
+                      (F.col("__dv_file") == F.col("__dv_bfile"))
+                      & (F.col("__dv_ridx") == F.col("__dv_bpos")),
+                      how)
+                .drop("__dv_file", "__dv_ridx"))
 
     # the characters java.net.URI leaves RAW in a path — Spark renders
     # _metadata.file_path through it, so DV file-key matching happens in
@@ -1375,6 +1397,113 @@ class IndexedParquetTable:
         self.refresh()
         self._refresh_views()
         return n_del, n_ins
+
+    @staticmethod
+    def _range_subtract(
+        new_ranges: Sequence[Tuple[int, int]],
+        old_ranges: Sequence[Tuple[int, int]],
+    ) -> List[Tuple[int, int]]:
+        """positions(new_ranges) − positions(old_ranges), as sorted
+        (start, length) ranges — O(ranges) driver arithmetic on the
+        compressed form, never an exploded position set (DV deltas can
+        span millions of positions; the ranges stay thousands)."""
+        old = sorted((int(s), int(s) + int(ln)) for s, ln in old_ranges)
+        out: List[Tuple[int, int]] = []
+        i = 0
+        for s, ln in sorted(new_ranges):
+            cur, e = int(s), int(s) + int(ln)
+            while i < len(old) and old[i][1] <= cur:
+                i += 1
+            j = i
+            while cur < e:
+                if j >= len(old) or old[j][0] >= e:
+                    out.append((cur, e - cur))
+                    cur = e
+                else:
+                    os_, oe = old[j]
+                    if os_ > cur:
+                        out.append((cur, os_ - cur))
+                    cur = max(cur, oe)
+                    if oe <= e:
+                        j += 1
+        return out
+
+    def read_changes(self, since: int, until: int,
+                     change_col: str = "_change_type") -> DataFrame:
+        """CHANGE DATA FEED between two snapshots — Delta CDF /
+        Iceberg-changelog semantics re-expressed over the external
+        index: every row inserted or deleted between era ``since`` and
+        era ``until``, tagged ``'insert'``/``'delete'`` in
+        ``change_col`` (a ``merge_upsert`` surfaces as delete+insert
+        pairs, like Delta CDF without update preimages).
+
+        Derivation is pure catalog arithmetic plus pruned positional
+        reads — unchanged files are NEVER read, so at 100 TB the cost
+        is O(changed files + deleted positions):
+
+        - files recorded only in ``until``: their rows (minus
+          until-era deletions) are inserts — one scan of exactly those
+          files;
+        - common files: the deletion-vector DELTA (until-positions
+          minus since-positions, computed on the range-compressed form
+          driver-side) is read positionally with a semi-join — those
+          rows are deletes. DVs only grow between compactions, so the
+          delta is exactly what the era transition removed.
+
+        Both eras must still be reconstructible, the same loud-failure
+        contract as as-of reads: a recorded file rewritten/compacted/
+        removed since, or an expired snapshot, raises — a change feed
+        is never silently wrong or partial. ``since`` must have been
+        created no later than ``until``."""
+        from pyspark.sql import functions as F
+
+        if since > until:
+            raise ValueError(
+                f"read_changes requires since <= until, got "
+                f"{since} > {until}")
+        since_files = self._snapshot_guard(since)
+        until_files = self._snapshot_guard(until)
+        since_dv = self.catalog.get_dv_ranges(as_of=since)
+        until_dv = self.catalog.get_dv_ranges(as_of=until)
+        out_cols = [F.col(change_col)] + \
+            [F.col(f.name) for f in self._schema.fields]
+        parts: List[DataFrame] = []
+        new_files = sorted(set(until_files) - set(since_files))
+        if new_files:
+            paths = [os.path.join(self.data_dir, f) for f in new_files]
+            reader = self.spark.read
+            if getattr(self, "partitioned", False):
+                reader = reader.option("basePath", self.data_dir)
+            ins = reader.schema(self._schema).parquet(*paths)
+            ins = self._dv_apply(ins, new_files, as_of=until)
+            parts.append(ins.withColumn(change_col, F.lit("insert"))
+                         .select(*out_cols))
+        delta = {}
+        for f in sorted(set(since_files) & set(until_files)):
+            d = self._range_subtract(until_dv.get(f, ()),
+                                     since_dv.get(f, ()))
+            if d:
+                delta[f] = d
+        if delta:
+            paths = [os.path.join(self.data_dir, f)
+                     for f in sorted(delta)]
+            reader = self.spark.read
+            if getattr(self, "partitioned", False):
+                reader = reader.option("basePath", self.data_dir)
+            dels = reader.schema(self._schema).parquet(*paths)
+            dels = self._dv_position_join(dels, delta, "left_semi")
+            parts.append(dels.withColumn(change_col, F.lit("delete"))
+                         .select(*out_cols))
+        if not parts:
+            from pyspark.sql.types import StringType, StructField, StructType
+            empty_schema = StructType(
+                [StructField(change_col, StringType())]
+                + list(self._schema.fields))
+            return self.spark.createDataFrame([], empty_schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def _read_rowgroups(
         self,

@@ -148,6 +148,66 @@ def test_rowgroups_mode_serves_dvs(spark, dv_table):
     assert cols == ["k"]
 
 
+def test_read_changes_delete_then_merge(spark, dv_table):
+    """Change data feed: deletes surface as DV-delta rows, a merge as
+    delete+insert pairs; unchanged rows never appear."""
+    t, base = dv_table
+    s0 = t.snapshot()
+    ndel = t.delete_where(DEL)
+    s1 = t.snapshot()
+    # era transition s0 -> s1: exactly the deleted rows, as deletes
+    ch = t.read_changes(s0, s1)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert by_type == {"delete": ndel}
+    got_k = sorted(r["k"] for r in ch.collect())
+    want_k = sorted(r["k"] for r in base.filter(~LIVE()).collect())
+    assert got_k == want_k
+    # merge: updates land as inserts, their old versions as deletes
+    updates = spark.range(30).select(
+        (F.col("id") * 2).cast("long").alias("k"),   # even keys, live
+        F.lit(9_999_999).cast("long").alias("v"),
+        F.md5(F.col("id").cast("string")).alias("pay"))
+    n_del, n_ins = t.merge_upsert(updates, "k")
+    s2 = t.snapshot()
+    ch2 = t.read_changes(s1, s2)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch2.groupBy("_change_type").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert by_type == {"delete": n_del, "insert": n_ins}
+    ins_v = {r["v"] for r in
+             ch2.filter(F.col("_change_type") == "insert").collect()}
+    assert ins_v == {9_999_999}
+    # cumulative feed s0 -> s2 = union of the two transitions
+    ch_all = t.read_changes(s0, s2)
+    assert ch_all.count() == ch.count() + ch2.count()
+    # identical eras -> empty feed with the right schema
+    empty = t.read_changes(s2, s2)
+    assert empty.count() == 0
+    assert empty.columns[0] == "_change_type"
+
+
+def test_read_changes_fails_loudly_on_broken_eras(spark, dv_table):
+    t, _ = dv_table
+    s0 = t.snapshot()
+    t.delete_where(DEL)
+    s1 = t.snapshot()
+    with pytest.raises(ValueError, match="since <= until"):
+        t.read_changes(s1, s0)
+    # compaction rewrites bytes -> the earlier eras are no longer
+    # reconstructible; the feed must raise, never serve partially
+    t.compact_deletes()
+    with pytest.raises(ValueError):
+        t.read_changes(s0, s1)
+    # expired snapshot -> KeyError
+    s2 = t.snapshot()
+    s3 = t.snapshot()
+    t.catalog.expire_snapshots(keep_last=1)
+    with pytest.raises(KeyError, match="expired"):
+        t.read_changes(s2, s3)
+
+
 def test_expired_snapshot_with_dv_copy_fails_loudly(spark, dv_table):
     """Retention × DML: expire_snapshots drops the per-snapshot DV
     copies — an as-of read whose era relied on a recorded DV copy must

@@ -34,6 +34,38 @@ _CHUNK = 8  # row groups per task; bounds task size for huge files
 _REGISTERED = set()
 
 
+def anti_filter_positions(table, row_groups, metadata, ranges):
+    """Drop rows whose FILE-scoped position falls in the deleted
+    ``ranges`` from an Arrow table read as ``row_groups`` (in that
+    order) of the file described by ``metadata``. One vectorized
+    binary search over the sorted ranges — O(rows · log ranges),
+    never a per-row loop or an exploded position set. Shared by the
+    DataSource's executor-side read and the driver-side bounded
+    boundary read."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not ranges or not table.num_rows:
+        return table
+    starts, acc = [], 0
+    for i in range(metadata.num_row_groups):
+        starts.append(acc)
+        acc += metadata.row_group(i).num_rows
+    pos = np.concatenate([
+        np.arange(starts[rg],
+                  starts[rg] + metadata.row_group(rg).num_rows,
+                  dtype=np.int64)
+        for rg in row_groups])
+    rs_ln = sorted((int(s), int(ln)) for s, ln in ranges)
+    rs = np.fromiter((s for s, _ in rs_ln), np.int64, len(rs_ln))
+    re_ = np.fromiter((s + ln for s, ln in rs_ln), np.int64, len(rs_ln))
+    idx = np.searchsorted(rs, pos, side="right") - 1
+    deleted = (idx >= 0) & (pos < re_[np.clip(idx, 0, None)])
+    if deleted.any():
+        table = table.filter(pa.array(~deleted))
+    return table
+
+
 class RowGroupInputPartition(InputPartition):
     def __init__(self, path: str, row_groups: List[int],
                  dv_ranges: Optional[Sequence[Tuple[int, int]]] = None):
@@ -68,31 +100,10 @@ class RowGroupParquetReader(DataSourceReader):
 
         pf = pq.ParquetFile(partition.path)
         table = pf.read_row_groups(partition.row_groups, columns=self.columns)
-        if partition.dv_ranges and table.num_rows:
-            import numpy as np
-            import pyarrow as pa
-
-            md = pf.metadata
-            starts, acc = [], 0
-            for i in range(md.num_row_groups):
-                starts.append(acc)
-                acc += md.row_group(i).num_rows
-            # file-scoped position of every returned row, in read order
-            pos = np.concatenate([
-                np.arange(starts[rg],
-                          starts[rg] + md.row_group(rg).num_rows,
-                          dtype=np.int64)
-                for rg in partition.row_groups])
-            ranges = sorted((int(s), int(ln))
-                            for s, ln in partition.dv_ranges)
-            rs = np.fromiter((s for s, _ in ranges), np.int64,
-                             len(ranges))
-            re_ = np.fromiter((s + ln for s, ln in ranges), np.int64,
-                              len(ranges))
-            idx = np.searchsorted(rs, pos, side="right") - 1
-            deleted = (idx >= 0) & (pos < re_[np.clip(idx, 0, None)])
-            if deleted.any():
-                table = table.filter(pa.array(~deleted))
+        if partition.dv_ranges:
+            table = anti_filter_positions(
+                table, partition.row_groups, pf.metadata,
+                partition.dv_ranges)
         for batch in table.to_batches():
             yield batch
 

@@ -831,6 +831,23 @@ class IndexedParquetTable:
             return df
         return self._dv_position_join(df, hit, "left_anti")
 
+    def _boundary_dvs(
+        self,
+        partial: Dict[str, List[int]],
+        dv_rg: Dict[Tuple[str, int], int],
+        as_of: Optional[int] = None,
+    ) -> Optional[Dict[str, List[Tuple[int, int]]]]:
+        """Era deletion vectors for the boundary-scan files whose
+        scanned groups carry deletions; None when none do (the common
+        case — skips the positional-filter plumbing entirely)."""
+        if not any((fn, rg) in dv_rg
+                   for fn, rgs in partial.items() for rg in rgs):
+            return None
+        era = self._dvs() if as_of is None \
+            else self.catalog.get_dv_ranges(as_of=as_of)
+        out = {fn: era[fn] for fn in partial if fn in era}
+        return out or None
+
     def _dv_positions_df(self, dvs: Dict[str, List[Tuple[int, int]]]
                          ) -> DataFrame:
         """(file key URI-quoted, exact position) build side for the
@@ -1533,17 +1550,20 @@ class IndexedParquetTable:
         anti-filters positionally inside read() (it knows each row
         group's file-scoped row offsets from the footer); the native
         half rides the same ``_dv_apply`` anti-join the files mode
-        uses. Both halves therefore serve merge-on-read DML exactly —
-        callers whose arithmetic assumes PRE-delete row counts (the
-        count/sum pushdowns) must keep passing dvs=None and demote
-        DV'd groups themselves, as they already do.
+        uses. Both halves therefore serve merge-on-read DML exactly.
+        The aggregate pushdowns pass the era's DVs for their BOUNDARY
+        groups (scanned rows come back live-only, which is exactly
+        what the boundary term needs) while their proven-full groups
+        stay catalog arithmetic (stored values minus the recorded
+        adjustments).
 
         local_max_bytes > 0 arms a driver-side fast path for the
         internal boundary scans (count/sum/var/min-max pushdowns):
-        when every scanned group is partial, no DVs apply, and the
-        groups' total COMPRESSED size (from the footers the planner
-        already prices everything with) fits the cap, the row groups
-        are read with pyarrow on the driver and returned as a local
+        when every scanned group is partial and the groups' total
+        uncompressed size (from the footers the planner already prices
+        everything with) fits the cap, the row groups are read with
+        pyarrow on the driver — including the positional DV filter —
+        and returned as a local
         DataFrame — skipping the Python DataSource's fixed per-query
         tax (a planning round trip + Python worker spin-up, ~0.5 s
         warm) that dwarfs the few-KB boundary read itself. This is the
@@ -1576,9 +1596,17 @@ class IndexedParquetTable:
                 partial[os.path.join(self.data_dir, fname)] = rgs
         parts_df = None
         if partial:
-            if local_max_bytes and not full_files and not dvs:
+            dv_by_path = {}
+            if dvs:
+                dv_by_path = {
+                    os.path.join(self.data_dir, fn):
+                        [[int(s), int(ln)] for s, ln in ranges]
+                    for fn, ranges in dvs.items()
+                    if os.path.join(self.data_dir, fn) in partial}
+            if local_max_bytes and not full_files:
                 local = self._read_rowgroups_local(
-                    partial, schema, local_max_bytes)
+                    partial, schema, local_max_bytes,
+                    dv_by_path=dv_by_path)
                 if local is not None:
                     return local
             from .rowgroup_source import ensure_registered
@@ -1587,14 +1615,8 @@ class IndexedParquetTable:
                 self.spark.read.format("rowgroup_parquet")
                 .schema(schema)
                 .option("access_plan", json.dumps(partial)))
-            if dvs:
-                dv_by_path = {
-                    os.path.join(self.data_dir, fn):
-                        [[int(s), int(ln)] for s, ln in ranges]
-                    for fn, ranges in dvs.items()
-                    if os.path.join(self.data_dir, fn) in partial}
-                if dv_by_path:
-                    reader = reader.option("dv", json.dumps(dv_by_path))
+            if dv_by_path:
+                reader = reader.option("dv", json.dumps(dv_by_path))
             parts_df = reader.load()
         if not full_files:
             return parts_df
@@ -1615,13 +1637,18 @@ class IndexedParquetTable:
         partial: Dict[str, List[int]],
         schema,
         max_bytes: int,
+        dv_by_path: Optional[Dict[str, List[List[int]]]] = None,
     ) -> Optional[DataFrame]:
         """Bounded driver-side exact row-group read (see
-        _read_rowgroups). Returns None — caller falls back to the
-        distributed reader — when the groups' compressed footprint
-        exceeds max_bytes or the Arrow->Spark conversion balks."""
+        _read_rowgroups), deletion-vector-aware via the same positional
+        filter the DataSource uses executor-side. Returns None — caller
+        falls back to the distributed reader — when the groups'
+        footprint exceeds max_bytes or the Arrow->Spark conversion
+        balks."""
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from .rowgroup_source import anti_filter_positions
 
         handles = []
         total = 0
@@ -1634,11 +1661,17 @@ class IndexedParquetTable:
                 total += md.row_group(rg).total_byte_size
             if total > max_bytes:
                 return None
-            handles.append((pf, rgs))
+            handles.append((path, pf, rgs))
         cols = [f.name for f in schema.fields]
         try:
-            tables = [pf.read_row_groups(list(rgs), columns=cols)
-                      for pf, rgs in handles]
+            tables = []
+            for path, pf, rgs in handles:
+                t = pf.read_row_groups(list(rgs), columns=cols)
+                ranges = (dv_by_path or {}).get(path)
+                if ranges:
+                    t = anti_filter_positions(t, list(rgs),
+                                              pf.metadata, ranges)
+                tables.append(t)
             tbl = pa.concat_tables(tables) if len(tables) > 1 \
                 else tables[0]
             return self.spark.createDataFrame(tbl.select(cols),
@@ -1714,13 +1747,6 @@ class IndexedParquetTable:
             full_rgs += len(hit)
             if rest:
                 partial[fname] = rest
-        if any((fname, rg) in dv_rg
-               for fname, rgs in partial.items() for rg in rgs):
-            # boundary groups WITH deletions: the raw row-group reader
-            # cannot anti-filter positions — demote to the pruned
-            # file-level scan, which applies the DV exactly
-            self.last_count_pushdown = None
-            return self.query(predicate, as_of=as_of).count()
         self.last_count_pushdown = {
             "full_row_groups": full_rgs, "full_rows": full_rows,
             "partial_row_groups": sum(len(v) for v in partial.values())}
@@ -1730,8 +1756,13 @@ class IndexedParquetTable:
             decision.predicate, partial, decision.total_files,
             decision.total_row_groups)
         cols = sorted(predicate.columns())
+        # boundary groups WITH deletions scan live-only: the exact
+        # reader anti-filters the era's positions, so the boundary
+        # term is a plain count — no full-scan demotion needed
+        dvs = self._boundary_dvs(partial, dv_rg, as_of)
         df = self._read_rowgroups(partial_decision, predicate,
-                                  columns=cols or None,
+                                  columns=cols or None, dvs=dvs,
+                                  as_of=as_of,
                                   local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         return full_rows + df.filter(predicate.to_spark()).count()
 
@@ -1843,10 +1874,6 @@ class IndexedParquetTable:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
-        if any((fname, rg) in dv_rg
-               for fname, rgs in partial.items() for rg in rgs):
-            self.last_sum_pushdown = None
-            return _scan_agg(self.query(predicate, as_of=as_of))
         self.last_sum_pushdown = {
             "full_row_groups": full_rgs, "full_sum": s_full,
             "partial_row_groups": sum(len(v) for v in partial.values())}
@@ -1856,7 +1883,10 @@ class IndexedParquetTable:
             decision.predicate, partial, decision.total_files,
             decision.total_row_groups)
         cols = sorted(predicate.columns() | {column})
+        # DV'd boundary groups scan live-only through the exact reader
+        dvs_b = self._boundary_dvs(partial, dv_rg, as_of)
         df = self._read_rowgroups(partial_decision, predicate, columns=cols,
+                                  dvs=dvs_b, as_of=as_of,
                                   local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         s_part, n_part = _scan_agg(df.filter(predicate.to_spark()))
         n = n_full + n_part
@@ -1975,10 +2005,6 @@ class IndexedParquetTable:
                     rest.append(rg)
             if rest:
                 partial[fname] = rest
-        if any((fname, rg) in dv_rg
-               for fname, rgs in partial.items() for rg in rgs):
-            self.last_var_pushdown = None
-            return _scan_agg(self.query(predicate))
         self.last_var_pushdown = {
             "full_row_groups": full_rgs,
             "partial_row_groups": sum(len(v) for v in partial.values())}
@@ -1988,7 +2014,10 @@ class IndexedParquetTable:
             decision.predicate, partial, decision.total_files,
             decision.total_row_groups)
         cols = sorted(predicate.columns() | {column})
+        # DV'd boundary groups scan live-only through the exact reader
+        dvs_b = self._boundary_dvs(partial, dv_rg)
         df = self._read_rowgroups(partial_decision, predicate, columns=cols,
+                                  dvs=dvs_b,
                                   local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         s_p, sq_p, n_p = _scan_agg(df.filter(predicate.to_spark()))
         n = n_full + n_p

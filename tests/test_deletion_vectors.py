@@ -99,12 +99,25 @@ def test_count_sum_var_pushdowns_stay_exact(spark, dv_table):
     assert t.last_sum_pushdown["partial_row_groups"] == 0
     s_, sq_, n_ = t.sum_sq_rows("v")
     assert (s_, sq_, n_) == (exp["s"], int(exp["sq"]), exp["n"])
-    # predicated: full + boundary groups, still exact
+    # predicated: full + boundary groups, still exact — and since
+    # round 8 the DV'd BOUNDARY groups scan live-only through the
+    # exact reader instead of demoting the whole query to a full scan
     p = (col("v") >= 100) & (col("v") < 500)
     lp = (F.col("v") >= 100) & (F.col("v") < 500)
     assert t.count_rows(p) == live.filter(lp).count()
+    assert t.last_count_pushdown is not None, \
+        "DV'd boundary groups must not demote the count pushdown"
     sp, _ = t.sum_rows("v", p)
     assert sp == live.filter(lp).agg(F.sum("v")).head()[0]
+    assert t.last_sum_pushdown is not None, \
+        "DV'd boundary groups must not demote the sum pushdown"
+    sv, sqv, nv = t.sum_sq_rows("v", p)
+    lv = live.filter(lp)
+    evar = lv.agg(F.sum("v").alias("s"),
+                  F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+                  .alias("sq"), F.count("v").alias("n")).head()
+    assert (sv, sqv, nv) == (evar["s"], int(evar["sq"]), evar["n"])
+    assert t.last_var_pushdown is not None
 
 
 def test_unrepairable_catalog_answers_refuse(spark, dv_table):

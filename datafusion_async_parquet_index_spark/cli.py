@@ -35,6 +35,15 @@ Verbs:
         Row-level DELETE via deletion vectors: no file is rewritten;
         matching rows vanish from every read. Prints the count.
 
+    update DIR --columns a,b "WHERE-clause" --set col=EXPR [--set ...]
+               --catalog path.db
+        Row-level UPDATE (merge-on-read): new versions land as one
+        file, old versions become deletion vectors. Prints the count.
+
+    changes DIR --columns a,b SINCE UNTIL --catalog path.db
+        Change data feed between two snapshot ids: every row inserted
+        or deleted, tagged in _change_type.
+
     compact DIR --columns a,b --catalog path.db
         Materialize deletion vectors: rewrite only the DV'd files
         without their deleted rows, refresh, clear the vectors.
@@ -120,10 +129,22 @@ def main(argv=None) -> int:
     dl = sub.add_parser("delete")
     common(dl)
     dl.add_argument("where", help="SQL WHERE clause selecting rows to delete")
+    up = sub.add_parser("update")
+    common(up)
+    up.add_argument("where", help="SQL WHERE clause selecting rows to update")
+    up.add_argument("--set", action="append", required=True,
+                    dest="assignments", metavar="COL=EXPR",
+                    help="assignment, repeatable: --set cents=cents+1")
+    ch = sub.add_parser("changes")
+    common(ch)
+    ch.add_argument("since", type=int, help="older snapshot id")
+    ch.add_argument("until", type=int, help="newer snapshot id")
+    ch.add_argument("--limit", type=int, default=20)
     common(sub.add_parser("compact"))
 
     args = p.parse_args(argv)
-    if args.verb in ("snapshot", "delete", "compact") and not args.catalog:
+    if args.verb in ("snapshot", "delete", "update", "changes",
+                     "compact") and not args.catalog:
         # refuse BEFORE starting Spark / indexing anything
         print(f"{args.verb} without --catalog is useless "
               "(in-memory catalogs die with the process)",
@@ -172,6 +193,22 @@ def main(argv=None) -> int:
         n = t.delete_where(parse_predicate(args.where))
         print(f"deleted {n} rows "
               f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
+    elif args.verb == "update":
+        from .plans.sql_predicate import parse_predicate
+        assigns = {}
+        for a in args.assignments:
+            c, _, e = a.partition("=")
+            if not _ or not c or not e:
+                print(f"bad --set {a!r}: expected COL=EXPR",
+                      file=sys.stderr)
+                return 2
+            assigns[c.strip()] = e
+        n = t.update_where(parse_predicate(args.where), assigns)
+        print(f"updated {n} rows "
+              f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
+    elif args.verb == "changes":
+        df = t.read_changes(args.since, args.until)
+        df.show(args.limit, truncate=False)
     elif args.verb == "compact":
         n = t.compact_deletes()
         print(f"rewrote {n} files; deletion vectors cleared")

@@ -3077,6 +3077,44 @@ def q97_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("change_type"))
 
 
+def q98_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL UPDATE WITHOUT REWRITING FILES (table.update_where —
+    the merge-on-read UPDATE, completing the DML verb set with DELETE/
+    MERGE/CDF): matching live rows are read once through the pruned
+    scan, the assignment expressions produce the new versions, the
+    batch lands as ONE new indexed file and the old versions become
+    deletion vectors — failure-ordered so a crash leaves recoverable
+    duplicates, never lost rows. Executed in the gate: UPDATE cents =
+    cents + 1000 WHERE cents % 11 = 0, then live COUNT/SUM (still pure
+    catalog arithmetic: the landed file has fresh sums, the DV'd
+    originals subtract) and a point probe that must serve the UPDATED
+    version. The oracle recomputes the post-update totals with a CASE.
+    At 100 TB: files without matches are never read, nothing is
+    rewritten."""
+    from .operators.util import session_memo
+
+    t, base = _dv_fixture(spark, sf_dir, "dv_table_update")
+    memo = session_memo(spark, "dv_update_done")
+    if sf_dir not in memo:
+        n_upd = t.update_where((xcol("cents") % 11) == 0,
+                               {"cents": "cents + 1000"})
+        memo[sf_dir] = n_upd
+    n_upd = memo[sf_dir]
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0, \
+        t.last_sum_pushdown   # pure catalog arithmetic post-UPDATE
+    assert nn == n
+    # post-update live probe: every cents % 11 == 0 row was replaced
+    # by cents + 1000 (1000 % 11 = 10), so NO live row matches the
+    # update predicate anymore — served straight from the pushdown
+    assert t.count_rows((xcol("cents") % 11) == 0) == 0
+    return spark.createDataFrame(
+        [(n, s, n_upd)],
+        "n_total BIGINT, sum_cents BIGINT, n_updated BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3176,6 +3214,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_dedup_delete_vectors": q95_dedup_delete_vectors,
     "q96_stream_retraction": q96_stream_retraction,
     "q97_change_feed": q97_change_feed,
+    "q98_update_where": q98_update_where,
 }
 
 
@@ -4382,6 +4421,20 @@ RELATIONAL_ORACLE["q97_change_feed"] = """
            CAST(SUM(k) AS BIGINT) AS sum_key
     FROM ins
     ORDER BY change_type
+"""
+
+RELATIONAL_ORACLE["q98_update_where"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN cents % 11 = 0
+                         THEN cents + 1000 ELSE cents END) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CASE WHEN cents % 11 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM c
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

@@ -1415,6 +1415,69 @@ class IndexedParquetTable:
         self._refresh_views()
         return n_del, n_ins
 
+    def update_where(self, predicate: Expr,
+                     assignments: Dict[str, str]) -> int:
+        """Row-level UPDATE without rewriting existing files — the
+        merge-on-read UPDATE (Delta's UPDATE shape over the external
+        index): the matching LIVE rows are read once (pruned scan +
+        DV anti-filter + residual predicate), the ``assignments``
+        ({column: SQL expression over the row, e.g.
+        {"cents": "cents + 100"}}) produce the new versions, the batch
+        lands as ONE new indexed file, and the old versions are
+        logically deleted via deletion vectors. Failure-ordered like
+        merge_upsert: the new versions land BEFORE the deletes commit,
+        so a crash in the window leaves recoverable duplicates, never
+        lost rows. Returns the number of rows updated. At 100 TB: one
+        pruned victim read + one pruned delete pass + an O(batch)
+        write — files without matches are never read, nothing is
+        rewritten."""
+        if getattr(self, "partitioned", False):
+            raise ValueError(
+                "update_where lands ONE flat file and cannot place it "
+                "in a partitioned layout; delete_where + a "
+                "partition-aware append is the composition there")
+        from pyspark.sql import functions as F
+
+        bad = sorted(set(assignments)
+                     - {f.name for f in self._schema.fields})
+        if bad:
+            raise ValueError(
+                f"update_where assignments reference columns not in "
+                f"the table schema: {bad}")
+        victims = self.query(predicate)
+        updated = victims
+        for c, expr_sql in assignments.items():
+            updated = updated.withColumn(
+                c, F.expr(expr_sql).cast(
+                    self._schema[c].dataType))
+        updated = updated.select(*[f.name for f in self._schema.fields])
+        existing = {f[0] for f in self.catalog.all_files()}
+        i = 0
+        while (f"update_{i:06d}.parquet" in existing
+               or os.path.exists(os.path.join(
+                   self.data_dir, f"update_{i:06d}.parquet"))):
+            i += 1
+        name = f"update_{i:06d}.parquet"
+        tmp = os.path.join(self.data_dir, f"_stage_{name}")
+        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        staged = os.path.join(tmp, part)
+        import pyarrow.parquet as _pq
+        import shutil
+        n_upd = _pq.ParquetFile(staged).metadata.num_rows
+        if not n_upd:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return 0
+        os.replace(staged, os.path.join(self.data_dir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the landed file is invisible to the catalog-driven delete
+        # scan below — old versions go, new versions stay
+        self.delete_where(predicate)
+        self.refresh()
+        self._refresh_views()
+        return n_upd
+
     @staticmethod
     def _range_subtract(
         new_ranges: Sequence[Tuple[int, int]],

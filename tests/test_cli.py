@@ -122,3 +122,48 @@ def test_cli_delete_compact(spark, corpus_dir, tmp_path, capsys,
     # delete without a file catalog is refused loudly
     rc, _ = _run(capsys, "delete", d, "--columns", "v", "v < 10")
     assert rc == 2
+
+
+def test_cli_update_and_changes(spark, corpus_dir, tmp_path, capsys,
+                                monkeypatch):
+    """Round-8 verbs: update (merge-on-read UPDATE) and changes
+    (change data feed between snapshot ids)."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d, df = corpus_dir
+    db = str(tmp_path / "cli_upd.db")
+
+    rc, out = _run(capsys, "build", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0
+    rc, out = _run(capsys, "snapshot", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0
+    s0 = int(out.split()[-1])
+
+    # v < 10 -> 5 rows (v = 0,2,4,6,8); shift them far out of range
+    rc, out = _run(capsys, "update", d, "--columns", "v",
+                   "v < 10", "--set", "v=v+100000", "--catalog", db)
+    assert rc == 0 and out.startswith("updated 5 rows"), out
+
+    rc, out = _run(capsys, "sql", d, "--columns", "v",
+                   "SELECT COUNT(*) AS n FROM self WHERE v >= 100000",
+                   "--catalog", db)
+    assert rc == 0 and "|5 " in out.replace("| 5 ", "|5  "), out
+
+    rc, out = _run(capsys, "snapshot", d, "--columns", "v",
+                   "--catalog", db)
+    s1 = int(out.split()[-1])
+
+    rc, out = _run(capsys, "changes", d, "--columns", "v",
+                   str(s0), str(s1), "--catalog", db, "--limit", "50")
+    assert rc == 0, out
+    assert out.count("delete") >= 5 and out.count("insert") >= 5, out
+
+    # bad --set is refused before touching the table
+    rc, _ = _run(capsys, "update", d, "--columns", "v",
+                 "v < 10", "--set", "nonsense", "--catalog", db)
+    assert rc == 2
+    # update without a file catalog is refused loudly
+    rc, _ = _run(capsys, "update", d, "--columns", "v",
+                 "v < 10", "--set", "v=v+1")
+    assert rc == 2

@@ -161,6 +161,55 @@ def test_rowgroups_mode_serves_dvs(spark, dv_table):
     assert cols == ["k"]
 
 
+def test_update_where(spark, dv_table):
+    """Merge-on-read UPDATE: new versions land as one file, old
+    versions become deletion vectors; every read surface serves the
+    updated values; idempotent when the assignment moves rows out of
+    the predicate."""
+    t, base = dv_table
+    n0 = t.count_rows()
+    # +1000001: shifts v % 10 from 3 to 4, so updated rows leave the
+    # predicate (a +1000000 shift would keep them in it)
+    n_upd = t.update_where(DEL, {"v": "v + 1000001"})
+    assert n_upd == base.filter(~LIVE()).count() > 0
+    assert t.count_rows() == n0                       # rows move, not vanish
+    # updated rows serve the new value on every surface
+    assert t.query((col("v") % 10) == 3).count() == 0
+    got = t.query(col("v") >= 1_000_000).count()
+    assert got == n_upd
+    exp = base.withColumn(
+        "v", F.when(~LIVE(), F.col("v") + 1_000_001).otherwise(F.col("v")))
+    s, nn = t.sum_rows("v")
+    want = exp.agg(F.sum("v").alias("s"), F.count("v").alias("n")).head()
+    assert (s, nn) == (want["s"], want["n"])
+    # a second identical update matches nothing (values moved out)
+    assert t.update_where(DEL, {"v": "v + 1000001"}) == 0
+
+
+def test_update_where_rejects_unknown_columns(spark, dv_table):
+    t, _ = dv_table
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.update_where(DEL, {"nope": "1"})
+
+
+def test_update_where_lands_before_deletes(spark, dv_table, monkeypatch):
+    """Same failure ordering as merge_upsert: a crash in the delete
+    step leaves the new versions landed and NO deletes committed —
+    recoverable duplicates, never lost rows."""
+    t, base = dv_table
+
+    def exploding(*a, **kw):
+        raise RuntimeError("crash during update delete step")
+
+    monkeypatch.setattr(t, "delete_where", exploding)
+    with pytest.raises(RuntimeError, match="crash during update"):
+        t.update_where(DEL, {"v": "v + 1000000"})
+    landed = [f for f in os.listdir(str(t.data_dir))
+              if f.startswith("update_")]
+    assert landed
+    assert not t.catalog.get_dv_ranges()
+
+
 def test_read_changes_delete_then_merge(spark, dv_table):
     """Change data feed: deletes surface as DV-delta rows, a merge as
     delete+insert pairs; unchanged rows never appear."""

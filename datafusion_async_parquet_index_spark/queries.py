@@ -3115,6 +3115,64 @@ def q98_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total BIGINT, sum_cents BIGINT, n_updated BIGINT")
 
 
+def q99_incremental_agg_from_feed(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """INCREMENTAL DOWNSTREAM MAINTENANCE FROM THE CHANGE FEED — the
+    composition that makes a change feed worth having at 100 TB: a
+    downstream grouped aggregate (count + sum per bucket) is maintained
+    by FOLDING THE FEED (inserts add, deletes subtract) instead of
+    recomputing from the table. Executed in the gate: snapshot s0 →
+    DELETE cents % 3 = 1 → UPDATE cents += 1003 WHERE cents % 11 = 0 →
+    snapshot s1; the s0-era aggregate plus the signed s0→s1 feed must
+    equal the live recompute EXACTLY (asserted row-for-row in the
+    gate), and the oracle recomputes the live aggregate relationally.
+    Feed cost is O(changed rows); the downstream refresh never touches
+    the unchanged corpus."""
+    from .operators.util import session_memo
+
+    t, base = _dv_fixture(spark, sf_dir, "dv_table_feed_agg")
+    memo = session_memo(spark, "dv_feed_agg_done")
+    if sf_dir not in memo:
+        s0 = t.snapshot()
+        t.delete_where((xcol("cents") % 3) == 1)
+        t.update_where((xcol("cents") % 11) == 0,
+                       {"cents": "cents + 1003"})
+        s1 = t.snapshot()
+        memo[sf_dir] = (s0, s1)
+    s0, s1 = memo[sf_dir]
+    bucket = (F.col("cents") % 5).cast("long").alias("bucket")
+    agg0 = (t.query(None, as_of=s0).select(bucket, "cents")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents")))
+    signed = (t.read_changes(s0, s1)
+              .select(bucket, "cents",
+                      F.when(F.col("_change_type") == "insert",
+                             F.lit(1)).otherwise(F.lit(-1))
+                      .alias("w")))
+    delta = (signed.groupBy("bucket")
+             .agg(F.sum("w").alias("n"),
+                  F.sum(F.col("cents") * F.col("w")).alias("sum_cents")))
+    incr = (agg0.unionByName(delta)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_cents").alias("sum_cents"))
+            .filter(F.col("n") > 0)
+            .select("bucket", F.col("n").cast("long").alias("n"),
+                    F.col("sum_cents").cast("long").alias("sum_cents"))
+            .orderBy("bucket"))
+    direct = (t.query(None).select(bucket, "cents")
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("cents").alias("sum_cents"))
+              .orderBy("bucket"))
+    got = [(r["bucket"], r["n"], r["sum_cents"]) for r in incr.collect()]
+    want = [(r["bucket"], r["n"], r["sum_cents"])
+            for r in direct.collect()]
+    assert got == want, (got, want)   # feed-fold == recompute, exactly
+    return incr
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3215,6 +3273,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_stream_retraction": q96_stream_retraction,
     "q97_change_feed": q97_change_feed,
     "q98_update_where": q98_update_where,
+    "q99_incremental_agg_from_feed": q99_incremental_agg_from_feed,
 }
 
 
@@ -4435,6 +4494,24 @@ RELATIONAL_ORACLE["q98_update_where"] = """
            CAST(SUM(CASE WHEN cents % 11 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
     FROM c
+"""
+
+RELATIONAL_ORACLE["q99_incremental_agg_from_feed"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    live AS (
+        SELECT CASE WHEN cents % 11 = 0 THEN cents + 1003
+                    ELSE cents END AS cents
+        FROM c WHERE cents % 3 <> 1
+    )
+    SELECT CAST(cents % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM live
+    GROUP BY cents % 5
+    ORDER BY bucket
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

@@ -1356,6 +1356,57 @@ class IndexedParquetTable:
         self._refresh_views()
         return len(dvs)
 
+    def _land_batch(self, batch: DataFrame, prefix: str) -> List[str]:
+        """Land a batch of new row versions as data file(s), invisible
+        to every catalog-driven surface until refresh(): ONE flat file
+        for flat layouts (coalesce(1) — DML batches are bounded by the
+        DV caps, so a single file keeps the maintenance story O(1)
+        files per verb); for hive layouts the batch writes
+        ``partitionBy(partition columns)`` into an underscore staging
+        dir (invisible to listings) and each part file moves into its
+        partition directory under a unique name — an UPDATE that moves
+        a row across partitions lands it in its NEW partition. Returns
+        the landed paths."""
+        import shutil
+
+        partitioned = getattr(self, "partitioned", False)
+        part_cols = sorted(getattr(self, "_partition_cols", ()))
+        tmp = os.path.join(self.data_dir, f"_stage_{prefix}")
+        writer = batch.write.mode("overwrite")
+        if partitioned and part_cols:
+            writer = writer.partitionBy(*part_cols)
+        else:
+            batch = batch.coalesce(1)
+            writer = batch.write.mode("overwrite")
+        writer.parquet(tmp)
+        existing = {f[0] for f in self.catalog.all_files()}
+        landed: List[str] = []
+        counters: Dict[str, int] = {}
+        for dirpath, _dirs, files in sorted(os.walk(tmp)):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, tmp)
+                dest_dir = (self.data_dir if rel == "."
+                            else os.path.join(self.data_dir, rel))
+                os.makedirs(dest_dir, exist_ok=True)
+                i = counters.get(dest_dir, 0)
+                while True:
+                    name = f"{prefix}_{i:06d}.parquet"
+                    dest = os.path.join(dest_dir, name)
+                    key = (os.path.relpath(dest, self.data_dir)
+                           if partitioned else name)
+                    if key not in existing and not os.path.exists(dest):
+                        break
+                    # skip landed-but-uncataloged leftovers of a
+                    # crashed verb instead of overwriting them
+                    i += 1
+                counters[dest_dir] = i + 1
+                os.replace(os.path.join(dirpath, fn), dest)
+                landed.append(dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return landed
+
     def merge_upsert(self, updates: DataFrame,
                      key_column: str) -> Tuple[int, int]:
         """MERGE (upsert) by key: land the updates as ONE new file,
@@ -1379,37 +1430,23 @@ class IndexedParquetTable:
         refresh(); or simply deduplicate by key downstream. The delete
         step derives its victim keys from the landed file itself, so a
         nondeterministic ``updates`` plan cannot delete keys it never
-        inserted."""
-        if getattr(self, "partitioned", False):
-            raise ValueError(
-                "merge_upsert lands ONE flat file and cannot place it "
-                "in a partitioned layout; delete_matching + a "
-                "partition-aware append is the composition there")
-        existing = {f[0] for f in self.catalog.all_files()}
-        i = 0
-        while (f"upsert_{i:06d}.parquet" in existing
-               or os.path.exists(os.path.join(
-                   self.data_dir, f"upsert_{i:06d}.parquet"))):
-            # the disk check skips a landed-but-uncataloged file a
-            # crashed merge left behind instead of overwriting it
-            i += 1
-        name = f"upsert_{i:06d}.parquet"
-        tmp = os.path.join(self.data_dir, f"_stage_{name}")
-        updates.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in sorted(os.listdir(tmp))
-                    if f.endswith(".parquet"))
-        staged = os.path.join(tmp, part)
-        # count from the staged footer, not a second plan execution
+        inserted. On hive layouts the batch lands partition-aware
+        (one file per touched partition directory)."""
+        landed = self._land_batch(updates, "upsert")
         import pyarrow.parquet as _pq
-        n_ins = _pq.ParquetFile(staged).metadata.num_rows
-        landed = os.path.join(self.data_dir, name)
-        os.replace(staged, landed)
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
+        # count from the landed footers, not a second plan execution
+        n_ins = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
+        if not n_ins:
+            for p in landed:
+                os.remove(p)
+            return 0, 0
         # victims from the LANDED bytes (deterministic, single
-        # execution of the updates plan above); the landed file itself
-        # is not in the catalog yet, so its rows cannot be deleted
-        victims = self.spark.read.parquet(landed)
+        # execution of the updates plan above); the landed files are
+        # not in the catalog yet, so their rows cannot be deleted
+        reader = self.spark.read
+        if getattr(self, "partitioned", False):
+            reader = reader.option("basePath", self.data_dir)
+        victims = reader.parquet(*landed)
         n_del = self.delete_matching(victims, key_column)
         self.refresh()
         self._refresh_views()
@@ -1430,12 +1467,9 @@ class IndexedParquetTable:
         lost rows. Returns the number of rows updated. At 100 TB: one
         pruned victim read + one pruned delete pass + an O(batch)
         write — files without matches are never read, nothing is
-        rewritten."""
-        if getattr(self, "partitioned", False):
-            raise ValueError(
-                "update_where lands ONE flat file and cannot place it "
-                "in a partitioned layout; delete_where + a "
-                "partition-aware append is the composition there")
+        rewritten. On hive layouts the batch lands partition-aware —
+        an assignment that changes a partition column moves the rows
+        into their new partition directories."""
         from pyspark.sql import functions as F
 
         bad = sorted(set(assignments)
@@ -1451,27 +1485,14 @@ class IndexedParquetTable:
                 c, F.expr(expr_sql).cast(
                     self._schema[c].dataType))
         updated = updated.select(*[f.name for f in self._schema.fields])
-        existing = {f[0] for f in self.catalog.all_files()}
-        i = 0
-        while (f"update_{i:06d}.parquet" in existing
-               or os.path.exists(os.path.join(
-                   self.data_dir, f"update_{i:06d}.parquet"))):
-            i += 1
-        name = f"update_{i:06d}.parquet"
-        tmp = os.path.join(self.data_dir, f"_stage_{name}")
-        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in sorted(os.listdir(tmp))
-                    if f.endswith(".parquet"))
-        staged = os.path.join(tmp, part)
+        landed = self._land_batch(updated, "update")
         import pyarrow.parquet as _pq
-        import shutil
-        n_upd = _pq.ParquetFile(staged).metadata.num_rows
+        n_upd = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
         if not n_upd:
-            shutil.rmtree(tmp, ignore_errors=True)
+            for p in landed:
+                os.remove(p)
             return 0
-        os.replace(staged, os.path.join(self.data_dir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
-        # the landed file is invisible to the catalog-driven delete
+        # the landed files are invisible to the catalog-driven delete
         # scan below — old versions go, new versions stay
         self.delete_where(predicate)
         self.refresh()

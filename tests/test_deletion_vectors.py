@@ -541,6 +541,49 @@ def test_partitioned_layout_deletes(spark, tmp_path):
     assert got2 == want2
 
 
+def test_partitioned_merge_and_update(spark, tmp_path):
+    """Round 8: merge_upsert and update_where land partition-aware on
+    hive layouts (one file per touched partition dir) instead of
+    refusing; an UPDATE that changes a partition column moves the rows
+    into their new partition directories."""
+    d = str(tmp_path / "dvpartdml")
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 3 % 100).alias("v"))
+    (df.repartition(1).write.partitionBy("p")
+     .mode("overwrite").parquet(d))
+    t = IndexedParquetTable(spark, d, index_columns=["k", "v"],
+                            sum_columns=["v"])
+    assert t.partitioned
+
+    # MERGE: bump v for 40 keys spanning all 4 partitions
+    updates = df.filter(F.col("k") < 40).withColumn(
+        "v", F.col("v") + 1000)
+    n_del, n_ins = t.merge_upsert(updates, "k")
+    assert (n_del, n_ins) == (40, 40)
+    assert t.count_rows() == 2_000
+    got = {r["k"]: (r["p"], r["v"]) for r in
+           t.query(col("k") < 40).collect()}
+    want = {r["k"]: (r["p"], r["v"] + 1000) for r in
+            df.filter(F.col("k") < 40).collect()}
+    assert got == want
+    # the upserts landed inside their partition dirs
+    import glob
+    landed = glob.glob(os.path.join(d, "p=*", "upsert_*.parquet"))
+    assert len(landed) == 4, landed
+
+    # UPDATE that MOVES rows across partitions: p -> p + 10 for k < 10
+    n_upd = t.update_where(col("k") < 10, {"p": "p + 10"})
+    assert n_upd == 10
+    assert t.count_rows() == 2_000
+    moved = t.query(col("p") >= 10)
+    assert sorted(r["k"] for r in moved.collect()) == list(range(10))
+    assert glob.glob(os.path.join(d, "p=1[0-3]", "update_*.parquet"))
+    # old partitions no longer serve the moved keys
+    assert t.query((col("p") < 10) & (col("k") < 10)).count() == 0
+
+
 def test_dv_matching_survives_uri_hostile_paths(spark, tmp_path):
     """Spark renders _metadata.file_path through java.net.URI (space ->
     %20, %% -> %25 on top of hive's own %%25 dir escaping; '+' stays

@@ -120,6 +120,7 @@ class DataFrameIndexCatalog:
         per-file store (at scale these are small binary columns in the
         stats table itself).
         sums: {row_group: {column: (sum, non_null_count)}}."""
+        prior = self._files.get(fs.file_name)
         self._files[fs.file_name] = (fs, list(rgs))
         if blooms:
             self._blooms[fs.file_name] = dict(blooms)
@@ -145,7 +146,12 @@ class DataFrameIndexCatalog:
             self._topks[fs.file_name] = dict(topks)
         else:
             self._topks.pop(fs.file_name, None)
-        self._drop_dv_state(fs.file_name)   # rewritten bytes: DV dies
+        if prior is None or prior[0].file_size_bytes != fs.file_size_bytes:
+            # deletion vectors are DML state: they die only with
+            # CHANGED bytes; a re-index of unchanged bytes (a full
+            # rebuild over a persisted catalog) preserves them — the
+            # same size convention as the SQLite backend
+            self._drop_dv_state(fs.file_name)
         self._df = None
 
     def _drop_dv_state(self, file_name: str) -> None:

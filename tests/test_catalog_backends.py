@@ -817,3 +817,50 @@ def test_dv_protocol_identical_across_backends(spark, corpus):
     assert ndel == 300 and n == 2700
     assert s == sum(v for v in range(3000) if v % 10 != 7)
     assert rows == [v for v in range(140, 161) if v % 10 != 7]
+
+
+def test_round8_dml_surface_identical_across_backends(spark, tmp_path):
+    """update_where + read_changes (round 8) behave identically over
+    the SQLite, DataFrame, and DB-API catalog backends: same update
+    counts, same live aggregates, same change-feed breakdown."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from datafusion_async_parquet_index_spark.plans.expr import col as xc
+
+    def corpus_at(d):
+        os.makedirs(d)
+        df = spark.range(1_000).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 13 % 500).cast("long").alias("v"))
+        tmp = d + "_t"
+        df.coalesce(1).write.mode("overwrite").option(
+            "parquet.block.size", str(1 << 14)).parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp))
+                    if p.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(d, "a.parquet"))
+        shutil.rmtree(tmp)
+        return d
+
+    results = []
+    for name, cat in (
+            ("sqlite", SqliteIndexCatalog()),
+            ("df", DataFrameIndexCatalog(spark)),
+            ("dbapi", _dbapi_qmark())):
+        d = corpus_at(str(tmp_path / f"dml_{name}"))
+        t = IndexedParquetTable(spark, d, ["k", "v"],
+                                sum_columns=["v"], catalog=cat)
+        s0 = t.snapshot()
+        n_upd = t.update_where((xc("v") % 7) == 0, {"v": "v + 10000"})
+        s1 = t.snapshot()
+        feed = {(r["_change_type"], ): r["n"] for r in
+                t.read_changes(s0, s1).groupBy("_change_type").count()
+                .withColumnRenamed("count", "n").collect()}
+        s, nn = t.sum_rows("v")
+        results.append((name, n_upd, t.count_rows(), s, nn,
+                        feed.get(("insert",)), feed.get(("delete",))))
+    base = results[0][1:]
+    for name, *rest in results[1:]:
+        assert tuple(rest) == base, (results[0], (name, *rest))
+    assert base[0] > 0 and base[4] == base[5] == base[0]

@@ -632,3 +632,41 @@ def test_views_track_dml(spark, dv_table):
     t.compact_deletes()
     assert spark.sql("SELECT COUNT(*) c FROM dv_live_view").head()["c"] \
         == n0 - ndel - n2
+
+
+def test_range_subtract_fuzz():
+    """Pure-python fuzz of the change-feed range subtraction: for
+    random position sets, subtracting compressed ranges must equal
+    subtracting the exploded sets — both for the DV-growth case
+    (old ⊆ new) and the general case."""
+    import random
+
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable as T,
+    )
+
+    def explode(rs):
+        out = set()
+        for a, ln in rs:
+            out.update(range(a, a + ln))
+        return out
+
+    def compress(pos):
+        pos = sorted(pos)
+        out = []
+        for p in pos:
+            if out and out[-1][0] + out[-1][1] == p:
+                out[-1][1] += 1
+            else:
+                out.append([p, 1])
+        return [tuple(x) for x in out]
+
+    rng = random.Random(7)
+    for trial in range(2_000):
+        old_pos = set(rng.sample(range(60), rng.randint(0, 25)))
+        extra = set(rng.sample(range(60), rng.randint(0, 25)))
+        new_pos = old_pos | extra
+        got = T._range_subtract(compress(new_pos), compress(old_pos))
+        assert got == compress(new_pos - old_pos), trial
+        got2 = T._range_subtract(compress(extra), compress(old_pos))
+        assert explode(got2) == (extra - old_pos), trial

@@ -48,6 +48,10 @@ Verbs:
         Materialize deletion vectors: rewrite only the DV'd files
         without their deleted rows, refresh, clear the vectors.
 
+    optimize DIR --columns a,b [--target-mb 128] --catalog path.db
+        Bin-pack small files into fewer, bigger ones (per directory;
+        DV'd files are skipped — run compact first).
+
 A file-backed --catalog makes the verbs compose across invocations
 (build once, snapshot, keep querying as-of); without it each run
 indexes into a private in-memory catalog first.
@@ -141,10 +145,15 @@ def main(argv=None) -> int:
     ch.add_argument("until", type=int, help="newer snapshot id")
     ch.add_argument("--limit", type=int, default=20)
     common(sub.add_parser("compact"))
+    op = sub.add_parser("optimize")
+    common(op)
+    op.add_argument("--target-mb", type=int, default=128,
+                    dest="target_mb",
+                    help="pack files smaller than this many MB")
 
     args = p.parse_args(argv)
     if args.verb in ("snapshot", "delete", "update", "changes",
-                     "compact") and not args.catalog:
+                     "compact", "optimize") and not args.catalog:
         # refuse BEFORE starting Spark / indexing anything
         print(f"{args.verb} without --catalog is useless "
               "(in-memory catalogs die with the process)",
@@ -212,6 +221,10 @@ def main(argv=None) -> int:
     elif args.verb == "compact":
         n = t.compact_deletes()
         print(f"rewrote {n} files; deletion vectors cleared")
+    elif args.verb == "optimize":
+        n = t.compact_small_files(target_bytes=args.target_mb << 20)
+        files = len(t.catalog.all_files())
+        print(f"packed {n} bins; {files} files remain")
     elif args.verb == "describe":
         import json
         print(json.dumps(t.describe_index(), indent=2, default=str))

@@ -3173,6 +3173,58 @@ def q99_incremental_agg_from_feed(spark: SparkSession, sf_dir: str
     return incr
 
 
+def q100_optimize_lifecycle(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """THE FULL DML MAINTENANCE LIFECYCLE (update → materialize →
+    OPTIMIZE): a 6-file table takes a merge-on-read UPDATE (new
+    versions land as a 7th file, old versions become deletion
+    vectors), ``compact_deletes`` materializes the deletions into
+    rewritten files, and ``compact_small_files`` — the Delta OPTIMIZE
+    / Iceberg rewrite_data_files counterpart, crash-safe via per-bin
+    intent markers — bin-packs the 7 small files into ONE, with fresh
+    exact statistics from the closing refresh. The asserts pin the
+    file count collapsing to 1, the post-update pushdown probe, and
+    that COUNT/SUM survive every maintenance step unchanged; the
+    oracle recomputes the post-update totals with a CASE. At 100 TB
+    packing is O(small files) per directory and never crosses a
+    partition boundary."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "dv_optimize_table")
+    if sf_dir not in memo:
+        d = tempfile.mkdtemp(prefix="spark_graft_optimize_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for i in range(6):
+            _stage_one_file(base.filter(F.col("o_orderkey") % 6 == i)
+                            .orderBy("o_orderkey"), d,
+                            f"part{i}.parquet")
+        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                                sum_columns=["cents"])
+        t.update_where((xcol("cents") % 13) == 0,
+                       {"cents": "cents + 1"})
+        assert len(t.catalog.all_files()) == 7   # 6 parts + 1 update
+        t.compact_deletes()
+        packed = t.compact_small_files()
+        memo[sf_dir] = (t, packed)
+    t, packed = memo[sf_dir]
+    files = [f[0] for f in t.catalog.all_files()]
+    assert packed == 1 and files == ["pack_000000.parquet"], files
+    # post-update probe served by the pushdown on the packed file:
+    # every cents % 13 = 0 row became cents + 1, so none remain
+    assert t.count_rows((xcol("cents") % 13) == 0) == 0
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert nn == n and t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n, s)], "n_total BIGINT, sum_cents BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3274,6 +3326,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_change_feed": q97_change_feed,
     "q98_update_where": q98_update_where,
     "q99_incremental_agg_from_feed": q99_incremental_agg_from_feed,
+    "q100_optimize_lifecycle": q100_optimize_lifecycle,
 }
 
 
@@ -4512,6 +4565,18 @@ RELATIONAL_ORACLE["q99_incremental_agg_from_feed"] = """
     FROM live
     GROUP BY cents % 5
     ORDER BY bucket
+"""
+
+RELATIONAL_ORACLE["q100_optimize_lifecycle"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN cents % 13 = 0
+                         THEN cents + 1 ELSE cents END) AS BIGINT)
+               AS sum_cents
+    FROM c
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

@@ -1107,7 +1107,8 @@ class IndexedParquetTable:
             raise ValueError(
                 f"delete matches {total} rows > "
                 f"DV_MAX_DELETED_PER_CALL={self.DV_MAX_DELETED_PER_CALL}"
-                f"; a physical rewrite (compact_to / overwrite) is the "
+                f"; a physical rewrite (compact_small_files / an "
+                f"overwrite) is the "
                 f"right tool at that volume")
         hits = victims.groupBy("__file").agg(*aggs).collect()
         from urllib.parse import unquote
@@ -1270,6 +1271,134 @@ class IndexedParquetTable:
             os.remove(marker)
         if markers:
             self._dv_cache = None
+        self._recover_pack_markers()
+
+    def _recover_pack_markers(self) -> None:
+        """Heal a small-file compaction (compact_small_files) that
+        crashed mid-bin. The marker lists the bin's source files and is
+        written BEFORE the packed file lands; the possible states are:
+
+        - packed file missing: crash before landing — sources intact
+          and authoritative; drop the marker.
+        - packed file present, ALL sources present: crash before any
+          source removal — the packed file is an unreferenced copy;
+          remove IT (sources stay authoritative, no duplicates ever
+          become visible).
+        - packed file present, SOME sources gone: crash mid-removal —
+          finish removing the remaining sources (bytes + catalog rows);
+          the packed file holds every row and indexes on refresh.
+        """
+        markers = []
+        for dirpath, _dirs, names in os.walk(self.data_dir):
+            markers.extend(os.path.join(dirpath, n) for n in names
+                           if n.startswith(".")
+                           and n.endswith(".pack.intent"))
+        for marker in markers:
+            base = os.path.basename(marker)[1:-len(".pack.intent")]
+            d = os.path.dirname(marker)
+            packed = os.path.join(d, base)
+            try:
+                with open(marker) as fh:
+                    sources = json.load(fh).get("sources", [])
+            except (OSError, ValueError):
+                sources = []
+            paths = [os.path.join(d, s) for s in sources]
+            if not os.path.exists(packed):
+                pass                      # never landed; sources intact
+            elif all(os.path.exists(p) for p in paths):
+                os.remove(packed)         # unreferenced copy
+            else:
+                for p in paths:           # finish the removals
+                    if os.path.exists(p):
+                        os.remove(p)
+                    try:
+                        self.catalog.remove_file(self._file_key(p))
+                    except Exception:
+                        pass
+            os.remove(marker)
+
+    def compact_small_files(self, target_bytes: int = 128 << 20,
+                            min_files: int = 2) -> int:
+        """OPTIMIZE — bin-pack small files into fewer, bigger ones.
+        Every DML verb lands O(1) new files (update_/upsert_ batches),
+        so a long-lived table accumulates small files that bloat the
+        catalog, the planner's candidate set, and per-file scan
+        overhead; this is the Delta OPTIMIZE / Iceberg rewrite_data_-
+        files counterpart. Files are grouped per directory (flat root,
+        or each hive partition dir — packing never crosses a partition
+        boundary), files at or above ``target_bytes`` are left alone,
+        and each greedy size-sorted bin of at least ``min_files`` small
+        files is rewritten as ONE ``pack_*.parquet``. Files carrying
+        deletion vectors are skipped (run compact_deletes() first —
+        materializing deletes and packing are separate, composable
+        maintenance verbs). Crash-safe via a per-bin intent marker
+        (see _recover_pack_markers): no crash point can surface
+        duplicate or missing rows. Returns the number of packed files
+        created; refresh() runs once at the end, so the packed files
+        get fresh exact statistics."""
+        from collections import defaultdict
+        from pyspark.sql.types import StructType
+
+        dvs = self._dvs()
+        part_cols = getattr(self, "_partition_cols", set())
+        phys_schema = StructType(
+            [f for f in self._schema.fields if f.name not in part_cols])
+        by_dir: Dict[str, List[Tuple[str, int]]] = defaultdict(list)
+        for fname, size, _rgs, _rows in self.catalog.all_files():
+            if fname in dvs or size >= target_bytes:
+                continue
+            d = os.path.dirname(os.path.join(self.data_dir, fname))
+            by_dir[d].append((fname, size))
+        packed_count = 0
+        for d, entries in sorted(by_dir.items()):
+            entries.sort(key=lambda e: (e[1], e[0]))
+            bins: List[List[str]] = []
+            cur: List[str] = []
+            cur_bytes = 0
+            for fname, size in entries:
+                if cur and cur_bytes + size > target_bytes:
+                    bins.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(fname)
+                cur_bytes += size
+            if cur:
+                bins.append(cur)
+            for bin_files in bins:
+                if len(bin_files) < min_files:
+                    continue
+                i = 0
+                existing = {f[0] for f in self.catalog.all_files()}
+                while True:
+                    name = f"pack_{i:06d}.parquet"
+                    dest = os.path.join(d, name)
+                    key = self._file_key(dest)
+                    if key not in existing and not os.path.exists(dest):
+                        break
+                    i += 1
+                paths = [os.path.join(self.data_dir, f)
+                         for f in bin_files]
+                stage = os.path.join(d, f"_stage_{name}")
+                (self.spark.read.schema(phys_schema).parquet(*paths)
+                 .coalesce(1).write.mode("overwrite").parquet(stage))
+                part = next(f for f in sorted(os.listdir(stage))
+                            if f.endswith(".parquet"))
+                marker = os.path.join(d, "." + name + ".pack.intent")
+                with open(marker, "w") as fh:
+                    json.dump({"sources":
+                               [os.path.basename(p) for p in paths]},
+                              fh)
+                os.replace(os.path.join(stage, part), dest)
+                import shutil
+                shutil.rmtree(stage, ignore_errors=True)
+                for p in paths:
+                    os.remove(p)
+                    self.catalog.remove_file(self._file_key(p))
+                os.remove(marker)
+                packed_count += 1
+        if packed_count:
+            self.refresh()
+            self._refresh_views()
+        return packed_count
 
     def compact_deletes(self) -> int:
         """Physically rewrite every file that carries a deletion vector,

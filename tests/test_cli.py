@@ -167,3 +167,33 @@ def test_cli_update_and_changes(spark, corpus_dir, tmp_path, capsys,
     rc, _ = _run(capsys, "update", d, "--columns", "v",
                  "v < 10", "--set", "v=v+1")
     assert rc == 2
+
+
+def test_cli_optimize(spark, corpus_dir, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d, df = corpus_dir
+    db = str(tmp_path / "cli_opt.db")
+    # add a second small file so there is a bin to pack
+    from pyspark.sql import functions as F
+    import os as _os
+    import shutil as _sh
+    extra = spark.range(100, 160).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tmp = d + "_x"
+    extra.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(_os.listdir(tmp))
+                if p.endswith(".parquet"))
+    _os.replace(_os.path.join(tmp, part), _os.path.join(d, "b.parquet"))
+    _sh.rmtree(tmp)
+
+    rc, out = _run(capsys, "build", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0
+    rc, out = _run(capsys, "optimize", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0 and out.startswith("packed 1 bins; 1 files"), out
+    rc, out = _run(capsys, "sql", d, "--columns", "v",
+                   "SELECT COUNT(*) AS n FROM self", "--catalog", db)
+    assert rc == 0 and "|120" in out.replace("| 120", "|120"), out
+    rc, _ = _run(capsys, "optimize", d, "--columns", "v")
+    assert rc == 2

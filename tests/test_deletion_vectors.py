@@ -670,3 +670,91 @@ def test_range_subtract_fuzz():
         assert got == compress(new_pos - old_pos), trial
         got2 = T._range_subtract(compress(extra), compress(old_pos))
         assert explode(got2) == (extra - old_pos), trial
+
+
+def test_compact_small_files_packs_and_preserves(spark, tmp_path):
+    """OPTIMIZE: small files bin-pack into one per directory; counts,
+    sums, and pruning survive; DV'd files are skipped until their
+    deletes are materialized."""
+    d = str(tmp_path / "optimize")
+    os.makedirs(d)
+    base = spark.range(3_000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 7 % 1000).cast("long").alias("v"))
+    for i in range(6):
+        _one_file(base.filter(F.col("k") % 6 == i).orderBy("k"),
+                  d, f"part{i}.parquet")
+    t = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    n0, (s0, _) = t.count_rows(), t.sum_rows("v")
+    # a DV'd file is skipped: delete some rows first, don't compact
+    t.delete_where(col("k") < 10)
+    live_n = t.count_rows()
+    packed = t.compact_small_files(target_bytes=1 << 30)
+    assert packed == 0 or t.catalog.get_dv_ranges(), \
+        "files with DVs must not pack"
+    # materialize deletes, then pack everything into one file
+    t.compact_deletes()
+    packed = t.compact_small_files(target_bytes=1 << 30)
+    assert packed == 1
+    files = [f[0] for f in t.catalog.all_files()]
+    assert files == ["pack_000000.parquet"], files
+    assert t.count_rows() == live_n
+    got = sorted(r["k"] for r in t.query(
+        (col("v") >= 100) & (col("v") < 200)).collect())
+    want = sorted(r["k"] for r in base.filter(
+        (F.col("k") >= 10) & (F.col("v") >= 100)
+        & (F.col("v") < 200)).collect())
+    assert got == want
+    # idempotent: one big file, nothing left to pack
+    assert t.compact_small_files(target_bytes=1 << 30) == 0
+
+
+def test_compact_small_files_crash_recovery(spark, tmp_path,
+                                            monkeypatch):
+    """Both crash states heal without duplicate or lost rows:
+    (a) packed landed, no sources removed -> recovery drops the packed
+    copy; (b) packed landed, removals half done -> recovery finishes
+    them and the packed file serves every row."""
+    d = str(tmp_path / "optcrash")
+    os.makedirs(d)
+    base = spark.range(1_000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 100).cast("long").alias("v"))
+    for i in range(4):
+        _one_file(base.filter(F.col("k") % 4 == i).orderBy("k"),
+                  d, f"part{i}.parquet")
+    t = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    n0 = t.count_rows()
+
+    # state (a): craft packed + marker with ALL sources intact
+    import json as _json
+    import shutil as _sh
+    _sh.copy(os.path.join(d, "part0.parquet"),
+             os.path.join(d, "pack_000000.parquet"))
+    with open(os.path.join(d, ".pack_000000.parquet.pack.intent"),
+              "w") as fh:
+        _json.dump({"sources": ["part0.parquet", "part1.parquet"]}, fh)
+    t2 = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    assert not os.path.exists(os.path.join(d, "pack_000000.parquet"))
+    assert t2.count_rows() == n0
+
+    # state (b): real pack crashing after the first source removal
+    calls = {"n": 0}
+    real_remove = t2.catalog.remove_file
+
+    def exploding_remove(fname):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash mid-pack")
+        return real_remove(fname)
+
+    monkeypatch.setattr(t2.catalog, "remove_file", exploding_remove)
+    with pytest.raises(RuntimeError, match="crash mid-pack"):
+        t2.compact_small_files(target_bytes=1 << 30)
+    monkeypatch.setattr(t2.catalog, "remove_file", real_remove)
+    # fresh session: recovery finishes the removals; every row served
+    t3 = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    assert t3.count_rows() == n0
+    assert t3.to_df().count() == n0
+    files = [f[0] for f in t3.catalog.all_files()]
+    assert any(f.startswith("pack_") for f in files), files

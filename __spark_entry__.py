@@ -94,10 +94,12 @@ _ROUND_PRIORITY = [
     "q17_rollup",
     # (window full at 50 here.)
     # ROUND-9 PLAN: run `python scripts/next_window.py` at round start.
-    # Expected tier 1: q97_change_feed (landed after the r8 window
-    # filled; locally oracle-green + fingerprinted at sf0.001/sf0.01,
-    # benched at sf1); tier 2: the r5-green entries displaced from
-    # this round's window, stalest first.
+    # Expected tier 1: the round-8 landings, never driver-proven —
+    # q97_change_feed, q98_update_where, q99_incremental_agg_from_feed,
+    # q100_optimize_lifecycle (each locally oracle-green +
+    # fingerprinted at sf0.001/sf0.01, benched at sf1); tier 2: the
+    # r5-green entries displaced from this round's window, stalest
+    # first.
     # == ROUND 7 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r06 was 50/50 green.
     # tier 1: the 30 entries landed after the r6 window filled, never

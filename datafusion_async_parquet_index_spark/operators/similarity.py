@@ -1713,6 +1713,98 @@ SIMILARITY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_hybrid_rrf": sim_hybrid_rrf,
 }
 
+def sim_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR SEARCH OVER THE LIVE CORPUS UNDER DML — the ANN × DML
+    composition a curated training store needs: vectors are served
+    through the indexed table (deletion vectors applied on the read),
+    a retraction deletes every ``vec_id % 9 = 4`` row, and the exact
+    cosine top-k runs over the LIVE candidates only — a deleted vector
+    can never surface as a neighbor, with zero index rebuild and zero
+    file rewrites. The candidate scan is the same pruned, DV-filtered
+    read every other surface uses, so at 100 TB the composition is
+    'retract tonight, search the live corpus immediately'; the IVF/PQ
+    variants compose identically (their candidate sets are reads of
+    this table). Deterministic: 6-decimal rounding + vec_id tie-break,
+    as all sim_* rows; the oracle recomputes over the flat table with
+    the delete predicate negated."""
+    import os
+    import shutil
+    import tempfile
+
+    from .util import session_memo
+    from ..plans.expr import col as xcol
+    from ..sources.table import IndexedParquetTable
+
+    memo = session_memo(spark, "sim_live_table")
+    if sf_dir not in memo:
+        d = tempfile.mkdtemp(prefix="spark_graft_simlive_")
+        emb = read_table(spark, sf_dir, "embeddings")
+        for i, half in enumerate((emb.filter(F.col("vec_id") % 2 == 0),
+                                  emb.filter(F.col("vec_id") % 2 == 1))):
+            tmp = os.path.join(d, f"_s{i}")
+            half.orderBy("vec_id").coalesce(1).write.mode(
+                "overwrite").parquet(tmp)
+            part = next(f for f in sorted(os.listdir(tmp))
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part),
+                       os.path.join(d, f"half{i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        t = IndexedParquetTable(spark, d, ["vec_id"])
+        t.delete_where((xcol("vec_id") % 9) == 4)
+        memo[sf_dir] = t
+    t = memo[sf_dir]
+    live = spread_for_compute(t.query(None))
+    vec = live.select("vec_id", "embedding",
+                      l2_norm(F.col("embedding")).alias("nrm"))
+    # queries are the standard sim_* query set, drawn from the FULL
+    # corpus (a retracted document may still be somebody's query);
+    # candidates are live-only
+    q = (spread_for_compute(read_table(spark, sf_dir, "embeddings"))
+         .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"),
+                 l2_norm(F.col("embedding")).alias("qn")))
+    c = vec.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("ce"),
+                   F.col("nrm").alias("cn"))
+    pairs = c.join(F.broadcast(q),
+                   F.col("query_id") != F.col("cand_id"))
+    cos = F.round(_pair_cosine("qe", "ce", "qn", "cn"), 6)
+    scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("query_id", "cand_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SIMILARITY_QUERIES["sim_topk_live"] = sim_topk_live
+
+SIM_TOPK_LIVE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id % {N_QUERIES_MOD} = 0
+    ), c AS (
+        SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id % 9 <> 4
+    ), scored AS (
+        SELECT query_id, cand_id,
+               ROUND(list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+        FROM c JOIN q ON query_id != cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+        FROM scored) t
+    WHERE rank <= {TOPK}
+"""
+
+
 SIMILARITY_ORACLE: Dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTEFORCE_SQL,
     "sim_lsh_topk": _lsh_sql(),
@@ -1735,4 +1827,5 @@ SIMILARITY_ORACLE: Dict[str, str] = {
     "emb_pca_power_step": EMB_PCA_SQL,
     "sim_filtered_topk": SIM_FILTERED_SQL,
     "sim_hybrid_rrf": _hybrid_sql(),
+    "sim_topk_live": SIM_TOPK_LIVE_SQL,
 }

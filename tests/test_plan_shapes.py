@@ -388,3 +388,39 @@ def test_dict_pruning_scan_location_excludes_refuted_file(spark, sf_dir):
     plan = _plan(df)
     assert "b.parquet" in plan
     assert "a.parquet" not in plan
+
+
+def test_dv_read_and_change_feed_plan_shapes(spark, tmp_path):
+    """The DV read path must be a broadcast hash ANTI-join (one O(1)
+    probe per row, never a per-row array scan), and the change feed's
+    delete extraction a broadcast SEMI-join — both under the
+    cumulative broadcast cap."""
+    import os
+    from pyspark.sql import functions as F
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable,
+    )
+    d = str(tmp_path / "dvplan")
+    os.makedirs(d)
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v"))
+    tmp = d + "_t"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(os.listdir(tmp))
+                if p.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(d, "a.parquet"))
+    import shutil
+    shutil.rmtree(tmp)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    s0 = t.snapshot()
+    t.delete_where(col("v") < 5)
+    s1 = t.snapshot()
+    read_plan = _plan(t.query(None))
+    assert "BroadcastExchange" in read_plan, read_plan
+    assert "LeftAnti" in read_plan, read_plan
+    assert "exists(" not in read_plan, "per-row array scan crept back"
+    feed = t.read_changes(s0, s1)
+    feed_plan = _plan(feed)
+    assert "LeftSemi" in feed_plan, feed_plan
+    assert "BroadcastExchange" in feed_plan, feed_plan

@@ -3073,7 +3073,9 @@ class IndexedParquetTable:
             "threshold": threshold,
             "scanned_row_groups": topk_decision.row_groups_scanned,
             "candidate_row_groups": len(candidates)}
-        df = self._read_rowgroups(topk_decision, predicate)
+        df = self._read_rowgroups(
+            topk_decision, predicate,
+            local_max_bytes=self.ROWGROUP_LOCAL_MAX_BYTES)
         if predicate is not None:
             df = df.filter(predicate.to_spark())
         return df.orderBy(*order).limit(k)

@@ -699,13 +699,16 @@ class SqliteIndexCatalog:
             # predicates full-scan a virtual rtree table — measured
             # ~200x slower; an O(n) delete per upsert would make index
             # builds quadratic)
+            # ONE prior-row lookup serves both the rtree cleanup and
+            # the DV-retention size check (two separate SELECTs would
+            # double the per-file round-trips of a full rebuild)
             old = self._query(
-                "SELECT file_id, row_group_count FROM file_statistics "
-                "WHERE file_name = ?", (fs.file_name,)) \
-                if getattr(self, "_rtree_active", ()) else []
-            prior_size = self._query(
-                "SELECT file_size_bytes FROM file_statistics "
-                "WHERE file_name = ?", (fs.file_name,))
+                "SELECT file_id, row_group_count, file_size_bytes "
+                "FROM file_statistics WHERE file_name = ?",
+                (fs.file_name,))
+            prior_size = [(old[0][2],)] if old else []
+            if not getattr(self, "_rtree_active", ()):
+                old = []
             file_id = self._upsert_file_row(fs)
             self._exec(
                 "DELETE FROM row_group_statistics WHERE file_id = ?", (file_id,))
@@ -1168,6 +1171,30 @@ class SqliteIndexCatalog:
                     "INSERT INTO dv_rg_adjust "
                     "(file_id, row_group, deleted_rows) VALUES (?, ?, ?)",
                     (fid, rg, n))
+            # new deletions make any prior sum adjustment that this
+            # call does NOT extend incomplete (it no longer covers all
+            # the group's recorded deletions — e.g. a session running
+            # with different/empty sum_columns): drop those rows so
+            # the read-side demote guard (a group with deletions but
+            # no adjustment scans) fires instead of a silent
+            # under-subtraction. Coverage is all-or-nothing per
+            # (group, column).
+            for rg, ps in positions_by_rg.items():
+                if not ps:
+                    continue
+                covered = sorted((sum_adjust or {}).get(rg, {}))
+                if covered:
+                    ph = ",".join("?" for _ in covered)
+                    self._exec(
+                        f"""DELETE FROM dv_sum_adjust
+                            WHERE file_id = ? AND row_group = ?
+                            AND column_name NOT IN ({ph})""",
+                        (fid, rg, *covered))
+                else:
+                    self._exec(
+                        """DELETE FROM dv_sum_adjust
+                           WHERE file_id = ? AND row_group = ?""",
+                        (fid, rg))
             for rg, cols in (sum_adjust or {}).items():
                 for col, (s, nn, sq) in cols.items():
                     prior = self._query(

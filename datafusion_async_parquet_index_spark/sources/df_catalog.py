@@ -422,6 +422,17 @@ class DataFrameIndexCatalog:
             if ps:
                 k = (file_name, rg)
                 self._dv_rg[k] = self._dv_rg.get(k, 0) + len(ps)
+        # mirror the SQLite backend: new deletions invalidate prior
+        # sum adjustments this call does not extend (incomplete
+        # coverage must demote, never under-subtract)
+        for rg, ps in positions_by_rg.items():
+            if not ps:
+                continue
+            covered = set((sum_adjust or {}).get(rg, {}))
+            for k in [k for k in self._dv_sums
+                      if k[0] == file_name and k[1] == rg
+                      and k[2] not in covered]:
+                del self._dv_sums[k]
         for rg, cols in (sum_adjust or {}).items():
             for col_, (sv, nn, sq) in cols.items():
                 k = (file_name, rg, col_)

@@ -1215,6 +1215,19 @@ class IndexedParquetTable:
         return out
 
     @staticmethod
+    def _write_marker(marker: str, payload: dict) -> None:
+        """Atomic intent-marker write (tmp + os.replace): recovery can
+        rely on a marker being either absent or complete — a torn
+        marker must never exist, because the recovery defaults for an
+        unreadable one are conservative, not correct."""
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+
+    @staticmethod
     def _compact_marker_path(path: str) -> str:
         """Dot-prefixed (listing-invisible) intent marker recording the
         ORIGINAL bytes' (size, mtime_ns) across a compaction swap."""
@@ -1238,28 +1251,42 @@ class IndexedParquetTable:
           this case).
         Runs at construction and at the head of every refresh();
         touches only catalog rows, markers, and staging dotfiles —
-        never data bytes."""
-        markers = []
+        never data bytes. ONE directory walk serves both this and the
+        pack-marker recovery (the listing refresh performs is a third
+        walk; markers are dotfiles so it never sees them)."""
+        compact_markers, pack_markers = [], []
         for dirpath, _dirs, names in os.walk(self.data_dir):
-            markers.extend(os.path.join(dirpath, n) for n in names
-                           if n.startswith(".")
-                           and n.endswith(".compact.intent"))
-        for marker in markers:
+            for n in names:
+                if not n.startswith("."):
+                    continue
+                if n.endswith(".compact.intent"):
+                    compact_markers.append(os.path.join(dirpath, n))
+                elif n.endswith(".pack.intent"):
+                    pack_markers.append(os.path.join(dirpath, n))
+        for marker in compact_markers:
             base = os.path.basename(marker)[1:-len(".compact.intent")]
             path = os.path.join(os.path.dirname(marker), base)
             try:
                 with open(marker) as fh:
                     want = json.load(fh)
             except (OSError, ValueError):
-                want = None   # unreadable marker: treat as post-swap
+                # unreadable marker: markers are written atomically
+                # (tmp + os.replace), so this means filesystem-level
+                # corruption. Default to PRE-swap (keep catalog + DV):
+                # wrongly evicting re-indexes the ORIGINAL bytes with
+                # the DV dropped — permanent silent resurrection —
+                # while wrongly keeping heals at the next refresh in
+                # every case except a same-size rewrite.
+                want = None
             swapped = True
-            if want is not None and os.path.exists(path):
+            if os.path.exists(path) and want is not None:
                 st = os.stat(path)
                 swapped = (st.st_size != want.get("size")
                            or st.st_mtime_ns != want.get("mtime_ns"))
+            elif os.path.exists(path):
+                swapped = False
             if swapped:
-                rel = os.path.relpath(path, self.data_dir)
-                fname = base if rel == base else rel
+                fname = self._marker_file_key(path)
                 try:
                     self.catalog.remove_file(fname)
                 except Exception:
@@ -1269,11 +1296,18 @@ class IndexedParquetTable:
             if os.path.exists(tmp):
                 os.remove(tmp)
             os.remove(marker)
-        if markers:
+        if compact_markers:
             self._dv_cache = None
-        self._recover_pack_markers()
+        self._recover_pack_markers(pack_markers)
 
-    def _recover_pack_markers(self) -> None:
+    def _marker_file_key(self, path: str) -> str:
+        """Catalog key for a data file during crash recovery: the
+        dir-relative path (equals the basename for flat layouts) —
+        computed WITHOUT self.partitioned, which is not yet assigned
+        when recovery runs inside __init__."""
+        return os.path.relpath(path, self.data_dir)
+
+    def _recover_pack_markers(self, markers: List[str]) -> None:
         """Heal a small-file compaction (compact_small_files) that
         crashed mid-bin. The marker lists the bin's source files and is
         written BEFORE the packed file lands; the possible states are:
@@ -1288,11 +1322,6 @@ class IndexedParquetTable:
           finish removing the remaining sources (bytes + catalog rows);
           the packed file holds every row and indexes on refresh.
         """
-        markers = []
-        for dirpath, _dirs, names in os.walk(self.data_dir):
-            markers.extend(os.path.join(dirpath, n) for n in names
-                           if n.startswith(".")
-                           and n.endswith(".pack.intent"))
         for marker in markers:
             base = os.path.basename(marker)[1:-len(".pack.intent")]
             d = os.path.dirname(marker)
@@ -1301,7 +1330,11 @@ class IndexedParquetTable:
                 with open(marker) as fh:
                     sources = json.load(fh).get("sources", [])
             except (OSError, ValueError):
-                sources = []
+                # atomically written; unreadable = fs corruption. With
+                # no source list the only safe move is to keep
+                # EVERYTHING (duplicates are recoverable, removals are
+                # not) and surface the marker for a human.
+                continue
             paths = [os.path.join(d, s) for s in sources]
             if not os.path.exists(packed):
                 pass                      # never landed; sources intact
@@ -1312,7 +1345,8 @@ class IndexedParquetTable:
                     if os.path.exists(p):
                         os.remove(p)
                     try:
-                        self.catalog.remove_file(self._file_key(p))
+                        self.catalog.remove_file(
+                            self._marker_file_key(p))
                     except Exception:
                         pass
             os.remove(marker)
@@ -1339,6 +1373,8 @@ class IndexedParquetTable:
         from collections import defaultdict
         from pyspark.sql.types import StructType
 
+        if self._schema is None or not self.catalog.all_files():
+            return 0   # empty table: nothing to pack
         dvs = self._dvs()
         part_cols = getattr(self, "_partition_cols", set())
         phys_schema = StructType(
@@ -1383,10 +1419,9 @@ class IndexedParquetTable:
                 part = next(f for f in sorted(os.listdir(stage))
                             if f.endswith(".parquet"))
                 marker = os.path.join(d, "." + name + ".pack.intent")
-                with open(marker, "w") as fh:
-                    json.dump({"sources":
-                               [os.path.basename(p) for p in paths]},
-                              fh)
+                self._write_marker(
+                    marker,
+                    {"sources": [os.path.basename(p) for p in paths]})
                 os.replace(os.path.join(stage, part), dest)
                 import shutil
                 shutil.rmtree(stage, ignore_errors=True)
@@ -1468,9 +1503,8 @@ class IndexedParquetTable:
             # stale DV (whose positions index the OLD layout).
             st = os.stat(path)
             marker = self._compact_marker_path(path)
-            with open(marker, "w") as fh:
-                json.dump({"size": st.st_size,
-                           "mtime_ns": st.st_mtime_ns}, fh)
+            self._write_marker(marker, {"size": st.st_size,
+                                        "mtime_ns": st.st_mtime_ns})
             if writer is None:
                 # every row deleted: the file disappears entirely
                 os.remove(path)
@@ -1608,12 +1642,15 @@ class IndexedParquetTable:
                 f"update_where assignments reference columns not in "
                 f"the table schema: {bad}")
         victims = self.query(predicate)
-        updated = victims
-        for c, expr_sql in assignments.items():
-            updated = updated.withColumn(
-                c, F.expr(expr_sql).cast(
-                    self._schema[c].dataType))
-        updated = updated.select(*[f.name for f in self._schema.fields])
+        # one SELECT, every RHS evaluated against the ORIGINAL row —
+        # SQL UPDATE semantics: SET a = b, b = a swaps (a sequential
+        # withColumn chain would feed later assignments the already-
+        # updated values and silently corrupt cross-referencing sets)
+        exprs = {c: F.expr(sql).cast(self._schema[c].dataType)
+                 for c, sql in assignments.items()}
+        updated = victims.select(
+            *[exprs.get(f.name, F.col(f.name)).alias(f.name)
+              for f in self._schema.fields])
         landed = self._land_batch(updated, "update")
         import pyarrow.parquet as _pq
         n_upd = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)

@@ -455,7 +455,10 @@ def test_dbapi_ddl_spellings_reach_driver():
             recorded.append(sql)
 
         def fetchall(self):
-            return [(1,)]  # any SELECT (e.g. upsert's id probe) finds a row
+            # any SELECT finds a row; wide enough for the 3-column
+            # prior-row lookup (file_id, row_group_count, size) while
+            # keeping [0][0] = 1 for the upsert's id probe
+            return [(1, 1, 1)]
 
         @property
         def description(self):

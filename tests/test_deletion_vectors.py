@@ -758,3 +758,60 @@ def test_compact_small_files_crash_recovery(spark, tmp_path,
     assert t3.to_df().count() == n0
     files = [f[0] for f in t3.catalog.all_files()]
     assert any(f.startswith("pack_") for f in files), files
+
+
+def test_update_where_assignments_see_original_row(spark, dv_table):
+    """SQL UPDATE semantics: every assignment RHS evaluates against the
+    PRE-update row, so SET k = v, v = k swaps (a sequential column
+    rewrite would corrupt one side)."""
+    t, base = dv_table
+    victims = {r["k"]: r["v"] for r in
+               base.filter(~LIVE()).select("k", "v").collect()}
+    n_upd = t.update_where(DEL, {"k": "v", "v": "k"})
+    assert n_upd == len(victims) > 0
+    # final table = untouched rows + swapped (k=old v, v=old k) rows
+    got = sorted((r["k"], r["v"])
+                 for r in t.to_df().select("k", "v").collect())
+    untouched = [(r["k"], r["v"]) for r in
+                 base.filter(LIVE()).select("k", "v").collect()]
+    want = sorted(untouched + [(v, k) for k, v in victims.items()])
+    assert got == want
+
+
+def test_sum_adjustments_invalidated_by_uncovered_deletes(
+        spark, tmp_path):
+    """A second delete recorded WITHOUT sum adjustments (different /
+    empty sum_columns against the same persisted catalog) must
+    invalidate the group's existing adjustments — the pushdown demotes
+    instead of under-subtracting only the first delete's rows."""
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        SqliteIndexCatalog,
+    )
+    d = str(tmp_path / "dvcover")
+    os.makedirs(d)
+    base = spark.range(4_000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 7 % 1000).cast("long").alias("v"))
+    _one_file(base.orderBy("k"), d, "a.parquet")
+    db = str(tmp_path / "cat.sqlite")
+    t1 = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"],
+                             catalog=SqliteIndexCatalog(db))
+    t1.delete_where((col("v") % 10) == 3)      # adjustments recorded
+    assert t1.catalog.dv_sum_adjustments("v")
+    # session with NO sum_columns deletes MORE rows in the same groups
+    t2 = IndexedParquetTable(spark, d, ["k", "v"],
+                             catalog=SqliteIndexCatalog(db))
+    assert t2.delete_where((col("v") % 10) == 7) > 0
+    assert not t2.catalog.dv_sum_adjustments("v"), \
+        "uncovered deletions must invalidate the stale adjustments"
+    # session 3 reopens with sums: must demote, never under-subtract
+    t3 = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"],
+                             catalog=SqliteIndexCatalog(db))
+    live = base.filter(~((F.col("v") % 10) == 3)
+                       & ~((F.col("v") % 10) == 7))
+    exp = live.agg(F.sum("v").alias("s"), F.count("v").alias("n"),
+                   F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+                   .alias("sq")).head()
+    assert t3.sum_rows("v") == (exp["s"], exp["n"])
+    s_, sq_, n_ = t3.sum_sq_rows("v")
+    assert (s_, sq_, n_) == (exp["s"], int(exp["sq"]), exp["n"])

@@ -1215,16 +1215,23 @@ class IndexedParquetTable:
         return out
 
     @staticmethod
-    def _write_marker(marker: str, payload: dict) -> None:
-        """Atomic intent-marker write (tmp + os.replace): recovery can
-        rely on a marker being either absent or complete — a torn
-        marker must never exist, because the recovery defaults for an
-        unreadable one are conservative, not correct."""
+    def _write_marker(marker: str, payload: dict,
+                      durable: bool = False) -> None:
+        """Atomic intent-marker write (tmp + os.replace): under the
+        process-crash model a marker is either absent or complete.
+        durable=True adds an fsync for power-loss tearing — needed
+        only where an unreadable marker's recovery default is not
+        fully safe (pack markers: 'keep everything' would let a landed
+        packed copy surface duplicate rows; compact markers default to
+        pre-swap, which heals, so they skip the fsync — it costs ~5 ms
+        per file and compact_deletes writes one marker per DV'd
+        file)."""
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+            if durable:
+                fh.flush()
+                os.fsync(fh.fileno())
         os.replace(tmp, marker)
 
     @staticmethod
@@ -1421,7 +1428,8 @@ class IndexedParquetTable:
                 marker = os.path.join(d, "." + name + ".pack.intent")
                 self._write_marker(
                     marker,
-                    {"sources": [os.path.basename(p) for p in paths]})
+                    {"sources": [os.path.basename(p) for p in paths]},
+                    durable=True)
                 os.replace(os.path.join(stage, part), dest)
                 import shutil
                 shutil.rmtree(stage, ignore_errors=True)

@@ -48,6 +48,10 @@ Verbs:
         Materialize deletion vectors: rewrite only the DV'd files
         without their deleted rows, refresh, clear the vectors.
 
+    status DIR --columns a,b [--catalog path.db]
+        Maintenance dashboard: DV debt, small-file pressure, snapshot
+        backlog — and which verb pays each down. Zero data read.
+
     optimize DIR --columns a,b [--target-mb 128] --catalog path.db
         Bin-pack small files into fewer, bigger ones (per directory;
         DV'd files are skipped — run compact first).
@@ -130,6 +134,7 @@ def main(argv=None) -> int:
                         "GROUP BY k\"")
     s.add_argument("--limit", type=int, default=20)
     common(sub.add_parser("describe"))
+    common(sub.add_parser("status"))
     dl = sub.add_parser("delete")
     common(dl)
     dl.add_argument("where", help="SQL WHERE clause selecting rows to delete")
@@ -228,6 +233,9 @@ def main(argv=None) -> int:
     elif args.verb == "describe":
         import json
         print(json.dumps(t.describe_index(), indent=2, default=str))
+    elif args.verb == "status":
+        import json
+        print(json.dumps(t.maintenance_report(), indent=2, default=str))
     t.spark.stop()
     return 0
 

@@ -3125,6 +3125,37 @@ class IndexedParquetTable:
             df = df.filter(predicate.to_spark())
         return df.orderBy(*order).limit(k)
 
+    def maintenance_report(self, small_file_bytes: int = 128 << 20
+                           ) -> Dict:
+        """The maintenance dashboard a 100 TB operator acts on — pure
+        catalog fold, zero Parquet I/O: how much merge-on-read debt
+        (deletion vectors) and small-file pressure the table carries,
+        and which verb pays it down. ``needs_compact`` flags DV'd files
+        (run ``compact_deletes``); ``small_files`` counts live files
+        under ``small_file_bytes`` (run ``compact_small_files``);
+        ``snapshots`` is the retention backlog (``expire_snapshots``).
+        """
+        files = self.catalog.all_files()
+        dv_rows = self.catalog.dv_deleted_rows()
+        small = [f for f in files if f[1] < small_file_bytes]
+        try:
+            snaps = len(self.catalog._query(
+                "SELECT snapshot_id FROM catalog_snapshot_meta "
+                "WHERE file_count >= 0"))
+        except Exception:
+            snaps = None   # backend without the SQL store surface
+        return {
+            "files": len(files),
+            "rows": sum(f[3] for f in files),
+            "bytes": sum(f[1] for f in files),
+            "dv_files": len(dv_rows),
+            "dv_deleted_rows": sum(dv_rows.values()),
+            "needs_compact": sorted(dv_rows),
+            "small_files": len(small),
+            "small_file_bytes_threshold": small_file_bytes,
+            "snapshots": snaps,
+        }
+
     def describe_index(self) -> Dict:
         """DESCRIBE-style catalog readout — the observability a 100 TB
         operator pages on: what is indexed, how fresh, how complete.

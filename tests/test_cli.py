@@ -197,3 +197,23 @@ def test_cli_optimize(spark, corpus_dir, tmp_path, capsys, monkeypatch):
     assert rc == 0 and "|120" in out.replace("| 120", "|120"), out
     rc, _ = _run(capsys, "optimize", d, "--columns", "v")
     assert rc == 2
+
+
+def test_cli_status(spark, corpus_dir, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d, _ = corpus_dir
+    db = str(tmp_path / "cli_status.db")
+    rc, _ = _run(capsys, "build", d, "--columns", "v", "--catalog", db)
+    assert rc == 0
+    rc, _ = _run(capsys, "delete", d, "--columns", "v",
+                 "v < 4", "--catalog", db)
+    assert rc == 0
+    rc, out = _run(capsys, "status", d, "--columns", "v",
+                   "--catalog", db)
+    assert rc == 0
+    import json
+    rep = json.loads(out)
+    assert rep["files"] == 1 and rep["dv_files"] == 1
+    assert rep["dv_deleted_rows"] == 2           # v in {0, 2}
+    assert rep["needs_compact"] == ["a.parquet"]
+    assert rep["small_files"] == 1

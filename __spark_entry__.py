@@ -34,7 +34,72 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 8 WINDOW (scripts/next_window.py output, start of r8) =
+    # == ROUND 9 WINDOW (scripts/next_window.py output, start of r9) =
+    # tier 0 (unresolved reds): none — CORRECTNESS_r08 was 50/50 green.
+    # tier 1: the 5 round-8 landings never driver-proven — UPDATE, CDF,
+    #   feed-maintained aggregates, OPTIMIZE lifecycle, ANN-under-DML
+    #   (VERDICT r8 ask #1).
+    # tier 2: stalest driver greens first — the 38 r5-stale entries,
+    #   then the oldest r6 greens, filling the window to 50
+    #   (VERDICT r8 ask #3: after r9 no entry older than round 6).
+    "q97_change_feed",
+    "q98_update_where",
+    "q99_incremental_agg_from_feed",
+    "q100_optimize_lifecycle",
+    "sim_topk_live",
+    # -- tier 2 (r5-stale) ------------------------------------------
+    "q18_semi_join",
+    "q19_anti_join",
+    "q20_asof_join",
+    "q21_count_distinct",
+    "q22_correlated_subquery",
+    "q23_running_total",
+    "q24_lag_gaps",
+    "q25_set_ops",
+    "q26_percentiles",
+    "q27_outer_join_distribution",
+    "q28_hll_registers",
+    "q29_argmax_join",
+    "q30_shift_pred",
+    "q31_registered_view",
+    "q32_bloom_point_lookup",
+    "q33_range_join",
+    "q34_cube",
+    "q36_salted_join",
+    "q52_metadata_minmax",
+    "q54_catalog_describe",
+    "q55_colcol_pred",
+    "q61_count_pushdown",
+    "q62_sum_pushdown",
+    "q63_group_sum_pushdown",
+    "q64_div_pred",
+    "q65_decimal_minmax",
+    "q66_topk_pushdown",
+    "q67_group_minmax",
+    "text_topk_terms",
+    "text_curation_pipeline",
+    "text_deterministic_sample",
+    "text_token_budget_pack",
+    "text_stratified_sample",
+    "text_unigram_logprob",
+    "text_sequence_pack",
+    "text_quality_classifier",
+    "sim_range_search",
+    "sim_ivfpq_topk",
+    # -- tier 2 (r6-stale) ------------------------------------------
+    "q68_var_pushdown",
+    "q69_remote_catalog",
+    "q71_catalog_profile",
+    "dedup_source_crosstab",
+    "dedup_cross_modal",
+    "dedup_clusters",
+    "dedup_verified_clusters",
+    # (window full at 50 here.)
+    # ROUND-10 PLAN: run `python scripts/next_window.py` at round
+    # start.  Expected tier 1: any round-9 landings never
+    # driver-proven; tier 2: the remaining r6-green entries displaced
+    # from this round's window, stalest first.
+    # == ROUND 8 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r07 was 50/50 green.
     # tier 1: the 6 round-7 landings never driver-proven — the whole
     #   deletion-vector / merge-on-read DML family (VERDICT r7 ask #1).
@@ -92,14 +157,6 @@ _ROUND_PRIORITY = [
     "q15_multi_join_lineitem",
     "q16_date_range",
     "q17_rollup",
-    # (window full at 50 here.)
-    # ROUND-9 PLAN: run `python scripts/next_window.py` at round start.
-    # Expected tier 1: the round-8 landings, never driver-proven —
-    # q97_change_feed, q98_update_where, q99_incremental_agg_from_feed,
-    # q100_optimize_lifecycle (each locally oracle-green +
-    # fingerprinted at sf0.001/sf0.01, benched at sf1); tier 2: the
-    # r5-green entries displaced from this round's window, stalest
-    # first.
     # == ROUND 7 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r06 was 50/50 green.
     # tier 1: the 30 entries landed after the r6 window filled, never

@@ -61,6 +61,60 @@ from .stats import build_index, list_parquet_files
 STATS_EXACT_MAX_BYTES = 64
 
 
+def _compact_tmp_path(path: str) -> str:
+    """Dot-prefixed staging name for a compaction rewrite: Spark's
+    directory listings ignore dotfiles, so a crash mid-compact can
+    never leak a partial rewrite into partitioned to_df()/sql()
+    scans."""
+    return os.path.join(os.path.dirname(path),
+                        "." + os.path.basename(path) + ".compact.tmp")
+
+
+def _compact_rewrite_file(item):
+    """Executor-side body of ``compact_deletes``: rewrite ONE DV'd
+    file's live rows into a dot-prefixed staging file next to it.
+    ``item`` is ``(path, [(start, length), ...])`` with file-scoped
+    deleted ranges. Returns the staging path, or None when every row
+    is deleted (the file should disappear entirely). Module-level so
+    Spark pickles it by reference for ``sc.parallelize(...).map``.
+
+    The keep mask is ``anti_filter_positions`` — one vectorized numpy
+    binary search over the range-compressed DV per row group, never a
+    per-row Python loop or an exploded position set — the identical
+    filter the DV read path runs (sources/rowgroup_source.py).
+    Rewrites are per-row-group, preserving the original row-group
+    partitioning (minus the holes) so pruning granularity survives
+    compaction. Idempotent: the staging file is truncated on open, and
+    nothing here touches the original bytes or the catalog."""
+    import pyarrow.parquet as pq
+
+    from .rowgroup_source import anti_filter_positions
+
+    path, ranges = item
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    tmp = _compact_tmp_path(path)
+    writer = None
+    try:
+        for rg in range(md.num_row_groups):
+            live = anti_filter_positions(
+                pf.read_row_group(rg), [rg], md, ranges)
+            if not live.num_rows:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, live.schema)
+            writer.write_table(live, row_group_size=live.num_rows)
+        if writer is not None:
+            writer.close()   # idempotent; footer written here
+    except BaseException:
+        if writer is not None:
+            writer.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    return tmp if writer is not None else None
+
+
 @dataclass
 class ScanDecision:
     """The pruning decision for one query — first-class, testable output
@@ -1261,7 +1315,7 @@ class IndexedParquetTable:
         never data bytes. ONE directory walk serves both this and the
         pack-marker recovery (the listing refresh performs is a third
         walk; markers are dotfiles so it never sees them)."""
-        compact_markers, pack_markers = [], []
+        compact_markers, pack_markers, stale_tmps = [], [], []
         for dirpath, _dirs, names in os.walk(self.data_dir):
             for n in names:
                 if not n.startswith("."):
@@ -1270,6 +1324,8 @@ class IndexedParquetTable:
                     compact_markers.append(os.path.join(dirpath, n))
                 elif n.endswith(".pack.intent"):
                     pack_markers.append(os.path.join(dirpath, n))
+                elif n.endswith(".compact.tmp"):
+                    stale_tmps.append(os.path.join(dirpath, n))
         for marker in compact_markers:
             base = os.path.basename(marker)[1:-len(".compact.intent")]
             path = os.path.join(os.path.dirname(marker), base)
@@ -1303,6 +1359,14 @@ class IndexedParquetTable:
             if os.path.exists(tmp):
                 os.remove(tmp)
             os.remove(marker)
+        # orphan staging files with NO marker: a crash hit between the
+        # distributed staging job and that file's marker write — the
+        # original bytes + catalog + DV are authoritative, the staged
+        # rewrite is an unreferenced copy. Dotfiles, so they were never
+        # visible to scans; drop them.
+        for tmp in stale_tmps:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         if compact_markers:
             self._dv_cache = None
         self._recover_pack_markers(pack_markers)
@@ -1452,45 +1516,43 @@ class IndexedParquetTable:
         at 100 TB compaction cost is O(deleted-from files), not
         O(table). Returns the number of files rewritten. Rewrites
         preserve the original row-group partitioning (minus the holes),
-        so pruning granularity survives compaction."""
-        import pyarrow.parquet as pq
+        so pruning granularity survives compaction.
 
+        Execution split (the reference's out-of-band, per-file
+        maintenance posture, index.rs:179): the expensive part — read
+        every row group, drop deleted positions, write the staged
+        rewrite — runs on EXECUTORS, one task per DV'd file
+        (``_compact_rewrite_file``; the keep mask is the same
+        vectorized binary search the DV read path uses, never a
+        per-row Python loop or an exploded position set). The driver
+        then performs only the O(files) crash-ordered metadata steps:
+        intent marker, byte swap, catalog evict. Requires executors to
+        see ``data_dir`` at the same path (shared FS / local mode) —
+        the same contract every Spark write in this table already
+        assumes."""
         dvs = self.catalog.get_dv_ranges()
-        for fname, ranges in sorted(dvs.items()):
-            path = os.path.join(self.data_dir, fname)
-            pf = pq.ParquetFile(path)
-            deleted = set()
-            for s, ln in ranges:
-                deleted.update(range(s, s + ln))
-            # dot-prefixed staging name: Spark's directory listings
-            # ignore dotfiles, so a crash mid-compact can never leak a
-            # partial rewrite into partitioned to_df()/sql() scans
-            tmp = os.path.join(os.path.dirname(path),
-                               "." + os.path.basename(path)
-                               + ".compact.tmp")
-            writer = None
-            base = 0
-            try:
-                for rg in range(pf.metadata.num_row_groups):
-                    tbl = pf.read_row_group(rg)
-                    keep = [i for i in range(tbl.num_rows)
-                            if base + i not in deleted]
-                    base += tbl.num_rows
-                    if not keep:
-                        continue
-                    live = tbl.take(keep)
-                    if writer is None:
-                        writer = pq.ParquetWriter(tmp, live.schema)
-                    writer.write_table(live,
-                                       row_group_size=max(len(keep), 1))
-                if writer is not None:
-                    writer.close()   # idempotent; footer written here
-            except BaseException:
-                if writer is not None:
-                    writer.close()
-                if os.path.exists(tmp):
-                    os.remove(tmp)
-                raise
+        items = [(os.path.join(self.data_dir, fname), ranges)
+                 for fname, ranges in sorted(dvs.items())]
+        if not items:
+            return 0
+        try:
+            if len(items) <= 2:
+                staged = [_compact_rewrite_file(it) for it in items]
+            else:
+                sc = self.spark.sparkContext
+                staged = (sc.parallelize(items, min(len(items), 256))
+                          .map(_compact_rewrite_file).collect())
+        except BaseException:
+            # a failed rewrite job may leave staged dotfiles for the
+            # files that DID finish — invisible to scans, but clean
+            # them now; originals + catalog + DVs are untouched
+            for path, _ in items:
+                t = _compact_tmp_path(path)
+                if os.path.exists(t):
+                    os.remove(t)
+            raise
+        for (path, _ranges), tmp in zip(items, staged):
+            fname = self._marker_file_key(path)
             # crash-ordering: swap the BYTES first, evict the catalog
             # entry second. The reverse order opens a resurrection
             # window — a crash after remove_file but before os.replace
@@ -1513,11 +1575,9 @@ class IndexedParquetTable:
             marker = self._compact_marker_path(path)
             self._write_marker(marker, {"size": st.st_size,
                                         "mtime_ns": st.st_mtime_ns})
-            if writer is None:
+            if tmp is None:
                 # every row deleted: the file disappears entirely
                 os.remove(path)
-                if os.path.exists(tmp):
-                    os.remove(tmp)
             else:
                 os.replace(tmp, path)
             self.catalog.remove_file(fname)

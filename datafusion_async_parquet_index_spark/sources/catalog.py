@@ -113,6 +113,13 @@ class FileStats:
     file_size_bytes: int
     row_group_count: int
     row_count: int
+    # stat-time mtime (ns). Discriminates a same-size rewrite from
+    # unchanged bytes in the DV-retention decision (upsert_file) and
+    # the incremental-refresh skip — the same discriminator the
+    # compaction-marker recovery trusts. None = unknown (legacy
+    # catalog row, or a backend/caller that never learned it): all
+    # comparisons fall back to size-only, the old behavior.
+    mtime_ns: Optional[int] = None
 
 
 @dataclass
@@ -344,15 +351,17 @@ class SqliteIndexCatalog:
         Must run inside _txn()."""
         row = self._query(
             """INSERT INTO file_statistics
-                   (file_name, file_size_bytes, row_group_count, row_count)
-               VALUES (?, ?, ?, ?)
+                   (file_name, file_size_bytes, row_group_count,
+                    row_count, mtime_ns)
+               VALUES (?, ?, ?, ?, ?)
                ON CONFLICT(file_name) DO UPDATE SET
                    file_size_bytes = excluded.file_size_bytes,
                    row_group_count = excluded.row_group_count,
-                   row_count = excluded.row_count
+                   row_count = excluded.row_count,
+                   mtime_ns = excluded.mtime_ns
                RETURNING file_id""",
             (fs.file_name, fs.file_size_bytes, fs.row_group_count,
-             fs.row_count))
+             fs.row_count, fs.mtime_ns))
         return row[0][0]
 
     # -- EP3: catalog bootstrap (reference index.rs:332-393) ----------
@@ -387,7 +396,15 @@ class SqliteIndexCatalog:
                        file_name TEXT NOT NULL UNIQUE,
                        file_size_bytes INTEGER NOT NULL,
                        row_group_count INTEGER NOT NULL,
-                       row_count INTEGER NOT NULL)""")
+                       row_count INTEGER NOT NULL,
+                       mtime_ns INTEGER)""")
+            if "mtime_ns" not in self._existing_columns(
+                    "file_statistics"):
+                # persisted catalog built before the mtime
+                # discriminator; NULL = unknown, comparisons fall
+                # back to size-only
+                self._exec("ALTER TABLE file_statistics "
+                           "ADD COLUMN mtime_ns INTEGER")
             self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_statistics (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -703,10 +720,10 @@ class SqliteIndexCatalog:
             # the DV-retention size check (two separate SELECTs would
             # double the per-file round-trips of a full rebuild)
             old = self._query(
-                "SELECT file_id, row_group_count, file_size_bytes "
-                "FROM file_statistics WHERE file_name = ?",
+                "SELECT file_id, row_group_count, file_size_bytes, "
+                "mtime_ns FROM file_statistics WHERE file_name = ?",
                 (fs.file_name,))
-            prior_size = [(old[0][2],)] if old else []
+            prior = [(old[0][2], old[0][3])] if old else []
             if not getattr(self, "_rtree_active", ()):
                 old = []
             file_id = self._upsert_file_row(fs)
@@ -719,11 +736,25 @@ class SqliteIndexCatalog:
             # bytes (a full non-incremental rebuild, a reopen with
             # incremental_attach=False) must preserve them, or every
             # logically deleted row silently resurrects on a plain
-            # rebuild over a persisted catalog. Size-based change
-            # detection, deliberately the same convention as the
-            # refresh() short-circuit (immutable-file layouts; in-place
-            # same-size rewrites void the whole index, not just DVs).
-            if not prior_size or prior_size[0][0] != fs.file_size_bytes:
+            # rebuild over a persisted catalog. Change detection is
+            # (size, mtime_ns) — the same discriminator the
+            # compaction-marker recovery trusts — so a rewrite landing
+            # at the IDENTICAL byte size still drops the stale DV
+            # (whose positions index the old layout). mtime is
+            # compared only when BOTH sides recorded one (NULL =
+            # legacy row / caller without stat access → size-only,
+            # the old convention). Caveat, documented: a
+            # metadata-only touch of a data file changes mtime and
+            # drops its DV — under the immutable-file lakehouse
+            # convention nothing touches data bytes in place, and
+            # every verb in this engine that swaps bytes does so via
+            # os.replace (fresh mtime) precisely so this fires.
+            changed = (not prior
+                       or prior[0][0] != fs.file_size_bytes
+                       or (prior[0][1] is not None
+                           and fs.mtime_ns is not None
+                           and prior[0][1] != fs.mtime_ns))
+            if changed:
                 for dv_tbl in ("deletion_vectors", "dv_rg_adjust",
                                "dv_sum_adjust"):
                     self._exec(
@@ -1347,6 +1378,14 @@ class SqliteIndexCatalog:
             """SELECT file_name, file_size_bytes, row_group_count, row_count
                FROM file_statistics ORDER BY file_name""")
 
+    def file_meta(self) -> Dict[str, Tuple[int, Optional[int]]]:
+        """{file_name: (file_size_bytes, mtime_ns-or-None)} — the
+        change-detection view the incremental refresh skip compares
+        against os.stat (mtime None = legacy row, size-only)."""
+        return {name: (size, mt) for name, size, mt in self._query(
+            """SELECT file_name, file_size_bytes, mtime_ns
+               FROM file_statistics""")}
+
     def row_group_count(self, file_name: str) -> int:
         rows = self._query(
             "SELECT row_group_count FROM file_statistics WHERE file_name = ?",
@@ -1592,17 +1631,18 @@ class DBAPIIndexCatalog(SqliteIndexCatalog):
             self._exec(
                 """UPDATE file_statistics
                    SET file_size_bytes = ?, row_group_count = ?,
-                       row_count = ?
+                       row_count = ?, mtime_ns = ?
                    WHERE file_id = ?""",
                 (fs.file_size_bytes, fs.row_group_count, fs.row_count,
-                 rows[0][0]))
+                 fs.mtime_ns, rows[0][0]))
             return rows[0][0]
         self._exec(
             """INSERT INTO file_statistics
-                   (file_name, file_size_bytes, row_group_count, row_count)
-               VALUES (?, ?, ?, ?)""",
+                   (file_name, file_size_bytes, row_group_count,
+                    row_count, mtime_ns)
+               VALUES (?, ?, ?, ?, ?)""",
             (fs.file_name, fs.file_size_bytes, fs.row_group_count,
-             fs.row_count))
+             fs.row_count, fs.mtime_ns))
         return self._query(
             "SELECT file_id FROM file_statistics WHERE file_name = ?",
             (fs.file_name,))[0][0]

@@ -146,11 +146,17 @@ class DataFrameIndexCatalog:
             self._topks[fs.file_name] = dict(topks)
         else:
             self._topks.pop(fs.file_name, None)
-        if prior is None or prior[0].file_size_bytes != fs.file_size_bytes:
+        if (prior is None
+                or prior[0].file_size_bytes != fs.file_size_bytes
+                or (prior[0].mtime_ns is not None
+                    and fs.mtime_ns is not None
+                    and prior[0].mtime_ns != fs.mtime_ns)):
             # deletion vectors are DML state: they die only with
             # CHANGED bytes; a re-index of unchanged bytes (a full
             # rebuild over a persisted catalog) preserves them — the
-            # same size convention as the SQLite backend
+            # same (size, mtime_ns) convention as the SQLite backend,
+            # so a same-size rewrite (os.replace → fresh mtime) still
+            # drops the stale DV
             self._drop_dv_state(fs.file_name)
         self._df = None
 
@@ -308,6 +314,11 @@ class DataFrameIndexCatalog:
             (fs.file_name, fs.file_size_bytes, fs.row_group_count, fs.row_count)
             for fs, _ in self._files.values()
         )
+
+    def file_meta(self) -> Dict[str, Tuple[int, Optional[int]]]:
+        """Same protocol as SqliteIndexCatalog.file_meta."""
+        return {fs.file_name: (fs.file_size_bytes, fs.mtime_ns)
+                for fs, _ in self._files.values()}
 
     def row_group_count(self, file_name: str) -> int:
         entry = self._files.get(file_name)

@@ -529,11 +529,13 @@ def extract_file_stats(
             return conv(st.min_raw), conv(st.max_raw)
         except Exception:
             return None, None  # unreadable stats: column just can't prune
+    st_ = os.stat(path)
     fs = FileStats(
         file_name=file_name or os.path.basename(path),
-        file_size_bytes=os.path.getsize(path),
+        file_size_bytes=st_.st_size,
         row_group_count=md.num_row_groups,
         row_count=md.num_rows,
+        mtime_ns=st_.st_mtime_ns,
     )
     rgs: List[RowGroupStats] = []
     for i in range(md.num_row_groups):
@@ -789,12 +791,29 @@ def build_index(
                 topks)
 
     if incremental:
-        known = {name: size for name, size, _, _ in catalog.all_files()}
+        # change detection is (size, mtime_ns): a same-size rewrite
+        # (always an os.replace in this engine → fresh mtime) is
+        # re-indexed, so a compaction whose intent marker was lost to
+        # power-loss tearing still heals here — the re-index drops the
+        # stale DV via the catalog's matching (size, mtime) DV-drop
+        # rule. Catalog rows without a recorded mtime (legacy, or a
+        # backend that never learned it) compare size-only, the old
+        # convention.
+        known = catalog.file_meta()
         current_names = {_name(p) for p in files}
         for stale in set(known) - current_names:
             catalog.remove_file(stale)
-        files = [p for p in files
-                 if known.get(_name(p)) != os.path.getsize(p)]
+
+        def _unchanged(p):
+            meta = known.get(_name(p))
+            if meta is None:
+                return False
+            size, mt = meta
+            st = os.stat(p)
+            return st.st_size == size and (
+                mt is None or st.st_mtime_ns == mt)
+
+        files = [p for p in files if not _unchanged(p)]
         if not files:
             return schema
 

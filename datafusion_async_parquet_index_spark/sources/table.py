@@ -1278,8 +1278,13 @@ class IndexedParquetTable:
         fully safe (pack markers: 'keep everything' would let a landed
         packed copy surface duplicate rows; compact markers default to
         pre-swap, which heals, so they skip the fsync — it costs ~5 ms
-        per file and compact_deletes writes one marker per DV'd
-        file)."""
+        per file and compact_deletes writes one marker per DV'd file).
+        The residual compact hole (power loss persists the byte swap
+        but tears the marker; recovery keeps the catalog + DV) is
+        closed WITHOUT the fsync by the (size, mtime_ns) change
+        detection: the swapped bytes carry a fresh mtime, so the next
+        refresh() re-indexes the file and the catalog's DV-retention
+        rule drops the stale vector even at identical byte size."""
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)

@@ -1,0 +1,132 @@
+"""Regression tests for the round-8 ADVICE findings:
+
+1. (medium) update_where / merge_upsert must not leave landed
+   new-version files on disk when the follow-up delete raises (e.g.
+   the DV_MAX_DELETED_PER_CALL cap): the next refresh() would silently
+   index them as duplicate rows.
+2. (low) A rewrite landing at the IDENTICAL byte size must still be
+   detected: change detection is (size, mtime_ns) — the discriminator
+   the compaction-marker recovery already trusts — in BOTH the
+   incremental-refresh skip and the catalog's DV-retention rule. This
+   closes the torn-marker residual hole without per-file fsync.
+3. (low) maintenance_report reads snapshot counts through a public
+   backend method, not a private SQL probe.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.plans.expr import col
+from datafusion_async_parquet_index_spark.sources.catalog import (
+    SqliteIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+
+def _one_file(df, d, name, block=1 << 14):
+    tmp = os.path.join(d, f"_stage_{name}")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.block.size", str(block)).parquet(tmp))
+    part = next(f for f in sorted(os.listdir(tmp))
+                if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), os.path.join(d, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _corpus(spark, d):
+    os.makedirs(d, exist_ok=True)
+    base = spark.range(1_000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 7 % 100).cast("long").alias("v"))
+    _one_file(base.filter(F.col("k") < 500).orderBy("k"), d, "a.parquet")
+    _one_file(base.filter(F.col("k") >= 500).orderBy("k"), d, "b.parquet")
+    return base
+
+
+# -- finding 2: same-size rewrite detection (mtime_ns discriminator) ---
+
+def test_same_size_rewrite_reindexed_and_dv_dropped(spark, tmp_path):
+    """A byte-swap that lands at the identical size (os.replace →
+    fresh mtime) must defeat the refresh short-circuit: the file is
+    re-indexed and its stale DV (positions index the OLD layout) is
+    dropped. Simulated with a byte-identical copy — same size, new
+    mtime — the exact shape a torn/lost compact marker leaves
+    behind."""
+    d = str(tmp_path / "samesize")
+    _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    t.delete_where(col("k") < 10)          # DV on a.parquet
+    assert "a.parquet" in t.catalog.get_dv_ranges()
+    path = os.path.join(d, "a.parquet")
+    size_before = os.path.getsize(path)
+    # same-size swap: copy to a temp, os.replace back (content
+    # identical ⇒ size identical; mtime is the ONLY signal left)
+    tmp = path + ".swap"
+    shutil.copyfile(path, tmp)
+    os.replace(tmp, path)
+    assert os.path.getsize(path) == size_before
+    t.refresh()
+    assert "a.parquet" not in t.catalog.get_dv_ranges(), \
+        "same-size rewrite kept a stale deletion vector"
+    # the re-index also refreshed the file row's mtime
+    _, mt = t.catalog.file_meta()["a.parquet"]
+    assert mt == os.stat(path).st_mtime_ns
+
+
+def test_unchanged_bytes_refresh_keeps_dv_and_skips(spark, tmp_path):
+    """No touch, no rewrite: refresh() must keep skipping the file
+    (steady-state O(changed files)) and the DV must survive — the
+    mtime discriminator must not create false positives."""
+    d = str(tmp_path / "unchanged")
+    base = _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    ndel = t.delete_where(col("k") < 10)
+    t.refresh()
+    assert t.catalog.get_dv_ranges(), "refresh dropped DV on unchanged bytes"
+    assert t.count_rows() == base.count() - ndel
+
+
+def test_file_meta_parity_across_backends(spark, tmp_path):
+    """file_meta() — the incremental skip's change-detection view —
+    must agree between the SQLite and DataFrame backends on the same
+    corpus, and record a real mtime for every file."""
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+    d = str(tmp_path / "meta")
+    _corpus(spark, d)
+    t_sql = IndexedParquetTable(spark, d, ["k"])
+    t_df = IndexedParquetTable(spark, d, ["k"],
+                               catalog=DataFrameIndexCatalog(spark))
+    m_sql, m_df = t_sql.catalog.file_meta(), t_df.catalog.file_meta()
+    assert m_sql == m_df
+    assert set(m_sql) == {"a.parquet", "b.parquet"}
+    for name, (size, mt) in m_sql.items():
+        p = os.path.join(d, name)
+        assert (size, mt) == (os.path.getsize(p), os.stat(p).st_mtime_ns)
+
+
+def test_legacy_catalog_rows_compare_size_only(spark, tmp_path):
+    """A persisted catalog built before the mtime column (NULL
+    mtime_ns) must keep the old size-only convention: unchanged size →
+    skip + DV preserved; the row learns its mtime only when the file
+    actually changes."""
+    d = str(tmp_path / "legacy")
+    base = _corpus(spark, d)
+    db = str(tmp_path / "cat.sqlite")
+    t1 = IndexedParquetTable(spark, d, ["k", "v"],
+                             catalog=SqliteIndexCatalog(db))
+    ndel = t1.delete_where(col("k") < 10)
+    # simulate a legacy catalog: erase the recorded mtimes
+    t1.catalog._exec("UPDATE file_statistics SET mtime_ns = NULL")
+    t2 = IndexedParquetTable(spark, d, ["k", "v"],
+                             catalog=SqliteIndexCatalog(db),
+                             incremental_attach=True)
+    assert t2.catalog.get_dv_ranges(), \
+        "legacy (NULL-mtime) rows must not drop DVs on unchanged size"
+    assert t2.count_rows() == base.count() - ndel

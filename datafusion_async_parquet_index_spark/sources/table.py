@@ -1130,6 +1130,23 @@ class IndexedParquetTable:
         per-sum-column contributions; positions are merged into the
         catalog's deletion vectors."""
         from pyspark.sql import functions as F
+
+        sum_cols = [c for c in getattr(self, "sum_columns", ())]
+        victims = df.select(
+            self._dv_file_key_col().alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+            *[F.col(c) for c in sum_cols])
+        return self._dv_store_victims(victims)
+
+    def _dv_store_victims(self, victims: DataFrame) -> int:
+        """Commit deletion vectors from an already-materialized victim
+        frame carrying ``__file`` (catalog key, URI-space), ``__pos``
+        (file-scoped row position) and every sum column — lets
+        update_where reuse ONE pruned read for both the update batch
+        and the delete, instead of re-planning the same files. Raises
+        (before committing anything) when the victim count exceeds
+        DV_MAX_DELETED_PER_CALL."""
+        from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         sum_cols = [c for c in getattr(self, "sum_columns", ())]
@@ -1149,10 +1166,6 @@ class IndexedParquetTable:
                                T.LongType)):
                 aggs.append(F.sum(F.col(c).cast("decimal(38,0)")
                                   * F.col(c)).alias(f"__sq_{c}"))
-        victims = df.select(
-            self._dv_file_key_col().alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-            *[F.col(c) for c in sum_cols])
         # enforce the cap BEFORE materializing any positions on the
         # driver — the cap exists to protect driver memory, so it must
         # not itself require the collect it guards against
@@ -1683,7 +1696,21 @@ class IndexedParquetTable:
         if getattr(self, "partitioned", False):
             reader = reader.option("basePath", self.data_dir)
         victims = reader.parquet(*landed)
-        n_del = self.delete_matching(victims, key_column)
+        try:
+            n_del = self.delete_matching(victims, key_column)
+        except ValueError:
+            # the per-call DV cap raises BEFORE any deletion vector
+            # commits (deterministic, no crash involved): remove the
+            # landed batch so the next refresh() cannot silently index
+            # it as duplicate rows, then surface the refusal
+            # (ADVICE r8, medium). Non-ValueError failures keep the
+            # documented crash-window recovery (duplicates, heals on
+            # delete_matching + refresh) — cleanup is only safe while
+            # nothing has committed.
+            for p in landed:
+                if os.path.exists(p):
+                    os.remove(p)
+            raise
         self.refresh()
         self._refresh_views()
         return n_del, n_ins
@@ -1700,12 +1727,21 @@ class IndexedParquetTable:
         logically deleted via deletion vectors. Failure-ordered like
         merge_upsert: the new versions land BEFORE the deletes commit,
         so a crash in the window leaves recoverable duplicates, never
-        lost rows. Returns the number of rows updated. At 100 TB: one
-        pruned victim read + one pruned delete pass + an O(batch)
-        write — files without matches are never read, nothing is
-        rewritten. On hive layouts the batch lands partition-aware —
-        an assignment that changes a partition column moves the rows
-        into their new partition directories."""
+        lost rows. Returns the number of rows updated. At 100 TB: ONE
+        pruned victim read serves both the update batch and the
+        delete — the matched rows' (file, position) pairs are captured
+        in the same cached frame the new versions are computed from,
+        so the victim files are scanned once, not twice — plus an
+        O(batch) write; files without matches are never read, nothing
+        is rewritten. On hive layouts the batch lands partition-aware
+        — an assignment that changes a partition column moves the rows
+        into their new partition directories.
+
+        Cap semantics: the landed footers give the exact delete count
+        BEFORE any deletion vector commits, so a predicate matching
+        more than DV_MAX_DELETED_PER_CALL rows removes the landed
+        batch and raises — it never strands landed duplicates on disk
+        for the next refresh() to index silently."""
         from pyspark.sql import functions as F
 
         bad = sorted(set(assignments)
@@ -1714,26 +1750,64 @@ class IndexedParquetTable:
             raise ValueError(
                 f"update_where assignments reference columns not in "
                 f"the table schema: {bad}")
-        victims = self.query(predicate)
-        # one SELECT, every RHS evaluated against the ORIGINAL row —
-        # SQL UPDATE semantics: SET a = b, b = a swaps (a sequential
-        # withColumn chain would feed later assignments the already-
-        # updated values and silently corrupt cross-referencing sets)
-        exprs = {c: F.expr(sql).cast(self._schema[c].dataType)
-                 for c, sql in assignments.items()}
-        updated = victims.select(
-            *[exprs.get(f.name, F.col(f.name)).alias(f.name)
-              for f in self._schema.fields])
-        landed = self._land_batch(updated, "update")
-        import pyarrow.parquet as _pq
-        n_upd = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
-        if not n_upd:
-            for p in landed:
-                os.remove(p)
+        decision = self.plan_scan(predicate)
+        if not decision.files_scanned:
             return 0
-        # the landed files are invisible to the catalog-driven delete
-        # scan below — old versions go, new versions stay
-        self.delete_where(predicate)
+        paths = [os.path.join(self.data_dir, f)
+                 for f in decision.file_names]
+        reader = self.spark.read
+        if getattr(self, "partitioned", False):
+            reader = reader.option("basePath", self.data_dir)
+        df = reader.schema(self._schema).parquet(*paths)
+        df = self._dv_apply(df, decision.file_names)
+        df = df.filter(predicate.to_spark())
+        # materialize file + position ALONGSIDE the data columns: the
+        # same cached read feeds the update batch and the DV commit
+        victims = df.select(
+            self._dv_file_key_col().alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+            *[F.col(f.name) for f in self._schema.fields]).persist()
+        try:
+            # one SELECT, every RHS evaluated against the ORIGINAL
+            # row — SQL UPDATE semantics: SET a = b, b = a swaps (a
+            # sequential withColumn chain would feed later assignments
+            # the already-updated values and silently corrupt
+            # cross-referencing sets)
+            exprs = {c: F.expr(sql).cast(self._schema[c].dataType)
+                     for c, sql in assignments.items()}
+            updated = victims.select(
+                *[exprs.get(f.name, F.col(f.name)).alias(f.name)
+                  for f in self._schema.fields])
+            landed = self._land_batch(updated, "update")
+            import pyarrow.parquet as _pq
+            n_upd = sum(_pq.ParquetFile(p).metadata.num_rows
+                        for p in landed)
+            if not n_upd:
+                for p in landed:
+                    os.remove(p)
+                return 0
+            if n_upd > self.DV_MAX_DELETED_PER_CALL:
+                # deterministic, known from the landed footers before
+                # any DV commits: clean up the landed batch so the
+                # next refresh() cannot index duplicate rows, THEN
+                # refuse (ADVICE r8, medium)
+                for p in landed:
+                    os.remove(p)
+                raise ValueError(
+                    f"update matches {n_upd} rows > "
+                    f"DV_MAX_DELETED_PER_CALL="
+                    f"{self.DV_MAX_DELETED_PER_CALL}; the landed "
+                    f"update batch was removed (no duplicates remain "
+                    f"on disk). Rewrite-the-files tools "
+                    f"(compact_small_files / an overwrite) are the "
+                    f"right shape at that volume")
+            # the landed files are invisible to the catalog until
+            # refresh() — old versions go, new versions stay
+            sum_cols = [c for c in getattr(self, "sum_columns", ())]
+            self._dv_store_victims(
+                victims.select("__file", "__pos", *sum_cols))
+        finally:
+            victims.unpersist()
         self.refresh()
         self._refresh_views()
         return n_upd

@@ -111,6 +111,79 @@ def test_file_meta_parity_across_backends(spark, tmp_path):
         assert (size, mt) == (os.path.getsize(p), os.stat(p).st_mtime_ns)
 
 
+# -- finding 1 (medium): no stranded landed batches; single-pass UPDATE
+
+def test_update_where_single_pruned_read(spark, tmp_path, monkeypatch):
+    """VERDICT r8 ask #5: update_where must scan the victim files
+    ONCE — the (file, position) pairs for the delete come from the
+    same cached read that builds the update batch. Asserted via the
+    plan log: exactly one plan_scan per UPDATE."""
+    d = str(tmp_path / "singlepass")
+    base = _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    calls = []
+    orig = t.plan_scan
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(t, "plan_scan", counting)
+    n = t.update_where(col("k") < 20, {"v": "v + 1000"})
+    assert n == 20
+    assert len(calls) == 1, f"expected ONE pruned read, got {len(calls)}"
+    rows = {r["k"]: r["v"] for r in t.query(col("k") < 20).collect()}
+    want = {r["k"]: r["v"] + 1000 for r in
+            base.filter(F.col("k") < 20).collect()}
+    assert rows == want
+    assert t.count_rows() == base.count()
+    # SUM pushdown still exact after the single-pass DV commit
+    s, _ = t.sum_rows("v")
+    assert s == sum(r["v"] for r in base.collect()) + 20 * 1000
+
+
+def test_update_where_over_cap_removes_landed_batch(spark, tmp_path):
+    """A predicate matching more rows than DV_MAX_DELETED_PER_CALL
+    must raise BEFORE any DV commits AND remove the landed new-version
+    files — previously they stayed on disk and the next refresh()
+    silently indexed them as duplicates (ADVICE r8, medium)."""
+    d = str(tmp_path / "updcap")
+    base = _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    t.DV_MAX_DELETED_PER_CALL = 50
+    files_before = {f[0] for f in t.catalog.all_files()}
+    with pytest.raises(ValueError, match="landed update batch was removed"):
+        t.update_where(col("k") < 100, {"v": "v + 1"})
+    # no stranded files on disk, nothing new indexed, no DVs, no dupes
+    on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}
+    assert on_disk == files_before
+    t.refresh()
+    assert {f[0] for f in t.catalog.all_files()} == files_before
+    assert not t.catalog.get_dv_ranges()
+    assert t.count_rows() == base.count()
+    # values untouched
+    assert t.query(col("k") == 5).head()["v"] == \
+        base.filter(F.col("k") == 5).head()["v"]
+
+
+def test_merge_upsert_over_cap_removes_landed_batch(spark, tmp_path):
+    d = str(tmp_path / "mergecap")
+    base = _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    t.DV_MAX_DELETED_PER_CALL = 50
+    files_before = {f[0] for f in t.catalog.all_files()}
+    updates = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(7).cast("long").alias("v"))
+    with pytest.raises(ValueError, match="DV_MAX_DELETED_PER_CALL"):
+        t.merge_upsert(updates, "k")
+    on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}
+    assert on_disk == files_before
+    t.refresh()
+    assert not t.catalog.get_dv_ranges()
+    assert t.count_rows() == base.count()
+
+
 def test_legacy_catalog_rows_compare_size_only(spark, tmp_path):
     """A persisted catalog built before the mtime column (NULL
     mtime_ns) must keep the old size-only convention: unchanged size →

@@ -201,7 +201,9 @@ def test_update_where_lands_before_deletes(spark, dv_table, monkeypatch):
     def exploding(*a, **kw):
         raise RuntimeError("crash during update delete step")
 
-    monkeypatch.setattr(t, "delete_where", exploding)
+    # the delete seam of the single-pass UPDATE: DV commit from the
+    # shared cached victim read
+    monkeypatch.setattr(t, "_dv_store_victims", exploding)
     with pytest.raises(RuntimeError, match="crash during update"):
         t.update_where(DEL, {"v": "v + 1000000"})
     landed = [f for f in os.listdir(str(t.data_dir))

@@ -3123,11 +3123,14 @@ def q99_incremental_agg_from_feed(spark: SparkSession, sf_dir: str
     by FOLDING THE FEED (inserts add, deletes subtract) instead of
     recomputing from the table. Executed in the gate: snapshot s0 →
     DELETE cents % 3 = 1 → UPDATE cents += 1003 WHERE cents % 11 = 0 →
-    snapshot s1; the s0-era aggregate plus the signed s0→s1 feed must
-    equal the live recompute EXACTLY (asserted row-for-row in the
-    gate), and the oracle recomputes the live aggregate relationally.
-    Feed cost is O(changed rows); the downstream refresh never touches
-    the unchanged corpus."""
+    snapshot s1. The gate row returns the FOLD ALONE — the oracle
+    recomputes the live aggregate relationally in DuckDB, so the
+    driver's hash comparison IS the fold ≡ recompute parity proof; the
+    Spark-side row-for-row parity against t.query(None) is pinned in
+    tests/test_change_feed_fold.py (VERDICT r8 ask #7: the gate must
+    not permanently pay the recompute the fold exists to avoid). Feed
+    cost is O(changed rows); the downstream refresh never touches the
+    unchanged corpus."""
     from .operators.util import session_memo
 
     t, base = _dv_fixture(spark, sf_dir, "dv_table_feed_agg")
@@ -3161,15 +3164,6 @@ def q99_incremental_agg_from_feed(spark: SparkSession, sf_dir: str
             .select("bucket", F.col("n").cast("long").alias("n"),
                     F.col("sum_cents").cast("long").alias("sum_cents"))
             .orderBy("bucket"))
-    direct = (t.query(None).select(bucket, "cents")
-              .groupBy("bucket")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("cents").alias("sum_cents"))
-              .orderBy("bucket"))
-    got = [(r["bucket"], r["n"], r["sum_cents"]) for r in incr.collect()]
-    want = [(r["bucket"], r["n"], r["sum_cents"])
-            for r in direct.collect()]
-    assert got == want, (got, want)   # feed-fold == recompute, exactly
     return incr
 
 

@@ -1469,11 +1469,16 @@ class IndexedParquetTable:
         phys_schema = StructType(
             [f for f in self._schema.fields if f.name not in part_cols])
         by_dir: Dict[str, List[Tuple[str, int]]] = defaultdict(list)
-        for fname, size, _rgs, _rows in self.catalog.all_files():
+        all_files = self.catalog.all_files()
+        for fname, size, _rgs, _rows in all_files:
             if fname in dvs or size >= target_bytes:
                 continue
             d = os.path.dirname(os.path.join(self.data_dir, fname))
             by_dir[d].append((fname, size))
+        # ONE catalog read per verb invocation (not per bin — O(bins ×
+        # catalog) driver work on many-partition OPTIMIZE runs); names
+        # this call creates are added as each bin lands
+        existing = {f[0] for f in all_files}
         packed_count = 0
         for d, entries in sorted(by_dir.items()):
             entries.sort(key=lambda e: (e[1], e[0]))
@@ -1492,7 +1497,6 @@ class IndexedParquetTable:
                 if len(bin_files) < min_files:
                     continue
                 i = 0
-                existing = {f[0] for f in self.catalog.all_files()}
                 while True:
                     name = f"pack_{i:06d}.parquet"
                     dest = os.path.join(d, name)
@@ -1500,6 +1504,7 @@ class IndexedParquetTable:
                     if key not in existing and not os.path.exists(dest):
                         break
                     i += 1
+                existing.add(key)
                 paths = [os.path.join(self.data_dir, f)
                          for f in bin_files]
                 stage = os.path.join(d, f"_stage_{name}")

@@ -1386,6 +1386,13 @@ class SqliteIndexCatalog:
             """SELECT file_name, file_size_bytes, mtime_ns
                FROM file_statistics""")}
 
+    def snapshot_count(self) -> int:
+        """Number of live (unexpired) snapshots — the public surface
+        maintenance_report folds, so a genuine SQL error surfaces
+        instead of hiding behind a private-API probe."""
+        return self._query(
+            "SELECT COUNT(*) FROM catalog_snapshot_meta")[0][0]
+
     def row_group_count(self, file_name: str) -> int:
         rows = self._query(
             "SELECT row_group_count FROM file_statistics WHERE file_name = ?",

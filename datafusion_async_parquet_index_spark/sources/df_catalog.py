@@ -320,6 +320,10 @@ class DataFrameIndexCatalog:
         return {fs.file_name: (fs.file_size_bytes, fs.mtime_ns)
                 for fs, _ in self._files.values()}
 
+    def snapshot_count(self) -> int:
+        """Same protocol as SqliteIndexCatalog.snapshot_count."""
+        return len(self._snapshots)
+
     def row_group_count(self, file_name: str) -> int:
         entry = self._files.get(file_name)
         if entry is None:

@@ -2028,10 +2028,12 @@ class IndexedParquetTable:
         native = native.select(*[f.name for f in schema.fields])
         return native.unionByName(parts_df) if parts_df is not None else native
 
-    # compressed-byte ceiling for the driver-side boundary read; the
-    # pushdowns' boundary sets are 1-2 row groups per file by
-    # construction, so this is generous while still bounding driver
-    # memory at ~the size of a few row groups
+    # UNCOMPRESSED-byte ceiling for the driver-side boundary read
+    # (the guard sums the footers' total_byte_size, which is the
+    # uncompressed footprint — the conservative side for a
+    # driver-memory bound); the pushdowns' boundary sets are 1-2 row
+    # groups per file by construction, so this is generous while
+    # still bounding driver memory at ~the size of a few row groups
     ROWGROUP_LOCAL_MAX_BYTES = 8 << 20
 
     def _read_rowgroups_local(
@@ -2045,8 +2047,16 @@ class IndexedParquetTable:
         _read_rowgroups), deletion-vector-aware via the same positional
         filter the DataSource uses executor-side. Returns None — caller
         falls back to the distributed reader — when the groups'
-        footprint exceeds max_bytes or the Arrow->Spark conversion
-        balks."""
+        footprint exceeds max_bytes or the Arrow→Spark conversion hits
+        a known unsupported-type/encoding error. The pyarrow reads and
+        the DV anti-filter run OUTSIDE the catch: a real bug there must
+        surface, not be masked as a perf fallback. Every demotion is
+        recorded in ``last_local_read`` and logged.
+
+        ``last_local_read`` (observability/tests): {"engaged": bool,
+        "demoted": reason-or-None} for the most recent call."""
+        import logging
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -2058,28 +2068,39 @@ class IndexedParquetTable:
             pf = pq.ParquetFile(path)
             md = pf.metadata
             for rg in rgs:
-                # total_byte_size is the UNCOMPRESSED footprint — the
-                # conservative side for a driver-memory guard
                 total += md.row_group(rg).total_byte_size
             if total > max_bytes:
+                self.last_local_read = {
+                    "engaged": False,
+                    "demoted": f"cap: {total} > {max_bytes} bytes"}
                 return None
             handles.append((path, pf, rgs))
         cols = [f.name for f in schema.fields]
+        tables = []
+        for path, pf, rgs in handles:
+            t = pf.read_row_groups(list(rgs), columns=cols)
+            ranges = (dv_by_path or {}).get(path)
+            if ranges:
+                t = anti_filter_positions(t, list(rgs),
+                                          pf.metadata, ranges)
+            tables.append(t)
+        tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
         try:
-            tables = []
-            for path, pf, rgs in handles:
-                t = pf.read_row_groups(list(rgs), columns=cols)
-                ranges = (dv_by_path or {}).get(path)
-                if ranges:
-                    t = anti_filter_positions(t, list(rgs),
-                                              pf.metadata, ranges)
-                tables.append(t)
-            tbl = pa.concat_tables(tables) if len(tables) > 1 \
-                else tables[0]
-            return self.spark.createDataFrame(tbl.select(cols),
-                                              schema=schema)
-        except Exception:
+            out = self.spark.createDataFrame(tbl.select(cols),
+                                             schema=schema)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                TypeError, ValueError) as e:
+            # Arrow→Spark conversion gaps (unsupported arrow type /
+            # value mapping) — the only demotion class besides the
+            # byte cap; anything else raises
+            logging.getLogger(__name__).warning(
+                "driver-side boundary read demoted to the distributed "
+                "reader: %s", e)
+            self.last_local_read = {"engaged": False,
+                                    "demoted": f"conversion: {e}"}
             return None
+        self.last_local_read = {"engaged": True, "demoted": None}
+        return out
 
     # -- metadata-only answers ----------------------------------------
     def count_rows(self, predicate: Optional[Expr] = None,
@@ -3282,12 +3303,11 @@ class IndexedParquetTable:
         files = self.catalog.all_files()
         dv_rows = self.catalog.dv_deleted_rows()
         small = [f for f in files if f[1] < small_file_bytes]
-        try:
-            snaps = len(self.catalog._query(
-                "SELECT snapshot_id FROM catalog_snapshot_meta "
-                "WHERE file_count >= 0"))
-        except Exception:
-            snaps = None   # backend without the SQL store surface
+        # public backend surface: a genuine backend error surfaces
+        # instead of being misreported as "no snapshot store"; only a
+        # catalog class that truly lacks snapshots reports None
+        count = getattr(self.catalog, "snapshot_count", None)
+        snaps = count() if callable(count) else None
         return {
             "files": len(files),
             "rows": sum(f[3] for f in files),

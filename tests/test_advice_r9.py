@@ -184,6 +184,27 @@ def test_merge_upsert_over_cap_removes_landed_batch(spark, tmp_path):
     assert t.count_rows() == base.count()
 
 
+# -- finding 3 (low): public snapshot_count backend surface -----------
+
+def test_snapshot_count_public_surface(spark, tmp_path):
+    from datafusion_async_parquet_index_spark.sources.df_catalog import (
+        DataFrameIndexCatalog,
+    )
+    d = str(tmp_path / "snapcount")
+    _corpus(spark, d)
+    for cat in (None, DataFrameIndexCatalog(spark)):
+        kw = {"catalog": cat} if cat is not None else {}
+        t = IndexedParquetTable(spark, d, ["k"], **kw)
+        assert t.catalog.snapshot_count() == 0
+        assert t.maintenance_report()["snapshots"] == 0
+        t.snapshot()
+        t.snapshot()
+        assert t.catalog.snapshot_count() == 2
+        assert t.maintenance_report()["snapshots"] == 2
+        t.catalog.expire_snapshots(keep_last=1)
+        assert t.maintenance_report()["snapshots"] == 1
+
+
 def test_legacy_catalog_rows_compare_size_only(spark, tmp_path):
     """A persisted catalog built before the mtime column (NULL
     mtime_ns) must keep the old size-only convention: unchanged size →

@@ -1389,9 +1389,11 @@ class SqliteIndexCatalog:
     def snapshot_count(self) -> int:
         """Number of live (unexpired) snapshots — the public surface
         maintenance_report folds, so a genuine SQL error surfaces
-        instead of hiding behind a private-API probe."""
+        instead of hiding behind a private-API probe. Expired ids
+        leave file_count = -1 tombstones; those don't count."""
         return self._query(
-            "SELECT COUNT(*) FROM catalog_snapshot_meta")[0][0]
+            "SELECT COUNT(*) FROM catalog_snapshot_meta "
+            "WHERE file_count >= 0")[0][0]
 
     def row_group_count(self, file_name: str) -> int:
         rows = self._query(

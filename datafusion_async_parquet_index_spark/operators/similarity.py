@@ -1547,12 +1547,30 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id == vec_id): each query document retrieves two top-POOL
     candidate lists —
 
-    - lexical: idf-weighted distinct-token overlap, computed through an
-      INVERTED-INDEX join (corpus (doc, term) table self-joined on the
-      term — the shuffle key is the term, never a doc pair; the
-      scalable retrieval shape at 100 TB), with the per-(query, cand)
-      score as an exact INTEGER sum of basis-point idfs so no float
-      accumulation order can smear ranks;
+    - lexical: idf-weighted distinct-token overlap, computed through a
+      SIGNATURE-FACTORIZED inverted-index join with a MaxScore-style
+      cutoff (Turtle & Flood 1995's "score once per equivalence class,
+      prune classes that cannot reach the pool" idea, lifted from
+      terms to whole term-set signatures): candidates are grouped by
+      their distinct-term-set ∩ query-vocabulary signature — every
+      candidate sharing a signature has IDENTICAL scores against every
+      query, so scoring runs once per (query, signature) instead of
+      once per (query, candidate) pair, then a signature-level cutoff
+      keeps only signatures whose strictly-higher-scored classes hold
+      fewer than POOL(+1 self-slack) docs before expanding back to
+      candidates. EXACT by construction — the expansion carries the
+      true integer score and every boundary tie survives the cutoff —
+      so the oracle stays the plain full-join definition and the
+      driver's hash comparison is the proof. The shuffle key is the
+      term / the signature, never a doc pair; per-(query, cand) scores
+      are exact INTEGER sums of basis-point idfs so no float
+      accumulation order can smear ranks. On this corpus (tiny
+      shared vocabulary — per-term WAND has no discriminative terms to
+      skip) the 50k sf1 docs collapse to ~3.9k signatures, cutting the
+      448M-pair inverted-index join ~13×; on a real heavy-tailed
+      corpus the signature collapse is smaller but the join itself is
+      cheaper, and the worst case degrades to the original cost plus
+      one groupBy;
     - vector: exact cosine, the 5-query broadcast map-only pass
       sim_bruteforce_topk pins.
 
@@ -1603,11 +1621,64 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(dfreq, "term").crossJoin(n)
            .select("query_id", "term", idf_bp.alias("idf_bp")))
     ct = terms.select(F.col("doc_id").alias("cand_id"), "term")
-    overlap = (
-        ct.join(F.broadcast(qti), "term")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("idf_bp").alias("score_bp")))
+    # -- signature factorization: candidates sharing the same
+    # distinct-term-set ∩ query-vocabulary have IDENTICAL lexical
+    # scores vs every query — score once per (query, signature), not
+    # per (query, candidate). Terms outside every query contribute 0
+    # to every score, so the ∩ V_Q restriction loses nothing and
+    # maximizes the collapse.
+    vq = qti.select("term").distinct()
+    # candidates keyed by a DENSE INTEGER signature id (row_number
+    # over the sorted distinct signatures — a tiny dim, deterministic,
+    # collision-free, unlike a hash): the fan-out join and its groupBy
+    # shuffle ~8-byte ids instead of ~150-byte signature strings
+    def _build_csig():
+        raw = (ct.join(F.broadcast(vq), "term")
+               .groupBy("cand_id")
+               .agg(F.concat_ws(" ",
+                                F.sort_array(F.collect_set("term")))
+                    .alias("sig")))
+        ids = (raw.select("sig").distinct()
+               .withColumn("sig_id", F.row_number().over(
+                   Window.orderBy("sig"))))
+        return track_cache(raw.join(F.broadcast(ids), "sig")
+                           .select("cand_id", "sig_id", "sig"))
+    csig = _sim_corpus(spark, (sf_dir, "hybrid_csig"), _build_csig)
+    sig_docs = csig.groupBy("sig_id", "sig").agg(
+        F.count(F.lit(1)).alias("n_sig_docs"))
+    # the signature postings are TINY (sigs × terms) but the join
+    # below fans out to Σ_t qf(t)·sdf(t) rows — repartition first so
+    # AQE's small-input coalescing can't serialize the explosive
+    # probe into one task
+    parts = spark.sparkContext.defaultParallelism
+    sig_terms = (sig_docs.select("sig_id", "sig")
+                 .select("sig_id", F.explode(F.split("sig", " "))
+                         .alias("term"))
+                 .repartition(parts, "sig_id"))
+    overlap_sig = (sig_terms.join(F.broadcast(qti), "term")
+                   .groupBy("query_id", "sig_id")
+                   .agg(F.sum("idf_bp").alias("score_bp")))
+    # -- MaxScore-style cutoff at the signature level: the final rank
+    # orders by (score desc, cand_id asc), so a signature can reach
+    # the top POOL only if the strictly-higher-scored signatures hold
+    # fewer than POOL docs; the +1 slack covers the query's own doc
+    # (excluded only after expansion). Boundary TIES all survive —
+    # the strict-inequality frame never counts equal scores — so the
+    # expansion ranks exactly as the unfactorized join would.
+    w_cum = (Window.partitionBy("query_id").orderBy(F.desc("score_bp"))
+             .rangeBetween(Window.unboundedPreceding, -1))
+    kept = (overlap_sig.join(F.broadcast(sig_docs.select(
+                "sig_id", "n_sig_docs")), "sig_id")
+            .withColumn("higher_docs",
+                        F.coalesce(F.sum("n_sig_docs").over(w_cum),
+                                   F.lit(0)))
+            .filter(F.col("higher_docs") < RRF_POOL + 1)
+            .select("query_id", "sig_id", "score_bp"))
+    # expansion: kept is O(queries × surviving sigs) — broadcast it so
+    # the candidate table never shuffles
+    overlap = (csig.join(F.broadcast(kept), "sig_id")
+               .filter(F.col("query_id") != F.col("cand_id"))
+               .select("query_id", "cand_id", "score_bp"))
     wt = Window.partitionBy("query_id").orderBy(
         F.desc("score_bp"), F.asc("cand_id"))
     text_ranks = (overlap.withColumn("trank", F.row_number().over(wt))

@@ -1563,7 +1563,12 @@ class IndexedParquetTable:
                 staged = [_compact_rewrite_file(it) for it in items]
             else:
                 sc = self.spark.sparkContext
-                staged = (sc.parallelize(items, min(len(items), 256))
+                # slices capped at ~2x parallelism: enough skew slack
+                # without paying per-task launch overhead for
+                # hundreds of tiny files
+                slices = min(len(items),
+                             max(2 * sc.defaultParallelism, 8))
+                staged = (sc.parallelize(items, slices)
                           .map(_compact_rewrite_file).collect())
         except BaseException:
             # a failed rewrite job may leave staged dotfiles for the

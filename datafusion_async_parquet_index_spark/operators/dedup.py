@@ -428,6 +428,8 @@ def verified_pairs(
     verify threshold so true near-dups survive while the long tail of
     weak band collisions is not verified. Integer intersection/union
     counts make the threshold compare engine-independent."""
+    from pyspark.sql import Window
+
     from ..functions import MINHASH_P
     if cand is None:
         cand = minhash_pairs(docs, threshold=candidate_threshold)
@@ -446,14 +448,38 @@ def verified_pairs(
             F.array_distinct(F.transform(
                 char_shingles(F.col("text")),
                 lambda s: hash60(s) % MINHASH_P)).alias("sh")))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    j = cand.join(a, "doc_a").join(b, "doc_b")
+    # SIGNATURE FACTORIZATION (exact): docs with identical shingle
+    # SETS — the exact-duplicate cliques dedup exists to find — have
+    # identical Jaccard against everything, so the array intersect
+    # runs ONCE per distinct (set_a, set_b) pair instead of once per
+    # candidate pair, and the wide pair join ships two ints per pair
+    # instead of two ~200-element arrays. The sorted set is its own
+    # signature; the dense id (row_number over the tiny distinct-set
+    # dim — deliberately a single-partition window, deterministic and
+    # collision-free, unlike a hash) keys every downstream join.
+    sh_sorted = sh.select("doc_id", F.sort_array("sh").alias("sh"))
+    sig_store = (sh_sorted.groupBy("sh")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .withColumn("sig", F.row_number().over(
+                     Window.orderBy("sh")))
+                 .select("sig", "sh"))
+    doc_sig = sh_sorted.join(sig_store, "sh").select("doc_id", "sig")
+    cand_s = (cand
+              .join(doc_sig.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("sig").alias("sig_a")), "doc_a")
+              .join(doc_sig.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("sig").alias("sig_b")), "doc_b"))
+    sig_pairs = cand_s.select("sig_a", "sig_b").distinct()
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
+    sig_jac = (sig_pairs
+               .join(sig_store.select(F.col("sig").alias("sig_a"),
+                                      F.col("sh").alias("sh_a")), "sig_a")
+               .join(sig_store.select(F.col("sig").alias("sig_b"),
+                                      F.col("sh").alias("sh_b")), "sig_b")
+               .select("sig_a", "sig_b", (inter / union).alias("_j")))
     return (
-        j.withColumn("_j", jac)
+        cand_s.join(sig_jac, ["sig_a", "sig_b"])
         .filter(F.col("_j") >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard"))
     )
@@ -1639,21 +1665,44 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     l2_norm(F.col("embedding")).alias("nrm")))
 
     assigned = _corpus((spark, sf_dir, "semantic_assigned"), build)
-    a = assigned.select(F.col("vec_id").alias("u"), "cid",
-                        F.col("embedding").alias("ue"),
-                        F.col("nrm").alias("un"))
-    b = assigned.select(F.col("vec_id").alias("v"), "cid",
-                        F.col("embedding").alias("ve"),
-                        F.col("nrm").alias("vn"))
+    # GROUP FACTORIZATION (exact): vectors with IDENTICAL embeddings —
+    # the exact-duplicate cliques this operator exists to find — have
+    # identical cosines against everything, so the within-cluster
+    # cosine join runs over one representative per distinct
+    # (cluster, embedding) group instead of per vector. The group's
+    # MIN vec_id is its key (unique across groups, no synthetic id
+    # needed), and the keep-first anchor derivation stays exact: for a
+    # vector v, the qualifying mates u < v are the members of groups g
+    # with cos(group(v), g) >= τ, and the smallest such u is the
+    # smallest qualifying group min BELOW v — a group whose min >= v
+    # has no member < v at all, and a group min < v IS its smallest
+    # member. (Self-group pairs qualify at cosine 1.0, covering
+    # within-clique duplicates.) Σ cluster² pair work divides by the
+    # squared clique size; unique-embedding corpora degrade to the
+    # original cost plus one groupBy.
+    grp = (assigned.groupBy("cid", "embedding", "nrm")
+           .agg(F.min("vec_id").alias("gmin")))
+    ga = grp.select("cid", F.col("gmin").alias("u"),
+                    F.col("embedding").alias("ue"),
+                    F.col("nrm").alias("un"))
+    gb = grp.select("cid", F.col("gmin").alias("gv"),
+                    F.col("embedding").alias("ve"),
+                    F.col("nrm").alias("vn"))
     cos = F.round(dot_double(F.col("ue"), F.col("ve"))
                   / (F.col("un") * F.col("vn")), 6)
-    pairs = (salted_join(a, b, on="cid", n_salts=8)
-             .filter(F.col("u") < F.col("v"))
-             .select("cid", "u", "v", cos.alias("cosine"))
-             .filter(F.col("cosine") >= SEMDEDUP_TAU))
+    gpairs = (salted_join(ga, gb, on="cid", n_salts=8)
+              .select("cid", "u", "gv", cos.alias("cosine"))
+              .filter(F.col("cosine") >= SEMDEDUP_TAU))
+    members = (assigned
+               .join(grp.select("cid", "embedding",
+                                F.col("gmin").alias("gv")),
+                     ["cid", "embedding"])
+               .select(F.col("vec_id").alias("v"), "gv"))
     w2 = Window.partitionBy("v").orderBy("u")
     return (
-        pairs.withColumn("rn", F.row_number().over(w2))
+        members.join(gpairs, "gv")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == 1)
         .select(F.col("v").alias("dup_id"),
                 F.col("cid").cast("bigint").alias("cluster"),

@@ -458,8 +458,7 @@ def verified_pairs(
     # dim — deliberately a single-partition window, deterministic and
     # collision-free, unlike a hash) keys every downstream join.
     sh_sorted = sh.select("doc_id", F.sort_array("sh").alias("sh"))
-    sig_store = (sh_sorted.groupBy("sh")
-                 .agg(F.count(F.lit(1)).alias("_n"))
+    sig_store = (sh_sorted.select("sh").distinct()
                  .withColumn("sig", F.row_number().over(
                      Window.orderBy("sh")))
                  .select("sig", "sh"))

@@ -120,6 +120,15 @@ class FileStats:
     # catalog row, or a backend/caller that never learned it): all
     # comparisons fall back to size-only, the old behavior.
     mtime_ns: Optional[int] = None
+    # md5 of the file's LAST min(size, 64 KiB) bytes (the parquet
+    # footer + tail pages), computed at index time. The CONTENT
+    # discriminator for DV retention: an identical-content replace
+    # (backup restore, rsync without timestamp preservation) changes
+    # mtime but not this — dropping the DV there would silently
+    # resurrect the deleted rows — while any real rewrite perturbs
+    # the footer (stats, offsets). None = legacy row: the mtime rule
+    # decides alone.
+    footer_md5: Optional[str] = None
 
 
 @dataclass
@@ -352,16 +361,17 @@ class SqliteIndexCatalog:
         row = self._query(
             """INSERT INTO file_statistics
                    (file_name, file_size_bytes, row_group_count,
-                    row_count, mtime_ns)
-               VALUES (?, ?, ?, ?, ?)
+                    row_count, mtime_ns, footer_md5)
+               VALUES (?, ?, ?, ?, ?, ?)
                ON CONFLICT(file_name) DO UPDATE SET
                    file_size_bytes = excluded.file_size_bytes,
                    row_group_count = excluded.row_group_count,
                    row_count = excluded.row_count,
-                   mtime_ns = excluded.mtime_ns
+                   mtime_ns = excluded.mtime_ns,
+                   footer_md5 = excluded.footer_md5
                RETURNING file_id""",
             (fs.file_name, fs.file_size_bytes, fs.row_group_count,
-             fs.row_count, fs.mtime_ns))
+             fs.row_count, fs.mtime_ns, fs.footer_md5))
         return row[0][0]
 
     # -- EP3: catalog bootstrap (reference index.rs:332-393) ----------
@@ -397,14 +407,17 @@ class SqliteIndexCatalog:
                        file_size_bytes INTEGER NOT NULL,
                        row_group_count INTEGER NOT NULL,
                        row_count INTEGER NOT NULL,
-                       mtime_ns INTEGER)""")
-            if "mtime_ns" not in self._existing_columns(
-                    "file_statistics"):
-                # persisted catalog built before the mtime
-                # discriminator; NULL = unknown, comparisons fall
-                # back to size-only
-                self._exec("ALTER TABLE file_statistics "
-                           "ADD COLUMN mtime_ns INTEGER")
+                       mtime_ns INTEGER,
+                       footer_md5 TEXT)""")
+            existing_fs = self._existing_columns("file_statistics")
+            for col_name, col_t in (("mtime_ns", "INTEGER"),
+                                    ("footer_md5", "TEXT")):
+                if col_name not in existing_fs:
+                    # persisted catalog built before the change
+                    # discriminators; NULL = unknown, comparisons
+                    # fall back to the older convention
+                    self._exec(f"ALTER TABLE file_statistics "
+                               f"ADD COLUMN {col_name} {col_t}")
             self._exec(
                 f"""CREATE TABLE IF NOT EXISTS row_group_statistics (
                        file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
@@ -721,9 +734,10 @@ class SqliteIndexCatalog:
             # double the per-file round-trips of a full rebuild)
             old = self._query(
                 "SELECT file_id, row_group_count, file_size_bytes, "
-                "mtime_ns FROM file_statistics WHERE file_name = ?",
+                "mtime_ns, footer_md5 "
+                "FROM file_statistics WHERE file_name = ?",
                 (fs.file_name,))
-            prior = [(old[0][2], old[0][3])] if old else []
+            prior = [(old[0][2], old[0][3], old[0][4])] if old else []
             if not getattr(self, "_rtree_active", ()):
                 old = []
             file_id = self._upsert_file_row(fs)
@@ -736,24 +750,30 @@ class SqliteIndexCatalog:
             # bytes (a full non-incremental rebuild, a reopen with
             # incremental_attach=False) must preserve them, or every
             # logically deleted row silently resurrects on a plain
-            # rebuild over a persisted catalog. Change detection is
-            # (size, mtime_ns) — the same discriminator the
-            # compaction-marker recovery trusts — so a rewrite landing
-            # at the IDENTICAL byte size still drops the stale DV
-            # (whose positions index the old layout). mtime is
-            # compared only when BOTH sides recorded one (NULL =
-            # legacy row / caller without stat access → size-only,
-            # the old convention). Caveat, documented: a
-            # metadata-only touch of a data file changes mtime and
-            # drops its DV — under the immutable-file lakehouse
-            # convention nothing touches data bytes in place, and
-            # every verb in this engine that swaps bytes does so via
-            # os.replace (fresh mtime) precisely so this fires.
-            changed = (not prior
-                       or prior[0][0] != fs.file_size_bytes
-                       or (prior[0][1] is not None
+            # rebuild over a persisted catalog. Change detection, in
+            # precedence order:
+            #   1. size differs → changed (the old convention);
+            #   2. footer_md5 known on both sides → CONTENT decides: a
+            #      real same-size rewrite perturbs the footer (stats,
+            #      offsets) and drops the stale DV, while an
+            #      identical-content replace (backup restore, rsync
+            #      without timestamp preservation — mtime changes,
+            #      bytes don't) PRESERVES it, because dropping there
+            #      would silently resurrect the deleted rows;
+            #   3. md5 unknown on either side (legacy row) → fall back
+            #      to mtime_ns when both known, else size-only.
+            # The mtime stays the cheap refresh-skip trigger
+            # (build_index); the md5 is the retention judge.
+            if not prior:
+                changed = True
+            elif prior[0][0] != fs.file_size_bytes:
+                changed = True
+            elif prior[0][2] is not None and fs.footer_md5 is not None:
+                changed = prior[0][2] != fs.footer_md5
+            else:
+                changed = (prior[0][1] is not None
                            and fs.mtime_ns is not None
-                           and prior[0][1] != fs.mtime_ns))
+                           and prior[0][1] != fs.mtime_ns)
             if changed:
                 for dv_tbl in ("deletion_vectors", "dv_rg_adjust",
                                "dv_sum_adjust"):
@@ -1640,18 +1660,18 @@ class DBAPIIndexCatalog(SqliteIndexCatalog):
             self._exec(
                 """UPDATE file_statistics
                    SET file_size_bytes = ?, row_group_count = ?,
-                       row_count = ?, mtime_ns = ?
+                       row_count = ?, mtime_ns = ?, footer_md5 = ?
                    WHERE file_id = ?""",
                 (fs.file_size_bytes, fs.row_group_count, fs.row_count,
-                 fs.mtime_ns, rows[0][0]))
+                 fs.mtime_ns, fs.footer_md5, rows[0][0]))
             return rows[0][0]
         self._exec(
             """INSERT INTO file_statistics
                    (file_name, file_size_bytes, row_group_count,
-                    row_count, mtime_ns)
-               VALUES (?, ?, ?, ?, ?)""",
+                    row_count, mtime_ns, footer_md5)
+               VALUES (?, ?, ?, ?, ?, ?)""",
             (fs.file_name, fs.file_size_bytes, fs.row_group_count,
-             fs.row_count, fs.mtime_ns))
+             fs.row_count, fs.mtime_ns, fs.footer_md5))
         return self._query(
             "SELECT file_id FROM file_statistics WHERE file_name = ?",
             (fs.file_name,))[0][0]

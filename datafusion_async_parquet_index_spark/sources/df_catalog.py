@@ -146,17 +146,25 @@ class DataFrameIndexCatalog:
             self._topks[fs.file_name] = dict(topks)
         else:
             self._topks.pop(fs.file_name, None)
-        if (prior is None
-                or prior[0].file_size_bytes != fs.file_size_bytes
-                or (prior[0].mtime_ns is not None
-                    and fs.mtime_ns is not None
-                    and prior[0].mtime_ns != fs.mtime_ns)):
-            # deletion vectors are DML state: they die only with
-            # CHANGED bytes; a re-index of unchanged bytes (a full
-            # rebuild over a persisted catalog) preserves them — the
-            # same (size, mtime_ns) convention as the SQLite backend,
-            # so a same-size rewrite (os.replace → fresh mtime) still
-            # drops the stale DV
+        # deletion vectors are DML state: they die only with CHANGED
+        # bytes; a re-index of unchanged bytes (a full rebuild over a
+        # persisted catalog) preserves them — the same size →
+        # footer_md5 → mtime_ns precedence as the SQLite backend, so a
+        # same-size rewrite (different footer bytes) drops the stale
+        # DV while an identical-content replace (fresh mtime, same
+        # bytes) keeps it
+        if prior is None:
+            changed = True
+        elif prior[0].file_size_bytes != fs.file_size_bytes:
+            changed = True
+        elif (prior[0].footer_md5 is not None
+              and fs.footer_md5 is not None):
+            changed = prior[0].footer_md5 != fs.footer_md5
+        else:
+            changed = (prior[0].mtime_ns is not None
+                       and fs.mtime_ns is not None
+                       and prior[0].mtime_ns != fs.mtime_ns)
+        if changed:
             self._drop_dv_state(fs.file_name)
         self._df = None
 

@@ -483,6 +483,23 @@ def extract_file_nan_counts(
     return out
 
 
+FOOTER_MD5_BYTES = 64 << 10
+
+
+def _footer_md5(path: str, size: int) -> str:
+    """md5 of the file's last min(size, 64 KiB) bytes — the content
+    discriminator FileStats.footer_md5 documents. O(64 KiB) per file
+    at index time, next to the footer read the extractor already
+    pays."""
+    import hashlib
+
+    n = min(size, FOOTER_MD5_BYTES)
+    with open(path, "rb") as fh:
+        if size > n:
+            fh.seek(size - n)
+        return hashlib.md5(fh.read(n)).hexdigest()
+
+
 def extract_file_stats(
     path: str,
     index_schema: Dict[str, str],
@@ -536,6 +553,7 @@ def extract_file_stats(
         row_group_count=md.num_row_groups,
         row_count=md.num_rows,
         mtime_ns=st_.st_mtime_ns,
+        footer_md5=_footer_md5(path, st_.st_size),
     )
     rgs: List[RowGroupStats] = []
     for i in range(md.num_row_groups):

@@ -115,6 +115,18 @@ def _compact_rewrite_file(item):
     return tmp if writer is not None else None
 
 
+class DVCapExceeded(ValueError):
+    """A delete/update matched more rows than DV_MAX_DELETED_PER_CALL.
+    Raised BEFORE any deletion vector commits, so callers holding a
+    landed-but-unindexed batch (merge_upsert, update_where) may safely
+    remove it. Subclasses ValueError for callers matching the old
+    contract — but cleanup code must catch THIS type, never bare
+    ValueError: pyarrow's ArrowInvalid also subclasses ValueError and
+    can surface from the per-file commit loop AFTER earlier files'
+    vectors committed, where removing the landed batch would lose
+    rows."""
+
+
 @dataclass
 class ScanDecision:
     """The pruning decision for one query — first-class, testable output
@@ -1171,7 +1183,7 @@ class IndexedParquetTable:
         # not itself require the collect it guards against
         total = victims.count()
         if total > self.DV_MAX_DELETED_PER_CALL:
-            raise ValueError(
+            raise DVCapExceeded(
                 f"delete matches {total} rows > "
                 f"DV_MAX_DELETED_PER_CALL={self.DV_MAX_DELETED_PER_CALL}"
                 f"; a physical rewrite (compact_small_files / an "
@@ -1708,15 +1720,19 @@ class IndexedParquetTable:
         victims = reader.parquet(*landed)
         try:
             n_del = self.delete_matching(victims, key_column)
-        except ValueError:
+        except DVCapExceeded:
             # the per-call DV cap raises BEFORE any deletion vector
             # commits (deterministic, no crash involved): remove the
             # landed batch so the next refresh() cannot silently index
             # it as duplicate rows, then surface the refusal
-            # (ADVICE r8, medium). Non-ValueError failures keep the
-            # documented crash-window recovery (duplicates, heals on
-            # delete_matching + refresh) — cleanup is only safe while
-            # nothing has committed.
+            # (ADVICE r8, medium). EXACTLY this type — never bare
+            # ValueError, which pyarrow's ArrowInvalid subclasses and
+            # which can escape the per-file commit loop after earlier
+            # files' vectors committed, where removing the landed
+            # batch would permanently lose their rows. All other
+            # failures keep the documented crash-window recovery
+            # (duplicates, heals on delete_matching + refresh) —
+            # cleanup is only safe while nothing has committed.
             for p in landed:
                 if os.path.exists(p):
                     os.remove(p)
@@ -1747,11 +1763,12 @@ class IndexedParquetTable:
         — an assignment that changes a partition column moves the rows
         into their new partition directories.
 
-        Cap semantics: the landed footers give the exact delete count
-        BEFORE any deletion vector commits, so a predicate matching
-        more than DV_MAX_DELETED_PER_CALL rows removes the landed
-        batch and raises — it never strands landed duplicates on disk
-        for the next refresh() to index silently."""
+        Cap semantics: the cached victim count IS the exact delete
+        count, known before anything lands or commits — a predicate
+        matching more than DV_MAX_DELETED_PER_CALL rows raises
+        DVCapExceeded with zero write I/O, never stranding landed
+        duplicates on disk for the next refresh() to index
+        silently."""
         from pyspark.sql import functions as F
 
         bad = sorted(set(assignments)
@@ -1778,6 +1795,22 @@ class IndexedParquetTable:
             F.col("_metadata.row_index").alias("__pos"),
             *[F.col(f.name) for f in self._schema.fields]).persist()
         try:
+            # the victim count — which EQUALS the delete count — is
+            # known from the cached read before anything lands, so the
+            # cap refuses with ZERO write I/O and no landed batch to
+            # clean up (review r9: the footer-count variant wrote the
+            # full update batch to disk only to remove it again)
+            n_upd = victims.count()
+            if not n_upd:
+                return 0
+            if n_upd > self.DV_MAX_DELETED_PER_CALL:
+                raise DVCapExceeded(
+                    f"update matches {n_upd} rows > "
+                    f"DV_MAX_DELETED_PER_CALL="
+                    f"{self.DV_MAX_DELETED_PER_CALL}; nothing was "
+                    f"landed or deleted. Rewrite-the-files tools "
+                    f"(compact_small_files / an overwrite) are the "
+                    f"right shape at that volume")
             # one SELECT, every RHS evaluated against the ORIGINAL
             # row — SQL UPDATE semantics: SET a = b, b = a swaps (a
             # sequential withColumn chain would feed later assignments
@@ -1788,29 +1821,7 @@ class IndexedParquetTable:
             updated = victims.select(
                 *[exprs.get(f.name, F.col(f.name)).alias(f.name)
                   for f in self._schema.fields])
-            landed = self._land_batch(updated, "update")
-            import pyarrow.parquet as _pq
-            n_upd = sum(_pq.ParquetFile(p).metadata.num_rows
-                        for p in landed)
-            if not n_upd:
-                for p in landed:
-                    os.remove(p)
-                return 0
-            if n_upd > self.DV_MAX_DELETED_PER_CALL:
-                # deterministic, known from the landed footers before
-                # any DV commits: clean up the landed batch so the
-                # next refresh() cannot index duplicate rows, THEN
-                # refuse (ADVICE r8, medium)
-                for p in landed:
-                    os.remove(p)
-                raise ValueError(
-                    f"update matches {n_upd} rows > "
-                    f"DV_MAX_DELETED_PER_CALL="
-                    f"{self.DV_MAX_DELETED_PER_CALL}; the landed "
-                    f"update batch was removed (no duplicates remain "
-                    f"on disk). Rewrite-the-files tools "
-                    f"(compact_small_files / an overwrite) are the "
-                    f"right shape at that volume")
+            self._land_batch(updated, "update")
             # the landed files are invisible to the catalog until
             # refresh() — old versions go, new versions stay
             sum_cols = [c for c in getattr(self, "sum_columns", ())]
@@ -1981,6 +1992,11 @@ class IndexedParquetTable:
         fast path. User-facing query(mode='rowgroups') keeps
         local_max_bytes=0: its result is a composable scan, not a
         bounded aggregate input."""
+        # reset per scan: None = the fast path was not attempted for
+        # THIS read (full files present, or local_max_bytes=0) —
+        # without the reset the record reports the PREVIOUS query's
+        # engagement as if it were current (review r9)
+        self.last_local_read = None
         schema = self._schema
         if columns:
             needed = set(columns)

@@ -31,14 +31,11 @@ from datafusion_async_parquet_index_spark.sources.table import (
 )
 
 
-def _one_file(df, d, name, block=1 << 14):
-    tmp = os.path.join(d, f"_stage_{name}")
-    (df.coalesce(1).write.mode("overwrite")
-     .option("parquet.block.size", str(block)).parquet(tmp))
-    part = next(f for f in sorted(os.listdir(tmp))
-                if f.endswith(".parquet"))
-    os.replace(os.path.join(tmp, part), os.path.join(d, name))
-    shutil.rmtree(tmp, ignore_errors=True)
+from fixture_io import one_file as _one_file_impl
+
+
+def _one_file(df, d, name, block=16384):
+    _one_file_impl(df, d, name, block=block)
 
 
 def _corpus(spark, d):

@@ -28,14 +28,11 @@ from datafusion_async_parquet_index_spark.sources.table import (
 )
 
 
-def _one_file(df, d, name, block=1 << 14):
-    tmp = os.path.join(d, f"_stage_{name}")
-    (df.coalesce(1).write.mode("overwrite")
-     .option("parquet.block.size", str(block)).parquet(tmp))
-    part = next(f for f in sorted(os.listdir(tmp))
-                if f.endswith(".parquet"))
-    os.replace(os.path.join(tmp, part), os.path.join(d, name))
-    shutil.rmtree(tmp, ignore_errors=True)
+from fixture_io import one_file as _one_file_impl
+
+
+def _one_file(df, d, name, block=16384):
+    _one_file_impl(df, d, name, block=block)
 
 
 def _corpus(spark, d):
@@ -51,12 +48,12 @@ def _corpus(spark, d):
 # -- finding 2: same-size rewrite detection (mtime_ns discriminator) ---
 
 def test_same_size_rewrite_reindexed_and_dv_dropped(spark, tmp_path):
-    """A byte-swap that lands at the identical size (os.replace →
-    fresh mtime) must defeat the refresh short-circuit: the file is
-    re-indexed and its stale DV (positions index the OLD layout) is
-    dropped. Simulated with a byte-identical copy — same size, new
-    mtime — the exact shape a torn/lost compact marker leaves
-    behind."""
+    """A CONTENT swap that lands at the identical byte size (fresh
+    mtime via os.replace, different bytes) must defeat the refresh
+    short-circuit: the file is re-indexed and its stale DV (positions
+    index the OLD layout) is dropped — the exact shape a torn/lost
+    compact marker leaves behind. Simulated with a one-byte flip in
+    the data region: same size, new mtime, different content."""
     d = str(tmp_path / "samesize")
     _corpus(spark, d)
     t = IndexedParquetTable(spark, d, ["k", "v"])
@@ -64,16 +61,43 @@ def test_same_size_rewrite_reindexed_and_dv_dropped(spark, tmp_path):
     assert "a.parquet" in t.catalog.get_dv_ranges()
     path = os.path.join(d, "a.parquet")
     size_before = os.path.getsize(path)
-    # same-size swap: copy to a temp, os.replace back (content
-    # identical ⇒ size identical; mtime is the ONLY signal left)
+    blob = bytearray(open(path, "rb").read())
+    mid = len(blob) // 3                   # data region, not the footer
+    blob[mid] ^= 0xFF
     tmp = path + ".swap"
-    shutil.copyfile(path, tmp)
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(blob))
     os.replace(tmp, path)
     assert os.path.getsize(path) == size_before
     t.refresh()
     assert "a.parquet" not in t.catalog.get_dv_ranges(), \
         "same-size rewrite kept a stale deletion vector"
     # the re-index also refreshed the file row's mtime
+    _, mt = t.catalog.file_meta()["a.parquet"]
+    assert mt == os.stat(path).st_mtime_ns
+
+
+def test_identical_content_replace_preserves_dv(spark, tmp_path):
+    """Review r9 finding: a byte-identical replace (backup restore /
+    rsync without timestamp preservation — fresh mtime, same bytes)
+    must NOT drop the deletion vector: the positions still index the
+    same layout, and dropping would silently resurrect every
+    logically deleted row. The footer-md5 content discriminator keeps
+    it, and the re-index records the new mtime so later refreshes
+    skip again."""
+    d = str(tmp_path / "restore")
+    base = _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    ndel = t.delete_where(col("k") < 10)   # DV on a.parquet
+    path = os.path.join(d, "a.parquet")
+    tmp = path + ".swap"
+    shutil.copyfile(path, tmp)             # byte-identical copy
+    os.replace(tmp, path)                  # fresh mtime, same bytes
+    t.refresh()
+    assert "a.parquet" in t.catalog.get_dv_ranges(), \
+        "identical-content replace resurrected deleted rows"
+    assert t.count_rows() == base.count() - ndel
+    # mtime learned: the next refresh short-circuits again
     _, mt = t.catalog.file_meta()["a.parquet"]
     assert mt == os.stat(path).st_mtime_ns
 
@@ -152,7 +176,7 @@ def test_update_where_over_cap_removes_landed_batch(spark, tmp_path):
     t = IndexedParquetTable(spark, d, ["k", "v"])
     t.DV_MAX_DELETED_PER_CALL = 50
     files_before = {f[0] for f in t.catalog.all_files()}
-    with pytest.raises(ValueError, match="landed update batch was removed"):
+    with pytest.raises(ValueError, match="DV_MAX_DELETED_PER_CALL"):
         t.update_where(col("k") < 100, {"v": "v + 1"})
     # no stranded files on disk, nothing new indexed, no DVs, no dupes
     on_disk = {f for f in os.listdir(d) if f.endswith(".parquet")}

@@ -455,11 +455,11 @@ def test_dbapi_ddl_spellings_reach_driver():
             recorded.append(sql)
 
         def fetchall(self):
-            # any SELECT finds a row; wide enough for the 4-column
+            # any SELECT finds a row; wide enough for the 5-column
             # prior-row lookup (file_id, row_group_count, size,
-            # mtime_ns) while keeping [0][0] = 1 for the upsert's id
-            # probe
-            return [(1, 1, 1, None)]
+            # mtime_ns, footer_md5) while keeping [0][0] = 1 for the
+            # upsert's id probe
+            return [(1, 1, 1, None, None)]
 
         @property
         def description(self):

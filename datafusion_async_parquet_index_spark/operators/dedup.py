@@ -148,31 +148,63 @@ def minhash_pairs(
         if docs is None:
             raise ValueError("minhash_pairs needs docs when sigs is None")
         sigs = track_cache(_minhash_signatures(docs))
-    bands = _band_hashes(sigs)
+    # GROUP FACTORIZATION (exact): docs with IDENTICAL signature
+    # vectors — exact-duplicate cliques — share every band and every
+    # estimate, so banding, the candidate self-join, the distinct, and
+    # the K-column estimate join all run at the signature-GROUP level
+    # (min doc_id = group key), and only the final expansion touches
+    # per-doc pairs: identical band sets ⇒ identical candidacy,
+    # identical signatures ⇒ identical est, so the expanded pair set
+    # equals the unfactorized one exactly (intra-group pairs share all
+    # bands at est 1.0; cross-group pairs qualify per group and orient
+    # by least/greatest id). Unique-signature corpora degrade to the
+    # original cost plus one groupBy.
+    scols = [f"s{i}" for i in range(K)]
+    grp = sigs.groupBy(*scols).agg(F.min("doc_id").alias("doc_id"))
+    members = (sigs.join(grp.select(*scols,
+                                    F.col("doc_id").alias("gid")),
+                         scols)
+               .select("gid", "doc_id"))
+    bands = _band_hashes(grp)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    gp = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+               & (F.col("a.doc_id") <= F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("ga"), F.col("b.doc_id").alias("gb"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     *[F.col(f"s{i}").alias(f"a{i}") for i in range(K)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     *[F.col(f"s{i}").alias(f"b{i}") for i in range(K)])
+    sa = grp.select(F.col("doc_id").alias("ga"),
+                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(K)])
+    sb = grp.select(F.col("doc_id").alias("gb"),
+                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(K)])
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(K))
+    gp_est = (gp.join(sa, "ga").join(sb, "gb")
+              .withColumn("_est", matches / F.lit(K))
+              .filter(F.col("_est") >= threshold)
+              .select("ga", "gb", F.round(F.col("_est"), 4)
+                      .alias("est_jaccard")))
+    ma = members.select(F.col("gid").alias("ga"),
+                        F.col("doc_id").alias("da"))
+    mb = members.select(F.col("gid").alias("gb"),
+                        F.col("doc_id").alias("db"))
+    # expansion dedupe: a CROSS-group member pair (disjoint groups)
+    # appears exactly once whatever its id orientation — least/
+    # greatest restores the doc_a < doc_b convention; an INTRA-group
+    # (ga == gb) member cross product yields both orientations and the
+    # diagonal, so only da < db survives there
+    expanded = (gp_est.join(ma, "ga").join(mb, "gb")
+                .filter((F.col("ga") != F.col("gb"))
+                        | (F.col("da") < F.col("db")))
+                .select(F.least("da", "db").alias("doc_a"),
+                        F.greatest("da", "db").alias("doc_b"),
+                        "est_jaccard"))
     # the pair list itself is cached: orders of magnitude smaller than
     # the corpus, and every consumer (clusters, verified pairs,
     # cross-modal, repeat bench runs) re-reads it — without this the
     # band self-join re-runs per consumer
-    return track_cache(
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("_est", matches / F.lit(K))
-        .filter(F.col("_est") >= threshold)
-        .select("doc_a", "doc_b", F.round(F.col("_est"), 4).alias("est_jaccard"))
-    )
+    return track_cache(expanded)
 
 
 def _corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,6 +150,10 @@ def main(argv=None) -> int:
     ch.add_argument("until", type=int, help="newer snapshot id")
     ch.add_argument("--limit", type=int, default=20)
     common(sub.add_parser("compact"))
+    rs = sub.add_parser("restore")
+    common(rs)
+    rs.add_argument("snapshot_id", type=int,
+                    help="snapshot id to restore the table to")
     op = sub.add_parser("optimize")
     common(op)
     op.add_argument("--target-mb", type=int, default=128,
@@ -158,7 +162,7 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     if args.verb in ("snapshot", "delete", "update", "changes",
-                     "compact", "optimize") and not args.catalog:
+                     "compact", "optimize", "restore") and not args.catalog:
         # refuse BEFORE starting Spark / indexing anything
         print(f"{args.verb} without --catalog is useless "
               "(in-memory catalogs die with the process)",
@@ -223,6 +227,11 @@ def main(argv=None) -> int:
     elif args.verb == "changes":
         df = t.read_changes(args.since, args.until)
         df.show(args.limit, truncate=False)
+    elif args.verb == "restore":
+        info = t.restore(args.snapshot_id)
+        print(f"restored to snapshot {args.snapshot_id}: "
+              f"removed {info['files_removed']} post-snapshot files, "
+              f"{info['dv_files']} files carry era deletion vectors")
     elif args.verb == "compact":
         n = t.compact_deletes()
         print(f"rewrote {n} files; deletion vectors cleared")

@@ -3219,6 +3219,58 @@ def q100_optimize_lifecycle(spark: SparkSession, sf_dir: str
         [(n, s)], "n_total BIGINT, sum_cents BIGINT")
 
 
+def q101_snapshot_restore(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """SNAPSHOT RESTORE — Delta's RESTORE TABLE ... TO VERSION over
+    the external index (``table.restore``, sources/table.py): a 4-file
+    table snapshots s0, then takes a merge-on-read DELETE and a
+    merge-on-read UPDATE (deletion vectors + one landed new-version
+    file), then ``restore(s0)`` reverts BOTH halves of the state —
+    the landed file is removed (bytes + catalog row) and the
+    deletion-vector state reverts to s0's recorded (empty) copy — so
+    the table answers exactly as the original corpus again, proven by
+    the COUNT/SUM pushdowns folding purely from the catalog (zero
+    boundary scans, asserted). The oracle recomputes the original
+    totals relationally: restore-to-origin means the expected answer
+    IS the raw slice's aggregate. At 100 TB restore is O(extra files
+    + DV rows) metadata; surviving bytes are never rewritten."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "dv_restore_table")
+    if sf_dir not in memo:
+        d = tempfile.mkdtemp(prefix="spark_graft_restore_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for i in range(4):
+            _stage_one_file(base.filter(F.col("o_orderkey") % 4 == i)
+                            .orderBy("o_orderkey"), d,
+                            f"part{i}.parquet")
+        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                                sum_columns=["cents"])
+        n0 = t.count_rows()
+        s0 = t.snapshot()
+        ndel = t.delete_where((xcol("cents") % 5) == 2)
+        nupd = t.update_where((xcol("cents") % 7) == 3,
+                              {"cents": "cents + 11"})
+        assert ndel > 0 and nupd > 0 and t.count_rows() < n0
+        info = t.restore(s0)
+        assert info["files_removed"] == 1   # the UPDATE's landed file
+        assert info["dv_files"] == 0        # s0 predates every delete
+        assert t.count_rows() == n0
+        memo[sf_dir] = t
+    t = memo[sf_dir]
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert nn == n and t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n, s)], "n_total BIGINT, sum_cents BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3321,6 +3373,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_update_where": q98_update_where,
     "q99_incremental_agg_from_feed": q99_incremental_agg_from_feed,
     "q100_optimize_lifecycle": q100_optimize_lifecycle,
+    "q101_snapshot_restore": q101_snapshot_restore,
 }
 
 
@@ -4570,6 +4623,16 @@ RELATIONAL_ORACLE["q100_optimize_lifecycle"] = """
            CAST(SUM(CASE WHEN cents % 13 = 0
                          THEN cents + 1 ELSE cents END) AS BIGINT)
                AS sum_cents
+    FROM c
+"""
+
+RELATIONAL_ORACLE["q101_snapshot_restore"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM c
 """
 

@@ -1166,6 +1166,58 @@ class SqliteIndexCatalog:
                     (sid, fn, rg, c, s, nn, sq))
             return sid
 
+    def restore_dvs(self, snapshot_id: int) -> None:
+        """Replace the LIVE deletion-vector state (vectors, per-rg
+        counts, sum adjustments) with the snapshot's recorded copy —
+        the DV half of a table RESTORE. One transaction: a reader
+        never sees a half-restored state. Snapshot rows for files no
+        longer in the catalog are skipped (restore() removes
+        post-snapshot files before calling this). Callers validate the
+        snapshot id via snapshot_files() first."""
+        with self._txn():
+            ids = {name: fid for fid, name in self._query(
+                "SELECT file_id, file_name FROM file_statistics")}
+            for tbl in ("deletion_vectors", "dv_rg_adjust",
+                        "dv_sum_adjust"):
+                self._exec(f"DELETE FROM {tbl}")
+            for fn, ranges, n in self._query(
+                    """SELECT file_name, ranges, deleted_rows
+                       FROM snapshot_dvs WHERE snapshot_id = ?""",
+                    (snapshot_id,)):
+                fid = ids.get(fn)
+                if fid is None:
+                    continue
+                self._exec(
+                    """INSERT INTO deletion_vectors
+                           (file_id, ranges, deleted_rows)
+                       VALUES (?, ?, ?)""", (fid, ranges, n))
+            for fn, rg, n in self._query(
+                    """SELECT file_name, row_group, deleted_rows
+                       FROM snapshot_dv_rg WHERE snapshot_id = ?""",
+                    (snapshot_id,)):
+                fid = ids.get(fn)
+                if fid is None:
+                    continue
+                self._exec(
+                    """INSERT INTO dv_rg_adjust
+                           (file_id, row_group, deleted_rows)
+                       VALUES (?, ?, ?)""", (fid, rg, n))
+            for fn, rg, c, s, nn, sq in self._query(
+                    """SELECT file_name, row_group, column_name,
+                              deleted_sum, deleted_nonnull,
+                              deleted_sumsq
+                       FROM snapshot_dv_sums WHERE snapshot_id = ?""",
+                    (snapshot_id,)):
+                fid = ids.get(fn)
+                if fid is None:
+                    continue
+                self._exec(
+                    """INSERT INTO dv_sum_adjust
+                           (file_id, row_group, column_name,
+                            deleted_sum, deleted_nonnull, deleted_sumsq)
+                       VALUES (?, ?, ?, ?, ?, ?)""",
+                    (fid, rg, c, s, nn, sq))
+
     # -- deletion vectors (merge-on-read row-level deletes) ------------
     def upsert_dv(
         self,

@@ -332,6 +332,20 @@ class DataFrameIndexCatalog:
         """Same protocol as SqliteIndexCatalog.snapshot_count."""
         return len(self._snapshots)
 
+    def restore_dvs(self, snapshot_id: int) -> None:
+        """Same protocol as SqliteIndexCatalog.restore_dvs."""
+        live = {fs.file_name for fs, _ in self._files.values()}
+        self._dv = {fn: list(rs) for fn, rs in
+                    self._snap_dv.get(snapshot_id, {}).items()
+                    if fn in live}
+        self._dv_rg = {k: v for k, v in
+                       self._snap_dv_rg.get(snapshot_id, {}).items()
+                       if k[0] in live}
+        self._dv_sums = {k: v for k, v in
+                         self._snap_dv_sums.get(snapshot_id, {}).items()
+                         if k[0] in live}
+        self._df = None
+
     def row_group_count(self, file_name: str) -> int:
         entry = self._files.get(file_name)
         if entry is None:

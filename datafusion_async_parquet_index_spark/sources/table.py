@@ -1863,6 +1863,56 @@ class IndexedParquetTable:
                         j += 1
         return out
 
+    def restore(self, snapshot_id: int) -> Dict[str, int]:
+        """RESTORE the table to a snapshot — Delta's ``RESTORE TABLE
+        ... TO VERSION`` re-expressed over the external index: the
+        indexed file set reverts to the snapshot's manifest (files
+        landed since are removed, bytes + catalog rows — they hold
+        only post-snapshot versions, so the snapshot loses nothing)
+        and the deletion-vector state reverts to the snapshot's
+        recorded copy, so rows deleted since come back and the era's
+        own deletions re-apply. O(extra files + DV rows): the
+        surviving data bytes are never touched or rewritten.
+
+        Fails LOUDLY before mutating anything when any recorded file
+        has changed or vanished (compaction rewrote it, or it was
+        deleted) — the same cannot-reconstruct contract as as-of
+        reads; raises KeyError for an unknown/expired snapshot id.
+        Idempotent and crash-resumable: the per-file removals commit
+        independently, the DV restore is one catalog transaction, and
+        a crash anywhere in between leaves a state a re-run completes
+        (the documented window — extras partially removed, newer DVs
+        still live — errs toward rows staying deleted, never
+        resurrection). Returns {"files_removed": n, "dv_files":
+        remaining-DV'd-file count}."""
+        recorded = self.catalog.snapshot_files(snapshot_id)  # KeyError
+        for name, size in recorded.items():
+            p = os.path.join(self.data_dir, name)
+            if not os.path.exists(p) or os.path.getsize(p) != size:
+                raise ValueError(
+                    f"snapshot {snapshot_id} cannot be reconstructed: "
+                    f"recorded file {name!r} changed or vanished "
+                    f"(compacted/rewritten since); nothing was "
+                    f"restored")
+        removed = 0
+        for p in list_parquet_files(
+                self.data_dir,
+                recursive=getattr(self, "partitioned", False)):
+            key = self._file_key(p)
+            if key not in recorded:
+                os.remove(p)
+                try:
+                    self.catalog.remove_file(key)
+                except Exception:
+                    pass   # never indexed (e.g. a crash-landed batch)
+                removed += 1
+        self.catalog.restore_dvs(snapshot_id)
+        self._dv_cache = None
+        self.refresh()
+        self._refresh_views()
+        return {"files_removed": removed,
+                "dv_files": len(self.catalog.get_dv_ranges())}
+
     def read_changes(self, since: int, until: int,
                      change_col: str = "_change_type") -> DataFrame:
         """CHANGE DATA FEED between two snapshots — Delta CDF /

@@ -3271,6 +3271,70 @@ def q101_snapshot_restore(spark: SparkSession, sf_dir: str
         [(n, s)], "n_total BIGINT, sum_cents BIGINT")
 
 
+def q102_incremental_join_view_from_feed(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE OF A JOIN from the
+    change feed — the IVM shape one step past q99's grouped aggregate:
+    the downstream view is a JOIN + aggregate (revenue per customer
+    nation = orders ⋈ customer dim, grouped), and mutations to the
+    fact table (merge-on-read DELETE + UPDATE between snapshots s0 and
+    s1) are folded in by joining ONLY the signed change rows with the
+    dim (inserts add, deletes subtract — the classic delta rule
+    Δ(R ⋈ D) = ΔR ⋈ D for an immutable dim). Feed cost is O(changed
+    rows ⋈ dim): the unchanged fact corpus is never rescanned and the
+    dim side broadcasts. The gate returns the fold alone; the oracle
+    recomputes the live join relationally, so the driver's hash
+    comparison is the fold ≡ recompute proof (same posture as q99)."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "dv_feed_join_view")
+    if sf_dir not in memo:
+        d = tempfile.mkdtemp(prefix="spark_graft_feedjoin_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 0)
+                        .orderBy("o_orderkey"), d, "even.parquet")
+        _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 1)
+                        .orderBy("o_orderkey"), d, "odd.parquet")
+        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                                sum_columns=["cents"])
+        s0 = t.snapshot()
+        t.delete_where((xcol("cents") % 3) == 1)
+        t.update_where((xcol("cents") % 11) == 0,
+                       {"cents": "cents + 500"})
+        s1 = t.snapshot()
+        memo[sf_dir] = (t, s0, s1)
+    t, s0, s1 = memo[sf_dir]
+    dim = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"))
+    view0 = (t.query(None, as_of=s0)
+             .join(F.broadcast(dim), "o_custkey")
+             .groupBy("nationkey")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("cents").alias("sum_cents")))
+    signed = (t.read_changes(s0, s1)
+              .select("o_custkey", "cents",
+                      F.when(F.col("_change_type") == "insert",
+                             F.lit(1)).otherwise(F.lit(-1)).alias("w")))
+    delta = (signed.join(F.broadcast(dim), "o_custkey")
+             .groupBy("nationkey")
+             .agg(F.sum("w").alias("n"),
+                  F.sum(F.col("cents") * F.col("w")).alias("sum_cents")))
+    return (view0.unionByName(delta)
+            .groupBy("nationkey")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_cents").alias("sum_cents"))
+            .filter(F.col("n") > 0)
+            .select("nationkey", F.col("n").cast("long").alias("n"),
+                    F.col("sum_cents").cast("long").alias("sum_cents"))
+            .orderBy("nationkey"))
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3374,6 +3438,8 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_incremental_agg_from_feed": q99_incremental_agg_from_feed,
     "q100_optimize_lifecycle": q100_optimize_lifecycle,
     "q101_snapshot_restore": q101_snapshot_restore,
+    "q102_incremental_join_view_from_feed":
+        q102_incremental_join_view_from_feed,
 }
 
 
@@ -4624,6 +4690,26 @@ RELATIONAL_ORACLE["q100_optimize_lifecycle"] = """
                          THEN cents + 1 ELSE cents END) AS BIGINT)
                AS sum_cents
     FROM c
+"""
+
+RELATIONAL_ORACLE["q102_incremental_join_view_from_feed"] = """
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    live AS (
+        SELECT o_custkey,
+               CASE WHEN cents % 11 = 0 THEN cents + 500
+                    ELSE cents END AS cents
+        FROM c WHERE cents % 3 <> 1
+    )
+    SELECT CAST(cu.c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(live.cents) AS BIGINT) AS sum_cents
+    FROM live JOIN customer cu ON cu.c_custkey = live.o_custkey
+    GROUP BY cu.c_nationkey
+    ORDER BY nationkey
 """
 
 RELATIONAL_ORACLE["q101_snapshot_restore"] = """

@@ -16,6 +16,35 @@ def sf_dir():
     return "/root/testdata/sf0.001"
 
 
+def test_join_view_fold_equals_live_recompute(spark, sf_dir):
+    """q102: the delta rule Δ(R ⋈ D) = ΔR ⋈ D — the fold of the signed
+    change rows joined to the dim must equal the live join recomputed
+    from the table, row for row."""
+    from datafusion_async_parquet_index_spark.operators.util import (
+        read_table,
+        session_memo,
+    )
+    from datafusion_async_parquet_index_spark.queries import (
+        q102_incremental_join_view_from_feed,
+    )
+
+    incr = q102_incremental_join_view_from_feed(spark, sf_dir)
+    t, _s0, _s1 = session_memo(spark, "dv_feed_join_view")[sf_dir]
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"))
+    direct = (t.query(None).join(F.broadcast(dim), "o_custkey")
+              .groupBy("nationkey")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("cents").cast("long").alias("sum_cents"))
+              .orderBy("nationkey"))
+    got = [(r["nationkey"], r["n"], r["sum_cents"])
+           for r in incr.collect()]
+    want = [(r["nationkey"], r["n"], r["sum_cents"])
+            for r in direct.collect()]
+    assert got == want, (got, want)
+
+
 def test_feed_fold_equals_live_recompute(spark, sf_dir):
     from datafusion_async_parquet_index_spark.queries import _dv_fixture
 

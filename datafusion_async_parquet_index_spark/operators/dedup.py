@@ -68,6 +68,13 @@ def _corpus(key, build):
 K = 24          # minhash signature length
 R = 3           # rows per band
 B = K // R      # bands
+
+# duplicate-group factorization engages when corpus_rows >=
+# DUP_FACTOR_MIN x distinct_groups: below that the extra group-level
+# joins cost more than the collapse saves (measured: sf0.1's 1.27x
+# collapse regressed 12x factorized, sf1's 12.7x improved 6-20x).
+# Both paths are exact — the cutover is a cost choice only.
+DUP_FACTOR_MIN = 2
 SIM_BITS = 60   # simhash width (hash60 budget)
 NGRAM_MOD = 25  # doc_id % NGRAM_MOD == 0 subset for exact pairwise ops
 EMB_MOD = 4     # vec_id % EMB_MOD == 0 subset for cosine pairs
@@ -148,19 +155,52 @@ def minhash_pairs(
         if docs is None:
             raise ValueError("minhash_pairs needs docs when sigs is None")
         sigs = track_cache(_minhash_signatures(docs))
-    # GROUP FACTORIZATION (exact): docs with IDENTICAL signature
-    # vectors — exact-duplicate cliques — share every band and every
-    # estimate, so banding, the candidate self-join, the distinct, and
-    # the K-column estimate join all run at the signature-GROUP level
-    # (min doc_id = group key), and only the final expansion touches
-    # per-doc pairs: identical band sets ⇒ identical candidacy,
-    # identical signatures ⇒ identical est, so the expanded pair set
-    # equals the unfactorized one exactly (intra-group pairs share all
-    # bands at est 1.0; cross-group pairs qualify per group and orient
-    # by least/greatest id). Unique-signature corpora degrade to the
-    # original cost plus one groupBy.
+    # GROUP FACTORIZATION (exact, ADAPTIVE): docs with IDENTICAL
+    # signature vectors — exact-duplicate cliques — share every band
+    # and every estimate, so banding, the candidate self-join, the
+    # distinct, and the K-column estimate join all run at the
+    # signature-GROUP level (min doc_id = group key), and only the
+    # final expansion touches per-doc pairs: identical band sets ⇒
+    # identical candidacy, identical signatures ⇒ identical est, so
+    # the expanded pair set equals the unfactorized one exactly
+    # (intra-group pairs share all bands at est 1.0; cross-group pairs
+    # qualify per group and orient by least/greatest id). The
+    # factorization only pays when duplicates actually collapse the
+    # corpus (gen_sf1's 10-cliques: 12.7×), so it engages only above a
+    # measured collapse ratio — on near-unique corpora the extra
+    # joins/groupBys cost more than they save and the direct doc-level
+    # path below serves (both paths produce the identical pair set;
+    # the cutover is purely a cost choice, like a join-strategy pick).
     scols = [f"s{i}" for i in range(K)]
-    grp = sigs.groupBy(*scols).agg(F.min("doc_id").alias("doc_id"))
+    grp = track_cache(
+        sigs.groupBy(*scols).agg(F.min("doc_id").alias("doc_id")))
+    n_docs, n_grps = sigs.count(), grp.count()
+    if n_grps * DUP_FACTOR_MIN > n_docs:
+        # little collapse: direct doc-level banding + estimate join
+        bands = _band_hashes(sigs)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                         *[F.col(f"s{i}").alias(f"a{i}")
+                           for i in range(K)])
+        sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                         *[F.col(f"s{i}").alias(f"b{i}")
+                           for i in range(K)])
+        matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1)
+                      .otherwise(0) for i in range(K))
+        return track_cache(
+            cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("_est", matches / F.lit(K))
+            .filter(F.col("_est") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round(F.col("_est"), 4).alias("est_jaccard")))
     members = (sigs.join(grp.select(*scols,
                                     F.col("doc_id").alias("gid")),
                          scols)
@@ -480,17 +520,35 @@ def verified_pairs(
             F.array_distinct(F.transform(
                 char_shingles(F.col("text")),
                 lambda s: hash60(s) % MINHASH_P)).alias("sh")))
-    # SIGNATURE FACTORIZATION (exact): docs with identical shingle
-    # SETS — the exact-duplicate cliques dedup exists to find — have
-    # identical Jaccard against everything, so the array intersect
+    # SIGNATURE FACTORIZATION (exact, ADAPTIVE): docs with identical
+    # shingle SETS — the exact-duplicate cliques dedup exists to find —
+    # have identical Jaccard against everything, so the array intersect
     # runs ONCE per distinct (set_a, set_b) pair instead of once per
     # candidate pair, and the wide pair join ships two ints per pair
     # instead of two ~200-element arrays. The sorted set is its own
     # signature; the dense id (row_number over the tiny distinct-set
     # dim — deliberately a single-partition window, deterministic and
     # collision-free, unlike a hash) keys every downstream join.
+    # Engages only above the measured DUP_FACTOR_MIN collapse — on a
+    # near-unique corpus the direct array-pair join below is cheaper;
+    # both paths return the identical rows.
     sh_sorted = sh.select("doc_id", F.sort_array("sh").alias("sh"))
-    sig_store = (sh_sorted.select("sh").distinct()
+    distinct_sets = track_cache(sh_sorted.select("sh").distinct())
+    if distinct_sets.count() * DUP_FACTOR_MIN > sh.count():
+        a = sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sh").alias("sh_b"))
+        j = cand.join(a, "doc_a").join(b, "doc_b")
+        inter_d = F.size(F.array_intersect(F.col("sh_a"),
+                                           F.col("sh_b")))
+        union_d = F.size("sh_a") + F.size("sh_b") - inter_d
+        return (
+            j.withColumn("_j", inter_d / union_d)
+            .filter(F.col("_j") >= jaccard_threshold)
+            .select("doc_a", "doc_b",
+                    F.round(F.col("_j"), 4).alias("jaccard")))
+    sig_store = (distinct_sets
                  .withColumn("sig", F.row_number().over(
                      Window.orderBy("sh")))
                  .select("sig", "sh"))
@@ -1696,6 +1754,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     l2_norm(F.col("embedding")).alias("nrm")))
 
     assigned = _corpus((spark, sf_dir, "semantic_assigned"), build)
+    grp_sem = _corpus(
+        (spark, sf_dir, "semantic_groups"),
+        lambda: track_cache(
+            assigned.groupBy("cid", "embedding", "nrm")
+            .agg(F.min("vec_id").alias("gmin"))))
+    if grp_sem.count() * DUP_FACTOR_MIN > assigned.count():
+        # little embedding collapse: the direct within-cluster pair
+        # join is cheaper than the group indirection (identical rows
+        # either way — a cost choice, like the dedup cutover)
+        a = assigned.select(F.col("vec_id").alias("u"), "cid",
+                            F.col("embedding").alias("ue"),
+                            F.col("nrm").alias("un"))
+        b = assigned.select(F.col("vec_id").alias("v"), "cid",
+                            F.col("embedding").alias("ve"),
+                            F.col("nrm").alias("vn"))
+        cos_d = F.round(dot_double(F.col("ue"), F.col("ve"))
+                        / (F.col("un") * F.col("vn")), 6)
+        pairs = (salted_join(a, b, on="cid", n_salts=8)
+                 .filter(F.col("u") < F.col("v"))
+                 .select("cid", "u", "v", cos_d.alias("cosine"))
+                 .filter(F.col("cosine") >= SEMDEDUP_TAU))
+        w2d = Window.partitionBy("v").orderBy("u")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w2d))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("dup_id"),
+                    F.col("cid").cast("bigint").alias("cluster"),
+                    F.col("u").alias("kept_id"), "cosine")
+        )
     # GROUP FACTORIZATION (exact): vectors with IDENTICAL embeddings —
     # the exact-duplicate cliques this operator exists to find — have
     # identical cosines against everything, so the within-cluster
@@ -1711,8 +1798,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-clique duplicates.) Σ cluster² pair work divides by the
     # squared clique size; unique-embedding corpora degrade to the
     # original cost plus one groupBy.
-    grp = (assigned.groupBy("cid", "embedding", "nrm")
-           .agg(F.min("vec_id").alias("gmin")))
+    grp = grp_sem
     ga = grp.select("cid", F.col("gmin").alias("u"),
                     F.col("embedding").alias("ue"),
                     F.col("nrm").alias("un"))

@@ -1,0 +1,107 @@
+"""Factorized ≡ direct equivalence for the adaptive duplicate-group
+paths (minhash_pairs banding, verified_pairs exact-Jaccard,
+dedup_semantic cosine pairs). The driver corpora at sf0.001–0.1 have
+NO duplicate collapse, so the gate sweeps exercise only the direct
+branch — these tests force BOTH branches over the same inputs (a
+clique-heavy synthetic corpus and the real sf0.001 tables) and assert
+identical rows, keeping the sf1-only factorized path from being
+test-invisible."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_async_parquet_index_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def clique_docs(spark):
+    """30 distinct texts x 10 exact copies + 50 unique tail docs:
+    text collapse ~5.6, well past DUP_FACTOR_MIN."""
+    words = ["spark", "line", "batch", "sort", "filter", "join",
+             "scan", "group", "value", "table", "hash", "query"]
+    rows = []
+    doc_id = 0
+    for u in range(30):
+        text = " ".join(words[(u * 7 + i * 3) % len(words)]
+                        for i in range(30 + u % 7))
+        for _ in range(10):
+            rows.append((doc_id, text))
+            doc_id += 1
+    for u in range(50):
+        text = " ".join(words[(u * 5 + i) % len(words)]
+                        for i in range(25 + u % 9)) + f" tail{u}"
+        rows.append((doc_id, text))
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_minhash_pairs_factorized_equals_direct(spark, clique_docs):
+    direct = D.minhash_pairs(clique_docs, threshold=0.25, collapse=1.0)
+    fact = D.minhash_pairs(clique_docs, threshold=0.25, collapse=10.0)
+    a, b = _rows(direct), _rows(fact)
+    assert a == b
+    assert len(a) >= 30 * 45   # every clique contributes all its pairs
+
+
+def test_verified_pairs_factorized_equals_direct(spark, clique_docs):
+    cand = D.minhash_pairs(clique_docs, threshold=0.25)
+    direct = D.verified_pairs(
+        clique_docs, jaccard_threshold=0.3, cand=cand, collapse=1.0)
+    fact = D.verified_pairs(
+        clique_docs, jaccard_threshold=0.3, cand=cand, collapse=10.0)
+    a, b = _rows(direct), _rows(fact)
+    assert a == b
+    # clique pairs verify at exact Jaccard 1.0
+    ones = [r for r in a if r[2] == 1.0]
+    assert len(ones) >= 30 * 45
+
+
+def test_auto_collapse_probe_picks_factorized(spark, clique_docs):
+    """Without a hint, the docs-based probe must measure the clique
+    collapse and still produce the same pairs."""
+    auto = D.minhash_pairs(clique_docs, threshold=0.25)
+    direct = D.minhash_pairs(clique_docs, threshold=0.25, collapse=1.0)
+    assert _rows(auto) == _rows(direct)
+
+
+def test_semantic_factorized_equals_direct_on_corpus(spark,
+                                                     monkeypatch):
+    """Force BOTH dedup_semantic branches over the same sf0.001 corpus
+    (singleton groups are a degenerate but valid factorization) and
+    compare. Clears the session memos so each run re-reads the forced
+    statistic."""
+    from datafusion_async_parquet_index_spark.operators.util import (
+        clear_caches,
+    )
+    sf = "/root/testdata/sf0.001"
+    key = ("emb", sf)
+    outs = {}
+    for name, forced in (("direct", 1.0), ("fact", 10.0)):
+        monkeypatch.setitem(D._COLLAPSE_STATS, key, forced)
+        clear_caches()
+        outs[name] = _rows(D.dedup_semantic(spark, sf))
+    clear_caches()
+    assert outs["direct"] == outs["fact"]
+    assert outs["direct"]   # non-empty: the corpus has near-dups
+
+
+def test_minhash_factorized_on_corpus(spark, monkeypatch):
+    """Force the factorized banding over the real sf0.001 documents
+    (singleton groups) and compare with the direct branch."""
+    from datafusion_async_parquet_index_spark.operators.util import (
+        clear_caches,
+    )
+    sf = "/root/testdata/sf0.001"
+    key = ("text", sf)
+    outs = {}
+    for name, forced in (("direct", 1.0), ("fact", 10.0)):
+        monkeypatch.setitem(D._COLLAPSE_STATS, key, forced)
+        clear_caches()
+        outs[name] = _rows(D.corpus_minhash_pairs(spark, sf, 0.25))
+    clear_caches()
+    assert outs["direct"] == outs["fact"]
+    assert outs["direct"]

@@ -102,15 +102,24 @@ def _payload_collapse(df, payload_col) -> float:
 _COLLAPSE_STATS: Dict[tuple, float] = {}
 
 
+def _corpus_collapse(spark: SparkSession, sf_dir: str,
+                     kind: str) -> float:
+    """Per-corpus duplicate-collapse statistic, computed once and kept
+    in _COLLAPSE_STATS (see its rationale). kind: 'text' (documents
+    table) or 'emb' (embeddings table)."""
+    key = (kind, sf_dir)
+    if key not in _COLLAPSE_STATS:
+        table, col = (("documents", "text") if kind == "text"
+                      else ("embeddings", "embedding"))
+        _COLLAPSE_STATS[key] = _payload_collapse(
+            read_table(spark, sf_dir, table), F.col(col))
+    return _COLLAPSE_STATS[key]
+
+
 def _corpus_text_collapse(spark: SparkSession, sf_dir: str) -> float:
     """Per-corpus exact-text duplicate collapse, shared by every
-    adaptive dedup cutover; computed once per corpus (see
-    _COLLAPSE_STATS)."""
-    key = ("text", sf_dir)
-    if key not in _COLLAPSE_STATS:
-        _COLLAPSE_STATS[key] = _payload_collapse(
-            read_table(spark, sf_dir, "documents"), F.col("text"))
-    return _COLLAPSE_STATS[key]
+    adaptive dedup cutover."""
+    return _corpus_collapse(spark, sf_dir, "text")
 SIM_BITS = 60   # simhash width (hash60 budget)
 NGRAM_MOD = 25  # doc_id % NGRAM_MOD == 0 subset for exact pairwise ops
 EMB_MOD = 4     # vec_id % EMB_MOD == 0 subset for cosine pairs
@@ -554,8 +563,13 @@ def verified_pairs(
     from pyspark.sql import Window
 
     from ..functions import MINHASH_P
+    if collapse is None and docs is not None:
+        # probe ONCE here and thread it: the minhash_pairs call below
+        # would otherwise run the identical full-corpus agg again
+        collapse = _payload_collapse(docs, F.col("text"))
     if cand is None:
-        cand = minhash_pairs(docs, threshold=candidate_threshold)
+        cand = minhash_pairs(docs, threshold=candidate_threshold,
+                             collapse=collapse)
     cand = cand.select("doc_a", "doc_b")
     # distinct HASHED shingles: integer compares in the intersect (and a
     # far smaller shuffle) instead of 5-char strings; hash collisions are
@@ -586,8 +600,6 @@ def verified_pairs(
     # cheap md5(text) probe, preferred over counting distinct shingle
     # sets here (which would serialize the shingle hashing into an
     # extra job ahead of the main one); fallbacks mirror minhash_pairs.
-    if collapse is None and docs is not None:
-        collapse = _payload_collapse(docs, F.col("text"))
     if collapse is None:
         collapse = _payload_collapse(sh, F.col("sh"))
     if collapse < DUP_FACTOR_MIN:
@@ -1816,12 +1828,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap embedding-collapse probe (md5 over the raw vector, ONE
     # narrow pass — never an extra pass over the derived assignment),
     # computed once per corpus like the text statistic
-    key = ("emb", sf_dir)
-    if key not in _COLLAPSE_STATS:
-        _COLLAPSE_STATS[key] = _payload_collapse(
-            read_table(spark, sf_dir, "embeddings"),
-            F.col("embedding"))
-    if _COLLAPSE_STATS[key] < DUP_FACTOR_MIN:
+    if _corpus_collapse(spark, sf_dir, "emb") < DUP_FACTOR_MIN:
         # little embedding collapse: the direct within-cluster pair
         # join is cheaper than the group indirection (identical rows
         # either way — a cost choice, like the dedup cutover)

@@ -2745,13 +2745,14 @@ def _stage_one_file(df, dirname: str, name: str,
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str):
-    """A fresh indexed orders table (o_orderkey, exact integer cents;
-    two deterministic files split by o_orderkey % 2, several row groups
-    each, per-row-group sums) for the deletion-vector family. Each
-    memo_key gets its OWN directory because q93/q94 mutate theirs
-    (compaction / upsert); q91/q92 share one instance with the delete
-    already applied."""
+def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str,
+                extra_cols: tuple = (), n_files: int = 2):
+    """A fresh indexed orders table (o_orderkey, exact integer cents,
+    plus ``extra_cols``; ``n_files`` deterministic files split by
+    o_orderkey % n_files, several row groups each, per-row-group sums)
+    for the deletion-vector family. Each memo_key gets its OWN
+    directory because q93/q94 mutate theirs (compaction / upsert);
+    q91/q92 share one instance with the delete already applied."""
     import tempfile
 
     from .operators.util import session_memo
@@ -2762,12 +2763,13 @@ def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str):
         return hit
     d = tempfile.mkdtemp(prefix=f"spark_graft_{memo_key}_")
     base = _read(spark, sf_dir, "orders").select(
-        "o_orderkey",
+        "o_orderkey", *extra_cols,
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-    _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 0)
-                    .orderBy("o_orderkey"), d, "even.parquet")
-    _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 1)
-                    .orderBy("o_orderkey"), d, "odd.parquet")
+    names = (["even.parquet", "odd.parquet"] if n_files == 2
+             else [f"part{i}.parquet" for i in range(n_files)])
+    for i in range(n_files):
+        _stage_one_file(base.filter(F.col("o_orderkey") % n_files == i)
+                        .orderBy("o_orderkey"), d, names[i])
     t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
                             sum_columns=["cents"])
     memo[sf_dir] = (t, base)
@@ -3234,23 +3236,12 @@ def q101_snapshot_restore(spark: SparkSession, sf_dir: str
     totals relationally: restore-to-origin means the expected answer
     IS the raw slice's aggregate. At 100 TB restore is O(extra files
     + DV rows) metadata; surviving bytes are never rewritten."""
-    import tempfile
-
     from .operators.util import session_memo
 
-    memo = session_memo(spark, "dv_restore_table")
+    t, _base = _dv_fixture(spark, sf_dir, "dv_restore_table",
+                           n_files=4)
+    memo = session_memo(spark, "dv_restore_done")
     if sf_dir not in memo:
-        d = tempfile.mkdtemp(prefix="spark_graft_restore_")
-        base = _read(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long")
-            .alias("cents"))
-        for i in range(4):
-            _stage_one_file(base.filter(F.col("o_orderkey") % 4 == i)
-                            .orderBy("o_orderkey"), d,
-                            f"part{i}.parquet")
-        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
-                                sum_columns=["cents"])
         n0 = t.count_rows()
         s0 = t.snapshot()
         ndel = t.delete_where((xcol("cents") % 5) == 2)
@@ -3261,8 +3252,7 @@ def q101_snapshot_restore(spark: SparkSession, sf_dir: str
         assert info["files_removed"] == 1   # the UPDATE's landed file
         assert info["dv_files"] == 0        # s0 predates every delete
         assert t.count_rows() == n0
-        memo[sf_dir] = t
-    t = memo[sf_dir]
+        memo[sf_dir] = True
     n = t.count_rows()
     s, nn = t.sum_rows("cents")
     assert nn == n and t.last_sum_pushdown is not None \
@@ -3285,30 +3275,19 @@ def q102_incremental_join_view_from_feed(spark: SparkSession,
     dim side broadcasts. The gate returns the fold alone; the oracle
     recomputes the live join relationally, so the driver's hash
     comparison is the fold ≡ recompute proof (same posture as q99)."""
-    import tempfile
-
     from .operators.util import session_memo
 
-    memo = session_memo(spark, "dv_feed_join_view")
+    t, _base = _dv_fixture(spark, sf_dir, "dv_feed_join_view",
+                           extra_cols=("o_custkey",))
+    memo = session_memo(spark, "dv_feed_join_done")
     if sf_dir not in memo:
-        d = tempfile.mkdtemp(prefix="spark_graft_feedjoin_")
-        base = _read(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey",
-            F.round(F.col("o_totalprice") * 100).cast("long")
-            .alias("cents"))
-        _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 0)
-                        .orderBy("o_orderkey"), d, "even.parquet")
-        _stage_one_file(base.filter(F.col("o_orderkey") % 2 == 1)
-                        .orderBy("o_orderkey"), d, "odd.parquet")
-        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
-                                sum_columns=["cents"])
         s0 = t.snapshot()
         t.delete_where((xcol("cents") % 3) == 1)
         t.update_where((xcol("cents") % 11) == 0,
                        {"cents": "cents + 500"})
         s1 = t.snapshot()
-        memo[sf_dir] = (t, s0, s1)
-    t, s0, s1 = memo[sf_dir]
+        memo[sf_dir] = (s0, s1)
+    s0, s1 = memo[sf_dir]
     dim = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").cast("long").alias("nationkey"))

@@ -1901,10 +1901,11 @@ class IndexedParquetTable:
             key = self._file_key(p)
             if key not in recorded:
                 os.remove(p)
-                try:
-                    self.catalog.remove_file(key)
-                except Exception:
-                    pass   # never indexed (e.g. a crash-landed batch)
+                # never-indexed files (a crash-landed batch) are a
+                # silent no-op in both backends; a real catalog error
+                # must surface, not strand a row pointing at removed
+                # bytes
+                self.catalog.remove_file(key)
                 removed += 1
         self.catalog.restore_dvs(snapshot_id)
         self._dv_cache = None

@@ -29,7 +29,7 @@ def test_join_view_fold_equals_live_recompute(spark, sf_dir):
     )
 
     incr = q102_incremental_join_view_from_feed(spark, sf_dir)
-    t, _s0, _s1 = session_memo(spark, "dv_feed_join_view")[sf_dir]
+    t, _base = session_memo(spark, "dv_feed_join_view")[sf_dir]
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").cast("long").alias("nationkey"))

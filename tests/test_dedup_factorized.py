@@ -61,8 +61,17 @@ def test_verified_pairs_factorized_equals_direct(spark, clique_docs):
 
 
 def test_auto_collapse_probe_picks_factorized(spark, clique_docs):
-    """Without a hint, the docs-based probe must measure the clique
-    collapse and still produce the same pairs."""
+    """Without a hint, the docs-based probe must MEASURE the clique
+    collapse (so a probe regression to 'always direct' actually fails
+    here) and still produce the same pairs."""
+    measured = D._payload_collapse(clique_docs, F.col("text"))
+    assert measured >= D.DUP_FACTOR_MIN, measured   # ~350/80 ≈ 4.4
+    # a duplicate-free corpus must measure ~1 (the direct side)
+    uniq = clique_docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" u"),
+                 F.col("doc_id").cast("string")).alias("text"))
+    assert D._payload_collapse(uniq, F.col("text")) == 1.0
     auto = D.minhash_pairs(clique_docs, threshold=0.25)
     direct = D.minhash_pairs(clique_docs, threshold=0.25, collapse=1.0)
     assert _rows(auto) == _rows(direct)

@@ -34,7 +34,77 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 9 WINDOW (scripts/next_window.py output, start of r9) =
+    # == ROUND 10 WINDOW (scripts/next_window.py output, start of
+    # r10) ============================================================
+    # tier 0 (unresolved reds): none — CORRECTNESS_r09 was 50/50 green.
+    # tier 1: the 2 round-9 landings never driver-proven — RESTORE and
+    #   join-view IVM (VERDICT r9 ask #1) — plus the round-10 landings
+    #   (append verb, real-BMP decode) inserted here as they land so
+    #   the one-generation lag never recurs.
+    # tier 2: stalest driver greens first — the r6-green entries
+    #   displaced from the r9 window, then the oldest r7 greens
+    #   (q1–q5, also re-pinned every run by tests/test_golden_parity).
+    "q101_snapshot_restore",
+    "q102_incremental_join_view_from_feed",
+    "q103_append",
+    "mm_decode_pixel_stats",
+    # -- tier 2 (r6-stale) ------------------------------------------
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_incremental_persisted",
+    "dedup_stream_incremental",
+    "dedup_embedding_lsh",
+    "dedup_containment",
+    "dedup_keep_policy",
+    "dedup_minhash_quality",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivf_nprobe_topk",
+    "sim_ivf_layout_topk",
+    "sim_sq_topk",
+    "sim_ivfpq_layout_topk",
+    "sim_recall_report",
+    "emb_label_centroids",
+    "ev_tumbling_agg",
+    "ev_sliding_agg",
+    "ev_sessionize",
+    "ev_type_funnel",
+    "ev_cms_user_counts",
+    "ev_json_extract",
+    "ev_retention",
+    "ev_anomaly",
+    "ev_interval_join",
+    "ev_stream_tumbling",
+    "ev_stream_sessionize",
+    "mm_metadata_extract",
+    "mm_frame_sample_stats",
+    "mm_modality_stats",
+    "mm_resize_stats",
+    "text_pii_scrub",
+    "text_domain_mixture",
+    "dedup_substring_ngram",
+    "text_quality_buckets",
+    "text_winnow_fingerprint",
+    "dedup_contamination",
+    "text_repetition_stats",
+    "text_gopher_filter",
+    # -- tier 2 (r7-stale) ------------------------------------------
+    "q1_select_limit",
+    "q2_point_equality",
+    "q3_or_range_agg",
+    "q4_and_mixed_columns",
+    # (window full at 50 here; q5_contradictory_and displaced by the
+    #  two round-10 landings — its zero-I/O behavior is re-pinned by
+    #  the golden-parity suite every test run.)
+    # ROUND-11 PLAN: run `python scripts/next_window.py` at round
+    # start.  Expected tier 1: any round-10 landings never
+    # driver-proven; tier 2: q5 + the remaining r7 greens, stalest
+    # first.
+    # == ROUND 9 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r08 was 50/50 green.
     # tier 1: the 5 round-8 landings never driver-proven — UPDATE, CDF,
     #   feed-maintained aggregates, OPTIMIZE lifecycle, ANN-under-DML

@@ -3249,7 +3249,11 @@ def q101_snapshot_restore(spark: SparkSession, sf_dir: str
                               {"cents": "cents + 11"})
         assert ndel > 0 and nupd > 0 and t.count_rows() < n0
         info = t.restore(s0)
-        assert info["files_removed"] == 1   # the UPDATE's landed file
+        # >= 1: the UPDATE landed at least one post-snapshot file; the
+        # exact count is _land_batch's partitioning choice, not part of
+        # restore()'s contract (ADVICE r9) — the count/DV/pushdown
+        # invariants below pin the actual restore semantics
+        assert info["files_removed"] >= 1
         assert info["dv_files"] == 0        # s0 predates every delete
         assert t.count_rows() == n0
         memo[sf_dir] = True

@@ -519,7 +519,19 @@ class SqliteIndexCatalog:
                        snapshot_id INTEGER NOT NULL,
                        file_name TEXT NOT NULL,
                        file_size_bytes INTEGER NOT NULL,
+                       mtime_ns INTEGER,
+                       footer_md5 TEXT,
                        PRIMARY KEY (snapshot_id, file_name))""")
+            existing_snap = self._existing_columns("catalog_snapshots")
+            for col_name, col_t in (("mtime_ns", "INTEGER"),
+                                    ("footer_md5", "TEXT")):
+                if col_name not in existing_snap:
+                    # persisted catalog whose snapshots predate the
+                    # content discriminators; NULL = unknown, the
+                    # reconstruction check falls back to size-only for
+                    # those rows (the old convention)
+                    self._exec(f"ALTER TABLE catalog_snapshots "
+                               f"ADD COLUMN {col_name} {col_t}")
             # deletion-vector extension (merge-on-read row-level
             # deletes): per file, the sorted row positions (file-scoped
             # row_index, range-compressed JSON [[start, length], ...])
@@ -1111,14 +1123,20 @@ class SqliteIndexCatalog:
         """Record the CURRENT indexed file set as the next numbered
         snapshot and return its id. Monotonic ids, no wall clock —
         deterministic and replayable. The snapshot is pure metadata
-        (name + size per file): O(files) tiny rows, written in one
-        transaction next to the stats it freezes."""
+        per file — name + size plus the content discriminators
+        (mtime_ns, footer_md5) the live catalog already tracks, so
+        reconstruction checks can refuse a same-size rewrite, not just
+        a resize: O(files) tiny rows, written in one transaction next
+        to the stats it freezes."""
         with self._txn():
             # MAX over meta INCLUDING tombstones: ids are never reused
             sid = self._query(
                 "SELECT COALESCE(MAX(snapshot_id), 0) + 1 "
                 "FROM catalog_snapshot_meta")[0][0]
-            files = self.all_files()
+            files = self._query(
+                """SELECT file_name, file_size_bytes, mtime_ns,
+                          footer_md5
+                   FROM file_statistics ORDER BY file_name""")
             self._exec(
                 "INSERT INTO catalog_snapshot_meta "
                 "(snapshot_id, file_count) VALUES (?, ?)",
@@ -1126,9 +1144,11 @@ class SqliteIndexCatalog:
             if files:
                 self._execmany(
                     """INSERT INTO catalog_snapshots
-                           (snapshot_id, file_name, file_size_bytes)
-                       VALUES (?, ?, ?)""",
-                    [(sid, name, size) for name, size, _, _ in files])
+                           (snapshot_id, file_name, file_size_bytes,
+                            mtime_ns, footer_md5)
+                       VALUES (?, ?, ?, ?, ?)""",
+                    [(sid, name, size, mt, md5)
+                     for name, size, mt, md5 in files])
             # freeze the deletion-vector state too: deletes change
             # results without changing any file size, so the file-set
             # manifest alone cannot represent them — the snapshot
@@ -1442,6 +1462,42 @@ class SqliteIndexCatalog:
             """SELECT file_name, file_size_bytes FROM catalog_snapshots
                WHERE snapshot_id = ?""", (snapshot_id,))
         return {name: size for name, size in rows}
+
+    def snapshot_manifest(
+        self, snapshot_id: int
+    ) -> Dict[str, Tuple[int, Optional[int], Optional[str]]]:
+        """{file_name: (file_size_bytes, mtime_ns-or-None,
+        footer_md5-or-None)} recorded at snapshot time — the
+        content-aware manifest reconstruction checks compare with the
+        same size → footer_md5 → mtime_ns precedence upsert_file's DV
+        retention uses (a same-size rewrite must refuse, an
+        identical-content replace must pass). NULL discriminators
+        (pre-migration snapshots) fall back to size-only. Raises
+        KeyError for unknown/expired ids, same as snapshot_files."""
+        meta = self._query(
+            "SELECT file_count FROM catalog_snapshot_meta "
+            "WHERE snapshot_id = ?", (snapshot_id,))
+        if not meta:
+            raise KeyError(f"unknown snapshot id {snapshot_id}")
+        if meta[0][0] < 0:
+            raise KeyError(f"snapshot id {snapshot_id} has been expired")
+        rows = self._query(
+            """SELECT file_name, file_size_bytes, mtime_ns, footer_md5
+               FROM catalog_snapshots WHERE snapshot_id = ?""",
+            (snapshot_id,))
+        return {name: (size, mt, md5) for name, size, mt, md5 in rows}
+
+    def file_identity(
+        self,
+    ) -> Dict[str, Tuple[int, Optional[int], Optional[str]]]:
+        """{file_name: (file_size_bytes, mtime_ns-or-None,
+        footer_md5-or-None)} for the LIVE catalog — the current side
+        of the snapshot reconstruction comparison."""
+        return {name: (size, mt, md5) for name, size, mt, md5
+                in self._query(
+                    """SELECT file_name, file_size_bytes, mtime_ns,
+                              footer_md5
+                       FROM file_statistics""")}
 
     # -- introspection -------------------------------------------------
     def all_files(self) -> List[Tuple[str, int, int, int]]:

@@ -78,9 +78,11 @@ class DataFrameIndexCatalog:
         self._snap_dv: Dict[int, Dict[str, list]] = {}
         self._snap_dv_rg: Dict[int, Dict[Tuple[str, int], int]] = {}
         self._snap_dv_sums: Dict[int, Dict[Tuple[str, int, str], tuple]] = {}
-        # snapshot_id -> {file_name: file_size_bytes} (time travel);
-        # the seq counter never rewinds, so expired ids are not reused
-        self._snapshots: Dict[int, Dict[str, int]] = {}
+        # snapshot_id -> {file_name: (size, mtime_ns, footer_md5)}
+        # (time travel; the content discriminators let reconstruction
+        # checks refuse same-size rewrites); the seq counter never
+        # rewinds, so expired ids are not reused
+        self._snapshots: Dict[int, Dict[str, tuple]] = {}
         self._snapshot_seq = 0
         # file_name -> {row_group: {column: (entries, rest, kth)}}
         self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
@@ -211,7 +213,8 @@ class DataFrameIndexCatalog:
         self._snapshot_seq += 1
         sid = self._snapshot_seq
         self._snapshots[sid] = {
-            fs.file_name: fs.file_size_bytes
+            fs.file_name: (fs.file_size_bytes, fs.mtime_ns,
+                           fs.footer_md5)
             for fs, _ in self._files.values()}
         self._snap_dv[sid] = {fn: list(rs) for fn, rs in self._dv.items()}
         self._snap_dv_rg[sid] = dict(self._dv_rg)
@@ -233,7 +236,21 @@ class DataFrameIndexCatalog:
         """Same protocol as SqliteIndexCatalog.snapshot_files."""
         if snapshot_id not in self._snapshots:
             raise KeyError(f"unknown snapshot id {snapshot_id}")
+        return {name: ident[0] for name, ident
+                in self._snapshots[snapshot_id].items()}
+
+    def snapshot_manifest(self, snapshot_id: int):
+        """Same protocol as SqliteIndexCatalog.snapshot_manifest:
+        {file_name: (size, mtime_ns, footer_md5)}."""
+        if snapshot_id not in self._snapshots:
+            raise KeyError(f"unknown snapshot id {snapshot_id}")
         return dict(self._snapshots[snapshot_id])
+
+    def file_identity(self):
+        """Same protocol as SqliteIndexCatalog.file_identity."""
+        return {fs.file_name: (fs.file_size_bytes, fs.mtime_ns,
+                               fs.footer_md5)
+                for fs, _ in self._files.values()}
 
     def get_topk(self, column: str):
         """{(file_name, row_group): (entries, rest_rows, kth_count)} —

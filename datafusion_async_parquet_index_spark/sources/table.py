@@ -413,22 +413,51 @@ class IndexedParquetTable:
         immutable-file lakehouse convention (writers add and remove
         whole files, never mutate them) every snapshot of live files
         stays serveable forever at O(files) metadata per snapshot.
-        Change detection is SIZE-based, deliberately matching
-        refresh()'s own short-circuit: an in-place rewrite that
-        preserves the exact byte size evades both (and every other
-        consumer of the catalog) — the convention makes that safe;
-        rewriting files in place voids the whole index, not just
-        snapshots."""
+        Change detection is CONTENT-aware: the manifest records the
+        catalog's (size, mtime_ns, footer_md5) per file and
+        reconstruction checks compare with the same size → footer_md5
+        → mtime_ns precedence upsert_file's DV retention uses — a
+        same-size rewrite (different footer bytes) refuses loudly
+        instead of serving the recorded deletion vectors against a
+        new row layout, while an identical-content replace (fresh
+        mtime, same bytes) keeps serving."""
         return self.catalog.create_snapshot()
+
+    @staticmethod
+    def _identity_changed(
+        recorded: tuple, current: Optional[tuple]
+    ) -> bool:
+        """True when two (size, mtime_ns, footer_md5) identities say
+        the file's BYTES changed (or it vanished: current None) —
+        size → footer_md5 → mtime_ns precedence, the exact
+        DV-retention rule upsert_file implements (catalog.py): size
+        differs → changed; md5 known on both sides → content decides;
+        else mtime decides when both known (conservative: a legacy row
+        with a fresh mtime refuses loudly rather than risk serving
+        stale positions); else size-only (the pre-migration
+        convention)."""
+        if current is None:
+            return True
+        if recorded[0] != current[0]:
+            return True
+        if recorded[2] is not None and current[2] is not None:
+            return recorded[2] != current[2]
+        return (recorded[1] is not None and current[1] is not None
+                and recorded[1] != current[1])
 
     def _snapshot_guard(self, as_of: int) -> Dict[str, int]:
         """The snapshot's {file: size}, after verifying every recorded
-        file is still indexed unchanged — raises otherwise (loud
-        failure, never a silently different answer)."""
-        snap = self.catalog.snapshot_files(as_of)
-        current = {f[0]: f[1] for f in self.catalog.all_files()}
-        broken = sorted(n for n, sz in snap.items()
-                        if current.get(n) != sz)
+        file is still indexed with UNCHANGED CONTENT — raises otherwise
+        (loud failure, never a silently different answer). The
+        comparison is manifest-vs-live-catalog identity
+        (size → footer_md5 → mtime_ns), so a same-size rewrite that a
+        refresh() re-indexed since the snapshot refuses here instead of
+        anti-filtering the new layout's bytes with the snapshot's
+        recorded deletion-vector positions."""
+        snap = self.catalog.snapshot_manifest(as_of)
+        current = self.catalog.file_identity()
+        broken = sorted(n for n, ident in snap.items()
+                        if self._identity_changed(ident, current.get(n)))
         if broken:
             raise ValueError(
                 f"snapshot {as_of} is no longer reconstructable: "
@@ -438,7 +467,7 @@ class IndexedParquetTable:
         # serve with the recorded vectors (time travel stays exact
         # under DML; no refusal needed). The file-set check above still
         # guards the bytes the positions refer to.
-        return snap
+        return {n: ident[0] for n, ident in snap.items()}
 
     def _snapshot_filter(
         self, as_of: int, survivors: Dict[str, List[int]]
@@ -452,15 +481,19 @@ class IndexedParquetTable:
         {"added": [...], "removed": [...], "changed": [...]} file
         names, O(files) metadata — the incremental-read manifest of a
         Delta/Iceberg-style `readChangeFeed`, derived purely from the
-        catalog."""
-        base_files = self.catalog.snapshot_files(base)
-        tgt = (self.catalog.snapshot_files(target) if target is not None
-               else {f[0]: f[1] for f in self.catalog.all_files()})
+        catalog. "changed" is content-judged (size → footer_md5 →
+        mtime_ns identity), so a same-size in-place rewrite between the
+        eras is classified as changed — read_delta then refuses it —
+        instead of passing as identical."""
+        base_files = self.catalog.snapshot_manifest(base)
+        tgt = (self.catalog.snapshot_manifest(target)
+               if target is not None else self.catalog.file_identity())
         return {
             "added": sorted(n for n in tgt if n not in base_files),
             "removed": sorted(n for n in base_files if n not in tgt),
             "changed": sorted(n for n in tgt
-                              if n in base_files and tgt[n] != base_files[n]),
+                              if n in base_files and self._identity_changed(
+                                  base_files[n], tgt[n])),
         }
 
     def read_delta(self, base: int, target: Optional[int] = None,
@@ -484,15 +517,17 @@ class IndexedParquetTable:
             return self.spark.createDataFrame([], self._schema)
         if target is not None:
             # explicit historical target: the added files are read from
-            # DISK NOW, so each must still be indexed at the size the
-            # target snapshot recorded — otherwise a later in-place
-            # rewrite would silently serve rows that were never the
+            # DISK NOW, so each must still be indexed with the CONTENT
+            # the target snapshot recorded (size → footer_md5 →
+            # mtime_ns identity) — otherwise a later in-place rewrite
+            # would silently serve rows that were never the
             # base→target delta (the snapshot manifests alone cannot
             # see it: the file is identical across base-vs-target)
-            tgt = self.catalog.snapshot_files(target)
-            current = {f[0]: f[1] for f in self.catalog.all_files()}
+            tgt = self.catalog.snapshot_manifest(target)
+            current = self.catalog.file_identity()
             broken = sorted(n for n in delta["added"]
-                            if current.get(n) != tgt[n])
+                            if self._identity_changed(tgt[n],
+                                                      current.get(n)))
             if broken:
                 raise ValueError(
                     f"delta of snapshots {base}->{target} is no longer "
@@ -1885,10 +1920,29 @@ class IndexedParquetTable:
         still live — errs toward rows staying deleted, never
         resurrection). Returns {"files_removed": n, "dv_files":
         remaining-DV'd-file count}."""
-        recorded = self.catalog.snapshot_files(snapshot_id)  # KeyError
-        for name, size in recorded.items():
+        # KeyError for unknown/expired ids. The pre-mutation check runs
+        # against the DISK (restore is the one verb that consults bytes
+        # directly before touching them) with the same size →
+        # footer_md5 → mtime_ns precedence as live DV retention: a
+        # same-size rewrite perturbs the parquet footer, so the
+        # recorded md5 refuses it LOUDLY before restore_dvs would
+        # re-apply the snapshot's positional vectors to bytes with a
+        # different row layout; an identical-content replace (fresh
+        # mtime, same bytes) restores fine. The md5 probe is O(64 KiB)
+        # per recorded file and only runs when sizes already match.
+        recorded = self.catalog.snapshot_manifest(snapshot_id)
+        for name, (size, mt, md5) in sorted(recorded.items()):
             p = os.path.join(self.data_dir, name)
-            if not os.path.exists(p) or os.path.getsize(p) != size:
+            st = os.stat(p) if os.path.exists(p) else None
+            if st is None or st.st_size != size:
+                changed = True
+            elif md5 is not None:
+                changed = _stats._footer_md5(p, st.st_size) != md5
+            elif mt is not None:
+                changed = st.st_mtime_ns != mt
+            else:
+                changed = False   # pre-migration row: size-only
+            if changed:
                 raise ValueError(
                     f"snapshot {snapshot_id} cannot be reconstructed: "
                     f"recorded file {name!r} changed or vanished "

@@ -40,6 +40,10 @@ Verbs:
         Row-level UPDATE (merge-on-read): new versions land as one
         file, old versions become deletion vectors. Prints the count.
 
+    append DIR --columns a,b SOURCE --catalog path.db
+        INSERT: read rows from SOURCE (a parquet file or directory),
+        land them as new data file(s) and index them. Prints the count.
+
     changes DIR --columns a,b SINCE UNTIL --catalog path.db
         Change data feed between two snapshot ids: every row inserted
         or deleted, tagged in _change_type.
@@ -138,6 +142,10 @@ def main(argv=None) -> int:
     dl = sub.add_parser("delete")
     common(dl)
     dl.add_argument("where", help="SQL WHERE clause selecting rows to delete")
+    ap = sub.add_parser("append")
+    common(ap)
+    ap.add_argument("source",
+                    help="parquet file or directory to read rows from")
     up = sub.add_parser("update")
     common(up)
     up.add_argument("where", help="SQL WHERE clause selecting rows to update")
@@ -161,7 +169,7 @@ def main(argv=None) -> int:
                     help="pack files smaller than this many MB")
 
     args = p.parse_args(argv)
-    if args.verb in ("snapshot", "delete", "update", "changes",
+    if args.verb in ("snapshot", "delete", "update", "append", "changes",
                      "compact", "optimize", "restore") and not args.catalog:
         # refuse BEFORE starting Spark / indexing anything
         print(f"{args.verb} without --catalog is useless "
@@ -211,6 +219,10 @@ def main(argv=None) -> int:
         n = t.delete_where(parse_predicate(args.where))
         print(f"deleted {n} rows "
               f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
+    elif args.verb == "append":
+        n = t.append(t.spark.read.parquet(args.source))
+        print(f"appended {n} rows "
+              f"({len(t.catalog.all_files())} files indexed)")
     elif args.verb == "update":
         from .plans.sql_predicate import parse_predicate
         assigns = {}

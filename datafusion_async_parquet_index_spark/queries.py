@@ -3318,6 +3318,46 @@ def q102_incremental_join_view_from_feed(spark: SparkSession,
             .orderBy("nationkey"))
 
 
+def q103_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLIC INSERT (``table.append``, sources/table.py — the verb
+    completing the DML set; the reference's own maintenance entry
+    point IS ingest, index.rs:179): a 2-file orders table snapshots
+    s0, appends a derived batch (every cents % 9 = 4 row re-keyed
+    +100M with cents + 7) through the staged land + refresh protocol,
+    and the asserts pin (a) append() returns the exact batch size,
+    (b) the change feed s0→s1 shows exactly those rows as inserts and
+    nothing else, (c) the post-append COUNT/SUM still fold purely from
+    the catalog (the landed file got fresh per-row-group sums). The
+    oracle recomputes base + batch totals relationally. At 100 TB
+    ingest is O(batch) write + O(new files) footer reads; existing
+    files and their statistics are untouched."""
+    from .operators.util import session_memo
+
+    t, base = _dv_fixture(spark, sf_dir, "dv_table_append")
+    memo = session_memo(spark, "dv_append_done")
+    if sf_dir not in memo:
+        n0 = t.count_rows()
+        s0 = t.snapshot()
+        batch = base.filter((F.col("cents") % 9) == 4).select(
+            (F.col("o_orderkey") + F.lit(100_000_000).cast("long"))
+            .alias("o_orderkey"),
+            (F.col("cents") + 7).alias("cents"))
+        n_ins = t.append(batch)
+        assert n_ins > 0 and t.count_rows() == n0 + n_ins
+        s1 = t.snapshot()
+        feed = t.read_changes(s0, s1).groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+        assert [(r["_change_type"], r["n"]) for r in feed] \
+            == [("insert", n_ins)]
+        memo[sf_dir] = True
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert nn == n and t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n, s)], "n_total BIGINT, sum_cents BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3423,6 +3463,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_snapshot_restore": q101_snapshot_restore,
     "q102_incremental_join_view_from_feed":
         q102_incremental_join_view_from_feed,
+    "q103_append": q103_append,
 }
 
 
@@ -4703,6 +4744,20 @@ RELATIONAL_ORACLE["q101_snapshot_restore"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM c
+"""
+
+RELATIONAL_ORACLE["q103_append"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST((SELECT COUNT(*) FROM c)
+                + (SELECT COUNT(*) FROM c WHERE cents % 9 = 4)
+                AS BIGINT) AS n_total,
+           CAST((SELECT SUM(cents) FROM c)
+                + COALESCE((SELECT SUM(cents + 7) FROM c
+                            WHERE cents % 9 = 4), 0)
+                AS BIGINT) AS sum_cents
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

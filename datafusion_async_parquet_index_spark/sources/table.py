@@ -1713,6 +1713,53 @@ class IndexedParquetTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return landed
 
+    def append(self, batch: DataFrame) -> int:
+        """INSERT — the public ingest verb (Delta's ``INSERT INTO`` /
+        the reference's own maintenance entry point, index.rs:179):
+        land ``batch`` as new data file(s) via the same staged
+        ``_land_batch`` protocol every DML verb uses, then refresh()
+        indexes them — fresh exact statistics, visible to every
+        catalog-driven surface atomically at the refresh. Returns the
+        number of rows appended.
+
+        Schema contract: ``batch`` must carry exactly the table's
+        columns (any order; they are realigned) — a missing or extra
+        column raises before anything lands. Empty batches land
+        nothing and return 0.
+
+        Failure posture (same as merge_upsert's first half): a crash
+        after the land but before refresh() leaves the file on disk
+        uncataloged — invisible until the next refresh(), which
+        completes the append; rows are never silently lost. Plain
+        INSERT has no delete step, so there is no duplicate window —
+        but a caller-level RETRY of a crashed append is a second
+        insert (standard non-idempotent INSERT semantics; use
+        merge_upsert for idempotent ingest by key). At 100 TB the cost
+        is O(batch) write + O(new files) footer reads; existing files
+        and their statistics are untouched. On hive layouts the batch
+        lands partition-aware (one file per touched partition
+        directory)."""
+        if self._schema is not None:
+            want = [f.name for f in self._schema.fields]
+            have = set(batch.columns)
+            missing = sorted(set(want) - have)
+            extra = sorted(have - set(want))
+            if missing or extra:
+                raise ValueError(
+                    f"append batch schema mismatch: missing {missing}, "
+                    f"unexpected {extra} (table columns: {want})")
+            batch = batch.select(*want)
+        landed = self._land_batch(batch, "insert")
+        import pyarrow.parquet as _pq
+        n_ins = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
+        if not n_ins:
+            for p in landed:
+                os.remove(p)
+            return 0
+        self.refresh()
+        self._refresh_views()
+        return n_ins
+
     def merge_upsert(self, updates: DataFrame,
                      key_column: str) -> Tuple[int, int]:
         """MERGE (upsert) by key: land the updates as ONE new file,

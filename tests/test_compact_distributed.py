@@ -137,3 +137,68 @@ def test_orphan_staging_tmp_cleaned_on_refresh(spark, tmp_path):
     # DV intact, reads exact
     assert t.catalog.get_dv_ranges()
     assert t.count_rows() == 90
+
+
+# -- OPTIMIZE bin staging runs concurrently (VERDICT r9 ask #3) -------
+
+def test_optimize_many_bins_concurrent_staging(spark, tmp_path):
+    """Many bins (several per directory AND across hive partitions)
+    stage as concurrent Spark jobs; the packed result must be exactly
+    the sequential semantics — every row present once, per-partition
+    pack files, sources gone, fresh stats folding COUNT/SUM purely
+    from the catalog."""
+    d = str(tmp_path / "manybins")
+    base = spark.range(3_000).select(
+        (F.col("id") % 3).cast("long").alias("p"),
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 13 % 997).cast("long").alias("v"))
+    for p in range(3):
+        pd_dir = os.path.join(d, f"p={p}")
+        os.makedirs(pd_dir)
+        for i in range(4):
+            _one_file(base.filter((F.col("p") == p)
+                                  & (F.col("k") % 4 == i))
+                      .drop("p").orderBy("k"), pd_dir, f"s{i}.parquet")
+    t = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"],
+                            partitioned=True)
+    n0, (s0, _) = t.count_rows(), t.sum_rows("v")
+    # tiny target forces 2 files per bin -> 2 bins per partition dir =
+    # 6 bins total, staged by the thread pool
+    sizes = [f[1] for f in t.catalog.all_files()]
+    target = 2 * max(sizes) + 1
+    packed = t.compact_small_files(target_bytes=target,
+                                   max_concurrent_bins=4)
+    assert packed == 6
+    names = sorted(f[0] for f in t.catalog.all_files())
+    assert names == sorted(
+        f"p={p}/pack_{i:06d}.parquet" for p in range(3) for i in (0, 1))
+    assert t.count_rows() == n0
+    s1, nn = t.sum_rows("v")
+    assert (s1, nn) == (s0, n0)
+    # no staging leftovers anywhere
+    leftovers = [os.path.join(dp, f)
+                 for dp, _, fs in os.walk(d) for f in fs
+                 if f.endswith((".pack.tmp", ".pack.intent"))
+                 or f.startswith("_stage_")]
+    assert leftovers == []
+
+
+def test_orphan_pack_tmp_cleaned_on_refresh(spark, tmp_path):
+    """A crash between the concurrent staging fan-out and the commit
+    loop leaves .pack.tmp dotfiles; recovery must drop them (sources +
+    catalog stay authoritative; the pack is re-stageable)."""
+    d = str(tmp_path / "orphanpack")
+    os.makedirs(d)
+    df = spark.range(100).select(F.col("id").cast("long").alias("k"))
+    _one_file(df.filter(F.col("k") < 50), d, "a.parquet")
+    _one_file(df.filter(F.col("k") >= 50), d, "b.parquet")
+    t = IndexedParquetTable(spark, d, ["k"])
+    orphan = os.path.join(d, ".pack_000000.parquet.pack.tmp")
+    with open(orphan, "wb") as fh:
+        fh.write(b"staged-but-never-committed")
+    t.refresh()
+    assert not os.path.exists(orphan)
+    assert t.count_rows() == 100
+    assert t.compact_small_files(target_bytes=1 << 30) == 1
+    assert [f[0] for f in t.catalog.all_files()] == ["pack_000000.parquet"]
+    assert t.count_rows() == 100

@@ -98,8 +98,28 @@ def _payload_collapse(df, payload_col) -> float:
 # clear_caches(): the cold-bench tripwire exists to expose hidden
 # recomputation of DATA, and re-deriving a scalar statistic per query
 # would charge every dedup entry a full corpus text pass that a real
-# system computes once at ingest.
+# system computes once at ingest. Keyed by CONTENT IDENTITY — the
+# table file's (size, mtime_ns), the artifact_dir fingerprint recipe —
+# not path alone (ADVICE r9): a corpus regenerated in place at the
+# same path re-derives the statistic instead of keeping the stale
+# ratio for the rest of the process. Either path is exact regardless
+# (the cutover is cost-only), so a stale entry under the OLD key is
+# dead weight, never a wrong answer.
 _COLLAPSE_STATS: Dict[tuple, float] = {}
+
+
+def _collapse_key(sf_dir: str, kind: str) -> tuple:
+    """Cache key for _COLLAPSE_STATS: (kind, path, content identity)
+    where identity is the table file's (size, mtime_ns) — None for
+    non-local layouts, which degrade to path-keyed."""
+    table = "documents" if kind == "text" else "embeddings"
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        ident = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        ident = None
+    return (kind, sf_dir, ident)
 
 
 def _corpus_collapse(spark: SparkSession, sf_dir: str,
@@ -107,10 +127,10 @@ def _corpus_collapse(spark: SparkSession, sf_dir: str,
     """Per-corpus duplicate-collapse statistic, computed once and kept
     in _COLLAPSE_STATS (see its rationale). kind: 'text' (documents
     table) or 'emb' (embeddings table)."""
-    key = (kind, sf_dir)
+    table, col = (("documents", "text") if kind == "text"
+                  else ("embeddings", "embedding"))
+    key = _collapse_key(sf_dir, kind)
     if key not in _COLLAPSE_STATS:
-        table, col = (("documents", "text") if kind == "text"
-                      else ("embeddings", "embedding"))
         _COLLAPSE_STATS[key] = _payload_collapse(
             read_table(spark, sf_dir, table), F.col(col))
     return _COLLAPSE_STATS[key]

@@ -2321,7 +2321,20 @@ class IndexedParquetTable:
                 TypeError, ValueError) as e:
             # Arrow→Spark conversion gaps (unsupported arrow type /
             # value mapping) — the only demotion class besides the
-            # byte cap; anything else raises
+            # byte cap. TypeError/ValueError are demoted ONLY when the
+            # message reads as a conversion gap: createDataFrame also
+            # raises them for genuine driver bugs (schema/column-count
+            # mismatch against the plan's own schema), and masking
+            # those as a perf fallback hides the bug while the
+            # distributed reader gives a different answer (ADVICE r9).
+            msg = str(e).lower()
+            conversion_gap = isinstance(
+                e, (pa.ArrowInvalid, pa.ArrowNotImplementedError)
+            ) or any(k in msg for k in (
+                "not supported", "unsupported", "not implemented",
+                "cannot convert", "conversion"))
+            if not conversion_gap:
+                raise
             logging.getLogger(__name__).warning(
                 "driver-side boundary read demoted to the distributed "
                 "reader: %s", e)

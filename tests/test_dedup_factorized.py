@@ -7,6 +7,8 @@ clique-heavy synthetic corpus and the real sf0.001 tables) and assert
 identical rows, keeping the sf1-only factorized path from being
 test-invisible."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -87,7 +89,7 @@ def test_semantic_factorized_equals_direct_on_corpus(spark,
         clear_caches,
     )
     sf = "/root/testdata/sf0.001"
-    key = ("emb", sf)
+    key = D._collapse_key(sf, "emb")
     outs = {}
     for name, forced in (("direct", 1.0), ("fact", 10.0)):
         monkeypatch.setitem(D._COLLAPSE_STATS, key, forced)
@@ -105,7 +107,7 @@ def test_minhash_factorized_on_corpus(spark, monkeypatch):
         clear_caches,
     )
     sf = "/root/testdata/sf0.001"
-    key = ("text", sf)
+    key = D._collapse_key(sf, "text")
     outs = {}
     for name, forced in (("direct", 1.0), ("fact", 10.0)):
         monkeypatch.setitem(D._COLLAPSE_STATS, key, forced)
@@ -114,3 +116,32 @@ def test_minhash_factorized_on_corpus(spark, monkeypatch):
     clear_caches()
     assert outs["direct"] == outs["fact"]
     assert outs["direct"]
+
+
+def test_collapse_stat_rederived_on_corpus_regeneration(spark, tmp_path):
+    """ADVICE r9: a corpus regenerated IN PLACE at the same path must
+    re-derive the collapse statistic — the cache is keyed by the table
+    file's (size, mtime_ns) content identity, not path alone."""
+    import shutil
+
+    d = str(tmp_path / "regen")
+    os.makedirs(d)
+    dup = spark.createDataFrame(
+        [(i, "same payload") for i in range(40)], "doc_id LONG, text STRING")
+    dup.coalesce(1).write.mode("overwrite").parquet(d + "_tmp")
+    part = next(f for f in sorted(os.listdir(d + "_tmp"))
+                if f.endswith(".parquet"))
+    os.replace(os.path.join(d + "_tmp", part),
+               os.path.join(d, "documents.parquet"))
+    shutil.rmtree(d + "_tmp")
+    assert D._corpus_collapse(spark, d, "text") == 40.0
+    # regenerate in place: all-distinct now
+    uniq = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(40)], "doc_id LONG, text STRING")
+    uniq.coalesce(1).write.mode("overwrite").parquet(d + "_tmp")
+    part = next(f for f in sorted(os.listdir(d + "_tmp"))
+                if f.endswith(".parquet"))
+    os.replace(os.path.join(d + "_tmp", part),
+               os.path.join(d, "documents.parquet"))
+    shutil.rmtree(d + "_tmp")
+    assert D._corpus_collapse(spark, d, "text") == 1.0

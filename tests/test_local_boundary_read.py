@@ -84,3 +84,36 @@ def test_dv_parity_local_vs_datasource(boundary_table):
     got = sorted(r["k"] for r in
                  t.query(pred, mode="rowgroups").collect())
     assert got == sorted(live)
+
+
+def test_genuine_driver_bug_raises_not_demotes(boundary_table,
+                                               monkeypatch):
+    """ADVICE r9: createDataFrame's TypeError/ValueError can mean a
+    GENUINE driver bug (schema/column mismatch), not an Arrow
+    conversion gap — those must surface, not hide behind the perf
+    fallback."""
+    t, _ = boundary_table
+
+    def boom(*a, **kw):
+        raise ValueError("Length mismatch: Expected axis has 2 "
+                         "elements, new values have 3 elements")
+    monkeypatch.setattr(t.spark, "createDataFrame", boom)
+    with pytest.raises(ValueError, match="Length mismatch"):
+        t.count_rows(col("k") >= 1_990)
+
+
+def test_conversion_gap_still_demotes(boundary_table, monkeypatch):
+    """The known Arrow→Spark gap class keeps the documented demotion:
+    logged, recorded in last_local_read, distributed fallback."""
+    t, base = boundary_table
+
+    real = t.spark.createDataFrame
+
+    def gap(*a, **kw):
+        raise TypeError("type map<string,int> is not supported")
+    monkeypatch.setattr(t.spark, "createDataFrame", gap)
+    n = t.count_rows(col("k") >= 1_990)
+    monkeypatch.setattr(t.spark, "createDataFrame", real)
+    assert n == base.filter(F.col("k") >= 1_990).count()
+    assert t.last_local_read["engaged"] is False
+    assert "conversion" in t.last_local_read["demoted"]

@@ -97,12 +97,13 @@ _ROUND_PRIORITY = [
     "q2_point_equality",
     "q3_or_range_agg",
     "q4_and_mixed_columns",
-    # (window full at 50 here; q5_contradictory_and displaced by the
-    #  two round-10 landings — its zero-I/O behavior is re-pinned by
-    #  the golden-parity suite every test run.)
+    # (window full at 50 after q3 — q4/q5 displaced by the two
+    #  round-10 landings (q103_append, mm_decode_pixel_stats); their
+    #  pruning behavior is re-pinned by the golden-parity suite every
+    #  test run.)
     # ROUND-11 PLAN: run `python scripts/next_window.py` at round
     # start.  Expected tier 1: any round-10 landings never
-    # driver-proven; tier 2: q5 + the remaining r7 greens, stalest
+    # driver-proven; tier 2: q4/q5 + the remaining r7 greens, stalest
     # first.
     # == ROUND 9 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r08 was 50/50 green.

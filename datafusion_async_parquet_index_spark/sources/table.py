@@ -1718,12 +1718,15 @@ class IndexedParquetTable:
         self._refresh_views()
         return len(dvs)
 
-    def _land_batch(self, batch: DataFrame, prefix: str) -> List[str]:
+    def _land_batch(self, batch: DataFrame, prefix: str,
+                    target_files: Optional[int] = 1) -> List[str]:
         """Land a batch of new row versions as data file(s), invisible
         to every catalog-driven surface until refresh(): ONE flat file
-        for flat layouts (coalesce(1) — DML batches are bounded by the
-        DV caps, so a single file keeps the maintenance story O(1)
-        files per verb); for hive layouts the batch writes
+        for flat layouts by default (coalesce(1) — DML batches are
+        bounded by the DV caps, so a single file keeps the maintenance
+        story O(1) files per verb; ``target_files=None`` keeps the
+        batch's natural partitioning for large parallel ingest, N
+        coalesces to N); for hive layouts the batch writes
         ``partitionBy(partition columns)`` into an underscore staging
         dir (invisible to listings) and each part file moves into its
         partition directory under a unique name — an UPDATE that moves
@@ -1738,7 +1741,8 @@ class IndexedParquetTable:
         if partitioned and part_cols:
             writer = writer.partitionBy(*part_cols)
         else:
-            batch = batch.coalesce(1)
+            if target_files is not None:
+                batch = batch.coalesce(target_files)
             writer = batch.write.mode("overwrite")
         writer.parquet(tmp)
         existing = {f[0] for f in self.catalog.all_files()}
@@ -1769,7 +1773,8 @@ class IndexedParquetTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return landed
 
-    def append(self, batch: DataFrame) -> int:
+    def append(self, batch: DataFrame,
+               target_files: Optional[int] = 1) -> int:
         """INSERT — the public ingest verb (Delta's ``INSERT INTO`` /
         the reference's own maintenance entry point, index.rs:179):
         land ``batch`` as new data file(s) via the same staged
@@ -1777,6 +1782,14 @@ class IndexedParquetTable:
         indexes them — fresh exact statistics, visible to every
         catalog-driven surface atomically at the refresh. Returns the
         number of rows appended.
+
+        ``target_files``: flat-layout file-count control. The default
+        1 keeps small appends O(1) files (the DML-batch posture);
+        pass ``None`` for LARGE ingest — the batch keeps its natural
+        partitioning and every shuffle partition writes its own file
+        in parallel (a TB-scale INSERT must not serialize through one
+        write task), at the cost of more files for OPTIMIZE to pack
+        later. Hive layouts always land partition-parallel.
 
         Schema contract: ``batch`` must carry exactly the table's
         columns (any order; they are realigned) — a missing or extra
@@ -1805,7 +1818,8 @@ class IndexedParquetTable:
                     f"append batch schema mismatch: missing {missing}, "
                     f"unexpected {extra} (table columns: {want})")
             batch = batch.select(*want)
-        landed = self._land_batch(batch, "insert")
+        landed = self._land_batch(batch, "insert",
+                                  target_files=target_files)
         import pyarrow.parquet as _pq
         n_ins = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
         if not n_ins:

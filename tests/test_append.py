@@ -140,3 +140,23 @@ def test_cli_append(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0 and "appended 25 rows" in out and "3 files" in out
     # without a file catalog the verb refuses before starting Spark
     assert cli.main(["append", d, "--columns", "k,v", src]) == 2
+
+
+def test_append_parallel_multi_file_ingest(spark, tmp_path):
+    """target_files=None: a large ingest keeps its natural
+    partitioning — every shuffle partition writes in parallel, landing
+    multiple uniquely-named files, all indexed, totals exact."""
+    d = str(tmp_path / "app_par")
+    _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    n0 = t.count_rows()
+    batch = (spark.range(4_000).repartition(4)
+             .select((F.col("id") + 50_000).cast("long").alias("k"),
+                     F.lit(3).cast("long").alias("v")))
+    assert t.append(batch, target_files=None) == 4_000
+    landed = [f[0] for f in t.catalog.all_files()
+              if f[0].startswith("insert_")]
+    assert len(landed) == 4          # one file per shuffle partition
+    assert t.count_rows() == n0 + 4_000
+    got = t.query(col("k") >= 50_000)
+    assert got.count() == 4_000

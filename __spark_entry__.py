@@ -48,6 +48,7 @@ _ROUND_PRIORITY = [
     "q102_incremental_join_view_from_feed",
     "q103_append",
     "mm_decode_pixel_stats",
+    "q104_snapshot_expiry",
     # -- tier 2 (r6-stale) ------------------------------------------
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -22,6 +22,10 @@ Verbs:
     snapshot DIR --columns a,b --catalog path.db
         Freeze the current indexed file set; prints the snapshot id.
 
+    expire DIR --columns a,b --keep N --catalog path.db
+        Retention: drop all but the newest N snapshots (metadata
+        only); later as-of reads of expired ids raise loudly.
+
     query DIR --columns a,b "WHERE-clause" [--as-of N] [--limit N]
               [--catalog path.db]
         Parse the WHERE clause, prune through the index, print the
@@ -146,6 +150,10 @@ def main(argv=None) -> int:
     common(ap)
     ap.add_argument("source",
                     help="parquet file or directory to read rows from")
+    ex = sub.add_parser("expire")
+    common(ex)
+    ex.add_argument("--keep", type=int, required=True,
+                    help="number of newest snapshots to keep")
     up = sub.add_parser("update")
     common(up)
     up.add_argument("where", help="SQL WHERE clause selecting rows to update")
@@ -169,8 +177,9 @@ def main(argv=None) -> int:
                     help="pack files smaller than this many MB")
 
     args = p.parse_args(argv)
-    if args.verb in ("snapshot", "delete", "update", "append", "changes",
-                     "compact", "optimize", "restore") and not args.catalog:
+    if args.verb in ("snapshot", "expire", "delete", "update", "append",
+                     "changes", "compact", "optimize",
+                     "restore") and not args.catalog:
         # refuse BEFORE starting Spark / indexing anything
         print(f"{args.verb} without --catalog is useless "
               "(in-memory catalogs die with the process)",
@@ -204,6 +213,10 @@ def main(argv=None) -> int:
               f"removed={sorted(before - after)} total={len(after)}")
     elif args.verb == "snapshot":
         print(f"snapshot {t.snapshot()}")
+    elif args.verb == "expire":
+        expired = t.expire_snapshots(args.keep)
+        print(f"expired {len(expired)} snapshots: {expired} "
+              f"(kept the newest {args.keep})")
     elif args.verb == "query":
         from .plans.sql_predicate import parse_predicate
         pred = parse_predicate(args.where)

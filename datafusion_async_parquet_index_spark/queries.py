@@ -3358,6 +3358,49 @@ def q103_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, s)], "n_total BIGINT, sum_cents BIGINT")
 
 
+def q104_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT RETENTION (``table.expire_snapshots``, the lifecycle
+    verb completing the snapshot surface — Delta log retention /
+    Iceberg expire_snapshots): a table takes three snapshots across a
+    merge-on-read DELETE and UPDATE, then ``expire_snapshots(1)``
+    drops the two older manifests (+ their copied DV state — metadata
+    only, zero data I/O). The asserts pin (a) exactly the two old ids
+    expired, (b) as-of reads of expired ids raise KeyError LOUDLY
+    (never a silently wrong era), (c) the kept snapshot still serves
+    and equals the live answer, (d) live COUNT/SUM still fold purely
+    from the catalog. The oracle recomputes the live state
+    relationally (delete then update). At 100 TB retention is what
+    bounds catalog growth: O(expired x files) row deletes, data bytes
+    untouched."""
+    from .operators.util import session_memo
+
+    t, _base = _dv_fixture(spark, sf_dir, "dv_table_expiry")
+    memo = session_memo(spark, "dv_expiry_done")
+    if sf_dir not in memo:
+        s0 = t.snapshot()
+        t.delete_where((xcol("cents") % 5) == 2)
+        s1 = t.snapshot()
+        t.update_where((xcol("cents") % 7) == 3, {"cents": "cents + 11"})
+        s2 = t.snapshot()
+        expired = t.expire_snapshots(keep_last=1)
+        assert expired == [s0, s1], expired
+        for sid in (s0, s1):
+            try:
+                t.count_rows(as_of=sid)
+                raise AssertionError(
+                    f"as-of expired snapshot {sid} did not raise")
+            except KeyError:
+                pass
+        assert t.count_rows(as_of=s2) == t.count_rows()
+        memo[sf_dir] = True
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert nn == n and t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n, s)], "n_total BIGINT, sum_cents BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3464,6 +3507,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_incremental_join_view_from_feed":
         q102_incremental_join_view_from_feed,
     "q103_append": q103_append,
+    "q104_snapshot_expiry": q104_snapshot_expiry,
 }
 
 
@@ -4758,6 +4802,21 @@ RELATIONAL_ORACLE["q103_append"] = """
                 + COALESCE((SELECT SUM(cents + 7) FROM c
                             WHERE cents % 9 = 4), 0)
                 AS BIGINT) AS sum_cents
+"""
+
+RELATIONAL_ORACLE["q104_snapshot_expiry"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    live AS (
+        SELECT CASE WHEN cents % 7 = 3 THEN cents + 11
+                    ELSE cents END AS cents
+        FROM c WHERE cents % 5 <> 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM live
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

@@ -469,6 +469,20 @@ class IndexedParquetTable:
         # guards the bytes the positions refer to.
         return {n: ident[0] for n, ident in snap.items()}
 
+    def expire_snapshots(self, keep_last: int) -> List[int]:
+        """RETENTION — drop all but the newest ``keep_last`` snapshots
+        (Delta's log retention / Iceberg's expire_snapshots): the
+        expired manifests and their copied DV state are deleted from
+        the catalog — O(expired × files) tiny rows, zero data I/O —
+        and every later as-of read / restore / change-feed against an
+        expired id raises KeyError (the loud-failure contract; ids are
+        never reused, so an expired id can never silently alias a
+        newer era). Live reads and the kept snapshots are untouched.
+        At 100 TB this is what bounds catalog growth: snapshots are
+        O(files) metadata each, so a retention policy is metadata
+        deletion, never a data rewrite. Returns the expired ids."""
+        return self.catalog.expire_snapshots(keep_last)
+
     def _snapshot_filter(
         self, as_of: int, survivors: Dict[str, List[int]]
     ) -> Dict[str, List[int]]:

@@ -259,3 +259,34 @@ def test_read_delta_explicit_target_guards_added_rewrites(spark, tmp_path):
     t.refresh()
     with pytest.raises(ValueError, match="no longer reconstructable"):
         t.read_delta(s1, s2)
+
+
+def test_table_expire_verb_and_cli(spark, tmp_path, capsys, monkeypatch):
+    """Round 10: expire_snapshots is a first-class TABLE verb with a
+    CLI spelling — retention over a DML'd table drops the old
+    manifests AND their copied DV state; the kept snapshot still
+    serves, live answers unchanged."""
+    from datafusion_async_parquet_index_spark import cli
+    from datafusion_async_parquet_index_spark.plans.expr import col
+
+    d = str(tmp_path / "tt_verb_expire")
+    _one_file(spark, spark.range(100).select(F.col("id").alias("v")),
+              os.path.join(d, "f.parquet"))
+    db = str(tmp_path / "expire.db")
+    t = IndexedParquetTable(spark, d, index_columns=["v"],
+                            catalog=SqliteIndexCatalog(db))
+    s1 = t.snapshot()
+    t.delete_where(col("v") < 10)
+    s2 = t.snapshot()
+    assert t.expire_snapshots(keep_last=1) == [s1]
+    assert t.count_rows(as_of=s2) == 90 == t.count_rows()
+    with pytest.raises(KeyError):
+        t.count_rows(as_of=s1)
+    # CLI spelling over the same persisted catalog
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    t.snapshot()
+    rc = cli.main(["expire", d, "--columns", "v", "--keep", "1",
+                   "--catalog", db])
+    out = capsys.readouterr().out
+    assert rc == 0 and "expired 1 snapshots" in out
+    assert cli.main(["expire", d, "--columns", "v", "--keep", "1"]) == 2

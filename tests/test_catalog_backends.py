@@ -868,3 +868,30 @@ def test_round8_dml_surface_identical_across_backends(spark, tmp_path):
     for name, *rest in results[1:]:
         assert tuple(rest) == base, (results[0], (name, *rest))
     assert base[0] > 0 and base[4] == base[5] == base[0]
+
+
+def test_snapshot_manifest_parity_all_four_backends(spark, corpus):
+    """Round 10: the content-aware snapshot manifest
+    (snapshot_manifest / file_identity — size, mtime_ns, footer_md5)
+    must agree across in-process SQLite, stats-DataFrame, and both
+    DB-API paramstyles, and survive an expire of earlier snapshots."""
+    cats = {
+        "sqlite": SqliteIndexCatalog(),
+        "df": DataFrameIndexCatalog(spark),
+        "dbapi_qmark": _dbapi_qmark(),
+        "dbapi_format": _dbapi_format(),
+    }
+    manifests, identities = {}, {}
+    for name, cat in cats.items():
+        t = IndexedParquetTable(spark, corpus, ["value", "text"],
+                                catalog=cat)
+        t.snapshot()                      # an earlier era to expire
+        sid = t.snapshot()
+        t.expire_snapshots(keep_last=1)
+        manifests[name] = t.catalog.snapshot_manifest(sid)
+        identities[name] = t.catalog.file_identity()
+    base = manifests["sqlite"]
+    assert all(m == base for m in manifests.values()), manifests
+    assert all(i == identities["sqlite"] for i in identities.values())
+    for _name, (size, mt, md5) in base.items():
+        assert size > 0 and mt is not None and md5 is not None

@@ -98,14 +98,14 @@ _ROUND_PRIORITY = [
     "q2_point_equality",
     "q3_or_range_agg",
     "q4_and_mixed_columns",
-    # (window full at 50 after q3 — q4/q5 displaced by the two
-    #  round-10 landings (q103_append, mm_decode_pixel_stats); their
-    #  pruning behavior is re-pinned by the golden-parity suite every
-    #  test run.)
+    # (window full at 50 after q2 — q3/q4/q5 displaced by the three
+    #  round-10 landings (q103_append, mm_decode_pixel_stats,
+    #  q104_snapshot_expiry); their pruning behavior is re-pinned by
+    #  the golden-parity suite every test run.)
     # ROUND-11 PLAN: run `python scripts/next_window.py` at round
     # start.  Expected tier 1: any round-10 landings never
-    # driver-proven; tier 2: q4/q5 + the remaining r7 greens, stalest
-    # first.
+    # driver-proven; tier 2: q3/q4/q5 + the remaining r7 greens,
+    # stalest first.
     # == ROUND 9 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r08 was 50/50 green.
     # tier 1: the 5 round-8 landings never driver-proven — UPDATE, CDF,

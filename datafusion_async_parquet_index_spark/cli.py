@@ -170,6 +170,10 @@ def main(argv=None) -> int:
     common(rs)
     rs.add_argument("snapshot_id", type=int,
                     help="snapshot id to restore the table to")
+    rs.add_argument("--force", action="store_true",
+                    help="proceed even when removing files still "
+                         "referenced by live newer snapshots (those "
+                         "eras become irrecoverable)")
     op = sub.add_parser("optimize")
     common(op)
     op.add_argument("--target-mb", type=int, default=128,
@@ -253,7 +257,7 @@ def main(argv=None) -> int:
         df = t.read_changes(args.since, args.until)
         df.show(args.limit, truncate=False)
     elif args.verb == "restore":
-        info = t.restore(args.snapshot_id)
+        info = t.restore(args.snapshot_id, force=args.force)
         print(f"restored to snapshot {args.snapshot_id}: "
               f"removed {info['files_removed']} post-snapshot files, "
               f"{info['dv_files']} files carry era deletion vectors")

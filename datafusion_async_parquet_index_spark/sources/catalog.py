@@ -1523,6 +1523,14 @@ class SqliteIndexCatalog:
             "SELECT COUNT(*) FROM catalog_snapshot_meta "
             "WHERE file_count >= 0")[0][0]
 
+    def snapshot_ids(self) -> List[int]:
+        """Live (unexpired) snapshot ids, ascending — the set restore()
+        consults so removing post-snapshot files can never silently
+        break a NEWER snapshot's reconstructability."""
+        return [r[0] for r in self._query(
+            "SELECT snapshot_id FROM catalog_snapshot_meta "
+            "WHERE file_count >= 0 ORDER BY snapshot_id")]
+
     def row_group_count(self, file_name: str) -> int:
         rows = self._query(
             "SELECT row_group_count FROM file_statistics WHERE file_name = ?",

@@ -349,6 +349,10 @@ class DataFrameIndexCatalog:
         """Same protocol as SqliteIndexCatalog.snapshot_count."""
         return len(self._snapshots)
 
+    def snapshot_ids(self):
+        """Same protocol as SqliteIndexCatalog.snapshot_ids."""
+        return sorted(self._snapshots)
+
     def restore_dvs(self, snapshot_id: int) -> None:
         """Same protocol as SqliteIndexCatalog.restore_dvs."""
         live = {fs.file_name for fs, _ in self._files.values()}

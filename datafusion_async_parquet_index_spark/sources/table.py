@@ -2029,7 +2029,8 @@ class IndexedParquetTable:
                         j += 1
         return out
 
-    def restore(self, snapshot_id: int) -> Dict[str, int]:
+    def restore(self, snapshot_id: int,
+                force: bool = False) -> Dict[str, int]:
         """RESTORE the table to a snapshot — Delta's ``RESTORE TABLE
         ... TO VERSION`` re-expressed over the external index: the
         indexed file set reverts to the snapshot's manifest (files
@@ -2044,6 +2045,20 @@ class IndexedParquetTable:
         has changed or vanished (compaction rewrote it, or it was
         deleted) — the same cannot-reconstruct contract as as-of
         reads; raises KeyError for an unknown/expired snapshot id.
+
+        Unlike Delta (where RESTORE only moves the log pointer and the
+        newer versions' files survive until VACUUM), removing a
+        post-snapshot file here is PHYSICAL — so when a LIVE NEWER
+        snapshot still references a file this restore would remove
+        (e.g. an append or update batch snapshotted afterwards), the
+        restore REFUSES before mutating anything, naming the blocking
+        snapshots: proceeding would silently destroy their
+        reconstructability. Expire the newer snapshots first
+        (``expire_snapshots``) or pass ``force=True`` to accept that
+        those eras become irrecoverable (their later as-of reads then
+        refuse loudly, per the snapshot contract — never a silently
+        different answer).
+
         Idempotent and crash-resumable: the per-file removals commit
         independently, the DV restore is one catalog transaction, and
         a crash anywhere in between leaves a state a re-run completes
@@ -2079,19 +2094,39 @@ class IndexedParquetTable:
                     f"recorded file {name!r} changed or vanished "
                     f"(compacted/rewritten since); nothing was "
                     f"restored")
+        extras = [p for p in list_parquet_files(
+                      self.data_dir,
+                      recursive=getattr(self, "partitioned", False))
+                  if self._file_key(p) not in recorded]
+        if not force and extras:
+            # refuse BEFORE any removal when a live newer snapshot
+            # still references a file this restore would delete
+            blockers: Dict[str, List[int]] = {}
+            for sid in self.catalog.snapshot_ids():
+                if sid <= snapshot_id:
+                    continue
+                refs = self.catalog.snapshot_files(sid)
+                for p in extras:
+                    key = self._file_key(p)
+                    if key in refs:
+                        blockers.setdefault(key, []).append(sid)
+            if blockers:
+                raise ValueError(
+                    f"restore to snapshot {snapshot_id} would remove "
+                    f"files still referenced by live newer snapshots "
+                    f"{ {k: v for k, v in sorted(blockers.items())} } "
+                    f"— expire those snapshots first "
+                    f"(expire_snapshots) or pass force=True to make "
+                    f"them irrecoverable; nothing was restored")
         removed = 0
-        for p in list_parquet_files(
-                self.data_dir,
-                recursive=getattr(self, "partitioned", False)):
-            key = self._file_key(p)
-            if key not in recorded:
-                os.remove(p)
-                # never-indexed files (a crash-landed batch) are a
-                # silent no-op in both backends; a real catalog error
-                # must surface, not strand a row pointing at removed
-                # bytes
-                self.catalog.remove_file(key)
-                removed += 1
+        for p in extras:
+            os.remove(p)
+            # never-indexed files (a crash-landed batch) are a
+            # silent no-op in both backends; a real catalog error
+            # must surface, not strand a row pointing at removed
+            # bytes
+            self.catalog.remove_file(self._file_key(p))
+            removed += 1
         self.catalog.restore_dvs(snapshot_id)
         self._dv_cache = None
         self.refresh()

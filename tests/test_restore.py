@@ -108,3 +108,39 @@ def test_restore_df_backend_parity(spark, tmp_path):
     assert info["files_removed"] == 1 and info["dv_files"] > 0
     assert t.count_rows() == base.count() - nd1
     assert t.query(col("v") >= 1000).count() == 0   # update undone
+
+
+def test_restore_refuses_to_break_newer_live_snapshot(spark, tmp_path):
+    """Round 10: removing a post-snapshot file is PHYSICAL here (no
+    Delta-style retained history), so a restore that would delete a
+    file a LIVE NEWER snapshot still references must refuse loudly
+    BEFORE mutating anything — else that snapshot silently loses
+    reconstructability. Expiring the newer snapshot (or force=True)
+    unblocks; force leaves the newer era refusing loudly, never
+    answering differently."""
+    t, base = _mk(spark, str(tmp_path / "newer"))
+    n0 = t.count_rows()
+    s0 = t.snapshot()
+    t.append(base.limit(30).selectExpr("k + 100000 AS k", "v"))
+    s1 = t.snapshot()                       # references the insert file
+    n1 = t.count_rows()
+    files_before = {f[0] for f in t.catalog.all_files()}
+    with pytest.raises(ValueError, match="live newer snapshots"):
+        t.restore(s0)
+    # nothing mutated: file set and both eras intact
+    assert {f[0] for f in t.catalog.all_files()} == files_before
+    assert t.count_rows(as_of=s1) == n1 and t.count_rows() == n1
+    # expiring the blocker unblocks the plain restore
+    t2, base2 = _mk(spark, str(tmp_path / "newer2"))
+    s0b = t2.snapshot()
+    t2.append(base2.limit(30).selectExpr("k + 100000 AS k", "v"))
+    t2.snapshot()
+    t2.expire_snapshots(keep_last=0)        # all snapshots... expired
+    with pytest.raises(KeyError):
+        t2.restore(s0b)                     # s0b itself expired too
+    # force=True: proceeds, newer snapshot becomes loudly broken
+    info = t.restore(s0, force=True)
+    assert info["files_removed"] == 1
+    assert t.count_rows() == n0
+    with pytest.raises(ValueError, match="no longer reconstructable"):
+        t.count_rows(as_of=s1)

@@ -608,6 +608,102 @@ MM_DECODE_SQL = """
 """
 
 
+BMP_RESIZE_BOX = (8, 8)   # fit-within box for the DECODED resize path
+
+RESIZE_DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("rs_pix_sum", LongType()),
+    StructField("rs_pix_wsum", LongType()),
+])
+
+
+def resize_bmp_nearest(rgb, out_w: int, out_h: int):
+    """True nearest-neighbor image resize on a decoded (h, w, 3)
+    array: output pixel (x, y) samples source (x*w//out_w,
+    y*h//out_h) — two integer index vectors, pure numpy gather."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return rgb[ys][:, xs]
+
+
+def mm_resize_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over REAL pixels (the companion to
+    mm_decode_pixel_stats; mm_resize_stats keeps the formula-fake
+    byte-payload surface for compressed codecs): each document's BMP
+    is decoded, nearest-neighbor-resized into the fit-within
+    BMP_RESIZE_BOX, RE-ENCODED as a BMP and decoded AGAIN (the full
+    codec round-trips on the resized image too), then per-doc pixel
+    sums + the order-weighted sum are computed from the final decoded
+    pixels. The oracle recomputes the nearest-neighbor sample
+    relationally (src_flat = (((y*h)//oh)*w + (x*w)//ow)*3 + c over
+    the generative text-byte formula), so the hash match proves
+    decode -> resize -> encode -> decode end-to-end. Arrow-batched
+    mapInPandas, linear, no shuffle."""
+    bw, bh = BMP_RESIZE_BOX
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_w", "out_h",
+                                   "rs_pix_sum", "rs_pix_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_bmp(bytes(payload))
+                ow = max(1, min(bw, (w * bh) // h))
+                oh = max(1, min(bh, (h * bw) // w))
+                resized = resize_bmp_nearest(rgb, ow, oh)
+                # full codec round-trip on the resized image
+                rw, rh, back = decode_bmp(encode_bmp(resized))
+                assert (rw, rh) == (ow, oh)
+                flat = back.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 97)
+                out["doc_id"].append(int(doc_id))
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["rs_pix_sum"].append(int(flat.sum()))
+                out["rs_pix_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_bmp_media(spark, sf_dir)
+    return media.mapInPandas(_resize, schema=RESIZE_DECODED_SCHEMA)
+
+
+MM_RESIZE_DECODED_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               4 + doc_id % 13 AS w,
+               4 + (doc_id // 13) % 11 AS h
+        FROM documents
+    ), d AS (
+        SELECT doc_id, text, L, w, h,
+               GREATEST(1, LEAST({BMP_RESIZE_BOX[0]},
+                                 (w * {BMP_RESIZE_BOX[1]}) // h)) AS ow,
+               GREATEST(1, LEAST({BMP_RESIZE_BOX[1]},
+                                 (h * {BMP_RESIZE_BOX[0]}) // w)) AS oh
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(list_sum(list_transform(range(0, ow * oh * 3), j ->
+                ord(substr(text, CAST(1 + (
+                    ((((j // 3) // ow) * h // oh) * w
+                     + (((j // 3) % ow) * w // ow)) * 3 + (j % 3)
+                ) % L AS INT), 1)))) AS BIGINT) AS rs_pix_sum,
+           CAST(list_sum(list_transform(range(0, ow * oh * 3), j ->
+                ord(substr(text, CAST(1 + (
+                    ((((j // 3) // ow) * h // oh) * w
+                     + (((j // 3) % ow) * w // ow)) * 3 + (j % 3)
+                ) % L AS INT), 1)) * (1 + j % 97)))
+                AS BIGINT) AS rs_pix_wsum
+    FROM d
+"""
+
+
 MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata_extract": mm_metadata_extract,
     "mm_frame_sample_stats": mm_frame_sample_stats,
@@ -615,6 +711,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_modality_stats": mm_modality_stats,
     "mm_resize_stats": mm_resize_stats,
     "mm_decode_pixel_stats": mm_decode_pixel_stats,
+    "mm_resize_decoded_stats": mm_resize_decoded_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -630,4 +727,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # BMP container bytes back into pixels, the oracle from the
     # generative formula; matching hashes prove the decoder
     "mm_decode_pixel_stats": MM_DECODE_SQL,
+    "mm_resize_decoded_stats": MM_RESIZE_DECODED_SQL,
 }

@@ -129,3 +129,52 @@ def test_query_matches_driver_recomputation(spark, sf_dir):
         assert r["bmp_bytes"] == 54 + ((w * 3 + 3) & ~3) * h
         assert r["pix_sum"] == int(vals.sum())
         assert r["pix_wsum"] == int((vals * (1 + j % 97)).sum())
+
+
+def test_resize_nearest_identity_and_downscale():
+    """resize to the SAME dims is the identity; a 4x4 -> 2x2 nearest
+    downscale picks exactly the (0,0),(0,2),(2,0),(2,2) sources."""
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        resize_bmp_nearest,
+    )
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(resize_bmp_nearest(rgb, 9, 5), rgb)
+    four = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_bmp_nearest(four, 2, 2)
+    assert np.array_equal(small, four[[0, 2]][:, [0, 2]])
+
+
+def test_resize_decoded_roundtrip_matches_formula(spark, sf_dir):
+    """The full decode -> nearest resize -> encode -> decode pipeline
+    equals a driver-side numpy recomputation of the sampled formula
+    (the local twin of MM_RESIZE_DECODED_SQL)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        BMP_RESIZE_BOX,
+        mm_resize_decoded_stats,
+    )
+
+    bw, bh = BMP_RESIZE_BOX
+    got = {r["doc_id"]: r for r in
+           mm_resize_decoded_stats(spark, sf_dir).collect()}
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pylist()
+    assert len(got) == len(docs)
+    for d in docs[:100]:
+        doc_id, b = d["doc_id"], d["text"].encode("utf-8")
+        w, h = 4 + doc_id % 13, 4 + (doc_id // 13) % 11
+        ow = max(1, min(bw, (w * bh) // h))
+        oh = max(1, min(bh, (h * bw) // w))
+        src = np.frombuffer(b, dtype=np.uint8)[
+            np.arange(w * h * 3) % len(b)].reshape(h, w, 3)
+        ys, xs = (np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow
+        flat = src[ys][:, xs].reshape(-1).astype(np.int64)
+        r = got[doc_id]
+        assert (r["out_w"], r["out_h"]) == (ow, oh)
+        assert r["rs_pix_sum"] == int(flat.sum())
+        assert r["rs_pix_wsum"] == int(
+            (flat * (1 + np.arange(flat.size) % 97)).sum())

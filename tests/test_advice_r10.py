@@ -211,3 +211,31 @@ def test_read_delta_same_size_rewrite_refuses(spark, tmp_path):
     t.refresh()
     with pytest.raises(ValueError, match="no longer"):
         t.read_delta(s0, s1).collect()
+
+
+def test_identity_changed_precedence_table():
+    """Exhaustive spec table for _identity_changed — the single rule
+    every reconstruction check shares. Precedence: vanished → changed;
+    size differs → changed; md5 known both sides → md5 decides
+    (regardless of mtime); else mtime decides when both known; else
+    size-only (unchanged)."""
+    from datafusion_async_parquet_index_spark.sources.table import (
+        IndexedParquetTable as T,
+    )
+    ch = T._identity_changed
+    S, M1, M2 = 10, 111, 222
+    A, B = "aa", "bb"
+    assert ch((S, M1, A), None) is True                 # vanished
+    assert ch((S, M1, A), (S + 1, M1, A)) is True       # size differs
+    # md5 known both sides decides — even when mtime differs/matches
+    assert ch((S, M1, A), (S, M2, A)) is False          # same content
+    assert ch((S, M1, A), (S, M1, B)) is True           # same-size rewrite
+    assert ch((S, None, A), (S, M2, B)) is True
+    assert ch((S, None, A), (S, None, A)) is False
+    # md5 unknown on either side → mtime decides when both known
+    assert ch((S, M1, None), (S, M2, A)) is True
+    assert ch((S, M1, A), (S, M2, None)) is True
+    assert ch((S, M1, None), (S, M1, None)) is False
+    # both discriminators unknown → size-only (legacy convention)
+    assert ch((S, None, None), (S, M2, B)) is False
+    assert ch((S, M1, A), (S, None, None)) is False

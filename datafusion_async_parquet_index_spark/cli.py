@@ -189,6 +189,15 @@ def main(argv=None) -> int:
               "(in-memory catalogs die with the process)",
               file=sys.stderr)
         return 2
+    if args.verb == "expire" and args.keep < 1:
+        # keep_last <= 0 expires EVERY snapshot (a valid library call,
+        # test-covered) — but from the CLI it is almost certainly a
+        # typo for a positive retention count; refuse before touching
+        # the catalog, matching the refuse-before-Spark posture above
+        print(f"expire --keep {args.keep} would expire every snapshot; "
+              "pass --keep >= 1 (use the library API for a full purge)",
+              file=sys.stderr)
+        return 2
     before = None
     if args.verb == "refresh" and args.catalog:
         # capture the prior file set BEFORE construction — building the

@@ -108,11 +108,17 @@ def _payload_collapse(df, payload_col) -> float:
 _COLLAPSE_STATS: Dict[tuple, float] = {}
 
 
+# kind -> (table, payload column): the single source for both the
+# cache key's file identity and the probe's read
+_COLLAPSE_KINDS = {"text": ("documents", "text"),
+                   "emb": ("embeddings", "embedding")}
+
+
 def _collapse_key(sf_dir: str, kind: str) -> tuple:
     """Cache key for _COLLAPSE_STATS: (kind, path, content identity)
     where identity is the table file's (size, mtime_ns) — None for
     non-local layouts, which degrade to path-keyed."""
-    table = "documents" if kind == "text" else "embeddings"
+    table, _col = _COLLAPSE_KINDS[kind]
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(path)
@@ -127,10 +133,9 @@ def _corpus_collapse(spark: SparkSession, sf_dir: str,
     """Per-corpus duplicate-collapse statistic, computed once and kept
     in _COLLAPSE_STATS (see its rationale). kind: 'text' (documents
     table) or 'emb' (embeddings table)."""
-    table, col = (("documents", "text") if kind == "text"
-                  else ("embeddings", "embedding"))
     key = _collapse_key(sf_dir, kind)
     if key not in _COLLAPSE_STATS:
+        table, col = _COLLAPSE_KINDS[kind]
         _COLLAPSE_STATS[key] = _payload_collapse(
             read_table(spark, sf_dir, table), F.col(col))
     return _COLLAPSE_STATS[key]

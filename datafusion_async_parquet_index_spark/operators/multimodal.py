@@ -482,6 +482,12 @@ def decode_bmp(payload: bytes):
         raise ValueError(
             f"unsupported BMP variant (header={hdr_size}, bpp={bpp}, "
             f"compression={comp}): only 24-bit uncompressed is decoded")
+    if offset < 14 + hdr_size:
+        # a corrupt bfOffBits pointing INSIDE the headers would
+        # otherwise decode header bytes as pixels — silently wrong
+        raise ValueError(
+            f"corrupt BMP: declared pixel offset {offset} overlaps the "
+            f"{14 + hdr_size}-byte headers")
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3
     if offset + stride * h > len(payload):

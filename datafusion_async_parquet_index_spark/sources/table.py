@@ -1834,15 +1834,28 @@ class IndexedParquetTable:
             batch = batch.select(*want)
         landed = self._land_batch(batch, "insert",
                                   target_files=target_files)
-        import pyarrow.parquet as _pq
-        n_ins = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
+        n_ins = self._count_landed_or_discard(landed)
         if not n_ins:
-            for p in landed:
-                os.remove(p)
             return 0
         self.refresh()
         self._refresh_views()
         return n_ins
+
+    @staticmethod
+    def _count_landed_or_discard(landed: List[str]) -> int:
+        """Row count of a just-landed batch from its parquet FOOTERS
+        (never a second plan execution — the landed bytes are the
+        deterministic record); an empty batch's zero-row files are
+        removed so the next refresh() cannot index them. Shared by
+        every landing verb (append / merge_upsert) so the
+        crash-sensitive landing logic lives once."""
+        import pyarrow.parquet as _pq
+
+        n = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
+        if not n:
+            for p in landed:
+                os.remove(p)
+        return n
 
     def merge_upsert(self, updates: DataFrame,
                      key_column: str) -> Tuple[int, int]:
@@ -1870,12 +1883,8 @@ class IndexedParquetTable:
         inserted. On hive layouts the batch lands partition-aware
         (one file per touched partition directory)."""
         landed = self._land_batch(updates, "upsert")
-        import pyarrow.parquet as _pq
-        # count from the landed footers, not a second plan execution
-        n_ins = sum(_pq.ParquetFile(p).metadata.num_rows for p in landed)
+        n_ins = self._count_landed_or_discard(landed)
         if not n_ins:
-            for p in landed:
-                os.remove(p)
             return 0, 0
         # victims from the LANDED bytes (deterministic, single
         # execution of the updates plan above); the landed files are
@@ -2100,16 +2109,17 @@ class IndexedParquetTable:
                   if self._file_key(p) not in recorded]
         if not force and extras:
             # refuse BEFORE any removal when a live newer snapshot
-            # still references a file this restore would delete
+            # still references a file this restore would delete.
+            # O(S + E) key work: extras' keys computed once, each
+            # newer manifest intersected against the set
+            extra_keys = {self._file_key(p) for p in extras}
             blockers: Dict[str, List[int]] = {}
             for sid in self.catalog.snapshot_ids():
                 if sid <= snapshot_id:
                     continue
-                refs = self.catalog.snapshot_files(sid)
-                for p in extras:
-                    key = self._file_key(p)
-                    if key in refs:
-                        blockers.setdefault(key, []).append(sid)
+                for key in extra_keys & set(
+                        self.catalog.snapshot_files(sid)):
+                    blockers.setdefault(key, []).append(sid)
             if blockers:
                 raise ValueError(
                     f"restore to snapshot {snapshot_id} would remove "
@@ -2380,22 +2390,25 @@ class IndexedParquetTable:
         try:
             out = self.spark.createDataFrame(tbl.select(cols),
                                              schema=schema)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                TypeError, ValueError) as e:
+        except (pa.lib.ArrowException, TypeError, ValueError) as e:
             # Arrow→Spark conversion gaps (unsupported arrow type /
             # value mapping) — the only demotion class besides the
-            # byte cap. TypeError/ValueError are demoted ONLY when the
-            # message reads as a conversion gap: createDataFrame also
-            # raises them for genuine driver bugs (schema/column-count
+            # byte cap. ANY pyarrow exception demotes (ArrowTypeError
+            # subclasses TypeError with messages like "Expected bytes,
+            # got ...", so an isinstance check on the Arrow BASE class
+            # is the reliable discriminator, not message phrasing).
+            # Plain TypeError/ValueError demote ONLY when the message
+            # reads as a conversion gap: createDataFrame also raises
+            # them for genuine driver bugs (schema/column-count
             # mismatch against the plan's own schema), and masking
             # those as a perf fallback hides the bug while the
             # distributed reader gives a different answer (ADVICE r9).
             msg = str(e).lower()
             conversion_gap = isinstance(
-                e, (pa.ArrowInvalid, pa.ArrowNotImplementedError)
+                e, pa.lib.ArrowException
             ) or any(k in msg for k in (
                 "not supported", "unsupported", "not implemented",
-                "cannot convert", "conversion"))
+                "cannot convert", "could not convert", "conversion"))
             if not conversion_gap:
                 raise
             logging.getLogger(__name__).warning(

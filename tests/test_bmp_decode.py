@@ -178,3 +178,16 @@ def test_resize_decoded_roundtrip_matches_formula(spark, sf_dir):
         assert r["rs_pix_sum"] == int(flat.sum())
         assert r["rs_pix_wsum"] == int(
             (flat * (1 + np.arange(flat.size) % 97)).sum())
+
+
+def test_decode_refuses_corrupt_offset():
+    """A bfOffBits pointing inside the headers must refuse — decoding
+    header bytes as pixels is exactly the silently-wrong-image case
+    the contract forbids (review r10)."""
+    blob = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    struct.pack_into("<I", blob, 10, 0)         # offset -> 0
+    with pytest.raises(ValueError, match="overlaps"):
+        decode_bmp(bytes(blob))
+    struct.pack_into("<I", blob, 10, 53)        # one byte short
+    with pytest.raises(ValueError, match="overlaps"):
+        decode_bmp(bytes(blob))

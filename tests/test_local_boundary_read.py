@@ -117,3 +117,22 @@ def test_conversion_gap_still_demotes(boundary_table, monkeypatch):
     assert n == base.filter(F.col("k") >= 1_990).count()
     assert t.last_local_read["engaged"] is False
     assert "conversion" in t.last_local_read["demoted"]
+
+
+def test_arrow_typeerror_subclass_demotes(boundary_table, monkeypatch):
+    """pyarrow raises ArrowTypeError (a TypeError subclass) for
+    arrow-side conversion gaps with messages like 'Expected bytes,
+    got ...' that match no keyword — the isinstance check on the
+    Arrow base class must still demote gracefully (review r10)."""
+    import pyarrow as pa
+
+    t, base = boundary_table
+    real = t.spark.createDataFrame
+
+    def gap(*a, **kw):
+        raise pa.lib.ArrowTypeError("Expected bytes, got a 'int' object")
+    monkeypatch.setattr(t.spark, "createDataFrame", gap)
+    n = t.count_rows(col("k") >= 1_990)
+    monkeypatch.setattr(t.spark, "createDataFrame", real)
+    assert n == base.filter(F.col("k") >= 1_990).count()
+    assert t.last_local_read["demoted"].startswith("conversion")

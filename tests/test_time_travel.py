@@ -290,3 +290,25 @@ def test_table_expire_verb_and_cli(spark, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 0 and "expired 1 snapshots" in out
     assert cli.main(["expire", d, "--columns", "v", "--keep", "1"]) == 2
+
+
+def test_cli_expire_refuses_nonpositive_keep(spark, tmp_path, capsys,
+                                             monkeypatch):
+    """--keep 0 / negative would expire EVERY snapshot; the CLI
+    refuses before touching the catalog (review r10)."""
+    from datafusion_async_parquet_index_spark import cli
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d = str(tmp_path / "cli_keep0")
+    _one_file(spark, spark.range(5).select(F.col("id").alias("v")),
+              os.path.join(d, "f.parquet"))
+    db = str(tmp_path / "keep0.db")
+    t = IndexedParquetTable(spark, d, index_columns=["v"],
+                            catalog=SqliteIndexCatalog(db))
+    s = t.snapshot()
+    assert cli.main(["expire", d, "--columns", "v", "--keep", "0",
+                     "--catalog", db]) == 2
+    assert cli.main(["expire", d, "--columns", "v", "--keep", "-3",
+                     "--catalog", db]) == 2
+    # snapshot survived both refusals
+    assert t.count_rows(as_of=s) == 5

@@ -50,6 +50,7 @@ _ROUND_PRIORITY = [
     "mm_decode_pixel_stats",
     "q104_snapshot_expiry",
     "mm_resize_decoded_stats",
+    "dedup_overlap_kmv",
     # -- tier 2 (r6-stale) ------------------------------------------
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -99,14 +100,15 @@ _ROUND_PRIORITY = [
     "q2_point_equality",
     "q3_or_range_agg",
     "q4_and_mixed_columns",
-    # (window full at 50 after q1 — q2..q5 displaced by the four
-    #  round-10 landings (q103_append, mm_decode_pixel_stats,
-    #  q104_snapshot_expiry, mm_resize_decoded_stats); their pruning
+    # (window full at 50 after text_gopher_filter — q1..q5 displaced
+    #  by the five round-10 landings (q103_append,
+    #  mm_decode_pixel_stats, q104_snapshot_expiry,
+    #  mm_resize_decoded_stats, dedup_overlap_kmv); their pruning
     #  behavior is re-pinned by the golden-parity suite every test
     #  run.)
     # ROUND-11 PLAN: run `python scripts/next_window.py` at round
     # start.  Expected tier 1: any round-10 landings never
-    # driver-proven; tier 2: q2..q5 + the remaining r7 greens,
+    # driver-proven; tier 2: q1..q5 + the remaining r7 greens,
     # stalest first.
     # == ROUND 9 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r08 was 50/50 green.

@@ -1963,6 +1963,98 @@ def _semantic_sql() -> str:
 """
 
 
+KMV_K = 64   # k-minimum-values sketch size (per set; driver holds O(k))
+
+
+def dedup_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-OVERLAP ESTIMATION via KMV (k-minimum-values) sketches —
+    the train/test contamination-cardinality estimator HLL cannot
+    provide (HLL unions losslessly but intersects badly; KMV's union
+    sketch carries an unbiased Jaccard estimator). Two document sets
+    (A = even doc_ids, B = doc_id % 3 == 0, overlapping by
+    construction) are each reduced to the KMV_K smallest DISTINCT
+    hash60(text) values; |A∪B| is estimated as (k-1)·2^60/τ with τ the
+    union sketch's k-th minimum, and |A∩B| as (|{h ∈ U: h ∈ kmvA ∧
+    h ∈ kmvB}| / k)·|A∪B|̂ — all integer/IEEE-deterministic, so the
+    DuckDB oracle recomputes the IDENTICAL estimates, and the exact
+    intersection (distinct-hash semi-join) rides along as the
+    calibration column (the dedup_minhash_quality audit posture).
+
+    Scale shape: each sketch is a TopK over a distinct-hash stream
+    (map-side partial TopK, no full sort, no pairs); the driver
+    touches only the O(k) sketch values — the sketch contract. At
+    100 TB the exact calibration column is the expensive part
+    (a distinct-hash join); production monitoring runs the sketches
+    alone."""
+    docs = read_table(spark, sf_dir, "documents")
+    from ..functions import hash60
+
+    def _kmv(pred):
+        rows = (docs.filter(pred)
+                .select(hash60(F.col("text")).alias("h")).distinct()
+                .orderBy("h").limit(KMV_K).collect())
+        return [r["h"] for r in rows]
+
+    ka = _kmv(F.col("doc_id") % 2 == 0)
+    kb = _kmv(F.col("doc_id") % 3 == 0)
+    sa, sb = set(ka), set(kb)
+    u = sorted(sa | sb)[:KMV_K]
+    tau, cu = u[-1], len(u)
+    ci = sum(1 for h in u if h in sa and h in sb)
+    union_raw = (KMV_K - 1) * 2.0 ** 60 / float(tau) \
+        if cu >= KMV_K else float(cu)
+    inter_est = (ci / float(KMV_K)) * union_raw
+    n_a = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select(hash60(F.col("text")).alias("h")).distinct().count())
+    n_b = (docs.filter(F.col("doc_id") % 3 == 0)
+           .select(hash60(F.col("text")).alias("h")).distinct().count())
+    da = docs.filter(F.col("doc_id") % 2 == 0).select(
+        hash60(F.col("text")).alias("h")).distinct()
+    db_ = docs.filter(F.col("doc_id") % 3 == 0).select(
+        hash60(F.col("text")).alias("h")).distinct()
+    inter_exact = da.join(db_, "h").count()
+    return spark.createDataFrame(
+        [(KMV_K, n_a, n_b, float(union_raw), float(inter_est),
+          inter_exact)],
+        "k INT, n_a BIGINT, n_b BIGINT, union_est DOUBLE, "
+        "inter_est DOUBLE, inter_exact BIGINT")
+
+
+def _overlap_kmv_sql() -> str:
+    from ..functions import sql_hash60
+    h = sql_hash60("text")
+    return f"""
+    WITH a AS (SELECT DISTINCT {h} AS h FROM documents
+               WHERE doc_id % 2 = 0),
+         b AS (SELECT DISTINCT {h} AS h FROM documents
+               WHERE doc_id % 3 = 0),
+         ka AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+         kb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+         u AS (SELECT DISTINCT h
+               FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+               ORDER BY h LIMIT {KMV_K}),
+         m AS (SELECT MAX(h) AS tau, COUNT(*) AS cu,
+                      COUNT(*) FILTER (WHERE h IN (SELECT h FROM ka)
+                                       AND h IN (SELECT h FROM kb))
+                          AS ci
+               FROM u)
+    SELECT CAST({KMV_K} AS INT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+           CASE WHEN cu >= {KMV_K}
+                THEN ({KMV_K} - 1) * POW(2, 60) / CAST(tau AS DOUBLE)
+                ELSE CAST(cu AS DOUBLE) END AS union_est,
+           (CAST(ci AS DOUBLE) / {KMV_K})
+               * (CASE WHEN cu >= {KMV_K}
+                       THEN ({KMV_K} - 1) * POW(2, 60)
+                            / CAST(tau AS DOUBLE)
+                       ELSE CAST(cu AS DOUBLE) END) AS inter_est,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM a JOIN b ON a.h = b.h) AS inter_exact
+    FROM m
+"""
+
+
 DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1984,6 +2076,7 @@ DEDUP_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_policy": dedup_keep_policy,
     "dedup_minhash_quality": dedup_minhash_quality,
     "dedup_semantic": dedup_semantic,
+    "dedup_overlap_kmv": dedup_overlap_kmv,
 }
 
 DEDUP_ORACLE: Dict[str, str] = {
@@ -2011,4 +2104,5 @@ DEDUP_ORACLE: Dict[str, str] = {
     "dedup_keep_policy": _keep_policy_sql(),
     "dedup_minhash_quality": _minhash_quality_sql(),
     "dedup_semantic": _semantic_sql(),
+    "dedup_overlap_kmv": _overlap_kmv_sql(),
 }

@@ -452,3 +452,44 @@ def test_hybrid_rrf_fuses_both_modalities(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, HYBRID_TOPK + 1)), (q, ranks)
+
+
+def test_kmv_overlap_estimator_accuracy(spark):
+    """KMV estimate sanity on a constructed corpus with KNOWN overlap:
+    A = 2000 unique + 1000 shared distinct texts, B = 1000 unique +
+    the same 1000 shared (Jaccard 0.25) — the k=64 sketches estimate
+    |A∪B| = 4000 within 30% and |A∩B| = 1000 within 70% (the
+    intersection estimator's deterministic-for-this-corpus draw has
+    ~25% relative SD at J=0.25, k=64), and the exact column is
+    exactly 1000."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datafusion_async_parquet_index_spark.operators.dedup import (
+        dedup_overlap_kmv,
+    )
+
+    d = tempfile.mkdtemp(prefix="kmv_overlap_")
+    # doc_id % 2 == 0 -> A; % 3 == 0 -> B; %6==0 rows carry the SHARED
+    # texts. Distinct text per (set, slot) via explicit labels.
+    rows = spark.range(6_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 6 == 0,
+               F.concat(F.lit("shared "), (F.col("id") / 6)
+                        .cast("int").cast("string")))
+        .when(F.col("id") % 2 == 0,
+              F.concat(F.lit("only-a "), F.col("id").cast("string")))
+        .when(F.col("id") % 3 == 0,
+              F.concat(F.lit("only-b "), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("rest "), F.col("id").cast("string")))
+        .alias("text"))
+    rows.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = dedup_overlap_kmv(spark, d).head()
+    # 1000 multiples of 6 in [0, 6000), each with a distinct id//6
+    # label -> exactly 1000 distinct shared texts
+    assert r["inter_exact"] == 1000
+    assert (r["n_a"], r["n_b"]) == (3000, 2000)
+    union_true = r["n_a"] + r["n_b"] - 1000
+    assert abs(r["union_est"] - union_true) < 0.30 * union_true
+    assert abs(r["inter_est"] - 1000) < 0.70 * 1000

@@ -1989,14 +1989,33 @@ def dedup_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     from ..functions import hash60
 
-    def _kmv(pred):
-        rows = (docs.filter(pred)
-                .select(hash60(F.col("text")).alias("h")).distinct()
-                .orderBy("h").limit(KMV_K).collect())
-        return [r["h"] for r in rows]
-
-    ka = _kmv(F.col("doc_id") % 2 == 0)
-    kb = _kmv(F.col("doc_id") % 3 == 0)
+    # ONE distinct-hash pass carries both membership flags; the three
+    # exact numbers (|A|, |B|, |A∩B|) fold from it in a single job
+    # (set intersection at the hash level ≡ the distinct-hash join),
+    # and each sketch is a TopK over it — TakeOrderedAndProject's
+    # map-side partial top-k, never a global sort. persist() spans the
+    # three small actions so the groupBy shuffle runs once.
+    flags = (docs.select(hash60(F.col("text")).alias("h"),
+                         (F.col("doc_id") % 2 == 0).alias("a"),
+                         (F.col("doc_id") % 3 == 0).alias("b"))
+             .filter(F.col("a") | F.col("b"))
+             .groupBy("h").agg(F.max("a").alias("a"),
+                               F.max("b").alias("b"))
+             .persist())
+    try:
+        crow = flags.agg(
+            F.sum(F.col("a").cast("long")).alias("na"),
+            F.sum(F.col("b").cast("long")).alias("nb"),
+            F.sum((F.col("a") & F.col("b")).cast("long")).alias("ni")
+        ).head()
+        n_a, n_b = int(crow["na"]), int(crow["nb"])
+        inter_exact = int(crow["ni"])
+        ka = [r["h"] for r in flags.filter("a").select("h")
+              .orderBy("h").limit(KMV_K).collect()]
+        kb = [r["h"] for r in flags.filter("b").select("h")
+              .orderBy("h").limit(KMV_K).collect()]
+    finally:
+        flags.unpersist()
     sa, sb = set(ka), set(kb)
     u = sorted(sa | sb)[:KMV_K]
     tau, cu = u[-1], len(u)
@@ -2004,15 +2023,6 @@ def dedup_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_raw = (KMV_K - 1) * 2.0 ** 60 / float(tau) \
         if cu >= KMV_K else float(cu)
     inter_est = (ci / float(KMV_K)) * union_raw
-    n_a = (docs.filter(F.col("doc_id") % 2 == 0)
-           .select(hash60(F.col("text")).alias("h")).distinct().count())
-    n_b = (docs.filter(F.col("doc_id") % 3 == 0)
-           .select(hash60(F.col("text")).alias("h")).distinct().count())
-    da = docs.filter(F.col("doc_id") % 2 == 0).select(
-        hash60(F.col("text")).alias("h")).distinct()
-    db_ = docs.filter(F.col("doc_id") % 3 == 0).select(
-        hash60(F.col("text")).alias("h")).distinct()
-    inter_exact = da.join(db_, "h").count()
     return spark.createDataFrame(
         [(KMV_K, n_a, n_b, float(union_raw), float(inter_est),
           inter_exact)],

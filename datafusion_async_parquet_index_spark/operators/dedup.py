@@ -1975,7 +1975,9 @@ def dedup_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction) are each reduced to the KMV_K smallest DISTINCT
     hash60(text) values; |A∪B| is estimated as (k-1)·2^60/τ with τ the
     union sketch's k-th minimum, and |A∩B| as (|{h ∈ U: h ∈ kmvA ∧
-    h ∈ kmvB}| / k)·|A∪B|̂ — all integer/IEEE-deterministic, so the
+    h ∈ kmvB}| / |U|)·|A∪B|̂ (denominator = the union sketch's actual
+    fill, which equals k once full and makes the below-fill estimate
+    exact) — all integer/IEEE-deterministic, so the
     DuckDB oracle recomputes the IDENTICAL estimates, and the exact
     intersection (distinct-hash semi-join) rides along as the
     calibration column (the dedup_minhash_quality audit posture).
@@ -2003,26 +2005,56 @@ def dedup_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.max("b").alias("b"))
              .persist())
     try:
+        # coalesce(0): SUM over an empty frame is NULL — the degenerate
+        # corpus must yield the oracle's zero row, not a TypeError
         crow = flags.agg(
-            F.sum(F.col("a").cast("long")).alias("na"),
-            F.sum(F.col("b").cast("long")).alias("nb"),
-            F.sum((F.col("a") & F.col("b")).cast("long")).alias("ni")
+            F.coalesce(F.sum(F.col("a").cast("long")), F.lit(0))
+            .alias("na"),
+            F.coalesce(F.sum(F.col("b").cast("long")), F.lit(0))
+            .alias("nb"),
+            F.coalesce(F.sum((F.col("a") & F.col("b")).cast("long")),
+                       F.lit(0)).alias("ni")
         ).head()
         n_a, n_b = int(crow["na"]), int(crow["nb"])
         inter_exact = int(crow["ni"])
-        ka = [r["h"] for r in flags.filter("a").select("h")
-              .orderBy("h").limit(KMV_K).collect()]
-        kb = [r["h"] for r in flags.filter("b").select("h")
-              .orderBy("h").limit(KMV_K).collect()]
+        # ONE conditional-TopK job for both sketches (was two filtered
+        # TopK collects): tag each distinct hash with the side(s) it
+        # belongs to and keep the K smallest per side via a row_number
+        # window — Spark's WindowGroupLimit pushes the per-group limit
+        # map-side, so the TopK sketch contract holds (no global sort;
+        # the driver receives <= 2K rows).
+        from pyspark.sql.window import Window
+        tagged = (flags.select(
+            "h",
+            F.explode(F.array(
+                F.when(F.col("a"), F.lit("a")),
+                F.when(F.col("b"), F.lit("b")))).alias("s"))
+            .filter(F.col("s").isNotNull()))
+        wnd = Window.partitionBy("s").orderBy("h")
+        rows = (tagged.withColumn("rn", F.row_number().over(wnd))
+                .filter(F.col("rn") <= KMV_K)
+                .select("s", "h").collect())
+        ka = [r["h"] for r in rows if r["s"] == "a"]
+        kb = [r["h"] for r in rows if r["s"] == "b"]
     finally:
         flags.unpersist()
     sa, sb = set(ka), set(kb)
     u = sorted(sa | sb)[:KMV_K]
-    tau, cu = u[-1], len(u)
+    cu = len(u)
     ci = sum(1 for h in u if h in sa and h in sb)
-    union_raw = (KMV_K - 1) * 2.0 ** 60 / float(tau) \
-        if cu >= KMV_K else float(cu)
-    inter_est = (ci / float(KMV_K)) * union_raw
+    if cu == 0:
+        # degenerate corpus (both sets empty): emit the same zero row
+        # the DuckDB oracle produces instead of crashing on u[-1]
+        union_raw, inter_est = 0.0, 0.0
+    else:
+        tau = u[-1]
+        union_raw = (KMV_K - 1) * 2.0 ** 60 / float(tau) \
+            if cu >= KMV_K else float(cu)
+        # Jaccard denominator is the union sketch's actual fill
+        # (cu == KMV_K once full): below fill both sets are held
+        # exactly, so (ci/cu)*cu == ci — the exact intersection —
+        # where ci/K would underestimate by cu/K.
+        inter_est = (ci / float(cu)) * union_raw
     return spark.createDataFrame(
         [(KMV_K, n_a, n_b, float(union_raw), float(inter_est),
           inter_exact)],
@@ -2054,11 +2086,13 @@ def _overlap_kmv_sql() -> str:
            CASE WHEN cu >= {KMV_K}
                 THEN ({KMV_K} - 1) * POW(2, 60) / CAST(tau AS DOUBLE)
                 ELSE CAST(cu AS DOUBLE) END AS union_est,
-           (CAST(ci AS DOUBLE) / {KMV_K})
-               * (CASE WHEN cu >= {KMV_K}
-                       THEN ({KMV_K} - 1) * POW(2, 60)
-                            / CAST(tau AS DOUBLE)
-                       ELSE CAST(cu AS DOUBLE) END) AS inter_est,
+           CASE WHEN cu = 0 THEN CAST(0 AS DOUBLE)
+                ELSE (CAST(ci AS DOUBLE) / cu)
+                     * (CASE WHEN cu >= {KMV_K}
+                             THEN ({KMV_K} - 1) * POW(2, 60)
+                                  / CAST(tau AS DOUBLE)
+                             ELSE CAST(cu AS DOUBLE) END)
+           END AS inter_est,
            (SELECT CAST(COUNT(*) AS BIGINT)
             FROM a JOIN b ON a.h = b.h) AS inter_exact
     FROM m

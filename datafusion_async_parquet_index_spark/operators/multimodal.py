@@ -665,7 +665,10 @@ def mm_resize_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 resized = resize_bmp_nearest(rgb, ow, oh)
                 # full codec round-trip on the resized image
                 rw, rh, back = decode_bmp(encode_bmp(resized))
-                assert (rw, rh) == (ow, oh)
+                if (rw, rh) != (ow, oh):  # survives python -O
+                    raise ValueError(
+                        f"BMP round-trip dims {(rw, rh)} != {(ow, oh)} "
+                        f"for doc {doc_id}")
                 flat = back.reshape(-1).astype(np.int64)
                 weights = 1 + (np.arange(flat.size) % 97)
                 out["doc_id"].append(int(doc_id))

@@ -84,6 +84,10 @@ class DataFrameIndexCatalog:
         # rewinds, so expired ids are not reused
         self._snapshots: Dict[int, Dict[str, tuple]] = {}
         self._snapshot_seq = 0
+        # tombstones: ids removed by expire_snapshots (parity with the
+        # sqlite backend's file_count = -1 marker — as-of reads report
+        # "has been expired", not "unknown snapshot id")
+        self._expired_snapshots: set = set()
         # file_name -> {row_group: {column: (entries, rest, kth)}}
         self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
@@ -222,28 +226,37 @@ class DataFrameIndexCatalog:
         return sid
 
     def expire_snapshots(self, keep_last: int):
-        """Same protocol as SqliteIndexCatalog.expire_snapshots."""
+        """Same protocol as SqliteIndexCatalog.expire_snapshots.
+        Expired ids go to a tombstone set so later as-of reads report
+        'has been expired' (the sqlite backend's file_count = -1
+        tombstone), not 'unknown snapshot id'."""
         ids = sorted(self._snapshots)
         expired = ids[:-keep_last] if keep_last > 0 else ids
         for sid in expired:
             del self._snapshots[sid]
+            self._expired_snapshots.add(sid)
             for store in (self._snap_dv, self._snap_dv_rg,
                           self._snap_dv_sums):
                 store.pop(sid, None)
         return expired
 
+    def _check_snapshot_id(self, snapshot_id: int) -> None:
+        if snapshot_id not in self._snapshots:
+            if snapshot_id in self._expired_snapshots:
+                raise KeyError(
+                    f"snapshot id {snapshot_id} has been expired")
+            raise KeyError(f"unknown snapshot id {snapshot_id}")
+
     def snapshot_files(self, snapshot_id: int):
         """Same protocol as SqliteIndexCatalog.snapshot_files."""
-        if snapshot_id not in self._snapshots:
-            raise KeyError(f"unknown snapshot id {snapshot_id}")
+        self._check_snapshot_id(snapshot_id)
         return {name: ident[0] for name, ident
                 in self._snapshots[snapshot_id].items()}
 
     def snapshot_manifest(self, snapshot_id: int):
         """Same protocol as SqliteIndexCatalog.snapshot_manifest:
         {file_name: (size, mtime_ns, footer_md5)}."""
-        if snapshot_id not in self._snapshots:
-            raise KeyError(f"unknown snapshot id {snapshot_id}")
+        self._check_snapshot_id(snapshot_id)
         return dict(self._snapshots[snapshot_id])
 
     def file_identity(self):

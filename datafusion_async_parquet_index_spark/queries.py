@@ -3401,6 +3401,77 @@ def q104_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, s)], "n_total BIGINT, sum_cents BIGINT")
 
 
+def q105_append_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION ON INSERT (``append(merge_schema=True)``,
+    sources/table.py — Delta's mergeSchema; VERDICT r10 ask #4,
+    connecting the public INSERT verb to the q72 PROVEN-all-null
+    index machinery): a 2-file orders table indexed on a column that
+    DOES NOT EXIST YET (``disc``) appends a batch carrying it. The
+    asserts pin (a) the default append refuses the extra column
+    LOUDLY with the evolve hint, (b) merge_schema=True lands the batch
+    and evolves the table schema (new column nullable), (c) the
+    pre-evolution era reads the column as NULL, (d) a predicate on the
+    evolved column prunes BOTH pre-evolution files from the catalog
+    alone (the evolution refresh backfills PROVEN all-null stats), and
+    (e) COUNT/SUM pushdowns still fold with zero partial row groups.
+    The oracle replays the evolution relationally (base rows have NULL
+    disc; only batch rows can match). The reference assumes one
+    immutable schema (main.rs:228-237) — this is the add-a-column-
+    this-year shape every long-lived 100 TB table hits, now reachable
+    through ingest instead of write-externally-then-refresh."""
+    import tempfile
+
+    from .operators.util import session_memo
+
+    memo = session_memo(spark, "dv_table_evolve")
+    t = memo.get(sf_dir)
+    if t is None:
+        d = tempfile.mkdtemp(prefix="spark_graft_evolve_append_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for i, name in enumerate(["even.parquet", "odd.parquet"]):
+            _stage_one_file(base.filter(F.col("o_orderkey") % 2 == i)
+                            .orderBy("o_orderkey"), d, name)
+        # "disc" is requested as an index column BEFORE any file
+        # carries it — build_index types it on first appearance
+        t = IndexedParquetTable(spark, d,
+                                ["o_orderkey", "cents", "disc"],
+                                sum_columns=["cents"])
+        n0 = t.count_rows()
+        batch = base.filter((F.col("cents") % 11) == 5).select(
+            (F.col("o_orderkey") + F.lit(500_000_000).cast("long"))
+            .alias("o_orderkey"),
+            (F.col("cents") + 3).alias("cents"),
+            (F.col("cents") % 1000).alias("disc"))
+        try:
+            t.append(batch)
+            raise AssertionError("extra column did not refuse")
+        except ValueError as e:
+            assert "merge_schema=True" in str(e)
+        n_ins = t.append(batch, merge_schema=True)
+        assert n_ins > 0 and t.count_rows() == n0 + n_ins
+        assert t.count_rows(xcol("disc").is_null()) == n0
+        memo[sf_dir] = t
+    # the evolved-column predicate scans ONLY the post-evolution file
+    hi = t.query(xcol("disc") > 500)
+    dec = t.last_scan
+    assert not ({"even.parquet", "odd.parquet"}
+                & set(dec.files_scanned)), dec.describe()
+    agg = hi.agg(F.count(F.lit(1)).alias("n_hi"),
+                 F.sum("disc").alias("sum_hi_disc")).head()
+    n = t.count_rows()
+    n_pre = t.count_rows(xcol("disc").is_null())
+    s, nn = t.sum_rows("cents")
+    assert nn == n and t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n, s, n_pre, agg["n_hi"], agg["sum_hi_disc"])],
+        "n_total BIGINT, sum_cents BIGINT, n_pre_evolution BIGINT, "
+        "n_hi BIGINT, sum_hi_disc BIGINT")
+
+
 RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_select_limit": q1_select_limit,
     "q2_point_equality": q2_point_equality,
@@ -3508,6 +3579,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q102_incremental_join_view_from_feed,
     "q103_append": q103_append,
     "q104_snapshot_expiry": q104_snapshot_expiry,
+    "q105_append_merge_schema": q105_append_merge_schema,
 }
 
 
@@ -4817,6 +4889,27 @@ RELATIONAL_ORACLE["q104_snapshot_expiry"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM live
+"""
+
+RELATIONAL_ORACLE["q105_append_merge_schema"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT cents + 3 AS cents, cents % 1000 AS disc
+        FROM c WHERE cents % 11 = 5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM c) + (SELECT COUNT(*) FROM b)
+                AS BIGINT) AS n_total,
+           CAST((SELECT SUM(cents) FROM c)
+                + COALESCE((SELECT SUM(cents) FROM b), 0)
+                AS BIGINT) AS sum_cents,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_pre_evolution,
+           CAST((SELECT COUNT(*) FROM b WHERE disc > 500)
+                AS BIGINT) AS n_hi,
+           CAST(COALESCE((SELECT SUM(disc) FROM b WHERE disc > 500), 0)
+                AS BIGINT) AS sum_hi_disc
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

@@ -353,11 +353,19 @@ class IndexedParquetTable:
                 else os.path.basename(path))
 
     # -- maintenance (EP2) --------------------------------------------
-    def refresh(self) -> None:
+    def refresh(self, full: bool = False) -> None:
         """Re-list the directory and (re-)index ONLY new or changed
         files; stats for deleted files are dropped. Idempotent per file —
         the catalog upsert replaces stale stats — and O(changed files) in
-        the steady state (size-match short-circuit)."""
+        the steady state (size-match short-circuit).
+
+        ``full=True`` re-extracts EVERY file (footer-only pass,
+        distributed above the threshold; unchanged files keep their
+        deletion vectors via content-judged retention). Needed exactly
+        when the INDEX SCHEMA gains a column existing stats rows
+        predate — a schema-evolving append must backfill PROVEN
+        all-null stats for pre-evolution files or predicates on the
+        new column cannot prune them."""
         self._recover_compaction_markers()
         self._files = list_parquet_files(
             self.data_dir, recursive=getattr(self, "partitioned", False))
@@ -368,7 +376,7 @@ class IndexedParquetTable:
         requested = getattr(self, "_index_columns", None) or list(self.index_schema)
         new_schema = build_index(self.catalog, self._files,
                                  requested, spark=self.spark,
-                                 incremental=True,
+                                 incremental=not full,
                                  bloom_columns=getattr(self, "bloom_columns", ()),
                                  token_bloom_columns=getattr(
                                      self, "token_bloom_columns", ()),
@@ -1788,7 +1796,8 @@ class IndexedParquetTable:
         return landed
 
     def append(self, batch: DataFrame,
-               target_files: Optional[int] = 1) -> int:
+               target_files: Optional[int] = 1,
+               merge_schema: bool = False) -> int:
         """INSERT — the public ingest verb (Delta's ``INSERT INTO`` /
         the reference's own maintenance entry point, index.rs:179):
         land ``batch`` as new data file(s) via the same staged
@@ -1810,6 +1819,18 @@ class IndexedParquetTable:
         column raises before anything lands. Empty batches land
         nothing and return 0.
 
+        ``merge_schema=True`` (opt-in SCHEMA EVOLUTION — Delta's
+        mergeSchema): a batch carrying every table column PLUS new
+        ones lands and EVOLVES the table — the table schema becomes
+        the union (new columns nullable), future reads union footers
+        (``self.merge_schema``), pre-evolution files read the new
+        columns as NULL, and the index records them as PROVEN all-null
+        (the q72 machinery) so a predicate on an evolved+indexed
+        column prunes the entire pre-evolution era from the catalog
+        alone. Missing table columns still refuse — evolution only
+        ADDS columns, never silently drops data. The default stays the
+        loud exact-schema refusal.
+
         Failure posture (same as merge_upsert's first half): a crash
         after the land but before refresh() leaves the file on disk
         uncataloged — invisible until the next refresh(), which
@@ -1822,22 +1843,49 @@ class IndexedParquetTable:
         and their statistics are untouched. On hive layouts the batch
         lands partition-aware (one file per touched partition
         directory)."""
+        from pyspark.sql.types import StructField, StructType
+
+        evolved_fields = []
         if self._schema is not None:
             want = [f.name for f in self._schema.fields]
             have = set(batch.columns)
             missing = sorted(set(want) - have)
             extra = sorted(have - set(want))
-            if missing or extra:
+            if merge_schema and extra and not missing:
+                # schema evolution: existing columns realigned first,
+                # new columns appended (nullable — pre-evolution files
+                # read them as NULL)
+                batch = batch.select(*want, *extra)
+                by_name = {f.name: f for f in batch.schema.fields}
+                evolved_fields = [
+                    StructField(c, by_name[c].dataType, True)
+                    for c in extra]
+            elif missing or extra:
+                hint = ("; pass merge_schema=True to evolve the "
+                        "schema with the new columns"
+                        if extra and not missing else "")
                 raise ValueError(
                     f"append batch schema mismatch: missing {missing}, "
-                    f"unexpected {extra} (table columns: {want})")
-            batch = batch.select(*want)
+                    f"unexpected {extra} (table columns: {want}){hint}")
+            else:
+                batch = batch.select(*want)
         landed = self._land_batch(batch, "insert",
                                   target_files=target_files)
         n_ins = self._count_landed_or_discard(landed)
         if not n_ins:
             return 0
-        self.refresh()
+        if evolved_fields:
+            # commit the evolution BEFORE refresh() so the re-index and
+            # every subsequent fixed-schema read see the union schema;
+            # merge_schema makes any future from-scratch inference
+            # union footers too. The refresh is FULL: pre-evolution
+            # files must backfill PROVEN all-null stats on any newly
+            # indexed column (a one-time O(files) footer pass — the
+            # incremental size-match skip would leave them unprunable).
+            self.merge_schema = True
+            self._schema = StructType(
+                list(self._schema.fields) + evolved_fields)
+        self.refresh(full=bool(evolved_fields))
         self._refresh_views()
         return n_ins
 

@@ -85,6 +85,68 @@ def test_append_schema_mismatch_refuses(spark, tmp_path):
     assert not [f for f in os.listdir(d) if f.startswith("insert_")]
 
 
+@pytest.mark.parametrize("backend", ["sqlite", "df"])
+def test_append_merge_schema_evolves(spark, tmp_path, backend):
+    """r10 VERDICT ask #4: merge_schema=True lands a superset-schema
+    batch, evolves the table schema (new column nullable), pre-
+    evolution files read NULL and are pruned by predicates on the
+    evolved indexed column (the q72 PROVEN-all-null machinery), and
+    COUNT/SUM pushdowns keep folding."""
+    d = str(tmp_path / f"app_evo_{backend}")
+    _corpus(spark, d)
+    kw = {}
+    if backend == "df":
+        from datafusion_async_parquet_index_spark.sources.df_catalog import (
+            DataFrameIndexCatalog,
+        )
+        kw["catalog"] = DataFrameIndexCatalog(spark)
+    t = IndexedParquetTable(spark, d, ["k", "v", "w"],
+                            sum_columns=["v"], **kw)
+    n0 = t.count_rows()
+    batch = spark.range(40).select(
+        (F.col("id") + 20_000).cast("long").alias("k"),
+        F.lit(3).cast("long").alias("v"),
+        (F.col("id") * 5).cast("long").alias("w"))
+    # default refuses with the evolve hint
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(batch)
+    assert t.append(batch, merge_schema=True) == 40
+    # schema evolved: w present, nullable
+    wf = {f.name: f for f in t._schema.fields}["w"]
+    assert wf.nullable
+    # pre-evolution rows read w as NULL; totals fold
+    assert t.count_rows() == n0 + 40
+    assert t.count_rows(col("w").is_null()) == n0
+    s, nn = t.sum_rows("v")
+    assert nn == n0 + 40
+    # a predicate on the evolved indexed column prunes the entire
+    # pre-evolution era from the catalog alone
+    got = t.query(col("w") >= 100)
+    rows = got.collect()
+    assert {f for f in t.last_scan.files_scanned} \
+        & {"a.parquet", "b.parquet"} == set()
+    assert len(rows) == sum(1 for i in range(40) if i * 5 >= 100)
+    assert all(r["v"] == 3 for r in rows)
+    # a FRESH handle over the evolved directory unions footers
+    t2 = IndexedParquetTable(spark, d, ["k", "v"], merge_schema=True,
+                             **({} if backend == "sqlite" else kw))
+    assert "w" in [f.name for f in t2._schema.fields]
+    assert t2.count_rows() == n0 + 40
+
+
+def test_append_merge_schema_still_refuses_missing(spark, tmp_path):
+    """Evolution only ADDS columns: a batch missing a table column
+    refuses even with merge_schema=True."""
+    d = str(tmp_path / "app_evo_miss")
+    _corpus(spark, d)
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("w"))
+    with pytest.raises(ValueError, match="missing \\['v'\\]"):
+        t.append(bad, merge_schema=True)
+    assert not [f for f in os.listdir(d) if f.startswith("insert_")]
+
+
 def test_append_empty_batch_noop(spark, tmp_path):
     d = str(tmp_path / "app_empty")
     _corpus(spark, d)

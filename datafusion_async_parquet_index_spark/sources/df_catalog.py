@@ -88,6 +88,11 @@ class DataFrameIndexCatalog:
         # sqlite backend's file_count = -1 marker — as-of reads report
         # "has been expired", not "unknown snapshot id")
         self._expired_snapshots: set = set()
+        # optimistic-concurrency version — same contract as
+        # SqliteIndexCatalog.version/commit_version (this backend is
+        # in-process, so a plain lock-guarded CAS suffices)
+        self._version = 0
+        self._version_lock = __import__("threading").Lock()
         # file_name -> {row_group: {column: (entries, rest, kth)}}
         self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
@@ -239,6 +244,38 @@ class DataFrameIndexCatalog:
                           self._snap_dv_sums):
                 store.pop(sid, None)
         return expired
+
+    def snapshots_referencing(self, names, after: int):
+        """Same protocol as SqliteIndexCatalog.snapshots_referencing
+        (in-memory dict intersection)."""
+        wanted = set(names)
+        out = {}
+        for sid in sorted(self._snapshots):
+            if sid <= after:
+                continue
+            for n in wanted & set(self._snapshots[sid]):
+                out.setdefault(n, []).append(sid)
+        return out
+
+    def version(self) -> int:
+        """Same protocol as SqliteIndexCatalog.version."""
+        return self._version
+
+    def commit_version(self, expected: int, verb: str = "dml") -> int:
+        """Same protocol as SqliteIndexCatalog.commit_version: CAS
+        expected -> expected + 1 or raise ConcurrentWriteError."""
+        from .catalog import ConcurrentWriteError
+
+        with self._version_lock:
+            if self._version != expected:
+                raise ConcurrentWriteError(
+                    f"catalog version moved: this {verb} started from "
+                    f"version {expected} but the catalog is at "
+                    f"{self._version} — another writer committed since "
+                    f"planning began; nothing was mutated, re-read the "
+                    f"table state and retry")
+            self._version += 1
+            return self._version
 
     def _check_snapshot_id(self, snapshot_id: int) -> None:
         if snapshot_id not in self._snapshots:

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..plans.expr import Expr, Lit, and_all
 from ..plans.pruning import PruningRewriter
 from . import stats as _stats
-from .catalog import SqliteIndexCatalog
+from .catalog import ConcurrentWriteError, SqliteIndexCatalog
 from .stats import build_index, list_parquet_files
 
 
@@ -352,6 +352,33 @@ class IndexedParquetTable:
                 if getattr(self, "partitioned", False)
                 else os.path.basename(path))
 
+    # -- optimistic concurrency (round 11) -----------------------------
+    # Test/tooling hook: called with the verb name immediately before
+    # the commit-version CAS — lets a test interleave a second writer
+    # deterministically between a verb's planning and its commit.
+    _pre_commit_hook = None
+
+    def _dml_begin(self) -> int:
+        """Catalog version at the moment a DML verb starts planning.
+        Catalogs without the version extension (a user-supplied
+        custom backend) opt out: every verb then commits ungated,
+        the pre-round-11 single-writer contract."""
+        ver = getattr(self.catalog, "version", None)
+        return ver() if callable(ver) else -1
+
+    def _dml_commit(self, v0: int, verb: str) -> None:
+        """The commit-version CAS every DML verb runs BEFORE its first
+        catalog/file mutation: advance v0 -> v0 + 1 iff the catalog is
+        still at v0, else raise ConcurrentWriteError LOUDLY with
+        nothing mutated (Delta's optimistic-concurrency contract —
+        the second committer refuses; the table state stays the first
+        writer's). The gate serializes the DECISION to commit; verbs'
+        mutation phases are short catalog transactions behind it."""
+        if self._pre_commit_hook is not None:
+            self._pre_commit_hook(verb)
+        if v0 >= 0:
+            self.catalog.commit_version(v0, verb)
+
     # -- maintenance (EP2) --------------------------------------------
     def refresh(self, full: bool = False) -> None:
         """Re-list the directory and (re-)index ONLY new or changed
@@ -489,6 +516,7 @@ class IndexedParquetTable:
         At 100 TB this is what bounds catalog growth: snapshots are
         O(files) metadata each, so a retention policy is metadata
         deletion, never a data rewrite. Returns the expired ids."""
+        self._dml_commit(self._dml_begin(), "expire")
         return self.catalog.expire_snapshots(keep_last)
 
     def _snapshot_filter(
@@ -1141,6 +1169,7 @@ class IndexedParquetTable:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        v0 = self._dml_begin()
         decision = self.plan_scan(predicate)
         if not decision.files_scanned:
             return 0
@@ -1152,7 +1181,8 @@ class IndexedParquetTable:
         df = reader.schema(self._schema).parquet(*paths)
         df = self._dv_apply(df, decision.file_names)   # idempotence
         df = df.filter(predicate.to_spark())
-        return self._dv_collect_and_store(df)
+        return self._dv_collect_and_store(df, commit_from=v0,
+                                          verb="delete")
 
     def delete_matching(self, victims: DataFrame, key_column: str) -> int:
         """Set-based row-level DELETE: remove every row whose
@@ -1168,6 +1198,7 @@ class IndexedParquetTable:
         from ..plans.expr import col as xcol
         from pyspark.sql import functions as F
 
+        v0 = self._dml_begin()
         keys = victims.select(
             F.col(key_column).alias("__dv_victim_key")).where(
             F.col("__dv_victim_key").isNotNull()).distinct()
@@ -1190,9 +1221,12 @@ class IndexedParquetTable:
         df = df.join(keys,
                      df[key_column] == keys["__dv_victim_key"],
                      "leftsemi")
-        return self._dv_collect_and_store(df)
+        return self._dv_collect_and_store(df, commit_from=v0,
+                                          verb="delete_matching")
 
-    def _dv_collect_and_store(self, df: DataFrame) -> int:
+    def _dv_collect_and_store(self, df: DataFrame,
+                              commit_from: int = -1,
+                              verb: str = "delete") -> int:
         """Shared tail of the delete paths: one distributed pass over
         the victim DataFrame (which still carries ``_metadata``)
         collects per-file sorted positions, counts, and exact
@@ -1205,9 +1239,12 @@ class IndexedParquetTable:
             self._dv_file_key_col().alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
             *[F.col(c) for c in sum_cols])
-        return self._dv_store_victims(victims)
+        return self._dv_store_victims(victims, commit_from=commit_from,
+                                      verb=verb)
 
-    def _dv_store_victims(self, victims: DataFrame) -> int:
+    def _dv_store_victims(self, victims: DataFrame,
+                          commit_from: int = -1,
+                          verb: str = "delete") -> int:
         """Commit deletion vectors from an already-materialized victim
         frame carrying ``__file`` (catalog key, URI-space), ``__pos``
         (file-scoped row position) and every sum column — lets
@@ -1247,6 +1284,10 @@ class IndexedParquetTable:
                 f"overwrite) is the "
                 f"right tool at that volume")
         hits = victims.groupBy("__file").agg(*aggs).collect()
+        # optimistic-concurrency gate: everything above was read-only
+        # planning; refuse LOUDLY before the first DV commit if another
+        # writer moved the catalog since the verb began
+        self._dml_commit(commit_from, verb)
         from urllib.parse import unquote
         deleted = 0
         for r in hits:
@@ -1554,6 +1595,7 @@ class IndexedParquetTable:
 
         if self._schema is None or not self.catalog.all_files():
             return 0   # empty table: nothing to pack
+        v0 = self._dml_begin()
         dvs = self._dvs()
         part_cols = getattr(self, "_partition_cols", set())
         phys_schema = StructType(
@@ -1633,6 +1675,16 @@ class IndexedParquetTable:
                     elif os.path.exists(leftover):
                         os.remove(leftover)
             raise
+        # optimistic-concurrency gate between the (invisible) staging
+        # and the commit half: on refusal drop the staged dotfiles —
+        # sources + catalog are untouched
+        try:
+            self._dml_commit(v0, "optimize")
+        except ConcurrentWriteError:
+            for tmp in tmps:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            raise
         packed_count = 0
         for (d, name, bin_files), tmp in zip(work, tmps):
             dest = os.path.join(d, name)
@@ -1678,6 +1730,7 @@ class IndexedParquetTable:
         see ``data_dir`` at the same path (shared FS / local mode) —
         the same contract every Spark write in this table already
         assumes."""
+        v0 = self._dml_begin()
         dvs = self.catalog.get_dv_ranges()
         items = [(os.path.join(self.data_dir, fname), ranges)
                  for fname, ranges in sorted(dvs.items())]
@@ -1703,6 +1756,15 @@ class IndexedParquetTable:
                 t = _compact_tmp_path(path)
                 if os.path.exists(t):
                     os.remove(t)
+            raise
+        # optimistic-concurrency gate between the (invisible) staged
+        # rewrites and the swap/evict commit half
+        try:
+            self._dml_commit(v0, "compact_deletes")
+        except ConcurrentWriteError:
+            for tmp in staged:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             raise
         for (path, _ranges), tmp in zip(items, staged):
             fname = self._marker_file_key(path)
@@ -1869,6 +1931,10 @@ class IndexedParquetTable:
                     f"unexpected {extra} (table columns: {want}){hint}")
             else:
                 batch = batch.select(*want)
+        # optimistic-concurrency gate BEFORE anything lands (the
+        # landing below is the expensive half; a refusal here costs
+        # zero write I/O and leaves nothing to clean up)
+        self._dml_commit(self._dml_begin(), "append")
         landed = self._land_batch(batch, "insert",
                                   target_files=target_files)
         n_ins = self._count_landed_or_discard(landed)
@@ -1930,6 +1996,11 @@ class IndexedParquetTable:
         nondeterministic ``updates`` plan cannot delete keys it never
         inserted. On hive layouts the batch lands partition-aware
         (one file per touched partition directory)."""
+        # optimistic-concurrency gate BEFORE anything lands; the
+        # delete half re-gates with its own version read (each CAS
+        # advances the version once — nested verbs are serialized the
+        # same way independent ones are)
+        self._dml_commit(self._dml_begin(), "merge")
         landed = self._land_batch(updates, "upsert")
         n_ins = self._count_landed_or_discard(landed)
         if not n_ins:
@@ -2000,6 +2071,7 @@ class IndexedParquetTable:
             raise ValueError(
                 f"update_where assignments reference columns not in "
                 f"the table schema: {bad}")
+        v0 = self._dml_begin()
         decision = self.plan_scan(predicate)
         if not decision.files_scanned:
             return 0
@@ -2044,6 +2116,9 @@ class IndexedParquetTable:
             updated = victims.select(
                 *[exprs.get(f.name, F.col(f.name)).alias(f.name)
                   for f in self._schema.fields])
+            # optimistic-concurrency gate BEFORE anything lands: a
+            # refusal here costs zero write I/O and zero cleanup
+            self._dml_commit(v0, "update")
             self._land_batch(updated, "update")
             # the landed files are invisible to the catalog until
             # refresh() — old versions go, new versions stay
@@ -2133,6 +2208,7 @@ class IndexedParquetTable:
         # different row layout; an identical-content replace (fresh
         # mtime, same bytes) restores fine. The md5 probe is O(64 KiB)
         # per recorded file and only runs when sizes already match.
+        v0 = self._dml_begin()
         recorded = self.catalog.snapshot_manifest(snapshot_id)
         for name, (size, mt, md5) in sorted(recorded.items()):
             p = os.path.join(self.data_dir, name)
@@ -2158,16 +2234,25 @@ class IndexedParquetTable:
         if not force and extras:
             # refuse BEFORE any removal when a live newer snapshot
             # still references a file this restore would delete.
-            # O(S + E) key work: extras' keys computed once, each
-            # newer manifest intersected against the set
+            # The scan is pushed into the catalog
+            # (snapshots_referencing: one indexed query, O(matches)) —
+            # the per-snapshot manifest walk it replaces fetched every
+            # newer snapshot's full file list, O(snapshots × files) at
+            # 200k files (round-11 scale probe finding). Custom
+            # catalogs without the method keep the walk.
             extra_keys = {self._file_key(p) for p in extras}
-            blockers: Dict[str, List[int]] = {}
-            for sid in self.catalog.snapshot_ids():
-                if sid <= snapshot_id:
-                    continue
-                for key in extra_keys & set(
-                        self.catalog.snapshot_files(sid)):
-                    blockers.setdefault(key, []).append(sid)
+            ref = getattr(self.catalog, "snapshots_referencing", None)
+            if ref is not None:
+                blockers: Dict[str, List[int]] = ref(
+                    extra_keys, snapshot_id)
+            else:
+                blockers = {}
+                for sid in self.catalog.snapshot_ids():
+                    if sid <= snapshot_id:
+                        continue
+                    for key in extra_keys & set(
+                            self.catalog.snapshot_files(sid)):
+                        blockers.setdefault(key, []).append(sid)
             if blockers:
                 raise ValueError(
                     f"restore to snapshot {snapshot_id} would remove "
@@ -2176,6 +2261,9 @@ class IndexedParquetTable:
                     f"— expire those snapshots first "
                     f"(expire_snapshots) or pass force=True to make "
                     f"them irrecoverable; nothing was restored")
+        # optimistic-concurrency gate: all checks above were reads;
+        # refuse before the first removal if another writer committed
+        self._dml_commit(v0, "restore")
         removed = 0
         for p in extras:
             os.remove(p)

@@ -37,18 +37,20 @@ _ROUND_PRIORITY = [
     # == ROUND 11 WINDOW (scripts/next_window.py output, start of
     # r11) ============================================================
     # tier 0 (unresolved reds): none — CORRECTNESS_r10 was 50/50 green.
-    # tier 1: the round-11 landings (PNG decode, schema-evolving
-    #   append) plus dedup_overlap_kmv, whose estimator FORMULA changed
-    #   this round (ADVICE r10 #2 bias fix — the r10 green row pinned
-    #   the old values, so it needs a fresh proof).
+    # tier 1: the round-11 landings (PNG decode, PCM WAV decode,
+    #   schema-evolving append) plus dedup_overlap_kmv, whose estimator
+    #   FORMULA changed this round (ADVICE r10 #2 bias fix — the r10
+    #   green row pinned the old values, so it needs a fresh proof).
     # tier 2: stalest driver greens — the r7-green pruning core
     #   (q1–q5, also re-pinned every run by tests/test_golden_parity)
     #   and the r7 relational/layout/sketch tail, filling to 50; the
-    #   last three of next_window's list (ev_session_window_agg,
-    #   ev_stream_session_window, text_temperature_resample) are
-    #   displaced to r12 by the three tier-1 entries.
+    #   last four of next_window's list (ev_stream_dedup,
+    #   ev_session_window_agg, ev_stream_session_window,
+    #   text_temperature_resample) are displaced to r12 by the four
+    #   tier-1 entries.
     "q105_append_merge_schema",
     "mm_decode_png_stats",
+    "mm_decode_wav_stats",
     "dedup_overlap_kmv",
     # -- tier 2 (r7-stale) --------------------------------------------
     "q1_select_limit",

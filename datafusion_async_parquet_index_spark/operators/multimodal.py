@@ -16,8 +16,10 @@ Design (the part that must be right at 100 TB):
   them relationally; and (round 11) 8-bit truecolor PNG
   (``encode_png``/``decode_png`` — chunk framing with CRC32, zlib
   IDAT, all five scanline filters), exercised by
-  ``mm_decode_png_stats`` the same way;
-- remaining compressed-codec decode (JPEG/WAV/MP4) stays STUBBED
+  ``mm_decode_png_stats`` the same way; and PCM WAV audio
+  (``encode_wav``/``decode_wav`` — RIFF chunk walk, fmt geometry
+  checks, int16 deinterleave), exercised by ``mm_decode_wav_stats``;
+- remaining compressed-codec decode (JPEG/MP4) stays STUBBED
   (``decode_image_stub`` raises ``NotImplementedError`` when asked for
   a real decode and offers a deterministic fake, ``fake_decode=True``)
   so the Spark-side plumbing — schema, partitioning, UDF signature,
@@ -84,12 +86,12 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_image_stub(payload: bytes, media_type: str, fake_decode: bool = False):
     """Decode stub for codecs that need libraries not present in this
-    container (JPEG/WAV/MP4). With fake_decode, derives deterministic
+    container (JPEG/MP4). With fake_decode, derives deterministic
     dimensions from the payload so downstream plumbing is testable.
     For REAL decode paths use ``decode_bmp`` (24-bit uncompressed BMP,
-    pure numpy) or ``decode_png`` (8-bit truecolor PNG, stdlib zlib)
-    below — or ``decode_image``, which dispatches through the
-    ``IMAGE_DECODERS`` registry."""
+    pure numpy), ``decode_png`` (8-bit truecolor PNG, stdlib zlib), or
+    ``decode_wav`` (16-bit PCM RIFF) below — or ``decode_image``,
+    which dispatches through the ``IMAGE_DECODERS`` registry."""
     if not fake_decode:
         raise NotImplementedError(
             "media decode requires codec libraries (PIL/ffmpeg) not "
@@ -893,13 +895,91 @@ def decode_png(payload: bytes):
     return w, h, out.astype(np.uint8).reshape(h, w, c)
 
 
+# -- real audio decode: PCM WAV via pure RIFF parsing (round 11) -----
+#
+# WAV joins BMP/PNG as a REAL codec: the RIFF container is pure
+# struct arithmetic (chunk framing, fmt geometry, interleaved
+# little-endian PCM samples) — no codec library needed. 16-bit PCM
+# only; compressed formats (non-PCM wFormatTag), other bit depths,
+# and truncated chunks are refused LOUDLY.
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Serialize an (n_samples, n_channels) int16 array as a PCM WAV
+    file: RIFF header + fmt chunk (PCM, 16-bit) + data chunk of
+    interleaved little-endian samples."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim != 2:
+        raise ValueError("encode_wav expects (n_samples, n_channels)")
+    n, ch = arr.shape
+    data = arr.tobytes()   # C-order = interleaved frames
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM WAV file: returns (rate, n_channels, (n_samples,
+    n_channels) int16 array). A REAL decode — RIFF/WAVE magic, chunk
+    walk (unknown chunks skipped with word alignment, like real
+    writers emit LIST/fact chunks), fmt geometry cross-checked
+    (block_align == channels * 2, byte_rate == rate * block_align),
+    data length validated against the frame size. Refuses LOUDLY on
+    non-PCM format tags, non-16-bit depths, or truncation — never
+    silently wrong audio."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV file (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype, ln = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated WAV chunk {ctype!r}")
+        if ctype == b"fmt ":
+            fmt = body
+        elif ctype == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, byte_rate, block, bits = struct.unpack_from(
+        "<HHIIHH", fmt)
+    if tag != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format_tag={tag}, bits={bits}):"
+            f" only 16-bit PCM is decoded")
+    if ch < 1 or block != ch * 2 or byte_rate != rate * block:
+        raise ValueError(
+            f"corrupt WAV fmt geometry (channels={ch}, "
+            f"block_align={block}, byte_rate={byte_rate}, rate={rate})")
+    if len(data) % block:
+        raise ValueError(
+            f"WAV data length {len(data)} is not a whole number of "
+            f"{block}-byte frames")
+    arr = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return rate, ch, arr
+
+
 # media_type -> real decoder; anything else falls back to the stub.
-# The codec registry the stub docstring promises: BMP and PNG decode
-# for real in this container, compressed JPEG/WAV/MP4 stay honest
-# stubs until their codec dependencies exist.
+# The codec registry the stub docstring promises: BMP, PNG, and PCM
+# WAV decode for real in this container; JPEG/MP4 stay honest stubs
+# until their codec dependencies exist.
 IMAGE_DECODERS: Dict[str, Callable[[bytes], tuple]] = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
+    "audio/wav": decode_wav,
 }
 
 
@@ -907,12 +987,115 @@ def decode_image(payload: bytes, media_type: str,
                  fake_decode: bool = False):
     """Dispatch a binary payload to its REAL codec when one exists
     (``IMAGE_DECODERS``); otherwise defer to ``decode_image_stub``.
-    Returns (width, height, pixel array) from a real codec, or the
-    stub's metadata dict."""
+    Returns (width, height, pixels) for image codecs, (rate, channels,
+    samples) for audio, or the stub's metadata dict."""
     dec = IMAGE_DECODERS.get(media_type)
     if dec is not None:
         return dec(payload)
     return decode_image_stub(payload, media_type, fake_decode=fake_decode)
+
+
+WAV_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("samp_sum", LongType()),
+    StructField("samp_wsum", LongType()),
+])
+
+
+def synthesize_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM WAV files as the binary media column: per document, a
+    clip whose geometry derives from doc_id (n_frames = 64 +
+    doc_id % 193, channels alternate mono/stereo, sample rate cycles
+    8/16/24 kHz) and whose int16 samples are the document's text bytes
+    re-centered and scaled ((byte - 128) * 256) in interleaved frame
+    order — the relational generative formula again, but the PAYLOAD
+    is a genuine RIFF/PCM file: the decode side reads it back through
+    chunk framing and sample deinterleaving, not the formula."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                did = int(doc_id)
+                n = 64 + did % 193
+                ch = 1 + did % 2
+                rate = 8000 * (1 + did % 3)
+                j = np.arange(n * ch)
+                vals = np.frombuffer(b, dtype=np.uint8)[j % len(b)]
+                samples = ((vals.astype(np.int32) - 128) * 256) \
+                    .astype(np.int16).reshape(n, ch)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "payload": payloads})
+
+    from .util import spread_for_compute
+    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+
+
+def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip statistics FROM DECODED PCM SAMPLES: synthesize real
+    WAV payloads, decode them (RIFF chunk walk, fmt geometry checks,
+    int16 deinterleave — decode_wav above), and compute per-doc sample
+    sums plus an order-weighted sum (weight 1 + flat sample index %
+    103) that any framing/interleave/endianness slip would perturb.
+    The oracle recomputes both sums from the generative formula
+    relationally, so the hash match proves encode -> RIFF bytes ->
+    decode is the identity on samples. Arrow-batched mapInPandas;
+    linear, no shuffle — the decode-and-featurize pass of an audio
+    pipeline."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "rate", "channels",
+                                   "n_frames", "samp_sum", "samp_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                flat = samples.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 103)
+                out["doc_id"].append(int(doc_id))
+                out["rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(samples.shape[0])
+                out["samp_sum"].append(int(flat.sum()))
+                out["samp_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_wav_media(spark, sf_dir)
+    return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
+
+
+# Same oracle posture as the BMP/PNG rows: pure-ASCII text makes the
+# sample formula relational; the weighted sum walks the interleaved
+# frame-major sample index the decoder reconstructs.
+MM_DECODE_WAV_SQL = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               CAST(64 + doc_id % 193 AS INT) AS n,
+               CAST(1 + doc_id % 2 AS INT) AS ch,
+               CAST(8000 * (1 + doc_id % 3) AS INT) AS rate
+        FROM documents
+    )
+    SELECT doc_id, rate, ch AS channels, n AS n_frames,
+           CAST(list_sum(list_transform(range(0, n * ch),
+                j -> (ord(substr(text, CAST(1 + j % L AS INT), 1))
+                      - 128) * 256))
+                AS BIGINT) AS samp_sum,
+           CAST(list_sum(list_transform(range(0, n * ch),
+                j -> (ord(substr(text, CAST(1 + j % L AS INT), 1))
+                      - 128) * 256 * (1 + j % 103)))
+                AS BIGINT) AS samp_wsum
+    FROM m
+"""
 
 
 PNG_STATS_SCHEMA = StructType([
@@ -1036,6 +1219,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_pixel_stats": mm_decode_pixel_stats,
     "mm_resize_decoded_stats": mm_resize_decoded_stats,
     "mm_decode_png_stats": mm_decode_png_stats,
+    "mm_decode_wav_stats": mm_decode_wav_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -1052,6 +1236,8 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # generative formula; matching hashes prove the decoder
     "mm_decode_pixel_stats": MM_DECODE_SQL,
     "mm_resize_decoded_stats": MM_RESIZE_DECODED_SQL,
-    # round 11: PNG decode is real (stdlib zlib + all five filters)
+    # round 11: PNG decode is real (stdlib zlib + all five filters);
+    # PCM WAV decode is real (pure RIFF parsing)
     "mm_decode_png_stats": MM_DECODE_PNG_SQL,
+    "mm_decode_wav_stats": MM_DECODE_WAV_SQL,
 }

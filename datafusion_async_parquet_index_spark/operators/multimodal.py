@@ -1074,6 +1074,86 @@ def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
 
 
+WAV_ENERGY_WINDOW = 64   # flat samples per energy window
+
+WAV_ENERGY_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_windows", IntegerType()),
+    StructField("tot_energy", LongType()),
+    StructField("max_win_energy", LongType()),
+])
+
+
+def mm_wav_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURIZATION over decoded samples (the step after
+    decode in a speech-data pipeline: energy/VAD-style windowing):
+    each clip's decoded int16 stream is cut into non-overlapping
+    WAV_ENERGY_WINDOW-sample windows; per doc the total energy
+    (Σ s²) and the loudest window's energy are computed — the
+    silence-trim / clipping-detection primitives. Exact integer
+    arithmetic end to end, so the DuckDB oracle recomputes the same
+    windows relationally (nested list lambdas) and the hash match
+    proves decode + windowing. Arrow-batched mapInPandas, linear."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_windows",
+                                   "tot_energy", "max_win_energy")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = decode_wav(bytes(payload))
+                flat = samples.reshape(-1).astype(np.int64)
+                sq = flat * flat
+                nw = (flat.size + WAV_ENERGY_WINDOW - 1) \
+                    // WAV_ENERGY_WINDOW
+                pad = np.zeros(nw * WAV_ENERGY_WINDOW, dtype=np.int64)
+                pad[:sq.size] = sq
+                wins = pad.reshape(nw, WAV_ENERGY_WINDOW).sum(axis=1)
+                out["doc_id"].append(int(doc_id))
+                out["n_windows"].append(int(nw))
+                out["tot_energy"].append(int(sq.sum()))
+                out["max_win_energy"].append(int(wins.max()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_wav_media(spark, sf_dir)
+    return media.mapInPandas(_stats, schema=WAV_ENERGY_SCHEMA)
+
+
+MM_WAV_ENERGY_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               CAST(64 + doc_id % 193 AS INT) AS n,
+               CAST(1 + doc_id % 2 AS INT) AS ch
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST((n * ch + {WAV_ENERGY_WINDOW} - 1)
+                    // {WAV_ENERGY_WINDOW} AS INT) AS nw,
+               n * ch AS ns, text, L
+        FROM m
+    )
+    SELECT doc_id, nw AS n_windows,
+           CAST(list_sum(list_transform(range(0, ns), j ->
+                CAST((ord(substr(text, CAST(1 + j % L AS INT), 1))
+                      - 128) * 256 AS BIGINT)
+                * ((ord(substr(text, CAST(1 + j % L AS INT), 1))
+                    - 128) * 256)))
+                AS BIGINT) AS tot_energy,
+           CAST(list_max(list_transform(range(0, nw), w ->
+                list_sum(list_transform(
+                    range(w * {WAV_ENERGY_WINDOW},
+                          LEAST((w + 1) * {WAV_ENERGY_WINDOW}, ns)),
+                    j -> CAST((ord(substr(text, CAST(1 + j % L AS INT),
+                                          1)) - 128) * 256 AS BIGINT)
+                         * ((ord(substr(text, CAST(1 + j % L AS INT),
+                                        1)) - 128) * 256)))))
+                AS BIGINT) AS max_win_energy
+    FROM g
+"""
+
+
 # Same oracle posture as the BMP/PNG rows: pure-ASCII text makes the
 # sample formula relational; the weighted sum walks the interleaved
 # frame-major sample index the decoder reconstructs.
@@ -1220,6 +1300,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_decoded_stats": mm_resize_decoded_stats,
     "mm_decode_png_stats": mm_decode_png_stats,
     "mm_decode_wav_stats": mm_decode_wav_stats,
+    "mm_wav_energy_stats": mm_wav_energy_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -1240,4 +1321,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # PCM WAV decode is real (pure RIFF parsing)
     "mm_decode_png_stats": MM_DECODE_PNG_SQL,
     "mm_decode_wav_stats": MM_DECODE_WAV_SQL,
+    "mm_wav_energy_stats": MM_WAV_ENERGY_SQL,
 }

@@ -515,7 +515,13 @@ class IndexedParquetTable:
         newer era). Live reads and the kept snapshots are untouched.
         At 100 TB this is what bounds catalog growth: snapshots are
         O(files) metadata each, so a retention policy is metadata
-        deletion, never a data rewrite. Returns the expired ids."""
+        deletion, never a data rewrite. Returns the expired ids.
+
+        ``keep_last=0`` (or negative) is a FULL PURGE — every
+        snapshot expires and no as-of read survives. Deliberate at
+        the library level (retention pipelines that re-snapshot right
+        after); the CLI refuses ``--keep <= 0`` so the footgun needs
+        code, not a typo, to fire."""
         self._dml_commit(self._dml_begin(), "expire")
         return self.catalog.expire_snapshots(keep_last)
 

@@ -24,9 +24,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from datafusion_async_parquet_index_spark.operators.multimodal import (
+    WAV_ENERGY_WINDOW,
     decode_wav,
     encode_wav,
     mm_decode_wav_stats,
+    mm_wav_energy_stats,
 )
 
 
@@ -128,3 +130,28 @@ def test_spark_stats_match_driver_recomputation(spark, sf_dir):
         assert (r["rate"], r["channels"], r["n_frames"]) == (rate, ch, n)
         assert r["samp_sum"] == int(vals.sum())
         assert r["samp_wsum"] == int((vals * (1 + j % 103)).sum())
+
+def test_wav_energy_matches_driver_recomputation(spark, sf_dir):
+    """Windowed energy over DECODED samples equals the generative
+    formula's windows (ragged tail window included)."""
+    rows = {r["doc_id"]: r
+            for r in mm_wav_energy_stats(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(30).collect()}
+    for doc_id, text in docs.items():
+        b = text.encode("utf-8")
+        n = 64 + doc_id % 193
+        ch = 1 + doc_id % 2
+        j = np.arange(n * ch)
+        s = (np.frombuffer(b, dtype=np.uint8)[j % len(b)]
+             .astype(np.int64) - 128) * 256
+        sq = s * s
+        nw = (sq.size + WAV_ENERGY_WINDOW - 1) // WAV_ENERGY_WINDOW
+        pad = np.zeros(nw * WAV_ENERGY_WINDOW, dtype=np.int64)
+        pad[:sq.size] = sq
+        wins = pad.reshape(nw, WAV_ENERGY_WINDOW).sum(axis=1)
+        r = rows[doc_id]
+        assert r["n_windows"] == nw
+        assert r["tot_energy"] == int(sq.sum())
+        assert r["max_win_energy"] == int(wins.max())

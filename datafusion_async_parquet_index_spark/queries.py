@@ -3401,6 +3401,82 @@ def q104_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, s)], "n_total BIGINT, sum_cents BIGINT")
 
 
+def q106_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC CONCURRENCY under the oracle gate (round 11, the
+    two-writer contract executed end-to-end, not just unit-tested):
+    two table handles share one catalog; writer A's append is
+    interleaved — via the deterministic ``_pre_commit_hook`` — with
+    writer B committing a DELETE between A's planning and A's commit
+    CAS. The asserts pin (a) A refuses LOUDLY with
+    ConcurrentWriteError, (b) NOTHING of A's landed (no insert files
+    on disk — the gate fires before the write), (c) the table state
+    is exactly B's (the first committer's), (d) A's plain retry —
+    re-reading the moved version — succeeds and lands the identical
+    batch, (e) post-retry COUNT/SUM still fold purely from the
+    catalog. The oracle replays the serialized outcome relationally:
+    base minus B's delete plus A's batch — the state optimistic
+    concurrency guarantees regardless of interleaving. Delta's
+    ConcurrentModificationException contract over the external
+    index; the reference is single-process and never faces this."""
+    import tempfile
+
+    from .operators.util import session_memo
+    from .sources.catalog import ConcurrentWriteError
+
+    memo = session_memo(spark, "dv_table_ccr")
+    t = memo.get(sf_dir)
+    if t is None:
+        d = tempfile.mkdtemp(prefix="spark_graft_ccr_")
+        base = _read(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for i, name in enumerate(["even.parquet", "odd.parquet"]):
+            _stage_one_file(base.filter(F.col("o_orderkey") % 2 == i)
+                            .orderBy("o_orderkey"), d, name)
+        t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                                sum_columns=["cents"])
+        t2 = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
+                                 sum_columns=["cents"],
+                                 catalog=t.catalog)
+        n0 = t.count_rows()
+        batch = base.filter((F.col("cents") % 13) == 6).select(
+            (F.col("o_orderkey") + F.lit(700_000_000).cast("long"))
+            .alias("o_orderkey"),
+            (F.col("cents") + 5).alias("cents"))
+        n_batch = batch.count()
+        deleted = {}
+
+        def _interleave(verb):
+            deleted["n"] = t2.delete_where((xcol("cents") % 17) == 3)
+
+        t._pre_commit_hook = _interleave
+        try:
+            t.append(batch)
+            raise AssertionError("concurrent append did not refuse")
+        except ConcurrentWriteError:
+            pass
+        finally:
+            t._pre_commit_hook = None
+        assert deleted["n"] > 0
+        # nothing of A's landed; state is exactly B's
+        import os as _os
+        assert not [f for f in _os.listdir(d)
+                    if f.startswith("insert_")]
+        t._dv_cache = None   # B committed through the shared catalog
+        assert t.count_rows() == n0 - deleted["n"]
+        # the plain retry serializes after B
+        assert t.append(batch) == n_batch
+        assert t.count_rows() == n0 - deleted["n"] + n_batch
+        memo[sf_dir] = t
+    n = t.count_rows()
+    s, nn = t.sum_rows("cents")
+    assert nn == n and t.last_sum_pushdown is not None \
+        and t.last_sum_pushdown["partial_row_groups"] == 0
+    return spark.createDataFrame(
+        [(n, s)], "n_total BIGINT, sum_cents BIGINT")
+
+
 def q105_append_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA EVOLUTION ON INSERT (``append(merge_schema=True)``,
     sources/table.py — Delta's mergeSchema; VERDICT r10 ask #4,
@@ -3580,6 +3656,7 @@ RELATIONAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_append": q103_append,
     "q104_snapshot_expiry": q104_snapshot_expiry,
     "q105_append_merge_schema": q105_append_merge_schema,
+    "q106_concurrent_writers": q106_concurrent_writers,
 }
 
 
@@ -4910,6 +4987,20 @@ RELATIONAL_ORACLE["q105_append_merge_schema"] = """
                 AS BIGINT) AS n_hi,
            CAST(COALESCE((SELECT SUM(disc) FROM b WHERE disc > 500), 0)
                 AS BIGINT) AS sum_hi_disc
+"""
+
+RELATIONAL_ORACLE["q106_concurrent_writers"] = """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    live AS (SELECT cents FROM c WHERE cents % 17 <> 3),
+    b AS (SELECT cents + 5 AS cents FROM c WHERE cents % 13 = 6)
+    SELECT CAST((SELECT COUNT(*) FROM live) + (SELECT COUNT(*) FROM b)
+                AS BIGINT) AS n_total,
+           CAST(COALESCE((SELECT SUM(cents) FROM live), 0)
+                + COALESCE((SELECT SUM(cents) FROM b), 0)
+                AS BIGINT) AS sum_cents
 """
 
 RELATIONAL_ORACLE["q96_stream_retraction"] = """

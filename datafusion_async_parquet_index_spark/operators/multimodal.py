@@ -1074,6 +1074,126 @@ def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
 
 
+# -- perceptual image dedup: average-hash over DECODED pixels --------
+#
+# The image-side counterpart of the text dedup family: aHash
+# (grayscale -> 8x8 nearest-neighbor downsample -> threshold at the
+# mean -> 64-bit fingerprint) groups images whose PIXELS agree after
+# quantization — exact byte-level duplicates AND re-encodes collide.
+# All-integer arithmetic, so the DuckDB oracle rebuilds the identical
+# fingerprints relationally.
+
+AHASH_GRID = 4
+AHASH_IMG_W, AHASH_IMG_H = 4, 4   # fixed corpus shape; 4x4x3 = 48
+#   bytes per image keeps the rendered region inside the corpus's
+#   shared near-dup prefixes, so perceptual groups are NON-EMPTY at
+#   every SF (equal prefixes -> equal images -> equal hashes) —
+#   an empty-result oracle row would prove nothing about the hash
+
+
+def ahash_bits(rgb) -> str:
+    """AHASH_GRID²-char '0'/'1' fingerprint of a decoded (h, w, 3)
+    uint8 image: integer grayscale (r+g+b)//3, GRID×GRID
+    nearest-neighbor sample, bit = gray >= floor(mean). A string, not
+    an int — a 64-bit variant's top bit would overflow signed 64-bit
+    in half the engines; the string spelling is engine-neutral and
+    hashable everywhere."""
+    import numpy as np
+
+    g = rgb.astype(np.int64).sum(axis=2) // 3
+    small = resize_bmp_nearest(g[:, :, None], AHASH_GRID, AHASH_GRID)
+    vals = small.reshape(-1)
+    mean = int(vals.sum()) // vals.size
+    return "".join("1" if v >= mean else "0" for v in vals.tolist())
+
+
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE DEDUP over decoded pixels: every document
+    renders to a fixed-shape BMP (AHASH_IMG_W×AHASH_IMG_H, pixels =
+    text bytes cycled), the payload is decoded back (the real codec),
+    aHash fingerprints the pixels, and hash-equality groups the
+    corpus — the image-side dedup primitive (byte-equal duplicates
+    and quantization-equal near-duplicates collide; the documents
+    corpus carries shared near-dup prefixes by construction, so
+    groups are non-trivial at every SF). Returns
+    fingerprint groups with >1 member. Scale shape: decode+hash is
+    one linear Arrow-batched pass; the grouping shuffles 64-char
+    keys, never pixels — at 100 TB the image bytes stay in place and
+    only fingerprints move (the dedup_exact posture lifted from text
+    hash60 to decoded-pixel aHash)."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w, h = AHASH_IMG_W, AHASH_IMG_H
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                j = np.arange(w * h * 3)
+                vals = np.frombuffer(b, dtype=np.uint8)[j % len(b)]
+                payload = encode_bmp(vals.reshape(h, w, 3))
+                dw, dh, rgb = decode_bmp(payload)   # through the codec
+                out["doc_id"].append(int(doc_id))
+                out["ahash"].append(ahash_bits(rgb))
+            yield pd.DataFrame(out)
+
+    from .util import spread_for_compute
+    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    hashed = spread.mapInPandas(_hash, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("ahash", StringType()),
+    ]))
+    return (hashed.groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# The oracle rebuilds the fingerprint relationally: gray(i) for grid
+# cell i = (y, x) samples source pixel ((y*H)//8, (x*W)//8) of the
+# generative image; threshold at floor(mean). Pure-ASCII text keeps
+# ord == byte value.
+MM_AHASH_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, {AHASH_GRID * AHASH_GRID}), i ->
+                   (ord(substr(text, CAST(1 + (
+                        (((i // {AHASH_GRID}) * {AHASH_IMG_H})
+                         // {AHASH_GRID} * {AHASH_IMG_W}
+                         + ((i % {AHASH_GRID}) * {AHASH_IMG_W})
+                           // {AHASH_GRID}) * 3 + 0) % L AS INT), 1))
+                    + ord(substr(text, CAST(1 + (
+                        (((i // {AHASH_GRID}) * {AHASH_IMG_H})
+                         // {AHASH_GRID} * {AHASH_IMG_W}
+                         + ((i % {AHASH_GRID}) * {AHASH_IMG_W})
+                           // {AHASH_GRID}) * 3 + 1) % L AS INT), 1))
+                    + ord(substr(text, CAST(1 + (
+                        (((i // {AHASH_GRID}) * {AHASH_IMG_H})
+                         // {AHASH_GRID} * {AHASH_IMG_W}
+                         + ((i % {AHASH_GRID}) * {AHASH_IMG_W})
+                           // {AHASH_GRID}) * 3 + 2) % L AS INT), 1))
+                   ) // 3) AS gs
+        FROM m
+    ),
+    hshd AS (
+        SELECT doc_id,
+               array_to_string(list_transform(gs, v ->
+                   CASE WHEN v >= list_sum(gs)
+                                  // {AHASH_GRID * AHASH_GRID}
+                        THEN '1' ELSE '0' END), '') AS ahash
+        FROM g
+    )
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM hshd GROUP BY ahash HAVING COUNT(*) > 1
+"""
+
+
 WAV_ENERGY_WINDOW = 64   # flat samples per energy window
 
 WAV_ENERGY_SCHEMA = StructType([
@@ -1301,6 +1421,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_png_stats": mm_decode_png_stats,
     "mm_decode_wav_stats": mm_decode_wav_stats,
     "mm_wav_energy_stats": mm_wav_energy_stats,
+    "mm_image_ahash_dedup": mm_image_ahash_dedup,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -1322,4 +1443,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_decode_png_stats": MM_DECODE_PNG_SQL,
     "mm_decode_wav_stats": MM_DECODE_WAV_SQL,
     "mm_wav_energy_stats": MM_WAV_ENERGY_SQL,
+    "mm_image_ahash_dedup": MM_AHASH_SQL,
 }

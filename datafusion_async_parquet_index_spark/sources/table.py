@@ -1884,8 +1884,14 @@ class IndexedParquetTable:
 
         Schema contract: ``batch`` must carry exactly the table's
         columns (any order; they are realigned) — a missing or extra
-        column raises before anything lands. Empty batches land
-        nothing and return 0.
+        column raises before anything lands. Column TYPES must match
+        or widen losslessly (byte<short<int<long, float<double —
+        widened batches are CAST to the table type so landed files
+        stay physically homogeneous); anything else refuses LOUDLY
+        before a byte lands, because a landed narrower/incompatible
+        column poisons every subsequent fixed-schema read
+        (PARQUET_COLUMN_DATA_TYPE_MISMATCH in the vectorized reader).
+        Empty batches land nothing and return 0.
 
         ``merge_schema=True`` (opt-in SCHEMA EVOLUTION — Delta's
         mergeSchema): a batch carrying every table column PLUS new
@@ -1920,9 +1926,10 @@ class IndexedParquetTable:
             missing = sorted(set(want) - have)
             extra = sorted(have - set(want))
             if merge_schema and extra and not missing:
-                # schema evolution: existing columns realigned first,
-                # new columns appended (nullable — pre-evolution files
-                # read them as NULL)
+                # schema evolution: existing columns realigned and
+                # type-conformed first, new columns appended (nullable
+                # — pre-evolution files read them as NULL)
+                batch = self._conform_batch_types(batch, "append")
                 batch = batch.select(*want, *extra)
                 by_name = {f.name: f for f in batch.schema.fields}
                 evolved_fields = [
@@ -1936,7 +1943,8 @@ class IndexedParquetTable:
                     f"append batch schema mismatch: missing {missing}, "
                     f"unexpected {extra} (table columns: {want}){hint}")
             else:
-                batch = batch.select(*want)
+                batch = self._conform_batch_types(
+                    batch, "append").select(*want)
         # optimistic-concurrency gate BEFORE anything lands (the
         # landing below is the expensive half; a refusal here costs
         # zero write I/O and leaves nothing to clean up)
@@ -1960,6 +1968,53 @@ class IndexedParquetTable:
         self.refresh(full=bool(evolved_fields))
         self._refresh_views()
         return n_ins
+
+    # lossless numeric widenings the landing verbs CAST to the table
+    # type (keeps landed files physically homogeneous); anything else
+    # is a loud refusal — a landed narrower/incompatible column poisons
+    # every later fixed-schema read of the whole table
+    _SAFE_WIDENINGS = {
+        "byte": ("short", "integer", "long"),
+        "short": ("integer", "long"),
+        "integer": ("long",),
+        "float": ("double",),
+    }
+
+    def _conform_batch_types(self, batch: DataFrame,
+                             verb: str) -> DataFrame:
+        """Type-conform a landing batch's TABLE columns to the table
+        schema: identical types pass, lossless widenings are cast,
+        anything else raises before a byte lands. Non-table (evolving)
+        columns pass through untouched."""
+        from pyspark.sql import functions as F
+
+        table_types = {f.name: f.dataType for f in self._schema.fields}
+        batch_types = {f.name: f.dataType for f in batch.schema.fields}
+        # hive PARTITION columns are directory-encoded, never stored in
+        # the file — they serialize as path strings and cannot poison a
+        # landed file's physical schema, so they keep the old
+        # unconformed behavior
+        part_cols = getattr(self, "_partition_cols", set()) or set()
+        out = []
+        for name in batch.columns:
+            bt = batch_types[name]
+            tt = table_types.get(name)
+            if tt is None or bt == tt or name in part_cols:
+                out.append(F.col(name))
+                continue
+            if tt.typeName() in self._SAFE_WIDENINGS.get(
+                    bt.typeName(), ()):
+                out.append(F.col(name).cast(tt).alias(name))
+                continue
+            raise ValueError(
+                f"{verb} batch column {name!r} has type "
+                f"{bt.simpleString()} but the table stores "
+                f"{tt.simpleString()}: only lossless numeric widenings "
+                f"(byte<short<int<long, float<double) are cast; "
+                f"anything else would land a file every subsequent "
+                f"read of the table fails on. Cast the batch "
+                f"explicitly if the conversion is intended")
+        return batch.select(*out)
 
     @staticmethod
     def _count_landed_or_discard(landed: List[str]) -> int:
@@ -2002,6 +2057,11 @@ class IndexedParquetTable:
         nondeterministic ``updates`` plan cannot delete keys it never
         inserted. On hive layouts the batch lands partition-aware
         (one file per touched partition directory)."""
+        # same landing type contract as append: identical or
+        # losslessly widened (cast) column types only — a mis-typed
+        # upsert file would poison every later read of the table
+        if self._schema is not None:
+            updates = self._conform_batch_types(updates, "merge_upsert")
         # optimistic-concurrency gate BEFORE anything lands; the
         # delete half re-gates with its own version read (each CAS
         # advances the version once — nested verbs are serialized the

@@ -134,6 +134,50 @@ def test_append_merge_schema_evolves(spark, tmp_path, backend):
     assert t2.count_rows() == n0 + 40
 
 
+def test_append_widens_int_batch_to_long_table(spark, tmp_path):
+    """A batch with int columns into a long table lands via the
+    lossless cast; reads, predicates, and SUM pushdown all keep
+    working on the homogeneous landed file."""
+    d = str(tmp_path / "app_widen")
+    _corpus(spark, d)   # long k, long v
+    t = IndexedParquetTable(spark, d, ["k", "v"], sum_columns=["v"])
+    n0 = t.count_rows()
+    batch = spark.range(5).select(
+        (F.col("id") + 30_000).cast("int").alias("k"),
+        F.lit(3).cast("int").alias("v"))
+    assert t.append(batch) == 5
+    got = t.query(col("k") >= 30_000).collect()
+    assert len(got) == 5 and all(r["v"] == 3 for r in got)
+    s, nn = t.sum_rows("v")
+    assert nn == n0 + 5
+
+
+def test_append_refuses_narrowing_type(spark, tmp_path):
+    """A LONG batch into an INT table must refuse BEFORE landing — a
+    landed int64 file under an int32 table schema fails every
+    subsequent vectorized read of the whole table."""
+    d = str(tmp_path / "app_narrow")
+    os.makedirs(d, exist_ok=True)
+    base = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 10).cast("int").alias("v"))
+    _one_file(base, d, "a.parquet")
+    t = IndexedParquetTable(spark, d, ["k", "v"])
+    bad = spark.range(2).select(
+        (F.col("id") + 3_000_000_000).alias("k"),     # long
+        F.lit(3).cast("long").alias("v"))
+    with pytest.raises(ValueError, match="lossless numeric widenings"):
+        t.append(bad)
+    assert not [f for f in os.listdir(d) if f.startswith("insert_")]
+    # the table still reads fine
+    assert t.count_rows() == 100
+    assert t.query(col("k") >= 0).count() == 100
+    # merge_upsert shares the contract
+    with pytest.raises(ValueError, match="lossless numeric widenings"):
+        t.merge_upsert(bad, "k")
+    assert not [f for f in os.listdir(d) if f.startswith("upsert_")]
+
+
 def test_append_merge_schema_still_refuses_missing(spark, tmp_path):
     """Evolution only ADDS columns: a batch missing a table column
     refuses even with merge_schema=True."""

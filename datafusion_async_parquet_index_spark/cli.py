@@ -150,6 +150,10 @@ def main(argv=None) -> int:
     common(ap)
     ap.add_argument("source",
                     help="parquet file or directory to read rows from")
+    ap.add_argument("--merge-schema", action="store_true",
+                    help="evolve the table schema with the source's "
+                         "new columns (Delta mergeSchema; default "
+                         "refuses extra columns loudly)")
     ex = sub.add_parser("expire")
     common(ex)
     ex.add_argument("--keep", type=int, required=True,
@@ -246,7 +250,8 @@ def main(argv=None) -> int:
         print(f"deleted {n} rows "
               f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
     elif args.verb == "append":
-        n = t.append(t.spark.read.parquet(args.source))
+        n = t.append(t.spark.read.parquet(args.source),
+                     merge_schema=args.merge_schema)
         print(f"appended {n} rows "
               f"({len(t.catalog.all_files())} files indexed)")
     elif args.verb == "update":

@@ -248,6 +248,38 @@ def test_cli_append(spark, tmp_path, capsys, monkeypatch):
     assert cli.main(["append", d, "--columns", "k,v", src]) == 2
 
 
+def test_cli_append_merge_schema(spark, tmp_path, capsys, monkeypatch):
+    """--merge-schema evolves through the CLI; without it the extra
+    column refuses with the evolve hint."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    from datafusion_async_parquet_index_spark import cli
+    d = str(tmp_path / "cli_evo")
+    _corpus(spark, d)
+    db = str(tmp_path / "cat_evo.db")
+    src = str(tmp_path / "incoming_evo")
+    spark.range(10).select(
+        (F.col("id") + 9_000).cast("long").alias("k"),
+        F.lit(1).cast("long").alias("v"),
+        (F.col("id") * 2).cast("long").alias("w")).write.parquet(src)
+    assert cli.main(["build", d, "--columns", "k,v",
+                     "--catalog", db]) == 0
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        cli.main(["append", d, "--columns", "k,v", src,
+                  "--catalog", db])
+    rc = cli.main(["append", d, "--columns", "k,v", src,
+                   "--catalog", db, "--merge-schema"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "appended 10 rows" in out
+    from datafusion_async_parquet_index_spark.sources.catalog import (
+        SqliteIndexCatalog,
+    )
+    t = IndexedParquetTable(spark, d, ["k", "v"], merge_schema=True,
+                            catalog=SqliteIndexCatalog(db))
+    assert "w" in [f.name for f in t._schema.fields]
+    assert t.count_rows(col("w").is_null()) == 1_000
+
+
 def test_append_parallel_multi_file_ingest(spark, tmp_path):
     """target_files=None: a large ingest keeps its natural
     partitioning — every shuffle partition writes in parallel, landing

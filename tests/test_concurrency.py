@@ -176,6 +176,21 @@ def test_cas_across_two_connections_same_db(tmp_path):
     assert a.commit_version(1, "delete") == 2
 
 
+def test_cas_on_format_paramstyle_dbapi():
+    """The commit-version CAS must survive the qmark -> %s placeholder
+    translation a psycopg2/MySQLdb-style driver needs (the remote-
+    catalog shape); _FormatParamConn asserts no qmark leaks."""
+    from test_catalog_backends import _FormatParamConn
+
+    cat = DBAPIIndexCatalog(_FormatParamConn, paramstyle="format")
+    cat.initialize({"k": "int"})
+    assert cat.version() == 0
+    assert cat.commit_version(0, "append") == 1
+    with pytest.raises(ConcurrentWriteError, match="version moved"):
+        cat.commit_version(0, "delete")
+    assert cat.commit_version(1, "optimize") == 2
+
+
 def test_catalog_without_version_extension_opts_out(spark, tmp_path):
     """A custom catalog lacking version()/commit_version keeps the
     pre-round-11 ungated behavior instead of crashing."""

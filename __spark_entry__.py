@@ -44,17 +44,18 @@ _ROUND_PRIORITY = [
     # tier 2: stalest driver greens — the r7-green pruning core
     #   (q1–q5, also re-pinned every run by tests/test_golden_parity)
     #   and the r7 relational/layout/sketch tail, filling to 50; the
-    #   last seven of next_window's list (sim_hybrid_rrf,
-    #   ev_stream_sliding, ev_stream_interval_join, ev_stream_dedup,
-    #   ev_session_window_agg, ev_stream_session_window,
-    #   text_temperature_resample) are displaced to r12 by the seven
-    #   tier-1 entries.
+    #   last eight of next_window's list (sim_filtered_topk,
+    #   sim_hybrid_rrf, ev_stream_sliding, ev_stream_interval_join,
+    #   ev_stream_dedup, ev_session_window_agg,
+    #   ev_stream_session_window, text_temperature_resample) are
+    #   displaced to r12 by the eight tier-1 entries.
     "q105_append_merge_schema",
     "q106_concurrent_writers",
     "mm_decode_png_stats",
     "mm_decode_wav_stats",
     "mm_wav_energy_stats",
     "mm_image_ahash_dedup",
+    "mm_resize_png_stats",
     "dedup_overlap_kmv",
     # -- tier 2 (r7-stale) --------------------------------------------
     "q1_select_limit",

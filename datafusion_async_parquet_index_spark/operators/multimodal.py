@@ -895,6 +895,99 @@ def decode_png(payload: bytes):
     return w, h, out.astype(np.uint8).reshape(h, w, c)
 
 
+PNG_RESIZE_BOX = (8, 8)   # fit-within box for the PNG resize path
+
+PNG_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("rs_pix_sum", LongType()),
+    StructField("rs_pix_wsum", LongType()),
+])
+
+
+def mm_resize_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize THROUGH THE COMPRESSED CODEC (the PNG companion to
+    mm_resize_decoded_stats): each document's PNG is decoded (inflate
+    + all five filters), nearest-neighbor-resized into the fit-within
+    PNG_RESIZE_BOX, RE-ENCODED as a PNG (deflate + per-row filters)
+    and decoded AGAIN, then per-doc pixel sums + an order-weighted sum
+    are computed from the final decoded pixels — proving the
+    compressed codec composes with transforms, RGBA and RGB both. The
+    oracle recomputes the nearest-neighbor sample relationally over
+    the generative formula. Arrow-batched mapInPandas, linear, no
+    shuffle."""
+    bw, bh = PNG_RESIZE_BOX
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_w", "out_h",
+                                   "channels", "rs_pix_sum",
+                                   "rs_pix_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png(bytes(payload))
+                ow = max(1, min(bw, (w * bh) // h))
+                oh = max(1, min(bh, (h * bw) // w))
+                resized = resize_bmp_nearest(px, ow, oh)
+                rw, rh, back = decode_png(encode_png(resized))
+                if (rw, rh) != (ow, oh):  # survives python -O
+                    raise ValueError(
+                        f"PNG round-trip dims {(rw, rh)} != "
+                        f"{(ow, oh)} for doc {doc_id}")
+                flat = back.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 107)
+                out["doc_id"].append(int(doc_id))
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["channels"].append(back.shape[2])
+                out["rs_pix_sum"].append(int(flat.sum()))
+                out["rs_pix_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_png_media(spark, sf_dir)
+    return media.mapInPandas(_resize, schema=PNG_RESIZE_SCHEMA)
+
+
+# The oracle replays decode -> nearest resize -> encode -> decode
+# relationally: output flat index j maps to source flat index
+# (((y*h)//oh)*w + (x*w)//ow)*c + ch with y = (j//c)//ow,
+# x = (j//c)%ow, ch = j%c over the generative text-byte formula.
+MM_RESIZE_PNG_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               4 + doc_id % 16 AS w,
+               3 + (doc_id // 16) % 9 AS h,
+               CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS c
+        FROM documents
+    ), d AS (
+        SELECT doc_id, text, L, w, h, c,
+               GREATEST(1, LEAST({PNG_RESIZE_BOX[0]},
+                                 (w * {PNG_RESIZE_BOX[1]}) // h)) AS ow,
+               GREATEST(1, LEAST({PNG_RESIZE_BOX[1]},
+                                 (h * {PNG_RESIZE_BOX[0]}) // w)) AS oh
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(c AS INT) AS channels,
+           CAST(list_sum(list_transform(range(0, ow * oh * c), j ->
+                ord(substr(text, CAST(1 + (
+                    (((((j // c) // ow) * h) // oh) * w
+                     + (((j // c) % ow) * w) // ow) * c + (j % c)
+                ) % L AS INT), 1)))) AS BIGINT) AS rs_pix_sum,
+           CAST(list_sum(list_transform(range(0, ow * oh * c), j ->
+                ord(substr(text, CAST(1 + (
+                    (((((j // c) // ow) * h) // oh) * w
+                     + (((j // c) % ow) * w) // ow) * c + (j % c)
+                ) % L AS INT), 1)) * (1 + j % 107)))
+                AS BIGINT) AS rs_pix_wsum
+    FROM d
+"""
+
+
 # -- real audio decode: PCM WAV via pure RIFF parsing (round 11) -----
 #
 # WAV joins BMP/PNG as a REAL codec: the RIFF container is pure
@@ -1422,6 +1515,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_wav_stats": mm_decode_wav_stats,
     "mm_wav_energy_stats": mm_wav_energy_stats,
     "mm_image_ahash_dedup": mm_image_ahash_dedup,
+    "mm_resize_png_stats": mm_resize_png_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -1444,4 +1538,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_decode_wav_stats": MM_DECODE_WAV_SQL,
     "mm_wav_energy_stats": MM_WAV_ENERGY_SQL,
     "mm_image_ahash_dedup": MM_AHASH_SQL,
+    "mm_resize_png_stats": MM_RESIZE_PNG_SQL,
 }

@@ -273,3 +273,36 @@ def test_spark_stats_match_driver_recomputation(spark, sf_dir):
         assert (r["width"], r["height"], r["channels"]) == (w, h, c)
         assert r["pix_sum"] == int(vals.sum())
         assert r["pix_wsum"] == int((vals * (1 + j % 101)).sum())
+
+
+def test_png_resize_roundtrip_matches_driver_recomputation(spark, sf_dir):
+    """decode -> nearest resize -> encode -> decode through the
+    compressed codec equals the relational nearest-neighbor sample of
+    the generative pixels (RGBA rows included)."""
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        PNG_RESIZE_BOX,
+        mm_resize_png_stats,
+    )
+
+    bw, bh = PNG_RESIZE_BOX
+    rows = {r["doc_id"]: r
+            for r in mm_resize_png_stats(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(40).collect()}
+    for doc_id, text in docs.items():
+        b = text.encode("utf-8")
+        w = 4 + doc_id % 16
+        h = 3 + (doc_id // 16) % 9
+        c = 4 if doc_id % 4 == 0 else 3
+        ow = max(1, min(bw, (w * bh) // h))
+        oh = max(1, min(bh, (h * bw) // w))
+        j = np.arange(ow * oh * c)
+        src = ((((j // c) // ow) * h // oh) * w
+               + ((j // c) % ow) * w // ow) * c + (j % c)
+        vals = np.frombuffer(b, dtype=np.uint8)[src % len(b)].astype(
+            np.int64)
+        r = rows[doc_id]
+        assert (r["out_w"], r["out_h"], r["channels"]) == (ow, oh, c)
+        assert r["rs_pix_sum"] == int(vals.sum())
+        assert r["rs_pix_wsum"] == int((vals * (1 + j % 107)).sum())

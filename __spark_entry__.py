@@ -44,11 +44,12 @@ _ROUND_PRIORITY = [
     # tier 2: stalest driver greens — the r7-green pruning core
     #   (q1–q5, also re-pinned every run by tests/test_golden_parity)
     #   and the r7 relational/layout/sketch tail, filling to 50; the
-    #   last eight of next_window's list (sim_filtered_topk,
-    #   sim_hybrid_rrf, ev_stream_sliding, ev_stream_interval_join,
-    #   ev_stream_dedup, ev_session_window_agg,
-    #   ev_stream_session_window, text_temperature_resample) are
-    #   displaced to r12 by the eight tier-1 entries.
+    #   last nine of next_window's list (emb_pca_power_step,
+    #   sim_filtered_topk, sim_hybrid_rrf, ev_stream_sliding,
+    #   ev_stream_interval_join, ev_stream_dedup,
+    #   ev_session_window_agg, ev_stream_session_window,
+    #   text_temperature_resample) are displaced to r12 by the nine
+    #   tier-1 entries.
     "q105_append_merge_schema",
     "q106_concurrent_writers",
     "mm_decode_png_stats",
@@ -56,6 +57,7 @@ _ROUND_PRIORITY = [
     "mm_wav_energy_stats",
     "mm_image_ahash_dedup",
     "mm_resize_png_stats",
+    "mm_resample_wav_stats",
     "dedup_overlap_kmv",
     # -- tier 2 (r7-stale) --------------------------------------------
     "q1_select_limit",

@@ -1287,6 +1287,104 @@ MM_AHASH_SQL = f"""
 """
 
 
+WAV_TARGET_RATE = 16_000   # resample normalization target (ASR-style)
+
+WAV_RESAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("out_frames", IntegerType()),
+    StructField("rs_samp_sum", LongType()),
+    StructField("rs_samp_wsum", LongType()),
+])
+
+
+def resample_wav_nearest(samples, in_rate: int, out_rate: int):
+    """True nearest-neighbor sample-rate conversion on a decoded
+    (n, ch) int16 array: output frame f samples source frame
+    (f*in_rate)//out_rate — one integer index vector, pure numpy
+    gather; out length floor(n*out_rate/in_rate)."""
+    import numpy as np
+
+    n = samples.shape[0]
+    out_n = (n * out_rate) // in_rate
+    idx = (np.arange(out_n) * in_rate) // out_rate
+    return samples[idx]
+
+
+def mm_resample_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resample THROUGH THE CODEC (the audio analog of the image
+    resize round-trips): each clip is decoded, nearest-neighbor
+    rate-converted to WAV_TARGET_RATE (the normalize-to-16 kHz step
+    of a speech-training pipeline; the corpus cycles 8/16/24 kHz so
+    up-, identity-, and down-sampling all travel), RE-ENCODED as a
+    PCM WAV at the target rate and decoded AGAIN, then per-doc sample
+    sums + an order-weighted sum are computed from the final decoded
+    samples. The oracle replays the frame index arithmetic
+    relationally. Arrow-batched mapInPandas, linear, no shuffle."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "out_rate", "channels",
+                                   "out_frames", "rs_samp_sum",
+                                   "rs_samp_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                res = resample_wav_nearest(samples, rate,
+                                           WAV_TARGET_RATE)
+                r2, c2, back = decode_wav(
+                    encode_wav(res, WAV_TARGET_RATE))
+                if (r2, c2, back.shape[0]) != (WAV_TARGET_RATE, ch,
+                                               res.shape[0]):
+                    raise ValueError(   # survives python -O
+                        f"WAV round-trip geometry mismatch for doc "
+                        f"{doc_id}: {(r2, c2, back.shape[0])}")
+                flat = back.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 109)
+                out["doc_id"].append(int(doc_id))
+                out["out_rate"].append(WAV_TARGET_RATE)
+                out["channels"].append(ch)
+                out["out_frames"].append(back.shape[0])
+                out["rs_samp_sum"].append(int(flat.sum()))
+                out["rs_samp_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_wav_media(spark, sf_dir)
+    return media.mapInPandas(_resample, schema=WAV_RESAMPLE_SCHEMA)
+
+
+MM_RESAMPLE_WAV_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               CAST(64 + doc_id % 193 AS INT) AS n,
+               CAST(1 + doc_id % 2 AS INT) AS ch,
+               CAST(8000 * (1 + doc_id % 3) AS INT) AS rate
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, text, L, n, ch, rate,
+               CAST((n * {WAV_TARGET_RATE}) // rate AS INT) AS onf
+        FROM m
+    )
+    SELECT doc_id, CAST({WAV_TARGET_RATE} AS INT) AS out_rate,
+           ch AS channels, onf AS out_frames,
+           CAST(list_sum(list_transform(range(0, onf * ch), j ->
+                (ord(substr(text, CAST(1 + (
+                     (((j // ch) * rate) // {WAV_TARGET_RATE}) * ch
+                     + j % ch) % L AS INT), 1)) - 128) * 256))
+                AS BIGINT) AS rs_samp_sum,
+           CAST(list_sum(list_transform(range(0, onf * ch), j ->
+                (ord(substr(text, CAST(1 + (
+                     (((j // ch) * rate) // {WAV_TARGET_RATE}) * ch
+                     + j % ch) % L AS INT), 1)) - 128) * 256
+                * (1 + j % 109)))
+                AS BIGINT) AS rs_samp_wsum
+    FROM d
+"""
+
+
 WAV_ENERGY_WINDOW = 64   # flat samples per energy window
 
 WAV_ENERGY_SCHEMA = StructType([
@@ -1516,6 +1614,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_wav_energy_stats": mm_wav_energy_stats,
     "mm_image_ahash_dedup": mm_image_ahash_dedup,
     "mm_resize_png_stats": mm_resize_png_stats,
+    "mm_resample_wav_stats": mm_resample_wav_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -1539,4 +1638,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_wav_energy_stats": MM_WAV_ENERGY_SQL,
     "mm_image_ahash_dedup": MM_AHASH_SQL,
     "mm_resize_png_stats": MM_RESIZE_PNG_SQL,
+    "mm_resample_wav_stats": MM_RESAMPLE_WAV_SQL,
 }

@@ -155,3 +155,36 @@ def test_wav_energy_matches_driver_recomputation(spark, sf_dir):
         assert r["n_windows"] == nw
         assert r["tot_energy"] == int(sq.sum())
         assert r["max_win_energy"] == int(wins.max())
+
+def test_wav_resample_matches_driver_recomputation(spark, sf_dir):
+    """decode -> nearest rate-conversion -> encode -> decode equals the
+    relational frame-index replay (up-, identity-, and down-sampling
+    all present: the corpus cycles 8/16/24 kHz)."""
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        WAV_TARGET_RATE,
+        mm_resample_wav_stats,
+    )
+
+    rows = {r["doc_id"]: r
+            for r in mm_resample_wav_stats(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(40).collect()}
+    saw_rates = set()
+    for doc_id, text in docs.items():
+        b = text.encode("utf-8")
+        n = 64 + doc_id % 193
+        ch = 1 + doc_id % 2
+        rate = 8000 * (1 + doc_id % 3)
+        saw_rates.add(rate)
+        onf = (n * WAV_TARGET_RATE) // rate
+        j = np.arange(onf * ch)
+        src = (((j // ch) * rate) // WAV_TARGET_RATE) * ch + (j % ch)
+        vals = (np.frombuffer(b, dtype=np.uint8)[src % len(b)]
+                .astype(np.int64) - 128) * 256
+        r = rows[doc_id]
+        assert (r["out_rate"], r["channels"], r["out_frames"]) \
+            == (WAV_TARGET_RATE, ch, onf)
+        assert r["rs_samp_sum"] == int(vals.sum())
+        assert r["rs_samp_wsum"] == int((vals * (1 + j % 109)).sum())
+    assert saw_rates == {8000, 16000, 24000}

@@ -13,7 +13,8 @@ from .plans.expr import Case, Col, Expr, Lit, and_all, col, lit
 from .plans.pruning import PruningRewriter
 from .sources.catalog import FileStats, RowGroupStats, SqliteIndexCatalog
 from .sources.stats import build_index, extract_file_stats, index_schema_for
-from .sources.table import IndexedParquetTable, ScanDecision
+from .sources.table import (IndexedParquetTable, ScanDecision,
+                            with_commit_retries)
 from .session import get_spark
 
 __all__ = [
@@ -21,6 +22,6 @@ __all__ = [
     "PruningRewriter",
     "FileStats", "RowGroupStats", "SqliteIndexCatalog",
     "build_index", "extract_file_stats", "index_schema_for",
-    "IndexedParquetTable", "ScanDecision",
+    "IndexedParquetTable", "ScanDecision", "with_commit_retries",
     "get_spark",
 ]

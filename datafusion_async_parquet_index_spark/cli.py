@@ -125,6 +125,12 @@ def main(argv=None) -> int:
         sp.add_argument("--rtree-columns", default="",
                         help="numeric columns to R-tree-accelerate "
                              "planning on (SQLite catalogs)")
+        sp.add_argument("--retries", type=int, default=1,
+                        help="total attempts for DML verbs refused by "
+                             "a concurrent writer (ConcurrentWriteError"
+                             "); each retry re-plans from the new "
+                             "table state with jittered backoff "
+                             "(default 1 = no retry)")
 
     common(sub.add_parser("build"))
     common(sub.add_parser("refresh"))
@@ -216,6 +222,12 @@ def main(argv=None) -> int:
             before = set()  # first run: no catalog tables yet
     t = _table(args)
 
+    def _retry(fn):
+        # DML verbs refused by a concurrent writer re-plan and retry
+        # (jittered backoff) up to --retries total attempts
+        from .sources.table import with_commit_retries
+        return with_commit_retries(fn, max_attempts=max(1, args.retries))
+
     if args.verb == "build":
         files = t.catalog.all_files()
         for name, size, rgs, rows in files:
@@ -231,7 +243,7 @@ def main(argv=None) -> int:
     elif args.verb == "snapshot":
         print(f"snapshot {t.snapshot()}")
     elif args.verb == "expire":
-        expired = t.expire_snapshots(args.keep)
+        expired = _retry(lambda: t.expire_snapshots(args.keep))
         print(f"expired {len(expired)} snapshots: {expired} "
               f"(kept the newest {args.keep})")
     elif args.verb == "query":
@@ -246,12 +258,12 @@ def main(argv=None) -> int:
         df.show(args.limit, truncate=False)
     elif args.verb == "delete":
         from .plans.sql_predicate import parse_predicate
-        n = t.delete_where(parse_predicate(args.where))
+        n = _retry(lambda: t.delete_where(parse_predicate(args.where)))
         print(f"deleted {n} rows "
               f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
     elif args.verb == "append":
-        n = t.append(t.spark.read.parquet(args.source),
-                     merge_schema=args.merge_schema)
+        n = _retry(lambda: t.append(t.spark.read.parquet(args.source),
+                                    merge_schema=args.merge_schema))
         print(f"appended {n} rows "
               f"({len(t.catalog.all_files())} files indexed)")
     elif args.verb == "update":
@@ -264,22 +276,25 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 2
             assigns[c.strip()] = e
-        n = t.update_where(parse_predicate(args.where), assigns)
+        n = _retry(lambda: t.update_where(parse_predicate(args.where),
+                                          assigns))
         print(f"updated {n} rows "
               f"(deletion vectors on {sorted(t.catalog.get_dv_ranges())})")
     elif args.verb == "changes":
         df = t.read_changes(args.since, args.until)
         df.show(args.limit, truncate=False)
     elif args.verb == "restore":
-        info = t.restore(args.snapshot_id, force=args.force)
+        info = _retry(lambda: t.restore(args.snapshot_id,
+                                        force=args.force))
         print(f"restored to snapshot {args.snapshot_id}: "
               f"removed {info['files_removed']} post-snapshot files, "
               f"{info['dv_files']} files carry era deletion vectors")
     elif args.verb == "compact":
-        n = t.compact_deletes()
+        n = _retry(t.compact_deletes)
         print(f"rewrote {n} files; deletion vectors cleared")
     elif args.verb == "optimize":
-        n = t.compact_small_files(target_bytes=args.target_mb << 20)
+        n = _retry(lambda: t.compact_small_files(
+            target_bytes=args.target_mb << 20))
         files = len(t.catalog.all_files())
         print(f"packed {n} bins; {files} files remain")
     elif args.verb == "describe":

@@ -1235,12 +1235,37 @@ def _ngram_jaccard_sql() -> str:
 # embedding-cosine near-dup (bounded subset)
 # ---------------------------------------------------------------------------
 
-def cosine_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+#: cosine_pairs refuses above this many input vectors: all-pairs cost
+#: is O(n²) and the whole right side is broadcast, so past ~100k rows
+#: the broadcast alone is GBs and the pair count is 10^10 — the
+#: LSH/IVF variants in operators/similarity.py are the scale path.
+COSINE_PAIRS_MAX_ROWS = 100_000
+
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.95,
+                 max_rows: int = COSINE_PAIRS_MAX_ROWS) -> DataFrame:
     """Near-duplicate vectors over any (vec_id, embedding) DataFrame:
     cosine >= threshold among all pairs. Norms precomputed per side so
     the pair join does one array aggregation, not three. One side
-    broadcast; at full scale use the LSH/IVF variants in
-    operators/similarity.py."""
+    broadcast.
+
+    BOUNDED-SUBSET CONTRACT (enforced, VERDICT r11 ask #7): this is
+    the exact all-pairs baseline — O(n²) compare with the full right
+    side broadcast. Inputs larger than ``max_rows`` raise ValueError
+    instead of silently launching a 10^10-pair job; route large
+    corpora through ``similarity.py``'s LSH hyperplane buckets or IVF
+    layouts (sub-quadratic, file-pruned). One count() on a plain
+    (vec_id, embedding) projection is the cheapest sound guard — a
+    sampled estimate could under-count and let the footgun through."""
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is the bounded all-pairs baseline: input "
+                f"has {n} vectors > max_rows={max_rows} (~{n*n:,} "
+                f"pairs, full broadcast of the right side). Use the "
+                f"LSH/IVF variants in operators/similarity.py at this "
+                f"scale, or raise max_rows explicitly if you mean it.")
     from ..functions import dot_double, l2_norm
     from .util import spread_for_compute
     a = spread_for_compute(emb).select(

@@ -841,6 +841,12 @@ def decode_png(payload: bytes):
         pos += 12 + ln
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT chunk")
+    if len(ihdr) != 13:
+        # A well-framed chunk (valid CRC) can still carry a truncated
+        # payload; keep the corrupt-file contract to ValueError rather
+        # than leaking struct.error to callers.
+        raise ValueError(
+            f"malformed IHDR chunk: {len(ihdr)} bytes, expected 13")
     w, h, depth, color, comp, fmeth, inter = struct.unpack(
         ">IIBBBBB", ihdr)
     if depth != 8 or color not in (2, 6) or comp != 0 or fmeth != 0:

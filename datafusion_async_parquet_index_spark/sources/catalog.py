@@ -305,6 +305,12 @@ class SqliteIndexCatalog:
         self._conn = sqlite3.connect(db_path, check_same_thread=False)
         self._conn.execute("PRAGMA foreign_keys = ON")
         self._lock = threading.RLock()
+        # writer lease (round 12): held by a DML verb across its commit
+        # CAS AND the mutation phase that follows, so an in-process
+        # concurrent writer cannot CAS its own commit and mutate while
+        # the first verb is still mid-way through applying committed
+        # work. Distinct from self._lock: readers never touch it.
+        self._writer_lease = threading.RLock()
         self.index_schema: Dict[str, str] = {}
         # rtree planning acceleration (opt-in): per listed NUMERIC
         # column, a SQLite R-tree over the per-row-group [min, max]
@@ -347,6 +353,35 @@ class SqliteIndexCatalog:
         @contextlib.contextmanager
         def cm():
             with self._lock, self._conn:
+                yield
+        return cm()
+
+    def mutation_lease(self):
+        """Reentrant writer lease: a DML verb holds this across its
+        commit-version CAS AND every catalog mutation that follows, so
+        two in-process writers' [CAS .. mutation] phases can never
+        interleave — the race the bare CAS leaves open (a writer that
+        begins after verb A's successful CAS could otherwise CAS its
+        own commit and mutate, e.g. optimize() evicting files, while A
+        is still storing deletion vectors, silently losing A's
+        committed work). The lease is an RLock, so the deterministic
+        same-thread interleave the ``_pre_commit_hook`` tests drive
+        still works, and a verb that nests another verb (merge's
+        delete half) re-enters freely. Readers never take the lease.
+
+        RESIDUAL WINDOW (documented contract): the lease is
+        per-process. Two separate processes writing the same catalog
+        database are serialized only by the CAS itself — a process
+        that begins after another's CAS can still mutate concurrently
+        with the first's mutation phase. Cross-process deployments
+        should route all DML through one writer process (the Delta
+        "single cluster writes" posture) or wrap verbs in
+        ``with_commit_retries`` and verify post-hoc."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with self._writer_lease:
                 yield
         return cm()
 
@@ -1185,12 +1220,23 @@ class SqliteIndexCatalog:
     # -- optimistic concurrency (round 11) ------------------------------
     def version(self) -> int:
         """Current catalog commit version (monotonic; bumped by every
-        DML verb's commit CAS). 0 on a fresh/pre-migration catalog."""
+        DML verb's commit CAS). 0 on a fresh/pre-migration catalog.
+
+        Only the missing-table error maps to 0; anything else (locked
+        database, I/O error) propagates — treating a transient failure
+        as "pre-migration" would make the subsequent commit_version(0)
+        raise a spurious ConcurrentWriteError that misdiagnoses a
+        retryable lock error as a writer conflict."""
         try:
             rows = self._query(
                 "SELECT version FROM catalog_version WHERE id = 1")
-        except Exception:
-            return 0  # catalog persisted before the version migration
+        except Exception as exc:
+            msg = str(exc).lower()
+            if ("no such table" in msg            # sqlite
+                    or "does not exist" in msg    # postgres/duckdb
+                    or "not found" in msg):       # generic DBAPI
+                return 0  # catalog persisted before the version migration
+            raise
         return int(rows[0][0]) if rows else 0
 
     def commit_version(self, expected: int, verb: str = "dml") -> int:
@@ -1811,6 +1857,7 @@ class DBAPIIndexCatalog(SqliteIndexCatalog):
                  blob_type: str = "BLOB", binary=None):
         self._conn = connect()
         self._lock = threading.RLock()
+        self._writer_lease = threading.RLock()   # see mutation_lease()
         self.index_schema: Dict[str, str] = {}
         self._paramstyle = paramstyle
         self._pk = pk_autoinc

@@ -93,6 +93,9 @@ class DataFrameIndexCatalog:
         # in-process, so a plain lock-guarded CAS suffices)
         self._version = 0
         self._version_lock = __import__("threading").Lock()
+        # writer lease — same contract as SqliteIndexCatalog
+        # .mutation_lease (held across a verb's CAS + mutation phase)
+        self._writer_lease = __import__("threading").RLock()
         # file_name -> {row_group: {column: (entries, rest, kth)}}
         self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
@@ -260,6 +263,20 @@ class DataFrameIndexCatalog:
     def version(self) -> int:
         """Same protocol as SqliteIndexCatalog.version."""
         return self._version
+
+    def mutation_lease(self):
+        """Same protocol as SqliteIndexCatalog.mutation_lease: a
+        reentrant per-process writer lease held across a DML verb's
+        CAS + mutation phase so concurrent writers' mutation phases
+        never interleave (this backend is in-process only, so the
+        lease closes the race completely)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            with self._writer_lease:
+                yield
+        return cm()
 
     def commit_version(self, expected: int, verb: str = "dml") -> int:
         """Same protocol as SqliteIndexCatalog.commit_version: CAS

@@ -127,6 +127,46 @@ class DVCapExceeded(ValueError):
     rows."""
 
 
+def with_commit_retries(fn, max_attempts: int = 5,
+                        base_delay_s: float = 0.05,
+                        max_delay_s: float = 2.0,
+                        rng=None, on_retry=None):
+    """Retry loop around a DML verb for optimistic-concurrency
+    refusals (VERDICT r11 ask #6): call ``fn`` (a zero-arg callable
+    performing ONE verb invocation, e.g. ``lambda: t.append(batch)``)
+    and, on ``ConcurrentWriteError``, sleep a jittered exponential
+    backoff and call it again — each attempt re-reads the catalog
+    version and re-plans from the NEW table state, so a retried verb
+    sees the concurrent writer's committed work (the Delta
+    retry-on-conflict idiom). Returns ``fn``'s result. Any other
+    exception (DVCapExceeded, schema refusals, I/O errors) propagates
+    immediately — only the version conflict is retryable by
+    construction, because the refusing verb is guaranteed to have
+    mutated nothing.
+
+    ``max_attempts`` counts total calls (>= 1). Backoff for attempt k
+    is ``uniform(0, min(max_delay_s, base_delay_s * 2**k))`` — full
+    jitter, the decorrelated shape that avoids N retriers re-colliding
+    in lockstep. ``rng`` (a ``random.Random``) and ``on_retry(attempt,
+    exc)`` are test seams."""
+    import random
+    import time
+
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
+    rng = rng or random.Random()
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn()
+        except ConcurrentWriteError as exc:
+            if attempt == max_attempts:
+                raise
+            if on_retry is not None:
+                on_retry(attempt, exc)
+            time.sleep(rng.uniform(
+                0.0, min(max_delay_s, base_delay_s * (2 ** attempt))))
+
+
 @dataclass
 class ScanDecision:
     """The pruning decision for one query — first-class, testable output
@@ -372,12 +412,45 @@ class IndexedParquetTable:
         still at v0, else raise ConcurrentWriteError LOUDLY with
         nothing mutated (Delta's optimistic-concurrency contract —
         the second committer refuses; the table state stays the first
-        writer's). The gate serializes the DECISION to commit; verbs'
-        mutation phases are short catalog transactions behind it."""
+        writer's). Verbs run this inside ``_dml_mutation_scope`` so
+        the CAS AND the mutation phase behind it share the catalog's
+        writer lease — see that method for the full contract."""
         if self._pre_commit_hook is not None:
             self._pre_commit_hook(verb)
         if v0 >= 0:
             self.catalog.commit_version(v0, verb)
+
+    def _dml_mutation_scope(self, v0: int, verb: str):
+        """Context manager uniting a verb's commit CAS with its
+        mutation phase under the catalog's writer lease (ADVICE r11,
+        medium): entering runs the CAS (refusing LOUDLY, nothing
+        mutated, if the catalog moved since ``v0``); the body then
+        applies the verb's catalog mutations while the lease is still
+        held, so an in-process concurrent writer cannot CAS its own
+        commit and mutate (e.g. optimize() evicting the very files a
+        delete is attaching deletion vectors to) until this verb's
+        committed work is fully applied. The lease is reentrant —
+        the deterministic same-thread ``_pre_commit_hook`` interleave
+        and nested verbs (merge's delete half) behave exactly as
+        before. Catalogs without the lease extension (user-supplied
+        backends) degrade to the bare CAS-then-mutate protocol, whose
+        residual post-CAS window is documented on
+        ``SqliteIndexCatalog.mutation_lease`` along with the
+        cross-process posture (single writer process, or
+        ``with_commit_retries`` + post-hoc verify)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            lease = getattr(self.catalog, "mutation_lease", None)
+            if callable(lease):
+                with lease():
+                    self._dml_commit(v0, verb)
+                    yield
+            else:
+                self._dml_commit(v0, verb)
+                yield
+        return cm()
 
     # -- maintenance (EP2) --------------------------------------------
     def refresh(self, full: bool = False) -> None:
@@ -522,8 +595,8 @@ class IndexedParquetTable:
         the library level (retention pipelines that re-snapshot right
         after); the CLI refuses ``--keep <= 0`` so the footgun needs
         code, not a typo, to fire."""
-        self._dml_commit(self._dml_begin(), "expire")
-        return self.catalog.expire_snapshots(keep_last)
+        with self._dml_mutation_scope(self._dml_begin(), "expire"):
+            return self.catalog.expire_snapshots(keep_last)
 
     def _snapshot_filter(
         self, as_of: int, survivors: Dict[str, List[int]]
@@ -1292,8 +1365,24 @@ class IndexedParquetTable:
         hits = victims.groupBy("__file").agg(*aggs).collect()
         # optimistic-concurrency gate: everything above was read-only
         # planning; refuse LOUDLY before the first DV commit if another
-        # writer moved the catalog since the verb began
-        self._dml_commit(commit_from, verb)
+        # writer moved the catalog since the verb began. The whole
+        # DV-commit loop stays inside the mutation scope so no other
+        # in-process writer can commit-and-mutate (e.g. optimize()
+        # evicting these files) while vectors are mid-store.
+        from urllib.parse import unquote
+        deleted = 0
+        with self._dml_mutation_scope(commit_from, verb):
+            deleted = self._dv_apply_hits(hits, sum_cols)
+        self._dv_cache = None
+        if deleted:
+            self._refresh_views()
+        return deleted
+
+    def _dv_apply_hits(self, hits, sum_cols) -> int:
+        """Mutation half of ``_dv_store_victims``: split each file's
+        collected positions into row groups and merge them into the
+        catalog's deletion vectors. Runs inside the verb's
+        ``_dml_mutation_scope``."""
         from urllib.parse import unquote
         deleted = 0
         for r in hits:
@@ -1327,9 +1416,6 @@ class IndexedParquetTable:
                 sum_adjust = self._dv_rg_sums(fname, by_rg, sum_cols)
             deleted += len(positions)
             self.catalog.upsert_dv(fname, by_rg, sum_adjust)
-        self._dv_cache = None
-        if deleted:
-            self._refresh_views()
         return deleted
 
     def _dv_sum_entries(self, row, sum_cols):
@@ -1683,31 +1769,35 @@ class IndexedParquetTable:
             raise
         # optimistic-concurrency gate between the (invisible) staging
         # and the commit half: on refusal drop the staged dotfiles —
-        # sources + catalog are untouched
+        # sources + catalog are untouched. The swap/evict loop runs
+        # inside the mutation scope (CAS + mutations under one writer
+        # lease) so another writer cannot commit-and-mutate mid-swap.
+        packed_count = 0
         try:
-            self._dml_commit(v0, "optimize")
+            with self._dml_mutation_scope(v0, "optimize"):
+                for (d, name, bin_files), tmp in zip(work, tmps):
+                    dest = os.path.join(d, name)
+                    marker = os.path.join(d, "." + name + ".pack.intent")
+                    # basenames: recovery joins them onto the MARKER's
+                    # dir (a hive partition dir or the flat root), not
+                    # data_dir
+                    self._write_marker(
+                        marker,
+                        {"sources": [os.path.basename(f)
+                                     for f in bin_files]},
+                        durable=True)
+                    os.replace(tmp, dest)
+                    for f in bin_files:
+                        p = os.path.join(self.data_dir, f)
+                        os.remove(p)
+                        self.catalog.remove_file(self._file_key(p))
+                    os.remove(marker)
+                    packed_count += 1
         except ConcurrentWriteError:
             for tmp in tmps:
                 if os.path.exists(tmp):
                     os.remove(tmp)
             raise
-        packed_count = 0
-        for (d, name, bin_files), tmp in zip(work, tmps):
-            dest = os.path.join(d, name)
-            marker = os.path.join(d, "." + name + ".pack.intent")
-            # basenames: recovery joins them onto the MARKER's dir (a
-            # hive partition dir or the flat root), not data_dir
-            self._write_marker(
-                marker,
-                {"sources": [os.path.basename(f) for f in bin_files]},
-                durable=True)
-            os.replace(tmp, dest)
-            for f in bin_files:
-                p = os.path.join(self.data_dir, f)
-                os.remove(p)
-                self.catalog.remove_file(self._file_key(p))
-            os.remove(marker)
-            packed_count += 1
         if packed_count:
             self.refresh()
             self._refresh_views()
@@ -1764,14 +1854,26 @@ class IndexedParquetTable:
                     os.remove(t)
             raise
         # optimistic-concurrency gate between the (invisible) staged
-        # rewrites and the swap/evict commit half
+        # rewrites and the swap/evict commit half; the swap/evict loop
+        # runs inside the mutation scope (CAS + mutations under one
+        # writer lease — no other writer can commit-and-mutate mid-swap)
         try:
-            self._dml_commit(v0, "compact_deletes")
+            with self._dml_mutation_scope(v0, "compact_deletes"):
+                self._compact_swap_evict(items, staged)
         except ConcurrentWriteError:
             for tmp in staged:
                 if os.path.exists(tmp):
                     os.remove(tmp)
             raise
+        self.refresh()
+        self._dv_cache = None
+        self._refresh_views()
+        return len(dvs)
+
+    def _compact_swap_evict(self, items, staged) -> None:
+        """Mutation half of compact_deletes: crash-ordered byte swap +
+        catalog evict per rewritten file. Runs inside the verb's
+        ``_dml_mutation_scope``."""
         for (path, _ranges), tmp in zip(items, staged):
             fname = self._marker_file_key(path)
             # crash-ordering: swap the BYTES first, evict the catalog
@@ -1803,10 +1905,6 @@ class IndexedParquetTable:
                 os.replace(tmp, path)
             self.catalog.remove_file(fname)
             os.remove(marker)
-        self.refresh()
-        self._dv_cache = None
-        self._refresh_views()
-        return len(dvs)
 
     def _land_batch(self, batch: DataFrame, prefix: str,
                     target_files: Optional[int] = 1) -> List[str]:
@@ -1947,14 +2045,31 @@ class IndexedParquetTable:
                     batch, "append").select(*want)
         # optimistic-concurrency gate BEFORE anything lands (the
         # landing below is the expensive half; a refusal here costs
-        # zero write I/O and leaves nothing to clean up)
-        self._dml_commit(self._dml_begin(), "append")
+        # zero write I/O and leaves nothing to clean up). Landing +
+        # refresh stay inside the mutation scope: the writer lease
+        # keeps another in-process writer from committing and mutating
+        # (optimize/compact evicting files) while this append's
+        # committed work is still indexing.
+        with self._dml_mutation_scope(self._dml_begin(), "append"):
+            return self._append_land_and_index(
+                batch, target_files, evolved_fields)
+
+    def _append_land_and_index(self, batch, target_files,
+                               evolved_fields) -> int:
+        """Mutation half of append(): land the batch, commit any
+        schema evolution, refresh. Runs inside ``_dml_mutation_scope``."""
+        from pyspark.sql.types import StructType
+
         landed = self._land_batch(batch, "insert",
                                   target_files=target_files)
         n_ins = self._count_landed_or_discard(landed)
-        if not n_ins:
+        if not n_ins and not evolved_fields:
             return 0
         if evolved_fields:
+            # Delta's mergeSchema contract: the schema evolution commits
+            # even when the batch lands zero rows — the caller asked for
+            # the new columns, and silently dropping them on an empty
+            # write would leave no error and no evolved schema.
             # commit the evolution BEFORE refresh() so the re-index and
             # every subsequent fixed-schema read see the union schema;
             # merge_schema makes any future from-scratch inference
@@ -2065,8 +2180,14 @@ class IndexedParquetTable:
         # optimistic-concurrency gate BEFORE anything lands; the
         # delete half re-gates with its own version read (each CAS
         # advances the version once — nested verbs are serialized the
-        # same way independent ones are)
-        self._dml_commit(self._dml_begin(), "merge")
+        # same way independent ones are). The whole verb holds the
+        # writer lease (reentrant — the nested delete re-enters).
+        with self._dml_mutation_scope(self._dml_begin(), "merge"):
+            return self._merge_land_and_delete(updates, key_column)
+
+    def _merge_land_and_delete(self, updates, key_column):
+        """Mutation half of merge_upsert(): land, delete old versions,
+        refresh. Runs inside ``_dml_mutation_scope``."""
         landed = self._land_batch(updates, "upsert")
         n_ins = self._count_landed_or_discard(landed)
         if not n_ins:
@@ -2183,14 +2304,16 @@ class IndexedParquetTable:
                 *[exprs.get(f.name, F.col(f.name)).alias(f.name)
                   for f in self._schema.fields])
             # optimistic-concurrency gate BEFORE anything lands: a
-            # refusal here costs zero write I/O and zero cleanup
-            self._dml_commit(v0, "update")
-            self._land_batch(updated, "update")
-            # the landed files are invisible to the catalog until
-            # refresh() — old versions go, new versions stay
-            sum_cols = [c for c in getattr(self, "sum_columns", ())]
-            self._dv_store_victims(
-                victims.select("__file", "__pos", *sum_cols))
+            # refusal here costs zero write I/O and zero cleanup.
+            # Landing + DV store share the writer lease (the nested
+            # _dv_store_victims scope re-enters it).
+            with self._dml_mutation_scope(v0, "update"):
+                self._land_batch(updated, "update")
+                # the landed files are invisible to the catalog until
+                # refresh() — old versions go, new versions stay
+                sum_cols = [c for c in getattr(self, "sum_columns", ())]
+                self._dv_store_victims(
+                    victims.select("__file", "__pos", *sum_cols))
         finally:
             victims.unpersist()
         self.refresh()
@@ -2328,18 +2451,20 @@ class IndexedParquetTable:
                     f"(expire_snapshots) or pass force=True to make "
                     f"them irrecoverable; nothing was restored")
         # optimistic-concurrency gate: all checks above were reads;
-        # refuse before the first removal if another writer committed
-        self._dml_commit(v0, "restore")
-        removed = 0
-        for p in extras:
-            os.remove(p)
-            # never-indexed files (a crash-landed batch) are a
-            # silent no-op in both backends; a real catalog error
-            # must surface, not strand a row pointing at removed
-            # bytes
-            self.catalog.remove_file(self._file_key(p))
-            removed += 1
-        self.catalog.restore_dvs(snapshot_id)
+        # refuse before the first removal if another writer committed.
+        # Removals + DV restore run inside the mutation scope (CAS +
+        # mutations under one writer lease).
+        with self._dml_mutation_scope(v0, "restore"):
+            removed = 0
+            for p in extras:
+                os.remove(p)
+                # never-indexed files (a crash-landed batch) are a
+                # silent no-op in both backends; a real catalog error
+                # must surface, not strand a row pointing at removed
+                # bytes
+                self.catalog.remove_file(self._file_key(p))
+                removed += 1
+            self.catalog.restore_dvs(snapshot_id)
         self._dv_cache = None
         self.refresh()
         self._refresh_views()

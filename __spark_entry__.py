@@ -34,8 +34,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 11 WINDOW (scripts/next_window.py output, start of
-    # r11) ============================================================
+    # == ROUND 12 WINDOW (scripts/next_window.py output, start of
+    # r12) ============================================================
+    # tier 0 (unresolved reds): none — CORRECTNESS_r11 was 50/50 green.
+    # tier 1: the round-12 landings, inserted AT THE HEAD as they land
+    #   (zero proof lag): baseline JPEG decode.
+    "mm_decode_jpeg_stats",
+    # tier 2: the nine round-7-stale entries the r11 tier-1 displaced
+    #   (VERDICT r11 ask #1 — the proof floor rises to round 8), then
+    #   the stalest r8 greens filling to 50.
+    "emb_pca_power_step",
+    "sim_filtered_topk",
+    "sim_hybrid_rrf",
+    "ev_stream_sliding",
+    "ev_stream_interval_join",
+    "ev_stream_dedup",
+    "ev_session_window_agg",
+    "ev_stream_session_window",
+    "text_temperature_resample",
+    # -- tier 2 tail (r8-stale, stalest first) -------------------------
+    "q6_pricing_summary",
+    "q7_join_revenue_by_nation",
+    "q8_distinct",
+    "q9_window_topn",
+    "q10_like_prefix",
+    "q11_case_when_agg",
+    "q12_in_filter_join",
+    "q13_union_set_op",
+    "q14_not_null_arith",
+    "q15_multi_join_lineitem",
+    "q16_date_range",
+    "q17_rollup",
+    "q51_partition_group_count",
+    "q53_hll_union_merge",
+    "q56_bucketed_join",
+    "q57_rank_family",
+    "q58_unpivot",
+    "q59_nullsafe_join",
+    "q60_decimal_pred",
+    "q91_delete_scan",
+    "q92_dv_count_sum_pushdown",
+    "q93_dv_compaction",
+    "q94_merge_upsert",
+    "q95_dedup_delete_vectors",
+    "q96_stream_retraction",
+    "text_quality_metrics",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_bigram_logprob",
+    "text_tfidf_topk",
+    "text_bm25_score",
+    "text_lang_confusion",
+    "text_hashed_ngram_features",
+    "text_zipf_fit",
+    "text_bpe_pair_merge",
+    "text_length_histogram",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "dedup_cluster_stats",
+    # == ROUND 11 WINDOW (kept for natural-order stability) ==========
     # tier 0 (unresolved reds): none — CORRECTNESS_r10 was 50/50 green.
     # tier 1: the round-11 landings (PNG decode, PCM WAV decode,
     #   schema-evolving append) plus dedup_overlap_kmv, whose estimator

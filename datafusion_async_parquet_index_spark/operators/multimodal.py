@@ -1080,6 +1080,8 @@ IMAGE_DECODERS: Dict[str, Callable[[bytes], tuple]] = {
     "image/png": decode_png,
     "audio/wav": decode_wav,
 }
+# decode_jpeg is defined below (after the WAV section); the registry
+# entry is added right after its definition.
 
 
 def decode_image(payload: bytes, media_type: str,
@@ -1607,6 +1609,731 @@ MM_DECODE_PNG_SQL = """
 """
 
 
+# -- real LOSSY image decode: baseline JPEG from scratch (round 12) --
+#
+# The r11 verdict's #2 ask and the registry's last real image-format
+# gap: JPEG is the single most common image container in any
+# multimodal corpus. Pure stdlib + numpy, the same honest-codec
+# posture as encode_png/decode_png above: ITU T.81 baseline
+# sequential DCT only — 8-bit samples, Huffman entropy coding,
+# 4:4:4 (no chroma subsampling). Everything else refuses LOUDLY with
+# a named reason: progressive (SOF2), extended/arithmetic/lossless
+# SOFs, 16-bit quant tables, subsampled chroma, restart intervals.
+# The reference repo has no multimodal surface at all; this serves
+# the training-data north star (decode/feature-extract as Arrow-
+# batched mapInPandas over opaque binary columns).
+#
+# Rounding conventions (shared by encoder, decoder, and the
+# independent in-test reference decoder, so cross-validation is
+# bit-exact): quantization rounds half away from zero
+# (sign(x) * floor(|x|/q + 0.5)); sample reconstruction rounds
+# floor(x + 0.5) then clamps to [0, 255]; the RGB<->YCbCr transforms
+# use the exact JFIF constants with the same floor(x + 0.5) rule.
+
+# zigzag scan: ZIGZAG[k] = raster index of the k-th coefficient
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+# ITU T.81 Annex K.1/K.2 example quantization tables (raster order)
+JPEG_QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+JPEG_QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+# ITU T.81 Annex K.3 example Huffman tables: (bits[1..16], huffval)
+_JPEG_DC_LUMA = ((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+                 tuple(range(12)))
+_JPEG_DC_CHROMA = ((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+                   tuple(range(12)))
+_JPEG_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA))
+_JPEG_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA))
+
+_JPEG_DCT_M = None
+
+
+def _jpeg_dct_matrix():
+    """8x8 orthonormal DCT-II matrix M (M[u, x] = c(u)/2 *
+    cos((2x+1)u*pi/16), c(0) = 1/sqrt(2) else 1): forward DCT of a
+    level-shifted block f is M @ f @ M.T; inverse is M.T @ D @ M."""
+    global _JPEG_DCT_M
+    if _JPEG_DCT_M is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(8, 1).astype(np.float64)
+        x = np.arange(8).reshape(1, 8).astype(np.float64)
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        m[0, :] /= np.sqrt(2.0)
+        _JPEG_DCT_M = m
+    return _JPEG_DCT_M
+
+
+def _jpeg_code_table(bits, huffval):
+    """Canonical Huffman codes per T.81 C.2: {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits, huffval):
+    """Decoder-side canonical table: {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (an emitted
+    0xFF data byte is followed by 0x00 so it can never alias a
+    marker); flush pads the final partial byte with 1-bits."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 de-stuffing; a bare marker inside the segment is a loud
+    refusal (restart markers are not supported — the encoder never
+    writes DRI, and decode_jpeg refuses DRI up front)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG entropy data truncated (no EOI)")
+        byte = d[p]
+        p += 1
+        if byte == 0xFF:
+            if p >= len(d):
+                raise ValueError("JPEG entropy data truncated at 0xFF")
+            nxt = d[p]
+            if nxt == 0x00:
+                p += 1           # stuffed literal 0xFF
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "JPEG restart markers (RSTn) are not supported "
+                    "(baseline without restart intervals only)")
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside JPEG "
+                    f"entropy data (truncated scan?)")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        self.pos = p
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (corrupt stream)")
+
+
+def _jpeg_magnitude(v: int):
+    """(category, additional-bits) for a DC diff / AC coefficient
+    per T.81 F.1.2.1: category s = bit length of |v|; negative values
+    store v + 2^s - 1 (one's-complement convention)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """Decoder dual of _jpeg_magnitude (T.81 F.2.2.1 EXTEND)."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_quantize(coeffs, qtable):
+    """Round half away from zero — the convention every piece of this
+    codec (and the in-test reference decoder) shares."""
+    import numpy as np
+
+    scaled = coeffs / qtable
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        np.int32)
+
+
+def _jpeg_component_blocks(plane):
+    """Pad an (h, w) float plane to 8-multiples by edge replication
+    and return (blocks_y, blocks_x, the (by, bx, 8, 8) block view)."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = padded.shape
+    blocks = (padded.reshape(hh // 8, 8, ww // 8, 8)
+              .transpose(0, 2, 1, 3))
+    return hh // 8, ww // 8, blocks
+
+
+def _jpeg_rgb_to_ycbcr(rgb):
+    """JFIF RGB -> YCbCr, floor(x + 0.5) rounding, clamped uint8."""
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _jpeg_ycbcr_to_rgb(ycc):
+    """JFIF YCbCr -> RGB, floor(x + 0.5) rounding, clamped uint8."""
+    import numpy as np
+
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(img, quant=None) -> bytes:
+    """Serialize an (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB
+    uint8 array as a BASELINE SEQUENTIAL JPEG (ITU T.81): JFIF APP0,
+    8-bit DQT(s), SOF0 with all sampling factors 1x1 (4:4:4 — no
+    chroma subsampling), Annex K Huffman tables, one interleaved
+    Huffman-coded scan with byte stuffing, EOI. ``quant`` overrides
+    the luminance quantization table (64 raster-order ints; pass all
+    ones for near-lossless DC behavior — the oracle corpus uses that
+    with per-block-constant images, making the lossy codec exactly
+    invertible). Default: the Annex K example tables."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _jpeg_rgb_to_ycbcr(arr)
+        planes = [ycc[:, :, i].astype(np.float64) for i in range(3)]
+    else:
+        raise ValueError(
+            f"encode_jpeg: shape {arr.shape} (grayscale or RGB only)")
+    h, w = planes[0].shape
+    if not (h and w):
+        raise ValueError("encode_jpeg: empty image")
+    ncomp = len(planes)
+    qluma = np.asarray(quant if quant is not None else JPEG_QUANT_LUMA,
+                       dtype=np.float64).reshape(8, 8)
+    qchroma = (qluma if quant is not None
+               else np.asarray(JPEG_QUANT_CHROMA,
+                               dtype=np.float64).reshape(8, 8))
+    qtabs = [qluma] + ([qchroma, qchroma] if ncomp == 3 else [])
+    m = _jpeg_dct_matrix()
+    zz = np.asarray(JPEG_ZIGZAG)
+
+    dc_tabs = [_jpeg_code_table(*_JPEG_DC_LUMA),
+               _jpeg_code_table(*_JPEG_DC_CHROMA)]
+    ac_tabs = [_jpeg_code_table(*_JPEG_AC_LUMA),
+               _jpeg_code_table(*_JPEG_AC_CHROMA)]
+
+    # quantized zigzag coefficients per component
+    comp_coeffs = []
+    for ci, plane in enumerate(planes):
+        nby, nbx, blocks = _jpeg_component_blocks(plane - 128.0)
+        dct = np.einsum("ux,byxz,vz->byuv", m,
+                        blocks.reshape(nby * nbx, 8, 8)[None], m)[0]
+        q = _jpeg_quantize(dct, qtabs[ci][None])
+        comp_coeffs.append(q.reshape(nby * nbx, 64)[:, zz])
+    n_blocks = comp_coeffs[0].shape[0]
+
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            tsel = 0 if ci == 0 else 1
+            dct_t, act_t = dc_tabs[tsel], ac_tabs[tsel]
+            coefs = comp_coeffs[ci][b]
+            diff = int(coefs[0]) - pred[ci]
+            pred[ci] = int(coefs[0])
+            s, extra = _jpeg_magnitude(diff)
+            code, ln = dct_t[s]
+            bw.write(code, ln)
+            bw.write(extra, s)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(coefs[1:])[0]
+            last_nz = (nz[-1] + 1) if nz.size else 0
+            for k in range(1, last_nz + 1):
+                v = int(coefs[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act_t[0xF0]   # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s, extra = _jpeg_magnitude(v)
+                code, ln = act_t[run * 16 + s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = act_t[0x00]       # EOB
+                bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")             # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtabs[:2] if ncomp == 3 else qtabs[:1]):
+        raster = qt.reshape(64)
+        out += seg(0xFFDB, bytes([ti]) + bytes(
+            int(raster[JPEG_ZIGZAG[k]]) for k in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    hts = [(0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA)]
+    if ncomp == 3:
+        hts += [(0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA)]
+    for tc_th, (bits, huffval) in hts:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(huffval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tsel = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, tsel * 16 + tsel])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xFF\xD9"                       # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes):
+    """Parse a BASELINE SEQUENTIAL JPEG: returns (width, height,
+    (h, w, c) uint8 array, c = 1 grayscale or 3 RGB). A REAL decode —
+    marker walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman decode
+    with byte de-stuffing, DC prediction, dequantize + inverse zigzag,
+    float IDCT, level shift, JFIF YCbCr->RGB. Anything outside the
+    baseline 4:4:4 8-bit Huffman envelope refuses LOUDLY with a
+    ValueError naming the feature: progressive (SOF2), the
+    extended/arithmetic/lossless SOFs, 16-bit quant tables, chroma
+    subsampling, restart intervals, 12-bit precision."""
+    import struct
+
+    import numpy as np
+
+    d = payload
+    if len(d) < 4 or d[0:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI marker)")
+    qtables = {}
+    hufftables = {}
+    sof = None
+    pos = 2
+    REFUSE_SOF = {
+        0xC1: "extended sequential JPEG (SOF1)",
+        0xC2: "progressive JPEG (SOF2)",
+        0xC3: "lossless JPEG (SOF3)",
+        0xC5: "differential sequential JPEG (SOF5)",
+        0xC6: "differential progressive JPEG (SOF6)",
+        0xC7: "differential lossless JPEG (SOF7)",
+        0xC9: "arithmetic-coded JPEG (SOF9)",
+        0xCA: "progressive arithmetic JPEG (SOF10)",
+        0xCB: "lossless arithmetic JPEG (SOF11)",
+        0xCD: "differential sequential arithmetic JPEG (SOF13)",
+        0xCE: "differential progressive arithmetic JPEG (SOF14)",
+        0xCF: "differential lossless arithmetic JPEG (SOF15)",
+    }
+    while True:
+        if pos + 4 > len(d):
+            raise ValueError("JPEG truncated before SOS")
+        if d[pos] != 0xFF:
+            raise ValueError(
+                f"expected marker at byte {pos}, found 0x{d[pos]:02X}")
+        marker = d[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG has no scan (EOI before SOS)")
+        ln = struct.unpack_from(">H", d, pos + 2)[0]
+        body = d[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker in REFUSE_SOF:
+            raise ValueError(
+                f"{REFUSE_SOF[marker]} is not supported (baseline "
+                f"sequential SOF0 only)")
+        if marker == 0xDD:
+            raise ValueError(
+                "JPEG restart intervals (DRI) are not supported")
+        if marker == 0xDB:                    # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError(
+                        "16-bit quantization tables are not supported "
+                        "(baseline is 8-bit)")
+                if bp + 65 > len(body):
+                    raise ValueError("DQT segment truncated")
+                zzvals = list(body[bp + 1:bp + 65])
+                raster = [0] * 64
+                for k in range(64):
+                    raster[JPEG_ZIGZAG[k]] = zzvals[k]
+                qtables[tq] = np.asarray(raster,
+                                         dtype=np.float64).reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:                  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1:bp + 17])
+                n = sum(bits)
+                huffval = list(body[bp + 17:bp + 17 + n])
+                if len(bits) != 16 or len(huffval) != n:
+                    raise ValueError("DHT segment truncated")
+                hufftables[(tc, th)] = _jpeg_decode_table(bits, huffval)
+                bp += 17 + n
+        elif marker == 0xC0:                  # SOF0 baseline
+            prec, hh, ww, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(
+                    f"{prec}-bit JPEG precision is not supported "
+                    f"(baseline is 8-bit)")
+            if nf not in (1, 3):
+                raise ValueError(
+                    f"{nf}-component JPEG is not supported "
+                    f"(grayscale or YCbCr only)")
+            comps = []
+            for i in range(nf):
+                cid, sampling, tq = body[6 + 3 * i:9 + 3 * i]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling is not supported "
+                        "(4:4:4, all sampling factors 1x1, only)")
+                comps.append((cid, tq))
+            sof = (ww, hh, comps)
+        elif marker == 0xDA:                  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            if ns != len(sof[2]):
+                raise ValueError(
+                    "partial-scan JPEG is not supported (one "
+                    "interleaved scan of every component)")
+            scan_sel = {}
+            for i in range(ns):
+                cs, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                scan_sel[cs] = (tsel >> 4, tsel & 0x0F)
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+            if (ss, se, a) != (0, 63, 0):
+                raise ValueError(
+                    "spectral selection / successive approximation "
+                    "is not supported (baseline full scan only)")
+            scan_pos = pos + 2 + ln
+            break
+        # APPn / COM / anything else informational: skip
+        pos += 2 + ln
+
+    ww, hh, comps = sof
+    ncomp = len(comps)
+    nbx, nby = (ww + 7) // 8, (hh + 7) // 8
+    m = _jpeg_dct_matrix()
+    reader = _JpegBitReader(d, scan_pos)
+    pred = [0] * ncomp
+    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+              for _ in range(ncomp)]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (cid, tq) in enumerate(comps):
+                if tq not in qtables:
+                    raise ValueError(f"missing quant table {tq}")
+                td, ta = scan_sel[cid]
+                dct_t = hufftables.get((0, td))
+                act_t = hufftables.get((1, ta))
+                if dct_t is None or act_t is None:
+                    raise ValueError(
+                        f"missing Huffman table (dc={td}, ac={ta})")
+                zzc = np.zeros(64, dtype=np.float64)
+                s = reader.read_huffman(dct_t)
+                diff = _jpeg_extend(reader.read_bits(s), s)
+                pred[ci] += diff
+                zzc[0] = pred[ci]
+                k = 1
+                while k <= 63:
+                    rs = reader.read_huffman(act_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:           # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break                 # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError(
+                            "JPEG AC run past block end (corrupt)")
+                    zzc[k] = _jpeg_extend(reader.read_bits(s), s)
+                    k += 1
+                coeffs = np.zeros(64, dtype=np.float64)
+                coeffs[list(JPEG_ZIGZAG)] = zzc
+                block = m.T @ (coeffs.reshape(8, 8)
+                               * qtables[tq]) @ m
+                planes[ci][by * 8:by * 8 + 8,
+                           bx * 8:bx * 8 + 8] = block + 128.0
+    out = np.stack([p[:hh, :ww] for p in planes], axis=-1)
+    out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    if ncomp == 3:
+        out = _jpeg_ycbcr_to_rgb(out.astype(np.float64))
+    return ww, hh, out
+
+
+IMAGE_DECODERS["image/jpeg"] = decode_jpeg
+
+
+JPEG_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_blocks", IntegerType()),
+    StructField("pix_sum", LongType()),
+    StructField("pix_wsum", LongType()),
+])
+
+
+def synthesize_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline JPEG files as the binary media column: per
+    document, a grayscale image whose dims derive from doc_id
+    (w = 8 * (1 + doc_id % 4), h = 8 * (1 + (doc_id // 4) % 3)) and
+    whose pixels are CONSTANT PER 8x8 BLOCK — block (bx, by) carries
+    the document text's byte at flat block index (by * nbx + bx) mod
+    len(text). Encoded with an all-ones quantization table, this
+    makes the LOSSY codec exactly invertible (a constant block's DCT
+    is a single integer DC coefficient 8*(v-128); every AC is zero to
+    fp epsilon), so the decode side travels the full Huffman / DC
+    prediction / dequantize / IDCT path and the oracle can still
+    recompute the decoded pixels relationally. The general lossy path
+    (standard tables, dense AC) is cross-validated against an
+    independent in-test reference decoder in tests/test_jpeg_decode.py
+    instead — it has no closed-form oracle by nature."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = [1] * 64
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                did = int(doc_id)
+                nbx = 1 + did % 4
+                nby = 1 + (did // 4) % 3
+                idx = np.arange(nby * nbx) % len(b)
+                vals = np.frombuffer(b, dtype=np.uint8)[idx]
+                img = np.kron(vals.reshape(nby, nbx),
+                              np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg(img, quant=ones))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "payload": payloads})
+
+    from .util import spread_for_compute
+    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+
+
+def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image statistics FROM PIXELS DECODED OUT OF A LOSSY
+    COMPRESSED CONTAINER: synthesize real baseline JPEGs, decode them
+    (marker walk, canonical Huffman with byte de-stuffing, DC
+    prediction chain across every block, dequantize, float IDCT —
+    decode_jpeg above), and compute per-doc pixel sums plus an
+    order-weighted sum (weight 1 + j % 101 over the flat row-major
+    pixel index) that any Huffman, DC-prediction, zigzag, or IDCT
+    slip would perturb. The corpus is constructed to be a fixed point
+    of the lossy round-trip (see synthesize_jpeg_media), so the
+    DuckDB oracle recomputes both sums from the generative formula
+    relationally. Arrow-batched mapInPandas; linear, no shuffle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "n_blocks",
+                                   "pix_sum", "pix_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_jpeg(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 101)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(px.shape[2])
+                out["n_blocks"].append((w // 8) * (h // 8))
+                out["pix_sum"].append(int(flat.sum()))
+                out["pix_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_jpeg_media(spark, sf_dir)
+    return media.mapInPandas(_stats, schema=JPEG_STATS_SCHEMA)
+
+
+# Oracle posture: text is pure ASCII (ord == byte value) and the
+# corpus is a JPEG-round-trip fixed point, so the decoded pixel at
+# flat index j is the text byte of its 8x8 block: block column
+# (j % w) // 8, block row (j // w) // 8, flat block index row * nbx +
+# col, cycled mod len(text). A decoder that slipped the DC prediction
+# chain, any Huffman table, the zigzag order, or the IDCT scaling
+# could not reproduce pix_wsum.
+MM_DECODE_JPEG_SQL = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               CAST(1 + doc_id % 4 AS INT) AS nbx,
+               CAST(1 + (doc_id // 4) % 3 AS INT) AS nby
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nbx * 8 AS INT) AS width,
+           CAST(nby * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(nbx * nby AS INT) AS n_blocks,
+           CAST(list_sum(list_transform(range(0, nbx * nby * 64),
+                j -> ord(substr(text,
+                     CAST(1 + (((j // (nbx * 8)) // 8) * nbx
+                               + ((j % (nbx * 8)) // 8)) % L AS INT),
+                     1)))) AS BIGINT) AS pix_sum,
+           CAST(list_sum(list_transform(range(0, nbx * nby * 64),
+                j -> ord(substr(text,
+                     CAST(1 + (((j // (nbx * 8)) // 8) * nbx
+                               + ((j % (nbx * 8)) // 8)) % L AS INT),
+                     1)) * (1 + j % 101))) AS BIGINT) AS pix_wsum
+    FROM m
+"""
+
+
 MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata_extract": mm_metadata_extract,
     "mm_frame_sample_stats": mm_frame_sample_stats,
@@ -1621,6 +2348,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_image_ahash_dedup": mm_image_ahash_dedup,
     "mm_resize_png_stats": mm_resize_png_stats,
     "mm_resample_wav_stats": mm_resample_wav_stats,
+    "mm_decode_jpeg_stats": mm_decode_jpeg_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -1645,4 +2373,8 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     "mm_image_ahash_dedup": MM_AHASH_SQL,
     "mm_resize_png_stats": MM_RESIZE_PNG_SQL,
     "mm_resample_wav_stats": MM_RESAMPLE_WAV_SQL,
+    # round 12: baseline JPEG decode is real — the corpus is a lossy-
+    # round-trip fixed point, so the formula oracle proves the full
+    # Huffman/DC-chain/zigzag/IDCT path bit-exact
+    "mm_decode_jpeg_stats": MM_DECODE_JPEG_SQL,
 }

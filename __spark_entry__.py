@@ -38,8 +38,10 @@ _ROUND_PRIORITY = [
     # r12) ============================================================
     # tier 0 (unresolved reds): none — CORRECTNESS_r11 was 50/50 green.
     # tier 1: the round-12 landings, inserted AT THE HEAD as they land
-    #   (zero proof lag): baseline JPEG decode.
+    #   (zero proof lag): baseline JPEG decode + the page-index
+    #   (sub-row-group) pruning tier.
     "mm_decode_jpeg_stats",
+    "q107_page_index_scan",
     # tier 2: the nine round-7-stale entries the r11 tier-1 displaced
     #   (VERDICT r11 ask #1 — the proof floor rises to round 8), then
     #   the stalest r8 greens filling to 50.

@@ -23,6 +23,23 @@ Env knobs:
   SPARK_GRAFT_BENCH_FAMILY_CLEAR=1  clear operator caches at query-name
                             family boundaries in the warm pass
                             (diagnosis knob for cross-family coupling)
+  SPARK_GRAFT_BENCH_SOLO_PASS=0  skip the solo-process control pass
+                            (VERDICT r11 ask #4 — drift forensics):
+                            by default the slowest warm queries AND the
+                            maintenance verbs are re-measured in FRESH
+                            subprocesses (own JVM, no accumulated
+                            session state) and emitted as queries_solo
+                            / maintenance_solo, so a judge comparing
+                            rounds can separate plan regressions
+                            (in-suite AND solo both move) from session
+                            noise (in-suite moves, solo doesn't)
+                            without git-worktree experiments. Every
+                            run also emits a "machine" fingerprint
+                            (loadavg, cpu MHz, core count) for the
+                            same purpose.
+  SPARK_GRAFT_BENCH_MAINT_ONLY=1  run ONLY the maintenance bench and
+                            print its JSON (the solo pass's internal
+                            re-entry mode)
 """
 
 from __future__ import annotations
@@ -61,12 +78,86 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _machine_fingerprint() -> dict:
+    """Host-state snapshot recorded with every bench artifact so
+    cross-round deltas can be attributed: a regressed number on a
+    loaded or down-clocked machine is drift, not a plan change."""
+    out: dict = {"cpus": len(os.sched_getaffinity(0))}
+    try:
+        out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        mhz = []
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("cpu mhz"):
+                    mhz.append(float(line.split(":")[1]))
+        if mhz:
+            out["cpu_mhz_mean"] = round(sum(mhz) / len(mhz), 1)
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    out["mem_available_gb"] = round(
+                        int(line.split()[1]) / (1 << 20), 1)
+                    break
+    except (OSError, ValueError):
+        pass
+    return out
+
+
+SOLO_TOP_N = int(os.environ.get("SPARK_GRAFT_BENCH_SOLO_TOP_N", "8"))
+
+
+def _solo_pass(timings: dict) -> tuple:
+    """Re-measure the slowest warm queries and the maintenance verbs
+    in FRESH subprocesses (own JVM, zero accumulated session state) —
+    the per-round drift control the last two verdict cycles spent
+    worktree experiments reconstructing. Returns (queries_solo,
+    maintenance_solo); either may be None on subprocess failure (the
+    main numbers still print)."""
+    import subprocess
+
+    names = [k for k, _ in sorted(timings.items(),
+                                  key=lambda kv: -kv[1])[:SOLO_TOP_N]]
+    base_env = {**os.environ,
+                "SPARK_GRAFT_BENCH_SOLO_PASS": "0",
+                "SPARK_GRAFT_BENCH_COLD_PASS": "0",
+                "SPARK_GRAFT_BENCH_COLD": "0"}
+
+    def _run(extra_env):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**base_env, **extra_env},
+                capture_output=True, text=True, timeout=1800)
+            last = [l for l in proc.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            return json.loads(last)
+        except Exception:
+            return None
+
+    solo = _run({"SPARK_GRAFT_BENCH_ONLY": ",".join(names)})
+    maint = _run({"SPARK_GRAFT_BENCH_MAINT_ONLY": "1"})
+    return ((solo or {}).get("queries"),
+            (maint or {}).get("maintenance"))
+
+
 def main() -> None:
     from datafusion_async_parquet_index_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
     spark = get_spark("bench", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SPARK_GRAFT_BENCH_MAINT_ONLY", "") == "1":
+        # solo-pass re-entry: maintenance verbs only, one JSON line
+        print(json.dumps({"maintenance": _maintenance_bench(spark),
+                          "machine": _machine_fingerprint()}))
+        spark.stop()
+        return
     queries = entry_mod.queries()
 
     # warmup: spin the JVM + parquet reader once, and the Python worker
@@ -127,9 +218,15 @@ def main() -> None:
 
     maint = None if only else _maintenance_bench(spark)
 
+    queries_solo = maint_solo = None
+    if (not only and not COLD
+            and os.environ.get("SPARK_GRAFT_BENCH_SOLO_PASS", "1") == "1"):
+        queries_solo, maint_solo = _solo_pass(timings)
+
     total = round(sum(timings.values()), 4)
     total_cold = (round(sum(cold_timings.values()), 4)
                   if cold_timings else None)
+    machine = _machine_fingerprint()
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
@@ -137,7 +234,10 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold_timings,
         "value_cold": total_cold,
+        "queries_solo": queries_solo,
         "maintenance": maint,
+        "maintenance_solo": maint_solo,
+        "machine": machine,
         "sf": _sf_from_dir(SF_DIR),
     }))
     # The driver records only the TAIL of stdout, and with 100+ queries
@@ -157,7 +257,10 @@ def main() -> None:
         "cold_slowest": (dict(sorted(cold_timings.items(),
                                      key=lambda kv: -kv[1])[:5])
                          if cold_timings else None),
+        "queries_solo": queries_solo,
         "maintenance": maint,
+        "maintenance_solo": maint_solo,
+        "machine": machine,
         "sf": _sf_from_dir(SF_DIR),
     }))
     spark.stop()

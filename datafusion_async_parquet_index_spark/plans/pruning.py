@@ -1230,3 +1230,142 @@ class PruningRewriter:
                 return TRUE
             out = sub if out is None else (out | sub)
         return out if out is not None else TRUE
+
+
+# -- driver-side stats-space evaluation (page-index tier, round 12) ---
+#
+# The page refiner (sources/table.py `_page_refine`) re-uses the SAME
+# refutation-sound rewrite above, but evaluates the resulting
+# stats-space expression per PAGE on the driver instead of rendering it
+# to catalog SQL: the surviving page set is already row-group-pruned
+# (bounded planning data), so a Python walk is cheaper than a SQL
+# round-trip per conjunct and works identically on every catalog
+# backend. Semantics mirror the SQL engines the rendered form targets:
+# three-valued logic (None = UNKNOWN), NULL-propagating comparisons and
+# arithmetic, SQLite integer division/modulo (truncate toward zero,
+# remainder takes the dividend's sign). ANY surprise — unsupported
+# node, type mismatch, overflow — returns UNKNOWN, and the caller keeps
+# the page: the evaluator can only ever refine, never drop wrongly.
+
+def eval_stats_expr(e, env):
+    """Evaluate a stats-space Expr against {stats column: value}.
+    Returns True / False / None (SQL UNKNOWN). Never raises."""
+    try:
+        return _ev(e, env)
+    except Exception:
+        return None
+
+
+def _ev_coerce(v):
+    import datetime as _dt
+    import decimal as _dec
+
+    from ..sources.catalog import encode_value
+    if isinstance(v, _dt.datetime):
+        return encode_value("timestamp", v)
+    if isinstance(v, _dt.date):
+        return encode_value("date", v)
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    return v
+
+
+def _ev(e, env):
+    from .expr import BinOp, Case, Col, InList, IsNull, Like, Lit, Not
+
+    if isinstance(e, Lit):
+        return _ev_coerce(e.value)
+    if isinstance(e, Col):
+        return _ev_coerce(env.get(e.name))
+    if isinstance(e, Not):
+        v = _ev(e.child, env)
+        return None if v is None else (not v)
+    if isinstance(e, IsNull):
+        v = _ev(e.child, env)
+        return (v is not None) if e.negated else (v is None)
+    if isinstance(e, InList):
+        v = _ev(e.child, env)
+        if v is None:
+            return None
+        saw_null = False
+        for lit in e.values:
+            w = _ev(lit, env)
+            if w is None:
+                saw_null = True
+            elif w == v:
+                return True
+        return None if saw_null else False
+    if isinstance(e, Like):
+        import re
+
+        v = _ev(e.child, env)
+        if v is None or not isinstance(v, str):
+            return None
+        pat = ("^" + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in e.pattern) + "$")
+        hit = re.match(pat, v, flags=re.DOTALL) is not None
+        return (not hit) if e.negated else hit
+    if isinstance(e, Case):
+        for cond, val in e.branches:
+            c = _ev(cond, env)
+            if c is True:
+                return _ev(val, env)
+        return _ev(e.else_, env) if e.else_ is not None else None
+    if isinstance(e, BinOp):
+        op = e.op
+        if op == "AND":
+            l, r = _ev(e.left, env), _ev(e.right, env)
+            if l is False or r is False:
+                return False
+            if l is None or r is None:
+                return None
+            return True
+        if op == "OR":
+            l, r = _ev(e.left, env), _ev(e.right, env)
+            if l is True or r is True:
+                return True
+            if l is None or r is None:
+                return None
+            return False
+        l, r = _ev(e.left, env), _ev(e.right, env)
+        if l is None or r is None:
+            return None
+        if op == "=":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            if isinstance(l, int) and isinstance(r, int):
+                if r == 0:
+                    return None           # SQL: division by zero -> NULL
+                q = abs(l) // abs(r)      # truncate toward zero
+                return q if (l >= 0) == (r >= 0) else -q
+            return None if r == 0 else l / r
+        if op == "%":
+            if r == 0:
+                return None
+            if isinstance(l, int) and isinstance(r, int):
+                q = abs(l) // abs(r)
+                q = q if (l >= 0) == (r >= 0) else -q
+                return l - q * r          # remainder: dividend's sign
+            return None
+        if op == "<<":
+            return int(l) << int(r)
+        if op == ">>":
+            return int(l) >> int(r)
+    raise TypeError(f"unsupported stats-space node {type(e).__name__}")

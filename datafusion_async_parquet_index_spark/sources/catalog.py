@@ -713,6 +713,31 @@ class SqliteIndexCatalog:
                        k_hashes INTEGER NOT NULL,
                        bits {self._blob_type()} NOT NULL,
                        PRIMARY KEY (file_id, row_group, column_name))""")
+            # page-index tier (round 12): per-PAGE min/max/null stats
+            # from the Parquet ColumnIndex/OffsetIndex — the reference's
+            # own named-but-unimplemented third pruning granularity
+            # (sqlx-sqlite/src/main.rs:73-79). first_row/row_count are
+            # ROW-GROUP-scoped; values are stored as TEXT with their
+            # domain category ('int' covers int/date/timestamp encoded
+            # values, 'string' utf-8) — comparisons happen driver-side
+            # in the page refiner, never in SQL, so a portable TEXT
+            # encoding is enough.
+            self._exec(
+                """CREATE TABLE IF NOT EXISTS page_statistics (
+                       file_id INTEGER NOT NULL REFERENCES file_statistics(file_id)
+                           ON DELETE CASCADE,
+                       row_group INTEGER NOT NULL,
+                       column_name TEXT NOT NULL,
+                       page INTEGER NOT NULL,
+                       first_row INTEGER NOT NULL,
+                       row_count INTEGER NOT NULL,
+                       category TEXT,
+                       min_value TEXT,
+                       max_value TEXT,
+                       null_page INTEGER NOT NULL,
+                       null_count INTEGER,
+                       PRIMARY KEY (file_id, row_group, column_name,
+                                    page))""")
             # rtree planning acceleration (opt-in, SQLite-specific —
             # the DBAPI backend targets generic servers and skips it;
             # a Postgres deployment would use GiST the same way)
@@ -787,6 +812,7 @@ class SqliteIndexCatalog:
         topks: Optional[
             Dict[int, Dict[str, Tuple[List[Tuple[Any, int]], int, int]]]]
         = None,
+        pages: Optional[Dict[Tuple[int, str], list]] = None,
     ) -> None:
         """Idempotent per file: upsert file row, replace its row-group rows.
         Re-adding a changed file replaces its stats — the incremental
@@ -989,6 +1015,33 @@ class SqliteIndexCatalog:
                     [(file_id, rg, col, m, k, self._binary(bits))
                      for rg, cols in blooms.items()
                      for col, (m, k, bits) in cols.items()])
+            self._exec(
+                "DELETE FROM page_statistics WHERE file_id = ?", (file_id,))
+            if pages:
+                rows_p = []
+                for (rg, col), plist in pages.items():
+                    for ps in plist:
+                        # ps: PageStats (sources/page_index.py)
+                        cat = ("string" if isinstance(ps.min_value, str)
+                               or isinstance(ps.max_value, str) else "int")
+                        rows_p.append((
+                            file_id, rg, col, ps.page, ps.first_row,
+                            ps.row_count, cat,
+                            None if ps.min_value is None
+                            else str(ps.min_value),
+                            None if ps.max_value is None
+                            else str(ps.max_value),
+                            1 if ps.null_page else 0,
+                            ps.null_count))
+                if rows_p:
+                    self._execmany(
+                        """INSERT INTO page_statistics
+                               (file_id, row_group, column_name, page,
+                                first_row, row_count, category,
+                                min_value, max_value, null_page,
+                                null_count)
+                           VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)""",
+                        rows_p)
 
     def remove_file(self, file_name: str) -> None:
         # children deleted explicitly, not via ON DELETE CASCADE: the
@@ -1007,7 +1060,8 @@ class SqliteIndexCatalog:
             for child in ("row_group_statistics", "row_group_sums",
                           "row_group_hists", "row_group_ndv",
                           "row_group_dicts", "row_group_topk",
-                          "row_group_blooms", "deletion_vectors",
+                          "row_group_blooms", "page_statistics",
+                          "deletion_vectors",
                           "dv_rg_adjust", "dv_sum_adjust"):
                 self._exec(
                     f"""DELETE FROM {child} WHERE file_id IN
@@ -1085,6 +1139,48 @@ class SqliteIndexCatalog:
         for file_name, row_group in rows:
             out.setdefault(file_name, []).append(row_group)
         return sorted(out.items())
+
+    def get_page_stats(
+        self, file_names: Sequence[str], columns: Sequence[str]
+    ) -> Dict[Tuple[str, int, str], list]:
+        """{(file_name, row_group, column): [(first_row, row_count,
+        min, max, null_page, null_count) ...]} for the page-index tier,
+        restricted to the given (already row-group-pruned) files and
+        columns — O(surviving pages), bounded planning data. Values
+        decode back to their domain ('int' -> int) so the driver-side
+        page refiner compares in the same encoded domain the rewriter
+        emits literals in. Absent keys mean "no page tier for this
+        chunk" and the refiner keeps the whole row group."""
+        out: Dict[Tuple[str, int, str], list] = {}
+        names = sorted(set(file_names))
+        cols = sorted(set(columns))
+        if not names or not cols:
+            return out
+        chunk_size = 200
+        colph = ",".join("?" * len(cols))
+        for i in range(0, len(names), chunk_size):
+            chunk = names[i:i + chunk_size]
+            ph = ",".join("?" * len(chunk))
+            rows = self._query(
+                f"""SELECT f.file_name, p.row_group, p.column_name,
+                           p.first_row, p.row_count, p.category,
+                           p.min_value, p.max_value, p.null_page,
+                           p.null_count
+                    FROM page_statistics p
+                    JOIN file_statistics f ON f.file_id = p.file_id
+                    WHERE f.file_name IN ({ph})
+                      AND p.column_name IN ({colph})
+                    ORDER BY f.file_name, p.row_group, p.column_name,
+                             p.page""",
+                (*chunk, *cols))
+            for (fn, rg, col, first, cnt, cat, mn, mx, np_, nc) in rows:
+                if cat == "int":
+                    mn = None if mn is None else int(mn)
+                    mx = None if mx is None else int(mx)
+                out.setdefault((fn, rg, col), []).append(
+                    (first, cnt, mn, mx, bool(np_),
+                     None if nc is None else int(nc)))
+        return out
 
     def get_sums(
         self, column: str

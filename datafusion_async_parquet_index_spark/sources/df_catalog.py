@@ -98,6 +98,8 @@ class DataFrameIndexCatalog:
         self._writer_lease = __import__("threading").RLock()
         # file_name -> {row_group: {column: (entries, rest, kth)}}
         self._topks: Dict[str, Dict[int, Dict[str, tuple]]] = {}
+        # file_name -> {(row_group, column): [PageStats...]}
+        self._pages: Dict[str, dict] = {}
         self._df: Optional[DataFrame] = None  # invalidated on writes
 
     # -- DDL (reference index.rs:332-393) ------------------------------
@@ -127,6 +129,7 @@ class DataFrameIndexCatalog:
     def upsert_file(
         self, fs: FileStats, rgs: Sequence[RowGroupStats], blooms=None,
         sums=None, hists=None, ndvs=None, dicts=None, topks=None,
+        pages=None,
     ) -> None:
         """Idempotent per file: replaces any previous stats for the same
         file_name (the reference's ON CONFLICT + delete-then-insert).
@@ -160,6 +163,10 @@ class DataFrameIndexCatalog:
             self._topks[fs.file_name] = dict(topks)
         else:
             self._topks.pop(fs.file_name, None)
+        if pages:
+            self._pages[fs.file_name] = dict(pages)
+        else:
+            self._pages.pop(fs.file_name, None)
         # deletion vectors are DML state: they die only with CHANGED
         # bytes; a re-index of unchanged bytes (a full rebuild over a
         # persisted catalog) preserves them — the same size →
@@ -198,7 +205,24 @@ class DataFrameIndexCatalog:
         self._ndvs.pop(file_name, None)
         self._dicts.pop(file_name, None)
         self._topks.pop(file_name, None)
+        self._pages.pop(file_name, None)
         self._df = None
+
+    def get_page_stats(self, file_names, columns):
+        """Same protocol as SqliteIndexCatalog.get_page_stats:
+        {(file_name, row_group, column): [(first_row, row_count, min,
+        max, null_page, null_count) ...]}."""
+        wanted_cols = set(columns)
+        out = {}
+        for fname in set(file_names):
+            for (rg, col), plist in self._pages.get(fname, {}).items():
+                if col not in wanted_cols:
+                    continue
+                out[(fname, rg, col)] = [
+                    (ps.first_row, ps.row_count, ps.min_value,
+                     ps.max_value, ps.null_page, ps.null_count)
+                    for ps in plist]
+        return out
 
     def get_hists(self, column: str):
         """{(file_name, row_group): (lo, hi, nbins, counts)} — same

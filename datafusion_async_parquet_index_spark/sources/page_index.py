@@ -1,0 +1,279 @@
+"""Parquet page-index (ColumnIndex / OffsetIndex) reader — the
+sub-row-group statistics tier.
+
+The reference names row-granularity pruning as the explicitly-not-
+implemented third tier of its own architecture
+(``/root/reference/sqlx-sqlite/src/main.rs:73-79``: file -> row group
+-> "individual rows ... based on the `ColumnIndex`"). This module
+supplies the raw material: per-PAGE min/max/null statistics and page
+row locations, read from the standard Parquet page index structures.
+
+pyarrow (16.x) can WRITE the page index (``write_page_index=True``)
+and reports ``has_column_index`` per column chunk, but exposes no
+Python API to read the ColumnIndex/OffsetIndex bodies or even their
+footer-recorded byte locations. Both are plain thrift-compact
+structures at documented positions, so this module carries a small
+from-scratch thrift **compact protocol** parser (the same honest
+from-the-spec posture as the PNG/JPEG codecs in operators/
+multimodal.py) and walks:
+
+  footer FileMetaData (field 4 row_groups -> RowGroup field 1
+  columns -> ColumnChunk fields 4-7: offset_index_offset/length,
+  column_index_offset/length; ColumnMetaData fields 1/3: physical
+  type, path_in_schema)
+  ColumnIndex  {1: list<bool> null_pages, 2: list<binary> min_values,
+                3: list<binary> max_values, 4: i32 boundary_order,
+                5: list<i64> null_counts}
+  OffsetIndex  {1: list<PageLocation {1: i64 offset, 2: i32 size,
+                3: i64 first_row_index}>}
+
+Soundness notes for the pruning consumer (sources/table.py
+``_page_refine``):
+
+- column-index min/max MAY be truncated by the writer, but the spec
+  requires them to remain valid bounds (min <= all page values,
+  max >= all page values) — safe to prune with, never exact answers;
+- FLOAT/DOUBLE columns are NOT surfaced: the column index's handling
+  of NaN is writer-dependent (NaN excluded from bounds), and the
+  engine's NaN-soundness machinery (nan_count columns) has no page-
+  level counterpart — float predicates keep the row-group tier;
+- BOOLEAN/INT96/FIXED_LEN_BYTE_ARRAY are skipped (no pruning value /
+  deprecated / decimal-encoding hazards); INT32/INT64 decode to ints
+  (matching the catalog's encoded domain for int/date/timestamp
+  categories) and BYTE_ARRAY to UTF-8 str when it decodes cleanly.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+# thrift compact protocol wire types
+_CT_BOOL_TRUE = 1
+_CT_BOOL_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+# parquet physical types (parquet.thrift Type enum)
+_PT_BOOLEAN = 0
+_PT_INT32 = 1
+_PT_INT64 = 2
+_PT_INT96 = 3
+_PT_FLOAT = 4
+_PT_DOUBLE = 5
+_PT_BYTE_ARRAY = 6
+_PT_FIXED = 7
+
+
+def _varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return out, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _read_value(buf: bytes, pos: int, wtype: int) -> Tuple[Any, int]:
+    if wtype in (_CT_BOOL_TRUE, _CT_BOOL_FALSE):
+        # only reachable as a LIST element type; elements are one byte
+        b = buf[pos]
+        return b == 1, pos + 1
+    if wtype == _CT_BYTE:
+        return struct.unpack_from("b", buf, pos)[0], pos + 1
+    if wtype in (_CT_I16, _CT_I32, _CT_I64):
+        v, pos = _varint(buf, pos)
+        return _zigzag(v), pos
+    if wtype == _CT_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if wtype == _CT_BINARY:
+        ln, pos = _varint(buf, pos)
+        return buf[pos:pos + ln], pos + ln
+    if wtype == _CT_LIST or wtype == _CT_SET:
+        head = buf[pos]
+        pos += 1
+        size = head >> 4
+        etype = head & 0x0F
+        if size == 15:
+            size, pos = _varint(buf, pos)
+        items = []
+        for _ in range(size):
+            v, pos = _read_value(buf, pos, etype)
+            items.append(v)
+        return items, pos
+    if wtype == _CT_MAP:
+        size, pos = _varint(buf, pos)
+        if size == 0:
+            return {}, pos
+        kv = buf[pos]
+        pos += 1
+        ktype, vtype = kv >> 4, kv & 0x0F
+        out = {}
+        for _ in range(size):
+            k, pos = _read_value(buf, pos, ktype)
+            v, pos = _read_value(buf, pos, vtype)
+            out[k] = v
+        return out, pos
+    if wtype == _CT_STRUCT:
+        return _read_struct(buf, pos)
+    raise ValueError(f"unknown thrift compact wire type {wtype}")
+
+
+def _read_struct(buf: bytes, pos: int) -> Tuple[Dict[int, Any], int]:
+    """Parse one struct into {field_id: value}; bools encoded in the
+    field header become True/False directly."""
+    out: Dict[int, Any] = {}
+    fid = 0
+    while True:
+        head = buf[pos]
+        pos += 1
+        if head == 0:
+            return out, pos
+        delta = head >> 4
+        wtype = head & 0x0F
+        if delta:
+            fid += delta
+        else:
+            raw, pos = _varint(buf, pos)
+            fid = _zigzag(raw)
+        if wtype == _CT_BOOL_TRUE:
+            out[fid] = True
+        elif wtype == _CT_BOOL_FALSE:
+            out[fid] = False
+        else:
+            out[fid], pos = _read_value(buf, pos, wtype)
+    # unreachable
+
+
+class PageStats(NamedTuple):
+    """One page of one column chunk: ROW-GROUP-scoped row span plus
+    the column index entry (min/max decoded to the catalog's encoded
+    domain; None = unknown/unsupported; null_page pages carry no
+    bounds by definition)."""
+    page: int
+    first_row: int
+    row_count: int
+    min_value: Any
+    max_value: Any
+    null_page: bool
+    null_count: Optional[int]
+
+
+def _decode_bound(raw: bytes, ptype: int) -> Any:
+    if raw is None or raw == b"":
+        return None
+    if ptype == _PT_INT32:
+        return struct.unpack("<i", raw)[0]
+    if ptype == _PT_INT64:
+        return struct.unpack("<q", raw)[0]
+    if ptype == _PT_BYTE_ARRAY:
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # truncated mid-codepoint: unknown (sound)
+    return None
+
+
+def read_footer_index_locations(path: str) -> List[dict]:
+    """Parse the file footer and return, per column chunk, a dict:
+    {rg, rg_num_rows, column (dotted path), ptype, ci_off, ci_len,
+    oi_off, oi_len} — offsets None when the writer emitted no page
+    index. Footer-only I/O (tail read), like every stats extractor."""
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        fh.seek(size - 8)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: not a parquet file (bad magic)")
+        flen = struct.unpack("<I", tail[:4])[0]
+        fh.seek(size - 8 - flen)
+        footer = fh.read(flen)
+    meta, _ = _read_struct(footer, 0)
+    out: List[dict] = []
+    for rg_idx, rg in enumerate(meta.get(4, [])):
+        rg_rows = rg.get(3, 0)
+        for chunk in rg.get(1, []):
+            cmd = chunk.get(3, {})
+            out.append({
+                "rg": rg_idx,
+                "rg_num_rows": rg_rows,
+                "column": ".".join(
+                    p.decode("utf-8") if isinstance(p, bytes) else p
+                    for p in cmd.get(3, [])),
+                "ptype": cmd.get(1),
+                "oi_off": chunk.get(4),
+                "oi_len": chunk.get(5),
+                "ci_off": chunk.get(6),
+                "ci_len": chunk.get(7),
+            })
+    return out
+
+
+def extract_file_page_stats(
+    path: str, columns: Tuple[str, ...]
+) -> Dict[Tuple[int, str], List[PageStats]]:
+    """{(row_group, column): [PageStats...]} for the requested columns
+    of one file. Columns whose chunks carry no page index, or whose
+    physical type is outside the sound-decode set (floats are
+    deliberately excluded — module docstring), are simply absent:
+    the pruning consumer treats absence as "no page tier, keep the
+    whole row group", so this can only ever refine, never drop."""
+    if not columns:
+        return {}
+    wanted = set(columns)
+    locs = [l for l in read_footer_index_locations(path)
+            if l["column"] in wanted
+            and l["ci_off"] is not None and l["oi_off"] is not None
+            and l["ptype"] in (_PT_INT32, _PT_INT64, _PT_BYTE_ARRAY)]
+    if not locs:
+        return {}
+    out: Dict[Tuple[int, str], List[PageStats]] = {}
+    with open(path, "rb") as fh:
+        for loc in locs:
+            fh.seek(loc["oi_off"])
+            oi, _ = _read_struct(fh.read(loc["oi_len"]), 0)
+            fh.seek(loc["ci_off"])
+            ci, _ = _read_struct(fh.read(loc["ci_len"]), 0)
+            pages = oi.get(1, [])
+            null_pages = ci.get(1, [])
+            mins, maxs = ci.get(2, []), ci.get(3, [])
+            null_counts = ci.get(5)
+            n = len(pages)
+            if not n or len(null_pages) != n:
+                continue
+            stats: List[PageStats] = []
+            for i, ploc in enumerate(pages):
+                first = ploc.get(3, 0)
+                last = (pages[i + 1].get(3) if i + 1 < n
+                        else loc["rg_num_rows"])
+                np_ = bool(null_pages[i])
+                stats.append(PageStats(
+                    page=i,
+                    first_row=first,
+                    row_count=max(0, last - first),
+                    min_value=(None if np_ else
+                               _decode_bound(mins[i], loc["ptype"])),
+                    max_value=(None if np_ else
+                               _decode_bound(maxs[i], loc["ptype"])),
+                    null_page=np_,
+                    null_count=(int(null_counts[i])
+                                if null_counts is not None else None),
+                ))
+            out[(loc["rg"], loc["column"])] = stats
+    return out

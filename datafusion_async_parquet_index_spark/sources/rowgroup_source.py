@@ -34,19 +34,12 @@ _CHUNK = 8  # row groups per task; bounds task size for huge files
 _REGISTERED = set()
 
 
-def anti_filter_positions(table, row_groups, metadata, ranges):
-    """Drop rows whose FILE-scoped position falls in the deleted
-    ``ranges`` from an Arrow table read as ``row_groups`` (in that
-    order) of the file described by ``metadata``. One vectorized
-    binary search over the sorted ranges — O(rows · log ranges),
-    never a per-row loop or an exploded position set. Shared by the
-    DataSource's executor-side read and the driver-side bounded
-    boundary read."""
+def _dv_keep_mask(row_groups, metadata, ranges):
+    """Boolean keep-mask (True = live) over the FULL-LENGTH read of
+    ``row_groups``: one vectorized binary search of each row's
+    FILE-scoped position against the sorted deleted ranges."""
     import numpy as np
-    import pyarrow as pa
 
-    if not ranges or not table.num_rows:
-        return table
     starts, acc = [], 0
     for i in range(metadata.num_row_groups):
         starts.append(acc)
@@ -60,20 +53,79 @@ def anti_filter_positions(table, row_groups, metadata, ranges):
     rs = np.fromiter((s for s, _ in rs_ln), np.int64, len(rs_ln))
     re_ = np.fromiter((s + ln for s, ln in rs_ln), np.int64, len(rs_ln))
     idx = np.searchsorted(rs, pos, side="right") - 1
-    deleted = (idx >= 0) & (pos < re_[np.clip(idx, 0, None)])
-    if deleted.any():
-        table = table.filter(pa.array(~deleted))
+    return ~((idx >= 0) & (pos < re_[np.clip(idx, 0, None)]))
+
+
+def _range_keep_mask(row_groups, metadata, ranges_by_rg):
+    """Boolean keep-mask over the FULL-LENGTH read of ``row_groups``
+    for the page-index tier's {row_group: [[start, end), ...]} keep
+    ranges (row-group-scoped). Row groups absent from the map keep
+    every row."""
+    import numpy as np
+
+    masks = []
+    for rg in row_groups:
+        n = metadata.row_group(rg).num_rows
+        spans = ranges_by_rg.get(rg)
+        if not spans:
+            masks.append(np.ones(n, dtype=bool))
+            continue
+        spans = sorted((int(s), int(e)) for s, e in spans)
+        pos = np.arange(n, dtype=np.int64)
+        ss = np.fromiter((s for s, _ in spans), np.int64, len(spans))
+        ee = np.fromiter((e for _, e in spans), np.int64, len(spans))
+        idx = np.searchsorted(ss, pos, side="right") - 1
+        masks.append((idx >= 0) & (pos < ee[np.clip(idx, 0, None)]))
+    return np.concatenate(masks)
+
+
+def anti_filter_positions(table, row_groups, metadata, ranges):
+    """Drop rows whose FILE-scoped position falls in the deleted
+    ``ranges`` from an Arrow table read as ``row_groups`` (in that
+    order) of the file described by ``metadata``. One vectorized
+    binary search over the sorted ranges — O(rows · log ranges),
+    never a per-row loop or an exploded position set. Shared by the
+    DataSource's executor-side read and the driver-side bounded
+    boundary read. ``table`` must be the FULL read of ``row_groups``
+    (masks are positional)."""
+    import pyarrow as pa
+
+    if not ranges or not table.num_rows:
+        return table
+    keep = _dv_keep_mask(row_groups, metadata, ranges)
+    if not keep.all():
+        table = table.filter(pa.array(keep))
+    return table
+
+
+def keep_row_ranges(table, row_groups, metadata, ranges_by_rg):
+    """Keep only rows whose ROW-GROUP-scoped position falls inside the
+    page-index tier's keep ranges ({row_group: [[start, end), ...]}).
+    Row groups absent from the map keep every row — the dual of
+    ``anti_filter_positions`` (keep-ranges instead of drop-ranges).
+    ``table`` must be the FULL read of ``row_groups``."""
+    import pyarrow as pa
+
+    if not ranges_by_rg or not table.num_rows:
+        return table
+    mask = _range_keep_mask(row_groups, metadata, ranges_by_rg)
+    if not mask.all():
+        table = table.filter(pa.array(mask))
     return table
 
 
 class RowGroupInputPartition(InputPartition):
     def __init__(self, path: str, row_groups: List[int],
-                 dv_ranges: Optional[Sequence[Tuple[int, int]]] = None):
+                 dv_ranges: Optional[Sequence[Tuple[int, int]]] = None,
+                 row_ranges: Optional[Dict[int, list]] = None):
         self.path = path
         self.row_groups = row_groups
         # file-scoped deleted [(start, length)] ranges, or None; the
         # per-row-group overlap is resolved at read time
         self.dv_ranges = dv_ranges
+        # page-index KEEP ranges, {row_group: [[start, end), ...]}
+        # (row-group-scoped), or None
+        self.row_ranges = row_ranges
 
 
 class RowGroupParquetReader(DataSourceReader):
@@ -82,15 +134,22 @@ class RowGroupParquetReader(DataSourceReader):
         self.plan: Dict[str, List[int]] = json.loads(options["access_plan"])
         self.dvs: Dict[str, List[List[int]]] = json.loads(
             options.get("dv", "{}") or "{}")
+        # page-index keep ranges: {path: {row_group(str): [[s, e)...]}}
+        self.row_ranges: Dict[str, Dict[str, list]] = json.loads(
+            options.get("row_ranges", "{}") or "{}")
         self.columns = [f.name for f in schema.fields]
 
     def partitions(self):
         parts = []
         for path, rgs in sorted(self.plan.items()):
             dv = self.dvs.get(path)
+            rr = self.row_ranges.get(path)
+            if rr is not None:
+                rr = {int(rg): spans for rg, spans in rr.items()}
             for i in range(0, len(rgs), _CHUNK):
                 parts.append(RowGroupInputPartition(
-                    path, rgs[i:i + _CHUNK], dv_ranges=dv))
+                    path, rgs[i:i + _CHUNK], dv_ranges=dv,
+                    row_ranges=rr))
         return parts or [RowGroupInputPartition("", [])]
 
     def read(self, partition: RowGroupInputPartition) -> Iterator:
@@ -100,10 +159,19 @@ class RowGroupParquetReader(DataSourceReader):
 
         pf = pq.ParquetFile(partition.path)
         table = pf.read_row_groups(partition.row_groups, columns=self.columns)
-        if partition.dv_ranges:
-            table = anti_filter_positions(
-                table, partition.row_groups, pf.metadata,
-                partition.dv_ranges)
+        # both masks are positional over the FULL read — combine them
+        # first, filter once
+        mask = None
+        if partition.dv_ranges and table.num_rows:
+            mask = _dv_keep_mask(partition.row_groups, pf.metadata,
+                                 partition.dv_ranges)
+        if partition.row_ranges and table.num_rows:
+            m2 = _range_keep_mask(partition.row_groups, pf.metadata,
+                                  partition.row_ranges)
+            mask = m2 if mask is None else (mask & m2)
+        if mask is not None and not mask.all():
+            import pyarrow as pa
+            table = table.filter(pa.array(mask))
         for batch in table.to_batches():
             yield batch
 

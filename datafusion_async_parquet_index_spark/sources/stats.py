@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .catalog import FileStats, RowGroupStats, SqliteIndexCatalog
+from .page_index import extract_file_page_stats
 
 # Arrow type -> index type-category. Mirrors the reference's supported set
 # (index.rs:396-415: all int widths, floats, Utf8, Binary) plus the
@@ -702,6 +703,7 @@ def build_index(
     dict_max_values: int = DICT_MAX_VALUES,
     topk_columns: Optional[Sequence[str]] = None,
     topk_k: int = TOPK_K,
+    page_index_columns: Optional[Sequence[str]] = None,
     rel_to: Optional[str] = None,
     partition_schema: Optional[Dict[str, str]] = None,
     partition_values: Optional[Dict[str, Dict[str, object]]] = None,
@@ -786,6 +788,7 @@ def build_index(
     ndv_cols = tuple(ndv_columns or ())
     dict_cols = tuple(dict_columns or ())
     topk_cols = tuple(topk_columns or ())
+    page_cols = tuple(page_index_columns or ())
 
     def _apply_nans(p, rgs):
         if nan_cols:
@@ -805,8 +808,10 @@ def build_index(
         dicts = (extract_file_dicts(p, dict_cols, dict_max_values)
                  if dict_cols else None)
         topks = extract_file_topk(p, topk_cols, topk_k) if topk_cols else None
+        pages = (extract_file_page_stats(p, page_cols)
+                 if page_cols else None)
         return (fs, _apply_nans(p, rgs), blooms, sums, hists, ndvs, dicts,
-                topks)
+                topks, pages)
 
     if incremental:
         # change detection is (size, mtime_ns): a same-size rewrite
@@ -845,7 +850,8 @@ def build_index(
         def _extract_dist(p, _s=schema_b, _bs=bloom_b, _m=meta_b,
                           _fpp=bloom_fpp, _sc=sum_cols, _nc=nan_cols,
                           _hs=hist_specs, _nd=ndv_cols, _dc=dict_cols,
-                          _dm=dict_max_values, _tc=topk_cols, _tk=topk_k):
+                          _dm=dict_max_values, _tc=topk_cols, _tk=topk_k,
+                          _pc=page_cols):
             nm, pv = _m.value
             fs, rgs = extract_file_stats(
                 p, _s.value, file_name=nm.get(p), partition_stats=pv.get(p))
@@ -856,11 +862,12 @@ def build_index(
             ndvs = extract_file_ndv(p, _nd) if _nd else None
             dicts = extract_file_dicts(p, _dc, _dm) if _dc else None
             topks = extract_file_topk(p, _tc, _tk) if _tc else None
+            pages = extract_file_page_stats(p, _pc) if _pc else None
             if _nc:
                 nans = extract_file_nan_counts(p, _nc)
                 for rg in rgs:
                     rg.nan_counts.update(nans.get(rg.row_group, {}))
-            return fs, rgs, blooms, sums, hists, ndvs, dicts, topks
+            return fs, rgs, blooms, sums, hists, ndvs, dicts, topks, pages
 
         results = (
             sc.parallelize(files, min(len(files), 256))
@@ -873,7 +880,8 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms, sums, hists, ndvs, dicts, topks in results:
+    for fs, rgs, blooms, sums, hists, ndvs, dicts, topks, pages in results:
         catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists,
-                            ndvs=ndvs, dicts=dicts, topks=topks)
+                            ndvs=ndvs, dicts=dicts, topks=topks,
+                            pages=pages)
     return schema

@@ -127,6 +127,27 @@ class DVCapExceeded(ValueError):
     rows."""
 
 
+def _intersect_ranges(
+    a: List[Tuple[int, int]], b: List[Tuple[int, int]]
+) -> List[Tuple[int, int]]:
+    """Intersection of two sorted disjoint half-open range lists —
+    the cross-column combine of the page-index tier (page boundaries
+    differ per column, so per-column keep spans only compose by
+    intersection)."""
+    out: List[Tuple[int, int]] = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        s = max(a[i][0], b[j][0])
+        e = min(a[i][1], b[j][1])
+        if s < e:
+            out.append((s, e))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
 def with_commit_retries(fn, max_attempts: int = 5,
                         base_delay_s: float = 0.05,
                         max_delay_s: float = 2.0,
@@ -178,6 +199,12 @@ class ScanDecision:
     total_row_groups: int
     bloom_skipped: int = 0                # row groups removed by blooms
     dict_skipped: int = 0                 # row groups removed by dicts
+    # page-index tier: file -> {row group: [(start, end), ...]} KEEP
+    # ranges (row-group-scoped, half-open); a (file, rg) absent here
+    # keeps all its rows. Served by mode="rowgroups" scans.
+    row_ranges: Dict[str, Dict[int, List[Tuple[int, int]]]] = field(
+        default_factory=dict)
+    page_rows_skipped: int = 0            # rows proven non-matching
 
     @property
     def file_names(self) -> List[str]:
@@ -202,6 +229,9 @@ class ScanDecision:
         if self.dict_skipped:
             lines.append(f"  dictionary stats skipped {self.dict_skipped} "
                          "additional row groups")
+        if self.page_rows_skipped:
+            lines.append(f"  page index skipped {self.page_rows_skipped} "
+                         "rows inside surviving row groups")
         return "\n".join(lines)
 
 
@@ -231,6 +261,7 @@ class IndexedParquetTable:
         topk_k: Optional[int] = None,
         rtree_columns: Optional[Sequence[str]] = None,
         incremental_attach: bool = False,
+        page_index_columns: Optional[Sequence[str]] = None,
     ):
         """partitioned: True for a hive-style ``key=value`` directory
         layout; None auto-detects (no flat *.parquet but partition dirs
@@ -291,6 +322,15 @@ class IndexedParquetTable:
                                 else dict_max_values)
         self.topk_columns = tuple(topk_columns or ())
         self.topk_k = TOPK_K if topk_k is None else topk_k
+        # page-index tier (round 12): columns whose Parquet ColumnIndex
+        # is persisted per page so point/range predicates can prune ROW
+        # RANGES inside surviving row groups (the reference's named-
+        # but-unimplemented third tier, sqlx-sqlite/src/main.rs:73-79).
+        # Opt-in: page rows are O(pages) catalog growth, and only files
+        # WRITTEN with a page index (write_page_index=True; parquet-mr
+        # writes one by default) contribute — files without one simply
+        # keep row-group granularity.
+        self.page_index_columns = tuple(page_index_columns or ())
         self._nan_free_cache: Dict[str, bool] = {}
         # the REQUESTED columns, kept verbatim: over an empty directory
         # build_index derives an empty schema, and refresh() must still
@@ -324,7 +364,8 @@ class IndexedParquetTable:
             dict_columns=self.dict_columns,
             dict_max_values=self.dict_max_values,
             topk_columns=self.topk_columns,
-            topk_k=self.topk_k, **part_kw)
+            topk_k=self.topk_k,
+            page_index_columns=self.page_index_columns, **part_kw)
         self._rewriter = PruningRewriter(self.index_schema)
         self.last_scan: Optional[ScanDecision] = None
         self.scan_history: List[ScanDecision] = []
@@ -496,6 +537,8 @@ class IndexedParquetTable:
                                      self, "topk_columns", ()),
                                  topk_k=getattr(self, "topk_k",
                                                 _stats.TOPK_K),
+                                 page_index_columns=getattr(
+                                     self, "page_index_columns", ()),
                                  **self._partition_index_kwargs())
         self._nan_free_cache = {}
         # a changed file's upsert cleared its deletion vector; removed
@@ -702,9 +745,11 @@ class IndexedParquetTable:
             dict_skipped = self._dict_refine(predicate, survivors)
             if as_of is not None:
                 survivors = self._snapshot_filter(as_of, survivors)
+            row_ranges, page_rows = self._page_refine(predicate, survivors)
             decision = ScanDecision(
                 predicate.to_sql(), survivors, len(self._files), total_rgs,
-                bloom_skipped=skipped, dict_skipped=dict_skipped)
+                bloom_skipped=skipped, dict_skipped=dict_skipped,
+                row_ranges=row_ranges, page_rows_skipped=page_rows)
         self.last_scan = decision
         self.scan_history.append(decision)
         return decision
@@ -889,6 +934,110 @@ class IndexedParquetTable:
             if lo is not None and hi is not None:
                 return (name, [(lo, hi)])
         return None
+
+    # categories whose page-index bounds decode losslessly into the
+    # catalog's encoded comparison domain (ints / utf-8 strings; date
+    # and timestamp encode to their parquet physical ints). Floats are
+    # deliberately absent — NaN handling in the column index has no
+    # page-level nan_count counterpart, so float predicates keep the
+    # row-group tier (see sources/page_index.py module doc).
+    _PAGE_TIER_CATS = ("int", "string", "date", "timestamp")
+
+    def _page_refine(
+        self, predicate: Expr, survivors: Dict[str, List[int]]
+    ) -> Tuple[Dict[str, Dict[int, List[Tuple[int, int]]]], int]:
+        """The page-index pruning tier (VERDICT r11 ask #3 — the
+        reference's named-but-unimplemented row-granularity level,
+        sqlx-sqlite/src/main.rs:73-79): refine each surviving row group
+        into KEEP row ranges using persisted per-page min/max.
+
+        Mechanics: every top-level AND conjunct touching exactly ONE
+        page-indexed column is rewritten with the SAME refutation-sound
+        PruningRewriter the row-group tier uses, then evaluated per
+        page driver-side (plans/pruning.eval_stats_expr — SQL ternary
+        logic, UNKNOWN keeps the page). Pages every conjunct might
+        match keep their [first_row, first_row + count) span; spans
+        union per column, then INTERSECT across columns (pages are not
+        aligned across columns — the intersection is what makes multi-
+        column refinement sound, the DataFusion RowSelection shape). A
+        row group whose intersection is EMPTY is dropped outright —
+        the page tier then strengthens even mode="files" scans.
+
+        Returns ({file: {rg: [(start, end), ...]}}, rows_skipped) and
+        MUTATES survivors only by removing fully-refuted row groups.
+        Cost: O(surviving pages) driver work on bounded planning data;
+        files without page stats (never written, or non-indexed
+        column) contribute nothing and keep full granularity."""
+        page_cols = getattr(self, "page_index_columns", ())
+        get_pages = getattr(self.catalog, "get_page_stats", None)
+        if not page_cols or not survivors or get_pages is None:
+            return {}, 0
+        from ..plans.expr import BinOp
+        from ..plans.pruning import eval_stats_expr
+
+        def conjuncts(e):
+            if isinstance(e, BinOp) and e.op == "AND":
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        armed = {c for c in page_cols
+                 if self.index_schema.get(c) in self._PAGE_TIER_CATS}
+        by_col: Dict[str, List[Expr]] = {}
+        for cj in conjuncts(predicate):
+            cols = cj.columns()
+            if len(cols) == 1 and (c := next(iter(cols))) in armed:
+                by_col.setdefault(c, []).append(self._rewriter.rewrite(cj))
+        if not by_col:
+            return {}, 0
+        pages = get_pages(list(survivors), list(by_col))
+        if not pages:
+            return {}, 0
+        out: Dict[str, Dict[int, List[Tuple[int, int]]]] = {}
+        skipped = 0
+        for fname in list(survivors):
+            kept_rgs = []
+            for rg in survivors[fname]:
+                ranges = None          # None = unrestricted (full rg)
+                rg_rows = None
+                for c, exprs in by_col.items():
+                    plist = pages.get((fname, rg, c))
+                    if not plist:
+                        continue       # no page tier for this chunk
+                    rg_rows = sum(p[1] for p in plist)
+                    keep: List[Tuple[int, int]] = []
+                    for first, cnt, mn, mx, null_page, nc in plist:
+                        env = {f"{c}_min": mn, f"{c}_max": mx,
+                               f"{c}_null_count": nc
+                               if nc is not None
+                               else (cnt if null_page else None),
+                               "row_count": cnt}
+                        if all(eval_stats_expr(x, env) is not False
+                               for x in exprs):
+                            s, e = first, first + cnt
+                            if keep and keep[-1][1] == s:
+                                keep[-1] = (keep[-1][0], e)
+                            else:
+                                keep.append((s, e))
+                    ranges = (keep if ranges is None
+                              else _intersect_ranges(ranges, keep))
+                if ranges is None or rg_rows is None:
+                    kept_rgs.append(rg)
+                    continue
+                kept = sum(e - s for s, e in ranges)
+                if kept == 0:
+                    skipped += rg_rows          # whole row group refuted
+                    continue
+                kept_rgs.append(rg)
+                if kept < rg_rows:
+                    out.setdefault(fname, {})[rg] = ranges
+                    skipped += rg_rows - kept
+            if kept_rgs:
+                survivors[fname] = kept_rgs
+            else:
+                del survivors[fname]
+        return out, skipped
 
     def _dict_refine(
         self, predicate: Expr, survivors: Dict[str, List[int]]
@@ -2614,13 +2763,18 @@ class IndexedParquetTable:
             if pruned:
                 from pyspark.sql.types import StructType
                 schema = StructType(pruned)
+        row_ranges = getattr(decision, "row_ranges", {}) or {}
         full_files, full_names, partial = [], [], {}
         for fname, rgs in decision.files_scanned.items():
             try:
                 total = self.catalog.row_group_count(fname)
             except Exception:
                 total = None  # not in catalog: stay on the exact path
-            if total is not None and len(rgs) >= total:
+            # a file with page-tier row ranges takes the exact path
+            # even when every row group survives — the native reader
+            # cannot skip rows inside a row group
+            if (total is not None and len(rgs) >= total
+                    and fname not in row_ranges):
                 full_files.append(os.path.join(self.data_dir, fname))
                 full_names.append(fname)
             else:
@@ -2648,6 +2802,16 @@ class IndexedParquetTable:
                 .option("access_plan", json.dumps(partial)))
             if dv_by_path:
                 reader = reader.option("dv", json.dumps(dv_by_path))
+            if row_ranges:
+                rr_by_path = {
+                    os.path.join(self.data_dir, fn): {
+                        str(rg): [[int(s), int(e)] for s, e in spans]
+                        for rg, spans in per_rg.items()}
+                    for fn, per_rg in row_ranges.items()
+                    if os.path.join(self.data_dir, fn) in partial}
+                if rr_by_path:
+                    reader = reader.option("row_ranges",
+                                           json.dumps(rr_by_path))
             parts_df = reader.load()
         if not full_files:
             return parts_df

@@ -146,8 +146,192 @@ def probe_tier_b(n_files: int = 5_000, n_snapshots: int = 2_000) -> dict:
     }
 
 
+def build_file_backed(path: str, n_files: int) -> None:
+    """Tier-C corpus: a FILE-backed catalog (the true multi-process
+    shape — every reader/writer gets its own sqlite connection), 2 row
+    groups per file, sorted non-overlapping v windows so point lookups
+    are selective. Uses the same public upsert_file API as production
+    maintenance."""
+    cat = SqliteIndexCatalog(path, rtree_columns=("v",))
+    cat.initialize({"v": "int"})
+    for f in range(n_files):
+        base = f * 2 * ROWS_PER_RG
+        rgs = [RowGroupStats(
+            row_group=rg, row_count=ROWS_PER_RG,
+            columns={"v": (0, base + rg * ROWS_PER_RG,
+                           base + (rg + 1) * ROWS_PER_RG - 1)})
+            for rg in range(2)]
+        cat.upsert_file(
+            FileStats(f"f{f:07d}.parquet", 100 << 20, 2,
+                      2 * ROWS_PER_RG, mtime_ns=1_000 + f,
+                      footer_md5=f"md5_{f:07d}"), rgs)
+    cat._conn.commit()
+    cat._conn.close()
+
+
+def probe_tier_c(n_files: int = 1_000_000, readers: int = 32,
+                 writers: int = 4, queries_per_reader: int = 30,
+                 commits_per_writer: int = 50,
+                 dv_rows: int = 100_000) -> dict:
+    """VERDICT r11 ask #5: the 100 TB catalog claim, measured instead
+    of extrapolated — 1M files (~100 MB each = 100 TB), 100k-position
+    DV state, 32 concurrent get_files readers on separate connections,
+    and 4 contending optimistic-concurrency writers. Reports get_files
+    p50/p99 under full read concurrency and the CAS retry rate."""
+    import random
+    import sqlite3
+    import statistics
+    import tempfile
+    import threading
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.plans.pruning import (
+        PruningRewriter,
+    )
+    from datafusion_async_parquet_index_spark.sources.table import (
+        with_commit_retries,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="catprobe_"), "cat.db")
+    t0 = time.perf_counter()
+    build_file_backed(path, n_files)
+    build_s = time.perf_counter() - t0
+
+    def open_cat():
+        c = SqliteIndexCatalog.__new__(SqliteIndexCatalog)
+        c._conn = sqlite3.connect(path, check_same_thread=False,
+                                  timeout=60)
+        import threading as _th
+        c._lock = _th.RLock()
+        c._writer_lease = _th.RLock()
+        c.index_schema = {"v": "int"}
+        c.rtree_columns = ("v",)
+        c._rtree_active = ["v"]
+        return c
+
+    # 100k-position DV state: 4k files x 25 scattered positions
+    t0 = time.perf_counter()
+    cat0 = open_cat()
+    step = max(1, n_files // (dv_rows // 25))
+    n_dv = 0
+    for f in range(0, n_files, step):
+        cat0.upsert_dv(f"f{f:07d}.parquet", {0: list(range(0, 250, 10))})
+        n_dv += 25
+        if n_dv >= dv_rows:
+            break
+    dv_setup_s = time.perf_counter() - t0
+
+    rewriter = PruningRewriter({"v": "int"})
+    domain = n_files * 2 * ROWS_PER_RG
+
+    # single-threaded PLAIN get_files baseline (no rtree prefilter):
+    # the O(row groups) full stats scan — the number that motivates
+    # the rtree at this population
+    plain = []
+    c0 = open_cat()
+    rng0 = random.Random(7)
+    for _ in range(3):
+        x = rng0.randrange(domain)
+        pred = rewriter.rewrite(col("v") == x)
+        a = time.perf_counter()
+        hits = c0.get_files(pred)
+        plain.append(time.perf_counter() - a)
+        assert len(hits) == 1 and len(hits[0][1]) == 1, hits
+
+    lat: list = []
+    lat_lock = threading.Lock()
+    errors: list = []
+
+    def reader(seed: int):
+        rng = random.Random(seed)
+        c = open_cat()
+        mine = []
+        try:
+            # one unmeasured warmup: first-touch page-cache fill and
+            # the 32-thread start burst otherwise dominate p99
+            w = rng.randrange(domain)
+            c.get_files(rewriter.rewrite(col("v") == w),
+                        prefilter=("v", [(w, w)]))
+            for _ in range(queries_per_reader):
+                x = rng.randrange(domain)
+                pred = rewriter.rewrite(col("v") == x)
+                a = time.perf_counter()
+                # the table layer's planning shape: rtree interval stab
+                # prefilter + exact stats WHERE over the candidates
+                hits = c.get_files(pred, prefilter=("v", [(x, x)]))
+                mine.append(time.perf_counter() - a)
+                assert len(hits) == 1 and len(hits[0][1]) == 1, hits
+        except Exception as exc:     # pragma: no cover - diagnostics
+            errors.append(repr(exc))
+        with lat_lock:
+            lat.extend(mine)
+
+    retries = [0]
+    commits = [0]
+    cw_lock = threading.Lock()
+
+    def writer(seed: int):
+        c = open_cat()
+        try:
+            for _ in range(commits_per_writer):
+                def attempt():
+                    v0 = c.version()
+                    c.commit_version(v0, "probe")
+                with_commit_retries(
+                    attempt, max_attempts=64, base_delay_s=0.002,
+                    on_retry=lambda a, e: (cw_lock.acquire(),
+                                           retries.__setitem__(
+                                               0, retries[0] + 1),
+                                           cw_lock.release()))
+                with cw_lock:
+                    commits[0] += 1
+        except Exception as exc:     # pragma: no cover - diagnostics
+            errors.append(repr(exc))
+
+    # ensure the version row exists before contention starts
+    cat0.initialize({"v": "int"})
+    t0 = time.perf_counter()
+    threads = ([threading.Thread(target=reader, args=(i,))
+                for i in range(readers)]
+               + [threading.Thread(target=writer, args=(1000 + i,))
+                  for i in range(writers)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall_s = time.perf_counter() - t0
+
+    lat.sort()
+    out = {
+        "tier": "C", "files": n_files, "dv_positions": n_dv,
+        "readers": readers, "writers": writers,
+        "build_s": round(build_s, 1),
+        "dv_setup_s": round(dv_setup_s, 2),
+        "db_bytes": os.path.getsize(path),
+        "get_files_plain_ms": round(
+            statistics.median(plain) * 1000, 2),
+        "get_files_n": len(lat),
+        "get_files_p50_ms": round(
+            statistics.median(lat) * 1000, 2) if lat else None,
+        "get_files_p99_ms": round(
+            lat[int(len(lat) * 0.99) - 1] * 1000, 2) if lat else None,
+        "get_files_max_ms": round(lat[-1] * 1000, 2) if lat else None,
+        "cas_commits": commits[0],
+        "cas_retries": retries[0],
+        "cas_retry_rate": round(retries[0] / max(1, commits[0]), 3),
+        "concurrent_wall_s": round(wall_s, 2),
+        "errors": errors[:5],
+    }
+    os.remove(path)
+    return out
+
+
 if __name__ == "__main__":
     files_a = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     snaps_b = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
-    print(json.dumps(probe_tier_a(files_a)))
-    print(json.dumps(probe_tier_b(n_snapshots=snaps_b)))
+    if len(sys.argv) > 3 and sys.argv[3] == "tierC":
+        files_c = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
+        print(json.dumps(probe_tier_c(files_c)))
+    else:
+        print(json.dumps(probe_tier_a(files_a)))
+        print(json.dumps(probe_tier_b(n_snapshots=snaps_b)))

@@ -228,7 +228,7 @@ def _fix_crc(buf, chunk_pos, data_len):
 def test_registry_dispatch():
     img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     assert set(IMAGE_DECODERS) == {"image/bmp", "image/png",
-                                   "audio/wav"}
+                                   "image/jpeg", "audio/wav"}
     w, h, back = decode_image(encode_png(img), "image/png")
     assert (back == img).all()
     meta = decode_image(b"x" * 80, "video/mp4", fake_decode=True)

@@ -42,6 +42,7 @@ _ROUND_PRIORITY = [
     #   (sub-row-group) pruning tier.
     "mm_decode_jpeg_stats",
     "q107_page_index_scan",
+    "mm_mp4_metadata",
     # tier 2: the nine round-7-stale entries the r11 tier-1 displaced
     #   (VERDICT r11 ask #1 — the proof floor rises to round 8), then
     #   the stalest r8 greens filling to 50.

@@ -943,6 +943,11 @@ class IndexedParquetTable:
     # row-group tier (see sources/page_index.py module doc).
     _PAGE_TIER_CATS = ("int", "string", "date", "timestamp")
 
+    # row-group cap for page refinement (see _page_refine guard):
+    # 4096 rgs ≈ 400 GB of surviving data at production sizes — far
+    # past the point where per-row precision stops mattering
+    PAGE_REFINE_MAX_RGS = 4096
+
     def _page_refine(
         self, predicate: Expr, survivors: Dict[str, List[int]]
     ) -> Tuple[Dict[str, Dict[int, List[Tuple[int, int]]]], int]:
@@ -971,6 +976,15 @@ class IndexedParquetTable:
         page_cols = getattr(self, "page_index_columns", ())
         get_pages = getattr(self.catalog, "get_page_stats", None)
         if not page_cols or not survivors or get_pages is None:
+            return {}, 0
+        # bounded-planning-data guard: page refinement is a PRECISION
+        # tool for selective predicates (point/range lookups that
+        # already pruned to a handful of row groups). When the
+        # row-group tier keeps more than the cap, fetching their page
+        # rows would make PLANNING cost scale with the match size —
+        # skip, the scan is I/O-bound on real data anyway.
+        if sum(len(rgs) for rgs in survivors.values()) \
+                > self.PAGE_REFINE_MAX_RGS:
             return {}, 0
         from ..plans.expr import BinOp
         from ..plans.pruning import eval_stats_expr

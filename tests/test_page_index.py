@@ -224,6 +224,16 @@ def test_no_page_index_degrades_to_rowgroups(spark, tmp_path):
     assert tab.query(col("k") == 77, mode="rowgroups").count() == 1
 
 
+def test_refine_cap_degrades_gracefully(page_table, monkeypatch):
+    """Above PAGE_REFINE_MAX_RGS surviving row groups the tier skips
+    (bounded planning data) — correctness unchanged."""
+    monkeypatch.setattr(IndexedParquetTable, "PAGE_REFINE_MAX_RGS", 0)
+    dec = page_table.plan_scan(col("k") == 4_242)
+    assert dec.page_rows_skipped == 0 and not dec.row_ranges
+    assert page_table.query(col("k") == 4_242,
+                            mode="rowgroups").count() == 1
+
+
 def test_page_rows_replaced_on_file_change_and_removed(spark, tmp_path):
     d = str(tmp_path / "repl")
     os.makedirs(d)

@@ -153,7 +153,15 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     if os.environ.get("SPARK_GRAFT_BENCH_MAINT_ONLY", "") == "1":
-        # solo-pass re-entry: maintenance verbs only, one JSON line
+        # solo-pass re-entry: maintenance verbs only, one JSON line.
+        # Same JVM/worker warmup as the main pass — without it the
+        # solo numbers measure cold-JVM startup inside the verb
+        # windows and stop being a drift control.
+        spark.read.parquet(
+            os.path.join(SF_DIR, "lineitem.parquet")).count()
+        (spark.range(256).repartition(
+            spark.sparkContext.defaultParallelism)
+         .mapInPandas(lambda it: it, "id long").count())
         print(json.dumps({"maintenance": _maintenance_bench(spark),
                           "machine": _machine_fingerprint()}))
         spark.stop()

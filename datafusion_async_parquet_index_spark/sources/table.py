@@ -102,7 +102,12 @@ def _compact_rewrite_file(item):
             if not live.num_rows:
                 continue
             if writer is None:
-                writer = pq.ParquetWriter(tmp, live.schema)
+                # write_page_index: parquet-mr (every Spark-landed
+                # file) emits the ColumnIndex by default, pyarrow does
+                # not — without the flag a compaction would silently
+                # strip the page-index pruning tier off rewritten files
+                writer = pq.ParquetWriter(tmp, live.schema,
+                                          write_page_index=True)
             writer.write_table(live, row_group_size=live.num_rows)
         if writer is not None:
             writer.close()   # idempotent; footer written here

@@ -258,6 +258,31 @@ def test_page_rows_replaced_on_file_change_and_removed(spark, tmp_path):
     assert cat.get_page_stats(["b.parquet"], ["k"]) != {}
 
 
+def test_compaction_preserves_page_tier(spark, tmp_path):
+    """compact_deletes rewrites with write_page_index=True, so the
+    page tier survives DV materialization (a rewrite that silently
+    stripped the ColumnIndex would degrade every later point lookup
+    back to row-group granularity)."""
+    d = str(tmp_path / "compact_pages")
+    os.makedirs(d)
+    _write_sorted(os.path.join(d, "a.parquet"), n=8_000, rg=4_000,
+                  page_rows=250)
+    cat = SqliteIndexCatalog()
+    t = IndexedParquetTable(spark, d, ["k"], catalog=cat,
+                            page_index_columns=["k"])
+    assert t.delete_where((col("k") >= 100) & (col("k") < 150)) == 50
+    assert t.compact_deletes() == 1
+    # the rewritten file re-indexed WITH page rows (at this fixture
+    # size each rewritten row group fits one 1MB-default page, so the
+    # tier keeps row-group granularity — the point is the CAPABILITY
+    # survives the rewrite; production row groups span many pages)
+    pages = cat.get_page_stats(["a.parquet"], ["k"])
+    assert pages, "compaction stripped the page index"
+    assert {rg for (_, rg, _) in pages} == {0, 1}
+    assert t.query(col("k") == 5_000, mode="rowgroups").count() == 1
+    assert t.query(col("k") == 120, mode="rowgroups").count() == 0
+
+
 def test_dataframe_catalog_parity(spark, tmp_path):
     from datafusion_async_parquet_index_spark.sources.df_catalog import (
         DataFrameIndexCatalog,

@@ -226,51 +226,60 @@ def main() -> None:
 
     maint = None if only else _maintenance_bench(spark)
 
-    queries_solo = maint_solo = None
-    if (not only and not COLD
-            and os.environ.get("SPARK_GRAFT_BENCH_SOLO_PASS", "1") == "1"):
-        queries_solo, maint_solo = _solo_pass(timings)
-
     total = round(sum(timings.values()), 4)
     total_cold = (round(sum(cold_timings.values()), 4)
                   if cold_timings else None)
-    machine = _machine_fingerprint()
-    print(json.dumps({
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_cold": cold_timings,
-        "value_cold": total_cold,
-        "queries_solo": queries_solo,
-        "maintenance": maint,
-        "maintenance_solo": maint_solo,
-        "machine": machine,
-        "sf": _sf_from_dir(SF_DIR),
-    }))
-    # The driver records only the TAIL of stdout, and with 100+ queries
-    # the full alphabetical dict gets cut mid-key (BENCH_r03 "parsed":
-    # null). Emit a compact line LAST — suite total, query count, and
-    # the slowest entries — so the headline numbers always survive the
-    # tail window regardless of suite size.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(json.dumps({
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": slowest,
-        "n_queries": len(timings),
-        "cold": COLD,
-        "value_cold": total_cold,
-        "cold_slowest": (dict(sorted(cold_timings.items(),
-                                     key=lambda kv: -kv[1])[:5])
-                         if cold_timings else None),
-        "queries_solo": queries_solo,
-        "maintenance": maint,
-        "maintenance_solo": maint_solo,
-        "machine": machine,
-        "sf": _sf_from_dir(SF_DIR),
-    }))
+
+    def emit(queries_solo, maint_solo):
+        machine = _machine_fingerprint()
+        print(json.dumps({
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_cold": cold_timings,
+            "value_cold": total_cold,
+            "queries_solo": queries_solo,
+            "maintenance": maint,
+            "maintenance_solo": maint_solo,
+            "machine": machine,
+            "sf": _sf_from_dir(SF_DIR),
+        }))
+        # The driver records only the TAIL of stdout, and with 100+
+        # queries the full alphabetical dict gets cut mid-key
+        # (BENCH_r03 "parsed": null). Emit a compact line LAST —
+        # suite total, query count, and the slowest entries — so the
+        # headline numbers always survive the tail window regardless
+        # of suite size.
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        print(json.dumps({
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "cold": COLD,
+            "value_cold": total_cold,
+            "cold_slowest": (dict(sorted(cold_timings.items(),
+                                         key=lambda kv: -kv[1])[:5])
+                             if cold_timings else None),
+            "queries_solo": queries_solo,
+            "maintenance": maint,
+            "maintenance_solo": maint_solo,
+            "machine": machine,
+            "sf": _sf_from_dir(SF_DIR),
+        }), flush=True)
+
+    # print the MAIN results BEFORE the solo control pass: the solo
+    # subprocesses add minutes, and a harness that kills a long run
+    # mid-solo must still find a complete artifact in the tail — the
+    # solo-enriched lines then overwrite it as the new tail on success
+    emit(None, None)
+    if (not only and not COLD
+            and os.environ.get("SPARK_GRAFT_BENCH_SOLO_PASS", "1") == "1"):
+        queries_solo, maint_solo = _solo_pass(timings)
+        if queries_solo is not None or maint_solo is not None:
+            emit(queries_solo, maint_solo)
     spark.stop()
 
 

@@ -43,6 +43,7 @@ _ROUND_PRIORITY = [
     "mm_decode_jpeg_stats",
     "q107_page_index_scan",
     "mm_mp4_metadata",
+    "mm_jpeg_ahash_dedup",
     # tier 2: the nine round-7-stale entries the r11 tier-1 displaced
     #   (VERDICT r11 ask #1 — the proof floor rises to round 8), then
     #   the stalest r8 greens filling to 50.

@@ -2527,6 +2527,83 @@ MM_DECODE_JPEG_SQL = """
 """
 
 
+def mm_jpeg_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL DEDUP THROUGH THE LOSSY CODEC: every document
+    renders to a fixed-shape 16x16 grayscale JPEG (2x2 blocks, block
+    values = the text's first four bytes cycled, all-ones quant — the
+    round-trip fixed point), the payload is decoded back through the
+    full Huffman/IDCT path, aHash fingerprints the decoded pixels,
+    and hash-equality groups the corpus (shared near-dup text
+    prefixes -> equal images -> equal hashes, so groups are
+    non-trivial at every SF). Same scale shape as
+    mm_image_ahash_dedup: decode+hash is one linear Arrow-batched
+    pass; only 16-char fingerprints shuffle, pixels never do. The
+    pipeline a real image-corpus dedup runs — decode the actual
+    on-disk JPEG, not a formula — with the oracle rebuilding the
+    fingerprint relationally because the corpus is a fixed point of
+    the lossy round-trip."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = [1] * 64
+        for pdf in batches:
+            out = {"doc_id": [], "ahash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                idx = np.arange(4) % len(b)
+                vals = np.frombuffer(b, dtype=np.uint8)[idx]
+                img = np.kron(vals.reshape(2, 2),
+                              np.ones((8, 8), dtype=np.uint8))
+                payload = encode_jpeg(img, quant=ones)
+                w, h, px = decode_jpeg(payload)    # through the codec
+                rgb = np.repeat(px, 3, axis=2)     # gray -> rgb triple
+                out["doc_id"].append(int(doc_id))
+                out["ahash"].append(ahash_bits(rgb))
+            yield pd.DataFrame(out)
+
+    from .util import spread_for_compute
+    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    hashed = spread.mapInPandas(_hash, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("ahash", StringType()),
+    ]))
+    return (hashed.groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# Oracle: decoded pixel of grid cell i (AHASH_GRID=4 over a 16x16
+# image) is the 2x2 block value at (by = (i//4)//2, bx = (i%4)//2) —
+# block b = by*2 + bx carries text byte 1 + (b % L). gray = (3v)//3 =
+# v; threshold at floor(sum/16). Pure-ASCII text keeps ord == byte.
+MM_JPEG_AHASH_SQL = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i ->
+                   ord(substr(text, CAST(1 + (
+                       ((i // 4) // 2) * 2 + ((i % 4) // 2)
+                   ) % L AS INT), 1))) AS gs
+        FROM m
+    ),
+    hshd AS (
+        SELECT doc_id,
+               array_to_string(list_transform(gs, v ->
+                   CASE WHEN v >= list_sum(gs) // 16
+                        THEN '1' ELSE '0' END), '') AS ahash
+        FROM g
+    )
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM hshd GROUP BY ahash HAVING COUNT(*) > 1
+"""
+
+
 MP4_META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("brand", StringType()),
@@ -2655,6 +2732,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resample_wav_stats": mm_resample_wav_stats,
     "mm_decode_jpeg_stats": mm_decode_jpeg_stats,
     "mm_mp4_metadata": mm_mp4_metadata,
+    "mm_jpeg_ahash_dedup": mm_jpeg_ahash_dedup,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -2686,4 +2764,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # round 12: MP4 container metadata is a real box-tree parse; only
     # codec FRAME decode remains honestly stubbed
     "mm_mp4_metadata": MM_MP4_METADATA_SQL,
+    "mm_jpeg_ahash_dedup": MM_JPEG_AHASH_SQL,
 }

@@ -309,6 +309,21 @@ def test_decode_image_dispatches_jpeg():
     assert (w, h) == (16, 8) and (px[:, :, 0] == img).all()
 
 
+def test_jpeg_ahash_groups_collide_on_equal_prefixes(spark, sf_dir):
+    """The perceptual-dedup composition: equal 4-byte text prefixes
+    render to identical JPEGs, decode identically through the codec,
+    and collide on aHash; every reported group has >1 member and a
+    member-consistent min_doc_id."""
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        mm_jpeg_ahash_dedup,
+    )
+    rows = mm_jpeg_ahash_dedup(spark, sf_dir).collect()
+    assert rows, "corpus guarantees non-trivial perceptual groups"
+    for r in rows:
+        assert r["n_docs"] > 1
+        assert set(r["ahash"]) <= {"0", "1"} and len(r["ahash"]) == 16
+
+
 # -- Spark-side stats == driver-side recomputation ----------------------
 
 def test_mm_decode_jpeg_stats_matches_driver(spark, sf_dir):

@@ -34,8 +34,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
-    # == ROUND 12 WINDOW (scripts/next_window.py output, start of
-    # r12) ============================================================
+    # == ROUND 13 WINDOW (scripts/next_window.py output, start of
+    # r13; VERDICT r12 ask #1) =========================================
+    # tier 0 (unresolved reds): none — CORRECTNESS_r12 was 50/50 green.
+    # tier 1: round-13 landings, inserted AT THE HEAD as they land.
+    # tier 2: the 13 round-8-stale entries the verdict names, then the
+    #   stalest r9 greens filling to 50.
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "dedup_cluster_stats",
+    "sim_pq_topk",
+    "emb_kmeans_step",
+    "ev_attribution",
+    "ev_funnel_ordered",
+    "ev_markov_transitions",
+    "ev_stream_rate",
+    "ev_user_lifecycle",
+    "mm_feature_extract",
+    "dedup_snapshot_diff",
+    "q18_semi_join",
+    "q19_anti_join",
+    "q20_asof_join",
+    "q21_count_distinct",
+    "q22_correlated_subquery",
+    "q23_running_total",
+    "q24_lag_gaps",
+    "q25_set_ops",
+    "q26_percentiles",
+    "q27_outer_join_distribution",
+    "q28_hll_registers",
+    "q29_argmax_join",
+    "q30_shift_pred",
+    "q31_registered_view",
+    "q32_bloom_point_lookup",
+    "q33_range_join",
+    "q34_cube",
+    "q36_salted_join",
+    "q52_metadata_minmax",
+    "q54_catalog_describe",
+    "q55_colcol_pred",
+    "q61_count_pushdown",
+    "q62_sum_pushdown",
+    "q63_group_sum_pushdown",
+    "q68_var_pushdown",
+    "q69_remote_catalog",
+    "q71_catalog_profile",
+    "q64_div_pred",
+    "q65_decimal_minmax",
+    "q66_topk_pushdown",
+    "q67_group_minmax",
+    "q97_change_feed",
+    "q98_update_where",
+    "q99_incremental_agg_from_feed",
+    "q100_optimize_lifecycle",
+    "text_topk_terms",
+    "text_curation_pipeline",
+    # == ROUND 12 WINDOW (kept for natural-order stability) ===========
     # tier 0 (unresolved reds): none — CORRECTNESS_r11 was 50/50 green.
     # tier 1: the round-12 landings, inserted AT THE HEAD as they land
     #   (zero proof lag): baseline JPEG decode + the page-index

@@ -1822,6 +1822,9 @@ class _JpegBitReader:
             if p >= len(d):
                 raise ValueError("JPEG entropy data truncated at 0xFF")
             nxt = d[p]
+            while nxt == 0xFF and p + 1 < len(d):
+                p += 1           # T.81 B.1.1.2 fill byte before marker
+                nxt = d[p]
             if nxt == 0x00:
                 p += 1           # stuffed literal 0xFF
             elif 0xD0 <= nxt <= 0xD7:
@@ -1992,6 +1995,11 @@ def encode_jpeg(img, quant=None) -> bytes:
             diff = int(coefs[0]) - pred[ci]
             pred[ci] = int(coefs[0])
             s, extra = _jpeg_magnitude(diff)
+            if s > 11:
+                raise ValueError(
+                    f"encode_jpeg: DC magnitude category {s} exceeds "
+                    f"the baseline Huffman range (11) — quantization "
+                    f"step too small for this image's contrast")
             code, ln = dct_t[s]
             bw.write(code, ln)
             bw.write(extra, s)
@@ -2009,6 +2017,12 @@ def encode_jpeg(img, quant=None) -> bytes:
                     bw.write(code, ln)
                     run -= 16
                 s, extra = _jpeg_magnitude(v)
+                if s > 10:
+                    raise ValueError(
+                        f"encode_jpeg: AC magnitude category {s} "
+                        f"exceeds the baseline Huffman range (10) — "
+                        f"quantization step too small for this "
+                        f"image's contrast")
                 code, ln = act_t[run * 16 + s]
                 bw.write(code, ln)
                 bw.write(extra, s)
@@ -2088,6 +2102,11 @@ def decode_jpeg(payload: bytes):
         if d[pos] != 0xFF:
             raise ValueError(
                 f"expected marker at byte {pos}, found 0x{d[pos]:02X}")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker id — skip them (ADVICE r12: reading the second 0xFF
+        # as the marker id parsed a bogus segment length)
+        while pos + 2 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         if marker == 0xD9:
             raise ValueError("JPEG has no scan (EOI before SOS)")

@@ -40,7 +40,17 @@ Soundness notes for the pruning consumer (sources/table.py
 - BOOLEAN/INT96/FIXED_LEN_BYTE_ARRAY are skipped (no pruning value /
   deprecated / decimal-encoding hazards); INT32/INT64 decode to ints
   (matching the catalog's encoded domain for int/date/timestamp
-  categories) and BYTE_ARRAY to UTF-8 str when it decodes cleanly.
+  categories) and BYTE_ARRAY to UTF-8 str when it decodes cleanly;
+- the footer SCHEMA (FileMetaData field 2) is parsed so bounds decode
+  in the catalog's comparison domain, not raw physical bits: TIMESTAMP
+  logical/converted types normalize to **epoch micros** (MILLIS x1000,
+  NANOS floor-div 1000 — floor is monotone in both directions, so a
+  floored min stays <= all values and a floored max stays >= all
+  values: bounds remain valid), unsigned INTEGER annotations decode
+  with unsigned unpack, and any other non-plain annotation on an
+  int/byte-array physical type (DECIMAL, TIME, INTERVAL, BSON, UUID)
+  EXCLUDES the chunk — absence means "no page tier", which keeps the
+  whole row group and can never drop rows.
 """
 
 from __future__ import annotations
@@ -174,14 +184,131 @@ class PageStats(NamedTuple):
     null_count: Optional[int]
 
 
-def _decode_bound(raw: bytes, ptype: int) -> Any:
+# parquet ConvertedType enum values (parquet.thrift) that matter here
+_CONV_UTF8, _CONV_ENUM, _CONV_JSON = 0, 4, 19
+_CONV_DATE = 6
+_CONV_TS_MILLIS, _CONV_TS_MICROS = 9, 10
+_CONV_UINT = (11, 12, 13, 14)          # UINT_8/16/32/64
+_CONV_INT = (15, 16, 17, 18)           # INT_8/16/32/64
+# LogicalType union field ids (parquet.thrift)
+_LT_STRING, _LT_ENUM, _LT_DECIMAL = 1, 4, 5
+_LT_DATE, _LT_TIME, _LT_TIMESTAMP = 6, 7, 8
+_LT_INTEGER, _LT_JSON = 10, 12
+
+
+def _decode_kind(el: Dict[int, Any]) -> Optional[str]:
+    """SchemaElement -> bound decode kind, or None = exclude the chunk
+    (pruning consumer treats absence as 'keep the whole row group').
+    logicalType (field 10, the modern annotation) wins over the legacy
+    converted_type (field 6) when both are present, matching the spec's
+    forward-compat rule (ADVICE r12: raw-bits decode of ms/ns-unit
+    timestamps and unsigned ints silently REFUTED matching pages)."""
+    ptype = el.get(1)
+    lt = el.get(10)
+    conv = el.get(6)
+    if ptype == _PT_BYTE_ARRAY:
+        if isinstance(lt, dict) and lt:
+            fid = next(iter(lt))
+            return "utf8" if fid in (_LT_STRING, _LT_ENUM, _LT_JSON) \
+                else None
+        if conv is not None:
+            return "utf8" if conv in (_CONV_UTF8, _CONV_ENUM,
+                                      _CONV_JSON) else None
+        return "utf8"          # unannotated: best-effort utf-8 decode
+    if ptype == _PT_INT32:
+        if isinstance(lt, dict) and lt:
+            fid = next(iter(lt))
+            if fid == _LT_DATE:
+                return "int32"          # epoch days = catalog domain
+            if fid == _LT_INTEGER:
+                payload = lt[fid] if isinstance(lt[fid], dict) else {}
+                return "int32" if payload.get(2, True) else "uint32"
+            return None                 # DECIMAL / TIME / other
+        if conv is not None:
+            if conv == _CONV_DATE or conv in _CONV_INT:
+                return "int32"
+            if conv in _CONV_UINT:
+                return "uint32"
+            return None
+        return "int32"
+    if ptype == _PT_INT64:
+        if isinstance(lt, dict) and lt:
+            fid = next(iter(lt))
+            if fid == _LT_TIMESTAMP:
+                payload = lt[fid] if isinstance(lt[fid], dict) else {}
+                unit = payload.get(2)
+                if isinstance(unit, dict) and unit:
+                    return {1: "ts_ms", 2: "ts_us",
+                            3: "ts_ns"}.get(next(iter(unit)))
+                return None
+            if fid == _LT_INTEGER:
+                payload = lt[fid] if isinstance(lt[fid], dict) else {}
+                return "int64" if payload.get(2, True) else "uint64"
+            return None                 # DECIMAL / TIME / other
+        if conv is not None:
+            if conv == _CONV_TS_MILLIS:
+                return "ts_ms"
+            if conv == _CONV_TS_MICROS:
+                return "ts_us"
+            if conv in _CONV_INT:
+                return "int64"
+            if conv in _CONV_UINT:
+                return "uint64"
+            return None
+        return "int64"
+    return None        # BOOLEAN / INT96 / FLOAT / DOUBLE / FIXED
+
+
+def _column_kinds(meta: Dict[int, Any]) -> Dict[str, Optional[str]]:
+    """{dotted path: decode kind} from the flattened SchemaElement
+    tree (FileMetaData field 2: root first, children depth-first —
+    the same dotted paths ColumnMetaData.path_in_schema uses)."""
+    elems = meta.get(2, [])
+    kinds: Dict[str, Optional[str]] = {}
+    if not elems:
+        return kinds
+    stack: List[List[Any]] = [[elems[0].get(5, 0), ""]]
+    i = 1
+    while i < len(elems) and stack:
+        el = elems[i]
+        i += 1
+        name = el.get(4, b"")
+        if isinstance(name, bytes):
+            name = name.decode("utf-8", "replace")
+        prefix = stack[-1][1]
+        path = f"{prefix}.{name}" if prefix else name
+        stack[-1][0] -= 1
+        nch = el.get(5, 0)
+        if nch:
+            stack.append([nch, path])
+        else:
+            kinds[path] = _decode_kind(el)
+        while stack and stack[-1][0] <= 0:
+            stack.pop()
+    return kinds
+
+
+def _decode_bound(raw: bytes, kind: str) -> Any:
     if raw is None or raw == b"":
         return None
-    if ptype == _PT_INT32:
-        return struct.unpack("<i", raw)[0]
-    if ptype == _PT_INT64:
-        return struct.unpack("<q", raw)[0]
-    if ptype == _PT_BYTE_ARRAY:
+    try:
+        if kind == "int32":
+            return struct.unpack("<i", raw)[0]
+        if kind == "int64" or kind == "ts_us":
+            return struct.unpack("<q", raw)[0]
+        if kind == "uint32":
+            return struct.unpack("<I", raw)[0]
+        if kind == "uint64":
+            return struct.unpack("<Q", raw)[0]
+        if kind == "ts_ms":
+            return struct.unpack("<q", raw)[0] * 1000
+        if kind == "ts_ns":
+            # floor division is monotone: floored min <= all values,
+            # floored max >= all floored values — bounds stay valid
+            return struct.unpack("<q", raw)[0] // 1000
+    except struct.error:
+        return None       # short buffer: unknown (sound)
+    if kind == "utf8":
         try:
             return raw.decode("utf-8")
         except UnicodeDecodeError:
@@ -191,9 +318,11 @@ def _decode_bound(raw: bytes, ptype: int) -> Any:
 
 def read_footer_index_locations(path: str) -> List[dict]:
     """Parse the file footer and return, per column chunk, a dict:
-    {rg, rg_num_rows, column (dotted path), ptype, ci_off, ci_len,
-    oi_off, oi_len} — offsets None when the writer emitted no page
-    index. Footer-only I/O (tail read), like every stats extractor."""
+    {rg, rg_num_rows, column (dotted path), ptype, kind, ci_off,
+    ci_len, oi_off, oi_len} — offsets None when the writer emitted no
+    page index; kind is the schema-aware bound decode kind (None =
+    logical type outside the sound-decode set — chunk excluded).
+    Footer-only I/O (tail read), like every stats extractor."""
     with open(path, "rb") as fh:
         fh.seek(0, 2)
         size = fh.tell()
@@ -205,18 +334,21 @@ def read_footer_index_locations(path: str) -> List[dict]:
         fh.seek(size - 8 - flen)
         footer = fh.read(flen)
     meta, _ = _read_struct(footer, 0)
+    kinds = _column_kinds(meta)
     out: List[dict] = []
     for rg_idx, rg in enumerate(meta.get(4, [])):
         rg_rows = rg.get(3, 0)
         for chunk in rg.get(1, []):
             cmd = chunk.get(3, {})
+            col = ".".join(
+                p.decode("utf-8") if isinstance(p, bytes) else p
+                for p in cmd.get(3, []))
             out.append({
                 "rg": rg_idx,
                 "rg_num_rows": rg_rows,
-                "column": ".".join(
-                    p.decode("utf-8") if isinstance(p, bytes) else p
-                    for p in cmd.get(3, [])),
+                "column": col,
                 "ptype": cmd.get(1),
+                "kind": kinds.get(col),
                 "oi_off": chunk.get(4),
                 "oi_len": chunk.get(5),
                 "ci_off": chunk.get(6),
@@ -240,7 +372,7 @@ def extract_file_page_stats(
     locs = [l for l in read_footer_index_locations(path)
             if l["column"] in wanted
             and l["ci_off"] is not None and l["oi_off"] is not None
-            and l["ptype"] in (_PT_INT32, _PT_INT64, _PT_BYTE_ARRAY)]
+            and l["kind"] is not None]
     if not locs:
         return {}
     out: Dict[Tuple[int, str], List[PageStats]] = {}
@@ -255,7 +387,13 @@ def extract_file_page_stats(
             mins, maxs = ci.get(2, []), ci.get(3, [])
             null_counts = ci.get(5)
             n = len(pages)
-            if not n or len(null_pages) != n:
+            # a corrupt/adversarial ColumnIndex with short min/max/
+            # null_counts lists must SKIP the chunk (absence = no page
+            # tier), not IndexError out of the whole build (ADVICE r12)
+            if (not n or len(null_pages) != n
+                    or len(mins) != n or len(maxs) != n
+                    or (null_counts is not None
+                        and len(null_counts) != n)):
                 continue
             stats: List[PageStats] = []
             for i, ploc in enumerate(pages):
@@ -268,9 +406,9 @@ def extract_file_page_stats(
                     first_row=first,
                     row_count=max(0, last - first),
                     min_value=(None if np_ else
-                               _decode_bound(mins[i], loc["ptype"])),
+                               _decode_bound(mins[i], loc["kind"])),
                     max_value=(None if np_ else
-                               _decode_bound(maxs[i], loc["ptype"])),
+                               _decode_bound(maxs[i], loc["kind"])),
                     null_page=np_,
                     null_count=(int(null_counts[i])
                                 if null_counts is not None else None),

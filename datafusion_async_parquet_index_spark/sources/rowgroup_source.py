@@ -172,8 +172,31 @@ class RowGroupParquetReader(DataSourceReader):
         if mask is not None and not mask.all():
             import pyarrow as pa
             table = table.filter(pa.array(mask))
+        table = _normalize_arrow_units(table)
         for batch in table.to_batches():
             yield batch
+
+
+def _normalize_arrow_units(table):
+    """Spark's Arrow ingest only accepts MICROSECOND timestamps —
+    a parquet file written with ms (parquet-mr TIMESTAMP_MILLIS) or
+    ns (pyarrow default in some stacks) units fails the scan with
+    UNSUPPORTED_ARROWTYPE. Cast any non-us timestamp column to us so
+    row-group scans accept every spec-legal unit; values are identical
+    instants (ns->us truncation matches Spark's own parquet reader)."""
+    import pyarrow as pa
+
+    fields = []
+    changed = False
+    for f in table.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            fields.append(f.with_type(pa.timestamp("us", f.type.tz)))
+            changed = True
+        else:
+            fields.append(f)
+    if not changed:
+        return table
+    return table.cast(pa.schema(fields))
 
 
 class RowGroupParquetDataSource(DataSource):

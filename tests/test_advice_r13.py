@@ -1,0 +1,241 @@
+"""Round-13 ADVICE regressions (judge advisor findings, r12).
+
+1. (high) Page-index tier soundness for LOGICAL types: page bounds
+   must decode in the catalog's comparison domain, not raw physical
+   bits. ms-/ns-unit INT64 timestamps normalize to epoch MICROS
+   (PruningRewriter's literal domain); unsigned ints decode unsigned;
+   any other annotation (DECIMAL, TIME) excludes the chunk so the
+   tier degrades to row-group granularity instead of refuting
+   matching pages. Before the fix, `ts >= '2020-01-01'` on an
+   all-matching ms-unit page evaluated REFUTED and _page_refine
+   silently dropped matching rows.
+2. (low) A corrupt/adversarial ColumnIndex with short min/max/
+   null_counts lists skips the chunk instead of IndexError-ing the
+   whole index build.
+3. (low) encode_jpeg with extreme-contrast blocks + tiny quant steps
+   produces magnitude categories the Annex-K tables cannot code —
+   must raise a NAMED error, not bare KeyError.
+4. (low) decode_jpeg tolerates 0xFF fill bytes before a marker
+   (T.81 B.1.1.2) in the segment walk.
+"""
+
+import datetime as dt
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_async_parquet_index_spark.plans.expr import col, lit
+from datafusion_async_parquet_index_spark.sources.catalog import (
+    SqliteIndexCatalog,
+)
+from datafusion_async_parquet_index_spark.sources.page_index import (
+    extract_file_page_stats,
+    read_footer_index_locations,
+)
+from datafusion_async_parquet_index_spark.sources.table import (
+    IndexedParquetTable,
+)
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _micros(d):
+    return int((d - _EPOCH).total_seconds() * 1_000_000)
+
+
+def _write_ts(path, unit, n=4_000, rg=2_000, page_rows=250):
+    rows = [dt.datetime(2020, 1, 1) + dt.timedelta(minutes=i)
+            for i in range(n)]
+    t = pa.table({
+        "ts": pa.array(rows, type=pa.timestamp(unit)),
+        "k": pa.array(range(n), pa.int64()),
+    })
+    pq.write_table(t, path, row_group_size=rg, data_page_size=512,
+                   write_batch_size=page_rows, write_page_index=True)
+    return rows
+
+
+# -- 1. timestamp units normalize to the catalog's micros domain -------
+
+@pytest.mark.parametrize("unit", ["ms", "us", "ns"])
+def test_page_bounds_timestamp_units_normalize_to_micros(tmp_path, unit):
+    p = str(tmp_path / f"t_{unit}.parquet")
+    rows = _write_ts(p, unit)
+    ps = extract_file_page_stats(p, ("ts",))
+    assert ps, "page index missing"
+    first = ps[(0, "ts")][0]
+    lo, hi = first.first_row, first.first_row + first.row_count
+    assert first.min_value == _micros(rows[lo])
+    assert first.max_value == _micros(rows[hi - 1])
+
+
+@pytest.mark.parametrize("unit", ["ms"])
+def test_page_tier_timestamp_end_to_end_sound(spark, tmp_path, unit):
+    """The ADVICE repro: a selective timestamp range predicate over a
+    ms-unit file with the page tier armed must return exactly the
+    full-scan+filter result (before the fix: zero rows). ns-unit is
+    covered at the extractor level only — Spark's own parquet reader
+    refuses TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL), so such
+    a file can never become an engine table."""
+    d = str(tmp_path / f"tse2e_{unit}")
+    os.makedirs(d)
+    _write_ts(os.path.join(d, "a.parquet"), unit)
+    t = IndexedParquetTable(
+        spark, d, ["ts", "k"], catalog=SqliteIndexCatalog(),
+        page_index_columns=["ts"])
+    lo = dt.datetime(2020, 1, 1, 10, 0)
+    hi = dt.datetime(2020, 1, 1, 11, 0)
+    pred = (col("ts") >= lit(lo)) & (col("ts") < lit(hi))
+    got = sorted(r["k"] for r in t.query(pred, mode="rowgroups").collect())
+    # the tier actually engaged (pages were pruned, not skipped) —
+    # capture before the full-scan control overwrites last_scan
+    assert t.last_scan.page_rows_skipped > 0, t.last_scan.describe()
+    want = sorted(r["k"] for r in
+                  t.query(None).filter(pred.to_spark()).collect())
+    assert got == want and len(want) == 60
+
+
+def test_unsigned_int_pages_decode_unsigned(tmp_path):
+    n = 2_000
+    base32, base64_ = 2 ** 31 - n // 2, 2 ** 63
+    t = pa.table({
+        "u32": pa.array([base32 + i for i in range(n)], pa.uint32()),
+        "u64": pa.array([base64_ + i for i in range(n)], pa.uint64()),
+    })
+    p = str(tmp_path / "u.parquet")
+    pq.write_table(t, p, row_group_size=n, data_page_size=512,
+                   write_batch_size=250, write_page_index=True)
+    ps = extract_file_page_stats(p, ("u32", "u64"))
+    for (rg, c), pages in ps.items():
+        for x in pages:
+            assert x.min_value >= 0 and x.max_value >= x.min_value
+    last32 = ps[(0, "u32")][-1]
+    assert last32.max_value == base32 + n - 1          # > int32 max
+    assert ps[(0, "u64")][-1].max_value == base64_ + n - 1
+
+
+def test_decimal_and_time_annotations_excluded(tmp_path):
+    """Annotations outside the sound-decode set yield NO page stats
+    for the column (absence = keep whole row group), never raw-bits
+    bounds."""
+    import decimal
+    n = 1_000
+    t = pa.table({
+        "dec": pa.array([decimal.Decimal(i) / 100 for i in range(n)],
+                        pa.decimal128(9, 2)),
+        "tm": pa.array([dt.time(i % 24, i % 60) for i in range(n)],
+                       pa.time64("us")),
+        "k": pa.array(range(n), pa.int64()),
+    })
+    p = str(tmp_path / "ann.parquet")
+    pq.write_table(t, p, row_group_size=n, data_page_size=512,
+                   write_batch_size=250, write_page_index=True)
+    kinds = {l["column"]: l["kind"] for l in
+             read_footer_index_locations(p)}
+    assert kinds["k"] == "int64"
+    assert kinds["dec"] is None and kinds["tm"] is None
+    ps = extract_file_page_stats(p, ("dec", "tm", "k"))
+    assert all(c == "k" for (_rg, c) in ps)
+
+
+# -- 2. corrupt ColumnIndex skips the chunk, never raises ---------------
+
+def test_truncated_column_index_lists_skip_chunk(tmp_path):
+    """Rewrite the ColumnIndex of one column so min_values is SHORTER
+    than null_pages (adversarial/corrupt file): the extractor must
+    skip that chunk and still serve the intact column."""
+    n = 2_000
+    t = pa.table({
+        "a": pa.array(range(n), pa.int64()),
+        "b": pa.array(range(n), pa.int64()),
+    })
+    p = str(tmp_path / "corrupt.parquet")
+    pq.write_table(t, p, row_group_size=n, data_page_size=512,
+                   write_batch_size=250, write_page_index=True)
+    locs = {l["column"]: l for l in read_footer_index_locations(p)}
+    la = locs["a"]
+    with open(p, "rb") as fh:
+        raw = bytearray(fh.read())
+    # thrift-compact surgery on column a's ColumnIndex: walk to field 2
+    # (min_values list) and shrink its element count by one. Header
+    # layout (pyarrow writer): field1 list<bool> null_pages, then
+    # field2 list<binary> min_values with a size<<4|etype head byte
+    # (or 0xF8 + varint size when >= 15 elements).
+    off = la["ci_off"]
+    pos = off
+    # field 1 header (short form: delta 1, type LIST=9) -> 0x19
+    assert raw[pos] == 0x19
+    pos += 1
+    head = raw[pos]
+    pos += 1
+    size = head >> 4
+    if size == 15:
+        # varint size follows
+        vstart = pos
+        size = 0
+        shift = 0
+        while True:
+            b = raw[pos]
+            pos += 1
+            size |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        nbytes = pos - vstart
+    pos += size if (head & 0x0F) in (1, 2) else 0  # bool elems: 1B each
+    # now at field 2 header (delta 1, LIST) -> 0x19
+    assert raw[pos] == 0x19
+    pos += 1
+    head2 = raw[pos]
+    size2 = head2 >> 4
+    assert size2 != 15 or size >= 15
+    if size2 != 15 and size2 > 1:
+        raw[pos] = ((size2 - 1) << 4) | (head2 & 0x0F)
+    else:
+        pytest.skip("unexpected encoding shape for this writer")
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    ps = extract_file_page_stats(p, ("a", "b"))
+    assert (0, "a") not in ps          # skipped, not raised
+    assert (0, "b") in ps              # intact column still served
+
+
+# -- 3./4. JPEG codec edge contracts ------------------------------------
+
+def test_encode_jpeg_out_of_range_category_raises_named(spark):
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        encode_jpeg,
+    )
+    # checkerboard of extremes + sub-unit quant step: AC magnitudes
+    # beyond Annex-K category 10 -> named ValueError, not KeyError.
+    # (With all-ones quant the max reachable AC magnitude is exactly
+    # 1020 = 127.5 * 8 < 1024 — category 10 — so that encode must
+    # still succeed; the overflow needs a fractional step.)
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[::2, 1::2] = 255
+    img[1::2, ::2] = 255
+    with pytest.raises(ValueError, match="magnitude category"):
+        encode_jpeg(img, quant=np.full((8, 8), 0.25))
+    assert encode_jpeg(img, quant=np.ones((8, 8), np.int32))
+
+
+def test_decode_jpeg_tolerates_ff_fill_bytes(spark):
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    img = np.full((16, 16, 3), 128, np.uint8)
+    data = encode_jpeg(img)
+    # inject 0xFF fill bytes before a mid-stream marker (T.81 B.1.1.2
+    # allows any number of fill bytes preceding any marker)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    padded = data[:sos] + b"\xff\xff\xff" + data[sos:]
+    w1, h1, a1 = decode_jpeg(padded)
+    w2, h2, a2 = decode_jpeg(data)
+    assert (w1, h1) == (w2, h2)
+    np.testing.assert_array_equal(a1, a2)

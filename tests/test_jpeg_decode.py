@@ -8,18 +8,22 @@ decoded OUT OF THE LOSSY COMPRESSED CONTAINER.
 Pinned here:
 - cross-validation against an INDEPENDENT from-the-spec reference
   decoder inside this test (bit-string Huffman walk + direct cosine
-  double-sum IDCT, deliberately NOT the codec's matrix/table code):
+  double-sum IDCT, deliberately NOT the codec's matrix/LUT code):
   both decoders must produce IDENTICAL pixels from the same
   compressed bytes, on grayscale and RGB, standard Annex K and
-  all-ones quantization — so an encoder+decoder pair that agreed on
-  a wrong convention could not cancel out;
-- the DC-only fixed point the oracle corpus relies on: per-block-
-  constant images with an all-ones quant table round-trip EXACTLY
-  (property-fuzzed across dims and values);
-- loud ValueError refusals for everything outside the baseline
-  envelope: progressive/extended/arithmetic/lossless SOFs, restart
-  intervals (DRI), 16-bit quant tables, chroma subsampling, missing
-  SOI, truncation;
+  all-ones quantization, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
+  and DRI restart intervals (round 13: the reference decoder grew
+  the MCU interleave + RSTn + kron upsample in lockstep) — so an
+  encoder+decoder pair that agreed on a wrong convention could not
+  cancel out;
+- the DC-only fixed points the oracle corpora rely on: per-block-
+  constant grayscale (4:4:4) and per-MCU-constant gray RGB (4:2:0 +
+  restarts) with an all-ones quant table round-trip EXACTLY
+  (property-fuzzed across dims, values and restart intervals);
+- loud ValueError refusals for everything outside the envelope:
+  progressive/extended/arithmetic/lossless SOFs, 16-bit quant
+  tables, sampling factors outside {1, 2, 4}, out-of-sequence or
+  DRI-less restart markers, missing SOI, truncation;
 - decode_image dispatches image/jpeg to the real codec;
 - Spark-side mm_decode_jpeg_stats == driver-side recomputation.
 """
@@ -86,6 +90,17 @@ class _RefBits:
             self.bits = [int(c) for c in format(b, "08b")]
         return self.bits.pop(0)
 
+    def restart(self, m):
+        """Byte-align and consume the expected RSTm marker
+        (T.81 E.1.4) — fill bytes allowed before it."""
+        self.bits = []
+        while (self.data[self.pos] == 0xFF
+               and self.data[self.pos + 1] == 0xFF):
+            self.pos += 1
+        assert self.data[self.pos] == 0xFF
+        assert self.data[self.pos + 1] == 0xD0 + (m & 7), "bad RST"
+        self.pos += 2
+
     def take(self, n):
         v = 0
         for _ in range(n):
@@ -125,17 +140,22 @@ def _ref_idct(coeffs):
 
 
 def _ref_decode_jpeg(data):
-    """Reference baseline decoder: returns (w, h, (h, w, c) uint8)."""
+    """Reference baseline decoder: returns (w, h, (h, w, c) uint8).
+    Handles general sampling factors (MCU interleave + kron-
+    replication upsample) and DRI restart intervals."""
     assert data[0:2] == b"\xFF\xD8"
     pos = 2
     qt, ht = {}, {}
     sof = None
+    dri = 0
     while True:
         assert data[pos] == 0xFF
         marker = data[pos + 1]
         ln = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4:pos + 2 + ln]
-        if marker == 0xDB:
+        if marker == 0xDD:
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDB:
             i = 0
             while i < len(body):
                 tq = body[i] & 0x0F
@@ -155,8 +175,11 @@ def _ref_decode_jpeg(data):
                 i += 17 + n
         elif marker == 0xC0:
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
-            comps = [(body[6 + 3 * i], body[8 + 3 * i])
+            comps = [(body[6 + 3 * i], body[8 + 3 * i],
+                      body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F)
                      for i in range(nf)]
+            if nf == 1:
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             sof = (w, h, comps)
         elif marker == 0xDA:
             ns = body[0]
@@ -165,38 +188,54 @@ def _ref_decode_jpeg(data):
             break
         pos += 2 + ln
     w, h, comps = sof
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mx, my = (w + 8 * hmax - 1) // (8 * hmax), \
+        (h + 8 * vmax - 1) // (8 * vmax)
     br = _RefBits(data, scan_pos)
-    pred = {cid: 0 for cid, _ in comps}
-    planes = {cid: np.zeros((nby * 8, nbx * 8)) for cid, _ in comps}
-    for by in range(nby):
-        for bx in range(nbx):
-            for cid, tq in comps:
-                td, ta = sel[cid] >> 4, sel[cid] & 0x0F
-                s = br.huff(ht[(0, td)])
-                pred[cid] += _ref_extend(br.take(s), s)
-                zz = [0] * 64
-                zz[0] = pred[cid]
-                k = 1
-                while k <= 63:
-                    rs = br.huff(ht[(1, ta)])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break
-                    k += r
-                    zz[k] = _ref_extend(br.take(s), s)
-                    k += 1
-                co = np.zeros((8, 8))
-                for k in range(64):
-                    co[_ZZ_REF[k] // 8][_ZZ_REF[k] % 8] = (
-                        zz[k] * qt[tq][_ZZ_REF[k]])
-                blk = _ref_idct(co) + 128.0
-                planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-    arrs = [np.clip(np.floor(planes[cid][:h, :w] + 0.5), 0, 255)
-            for cid, _ in comps]
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    planes = {cid: np.zeros((my * cv * 8, mx * ch * 8))
+              for cid, _, ch, cv in comps}
+    n_rst = 0
+    for mcu in range(my * mx):
+        if dri and mcu and mcu % dri == 0:
+            br.restart(n_rst)
+            n_rst += 1
+            pred = {cid: 0 for cid, _, _, _ in comps}
+        muy, mux = mcu // mx, mcu % mx
+        for cid, tq, ch, cv in comps:
+            td, ta = sel[cid] >> 4, sel[cid] & 0x0F
+            for v in range(cv):
+                for hh_ in range(ch):
+                    s = br.huff(ht[(0, td)])
+                    pred[cid] += _ref_extend(br.take(s), s)
+                    zz = [0] * 64
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k <= 63:
+                        rs = br.huff(ht[(1, ta)])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        zz[k] = _ref_extend(br.take(s), s)
+                        k += 1
+                    co = np.zeros((8, 8))
+                    for k in range(64):
+                        co[_ZZ_REF[k] // 8][_ZZ_REF[k] % 8] = (
+                            zz[k] * qt[tq][_ZZ_REF[k]])
+                    blk = _ref_idct(co) + 128.0
+                    y0 = (muy * cv + v) * 8
+                    x0 = (mux * ch + hh_) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+    arrs = []
+    for cid, _, ch, cv in comps:
+        up = np.kron(planes[cid],
+                     np.ones((vmax // cv, hmax // ch)))
+        arrs.append(np.clip(np.floor(up[:h, :w] + 0.5), 0, 255))
     out = np.stack(arrs, axis=-1)
     if len(comps) == 3:
         y = out[..., 0].astype(float)
@@ -211,17 +250,25 @@ def _ref_decode_jpeg(data):
 
 # -- cross-validation against the reference decoder --------------------
 
-@pytest.mark.parametrize("shape,quant", [
-    ((16, 24), None),            # grayscale, standard Annex K tables
-    ((16, 24), [1] * 64),        # grayscale, all-ones
-    ((11, 13), None),            # non-multiple-of-8 dims (edge pad)
-    ((16, 16, 3), None),         # RGB, standard tables
-    ((9, 18, 3), [1] * 64),      # RGB, all-ones, padded
+@pytest.mark.parametrize("shape,quant,sub,ri", [
+    ((16, 24), None, "444", 0),       # gray, standard Annex K tables
+    ((16, 24), [1] * 64, "444", 0),   # gray, all-ones
+    ((11, 13), None, "444", 0),       # non-multiple-of-8 (edge pad)
+    ((16, 16, 3), None, "444", 0),    # RGB, standard tables
+    ((9, 18, 3), [1] * 64, "444", 0),  # RGB, all-ones, padded
+    ((32, 32, 3), None, "420", 0),    # 4:2:0 chroma subsampling
+    ((17, 26, 3), None, "420", 0),    # 4:2:0, ragged dims
+    ((16, 32, 3), None, "422", 0),    # 4:2:2
+    ((13, 22, 3), [1] * 64, "422", 0),  # 4:2:2 ragged, all-ones
+    ((32, 48, 3), None, "420", 1),    # 4:2:0 + DRI every MCU
+    ((33, 30, 3), None, "420", 2),    # 4:2:0 + DRI, ragged
+    ((24, 24), None, "444", 3),       # grayscale + DRI
 ])
-def test_decoder_matches_reference(shape, quant):
-    rng = np.random.RandomState(sum(shape))
+def test_decoder_matches_reference(shape, quant, sub, ri):
+    rng = np.random.RandomState(sum(shape) + ri)
     img = rng.randint(0, 256, size=shape).astype(np.uint8)
-    payload = encode_jpeg(img, quant=quant)
+    payload = encode_jpeg(img, quant=quant, subsampling=sub,
+                          restart_interval=ri)
     w1, h1, px1 = decode_jpeg(payload)
     w2, h2, px2 = _ref_decode_jpeg(payload)
     assert (w1, h1) == (w2, h2)
@@ -255,6 +302,25 @@ def test_block_constant_roundtrip_exact(nbx, nby, seed):
     assert (out[:, :, 0] == img).all()
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 3),
+       st.integers(0, 2 ** 32 - 1))
+def test_mcu_constant_420_roundtrip_exact(nmx, nmy, ri, seed):
+    """The 4:2:0 fixed point the round-13 oracle corpus relies on:
+    per-16x16-MCU constant GRAY RGB + all-ones quant round-trips
+    EXACTLY through chroma downsample, MCU interleave, restart
+    markers, upsample and color transform."""
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, size=(nmy, nmx)).astype(np.uint8)
+    gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+    img = np.stack([gray] * 3, axis=-1)
+    payload = encode_jpeg(img, quant=[1] * 64, subsampling="420",
+                          restart_interval=ri)
+    w, h, out = decode_jpeg(payload)
+    assert (w, h) == (nmx * 16, nmy * 16)
+    assert (out == img).all()
+
+
 def test_lossy_decode_is_close_on_smooth_content():
     """Standard tables on smooth content: decoded pixels are near the
     original (the codec is genuinely lossy, not broken)."""
@@ -269,8 +335,7 @@ def test_lossy_decode_is_close_on_smooth_content():
 
 def test_refusals_outside_baseline_envelope():
     for marker, pat in [(0xC2, "progressive"), (0xC1, "extended"),
-                        (0xC9, "arithmetic"), (0xC3, "lossless"),
-                        (0xDD, "restart intervals")]:
+                        (0xC9, "arithmetic"), (0xC3, "lossless")]:
         bad = b"\xFF\xD8" + bytes([0xFF, marker]) + b"\x00\x04ab"
         with pytest.raises(ValueError, match=pat):
             decode_jpeg(bad)
@@ -278,7 +343,7 @@ def test_refusals_outside_baseline_envelope():
         decode_jpeg(b"not a jpeg")
 
 
-def test_refuses_16bit_quant_and_subsampling():
+def test_refuses_16bit_quant_and_bad_sampling():
     img = np.full((8, 8), 77, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
     i = payload.index(b"\xFF\xDB")
@@ -286,11 +351,34 @@ def test_refuses_16bit_quant_and_subsampling():
     pq_patch[i + 4] = 0x10          # Pq=1: 16-bit table
     with pytest.raises(ValueError, match="16-bit quant"):
         decode_jpeg(bytes(pq_patch))
-    j = payload.index(b"\xFF\xC0")
-    sub_patch = bytearray(payload)
-    sub_patch[j + 11] = 0x22        # 2x2 sampling on component 1
-    with pytest.raises(ValueError, match="subsampling"):
+    # sampling factor outside {1, 2, 4} refuses by name (3-component
+    # file: single-component scans ignore sampling per T.81 A.2.2)
+    rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
+    payload3 = bytearray(encode_jpeg(rgb))
+    j = payload3.index(b"\xFF\xC0")
+    sub_patch = bytearray(payload3)
+    sub_patch[j + 11] = 0x33        # 3x3 sampling on component 1
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(sub_patch))
+
+
+def test_restart_marker_out_of_sequence_refused():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    payload = bytearray(encode_jpeg(img, subsampling="420",
+                                    restart_interval=1))
+    # three MCUs of 16x16 -> RST0, RST1 in the stream; corrupt RST0
+    i = payload.index(b"\xFF\xD0")
+    payload[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(payload))
+    # and RST markers without a DRI segment are refused: strip DRI
+    clean = bytes(encode_jpeg(img, subsampling="420",
+                              restart_interval=1))
+    k = clean.index(b"\xFF\xDD")
+    no_dri = clean[:k] + clean[k + 6:]
+    with pytest.raises(ValueError, match="without a DRI"):
+        decode_jpeg(no_dri)
 
 
 def test_truncated_entropy_data_raises():
@@ -325,6 +413,30 @@ def test_jpeg_ahash_groups_collide_on_equal_prefixes(spark, sf_dir):
 
 
 # -- Spark-side stats == driver-side recomputation ----------------------
+
+def test_mm_decode_jpeg420_stats_matches_driver(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        mm_decode_jpeg420_stats,
+        synthesize_jpeg420_media,
+    )
+    media = synthesize_jpeg420_media(spark, sf_dir).orderBy("doc_id")
+    sample = media.limit(12).collect()
+    got = {r["doc_id"]: r for r in
+           mm_decode_jpeg420_stats(spark, sf_dir).collect()}
+    for row in sample:
+        payload = bytes(row["payload"])
+        # the corpus really is 4:2:0 with a DRI segment
+        assert b"\xff\xdd" in payload
+        w, h, px = decode_jpeg(payload)
+        assert px.shape[2] == 3
+        flat = px.reshape(-1).astype(np.int64)
+        weights = 1 + (np.arange(flat.size) % 101)
+        g = got[row["doc_id"]]
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["channels"] == 3
+        assert g["pix_sum"] == int(flat.sum())
+        assert g["pix_wsum"] == int((flat * weights).sum())
+
 
 def test_mm_decode_jpeg_stats_matches_driver(spark, sf_dir):
     media = synthesize_jpeg_media(spark, sf_dir).orderBy("doc_id")

@@ -311,6 +311,15 @@ class SqliteIndexCatalog:
         # the first verb is still mid-way through applying committed
         # work. Distinct from self._lock: readers never touch it.
         self._writer_lease = threading.RLock()
+        # cross-process writer lease (round 13, VERDICT r12 ask #3):
+        # for file-backed databases, an OS advisory flock(2) on a
+        # sidecar file next to the db serializes [CAS .. mutation]
+        # across PROCESSES too; the kernel releases it automatically
+        # if the holder dies. :memory: databases are single-process
+        # by construction and skip it.
+        self._db_path = db_path
+        self._lease_depth = 0
+        self._lease_fd = None
         self.index_schema: Dict[str, str] = {}
         # rtree planning acceleration (opt-in): per listed NUMERIC
         # column, a SQLite R-tree over the per-row-group [min, max]
@@ -369,21 +378,72 @@ class SqliteIndexCatalog:
         still works, and a verb that nests another verb (merge's
         delete half) re-enters freely. Readers never take the lease.
 
-        RESIDUAL WINDOW (documented contract): the lease is
-        per-process. Two separate processes writing the same catalog
-        database are serialized only by the CAS itself — a process
-        that begins after another's CAS can still mutate concurrently
-        with the first's mutation phase. Cross-process deployments
-        should route all DML through one writer process (the Delta
-        "single cluster writes" posture) or wrap verbs in
-        ``with_commit_retries`` and verify post-hoc."""
+        CROSS-PROCESS (round 13, VERDICT r12 ask #3): for file-backed
+        catalogs the lease is ALSO held across processes — an OS
+        advisory ``flock(2)`` on ``<db_path>.writer.lock``, acquired
+        when the outermost in-process lease is taken and released with
+        it (a depth counter keeps reentrant verbs from dropping the
+        file lock early). The kernel releases the flock if the holder
+        process dies, so no expiry bookkeeping is needed. A hung
+        holder surfaces as a NAMED timeout error after
+        ``LEASE_TIMEOUT_S``. ``:memory:`` catalogs skip the file lock
+        (single-process by construction). The DB-API backend overrides
+        the two hooks with a lease ROW + expiry + fencing token (no
+        shared filesystem there)."""
         import contextlib
 
         @contextlib.contextmanager
         def cm():
             with self._writer_lease:
-                yield
+                if self._lease_depth == 0:
+                    self._acquire_process_lease()
+                self._lease_depth += 1
+                try:
+                    yield
+                finally:
+                    self._lease_depth -= 1
+                    if self._lease_depth == 0:
+                        self._release_process_lease()
         return cm()
+
+    # seconds to wait for another PROCESS's writer lease before
+    # raising — generous: mutation phases are sub-second; only a hung
+    # or wedged holder ever gets near this
+    LEASE_TIMEOUT_S = 60.0
+
+    def _acquire_process_lease(self) -> None:
+        if self._db_path in (None, "", ":memory:"):
+            return
+        try:
+            import fcntl
+        except ImportError:          # non-POSIX: in-process lease only
+            return
+        import os
+        import time
+
+        if self._lease_fd is None:
+            self._lease_fd = os.open(self._db_path + ".writer.lock",
+                                     os.O_RDWR | os.O_CREAT, 0o644)
+        deadline = time.monotonic() + self.LEASE_TIMEOUT_S
+        while True:
+            try:
+                fcntl.flock(self._lease_fd,
+                            fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return
+            except OSError:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"writer lease on {self._db_path}.writer.lock "
+                        f"not acquired within {self.LEASE_TIMEOUT_S}s "
+                        f"— another process holds it (hung writer?)")
+                time.sleep(0.01)
+
+    def _release_process_lease(self) -> None:
+        if self._lease_fd is None:
+            return
+        import fcntl
+
+        fcntl.flock(self._lease_fd, fcntl.LOCK_UN)
 
     def _existing_columns(self, table: str) -> set:
         return {r[1] for r in self._query(f"PRAGMA table_info({table})")}
@@ -1954,6 +2014,16 @@ class DBAPIIndexCatalog(SqliteIndexCatalog):
         self._conn = connect()
         self._lock = threading.RLock()
         self._writer_lease = threading.RLock()   # see mutation_lease()
+        self._db_path = None                     # no file -> row lease
+        self._lease_depth = 0
+        self._lease_fd = None
+        import os
+        import socket
+        import uuid
+
+        self._lease_holder = (f"{socket.gethostname()}:{os.getpid()}:"
+                              f"{uuid.uuid4().hex[:8]}")
+        self.lease_fence: Optional[int] = None
         self.index_schema: Dict[str, str] = {}
         self._paramstyle = paramstyle
         self._pk = pk_autoinc
@@ -2014,6 +2084,87 @@ class DBAPIIndexCatalog(SqliteIndexCatalog):
                 return {d[0] for d in cur.description or ()}
             finally:
                 cur.close()
+
+    # -- cross-process writer lease: lease ROW with expiry + fencing
+    # token (VERDICT r12 ask #3). A server database has no shared
+    # filesystem for flock, so the lease is a single row claimed by an
+    # atomic conditional UPDATE; the fence increments on every
+    # acquisition (monotonic token, recorded on self.lease_fence for
+    # post-hoc diagnosis). Expiry bounds a CRASHED holder's lock-out
+    # to LEASE_TTL_S; the classic lease caveat applies — a holder
+    # paused longer than the TTL can interleave with the stealer —
+    # so the TTL is set far above any real mutation phase. Clocks:
+    # expiry compares the acquirer's clock against the previous
+    # holder's stamp; multi-host deployments need loosely-synced
+    # clocks (NTP-class skew ≪ TTL is fine).
+
+    LEASE_TTL_S = 300.0
+
+    def _acquire_process_lease(self) -> None:
+        import time
+
+        self._exec(
+            """CREATE TABLE IF NOT EXISTS writer_lease (
+                   id INTEGER PRIMARY KEY,
+                   holder TEXT,
+                   fence BIGINT NOT NULL,
+                   expires_at_ns BIGINT)""")
+        try:
+            self._exec("""INSERT INTO writer_lease
+                              (id, holder, fence, expires_at_ns)
+                          VALUES (1, NULL, 0, NULL)""")
+            self._conn.commit()
+        except Exception:
+            self._conn.rollback()     # row exists — fine
+        deadline = time.monotonic() + self.LEASE_TIMEOUT_S
+        while True:
+            now = time.time_ns()
+            exp = now + int(self.LEASE_TTL_S * 1e9)
+            try:
+                with self._txn():
+                    self._exec(
+                        """UPDATE writer_lease
+                           SET holder = ?, fence = fence + 1,
+                               expires_at_ns = ?
+                           WHERE id = 1 AND (holder IS NULL
+                                 OR holder = ?
+                                 OR expires_at_ns < ?)""",
+                        (self._lease_holder, exp,
+                         self._lease_holder, now))
+                got = self._query(
+                    "SELECT holder, fence FROM writer_lease "
+                    "WHERE id = 1")
+            except Exception:
+                # transient write contention (e.g. sqlite "database
+                # is locked" under two claimants) — treat as not
+                # acquired and retry inside the deadline
+                got = None
+            if got and got[0][0] == self._lease_holder:
+                self.lease_fence = int(got[0][1])
+                return
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"writer lease row not acquired within "
+                    f"{self.LEASE_TIMEOUT_S}s — held by "
+                    f"{got[0][0] if got else '?'} (hung writer?)")
+            time.sleep(0.02)
+
+    def _release_process_lease(self) -> None:
+        import time
+
+        for attempt in range(5):
+            try:
+                with self._txn():
+                    self._exec(
+                        """UPDATE writer_lease
+                           SET holder = NULL, expires_at_ns = NULL
+                           WHERE id = 1 AND holder = ?""",
+                        (self._lease_holder,))
+                return
+            except Exception:
+                # contended release: retry briefly; a stuck release
+                # is bounded by the TTL anyway
+                time.sleep(0.02 * (attempt + 1))
 
     def _pk_autoinc(self) -> str:
         return self._pk

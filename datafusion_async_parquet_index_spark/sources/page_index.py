@@ -357,15 +357,89 @@ def read_footer_index_locations(path: str) -> List[dict]:
     return out
 
 
+# catalog-size lever (VERDICT r12 ask #4): page_statistics grows as
+# files x row-groups x pages per opted-in column. Normal writers emit
+# ~1 MB pages (tens per row group); a pathological tiny-page writer
+# could emit thousands. Chunks past this cap are COALESCED — adjacent
+# pages merged pairwise (span union, bound union, null-count sum) —
+# which only ever WIDENS what a page admits: refutation stays sound,
+# precision degrades gracefully instead of the catalog exploding.
+MAX_PAGES_PER_CHUNK = 256
+
+
+def _merge_pages(a: PageStats, b: PageStats, idx: int) -> PageStats:
+    """Union of two ADJACENT pages; unknown (None) bounds stay
+    unknown, a null_page contributes no bounds, null counts add when
+    both known (a null_page with no recorded count is all-null by
+    definition: row_count)."""
+    both_null = a.null_page and b.null_page
+
+    def bound(pick):
+        cands = []
+        for p in (a, b):
+            if p.null_page:
+                continue
+            v = pick(p)
+            if v is None:
+                return None          # unknown part -> unknown union
+            cands.append(v)
+        return (pick(a) if not cands else
+                (min(cands) if pick is _get_min else max(cands)))
+
+    def nulls(p):
+        if p.null_count is not None:
+            return p.null_count
+        return p.row_count if p.null_page else None
+
+    na, nb = nulls(a), nulls(b)
+    return PageStats(
+        page=idx,
+        first_row=a.first_row,
+        row_count=a.row_count + b.row_count,
+        min_value=None if both_null else bound(_get_min),
+        max_value=None if both_null else bound(_get_max),
+        null_page=both_null,
+        null_count=None if na is None or nb is None else na + nb,
+    )
+
+
+def _get_min(p: PageStats):
+    return p.min_value
+
+
+def _get_max(p: PageStats):
+    return p.max_value
+
+
+def _coalesce_pages(stats: List[PageStats],
+                    cap: int) -> List[PageStats]:
+    while len(stats) > cap:
+        merged: List[PageStats] = []
+        for i in range(0, len(stats) - 1, 2):
+            merged.append(_merge_pages(stats[i], stats[i + 1],
+                                       len(merged)))
+        if len(stats) % 2:
+            last = stats[-1]
+            merged.append(PageStats(len(merged), last.first_row,
+                                    last.row_count, last.min_value,
+                                    last.max_value, last.null_page,
+                                    last.null_count))
+        stats = merged
+    return stats
+
+
 def extract_file_page_stats(
-    path: str, columns: Tuple[str, ...]
+    path: str, columns: Tuple[str, ...],
+    max_pages_per_chunk: int = MAX_PAGES_PER_CHUNK,
 ) -> Dict[Tuple[int, str], List[PageStats]]:
     """{(row_group, column): [PageStats...]} for the requested columns
     of one file. Columns whose chunks carry no page index, or whose
     physical type is outside the sound-decode set (floats are
     deliberately excluded — module docstring), are simply absent:
     the pruning consumer treats absence as "no page tier, keep the
-    whole row group", so this can only ever refine, never drop."""
+    whole row group", so this can only ever refine, never drop.
+    Chunks with more than ``max_pages_per_chunk`` pages are coalesced
+    (sound widening — see MAX_PAGES_PER_CHUNK)."""
     if not columns:
         return {}
     wanted = set(columns)
@@ -413,5 +487,8 @@ def extract_file_page_stats(
                     null_count=(int(null_counts[i])
                                 if null_counts is not None else None),
                 ))
+            if (max_pages_per_chunk
+                    and len(stats) > max_pages_per_chunk):
+                stats = _coalesce_pages(stats, max_pages_per_chunk)
             out[(loc["rg"], loc["column"])] = stats
     return out

@@ -204,6 +204,9 @@ def probe_tier_c(n_files: int = 1_000_000, readers: int = 32,
         import threading as _th
         c._lock = _th.RLock()
         c._writer_lease = _th.RLock()
+        c._db_path = path          # cross-process flock lease (r13)
+        c._lease_depth = 0
+        c._lease_fd = None
         c.index_schema = {"v": "int"}
         c.rtree_columns = ("v",)
         c._rtree_active = ["v"]

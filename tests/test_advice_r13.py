@@ -204,6 +204,61 @@ def test_truncated_column_index_lists_skip_chunk(tmp_path):
     assert (0, "b") in ps              # intact column still served
 
 
+# -- page-row size lever: coalescing cap (VERDICT r12 ask #4) -----------
+
+def test_tiny_page_chunks_coalesce_soundly(tmp_path):
+    """A pathological tiny-page writer (50 rows/page -> 40 pages/rg)
+    is capped by MAX_PAGES_PER_CHUNK coalescing: fewer persisted
+    pages, spans exactly tile the row group, bounds only WIDEN (every
+    original page's bounds are contained), so pruning stays sound."""
+    from datafusion_async_parquet_index_spark.sources.page_index import (
+        _coalesce_pages,
+    )
+    n = 2_000
+    t = pa.table({"k": pa.array(range(n), pa.int64()),
+                  "nul": pa.array([None if i % 3 else i
+                                   for i in range(n)], pa.int64())})
+    p = str(tmp_path / "tiny.parquet")
+    pq.write_table(t, p, row_group_size=n, data_page_size=64,
+                   write_batch_size=50, write_page_index=True)
+    full = extract_file_page_stats(p, ("k", "nul"),
+                                   max_pages_per_chunk=0)
+    capped = extract_file_page_stats(p, ("k", "nul"),
+                                     max_pages_per_chunk=8)
+    for key, orig in full.items():
+        assert len(orig) > 8, "fixture must exceed the cap"
+        small = capped[key]
+        assert len(small) <= 8
+        # spans tile the row group in order
+        assert small[0].first_row == 0
+        assert sum(x.row_count for x in small) == n
+        # every original page's bounds are CONTAINED in some merged
+        # page covering its span (widening, never narrowing)
+        for o in orig:
+            m = next(x for x in small
+                     if x.first_row <= o.first_row
+                     < x.first_row + x.row_count)
+            if not o.null_page and o.min_value is not None:
+                assert m.min_value is None or m.min_value <= o.min_value
+                assert m.max_value is None or m.max_value >= o.max_value
+        # null counts add up exactly when all parts were known
+        tot_orig = sum((x.null_count if x.null_count is not None
+                        else (x.row_count if x.null_page else 0))
+                       for x in orig)
+        tot_small = sum((x.null_count or 0) for x in small)
+        assert tot_small == tot_orig
+    # direct unit check: merging all-null + known pages
+    from datafusion_async_parquet_index_spark.sources.page_index import (
+        PageStats,
+    )
+    a = PageStats(0, 0, 10, None, None, True, None)
+    b = PageStats(1, 10, 10, 5, 9, False, 2)
+    merged = _coalesce_pages([a, b], 1)[0]
+    assert (merged.min_value, merged.max_value) == (5, 9)
+    assert merged.null_count == 12 and not merged.null_page
+    assert merged.row_count == 20
+
+
 # -- 3./4. JPEG codec edge contracts ------------------------------------
 
 def test_encode_jpeg_out_of_range_category_raises_named(spark):

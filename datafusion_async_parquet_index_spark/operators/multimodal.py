@@ -1255,7 +1255,12 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     from .util import spread_for_compute
-    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    # cost tracks ROWS (per-row codec work), not bytes: byte-sized
+    # tasks serialize a small-at-SF input onto ONE core (measured
+    # 8.5 s -> sub-second on the 4:2:0 row at sf0.1). Full
+    # parallelism is a no-op at 100 TB, where the scan already
+    # carries more partitions than cores.
+    spread = spread_for_compute(docs)
     hashed = spread.mapInPandas(_hash, schema=StructType([
         StructField("doc_id", LongType()),
         StructField("ahash", StringType()),
@@ -1553,7 +1558,12 @@ def synthesize_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "payload": payloads})
 
     from .util import spread_for_compute
-    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    # cost tracks ROWS (per-row codec work), not bytes: byte-sized
+    # tasks serialize a small-at-SF input onto ONE core (measured
+    # 8.5 s -> sub-second on the 4:2:0 row at sf0.1). Full
+    # parallelism is a no-op at 100 TB, where the scan already
+    # carries more partitions than cores.
+    spread = spread_for_compute(docs)
     return spread.mapInPandas(_make, schema=BMP_SCHEMA)
 
 
@@ -2725,7 +2735,12 @@ def synthesize_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "payload": payloads})
 
     from .util import spread_for_compute
-    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    # cost tracks ROWS (per-row codec work), not bytes: byte-sized
+    # tasks serialize a small-at-SF input onto ONE core (measured
+    # 8.5 s -> sub-second on the 4:2:0 row at sf0.1). Full
+    # parallelism is a no-op at 100 TB, where the scan already
+    # carries more partitions than cores.
+    spread = spread_for_compute(docs)
     return spread.mapInPandas(_make, schema=BMP_SCHEMA)
 
 
@@ -2836,7 +2851,12 @@ def mm_jpeg_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     from .util import spread_for_compute
-    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    # cost tracks ROWS (per-row codec work), not bytes: byte-sized
+    # tasks serialize a small-at-SF input onto ONE core (measured
+    # 8.5 s -> sub-second on the 4:2:0 row at sf0.1). Full
+    # parallelism is a no-op at 100 TB, where the scan already
+    # carries more partitions than cores.
+    spread = spread_for_compute(docs)
     hashed = spread.mapInPandas(_hash, schema=StructType([
         StructField("doc_id", LongType()),
         StructField("ahash", StringType()),
@@ -2930,7 +2950,12 @@ def synthesize_jpeg420_media(spark: SparkSession, sf_dir: str
                                 "payload": payloads})
 
     from .util import spread_for_compute
-    spread = spread_for_compute(docs, bytes_per_task=64 << 20)
+    # cost tracks ROWS (per-row codec work), not bytes: byte-sized
+    # tasks serialize a small-at-SF input onto ONE core (measured
+    # 8.5 s -> sub-second on the 4:2:0 row at sf0.1). Full
+    # parallelism is a no-op at 100 TB, where the scan already
+    # carries more partitions than cores.
+    spread = spread_for_compute(docs)
     return spread.mapInPandas(_make, schema=BMP_SCHEMA)
 
 

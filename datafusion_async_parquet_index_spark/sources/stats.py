@@ -880,8 +880,16 @@ def build_index(
             results = list(ex.map(_extract, files))
     else:
         results = [_extract(p) for p in files]
-    for fs, rgs, blooms, sums, hists, ndvs, dicts, topks, pages in results:
-        catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums, hists=hists,
-                            ndvs=ndvs, dicts=dicts, topks=topks,
-                            pages=pages)
+    bulk = getattr(catalog, "upsert_files", None)
+    if bulk is not None:
+        # one transaction per 1000 files: the per-file commit was the
+        # driver-side serialization at 1M-file onboarding (r12 tier-C
+        # measured ~400 files/s through per-file upsert_file)
+        bulk(results)
+    else:
+        for (fs, rgs, blooms, sums, hists, ndvs, dicts, topks,
+             pages) in results:
+            catalog.upsert_file(fs, rgs, blooms=blooms, sums=sums,
+                                hists=hists, ndvs=ndvs, dicts=dicts,
+                                topks=topks, pages=pages)
     return schema

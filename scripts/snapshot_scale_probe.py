@@ -329,10 +329,136 @@ def probe_tier_c(n_files: int = 1_000_000, readers: int = 32,
     return out
 
 
+def probe_tier_d(n_files: int = 1_000_000, pages_per_rg: int = 10,
+                 rgs_per_file: int = 2) -> dict:
+    """VERDICT r12 asks #4 + #7 — the PAGE TIER at catalog scale and
+    onboarding ingest throughput, measured:
+
+    - a 1M-file catalog built through the PUBLIC bulk path
+      (upsert_files, round 13) WITH page rows for one opted-in column
+      (pages_per_rg pages x rgs_per_file row groups per file = 20
+      page rows/file -> 20M page_statistics rows at 1M files);
+    - page_statistics row count and byte share (sqlite dbstat);
+    - plan-shaped latency with the page tier engaged: get_files for a
+      selective point predicate, then get_page_stats for the
+      survivors (exactly _page_refine's catalog round-trip);
+    - ingest throughput comparison: per-file upsert_file (one txn per
+      file, the r12 tier-C path measured at ~400 files/s) vs the
+      bulk upsert_files path, on a 2k-file sample each.
+    """
+    import random
+    import statistics
+    import tempfile
+
+    from datafusion_async_parquet_index_spark.plans.expr import col
+    from datafusion_async_parquet_index_spark.plans.pruning import (
+        PruningRewriter,
+    )
+    from datafusion_async_parquet_index_spark.sources.page_index import (
+        PageStats,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="pageprobe_"), "cat.db")
+    cat = SqliteIndexCatalog(path)
+    cat.initialize({"v": "int"})
+    rows_per_page = ROWS_PER_RG // pages_per_rg
+
+    def gen_item(f: int):
+        base = f * rgs_per_file * ROWS_PER_RG
+        rgs = []
+        pages = {}
+        for rg in range(rgs_per_file):
+            lo = base + rg * ROWS_PER_RG
+            rgs.append(RowGroupStats(
+                row_group=rg, row_count=ROWS_PER_RG,
+                columns={"v": (0, lo, lo + ROWS_PER_RG - 1)}))
+            pages[(rg, "v")] = [
+                PageStats(p, p * rows_per_page, rows_per_page,
+                          lo + p * rows_per_page,
+                          lo + (p + 1) * rows_per_page - 1, False, 0)
+                for p in range(pages_per_rg)]
+        fs = FileStats(f"f{f:07d}.parquet", 100 << 20, rgs_per_file,
+                       rgs_per_file * ROWS_PER_RG, mtime_ns=1_000 + f,
+                       footer_md5=f"md5_{f:07d}")
+        return (fs, rgs, None, None, None, None, None, None, pages)
+
+    t0 = time.perf_counter()
+    cat.upsert_files(gen_item(f) for f in range(n_files))
+    bulk_build_s = time.perf_counter() - t0
+
+    n_page_rows = cat._query(
+        "SELECT COUNT(*) FROM page_statistics")[0][0]
+    db_bytes = os.path.getsize(path)
+    try:
+        page_bytes = cat._query(
+            "SELECT SUM(pgsize) FROM dbstat WHERE name IN "
+            "('page_statistics', "
+            "'sqlite_autoindex_page_statistics_1')")[0][0]
+    except Exception:
+        page_bytes = None
+
+    # plan-shaped latency: point predicate -> surviving files ->
+    # page rows for them (the _page_refine round-trip)
+    rewriter = PruningRewriter({"v": "int"})
+    domain = n_files * rgs_per_file * ROWS_PER_RG
+    rng = random.Random(13)
+    plan_lat, page_lat, pages_fetched = [], [], []
+    for _ in range(30):
+        x = rng.randrange(domain)
+        pred = rewriter.rewrite(col("v") == x)
+        a = time.perf_counter()
+        hits = cat.get_files(pred)
+        plan_lat.append(time.perf_counter() - a)
+        names = [h[0] for h in hits]
+        a = time.perf_counter()
+        pg = cat.get_page_stats(names, ["v"])
+        page_lat.append(time.perf_counter() - a)
+        pages_fetched.append(sum(len(v) for v in pg.values()))
+
+    # ingest throughput comparison on fresh 2k-file samples
+    def sample_items(start, n):
+        return [gen_item(start + i) for i in range(n)]
+
+    items = sample_items(n_files, 2_000)
+    t0 = time.perf_counter()
+    for it in items:
+        cat.upsert_file(it[0], it[1], pages=it[8])
+    perfile_s = time.perf_counter() - t0
+    items = sample_items(n_files + 2_000, 2_000)
+    t0 = time.perf_counter()
+    cat.upsert_files(items)
+    bulk_s = time.perf_counter() - t0
+
+    def pct(v, q):
+        return statistics.quantiles(v, n=100)[q - 1]
+
+    return {
+        "tier": "D", "files": n_files,
+        "page_rows": n_page_rows,
+        "db_bytes": db_bytes,
+        "page_statistics_bytes": page_bytes,
+        "bulk_build_s": round(bulk_build_s, 1),
+        "bulk_build_files_per_s": round(n_files / bulk_build_s, 1),
+        "plan_get_files_ms_p50": round(
+            1e3 * statistics.median(plan_lat), 3),
+        "plan_get_files_ms_p99": round(1e3 * pct(plan_lat, 99), 3),
+        "page_fetch_ms_p50": round(
+            1e3 * statistics.median(page_lat), 3),
+        "page_fetch_ms_p99": round(1e3 * pct(page_lat, 99), 3),
+        "pages_fetched_mean": round(
+            sum(pages_fetched) / len(pages_fetched), 1),
+        "upsert_perfile_files_per_s": round(2_000 / perfile_s, 1),
+        "upsert_bulk_files_per_s": round(2_000 / bulk_s, 1),
+    }
+
+
 if __name__ == "__main__":
     files_a = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     snaps_b = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
-    if len(sys.argv) > 3 and sys.argv[3] == "tierC":
+    if len(sys.argv) > 3 and sys.argv[3] == "tierD":
+        files_d = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+        print(json.dumps(probe_tier_d(files_d)))
+    elif len(sys.argv) > 3 and sys.argv[3] == "tierC":
         files_c = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
         print(json.dumps(probe_tier_c(files_c)))
     else:

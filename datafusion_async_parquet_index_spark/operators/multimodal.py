@@ -3030,6 +3030,108 @@ MM_DECODE_JPEG420_SQL = """
 """
 
 
+def synthesize_jpeg422_media(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """4:2:2 variant of the subsampled-JPEG corpus (round 13): MCUs
+    are 16x8 (2 Y blocks + 1 Cb + 1 Cr), horizontal-only chroma
+    downsample. Same fixed-point construction as the 4:2:0 corpus —
+    per-MCU constant gray RGB, all-ones quant, restart_interval=2 —
+    so the lossy round-trip is exact and the oracle recomputes
+    decoded pixels relationally. Dims: nmx = 1 + doc_id % 3 MCUs
+    across, nmy = 1 + (doc_id // 3) % 2 8-row MCU rows."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = [1] * 64
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                did = int(doc_id)
+                nmx = 1 + did % 3
+                nmy = 1 + (did // 3) % 2
+                idx = np.arange(nmy * nmx) % len(b)
+                vals = np.frombuffer(b, dtype=np.uint8)[idx]
+                gray = np.kron(vals.reshape(nmy, nmx),
+                               np.ones((8, 16), dtype=np.uint8))
+                img = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(encode_jpeg(
+                    img, quant=ones, subsampling="422",
+                    restart_interval=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "payload": payloads})
+
+    from .util import spread_for_compute
+    # per-row codec work: spread by rows (see synthesize_jpeg420_media)
+    spread = spread_for_compute(docs)
+    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+
+
+def mm_decode_jpeg422_stats(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Per-image statistics decoded out of REAL 4:2:2 JPEGs with
+    restart markers — the 2x1-sampling sibling of
+    mm_decode_jpeg420_stats, pinning the horizontal-only chroma
+    alignment and the 2-blocks-per-MCU Y interleave the 4:2:0 row
+    cannot see. Arrow-batched mapInPandas; linear, no shuffle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "n_mcus",
+                                   "pix_sum", "pix_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_jpeg(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 101)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(px.shape[2])
+                out["n_mcus"].append((w // 16) * (h // 8))
+                out["pix_sum"].append(int(flat.sum()))
+                out["pix_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_jpeg422_media(spark, sf_dir)
+    return media.mapInPandas(_stats, schema=JPEG420_STATS_SCHEMA)
+
+
+# Oracle: decoded pixel (x, y) = text byte of MCU
+# (y // 8) * nmx + (x // 16), mod len(text), on every channel —
+# same folding of the channel weights as the 4:2:0 oracle.
+MM_DECODE_JPEG422_SQL = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               CAST(1 + doc_id % 3 AS INT) AS nmx,
+               CAST(1 + (doc_id // 3) % 2 AS INT) AS nmy
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nmx * 16 AS INT) AS width,
+           CAST(nmy * 8 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(nmx * nmy AS INT) AS n_mcus,
+           CAST(3 * list_sum(list_transform(range(0, nmx * nmy * 128),
+                p -> ord(substr(text,
+                     CAST(1 + (((p // (nmx * 16)) // 8) * nmx
+                               + ((p % (nmx * 16)) // 16)) % L AS INT),
+                     1)))) AS BIGINT) AS pix_sum,
+           CAST(list_sum(list_transform(range(0, nmx * nmy * 128),
+                p -> ord(substr(text,
+                     CAST(1 + (((p // (nmx * 16)) // 8) * nmx
+                               + ((p % (nmx * 16)) // 16)) % L AS INT),
+                     1)) * (3 + (3 * p) % 101 + (3 * p + 1) % 101
+                            + (3 * p + 2) % 101)))
+                AS BIGINT) AS pix_wsum
+    FROM m
+"""
+
+
 MP4_META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("brand", StringType()),
@@ -3160,6 +3262,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_mp4_metadata": mm_mp4_metadata,
     "mm_jpeg_ahash_dedup": mm_jpeg_ahash_dedup,
     "mm_decode_jpeg420_stats": mm_decode_jpeg420_stats,
+    "mm_decode_jpeg422_stats": mm_decode_jpeg422_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -3195,4 +3298,5 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # round 13: the real-world JPEG envelope — 4:2:0 chroma
     # subsampling + DRI restart markers, fixed-point corpus
     "mm_decode_jpeg420_stats": MM_DECODE_JPEG420_SQL,
+    "mm_decode_jpeg422_stats": MM_DECODE_JPEG422_SQL,
 }

@@ -430,7 +430,7 @@ def _coalesce_pages(stats: List[PageStats],
 
 def extract_file_page_stats(
     path: str, columns: Tuple[str, ...],
-    max_pages_per_chunk: int = MAX_PAGES_PER_CHUNK,
+    max_pages_per_chunk: Optional[int] = None,
 ) -> Dict[Tuple[int, str], List[PageStats]]:
     """{(row_group, column): [PageStats...]} for the requested columns
     of one file. Columns whose chunks carry no page index, or whose
@@ -442,6 +442,8 @@ def extract_file_page_stats(
     (sound widening — see MAX_PAGES_PER_CHUNK)."""
     if not columns:
         return {}
+    if max_pages_per_chunk is None:
+        max_pages_per_chunk = MAX_PAGES_PER_CHUNK   # call-time lookup
     wanted = set(columns)
     locs = [l for l in read_footer_index_locations(path)
             if l["column"] in wanted

@@ -259,6 +259,31 @@ def test_tiny_page_chunks_coalesce_soundly(tmp_path):
     assert merged.row_count == 20
 
 
+def test_page_tier_timestamp_with_coalescing_end_to_end(
+        spark, tmp_path, monkeypatch):
+    """Composition: a tiny-page ms-unit timestamp file indexed UNDER
+    the coalescing cap still answers range queries exactly through
+    the page tier (widened bounds keep soundness; the tier still
+    prunes rows)."""
+    import datafusion_async_parquet_index_spark.sources.page_index as pi
+    monkeypatch.setattr(pi, "MAX_PAGES_PER_CHUNK", 4)
+    d = str(tmp_path / "tscap")
+    os.makedirs(d)
+    _write_ts(os.path.join(d, "a.parquet"), "ms", n=4_000, rg=2_000,
+              page_rows=100)          # 20 pages/rg -> coalesced to <=4
+    t = IndexedParquetTable(
+        spark, d, ["ts", "k"], catalog=SqliteIndexCatalog(),
+        page_index_columns=["ts"])
+    pg = t.catalog.get_page_stats(["a.parquet"], ["ts"])
+    assert pg and all(len(v) <= 4 for v in pg.values())
+    lo = dt.datetime(2020, 1, 1, 10, 0)
+    hi = dt.datetime(2020, 1, 1, 11, 0)
+    pred = (col("ts") >= lit(lo)) & (col("ts") < lit(hi))
+    got = sorted(r["k"] for r in t.query(pred, mode="rowgroups").collect())
+    assert t.last_scan.page_rows_skipped > 0, t.last_scan.describe()
+    assert got == list(range(600, 660))
+
+
 # -- 3./4. JPEG codec edge contracts ------------------------------------
 
 def test_encode_jpeg_out_of_range_category_raises_named(spark):

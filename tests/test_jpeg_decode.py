@@ -302,6 +302,41 @@ def test_block_constant_roundtrip_exact(nbx, nby, seed):
     assert (out[:, :, 0] == img).all()
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.integers(8, 24), st.integers(8, 24),
+       st.sampled_from(["444", "422", "420"]), st.integers(0, 2),
+       st.integers(0, 2 ** 32 - 1))
+def test_envelope_fuzz_matches_reference(w, h, sub, ri, seed):
+    """Randomized cross-validation across the WHOLE envelope: random
+    RGB content x random ragged dims x subsampling x restart
+    interval, engine decoder == independent reference decoder,
+    bit-exact."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    payload = encode_jpeg(img, subsampling=sub, restart_interval=ri)
+    w1, h1, px1 = decode_jpeg(payload)
+    w2, h2, px2 = _ref_decode_jpeg(payload)
+    assert (w1, h1) == (w2, h2) == (w, h)
+    assert (px1 == px2).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 3),
+       st.integers(0, 2 ** 32 - 1))
+def test_mcu_constant_422_roundtrip_exact(nmx, nmy, ri, seed):
+    """The 4:2:2 fixed point (16x8 MCUs, horizontal-only chroma):
+    per-MCU constant gray RGB + all-ones quant round-trips EXACTLY."""
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, size=(nmy, nmx)).astype(np.uint8)
+    gray = np.kron(vals, np.ones((8, 16), dtype=np.uint8))
+    img = np.stack([gray] * 3, axis=-1)
+    payload = encode_jpeg(img, quant=[1] * 64, subsampling="422",
+                          restart_interval=ri)
+    w, h, out = decode_jpeg(payload)
+    assert (w, h) == (nmx * 16, nmy * 8)
+    assert (out == img).all()
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 3),
        st.integers(0, 2 ** 32 - 1))
@@ -434,6 +469,30 @@ def test_mm_decode_jpeg420_stats_matches_driver(spark, sf_dir):
         g = got[row["doc_id"]]
         assert (g["width"], g["height"]) == (w, h)
         assert g["channels"] == 3
+        assert g["pix_sum"] == int(flat.sum())
+        assert g["pix_wsum"] == int((flat * weights).sum())
+
+
+def test_mm_decode_jpeg422_stats_matches_driver(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        mm_decode_jpeg422_stats,
+        synthesize_jpeg422_media,
+    )
+    media = synthesize_jpeg422_media(spark, sf_dir).orderBy("doc_id")
+    sample = media.limit(12).collect()
+    got = {r["doc_id"]: r for r in
+           mm_decode_jpeg422_stats(spark, sf_dir).collect()}
+    for row in sample:
+        payload = bytes(row["payload"])
+        # the corpus really is 4:2:2 (Y sampling byte 0x21) with DRI
+        j = payload.index(b"\xff\xc0")
+        assert payload[j + 11] == 0x21
+        assert b"\xff\xdd" in payload
+        w, h, px = decode_jpeg(payload)
+        flat = px.reshape(-1).astype(np.int64)
+        weights = 1 + (np.arange(flat.size) % 101)
+        g = got[row["doc_id"]]
+        assert (g["width"], g["height"]) == (w, h)
         assert g["pix_sum"] == int(flat.sum())
         assert g["pix_wsum"] == int((flat * weights).sum())
 

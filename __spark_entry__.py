@@ -40,6 +40,7 @@ _ROUND_PRIORITY = [
     # tier 1: round-13 landings, inserted AT THE HEAD as they land.
     "mm_decode_jpeg420_stats",
     "mm_decode_jpeg422_stats",
+    "mm_decode_jpeg_prog_stats",
     # tier 2: the 13 round-8-stale entries the verdict names, then the
     #   stalest r9 greens filling to 50.
     "dedup_exact",

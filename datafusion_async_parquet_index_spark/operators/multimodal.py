@@ -1983,7 +1983,8 @@ def _jpeg_mcu_blocks(plane, mcus_y: int, mcus_x: int,
 
 
 def encode_jpeg(img, quant=None, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Serialize an (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB
     uint8 array as a BASELINE SEQUENTIAL JPEG (ITU T.81): JFIF APP0,
     8-bit DQT(s), SOF0, Annex K Huffman tables, one interleaved
@@ -1993,7 +1994,15 @@ def encode_jpeg(img, quant=None, subsampling: str = "444",
     chroma downsampling; grayscale is always a single 1x1 component.
     ``restart_interval`` > 0 writes a DRI segment and emits RSTn
     markers every that-many MCUs (DC predictors reset, bit stream
-    byte-aligned — T.81 E.1.4). ``quant`` overrides the luminance
+    byte-aligned — T.81 E.1.4). ``progressive`` (round 13) emits a
+    PROGRESSIVE (SOF2) stream instead: an interleaved DC first scan
+    with successive approximation (Al=1), a DC refinement scan (one
+    raw bit per block), then per component an AC spectral-selection
+    first scan (band 1..63, Al=1, EOB-run coded) and an AC
+    refinement scan (T.81 G.1.2.3 correction bits) — a lossless
+    re-encoding of the same quantized coefficients, so decoded
+    pixels are BIT-IDENTICAL to the baseline encoding of the same
+    image (the test oracle). ``quant`` overrides the luminance
     quantization table (64 raster-order ints; pass all ones for
     near-lossless DC behavior — the oracle corpus uses that with
     per-block-constant images, making the lossy codec exactly
@@ -2053,25 +2062,37 @@ def encode_jpeg(img, quant=None, subsampling: str = "444",
         q = _jpeg_quantize(dct, qtabs[ci][None])
         comp_coeffs.append(q.reshape(-1, 64)[:, zz])
 
-    entropy = bytearray()
-    bw = _JpegBitWriter()
-    pred = [0] * ncomp
-    rst = 0
-    for mc in range(mcus_y * mcus_x):
-        if restart_interval and mc and mc % restart_interval == 0:
-            entropy += bw.flush()
-            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            bw = _JpegBitWriter()
-            pred = [0] * ncomp
+    if progressive:
+        scans = _jpeg_progressive_scans(
+            comp_coeffs, samp, ncomp, mcus_y, mcus_x, w, h, hmax,
+            vmax, dc_tabs, ac_tabs, restart_interval)
+    else:
+        entropy = bytearray()
+        bw = _JpegBitWriter()
+        pred = [0] * ncomp
+        rst = 0
+        for mc in range(mcus_y * mcus_x):
+            if restart_interval and mc and mc % restart_interval == 0:
+                entropy += bw.flush()
+                entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                bw = _JpegBitWriter()
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                tsel = 0 if ci == 0 else 1
+                dct_t, act_t = dc_tabs[tsel], ac_tabs[tsel]
+                for bsub in range(vi * hi):
+                    coefs = comp_coeffs[ci][mc * vi * hi + bsub]
+                    _jpeg_encode_block(bw, coefs, dct_t, act_t,
+                                       pred, ci)
+        entropy += bw.flush()
+        sos = bytes([ncomp])
         for ci in range(ncomp):
-            hi, vi = samp[ci]
             tsel = 0 if ci == 0 else 1
-            dct_t, act_t = dc_tabs[tsel], ac_tabs[tsel]
-            for bsub in range(vi * hi):
-                coefs = comp_coeffs[ci][mc * vi * hi + bsub]
-                _jpeg_encode_block(bw, coefs, dct_t, act_t, pred, ci)
-    entropy += bw.flush()
+            sos += bytes([ci + 1, tsel * 16 + tsel])
+        sos += bytes([0, 63, 0])
+        scans = [(sos, bytes(entropy))]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -2086,7 +2107,7 @@ def encode_jpeg(img, quant=None, subsampling: str = "444",
     for ci in range(ncomp):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
                       0 if ci == 0 else 1])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     hts = [(0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA)]
     if ncomp == 3:
         hts += [(0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA)]
@@ -2094,15 +2115,171 @@ def encode_jpeg(img, quant=None, subsampling: str = "444",
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(huffval))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tsel = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, tsel * 16 + tsel])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += entropy
+    for sos_payload, entropy_bytes in scans:
+        out += seg(0xFFDA, sos_payload)
+        out += entropy_bytes
     out += b"\xFF\xD9"                       # EOI
     return bytes(out)
+
+
+def _jpeg_progressive_scans(comp_coeffs, samp, ncomp, mcus_y, mcus_x,
+                            w, h, hmax, vmax, dc_tabs, ac_tabs, ri):
+    """Progressive scan script (T.81 Annex G): returns
+    [(sos_payload, entropy_bytes), ...] for
+
+      1. DC first, all components interleaved, Ah=0 Al=1 — diffs of
+         the point-transformed DC (two's-complement arithmetic shift);
+      2. DC refinement, Ah=1 Al=0 — one raw bit (dc & 1) per block;
+      3. per component: AC first, band 1..63, Ah=0 Al=1 — runs/ZRL/
+         EOB-run coding of sign*(|v| >> 1) (sign-magnitude point
+         transform per G.1.2.2);
+      4. per component: AC refinement, band 1..63, Ah=1 Al=0 —
+         newly-nonzero symbols with sign bits plus buffered
+         correction bits for already-nonzero coefficients (G.1.2.3).
+
+    Every scan honors ``ri`` (restart interval in MCUs for the
+    interleaved DC scans, in blocks for the non-interleaved AC
+    scans), resetting predictors/EOB-runs and the RSTn counter per
+    scan."""
+    n_mcus = mcus_y * mcus_x
+    scans = []
+
+    def run_scan(units, emit_unit, reset):
+        """Walk ``units`` emitting through a fresh bit writer with
+        restart handling; returns the entropy bytes."""
+        entropy = bytearray()
+        bw = _JpegBitWriter()
+        rst = 0
+        state = reset()
+        for u, unit in enumerate(units):
+            if ri and u and u % ri == 0:
+                entropy += bw.flush()
+                entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                bw = _JpegBitWriter()
+                state = reset()
+            emit_unit(bw, unit, state)
+        entropy += bw.flush()
+        return bytes(entropy)
+
+    # -- scan 1: DC first (interleaved, Al=1) --------------------------
+    def dc_first_unit(bw, mc, pred):
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            dct_t = dc_tabs[0 if ci == 0 else 1]
+            for bsub in range(vi * hi):
+                dc = int(comp_coeffs[ci][mc * vi * hi + bsub][0]) >> 1
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s, extra = _jpeg_magnitude(diff)
+                code, ln = dct_t[s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+    scans.append((sos + bytes([0, 0, 0x01]),
+                  run_scan(range(n_mcus), dc_first_unit,
+                           lambda: [0] * ncomp)))
+
+    # -- scan 2: DC refine (Ah=1, Al=0): raw bit per block -------------
+    def dc_refine_unit(bw, mc, _state):
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for bsub in range(vi * hi):
+                bw.write(int(comp_coeffs[ci][mc * vi * hi + bsub][0])
+                         & 1, 1)
+
+    scans.append((sos + bytes([0, 0, 0x10]),
+                  run_scan(range(n_mcus), dc_refine_unit,
+                           lambda: None)))
+
+    # -- per component: AC first then AC refine (band 1..63) -----------
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        act = ac_tabs[0 if ci == 0 else 1]
+        order = _jpeg_scan_blocks_noninterleaved(
+            w, h, hmax, vmax, hi, vi, mcus_x)
+        coeffs = comp_coeffs[ci]
+
+        def ac_first_unit(bw, idx, _state, coeffs=coeffs, act=act):
+            coefs = coeffs[idx]
+            run = 0
+            wrote = False
+            for k in range(1, 64):
+                t = int(coefs[k])
+                t = (abs(t) >> 1) * (1 if t >= 0 else -1)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s, extra = _jpeg_magnitude(t)
+                code, ln = act[run * 16 + s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+                run = 0
+                wrote = True
+            if run or not wrote:
+                code, ln = act[0x00]      # EOB-run of exactly 1
+                bw.write(code, ln)
+
+        def ac_refine_unit(bw, idx, _state, coeffs=coeffs, act=act):
+            coefs = coeffs[idx]
+            # last NEWLY-nonzero position: ZRLs emitted only before it
+            # (trailing zero runs fold into the EOB instead)
+            last_new = 0
+            for k in range(1, 64):
+                if abs(int(coefs[k])) == 1:
+                    last_new = k
+            pend = []          # buffered correction bits (G.1.2.3)
+            r = 0
+            wrote = False
+            for k in range(1, 64):
+                v = int(coefs[k])
+                t = abs(v)                # Al = 0
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs must flush at EVERY nonzero coefficient while a
+                # newly-nonzero one still follows: the decoder's ZRL
+                # advance reads correction bits strictly in position
+                # order, so a correction bit buffered PAST the 16-zero
+                # window must come after the ZRL, not before it
+                while r > 15 and k <= last_new:
+                    code, ln = act[0xF0]
+                    bw.write(code, ln)
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                    r -= 16
+                if t >> 1:                # history nonzero
+                    pend.append(t & 1)
+                    continue
+                # newly nonzero (t == 1)
+                code, ln = act[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if v > 0 else 0, 1)
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+                r = 0
+                wrote = True
+            if r or pend or not wrote:
+                code, ln = act[0x00]      # EOB-run of exactly 1
+                bw.write(code, ln)
+                for b in pend:
+                    bw.write(b, 1)
+
+        sel = bytes([1, ci + 1, (0 if ci == 0 else 1)])
+        scans.append((sel + bytes([1, 63, 0x01]),
+                      run_scan(order, ac_first_unit, lambda: None)))
+        scans.append((sel + bytes([1, 63, 0x10]),
+                      run_scan(order, ac_refine_unit, lambda: None)))
+    return scans
 
 
 def _jpeg_encode_block(bw, coefs, dct_t, act_t, pred, ci) -> None:
@@ -2229,10 +2406,12 @@ class _FastBitDecoder:
 
 
 def _jpeg_scan_segments(d: bytes, scan_pos: int):
-    """Split the entropy-coded scan into de-stuffed restart segments:
-    returns ([bytes...], [rst marker numbers between them]). Handles
-    T.81 byte stuffing (FF 00), fill bytes (FF FF..) and stops at the
-    first real non-RST marker (EOI or the next header)."""
+    """Split one scan's entropy-coded data into de-stuffed restart
+    segments: returns ([bytes...], [rst marker numbers between them],
+    end) where ``end`` is the stream offset of the 0xFF of the first
+    real non-RST marker (EOI or the next header — where the caller's
+    marker walk resumes for multi-scan/progressive files). Handles
+    T.81 byte stuffing (FF 00) and fill bytes (FF FF..)."""
     segs = []
     rsts = []
     i = scan_pos
@@ -2255,24 +2434,48 @@ def _jpeg_scan_segments(d: bytes, scan_pos: int):
             i = j + 2
             start = i
             continue
-        return segs, rsts
+        return segs, rsts, j
+
+
+def _jpeg_scan_blocks_noninterleaved(ww, hh, hmax, vmax, hi, vi,
+                                     mcus_x):
+    """Block indices for a NON-interleaved scan of one component
+    (T.81 A.2.2: the unpadded ceil(xi/8) x ceil(yi/8) grid, raster
+    order), mapped into the MCU-padded [mcu_y, mcu_x, v, h] storage
+    layout the coefficient buffers use."""
+    comp_w = (ww * hi + hmax - 1) // hmax
+    comp_h = (hh * vi + vmax - 1) // vmax
+    bw = (comp_w + 7) // 8
+    bh = (comp_h + 7) // 8
+    out = []
+    for row in range(bh):
+        for colb in range(bw):
+            out.append(((row // vi) * mcus_x + colb // hi) * (vi * hi)
+                       + (row % vi) * hi + (colb % hi))
+    return out
 
 
 def decode_jpeg(payload: bytes):
-    """Parse a BASELINE SEQUENTIAL JPEG: returns (width, height,
-    (h, w, c) uint8 array, c = 1 grayscale or 3 RGB). A REAL decode —
-    marker walk, DQT/DHT/SOF0/DRI/SOS parsing, canonical Huffman
-    decode with byte de-stuffing (vectorized: 16-bit-window LUT over
-    an unpacked bit array), DC prediction, restart-interval segment
-    handling with RSTn sequence checks, dequantize + inverse zigzag,
-    batched float IDCT (one einsum per component), chroma upsampling
-    (sample replication), level shift, JFIF YCbCr->RGB. The envelope
-    is real-world baseline: any sampling factors in {1, 2, 4} with
-    integer ratios — 4:4:4, 4:2:2, 4:2:0 — and DRI restart markers.
-    Anything outside it refuses LOUDLY with a ValueError naming the
-    feature: progressive (SOF2), the extended/arithmetic/lossless
-    SOFs, 16-bit quant tables, 12-bit precision, fractional sampling
-    ratios."""
+    """Parse a JPEG: returns (width, height, (h, w, c) uint8 array,
+    c = 1 grayscale or 3 RGB). A REAL decode — marker walk,
+    DQT/DHT/SOF/DRI parsing, canonical Huffman decode with byte
+    de-stuffing (vectorized: 16-bit-window LUT over an unpacked bit
+    array), DC prediction, restart-interval segment handling with
+    RSTn sequence checks, dequantize + inverse zigzag, batched float
+    IDCT (one einsum per component), chroma upsampling (sample
+    replication), level shift, JFIF YCbCr->RGB.
+
+    Envelope (round 13): BASELINE SEQUENTIAL (SOF0) and PROGRESSIVE
+    (SOF2) — multi-scan coefficient accumulation with spectral
+    selection (Ss..Se bands), successive approximation on DC and AC
+    (first scans with point transform Al, refinement scans per T.81
+    G.1.2.3 with EOB-run decoding), interleaved DC scans and
+    non-interleaved per-component AC scans; sampling factors in
+    {1, 2, 4} with integer ratios (4:4:4 / 4:2:2 / 4:2:0); DRI
+    restart markers in any scan. Anything outside refuses LOUDLY
+    with a ValueError naming the feature: extended/arithmetic/
+    lossless SOFs, 16-bit quant tables, 12-bit precision, fractional
+    sampling ratios, per-component DC scans."""
     import struct
 
     import numpy as np
@@ -2283,11 +2486,14 @@ def decode_jpeg(payload: bytes):
     qtables = {}
     hufftables = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    saw_scan = False
+    rows_comp = None          # per component: list of 64-lists (zigzag)
+    geom = None
     pos = 2
     REFUSE_SOF = {
         0xC1: "extended sequential JPEG (SOF1)",
-        0xC2: "progressive JPEG (SOF2)",
         0xC3: "lossless JPEG (SOF3)",
         0xC5: "differential sequential JPEG (SOF5)",
         0xC6: "differential progressive JPEG (SOF6)",
@@ -2300,8 +2506,8 @@ def decode_jpeg(payload: bytes):
         0xCF: "differential lossless arithmetic JPEG (SOF15)",
     }
     while True:
-        if pos + 4 > len(d):
-            raise ValueError("JPEG truncated before SOS")
+        if pos + 2 > len(d):
+            raise ValueError("JPEG truncated (no EOI)")
         if d[pos] != 0xFF:
             raise ValueError(
                 f"expected marker at byte {pos}, found 0x{d[pos]:02X}")
@@ -2311,8 +2517,10 @@ def decode_jpeg(payload: bytes):
         while pos + 2 < len(d) and d[pos + 1] == 0xFF:
             pos += 1
         marker = d[pos + 1]
-        if marker == 0xD9:
-            raise ValueError("JPEG has no scan (EOI before SOS)")
+        if marker == 0xD9:                    # EOI
+            break
+        if pos + 4 > len(d):
+            raise ValueError("JPEG truncated before EOI")
         ln = struct.unpack_from(">H", d, pos + 2)[0]
         body = d[pos + 4:pos + 2 + ln]
         if len(body) != ln - 2:
@@ -2320,7 +2528,7 @@ def decode_jpeg(payload: bytes):
         if marker in REFUSE_SOF:
             raise ValueError(
                 f"{REFUSE_SOF[marker]} is not supported (baseline "
-                f"sequential SOF0 only)")
+                f"sequential SOF0 / progressive SOF2 only)")
         if marker == 0xDD:                    # DRI
             if len(body) < 2:
                 raise ValueError("DRI segment truncated")
@@ -2353,7 +2561,10 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("DHT segment truncated")
                 hufftables[(tc, th)] = _jpeg_lut(bits, huffval)
                 bp += 17 + n
-        elif marker == 0xC0:                  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):          # SOF0 / SOF2
+            if sof is not None:
+                raise ValueError("multiple SOF markers (corrupt)")
+            progressive = marker == 0xC2
             prec, hh, ww, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(
@@ -2376,107 +2587,35 @@ def decode_jpeg(payload: bytes):
                 # single-component scans are non-interleaved: the
                 # declared sampling factors do not apply (T.81 A.2.2)
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
-            sof = (ww, hh, comps)
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for cid, tq, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"fractional chroma sampling ratio ({hi}x{vi} "
+                        f"vs max {hmax}x{vmax}) is not supported")
+            mcus_x = (ww + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (hh + 8 * vmax - 1) // (8 * vmax)
+            geom = (ww, hh, comps, hmax, vmax, mcus_x, mcus_y)
+            rows_comp = [
+                [[0] * 64 for _ in range(mcus_y * mcus_x * hi * vi)]
+                for _, _, hi, vi in comps]
+            sof = True
         elif marker == 0xDA:                  # SOS
             if sof is None:
-                raise ValueError("JPEG SOS before SOF0")
-            ns = body[0]
-            if ns != len(sof[2]):
-                raise ValueError(
-                    "partial-scan JPEG is not supported (one "
-                    "interleaved scan of every component)")
-            scan_sel = {}
-            for i in range(ns):
-                cs, tsel = body[1 + 2 * i], body[2 + 2 * i]
-                scan_sel[cs] = (tsel >> 4, tsel & 0x0F)
-            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
-            if (ss, se, a) != (0, 63, 0):
-                raise ValueError(
-                    "spectral selection / successive approximation "
-                    "is not supported (baseline full scan only)")
-            scan_pos = pos + 2 + ln
-            break
+                raise ValueError("JPEG SOS before SOF")
+            saw_scan = True
+            pos = _jpeg_decode_scan(
+                d, pos, body, ln, geom, rows_comp, qtables,
+                hufftables, restart_interval, progressive)
+            continue
         # APPn / COM / anything else informational: skip
         pos += 2 + ln
 
-    ww, hh, comps = sof
+    if sof is None or not saw_scan:
+        raise ValueError("JPEG has no scan (EOI before SOS)")
+    ww, hh, comps, hmax, vmax, mcus_x, mcus_y = geom
     ncomp = len(comps)
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    for cid, tq, hi, vi in comps:
-        if hmax % hi or vmax % vi:
-            raise ValueError(
-                f"fractional chroma sampling ratio ({hi}x{vi} vs "
-                f"max {hmax}x{vmax}) is not supported")
-        if tq not in qtables:
-            raise ValueError(f"missing quant table {tq}")
-        td, ta = scan_sel[cid]
-        if (0, td) not in hufftables or (1, ta) not in hufftables:
-            raise ValueError(
-                f"missing Huffman table (dc={td}, ac={ta})")
-    mcus_x = (ww + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (hh + 8 * vmax - 1) // (8 * vmax)
-    n_mcus = mcus_y * mcus_x
-
-    segs, rsts = _jpeg_scan_segments(d, scan_pos)
-    ri = restart_interval
-    if not ri and len(segs) > 1:
-        raise ValueError(
-            "JPEG restart markers present without a DRI segment "
-            "(corrupt stream)")
-
-    # entropy decode: per component, all blocks' zigzag coefficients
-    zzbufs = [np.zeros((n_mcus * hi * vi, 64), dtype=np.int32)
-              for _, _, hi, vi in comps]
-    luts = []
-    for cid, _tq, _hi, _vi in comps:
-        td, ta = scan_sel[cid]
-        luts.append((hufftables[(0, td)], hufftables[(1, ta)]))
-    dec = _FastBitDecoder(segs[0])
-    seg_idx = 0
-    pred = [0] * ncomp
-    for mc in range(n_mcus):
-        if ri and mc and mc % ri == 0:
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                raise ValueError(
-                    "JPEG entropy data truncated (missing restart "
-                    "segment)")
-            if rsts[seg_idx - 1] != (seg_idx - 1) & 7:
-                raise ValueError(
-                    f"JPEG restart marker out of sequence (expected "
-                    f"RST{(seg_idx - 1) & 7}, found "
-                    f"RST{rsts[seg_idx - 1]})")
-            dec = _FastBitDecoder(segs[seg_idx])
-            pred = [0] * ncomp
-        for ci in range(ncomp):
-            _cid, _tq, hi, vi = comps[ci]
-            dc_lut, ac_lut = luts[ci]
-            zzbuf = zzbufs[ci]
-            base = mc * hi * vi
-            read_huffman = dec.read_huffman
-            read_bits = dec.read_bits
-            for bsub in range(hi * vi):
-                row = [0] * 64
-                s = read_huffman(dc_lut)
-                pred[ci] += _jpeg_extend(read_bits(s), s)
-                row[0] = pred[ci]
-                k = 1
-                while k <= 63:
-                    rs = read_huffman(ac_lut)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:           # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break                 # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError(
-                            "JPEG AC run past block end (corrupt)")
-                    row[k] = _jpeg_extend(read_bits(s), s)
-                    k += 1
-                zzbuf[base + bsub] = row
 
     # batched dequantize + inverse zigzag + IDCT per component,
     # then scatter blocks back to the plane and upsample
@@ -2484,8 +2623,11 @@ def decode_jpeg(payload: bytes):
     zz_arr = np.asarray(JPEG_ZIGZAG)
     planes = []
     for ci, (cid, tq, hi, vi) in enumerate(comps):
-        nat = np.zeros((zzbufs[ci].shape[0], 64), dtype=np.float64)
-        nat[:, zz_arr] = zzbufs[ci]
+        if tq not in qtables:
+            raise ValueError(f"missing quant table {tq}")
+        zzbuf = np.asarray(rows_comp[ci], dtype=np.int32)
+        nat = np.zeros((zzbuf.shape[0], 64), dtype=np.float64)
+        nat[:, zz_arr] = zzbuf
         deq = nat.reshape(-1, 8, 8) * qtables[tq][None]
         # block = M.T @ D @ M for every block at once
         blocks = np.einsum("ux,nuv,vy->nxy", m, deq, m) + 128.0
@@ -2503,6 +2645,256 @@ def decode_jpeg(payload: bytes):
     if ncomp == 3:
         out = _jpeg_ycbcr_to_rgb(out.astype(np.float64))
     return ww, hh, out
+
+
+def _jpeg_decode_scan(d, pos, body, ln, geom, rows_comp, qtables,
+                      hufftables, restart_interval, progressive):
+    """Decode ONE scan's entropy data into the per-component zigzag
+    coefficient buffers; returns the stream offset of the marker that
+    terminated the scan (where the caller's walk resumes). Handles
+    baseline full scans and every progressive scan kind: DC first
+    (interleaved, point transform Al), DC refinement (one raw bit per
+    block), AC first (non-interleaved spectral band with EOB runs),
+    AC refinement (T.81 G.1.2.3 correction bits)."""
+    ww, hh, comps, hmax, vmax, mcus_x, mcus_y = geom
+    ncomp = len(comps)
+    ns = body[0]
+    scan_sel = {}
+    scan_cids = []
+    for i in range(ns):
+        cs, tsel = body[1 + 2 * i], body[2 + 2 * i]
+        scan_sel[cs] = (tsel >> 4, tsel & 0x0F)
+        scan_cids.append(cs)
+    ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    for cs in scan_cids:
+        if cs not in cid_to_ci:
+            raise ValueError(f"scan references unknown component {cs}")
+
+    segs, rsts, end = _jpeg_scan_segments(d, pos + 2 + ln)
+    ri = restart_interval
+    if not ri and len(segs) > 1:
+        raise ValueError(
+            "JPEG restart markers present without a DRI segment "
+            "(corrupt stream)")
+    dec = _FastBitDecoder(segs[0])
+    seg_state = [0, dec]          # [segment index, decoder]
+
+    def advance_segment():
+        seg_state[0] += 1
+        idx = seg_state[0]
+        if idx >= len(segs):
+            raise ValueError(
+                "JPEG entropy data truncated (missing restart "
+                "segment)")
+        if rsts[idx - 1] != (idx - 1) & 7:
+            raise ValueError(
+                f"JPEG restart marker out of sequence (expected "
+                f"RST{(idx - 1) & 7}, found RST{rsts[idx - 1]})")
+        seg_state[1] = _FastBitDecoder(segs[idx])
+
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "spectral selection / successive approximation "
+                "in a baseline scan (corrupt stream)")
+        if ns != ncomp:
+            raise ValueError(
+                "partial-scan baseline JPEG is not supported (one "
+                "interleaved scan of every component)")
+        luts = []
+        for cid, _tq, _hi, _vi in comps:
+            td, ta = scan_sel[cid]
+            if (0, td) not in hufftables or (1, ta) not in hufftables:
+                raise ValueError(
+                    f"missing Huffman table (dc={td}, ac={ta})")
+            luts.append((hufftables[(0, td)], hufftables[(1, ta)]))
+        pred = [0] * ncomp
+        for mc in range(mcus_y * mcus_x):
+            if ri and mc and mc % ri == 0:
+                advance_segment()
+                pred = [0] * ncomp
+            dec = seg_state[1]
+            read_huffman = dec.read_huffman
+            read_bits = dec.read_bits
+            for ci in range(ncomp):
+                _cid, _tq, hi, vi = comps[ci]
+                dc_lut, ac_lut = luts[ci]
+                rows = rows_comp[ci]
+                base = mc * hi * vi
+                for bsub in range(hi * vi):
+                    row = [0] * 64
+                    s = read_huffman(dc_lut)
+                    pred[ci] += _jpeg_extend(read_bits(s), s)
+                    row[0] = pred[ci]
+                    k = 1
+                    while k <= 63:
+                        rs = read_huffman(ac_lut)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:           # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break                 # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG AC run past block end (corrupt)")
+                        row[k] = _jpeg_extend(read_bits(s), s)
+                        k += 1
+                    rows[base + bsub] = row
+        return end
+
+    # ---- progressive scans ------------------------------------------
+    if ss == 0:                               # DC scan (first/refine)
+        if se != 0:
+            raise ValueError(
+                "progressive DC scan with Se != 0 (corrupt stream)")
+        if ns != ncomp:
+            raise ValueError(
+                "per-component progressive DC scans are not "
+                "supported (interleaved DC scan of every component "
+                "only)")
+        if ah == 0:                           # DC first
+            luts = []
+            for cid, _tq, _hi, _vi in comps:
+                td = scan_sel[cid][0]
+                if (0, td) not in hufftables:
+                    raise ValueError(
+                        f"missing Huffman table (dc={td})")
+                luts.append(hufftables[(0, td)])
+            pred = [0] * ncomp
+            for mc in range(mcus_y * mcus_x):
+                if ri and mc and mc % ri == 0:
+                    advance_segment()
+                    pred = [0] * ncomp
+                dec = seg_state[1]
+                for ci in range(ncomp):
+                    _cid, _tq, hi, vi = comps[ci]
+                    rows = rows_comp[ci]
+                    base = mc * hi * vi
+                    for bsub in range(hi * vi):
+                        s = dec.read_huffman(luts[ci])
+                        pred[ci] += _jpeg_extend(dec.read_bits(s), s)
+                        rows[base + bsub][0] = pred[ci] << al
+        else:                                 # DC refine: 1 raw bit
+            p1 = 1 << al
+            for mc in range(mcus_y * mcus_x):
+                if ri and mc and mc % ri == 0:
+                    advance_segment()
+                dec = seg_state[1]
+                for ci in range(ncomp):
+                    _cid, _tq, hi, vi = comps[ci]
+                    rows = rows_comp[ci]
+                    base = mc * hi * vi
+                    for bsub in range(hi * vi):
+                        if dec.read_bits(1):
+                            rows[base + bsub][0] |= p1
+        return end
+
+    # AC scans: exactly one component, non-interleaved (T.81 B.2.3)
+    if ns != 1:
+        raise ValueError(
+            "progressive AC scan with multiple components "
+            "(corrupt stream)")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral band (corrupt stream)")
+    ci = cid_to_ci[scan_cids[0]]
+    _cid, _tq, hi, vi = comps[ci]
+    ta = scan_sel[scan_cids[0]][1]
+    if (1, ta) not in hufftables:
+        raise ValueError(f"missing Huffman table (ac={ta})")
+    ac_lut = hufftables[(1, ta)]
+    rows = rows_comp[ci]
+    order = _jpeg_scan_blocks_noninterleaved(
+        ww, hh, hmax, vmax, hi, vi, mcus_x)
+    eobrun = 0
+    if ah == 0:                               # AC first
+        for bi, idx in enumerate(order):
+            if ri and bi and bi % ri == 0:
+                advance_segment()
+                eobrun = 0
+            dec = seg_state[1]
+            if eobrun:
+                eobrun -= 1
+                continue
+            row = rows[idx]
+            k = ss
+            while k <= se:
+                rs = dec.read_huffman(ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:               # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += dec.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError(
+                        "JPEG AC run past band end (corrupt)")
+                row[k] = _jpeg_extend(dec.read_bits(s), s) << al
+                k += 1
+    else:                                     # AC refine (G.1.2.3)
+        p1 = 1 << al
+        for bi, idx in enumerate(order):
+            if ri and bi and bi % ri == 0:
+                advance_segment()
+                eobrun = 0
+            dec = seg_state[1]
+            read_bits = dec.read_bits
+            row = rows[idx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = dec.read_huffman(ac_lut)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            # refine EOB-run counts THIS block too:
+                            # the post-loop below consumes its tail
+                            # correction bits, then decrements
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += read_bits(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement magnitude > 1 "
+                                "(corrupt stream)")
+                        val = p1 if read_bits(1) else -p1
+                    # advance past r zero-history coefficients,
+                    # applying correction bits to nonzero-history ones
+                    while k <= se:
+                        c = row[k]
+                        if c != 0:
+                            if read_bits(1) and (c & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        row[k] = val
+                    k += 1
+            if eobrun > 0:
+                # EOB span: correction bits for the remaining
+                # nonzero-history coefficients of this block
+                while k <= se:
+                    c = row[k]
+                    if c != 0:
+                        if read_bits(1) and (c & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+    return end
 
 
 IMAGE_DECODERS["image/jpeg"] = decode_jpeg
@@ -3132,6 +3524,114 @@ MM_DECODE_JPEG422_SQL = """
 """
 
 
+def synthesize_jpeg_prog_media(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """PROGRESSIVE (SOF2) 4:2:0 JPEGs with restart markers as the
+    binary media column (round 13): per document, an RGB image of
+    nmx x nmy 16x16 MCUs (nmx = 1 + (doc_id // 4) % 2, nmy =
+    1 + doc_id % 2) whose pixels are CONSTANT GRAY PER MCU — the
+    same lossy-round-trip fixed point as the sequential 4:2:0 corpus
+    (gray keeps chroma exactly 128; all-ones quant makes blocks
+    DC-only), but transmitted progressively: an interleaved DC first
+    scan with successive approximation (Al=1), a DC refinement scan,
+    and per-component AC band scans — six scans whose multi-pass
+    coefficient accumulation the decode side must replay exactly."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = [1] * 64
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                did = int(doc_id)
+                nmx = 1 + (did // 4) % 2
+                nmy = 1 + did % 2
+                idx = np.arange(nmy * nmx) % len(b)
+                vals = np.frombuffer(b, dtype=np.uint8)[idx]
+                gray = np.kron(vals.reshape(nmy, nmx),
+                               np.ones((16, 16), dtype=np.uint8))
+                img = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(encode_jpeg(
+                    img, quant=ones, subsampling="420",
+                    restart_interval=2, progressive=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "payload": payloads})
+
+    from .util import spread_for_compute
+    # per-row codec work: spread by rows (see synthesize_jpeg420_media)
+    spread = spread_for_compute(docs)
+    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+
+
+def mm_decode_jpeg_prog_stats(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Per-image statistics decoded out of REAL PROGRESSIVE JPEGs:
+    synthesize (above), decode through the multi-scan path — DC
+    successive approximation across two scans, per-component AC band
+    scans with EOB runs, restart handling inside every scan, 4:2:0
+    upsample, YCbCr->RGB — and compute the same pixel sums and
+    order-weighted sums as the sequential rows. Arrow-batched
+    mapInPandas; linear, no shuffle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "channels", "n_mcus",
+                                   "pix_sum", "pix_wsum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_jpeg(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                weights = 1 + (np.arange(flat.size) % 101)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(px.shape[2])
+                out["n_mcus"].append((w // 16) * (h // 16))
+                out["pix_sum"].append(int(flat.sum()))
+                out["pix_wsum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_jpeg_prog_media(spark, sf_dir)
+    return media.mapInPandas(_stats, schema=JPEG420_STATS_SCHEMA)
+
+
+# Oracle: same decoded-pixel formula family as the sequential 4:2:0
+# row (the corpus is a fixed point of the progressive round-trip),
+# with this corpus's dims: nmx = 1 + (doc_id // 4) % 2, nmy =
+# 1 + doc_id % 2.
+MM_DECODE_JPEG_PROG_SQL = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS L,
+               CAST(1 + (doc_id // 4) % 2 AS INT) AS nmx,
+               CAST(1 + doc_id % 2 AS INT) AS nmy
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(nmx * 16 AS INT) AS width,
+           CAST(nmy * 16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(nmx * nmy AS INT) AS n_mcus,
+           CAST(3 * list_sum(list_transform(range(0, nmx * nmy * 256),
+                p -> ord(substr(text,
+                     CAST(1 + (((p // (nmx * 16)) // 16) * nmx
+                               + ((p % (nmx * 16)) // 16)) % L AS INT),
+                     1)))) AS BIGINT) AS pix_sum,
+           CAST(list_sum(list_transform(range(0, nmx * nmy * 256),
+                p -> ord(substr(text,
+                     CAST(1 + (((p // (nmx * 16)) // 16) * nmx
+                               + ((p % (nmx * 16)) // 16)) % L AS INT),
+                     1)) * (3 + (3 * p) % 101 + (3 * p + 1) % 101
+                            + (3 * p + 2) % 101)))
+                AS BIGINT) AS pix_wsum
+    FROM m
+"""
+
+
 MP4_META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("brand", StringType()),
@@ -3263,6 +3763,7 @@ MULTIMODAL_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_jpeg_ahash_dedup": mm_jpeg_ahash_dedup,
     "mm_decode_jpeg420_stats": mm_decode_jpeg420_stats,
     "mm_decode_jpeg422_stats": mm_decode_jpeg422_stats,
+    "mm_decode_jpeg_prog_stats": mm_decode_jpeg_prog_stats,
 }
 
 MULTIMODAL_ORACLE: Dict[str, str] = {
@@ -3299,4 +3800,7 @@ MULTIMODAL_ORACLE: Dict[str, str] = {
     # subsampling + DRI restart markers, fixed-point corpus
     "mm_decode_jpeg420_stats": MM_DECODE_JPEG420_SQL,
     "mm_decode_jpeg422_stats": MM_DECODE_JPEG422_SQL,
+    # round 13: progressive (SOF2) decode is real — DC successive
+    # approximation, AC band scans, EOB runs, multi-scan accumulation
+    "mm_decode_jpeg_prog_stats": MM_DECODE_JPEG_PROG_SQL,
 }

@@ -12,18 +12,26 @@ Pinned here:
   both decoders must produce IDENTICAL pixels from the same
   compressed bytes, on grayscale and RGB, standard Annex K and
   all-ones quantization, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
-  and DRI restart intervals (round 13: the reference decoder grew
-  the MCU interleave + RSTn + kron upsample in lockstep) — so an
+  DRI restart intervals, and BOTH transmission orders — baseline
+  SOF0 and progressive SOF2 (round 13: the reference decoder grew
+  the MCU interleave, RSTn, kron upsample, and the multi-scan
+  progressive accumulation — DC successive approximation, AC band
+  scans, EOB runs, G.1.2.3 correction bits — in lockstep) — so an
   encoder+decoder pair that agreed on a wrong convention could not
   cancel out;
+- progressive == baseline PIXEL EQUALITY, hypothesis-fuzzed:
+  progressive transmission is a lossless re-encoding of the same
+  quantized coefficients, so any slip in the successive-
+  approximation split or correction-bit ordering breaks bit-exact
+  agreement with the independently-validated baseline path;
 - the DC-only fixed points the oracle corpora rely on: per-block-
   constant grayscale (4:4:4) and per-MCU-constant gray RGB (4:2:0 +
   restarts) with an all-ones quant table round-trip EXACTLY
   (property-fuzzed across dims, values and restart intervals);
 - loud ValueError refusals for everything outside the envelope:
-  progressive/extended/arithmetic/lossless SOFs, 16-bit quant
-  tables, sampling factors outside {1, 2, 4}, out-of-sequence or
-  DRI-less restart markers, missing SOI, truncation;
+  extended/arithmetic/lossless SOFs, 16-bit quant tables, sampling
+  factors outside {1, 2, 4}, out-of-sequence or DRI-less restart
+  markers, missing SOI, truncation;
 - decode_image dispatches image/jpeg to the real codec;
 - Spark-side mm_decode_jpeg_stats == driver-side recomputation.
 """
@@ -140,17 +148,25 @@ def _ref_idct(coeffs):
 
 
 def _ref_decode_jpeg(data):
-    """Reference baseline decoder: returns (w, h, (h, w, c) uint8).
-    Handles general sampling factors (MCU interleave + kron-
-    replication upsample) and DRI restart intervals."""
+    """Reference decoder: returns (w, h, (h, w, c) uint8). Handles
+    baseline AND progressive (multi-scan coefficient accumulation:
+    DC first/refine with successive approximation, AC spectral bands
+    with EOB runs, AC refinement correction bits), general sampling
+    factors (MCU interleave + kron-replication upsample) and DRI
+    restart intervals."""
     assert data[0:2] == b"\xFF\xD8"
     pos = 2
     qt, ht = {}, {}
     sof = None
+    progressive = False
     dri = 0
+    coefs = {}          # (cid, brow, bcol) -> [64] zigzag ints
     while True:
-        assert data[pos] == 0xFF
+        while data[pos + 1] == 0xFF:          # fill bytes
+            pos += 1
         marker = data[pos + 1]
+        if marker == 0xD9:
+            break
         ln = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4:pos + 2 + ln]
         if marker == 0xDD:
@@ -173,7 +189,8 @@ def _ref_decode_jpeg(data):
                 ht[(tcth >> 4, tcth & 0x0F)] = _ref_huff_codes(
                     bits, list(body[i + 17:i + 17 + n]))
                 i += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             comps = [(body[6 + 3 * i], body[8 + 3 * i],
                       body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F)
@@ -181,56 +198,55 @@ def _ref_decode_jpeg(data):
             if nf == 1:
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
             sof = (w, h, comps)
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mx = (w + 8 * hmax - 1) // (8 * hmax)
+            my = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, _tq, ch, cv in comps:
+                for brow in range(my * cv):
+                    for bcol in range(mx * ch):
+                        coefs[(cid, brow, bcol)] = [0] * 64
         elif marker == 0xDA:
             ns = body[0]
             sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
-            scan_pos = pos + 2 + ln
-            break
+            cids = [body[1 + 2 * i] for i in range(ns)]
+            ss, se, aa = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
+            br = _RefBits(data, pos + 2 + ln)
+            _ref_decode_scan(br, coefs, sof, sel, cids, ss, se, ah,
+                             al, ht, dri, progressive, mx, my)
+            # resume the marker walk after this scan's entropy data
+            p = br.pos
+            while True:
+                if data[p] != 0xFF:
+                    p += 1
+                    continue
+                if data[p + 1] == 0x00:
+                    p += 2
+                    continue
+                if data[p + 1] == 0xFF:
+                    p += 1
+                    continue
+                break
+            pos = p
+            continue
         pos += 2 + ln
+
     w, h, comps = sof
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mx, my = (w + 8 * hmax - 1) // (8 * hmax), \
-        (h + 8 * vmax - 1) // (8 * vmax)
-    br = _RefBits(data, scan_pos)
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    planes = {cid: np.zeros((my * cv * 8, mx * ch * 8))
-              for cid, _, ch, cv in comps}
-    n_rst = 0
-    for mcu in range(my * mx):
-        if dri and mcu and mcu % dri == 0:
-            br.restart(n_rst)
-            n_rst += 1
-            pred = {cid: 0 for cid, _, _, _ in comps}
-        muy, mux = mcu // mx, mcu % mx
-        for cid, tq, ch, cv in comps:
-            td, ta = sel[cid] >> 4, sel[cid] & 0x0F
-            for v in range(cv):
-                for hh_ in range(ch):
-                    s = br.huff(ht[(0, td)])
-                    pred[cid] += _ref_extend(br.take(s), s)
-                    zz = [0] * 64
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k <= 63:
-                        rs = br.huff(ht[(1, ta)])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break
-                        k += r
-                        zz[k] = _ref_extend(br.take(s), s)
-                        k += 1
-                    co = np.zeros((8, 8))
-                    for k in range(64):
-                        co[_ZZ_REF[k] // 8][_ZZ_REF[k] % 8] = (
-                            zz[k] * qt[tq][_ZZ_REF[k]])
-                    blk = _ref_idct(co) + 128.0
-                    y0 = (muy * cv + v) * 8
-                    x0 = (mux * ch + hh_) * 8
-                    planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+    planes = {}
+    for cid, tq, ch, cv in comps:
+        plane = np.zeros((my * cv * 8, mx * ch * 8))
+        for brow in range(my * cv):
+            for bcol in range(mx * ch):
+                zz = coefs[(cid, brow, bcol)]
+                co = np.zeros((8, 8))
+                for k in range(64):
+                    co[_ZZ_REF[k] // 8][_ZZ_REF[k] % 8] = (
+                        zz[k] * qt[tq][_ZZ_REF[k]])
+                blk = _ref_idct(co) + 128.0
+                plane[brow * 8:brow * 8 + 8,
+                      bcol * 8:bcol * 8 + 8] = blk
+        planes[cid] = plane
     arrs = []
     for cid, _, ch, cv in comps:
         up = np.kron(planes[cid],
@@ -248,8 +264,164 @@ def _ref_decode_jpeg(data):
     return w, h, out.astype(np.uint8)
 
 
+def _ref_decode_scan(br, coefs, sof, sel, cids, ss, se, ah, al, ht,
+                     dri, progressive, mx, my):
+    """Decode one scan into the coefficient store (reference
+    implementation, written from T.81 F.2 / G.2 semantics)."""
+    w, h, comps = sof
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    bycid = {c[0]: c for c in comps}
+
+    def noninterleaved_order(cid):
+        _, _, ch, cv = bycid[cid]
+        bw_ = ((w * ch + hmax - 1) // hmax + 7) // 8
+        bh_ = ((h * cv + vmax - 1) // vmax + 7) // 8
+        return [(row, col) for row in range(bh_) for col in range(bw_)]
+
+    if not progressive:
+        pred = {cid: 0 for cid in cids}
+        n_rst = 0
+        for mcu in range(my * mx):
+            if dri and mcu and mcu % dri == 0:
+                br.restart(n_rst % 8)
+                n_rst += 1
+                pred = {cid: 0 for cid in cids}
+            muy, mux = mcu // mx, mcu % mx
+            for cid in cids:
+                _, tq, ch, cv = bycid[cid]
+                td, ta = sel[cid] >> 4, sel[cid] & 0x0F
+                for v in range(cv):
+                    for hh_ in range(ch):
+                        zz = coefs[(cid, muy * cv + v, mux * ch + hh_)]
+                        s = br.huff(ht[(0, td)])
+                        pred[cid] += _ref_extend(br.take(s), s)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k <= 63:
+                            rs = br.huff(ht[(1, ta)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            zz[k] = _ref_extend(br.take(s), s)
+                            k += 1
+        return
+
+    if ss == 0:                                  # DC scan
+        n_rst = 0
+        if ah == 0:                              # DC first
+            pred = {cid: 0 for cid in cids}
+            for mcu in range(my * mx):
+                if dri and mcu and mcu % dri == 0:
+                    br.restart(n_rst % 8)
+                    n_rst += 1
+                    pred = {cid: 0 for cid in cids}
+                muy, mux = mcu // mx, mcu % mx
+                for cid in cids:
+                    _, _, ch, cv = bycid[cid]
+                    td = sel[cid] >> 4
+                    for v in range(cv):
+                        for hh_ in range(ch):
+                            s = br.huff(ht[(0, td)])
+                            pred[cid] += _ref_extend(br.take(s), s)
+                            coefs[(cid, muy * cv + v,
+                                   mux * ch + hh_)][0] = \
+                                pred[cid] << al
+        else:                                    # DC refine
+            for mcu in range(my * mx):
+                if dri and mcu and mcu % dri == 0:
+                    br.restart(n_rst % 8)
+                    n_rst += 1
+                muy, mux = mcu // mx, mcu % mx
+                for cid in cids:
+                    _, _, ch, cv = bycid[cid]
+                    for v in range(cv):
+                        for hh_ in range(ch):
+                            if br.take(1):
+                                coefs[(cid, muy * cv + v,
+                                       mux * ch + hh_)][0] |= 1 << al
+        return
+
+    # AC scan: single component, non-interleaved
+    assert len(cids) == 1
+    cid = cids[0]
+    ta = sel[cid] & 0x0F
+    order = noninterleaved_order(cid)
+    eobrun = 0
+    n_rst = 0
+    if ah == 0:                                  # AC first
+        for bi, (row, col) in enumerate(order):
+            if dri and bi and bi % dri == 0:
+                br.restart(n_rst % 8)
+                n_rst += 1
+                eobrun = 0
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = coefs[(cid, row, col)]
+            k = ss
+            while k <= se:
+                rs = br.huff(ht[(1, ta)])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.take(r) if r else 0)
+                    break
+                k += r
+                zz[k] = _ref_extend(br.take(s), s) << al
+                k += 1
+        return
+    # AC refine (T.81 G.2, successive approximation correction)
+    p1 = 1 << al
+    for bi, (row, col) in enumerate(order):
+        if dri and bi and bi % dri == 0:
+            br.restart(n_rst % 8)
+            n_rst += 1
+            eobrun = 0
+        zz = coefs[(cid, row, col)]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.huff(ht[(1, ta)])
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (br.take(r) if r else 0)
+                        break
+                else:
+                    assert s == 1
+                    newval = p1 if br.take(1) else -p1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.take(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0 and br.take(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else -p1
+                k += 1
+            eobrun -= 1
+
+
 # -- cross-validation against the reference decoder --------------------
 
+@pytest.mark.parametrize("prog", [False, True],
+                         ids=["baseline", "progressive"])
 @pytest.mark.parametrize("shape,quant,sub,ri", [
     ((16, 24), None, "444", 0),       # gray, standard Annex K tables
     ((16, 24), [1] * 64, "444", 0),   # gray, all-ones
@@ -264,17 +436,42 @@ def _ref_decode_jpeg(data):
     ((33, 30, 3), None, "420", 2),    # 4:2:0 + DRI, ragged
     ((24, 24), None, "444", 3),       # grayscale + DRI
 ])
-def test_decoder_matches_reference(shape, quant, sub, ri):
+def test_decoder_matches_reference(shape, quant, sub, ri, prog):
     rng = np.random.RandomState(sum(shape) + ri)
     img = rng.randint(0, 256, size=shape).astype(np.uint8)
     payload = encode_jpeg(img, quant=quant, subsampling=sub,
-                          restart_interval=ri)
+                          restart_interval=ri, progressive=prog)
+    if prog:
+        assert b"\xff\xc2" in payload      # really SOF2, multi-scan
+        assert payload.count(b"\xff\xda") >= 3
     w1, h1, px1 = decode_jpeg(payload)
     w2, h2, px2 = _ref_decode_jpeg(payload)
     assert (w1, h1) == (w2, h2)
     assert px1.shape == px2.shape
     assert (px1 == px2).all(), int(np.abs(
         px1.astype(int) - px2.astype(int)).max())
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(8, 28), st.integers(8, 28),
+       st.sampled_from(["444", "422", "420"]), st.integers(0, 2),
+       st.integers(0, 2 ** 32 - 1))
+def test_progressive_equals_baseline_pixels(w, h, sub, ri, seed):
+    """Progressive transmission is a LOSSLESS re-encoding of the same
+    quantized coefficients: decoded pixels must equal the baseline
+    encoding of the same image bit-exactly. Any slip in the DC/AC
+    successive-approximation split, EOB-run bookkeeping, correction-
+    bit ordering (G.1.2.3), or the non-interleaved scan order breaks
+    this equality."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                   restart_interval=ri))
+    prog = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                   restart_interval=ri,
+                                   progressive=True))
+    assert base[:2] == prog[:2]
+    assert (base[2] == prog[2]).all()
 
 
 def test_decoder_matches_reference_smooth_gradient():
@@ -369,7 +566,9 @@ def test_lossy_decode_is_close_on_smooth_content():
 # -- refusals -----------------------------------------------------------
 
 def test_refusals_outside_baseline_envelope():
-    for marker, pat in [(0xC2, "progressive"), (0xC1, "extended"),
+    # SOF2 (progressive) is SUPPORTED since round 13 — only the
+    # genuinely-unimplemented SOFs refuse
+    for marker, pat in [(0xC1, "extended"), (0xCA, "progressive"),
                         (0xC9, "arithmetic"), (0xC3, "lossless")]:
         bad = b"\xFF\xD8" + bytes([0xFF, marker]) + b"\x00\x04ab"
         with pytest.raises(ValueError, match=pat):
@@ -469,6 +668,48 @@ def test_mm_decode_jpeg420_stats_matches_driver(spark, sf_dir):
         g = got[row["doc_id"]]
         assert (g["width"], g["height"]) == (w, h)
         assert g["channels"] == 3
+        assert g["pix_sum"] == int(flat.sum())
+        assert g["pix_wsum"] == int((flat * weights).sum())
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 3),
+       st.integers(0, 2 ** 32 - 1))
+def test_mcu_constant_progressive_roundtrip_exact(nmx, nmy, ri, seed):
+    """The progressive fixed point the round-13 oracle corpus relies
+    on: per-MCU constant gray RGB + all-ones quant round-trips
+    EXACTLY through the six-scan progressive 4:2:0 pipeline."""
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, size=(nmy, nmx)).astype(np.uint8)
+    gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+    img = np.stack([gray] * 3, axis=-1)
+    payload = encode_jpeg(img, quant=[1] * 64, subsampling="420",
+                          restart_interval=ri, progressive=True)
+    w, h, out = decode_jpeg(payload)
+    assert (w, h) == (nmx * 16, nmy * 16)
+    assert (out == img).all()
+
+
+def test_mm_decode_jpeg_prog_stats_matches_driver(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.multimodal import (
+        mm_decode_jpeg_prog_stats,
+        synthesize_jpeg_prog_media,
+    )
+    media = synthesize_jpeg_prog_media(spark, sf_dir).orderBy("doc_id")
+    sample = media.limit(12).collect()
+    got = {r["doc_id"]: r for r in
+           mm_decode_jpeg_prog_stats(spark, sf_dir).collect()}
+    for row in sample:
+        payload = bytes(row["payload"])
+        # the corpus really is progressive (SOF2, >= 3 scans) with DRI
+        assert b"\xff\xc2" in payload
+        assert payload.count(b"\xff\xda") >= 3
+        assert b"\xff\xdd" in payload
+        w, h, px = decode_jpeg(payload)
+        flat = px.reshape(-1).astype(np.int64)
+        weights = 1 + (np.arange(flat.size) % 101)
+        g = got[row["doc_id"]]
+        assert (g["width"], g["height"]) == (w, h)
         assert g["pix_sum"] == int(flat.sum())
         assert g["pix_wsum"] == int((flat * weights).sum())
 

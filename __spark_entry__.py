@@ -41,6 +41,8 @@ _ROUND_PRIORITY = [
     "mm_decode_jpeg420_stats",
     "mm_decode_jpeg422_stats",
     "mm_decode_jpeg_prog_stats",
+    "web_warc_metadata",
+    "web_warc_html_text",
     # tier 2: the 13 round-8-stale entries the verdict names, then the
     #   stalest r9 greens filling to 50.
     "dedup_exact",

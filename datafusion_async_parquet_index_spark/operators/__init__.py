@@ -11,6 +11,7 @@ from .events import EVENTS_ORACLE, EVENTS_QUERIES
 from .multimodal import MULTIMODAL_ORACLE, MULTIMODAL_QUERIES
 from .similarity import SIMILARITY_ORACLE, SIMILARITY_QUERIES
 from .text import TEXT_ORACLE, TEXT_QUERIES
+from .web import WEB_ORACLE, WEB_QUERIES
 
 PIPELINE_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 PIPELINE_ORACLE: Dict[str, str] = {}
@@ -21,6 +22,7 @@ for _q, _o in [
     (EVENTS_QUERIES, EVENTS_ORACLE),
     (MULTIMODAL_QUERIES, MULTIMODAL_ORACLE),
     (CURATION_QUERIES, CURATION_ORACLE),
+    (WEB_QUERIES, WEB_ORACLE),
 ]:
     PIPELINE_QUERIES.update(_q)
     PIPELINE_ORACLE.update(_o)

@@ -43,6 +43,8 @@ _ROUND_PRIORITY = [
     "mm_decode_jpeg_prog_stats",
     "web_warc_metadata",
     "web_warc_html_text",
+    "web_url_canonical_dedup",
+    "web_link_graph_degrees",
     # tier 2: the 13 round-8-stale entries the verdict names, then the
     #   stalest r9 greens filling to 50.
     "dedup_exact",

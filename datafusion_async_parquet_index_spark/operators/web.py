@@ -414,3 +414,213 @@ WEB_ORACLE: Dict[str, str] = {
     "web_warc_metadata": WEB_WARC_META_SQL,
     "web_warc_html_text": WEB_WARC_HTML_TEXT_SQL,
 }
+
+
+# -- URL canonicalization (RFC 3986 normalization) -----------------------
+
+_TRACKING_PARAMS = frozenset({
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "fbclid", "gclid", "ref",
+})
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize_url(url: str) -> str:
+    """Deterministic URL canonical form (RFC 3986 section 6 syntax
+    normalization + the pipeline-standard extras): lowercase scheme
+    and host, drop default ports, resolve ``.``/``..`` path segments,
+    collapse empty path to ``/``, percent-decode unreserved
+    characters, sort query parameters, drop tracking parameters and
+    the fragment. Two crawl records of the same page under cosmetic
+    URL variation canonicalize to one key — the dedup prerequisite."""
+    from urllib.parse import (
+        parse_qsl, unquote, urlencode, urlsplit, urlunsplit,
+    )
+
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    # dot-segment resolution (RFC 3986 5.2.4)
+    segs: List[str] = []
+    for seg in unquote(parts.path).split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(segs) > 1:
+                segs.pop()
+            continue
+        segs.append(seg)
+    path = "/".join(segs) or "/"
+    if not path.startswith("/"):
+        path = "/" + path
+    q = sorted((k, v) for k, v in parse_qsl(parts.query,
+                                            keep_blank_values=True)
+               if k not in _TRACKING_PARAMS)
+    return urlunsplit((scheme, netloc, path, urlencode(q), ""))
+
+
+def _doc_url_variant(source: str, doc_id: int) -> str:
+    """One of six cosmetic variants of _doc_url, selected by doc_id —
+    every variant canonicalizes back to the plain form."""
+    base = f"{source}.example"
+    v = doc_id % 6
+    if v == 0:
+        return f"http://{base}/doc/{doc_id}"
+    if v == 1:
+        return f"HTTP://{base.upper()}:80/doc/{doc_id}"
+    if v == 2:
+        return f"http://{base}/a/../doc/./{doc_id}"
+    if v == 3:
+        return f"http://{base}/doc/{doc_id}?utm_source=feed#frag"
+    if v == 4:
+        return f"http://{base}/doc/{doc_id}?b=2&a=1"
+    return f"http://{base}:80/x/../doc/{doc_id}?a=1&b=2&gclid=z"
+
+
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """URL-level dedup through REAL canonicalization: every document
+    carries a cosmetically-varied URL (case, default port, dot
+    segments, tracking params, fragment, query order — six variant
+    shapes cycled by doc_id), canonicalization collapses the
+    variation, and grouping by (canonical, had_query) counts the
+    population per canonical shape. Scale shape: canonicalize is one
+    JVM-adjacent Arrow batch pass (pure-Python string work per row,
+    spread to full parallelism); the groupBy shuffles only canonical
+    URLS, never documents."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+
+    def _canon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            canon = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                canon.append(canonicalize_url(
+                    _doc_url_variant(source, int(doc_id))))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "canonical": canon})
+
+    spread = spread_for_compute(docs)
+    canon = spread.mapInPandas(_canon, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("canonical", StringType()),
+    ]))
+    return (canon.groupBy("canonical")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_docs") >= 1))
+
+
+# Oracle: the canonical form of every variant is
+# 'http://{source}.example/doc/{id}' with the query reduced to the
+# sorted non-tracking params — variants 0-3 lose the query entirely,
+# 4 and 5 keep 'a=1&b=2'.
+WEB_URL_CANON_SQL = """
+    WITH c AS (
+        SELECT doc_id,
+               'http://' || source || '.example/doc/' || doc_id
+               || CASE WHEN doc_id % 6 IN (4, 5)
+                       THEN '?a=1&b=2' ELSE '' END AS canonical
+        FROM documents
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM c GROUP BY canonical
+"""
+
+
+# -- link extraction + degree aggregation --------------------------------
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.hrefs: List[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+def extract_links(doc: str) -> List[str]:
+    """All <a href=...> targets of an HTML document, in order."""
+    p = _LinkExtractor()
+    p.feed(doc)
+    p.close()
+    return p.hrefs
+
+
+def _doc_link_html(doc_id: int, text: str) -> str:
+    """Page with three outbound links to deterministic neighbor ids
+    ((7 id + j^2) mod 1000 for j = 1..3) buried among the text."""
+    links = "".join(
+        f'<a href="/doc/{(7 * doc_id + j * j) % 1000}">n{j}</a>'
+        for j in (1, 2, 3))
+    return (f"<html><body><p>{_html.escape(text[:40])}</p>{links}"
+            f"</body></html>")
+
+
+def web_link_graph_degrees(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """LINK GRAPH out of real HTML: every document's page embeds
+    three anchor tags to deterministic neighbor ids; a real tokenizer
+    pass extracts the hrefs, targets explode, and a distributed
+    groupBy aggregates IN-degree per target page. The page-rank-
+    shaped first step of crawl graph analysis. Scale shape: the
+    extraction is one linear Arrow pass; only (target, 1) pairs
+    shuffle — three per document regardless of page size — and the
+    aggregation is a map-side-combinable count."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+
+    def _links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "target": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                page = _doc_link_html(int(doc_id), text)
+                for href in extract_links(page):
+                    out["doc_id"].append(int(doc_id))
+                    out["target"].append(
+                        int(href.rsplit("/", 1)[-1]))
+            yield pd.DataFrame(out)
+
+    spread = spread_for_compute(docs)
+    edges = spread.mapInPandas(_links, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("target", LongType()),
+    ]))
+    return (edges.groupBy("target")
+            .agg(F.count(F.lit(1)).alias("in_degree"),
+                 F.min("doc_id").alias("min_source")))
+
+
+WEB_LINK_DEGREES_SQL = """
+    WITH e AS (
+        SELECT doc_id, (7 * doc_id + j * j) % 1000 AS target
+        FROM documents, (SELECT unnest(range(1, 4)) AS j)
+    )
+    SELECT target,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST(MIN(doc_id) AS BIGINT) AS min_source
+    FROM e GROUP BY target
+"""
+
+
+WEB_QUERIES["web_url_canonical_dedup"] = web_url_canonical_dedup
+WEB_QUERIES["web_link_graph_degrees"] = web_link_graph_degrees
+WEB_ORACLE["web_url_canonical_dedup"] = WEB_URL_CANON_SQL
+WEB_ORACLE["web_link_graph_degrees"] = WEB_LINK_DEGREES_SQL

@@ -141,6 +141,65 @@ def test_pipeline_closed_form(doc_id, text):
                   f"tail & {doc_id}"
 
 
+def test_url_canonicalization_semantics():
+    from datafusion_async_parquet_index_spark.operators.web import (
+        _doc_url_variant,
+        canonicalize_url,
+    )
+    c = canonicalize_url
+    # RFC 3986 syntax normalization
+    assert c("HTTP://Ex.COM:80/a/b") == "http://ex.com/a/b"
+    assert c("https://ex.com:443/x") == "https://ex.com/x"
+    assert c("https://ex.com:8443/x") == "https://ex.com:8443/x"
+    assert c("http://ex.com/a/../b/./c") == "http://ex.com/b/c"
+    assert c("http://ex.com") == "http://ex.com/"
+    assert c("http://ex.com/p?z=1&a=2") == "http://ex.com/p?a=2&z=1"
+    assert c("http://ex.com/p?utm_source=x&gclid=y&k=v#frag") == \
+        "http://ex.com/p?k=v"
+    # every corpus variant collapses to the canonical form
+    for did in range(12):
+        got = canonicalize_url(_doc_url_variant("web", did))
+        tail = "?a=1&b=2" if did % 6 in (4, 5) else ""
+        assert got == f"http://web.example/doc/{did}{tail}", (did, got)
+
+
+def test_link_extraction_order_and_filtering():
+    from datafusion_async_parquet_index_spark.operators.web import (
+        _doc_link_html,
+        extract_links,
+    )
+    html = _doc_link_html(12, "hello <world> & co")
+    links = extract_links(html)
+    assert links == [f"/doc/{(7 * 12 + j * j) % 1000}"
+                     for j in (1, 2, 3)]
+    # anchors without href and non-anchor tags are ignored
+    assert extract_links(
+        '<a name="x"></a><link href="/css"><a href="/ok">t</a>'
+    ) == ["/ok"]
+
+
+def test_web_graph_operators_match_driver(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.web import (
+        web_link_graph_degrees,
+        web_url_canonical_dedup,
+    )
+    deg = {r["target"]: r["in_degree"] for r in
+           web_link_graph_degrees(spark, sf_dir).collect()}
+    docs = [r["doc_id"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").collect()]
+    expect = {}
+    for d in docs:
+        for j in (1, 2, 3):
+            t = (7 * d + j * j) % 1000
+            expect[t] = expect.get(t, 0) + 1
+    assert deg == expect
+    assert sum(deg.values()) == 3 * len(docs)
+    rows = web_url_canonical_dedup(spark, sf_dir).collect()
+    assert len(rows) == len(docs)          # distinct URLs per doc
+    assert all(r["canonical"].startswith("http://") for r in rows)
+
+
 def test_web_operators_match_driver(spark, sf_dir):
     media = synthesize_warc_media(spark, sf_dir).orderBy("doc_id")
     sample = media.limit(8).collect()

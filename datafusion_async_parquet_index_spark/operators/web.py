@@ -152,9 +152,52 @@ def decode_warc(data: bytes) -> List[dict]:
     return records
 
 
+def dechunk_http_body(body: bytes) -> bytes:
+    """Decode a ``Transfer-Encoding: chunked`` HTTP body (RFC 9112
+    section 7.1): hex chunk-size line (chunk extensions after ``;``
+    ignored), CRLF, chunk data, CRLF, ..., a zero-size chunk, optional
+    trailer fields, and a final blank line. Refuses LOUDLY on a bad
+    size line, truncated chunk data, or a missing terminator — the
+    framing slip a real crawl archive would otherwise surface as
+    silently corrupt text."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked body: bad chunk size {size_tok!r}") from None
+        pos = eol + 2
+        if size == 0:
+            # trailer section: header lines until the blank line
+            while True:
+                eol = body.find(_CRLF, pos)
+                if eol < 0:
+                    raise ValueError(
+                        "chunked body: unterminated trailer section")
+                if eol == pos:
+                    return bytes(out)
+                pos = eol + 2
+        if pos + size + 2 > len(body):
+            raise ValueError("chunked body: chunk data truncated")
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != _CRLF:
+            raise ValueError("chunked body: missing chunk terminator")
+        pos += size + 2
+
+
 def parse_http_response(payload: bytes) -> dict:
     """Split an HTTP/1.x response payload (the body of a WARC
-    ``response`` record) into {status, headers, body}."""
+    ``response`` record) into {status, headers, body, chunked}.
+    ``Transfer-Encoding: chunked`` bodies (ubiquitous in real
+    CommonCrawl response records) are de-chunked here, so ``body`` is
+    always the decoded entity bytes; ``chunked`` records whether the
+    wire framing was chunked."""
     sep = payload.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("HTTP response without header terminator")
@@ -167,8 +210,66 @@ def parse_http_response(payload: bytes) -> dict:
     for ln in head[1:]:
         k, _sep, v = ln.decode("utf-8", "replace").partition(":")
         headers[k.strip().lower()] = v.strip()
+    body = payload[sep + 4:]
+    chunked = "chunked" in headers.get("transfer-encoding", "").lower()
+    if chunked:
+        body = dechunk_http_body(body)
     return {"status": int(parts[1]), "headers": headers,
-            "body": payload[sep + 4:]}
+            "body": body, "chunked": chunked}
+
+
+# -- charset detection + decode (RFC 9110 / WHATWG sniff order) ----------
+
+# python codec per declared charset label; anything else refuses loudly
+_CHARSET_CODECS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET_RE = None  # compiled lazily (keeps import light)
+
+
+def sniff_charset(content_type: str, body: bytes) -> str:
+    """Detected charset label for an HTML response body, in standard
+    precedence order: byte-order mark, ``Content-Type`` charset
+    parameter, ``<meta charset=...>`` / ``http-equiv`` sniff over the
+    first 1024 bytes (scanned as latin-1, an ASCII superset), else the
+    utf-8 default. Returns the lowercased label as declared."""
+    import re
+
+    global _META_CHARSET_RE
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = re.search(r"charset=\"?([^;\s\"']+)", content_type or "",
+                  re.IGNORECASE)
+    if m:
+        return m.group(1).strip().lower()
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = re.compile(
+            r"<meta[^>]+charset=[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
+    m = _META_CHARSET_RE.search(body[:1024].decode("latin-1"))
+    if m:
+        return m.group(1).lower()
+    return "utf-8"
+
+
+def decode_body_text(body: bytes, content_type: str) -> "tuple[str, str]":
+    """(text, charset) of an HTML body: sniff the charset (header
+    param, then meta tag, then utf-8) and decode. Unsupported charsets
+    refuse LOUDLY by name — silently mojibake-ing a Shift-JIS page
+    into a training corpus is the failure mode this guards."""
+    cs = sniff_charset(content_type, body)
+    codec = _CHARSET_CODECS.get(cs)
+    if codec is None:
+        raise ValueError(
+            f"unsupported charset {cs!r} (supported: "
+            f"{sorted(set(_CHARSET_CODECS))})")
+    return body.decode(codec), cs
 
 
 # -- HTML text extraction (stdlib html.parser) ---------------------------
@@ -315,38 +416,29 @@ def web_warc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_meta, schema=WARC_META_SCHEMA)
 
 
-# body_bytes = len(html template) with text ESCAPED: & -> &amp; (+4),
-# < -> &lt; (+3), > -> &gt; (+3) — recomputed relationally via
-# replace-length deltas ('" and ' never occur in the corpus template
-# path because html.escape(quote=False) is not used; escape() quotes
-# them too: " -> &quot; (+5), ' -> &#x27; (+5)).
-WEB_WARC_META_SQL = """
-    WITH m AS (
-        SELECT doc_id, source, text,
-               length(text)
-               + 4 * (length(text) - length(replace(text, '&', '')))
-               + 3 * (length(text) - length(replace(text, '<', '')))
-               + 3 * (length(text) - length(replace(text, '>', '')))
-               + 5 * (length(text) - length(replace(text, '"', '')))
-               + 5 * (length(text) - length(replace(text, chr(39),
-                                                    '')))
-                 AS esc_len
-        FROM documents
-    )
+# The oracle REBUILDS the generated html string (html.escape order:
+# & first, then < > " ') and measures its utf-8 BYTE length via
+# octet_length(encode(...)) — length() would count characters and
+# diverge on any non-ASCII document text (ADVICE r13).
+_SQL_ESC_TEXT = """replace(replace(replace(replace(replace(text,
+        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+        chr(39), '&#x27;')"""
+
+_SQL_DOC_HTML = f"""('<html><head><title>Doc ' || doc_id
+        || '</title><script>var skip_' || doc_id
+        || ' = 1;</script></head><body><p>' || {_SQL_ESC_TEXT}
+        || '</p><p>tail &amp; ' || doc_id || '</p></body></html>')"""
+
+WEB_WARC_META_SQL = f"""
     SELECT doc_id,
            CAST(2 AS INT) AS n_records,
            'http://' || source || '.example/doc/' || doc_id AS url,
            'response' AS warc_type,
            CAST(200 AS INT) AS http_status,
            'text/html; charset=utf-8' AS http_content_type,
-           CAST(esc_len
-                + length('<html><head><title>Doc </title>'
-                         || '<script>var skip_ = 1;</script></head>'
-                         || '<body><p></p><p>tail &amp; </p>'
-                         || '</body></html>')
-                + 3 * length(CAST(doc_id AS VARCHAR))
-                AS BIGINT) AS body_bytes
-    FROM m
+           CAST(octet_length(encode({_SQL_DOC_HTML})) AS BIGINT)
+               AS body_bytes
+    FROM documents
 """
 
 
@@ -388,18 +480,25 @@ def web_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_extract, schema=HTML_TEXT_SCHEMA)
 
 
+# the extracted text is the ' '-join of the NON-EMPTY parts (title,
+# collapsed body text, tail) — list_filter keeps the formula exact for
+# empty/whitespace-only documents, and the word count filters empty
+# split tokens (ADVICE r13: the previous '||'-concat form held only
+# for non-empty ASCII text).
 WEB_WARC_HTML_TEXT_SQL = """
     WITH m AS (
         SELECT doc_id,
-               'Doc ' || doc_id || ' '
-               || trim(regexp_replace(text, '\\s+', ' ', 'g'))
-               || ' tail & ' || doc_id AS ext
+               array_to_string(list_filter(
+                   ['Doc ' || doc_id,
+                    trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                    'tail & ' || doc_id],
+                   p -> p != ''), ' ') AS ext
         FROM documents
     )
     SELECT doc_id,
            CAST(length(ext) AS BIGINT) AS ext_len,
-           CAST(len(regexp_split_to_array(ext, ' ')) AS BIGINT)
-               AS n_words,
+           CAST(len(list_filter(string_split_regex(ext, '\\s+'),
+                                t -> t != '')) AS BIGINT) AS n_words,
            substr(ext, 1, 48) AS prefix48
     FROM m
 """
@@ -425,16 +524,48 @@ _TRACKING_PARAMS = frozenset({
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 
 
+def _norm_pct_segment(seg: str) -> str:
+    """RFC 3986 6.2.2 percent-encoding normalization for ONE path
+    segment: decode only UNRESERVED escapes (ALPHA / DIGIT / - . _ ~,
+    section 6.2.2.2) and uppercase the hex of every other escape
+    (6.2.2.1). Reserved characters stay encoded — a full unquote()
+    would decode ``%2F`` into ``/`` and merge distinct segments
+    (ADVICE r13: '/a%2Fb' must NOT collapse to '/a/b')."""
+    out: List[str] = []
+    i = 0
+    n = len(seg)
+    while i < n:
+        ch = seg[i]
+        if ch == "%" and i + 3 <= n:
+            hx = seg[i + 1:i + 3]
+            try:
+                v = int(hx, 16)
+            except ValueError:
+                v = -1
+            if v >= 0:
+                c = chr(v)
+                if c.isascii() and (c.isalnum() or c in "-._~"):
+                    out.append(c)
+                else:
+                    out.append("%" + hx.upper())
+                i += 3
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def canonicalize_url(url: str) -> str:
     """Deterministic URL canonical form (RFC 3986 section 6 syntax
     normalization + the pipeline-standard extras): lowercase scheme
     and host, drop default ports, resolve ``.``/``..`` path segments,
     collapse empty path to ``/``, percent-decode unreserved
-    characters, sort query parameters, drop tracking parameters and
+    characters only (reserved escapes stay encoded, hex uppercased),
+    sort query parameters, drop tracking parameters and
     the fragment. Two crawl records of the same page under cosmetic
     URL variation canonicalize to one key — the dedup prerequisite."""
     from urllib.parse import (
-        parse_qsl, unquote, urlencode, urlsplit, urlunsplit,
+        parse_qsl, urlencode, urlsplit, urlunsplit,
     )
 
     parts = urlsplit(url.strip())
@@ -444,9 +575,11 @@ def canonicalize_url(url: str) -> str:
     netloc = host
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
-    # dot-segment resolution (RFC 3986 5.2.4)
+    # dot-segment resolution (RFC 3986 5.2.4) over RAW segments:
+    # splitting BEFORE percent-normalization keeps an encoded %2F
+    # inside a segment from acting as a separator
     segs: List[str] = []
-    for seg in unquote(parts.path).split("/"):
+    for seg in (_norm_pct_segment(s) for s in parts.path.split("/")):
         if seg == ".":
             continue
         if seg == "..":
@@ -624,3 +757,497 @@ WEB_QUERIES["web_url_canonical_dedup"] = web_url_canonical_dedup
 WEB_QUERIES["web_link_graph_degrees"] = web_link_graph_degrees
 WEB_ORACLE["web_url_canonical_dedup"] = WEB_URL_CANON_SQL
 WEB_ORACLE["web_link_graph_degrees"] = WEB_LINK_DEGREES_SQL
+
+
+# -- chunked transfer + charset variants (round 14) ----------------------
+
+def _chunk_http_body(body: bytes, size: int = 64,
+                     ext: bool = False) -> bytes:
+    """Chunked-transfer encode ``body``: fixed-size chunks, an
+    optional chunk extension on the first size line (readers must
+    ignore it), zero-chunk terminator."""
+    out = bytearray()
+    for i in range(0, len(body), size):
+        chunk = body[i:i + size]
+        tag = f"{len(chunk):x}"
+        if ext and i == 0:
+            tag += ";gen=spark-graft"
+        out += tag.encode("ascii") + _CRLF + chunk + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def _doc_html_v2(doc_id: int, text: str, variant: int) -> str:
+    """The v2 generative template: variants 2/3 add a latin-1-only
+    paragraph ('enc caf\\xe9 {id}'), variant 3 declares its charset
+    ONLY via a <meta charset> tag (the header stays bare)."""
+    enc = (f"<p>enc caf\xe9 {doc_id}</p>" if variant in (2, 3) else "")
+    meta = ('<meta charset="iso-8859-1">' if variant == 3 else "")
+    return (f"<html><head>{meta}<title>Doc {doc_id}</title>"
+            f"<script>var skip_{doc_id} = 1;</script></head>"
+            f"<body><p>{_html.escape(text)}</p>{enc}"
+            f"<p>tail &amp; {doc_id}</p></body></html>")
+
+
+def _doc_warc_v2(doc_id: int, source: str, text: str) -> bytes:
+    """One WARC file per document exercising the realism envelope a
+    real CommonCrawl record hits immediately (VERDICT r13 ask #3),
+    variant = doc_id % 4:
+      0 — Content-Length framing, utf-8 (the v1 shape);
+      1 — ``Transfer-Encoding: chunked`` body, utf-8;
+      2 — Content-Length, ``charset=iso-8859-1`` header, latin-1
+          bytes with a non-ASCII char;
+      3 — chunked (with a chunk extension) + NO header charset: the
+          reader must sniff ``<meta charset="iso-8859-1">`` from the
+          body bytes.
+    Even doc_ids gzip each record, odd stay plain (as v1)."""
+    variant = doc_id % 4
+    html = _doc_html_v2(doc_id, text, variant)
+    charset = "iso-8859-1" if variant in (2, 3) else "utf-8"
+    body = html.encode("latin-1" if variant in (2, 3) else "utf-8")
+    ctype = ("text/html" if variant == 3
+             else f"text/html; charset={charset}")
+    if variant in (1, 3):
+        wire = _chunk_http_body(body, ext=variant == 3)
+        framing = b"Transfer-Encoding: chunked\r\n"
+    else:
+        wire = body
+        framing = f"Content-Length: {len(body)}\r\n".encode("ascii")
+    http = (b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: {ctype}\r\n".encode("ascii")
+            + framing + _CRLF + wire)
+    resp = encode_warc_record(
+        "response",
+        {"WARC-Record-ID": f"<urn:uuid:resp-{doc_id}>",
+         "WARC-Target-URI": _doc_url(source, doc_id),
+         "Content-Type": "application/http; msgtype=response"},
+        http)
+    return encode_warc([resp], gzip_members=doc_id % 2 == 0)
+
+
+def synthesize_warc_media_v2(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _doc_warc_v2(int(i), s, t)
+                for i, s, t in zip(pdf["doc_id"], pdf["source"],
+                                   pdf["text"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "payload": payloads})
+
+    spread = spread_for_compute(docs)
+    return spread.mapInPandas(_make, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]))
+
+
+CHUNKED_CHARSET_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("charset", StringType()),
+    StructField("chunked", IntegerType()),
+    StructField("ext_len", LongType()),
+    StructField("n_words", LongType()),
+    StructField("prefix40", StringType()),
+])
+
+
+def _extract_v2(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+    """WARC -> response -> de-chunk -> charset-sniff/decode ->
+    visible text, per document (shared by the chunked/charset row and
+    the composition pipeline)."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "charset", "chunked", "ext")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = decode_warc(bytes(payload))
+            resp = next(r for r in recs if r["type"] == "response")
+            http = parse_http_response(resp["payload"])
+            text, cs = decode_body_text(
+                http["body"], http["headers"].get("content-type", ""))
+            out["doc_id"].append(int(doc_id))
+            out["charset"].append(cs)
+            out["chunked"].append(int(http["chunked"]))
+            out["ext"].append(html_to_text(text))
+        yield pd.DataFrame(out)
+
+
+_V2_EXT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("charset", StringType()),
+    StructField("chunked", IntegerType()),
+    StructField("ext", StringType()),
+])
+
+
+def web_chunked_charset_text(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """The crawl realism row (VERDICT r13 ask #3): a corpus whose
+    response records mix Content-Length and CHUNKED transfer framing
+    with utf-8 and LATIN-1 bodies (charset declared in the header, or
+    only via a <meta charset> tag the reader must sniff from bytes).
+    The pipeline de-chunks, sniffs, decodes, and extracts visible
+    text; the oracle rebuilds the per-variant closed form — including
+    the non-ASCII literal — relationally."""
+    from pyspark.sql import functions as F
+
+    media = synthesize_warc_media_v2(spark, sf_dir)
+    ext = media.mapInPandas(_extract_v2, schema=_V2_EXT_SCHEMA)
+    words = F.filter(F.split(F.col("ext"), r"\s+"), lambda t: t != "")
+    return ext.select(
+        "doc_id", "charset", "chunked",
+        F.length("ext").cast("long").alias("ext_len"),
+        F.size(words).cast("long").alias("n_words"),
+        F.substring("ext", 1, 40).alias("prefix40"),
+    )
+
+
+# closed form of the extracted text per variant: title, collapsed
+# body text, the latin-1 paragraph (variants 2/3), tail — joined over
+# the non-empty parts.
+_SQL_V2_EXT = """array_to_string(list_filter(
+        ['Doc ' || doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')),
+         CASE WHEN doc_id % 4 IN (2, 3)
+              THEN 'enc caf' || chr(233) || ' ' || doc_id
+              ELSE '' END,
+         'tail & ' || doc_id],
+        p -> p != ''), ' ')"""
+
+WEB_CHUNKED_CHARSET_SQL = f"""
+    WITH e AS (
+        SELECT doc_id, doc_id % 4 AS v, {_SQL_V2_EXT} AS ext
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN v IN (2, 3) THEN 'iso-8859-1'
+                ELSE 'utf-8' END AS charset,
+           CAST(CASE WHEN v IN (1, 3) THEN 1 ELSE 0 END AS INT)
+               AS chunked,
+           CAST(length(ext) AS BIGINT) AS ext_len,
+           CAST(len(list_filter(string_split_regex(ext, '\\s+'),
+                                t -> t != '')) AS BIGINT) AS n_words,
+           substr(ext, 1, 40) AS prefix40
+    FROM e
+"""
+
+
+# -- WARC at container shape (round 14, VERDICT r13 ask #4) --------------
+
+DOCS_PER_CONTAINER = 64
+
+
+def synthesize_warc_containers(spark: SparkSession, sf_dir: str,
+                               docs_per_container: int =
+                               DOCS_PER_CONTAINER) -> DataFrame:
+    """The CommonCrawl CONTAINER shape: many records per WARC file —
+    one warcinfo member followed by one gzip member per response
+    record — with each member's (offset, length) recorded at WRITE
+    time, exactly what a crawl index stores so readers can seek to
+    one record without touching the rest of a ~1 GB archive.
+    Containers build distributed (applyInPandas per container key);
+    each group's documents sort by doc_id so the layout is
+    deterministic."""
+    import gzip as _gz
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text").withColumn(
+        "container_id",
+        F.expr(f"doc_id div {docs_per_container}"))
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        cid = int(pdf["container_id"].iloc[0])
+
+        def member(rec: bytes) -> bytes:
+            buf = io.BytesIO()
+            with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+                fh.write(rec)
+            return buf.getvalue()
+
+        info = member(encode_warc_record(
+            "warcinfo",
+            {"WARC-Record-ID": f"<urn:uuid:info-c{cid}>",
+             "Content-Type": "application/warc-fields"},
+            f"software: spark-graft\r\ncontainer: {cid}\r\n"
+            .encode("utf-8")))
+        parts = [info]
+        offsets, lengths, doc_ids = [], [], []
+        off = len(info)
+        for doc_id, source, text in zip(pdf["doc_id"], pdf["source"],
+                                        pdf["text"]):
+            doc_id = int(doc_id)
+            body = _doc_html(doc_id, text).encode("utf-8")
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    + f"Content-Length: {len(body)}\r\n".encode()
+                    + _CRLF + body)
+            mem = member(encode_warc_record(
+                "response",
+                {"WARC-Record-ID": f"<urn:uuid:resp-{doc_id}>",
+                 "WARC-Target-URI": _doc_url(source, doc_id),
+                 "Content-Type":
+                     "application/http; msgtype=response"},
+                http))
+            parts.append(mem)
+            offsets.append(off)
+            lengths.append(len(mem))
+            doc_ids.append(doc_id)
+            off += len(mem)
+        return pd.DataFrame({
+            "container_id": [cid],
+            "payload": [b"".join(parts)],
+            "offsets": [offsets],
+            "lengths": [lengths],
+            "doc_ids": [doc_ids],
+        })
+
+    from pyspark.sql.types import ArrayType
+
+    schema = StructType([
+        StructField("container_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("offsets", ArrayType(LongType())),
+        StructField("lengths", ArrayType(LongType())),
+        StructField("doc_ids", ArrayType(LongType())),
+    ])
+    return docs.groupBy("container_id").applyInPandas(
+        _build, schema=schema)
+
+
+def web_warc_container_stats(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Container-shape read path: every record is fetched by SEEKING
+    to its recorded gzip-member offset and decompressing that member
+    ALONE (asserted self-contained: the member must end exactly at
+    its recorded length with nothing left over) — the CommonCrawl
+    random-access pattern, never a whole-file stream. The doc id is
+    re-derived from the parsed WARC-Target-URI (not trusted from the
+    recorded list), so a framing slip in offsets, member boundaries,
+    or header parsing breaks the oracle match. Per-record rows then
+    aggregate per container with a map-side-combinable groupBy."""
+    from pyspark.sql import functions as F
+
+    containers = synthesize_warc_containers(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"container_id": [], "doc_id": [], "body_bytes": []}
+            for cid, payload, offs, lens in zip(
+                    pdf["container_id"], pdf["payload"],
+                    pdf["offsets"], pdf["lengths"]):
+                payload = bytes(payload)
+                for off, ln in zip(offs, lens):
+                    mem = payload[int(off):int(off) + int(ln)]
+                    d = zlib.decompressobj(wbits=31)
+                    rec_bytes = d.decompress(mem)
+                    if not d.eof or d.unused_data:
+                        raise ValueError(
+                            "container member slice is not a "
+                            "self-contained gzip member")
+                    recs = decode_warc(rec_bytes)
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"expected 1 record per member, "
+                            f"got {len(recs)}")
+                    rec = recs[0]
+                    http = parse_http_response(rec["payload"])
+                    uri = rec["headers"]["WARC-Target-URI"]
+                    out["container_id"].append(int(cid))
+                    out["doc_id"].append(
+                        int(uri.rsplit("/", 1)[-1]))
+                    out["body_bytes"].append(len(http["body"]))
+            yield pd.DataFrame(out)
+
+    rows = containers.mapInPandas(_stats, schema=StructType([
+        StructField("container_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("body_bytes", LongType()),
+    ]))
+    return rows.groupBy("container_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("body_bytes").cast("long").alias("sum_body_bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+WEB_CONTAINER_STATS_SQL = f"""
+    WITH b AS (
+        SELECT doc_id, doc_id // {DOCS_PER_CONTAINER} AS container_id,
+               octet_length(encode({_SQL_DOC_HTML})) AS body_bytes
+        FROM documents
+    )
+    SELECT container_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(body_bytes) AS BIGINT) AS sum_body_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM b GROUP BY container_id
+"""
+
+
+# -- PageRank power step (round 14, VERDICT r13 ask #5) ------------------
+
+PR_SCALE = 10_000      # basis-point rank scale
+PR_DAMP_NUM = 85       # damping 0.85 as an exact integer ratio
+PR_DAMP_DEN = 100
+
+
+def web_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DETERMINISTIC PageRank power iteration over the link graph
+    extracted from real HTML (the emb_kmeans_step pattern: exact
+    integer arithmetic so DuckDB rebuilds it bit-for-bit). Every page
+    starts at rank PR_SCALE basis points; a page with out-degree d
+    ships floor(PR_SCALE / d) to each target; the new rank is
+    (1 - 0.85) * PR_SCALE + 0.85 * sum(contributions), all in floored
+    integer math. Scale shape: the extraction is one linear Arrow
+    pass; out-degrees are a map-side-combinable count joined back on
+    the source id; only (source, target) id pairs ever shuffle — at
+    100 TB both aggregations shuffle ids, never pages, and further
+    iterations reuse the same edges DataFrame."""
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+
+    def _links(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "target": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                page = _doc_link_html(int(doc_id), text)
+                for href in extract_links(page):
+                    out["doc_id"].append(int(doc_id))
+                    out["target"].append(
+                        int(href.rsplit("/", 1)[-1]))
+            yield pd.DataFrame(out)
+
+    spread = spread_for_compute(docs)
+    edges = spread.mapInPandas(_links, schema=StructType([
+        StructField("doc_id", LongType()),
+        StructField("target", LongType()),
+    ]))
+    out_deg = edges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    contrib = edges.join(out_deg, "doc_id").withColumn(
+        "contrib", F.expr(f"{PR_SCALE} div out_degree"))
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    return (contrib.groupBy("target")
+            .agg(F.count(F.lit(1)).cast("long").alias("in_degree"),
+                 F.expr(f"{base} + ({PR_DAMP_NUM} * sum(contrib)) "
+                        f"div {PR_DAMP_DEN}").cast("long")
+                 .alias("rank_bp")))
+
+
+WEB_PAGERANK_SQL = f"""
+    WITH e AS (
+        SELECT doc_id, (7 * doc_id + j * j) % 1000 AS target
+        FROM documents, (SELECT unnest(range(1, 4)) AS j)
+    ), o AS (
+        SELECT doc_id, COUNT(*) AS out_degree FROM e GROUP BY doc_id
+    ), c AS (
+        SELECT e.target, {PR_SCALE} // o.out_degree AS contrib
+        FROM e JOIN o USING (doc_id)
+    )
+    SELECT target,
+           CAST(COUNT(*) AS BIGINT) AS in_degree,
+           CAST({PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)
+                 // PR_DAMP_DEN}
+                + ({PR_DAMP_NUM} * SUM(contrib)) // {PR_DAMP_DEN}
+                AS BIGINT) AS rank_bp
+    FROM c GROUP BY target
+"""
+
+
+# -- crawl -> clean-corpus composition (round 14, ask #8) ----------------
+
+def web_crawl_clean_pipeline(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """The crawl-to-clean-corpus story END TO END in one query: WARC
+    container bytes (chunked + latin-1 variants) -> record framing ->
+    HTTP split -> de-chunk -> charset sniff/decode -> HTML text
+    extraction, then JVM-side quality signals on the extracted text —
+    whitespace word count, distinct-stopword floor, the stopword-hit
+    language guess (exact integer compare: 20 * hits >= tokens), and
+    the gopher-style keep verdict. The Python stage ends where codec
+    work ends; every metric is native Spark SQL on the ext column."""
+    from pyspark.sql import functions as F
+
+    from ..functions import STOPWORDS, tokens
+    from .curation import GOPHER_MAX_WORDS, GOPHER_MIN_STOPWORDS, \
+        GOPHER_MIN_WORDS
+
+    media = synthesize_warc_media_v2(spark, sf_dir)
+    ext = media.mapInPandas(_extract_v2, schema=_V2_EXT_SCHEMA)
+    words = F.filter(F.split(F.col("ext"), r"\s+"), lambda t: t != "")
+    toks = tokens(F.col("ext"))
+    n_words = F.size(words)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_stop = F.size(F.array_distinct(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))))
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (n_stop >= GOPHER_MIN_STOPWORDS))
+    return ext.select(
+        "doc_id", "charset",
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stop"),
+        F.when(stop_hits * 20 >= n_toks, F.lit("en"))
+        .otherwise(F.lit("other")).alias("lang_guess"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def _crawl_clean_sql() -> str:
+    from ..functions import sql_stopword_list, sql_tokens
+    from .curation import GOPHER_MAX_WORDS, GOPHER_MIN_STOPWORDS, \
+        GOPHER_MIN_WORDS
+
+    stops = sql_stopword_list()
+    toks = sql_tokens("ext")
+    return f"""
+    WITH e AS (
+        SELECT doc_id, doc_id % 4 AS v, {_SQL_V2_EXT} AS ext
+        FROM documents
+    ), m AS (
+        SELECT doc_id, v,
+               len(list_filter(string_split_regex(ext, '\\s+'),
+                               t -> t != '')) AS n_words,
+               len({toks}) AS n_toks,
+               len(list_filter({toks}, t -> t IN {stops}))
+                   AS stop_hits,
+               len(list_distinct(list_filter({toks},
+                   t -> t IN {stops}))) AS n_stop
+        FROM e
+    )
+    SELECT doc_id,
+           CASE WHEN v IN (2, 3) THEN 'iso-8859-1'
+                ELSE 'utf-8' END AS charset,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CASE WHEN stop_hits * 20 >= n_toks THEN 'en'
+                ELSE 'other' END AS lang_guess,
+           CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                      AND n_words <= {GOPHER_MAX_WORDS}
+                      AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """
+
+
+WEB_QUERIES["web_chunked_charset_text"] = web_chunked_charset_text
+WEB_QUERIES["web_warc_container_stats"] = web_warc_container_stats
+WEB_QUERIES["web_pagerank_step"] = web_pagerank_step
+WEB_QUERIES["web_crawl_clean_pipeline"] = web_crawl_clean_pipeline
+WEB_ORACLE["web_chunked_charset_text"] = WEB_CHUNKED_CHARSET_SQL
+WEB_ORACLE["web_warc_container_stats"] = WEB_CONTAINER_STATS_SQL
+WEB_ORACLE["web_pagerank_step"] = WEB_PAGERANK_SQL
+WEB_ORACLE["web_crawl_clean_pipeline"] = _crawl_clean_sql()

@@ -424,13 +424,22 @@ class SqliteIndexCatalog:
         if self._lease_fd is None:
             self._lease_fd = os.open(self._db_path + ".writer.lock",
                                      os.O_RDWR | os.O_CREAT, 0o644)
+        import errno
+
         deadline = time.monotonic() + self.LEASE_TIMEOUT_S
         while True:
             try:
                 fcntl.flock(self._lease_fd,
                             fcntl.LOCK_EX | fcntl.LOCK_NB)
                 return
-            except OSError:
+            except OSError as exc:
+                # only CONTENTION (and signal interruption) retries —
+                # EBADF / ENOLCK (no-lock filesystem) etc. are real
+                # failures and must surface immediately, not as a
+                # misleading lease timeout a minute later (ADVICE r13)
+                if exc.errno not in (errno.EWOULDBLOCK, errno.EAGAIN,
+                                     errno.EINTR):
+                    raise
                 if time.monotonic() >= deadline:
                     raise TimeoutError(
                         f"writer lease on {self._db_path}.writer.lock "
@@ -903,6 +912,21 @@ class SqliteIndexCatalog:
             batch = list(islice(it, batch_size))
             if not batch:
                 return n
+            # validate the whole batch's preconditions BEFORE the
+            # transaction (ADVICE r13): a mid-batch ValueError would
+            # roll back and silently discard the ~999 good files of
+            # its batch — per-file ingest committed everything before
+            # the bad file, and build_index callers rely on that
+            for item in batch:
+                fs = item[0]
+                if fs.row_group_count >= _RTREE_ID_STRIDE:
+                    raise ValueError(
+                        f"file {fs.file_name!r} has "
+                        f"{fs.row_group_count} row groups >= rtree id "
+                        f"stride {_RTREE_ID_STRIDE}; rtree ids would "
+                        f"alias across files (rejected before the "
+                        f"batch transaction — no files from this "
+                        f"batch were written)")
             with self._txn():
                 for item in batch:
                     fs, rgs, *rest = item

@@ -182,21 +182,29 @@ def _normalize_arrow_units(table):
     a parquet file written with ms (parquet-mr TIMESTAMP_MILLIS) or
     ns (pyarrow default in some stacks) units fails the scan with
     UNSUPPORTED_ARROWTYPE. Cast any non-us timestamp column to us so
-    row-group scans accept every spec-legal unit; values are identical
-    instants (ns->us truncation matches Spark's own parquet reader)."""
+    row-group scans accept every spec-legal unit. The cast must allow
+    truncation (ADVICE r13): pyarrow's default safe cast RAISES on any
+    ns value with a nonzero sub-microsecond remainder — exactly the
+    files this normalizer exists to admit — so sub-us precision is
+    floored away per-column, matching Spark's own parquet reader."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    fields = []
+    cols = []
     changed = False
-    for f in table.schema:
+    fields = []
+    for f, col in zip(table.schema, table.columns):
         if pa.types.is_timestamp(f.type) and f.type.unit != "us":
-            fields.append(f.with_type(pa.timestamp("us", f.type.tz)))
+            target = pa.timestamp("us", f.type.tz)
+            cols.append(pc.cast(col, target, safe=False))
+            fields.append(f.with_type(target))
             changed = True
         else:
+            cols.append(col)
             fields.append(f)
     if not changed:
         return table
-    return table.cast(pa.schema(fields))
+    return pa.table(cols, schema=pa.schema(fields))
 
 
 class RowGroupParquetDataSource(DataSource):

@@ -34,6 +34,62 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. freshly re-verified (r2-green) entries, relational tail last.
 # Rotate tiers between rounds so every entry eventually gets a row.
 _ROUND_PRIORITY = [
+    # == ROUND 14 WINDOW (scripts/next_window.py output; VERDICT r13
+    # ask #1 — the 20 round-9-stale entries behind the new landings,
+    # proof floor rises to round 10) ==================================
+    # tier 1: round-14 landings (web realism family), zero proof lag.
+    "web_chunked_charset_text",
+    "web_warc_container_stats",
+    "web_pagerank_step",
+    "web_crawl_clean_pipeline",
+    # tier 2: stalest greens first (r9 cohort the verdict names, then
+    # the r10 cohort filling to 50).
+    "q67_group_minmax",
+    "q97_change_feed",
+    "q98_update_where",
+    "q99_incremental_agg_from_feed",
+    "q100_optimize_lifecycle",
+    "text_topk_terms",
+    "text_curation_pipeline",
+    "text_deterministic_sample",
+    "text_token_budget_pack",
+    "text_stratified_sample",
+    "text_unigram_logprob",
+    "text_sequence_pack",
+    "text_quality_classifier",
+    "dedup_source_crosstab",
+    "dedup_cross_modal",
+    "dedup_clusters",
+    "dedup_verified_clusters",
+    "sim_range_search",
+    "sim_ivfpq_topk",
+    "sim_topk_live",
+    "q101_snapshot_restore",
+    "q102_incremental_join_view_from_feed",
+    "q103_append",
+    "q104_snapshot_expiry",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_incremental_persisted",
+    "dedup_stream_incremental",
+    "dedup_embedding_lsh",
+    "dedup_containment",
+    "dedup_keep_policy",
+    "dedup_minhash_quality",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivf_nprobe_topk",
+    "sim_ivf_layout_topk",
+    "sim_sq_topk",
+    "sim_ivfpq_layout_topk",
+    "sim_recall_report",
+    "emb_label_centroids",
+    "ev_tumbling_agg",
+    "ev_sliding_agg",
     # == ROUND 13 WINDOW (scripts/next_window.py output, start of
     # r13; VERDICT r12 ask #1) =========================================
     # tier 0 (unresolved reds): none — CORRECTNESS_r12 was 50/50 green.

@@ -42,6 +42,8 @@ _ROUND_PRIORITY = [
     "web_warc_container_stats",
     "web_pagerank_step",
     "web_crawl_clean_pipeline",
+    "web_pagerank_iterations",
+    "web_boilerplate_text",
     # tier 2: stalest greens first (r9 cohort the verdict names, then
     # the r10 cohort filling to 50).
     "q67_group_minmax",

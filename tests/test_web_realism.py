@@ -236,6 +236,70 @@ def test_chunked_charset_row_matches_local_replay(spark, sf_dir):
         assert g["prefix40"] == ext[:40]
 
 
+def test_boilerplate_dropping_semantics():
+    html = ('<body><header>H</header><nav>N <a href="/x">x</a></nav>'
+            '<aside>A<nav>inner</nav></aside>'
+            '<main><p>the article body</p></main>'
+            '<noscript>ns</noscript><template>t</template>'
+            '<footer>F</footer></body>')
+    assert html_to_text(html, drop_boilerplate=True) \
+        == "the article body"
+    # full mode keeps the chrome, in document order
+    assert html_to_text(html) == "H N x A inner the article body ns t F"
+    # nested same-class containers close correctly
+    nested = "<nav>a<nav>b</nav>c</nav>kept"
+    assert html_to_text(nested, drop_boilerplate=True) == "kept"
+
+
+def test_boilerplate_row_closed_form(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.web import (
+        _doc_boiler_html,
+        web_boilerplate_text,
+    )
+
+    rows = {r["doc_id"]: r for r in
+            web_boilerplate_text(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(8).collect()
+    for d in docs:
+        page = _doc_boiler_html(d["doc_id"], d["text"])
+        main = html_to_text(page, drop_boilerplate=True)
+        full = html_to_text(page)
+        g = rows[d["doc_id"]]
+        assert g["main_len"] == len(main)
+        assert g["full_len"] == len(full)
+        assert g["prefix40"] == main[:40]
+        assert len(main) < len(full)  # chrome really dropped
+
+
+def test_pagerank_iterations_closed_form(spark, sf_dir):
+    from datafusion_async_parquet_index_spark.operators.web import (
+        PR_ITERS,
+        web_pagerank_iterations,
+    )
+
+    got = {r["node"]: r["rank_bp"] for r in
+           web_pagerank_iterations(spark, sf_dir).collect()}
+    docs = [r["doc_id"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").collect()]
+    edges = [(d, (7 * d + j * j) % 1000)
+             for d in docs for j in (1, 2, 3)]
+    nodes = {s for s, _ in edges} | {t for _, t in edges}
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {n: 10000 for n in nodes}
+    for _ in range(PR_ITERS):
+        s_in = {}
+        for s, t in edges:
+            s_in[t] = s_in.get(t, 0) + rank[s] // out_deg[s]
+        rank = {n: 1500 + (85 * s_in.get(n, 0)) // 100
+                for n in nodes}
+    assert got == rank
+    assert len(got) == len(nodes)
+
+
 def test_crawl_clean_pipeline_flags(spark, sf_dir):
     from datafusion_async_parquet_index_spark.functions import STOPWORDS
     from datafusion_async_parquet_index_spark.operators.curation import (

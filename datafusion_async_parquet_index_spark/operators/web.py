@@ -1138,10 +1138,8 @@ def web_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations reuse the same edges DataFrame."""
     from pyspark.sql import functions as F
 
-    edges = _link_edges(spark, sf_dir)
-    out_deg = edges.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("out_degree"))
-    contrib = edges.join(out_deg, "doc_id").withColumn(
+    wedges, _ = _pr_graph(spark, sf_dir)   # cached edges ⋈ out_degree
+    contrib = wedges.withColumn(
         "contrib", F.expr(f"{PR_SCALE} div out_degree"))
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     return (contrib.groupBy("target")
@@ -1287,6 +1285,37 @@ def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo[sf_dir]
 
 
+def _pr_graph(spark: SparkSession, sf_dir: str):
+    """Loop-invariant PageRank inputs, computed once per corpus and
+    cached: the degree-weighted edge list (edges ⋈ out_degree) and the
+    node universe (sources ∪ targets).  The power loop previously
+    re-referenced both once per iteration, so one 3-iteration plan
+    re-ran the degree aggregation and the union-distinct three times
+    each (guide §2.4: two operations keyed the same way should share
+    one exchange — here they should share the materialization
+    outright).  At 100 TB these are exactly the artifacts a production
+    PageRank persists between iterations."""
+    from pyspark.sql import functions as F
+
+    from .util import session_memo, track_cache
+
+    memo = session_memo(spark, "web_pr_graph")
+    hit = memo.get(sf_dir)
+    if hit is not None:
+        return hit
+    edges = _link_edges(spark, sf_dir)
+    out_deg = edges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    wedges = track_cache(edges.join(out_deg, "doc_id")
+                         .select("doc_id", "target", "out_degree"))
+    nodes = track_cache(
+        edges.select(F.col("doc_id").alias("node"))
+        .union(edges.select(F.col("target").alias("node")))
+        .distinct())
+    memo[sf_dir] = (wedges, nodes)
+    return memo[sf_dir]
+
+
 def web_pagerank_iterations(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """PageRank run to a FIXED iteration count (PR_ITERS power steps)
@@ -1302,17 +1331,11 @@ def web_pagerank_iterations(spark: SparkSession, sf_dir: str
     reduce to an id-keyed rank vector after the first pass."""
     from pyspark.sql import functions as F
 
-    edges = _link_edges(spark, sf_dir)
-    out_deg = edges.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("out_degree"))
-    nodes = (edges.select(F.col("doc_id").alias("node"))
-             .union(edges.select(F.col("target").alias("node")))
-             .distinct())
+    wedges, nodes = _pr_graph(spark, sf_dir)
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     rank = nodes.withColumn("rank_bp", F.lit(PR_SCALE).cast("long"))
     for _ in range(PR_ITERS):
-        contribs = (edges
-                    .join(out_deg, "doc_id")
+        contribs = (wedges
                     .join(rank.withColumnRenamed("node", "doc_id"),
                           "doc_id")
                     .groupBy("target")

@@ -1740,13 +1740,20 @@ def q73_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo[dest] = t2
     rng = ((xcol("price_cents") >= 10_000_000)
            & (xcol("price_cents") <= 20_000_000))
-    n_before = t.query(rng).count()
-    dec_before = t.last_scan
+    # the UNCOMPACTED side of the invariance assert is a probe over an
+    # immutable shared fixture — compute it once per session instead of
+    # paying a second full scan job on every warm re-entry (the t2 scan
+    # below is the measured query; this one only feeds the assert)
+    probe_memo = session_memo(spark, "compaction_before_probe")
+    if sf_dir not in probe_memo:
+        n_before = t.query(rng).count()
+        probe_memo[sf_dir] = (n_before, len(t.last_scan.files_scanned))
+    n_before, n_files_before = probe_memo[sf_dir]
     agg = t2.query(rng).agg(
         F.count(F.lit(1)).alias("n_rng"),
         F.sum("price_cents").alias("sum_rng_cents")).head()
     dec_after = t2.last_scan
-    assert len(dec_after.files_scanned) <= len(dec_before.files_scanned)
+    assert len(dec_after.files_scanned) <= n_files_before
     assert len(dec_after.files_scanned) == 1, dec_after.describe()
     assert 0 < dec_after.row_groups_scanned < dec_after.total_row_groups, \
         dec_after.describe()  # pruning survives compaction
@@ -2776,6 +2783,30 @@ def _dv_fixture(spark: SparkSession, sf_dir: str, memo_key: str,
     return memo[sf_dir]
 
 
+def _dv_shared_deleted(spark: SparkSession, sf_dir: str):
+    """The shared q91/q92 fixture with the ``cents % 7`` delete applied
+    exactly once per session.  The delete and its pinned properties —
+    idempotence (re-running matches 0: the victim scan is itself
+    DV-filtered) and file immutability — execute whenever the fixture
+    is freshly built (every new process, every cold-pass run after
+    clear_caches), but not on warm re-entries: re-proving idempotence
+    costs two full victim-scan jobs whose result is discarded, and the
+    warm window should time the serving path, not re-verification of
+    an already-committed DML (guide §1.2: don't compute things you
+    throw away).  The same gate pattern q93/q94/q95 already use."""
+    from .operators.util import session_memo
+
+    t, base = _dv_fixture(spark, sf_dir, "dv_table_shared")
+    state = session_memo(spark, "dv_shared_deleted")
+    if sf_dir not in state:
+        sizes_before = {f[0]: f[1] for f in t.catalog.all_files()}
+        t.delete_where((xcol("cents") % 7) == 0)
+        assert t.delete_where((xcol("cents") % 7) == 0) == 0  # idempotent
+        assert {f[0]: f[1] for f in t.catalog.all_files()} == sizes_before
+        state[sf_dir] = True
+    return t, base
+
+
 def q91_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW-LEVEL DELETE WITHOUT REWRITING FILES (delete_where →
     deletion vectors): the Delta/Iceberg merge-on-read design
@@ -2792,11 +2823,7 @@ def q91_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     0: the victim scan is itself DV-filtered) and that the files on
     disk did not change. At 100 TB a targeted delete is one pruned
     scan plus O(deleted ranges) metadata — not a rewrite."""
-    t, _ = _dv_fixture(spark, sf_dir, "dv_table_shared")
-    sizes_before = {f[0]: f[1] for f in t.catalog.all_files()}
-    t.delete_where((xcol("cents") % 7) == 0)   # no-op on re-entry
-    assert t.delete_where((xcol("cents") % 7) == 0) == 0  # idempotent
-    assert {f[0]: f[1] for f in t.catalog.all_files()} == sizes_before
+    t, _ = _dv_shared_deleted(spark, sf_dir)
     df = t.query((xcol("cents") >= 5_000_000)
                  & (xcol("cents") <= 25_000_000))
     return (df.groupBy((F.col("cents") % 5).alias("bucket"))
@@ -2818,8 +2845,7 @@ def q92_dv_count_sum_pushdown(spark: SparkSession, sf_dir: str
     shape (zero boundary row groups scanned for the unpredicated
     aggregates) and the refusal contract; the oracle recomputes the
     live totals from the flat table."""
-    t, _ = _dv_fixture(spark, sf_dir, "dv_table_shared")
-    t.delete_where((xcol("cents") % 7) == 0)   # no-op on re-entry
+    t, _ = _dv_shared_deleted(spark, sf_dir)
     n = t.count_rows()
     s, nn = t.sum_rows("cents")
     assert t.last_sum_pushdown is not None \
@@ -2891,17 +2917,19 @@ def q94_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_upd = updates.count()
         n_del, n_ins = t.merge_upsert(updates, "o_orderkey")
         assert (n_del, n_ins) == (n_upd, n_upd), (n_del, n_ins, n_upd)
+        # the point-query probe belongs to the merge's one-time proof
+        # (it pins that the read serves the landed file's updated copy,
+        # never the DV'd original) — run it when the merge actually
+        # executes, not as three extra jobs on every warm re-entry
+        probe = base.filter(F.col("o_orderkey") % 97 == 0) \
+            .agg(F.min("o_orderkey")).head()[0]
+        got = t.query(xcol("o_orderkey") == int(probe)).collect()
+        assert len(got) == 1, got
+        orig = base.filter(F.col("o_orderkey") == int(probe)) \
+            .head()["cents"]
+        assert got[0]["cents"] == orig + 1, (got[0]["cents"], orig)
         state[sf_dir] = n_upd
     n_upd = state[sf_dir]
-    probe = base.filter(F.col("o_orderkey") % 97 == 0) \
-        .agg(F.min("o_orderkey")).head()[0]
-    got = t.query(xcol("o_orderkey") == int(probe)).collect()
-    assert len(got) == 1, got
-    orig = base.filter(F.col("o_orderkey") == int(probe)) \
-        .head()["cents"]
-    # the point query must serve the UPDATED row (cents + 1), i.e. the
-    # landed file's copy, never the DV'd original
-    assert got[0]["cents"] == orig + 1, (got[0]["cents"], orig)
     n = t.count_rows()
     s, _ = t.sum_rows("cents")
     return spark.createDataFrame(
@@ -3206,13 +3234,15 @@ def q100_optimize_lifecycle(spark: SparkSession, sf_dir: str
         assert len(t.catalog.all_files()) == 7   # 6 parts + 1 update
         t.compact_deletes()
         packed = t.compact_small_files()
+        # post-update probe served by the pushdown on the packed file:
+        # every cents % 13 = 0 row became cents + 1, so none remain.
+        # Run it when the lifecycle actually executes — it is part of
+        # the one-time proof, not of every warm re-entry's window.
+        assert t.count_rows((xcol("cents") % 13) == 0) == 0
         memo[sf_dir] = (t, packed)
     t, packed = memo[sf_dir]
     files = [f[0] for f in t.catalog.all_files()]
     assert packed == 1 and files == ["pack_000000.parquet"], files
-    # post-update probe served by the pushdown on the packed file:
-    # every cents % 13 = 0 row became cents + 1, so none remain
-    assert t.count_rows((xcol("cents") % 13) == 0) == 0
     n = t.count_rows()
     s, nn = t.sum_rows("cents")
     assert nn == n and t.last_sum_pushdown is not None \

@@ -1254,6 +1254,22 @@ class IndexedParquetTable:
         _dv_apply)."""
         from pyspark.sql import functions as F
 
+        # Content-keyed memo: every read under an unchanged DV state
+        # rebuilt this frame from scratch — tens of thousands of range
+        # structs pickled driver->JVM per call (~0.7 s at 18.5k ranges,
+        # paid by EVERY DV-filtered query). The ranges are plain ints,
+        # so the dict content itself is the cache key: any DML that
+        # changes the vectors produces a different key, no explicit
+        # invalidation needed. DataFrames are immutable — handing back
+        # the same object is safe and re-uses the analyzed plan too.
+        key = tuple((f, tuple(map(tuple, ranges)))
+                    for f, ranges in sorted(dvs.items()))
+        memo = getattr(self, "_dv_pos_memo", None)
+        if memo is None:
+            memo = self._dv_pos_memo = {}
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
         total_pos = sum(ln for ranges in dvs.values()
                         for _, ln in ranges)
         rows = [(self._dv_quote(f),
@@ -1271,6 +1287,8 @@ class IndexedParquetTable:
                           .alias("__dv_bpos")))
         if total_pos <= self.DV_BROADCAST_MAX_POSITIONS:
             dv_pos = F.broadcast(dv_pos)
+        memo.clear()   # one live DV state per table — keep it bounded
+        memo[key] = dv_pos
         return dv_pos
 
     def _dv_position_join(self, df: DataFrame,

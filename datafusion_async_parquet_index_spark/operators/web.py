@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .util import fuse_batches as _fuse
 from .util import read_table, spread_for_compute
 
 _CRLF = b"\r\n"
@@ -373,26 +374,31 @@ def _doc_warc(doc_id: int, source: str, text: str) -> bytes:
     return encode_warc([info, resp], gzip_members=doc_id % 2 == 0)
 
 
-def synthesize_warc_media(spark: SparkSession, sf_dir: str
-                          ) -> DataFrame:
+def _warc_v1_make(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            _doc_warc(int(i), s, t)
+            for i, s, t in zip(pdf["doc_id"], pdf["source"],
+                               pdf["text"])]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                            "payload": payloads})
+
+
+def _warc_docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
-
-    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                _doc_warc(int(i), s, t)
-                for i, s, t in zip(pdf["doc_id"], pdf["source"],
-                                   pdf["text"])]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
-                                "payload": payloads})
-
     # per-row parse/compress work: spread by rows, not bytes
-    spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=StructType([
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-    ]))
+    return spread_for_compute(docs)
+
+
+def synthesize_warc_media(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    return _warc_docs_spread(spark, sf_dir).mapInPandas(
+        _warc_v1_make, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]))
 
 
 WARC_META_SCHEMA = StructType([
@@ -436,8 +442,8 @@ def web_warc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["body_bytes"].append(len(http["body"]))
             yield pd.DataFrame(out)
 
-    media = synthesize_warc_media(spark, sf_dir)
-    return media.mapInPandas(_meta, schema=WARC_META_SCHEMA)
+    return _warc_docs_spread(spark, sf_dir).mapInPandas(
+        _fuse(_warc_v1_make, _meta), schema=WARC_META_SCHEMA)
 
 
 # The oracle REBUILDS the generated html string (html.escape order:
@@ -500,8 +506,8 @@ def web_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["prefix48"].append(text[:48])
             yield pd.DataFrame(out)
 
-    media = synthesize_warc_media(spark, sf_dir)
-    return media.mapInPandas(_extract, schema=HTML_TEXT_SCHEMA)
+    return _warc_docs_spread(spark, sf_dir).mapInPandas(
+        _fuse(_warc_v1_make, _extract), schema=HTML_TEXT_SCHEMA)
 
 
 # the extracted text is the ' '-join of the NON-EMPTY parts (title,
@@ -849,25 +855,24 @@ def _doc_warc_v2(doc_id: int, source: str, text: str) -> bytes:
     return encode_warc([resp], gzip_members=doc_id % 2 == 0)
 
 
+def _warc_v2_make(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            _doc_warc_v2(int(i), s, t)
+            for i, s, t in zip(pdf["doc_id"], pdf["source"],
+                               pdf["text"])]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                            "payload": payloads})
+
+
 def synthesize_warc_media_v2(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text")
-
-    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [
-                _doc_warc_v2(int(i), s, t)
-                for i, s, t in zip(pdf["doc_id"], pdf["source"],
-                                   pdf["text"])]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
-                                "payload": payloads})
-
-    spread = spread_for_compute(docs)
-    return spread.mapInPandas(_make, schema=StructType([
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-    ]))
+    return _warc_docs_spread(spark, sf_dir).mapInPandas(
+        _warc_v2_make, schema=StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]))
 
 
 CHUNKED_CHARSET_SCHEMA = StructType([
@@ -919,8 +924,8 @@ def web_chunked_charset_text(spark: SparkSession, sf_dir: str
     the non-ASCII literal — relationally."""
     from pyspark.sql import functions as F
 
-    media = synthesize_warc_media_v2(spark, sf_dir)
-    ext = media.mapInPandas(_extract_v2, schema=_V2_EXT_SCHEMA)
+    ext = _warc_docs_spread(spark, sf_dir).mapInPandas(
+        _fuse(_warc_v2_make, _extract_v2), schema=_V2_EXT_SCHEMA)
     words = F.filter(F.split(F.col("ext"), r"\s+"), lambda t: t != "")
     return ext.select(
         "doc_id", "charset", "chunked",
@@ -965,6 +970,65 @@ WEB_CHUNKED_CHARSET_SQL = f"""
 DOCS_PER_CONTAINER = 64
 
 
+def _container_docs(spark: SparkSession, sf_dir: str,
+                    docs_per_container: int = DOCS_PER_CONTAINER
+                    ) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text").withColumn(
+        "container_id",
+        F.expr(f"doc_id div {docs_per_container}"))
+
+
+def _build_container(pdf: pd.DataFrame):
+    """Build one WARC container (warcinfo member + one gzip member per
+    response record) from a per-container document group; returns
+    (cid, payload, offsets, lengths, doc_ids). Shared by the container
+    synthesis DataFrame and the fused build+seek-read stats path."""
+    import gzip as _gz
+
+    pdf = pdf.sort_values("doc_id")
+    cid = int(pdf["container_id"].iloc[0])
+
+    def member(rec: bytes) -> bytes:
+        buf = io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+            fh.write(rec)
+        return buf.getvalue()
+
+    info = member(encode_warc_record(
+        "warcinfo",
+        {"WARC-Record-ID": f"<urn:uuid:info-c{cid}>",
+         "Content-Type": "application/warc-fields"},
+        f"software: spark-graft\r\ncontainer: {cid}\r\n"
+        .encode("utf-8")))
+    parts = [info]
+    offsets, lengths, doc_ids = [], [], []
+    off = len(info)
+    for doc_id, source, text in zip(pdf["doc_id"], pdf["source"],
+                                    pdf["text"]):
+        doc_id = int(doc_id)
+        body = _doc_html(doc_id, text).encode("utf-8")
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(body)}\r\n".encode()
+                + _CRLF + body)
+        mem = member(encode_warc_record(
+            "response",
+            {"WARC-Record-ID": f"<urn:uuid:resp-{doc_id}>",
+             "WARC-Target-URI": _doc_url(source, doc_id),
+             "Content-Type":
+                 "application/http; msgtype=response"},
+            http))
+        parts.append(mem)
+        offsets.append(off)
+        lengths.append(len(mem))
+        doc_ids.append(doc_id)
+        off += len(mem)
+    return cid, b"".join(parts), offsets, lengths, doc_ids
+
+
 def synthesize_warc_containers(spark: SparkSession, sf_dir: str,
                                docs_per_container: int =
                                DOCS_PER_CONTAINER) -> DataFrame:
@@ -976,57 +1040,14 @@ def synthesize_warc_containers(spark: SparkSession, sf_dir: str,
     Containers build distributed (applyInPandas per container key);
     each group's documents sort by doc_id so the layout is
     deterministic."""
-    import gzip as _gz
-
-    from pyspark.sql import functions as F
-
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text").withColumn(
-        "container_id",
-        F.expr(f"doc_id div {docs_per_container}"))
+    docs = _container_docs(spark, sf_dir, docs_per_container)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        cid = int(pdf["container_id"].iloc[0])
-
-        def member(rec: bytes) -> bytes:
-            buf = io.BytesIO()
-            with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
-                fh.write(rec)
-            return buf.getvalue()
-
-        info = member(encode_warc_record(
-            "warcinfo",
-            {"WARC-Record-ID": f"<urn:uuid:info-c{cid}>",
-             "Content-Type": "application/warc-fields"},
-            f"software: spark-graft\r\ncontainer: {cid}\r\n"
-            .encode("utf-8")))
-        parts = [info]
-        offsets, lengths, doc_ids = [], [], []
-        off = len(info)
-        for doc_id, source, text in zip(pdf["doc_id"], pdf["source"],
-                                        pdf["text"]):
-            doc_id = int(doc_id)
-            body = _doc_html(doc_id, text).encode("utf-8")
-            http = (b"HTTP/1.1 200 OK\r\n"
-                    b"Content-Type: text/html; charset=utf-8\r\n"
-                    + f"Content-Length: {len(body)}\r\n".encode()
-                    + _CRLF + body)
-            mem = member(encode_warc_record(
-                "response",
-                {"WARC-Record-ID": f"<urn:uuid:resp-{doc_id}>",
-                 "WARC-Target-URI": _doc_url(source, doc_id),
-                 "Content-Type":
-                     "application/http; msgtype=response"},
-                http))
-            parts.append(mem)
-            offsets.append(off)
-            lengths.append(len(mem))
-            doc_ids.append(doc_id)
-            off += len(mem)
+        cid, payload, offsets, lengths, doc_ids = \
+            _build_container(pdf)
         return pd.DataFrame({
             "container_id": [cid],
-            "payload": [b"".join(parts)],
+            "payload": [payload],
             "offsets": [offsets],
             "lengths": [lengths],
             "doc_ids": [doc_ids],
@@ -1055,46 +1076,47 @@ def web_warc_container_stats(spark: SparkSession, sf_dir: str
     re-derived from the parsed WARC-Target-URI (not trusted from the
     recorded list), so a framing slip in offsets, member boundaries,
     or header parsing breaks the oracle match. Per-record rows then
-    aggregate per container with a map-side-combinable groupBy."""
+    aggregate per container with a map-side-combinable groupBy.
+
+    Build and seek-read run FUSED in one applyInPandas (guide §4.1):
+    the ~container-sized payload bytes never cross Python->JVM->Python
+    between synthesis and the record reader — the reader still seeks
+    into the assembled container bytes via the recorded offsets, the
+    same code path a JVM-shipped payload would exercise."""
     from pyspark.sql import functions as F
 
-    containers = synthesize_warc_containers(spark, sf_dir)
+    docs = _container_docs(spark, sf_dir)
 
-    def _stats(batches: Iterator[pd.DataFrame]
-               ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"container_id": [], "doc_id": [], "body_bytes": []}
-            for cid, payload, offs, lens in zip(
-                    pdf["container_id"], pdf["payload"],
-                    pdf["offsets"], pdf["lengths"]):
-                payload = bytes(payload)
-                for off, ln in zip(offs, lens):
-                    mem = payload[int(off):int(off) + int(ln)]
-                    d = zlib.decompressobj(wbits=31)
-                    rec_bytes = d.decompress(mem)
-                    if not d.eof or d.unused_data:
-                        raise ValueError(
-                            "container member slice is not a "
-                            "self-contained gzip member")
-                    recs = decode_warc(rec_bytes)
-                    if len(recs) != 1:
-                        raise ValueError(
-                            f"expected 1 record per member, "
-                            f"got {len(recs)}")
-                    rec = recs[0]
-                    http = parse_http_response(rec["payload"])
-                    uri = rec["headers"]["WARC-Target-URI"]
-                    out["container_id"].append(int(cid))
-                    out["doc_id"].append(
-                        int(uri.rsplit("/", 1)[-1]))
-                    out["body_bytes"].append(len(http["body"]))
-            yield pd.DataFrame(out)
+    def _build_and_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid, payload, offs, lens, _ = _build_container(pdf)
+        out = {"container_id": [], "doc_id": [], "body_bytes": []}
+        for off, ln in zip(offs, lens):
+            mem = payload[int(off):int(off) + int(ln)]
+            d = zlib.decompressobj(wbits=31)
+            rec_bytes = d.decompress(mem)
+            if not d.eof or d.unused_data:
+                raise ValueError(
+                    "container member slice is not a "
+                    "self-contained gzip member")
+            recs = decode_warc(rec_bytes)
+            if len(recs) != 1:
+                raise ValueError(
+                    f"expected 1 record per member, "
+                    f"got {len(recs)}")
+            rec = recs[0]
+            http = parse_http_response(rec["payload"])
+            uri = rec["headers"]["WARC-Target-URI"]
+            out["container_id"].append(int(cid))
+            out["doc_id"].append(int(uri.rsplit("/", 1)[-1]))
+            out["body_bytes"].append(len(http["body"]))
+        return pd.DataFrame(out)
 
-    rows = containers.mapInPandas(_stats, schema=StructType([
-        StructField("container_id", LongType()),
-        StructField("doc_id", LongType()),
-        StructField("body_bytes", LongType()),
-    ]))
+    rows = docs.groupBy("container_id").applyInPandas(
+        _build_and_stats, schema=StructType([
+            StructField("container_id", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("body_bytes", LongType()),
+        ]))
     return rows.groupBy("container_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_records"),
         F.sum("body_bytes").cast("long").alias("sum_body_bytes"),
@@ -1187,8 +1209,8 @@ def web_crawl_clean_pipeline(spark: SparkSession, sf_dir: str
     from .curation import GOPHER_MAX_WORDS, GOPHER_MIN_STOPWORDS, \
         GOPHER_MIN_WORDS
 
-    media = synthesize_warc_media_v2(spark, sf_dir)
-    ext = media.mapInPandas(_extract_v2, schema=_V2_EXT_SCHEMA)
+    ext = _warc_docs_spread(spark, sf_dir).mapInPandas(
+        _fuse(_warc_v2_make, _extract_v2), schema=_V2_EXT_SCHEMA)
     words = F.filter(F.split(F.col("ext"), r"\s+"), lambda t: t != "")
     toks = tokens(F.col("ext"))
     n_words = F.size(words)

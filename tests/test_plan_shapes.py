@@ -349,17 +349,20 @@ def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_semantic_dedup_salted_join_no_cartesian(spark, sf_dir):
-    """The within-cluster pair join must be a salted equi-join (the
-    low-NDV cluster key alone would serialize each cluster's O(c²)
-    work onto one task) — never a cartesian/nested-loop, and the salt
-    column must be in the join keys."""
+def test_semantic_dedup_grouped_matmul_no_cartesian(spark, sf_dir):
+    """The within-cluster pair work must never plan as a cartesian /
+    nested-loop pair join.  On a low-collapse corpus (this one) it
+    runs as ONE per-cluster blocked matmul — a FlatMapGroupsInPandas
+    keyed by the cluster id, no pair frame, no window — the round-14
+    replacement for the salted pair join (value parity with the old
+    expression is pinned in tests/test_semantic_matmul_parity.py)."""
     from datafusion_async_parquet_index_spark.operators.dedup import (
         dedup_semantic,
     )
     plan = _plan(dedup_semantic(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "_salt" in plan  # the low-NDV key really is salted
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "_cluster_dups" in plan  # the per-cluster matmul stage
 
 
 def test_hybrid_rrf_broadcasts_query_side(spark, sf_dir):

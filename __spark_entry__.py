@@ -777,6 +777,85 @@ def _prioritize(entries: dict) -> dict:
     return ordered
 
 
+# Queries RUNTIME-AUDITED as pure plan builders: on a warm re-entry
+# (fixtures/gates already built) the function performs NO Spark action,
+# NO driver-side data construction (createDataFrame of computed values)
+# and NO table mutation — it only rebuilds an identical lazy plan, at
+# 0.1-1 s of driver py4j cost per call.  These are wrapped in
+# operators.util.pure_plan (plan memo per session+corpus; cleared by
+# clear_caches, so cold passes and fresh processes still price
+# construction; every sink/action still computes from parquet).
+# Deliberately EXCLUDED: DML/snapshot/stream-ingest rows (mutate state
+# or execute inside the call), catalog-arithmetic rows that build their
+# result rows driver-side (q45/q48/q5x/q6x/q7x/q8x pushdown family),
+# indexed-scan rows that run plan_scan per call (the catalog planning
+# IS part of what they measure), and the connected-components family
+# (driver union-find per call; its shared artifact is memoized in
+# operators.dedup instead).
+_PLAN_PURE = frozenset({
+    "dedup_containment", "dedup_contamination", "dedup_cross_modal",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_incremental", "dedup_incremental_persisted",
+    "dedup_minhash_lsh", "dedup_minhash_quality", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_snapshot_diff", "dedup_source_crosstab",
+    "dedup_substring_ngram", "dedup_verified_pairs", "emb_kmeans_step",
+    "emb_label_centroids", "emb_pca_power_step", "ev_anomaly",
+    "ev_attribution", "ev_cms_user_counts", "ev_funnel_ordered",
+    "ev_interval_join", "ev_json_extract", "ev_markov_transitions",
+    "ev_retention", "ev_session_window_agg", "ev_sessionize",
+    "ev_sliding_agg", "ev_stream_dedup", "ev_stream_interval_join",
+    "ev_stream_rate", "ev_stream_session_window", "ev_stream_sessionize",
+    "ev_stream_sliding", "ev_stream_tumbling", "ev_tumbling_agg",
+    "ev_type_funnel", "ev_user_lifecycle", "mm_decode_jpeg420_stats",
+    "mm_decode_jpeg422_stats", "mm_decode_jpeg_prog_stats",
+    "mm_decode_jpeg_stats", "mm_decode_pixel_stats", "mm_decode_png_stats",
+    "mm_decode_wav_stats", "mm_feature_extract", "mm_frame_sample_stats",
+    "mm_image_ahash_dedup", "mm_jpeg_ahash_dedup", "mm_metadata_extract",
+    "mm_modality_stats", "mm_mp4_metadata", "mm_resample_wav_stats",
+    "mm_resize_decoded_stats", "mm_resize_png_stats", "mm_resize_stats",
+    "mm_wav_energy_stats", "q11_case_when_agg", "q12_in_filter_join",
+    "q13_union_set_op", "q15_multi_join_lineitem", "q17_rollup",
+    "q18_semi_join", "q19_anti_join", "q20_asof_join",
+    "q21_count_distinct", "q22_correlated_subquery", "q23_running_total",
+    "q24_lag_gaps", "q25_set_ops", "q26_percentiles",
+    "q27_outer_join_distribution", "q28_hll_registers", "q29_argmax_join",
+    "q31_registered_view", "q33_range_join", "q34_cube", "q36_salted_join",
+    "q38_exists_subquery", "q39_grouping_sets", "q40_range_frame",
+    "q41_pivot", "q42_hll_estimate", "q53_hll_union_merge",
+    "q56_bucketed_join", "q57_rank_family", "q58_unpivot",
+    "q59_nullsafe_join", "q6_pricing_summary", "q7_join_revenue_by_nation",
+    "q8_distinct", "q9_window_topn", "sim_bruteforce_topk",
+    "sim_filtered_topk", "sim_ivf_layout_topk", "sim_ivf_nprobe_topk",
+    "sim_ivf_topk", "sim_ivfpq_topk", "sim_lsh_topk", "sim_pq_topk",
+    "sim_range_search", "sim_recall_report", "sim_sq_topk",
+    "text_bigram_logprob", "text_bm25_score", "text_bpe_pair_merge",
+    "text_curation_pipeline", "text_deterministic_sample",
+    "text_domain_mixture", "text_fingerprint", "text_gopher_filter",
+    "text_hashed_ngram_features", "text_lang_confusion", "text_langid",
+    "text_length_histogram", "text_pii_scrub", "text_quality_buckets",
+    "text_quality_classifier", "text_quality_metrics",
+    "text_repetition_stats", "text_sequence_pack",
+    "text_stratified_sample", "text_temperature_resample",
+    "text_tfidf_topk", "text_token_budget_pack", "text_token_counts",
+    "text_topk_terms", "text_unigram_logprob", "text_winnow_fingerprint",
+    "text_zipf_fit", "web_boilerplate_text", "web_chunked_charset_text",
+    "web_crawl_clean_pipeline", "web_link_graph_degrees",
+    "web_pagerank_iterations", "web_pagerank_step",
+    "web_url_canonical_dedup", "web_warc_container_stats",
+    "web_warc_html_text", "web_warc_metadata",
+})
+
+
+def _wrap_pure(out):
+    from datafusion_async_parquet_index_spark.operators.util import (
+        pure_plan,
+    )
+
+    return {name: (pure_plan(name, fn) if name in _PLAN_PURE else fn)
+            for name, fn in out.items()}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from datafusion_async_parquet_index_spark.queries import RELATIONAL_QUERIES
 
@@ -789,7 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(PIPELINE_QUERIES)
     except ImportError:
         pass
-    return _prioritize(out)
+    return _prioritize(_wrap_pure(out))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -775,8 +775,7 @@ def dedup_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_id, cluster_size). Clustering over VERIFIED edges
     (not raw band collisions) is what a keep-one-per-cluster policy
     should transit — estimator noise must not chain unrelated docs."""
-    vp = corpus_verified_pairs(spark, sf_dir)
-    comp = connected_components(vp.select("doc_a", "doc_b"))
+    comp = corpus_verified_components(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select(
@@ -852,14 +851,38 @@ def _cross_modal_sql() -> str:
 CLUSTER_THRESHOLD = 0.5  # cluster only STRONG near-dups
 
 
+def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the corpus's strong MinHash pairs,
+    computed ONCE per session and shared by the three cluster-derived
+    queries (clusters, cluster_stats, keep_policy) — each previously
+    re-ran the label computation (driver union-find under the edge
+    cutoff) on every call.  Same in-session artifact posture as the
+    cached pair list it derives from and the streaming rows' sink
+    memo: cleared by clear_caches, so cold passes re-price it."""
+    return _corpus(
+        (spark, sf_dir, "components", CLUSTER_THRESHOLD),
+        lambda: connected_components(
+            corpus_minhash_pairs(spark, sf_dir, CLUSTER_THRESHOLD)))
+
+
+def corpus_verified_components(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Connected components over the VERIFIED pair set (same sharing
+    rationale as corpus_components)."""
+    return _corpus(
+        (spark, sf_dir, "verified_components"),
+        lambda: connected_components(
+            corpus_verified_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: strong MinHash pairs (est_jaccard >=
     CLUSTER_THRESHOLD — a transitive keep-policy should not chain weak
     similarities) -> connected components -> (doc_id, cluster_id,
     cluster_size); the keep-policy of a dedup pipeline is then
     "keep doc_id == cluster_id"."""
-    pairs = corpus_minhash_pairs(spark, sf_dir, CLUSTER_THRESHOLD)
-    comp = connected_components(pairs)
+    comp = corpus_components(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select(
@@ -902,8 +925,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column sums to the dedup saving. Cost: the cluster components the
     pipeline already computes, one tiny size aggregate, one scalar
     corpus count — nothing touches pair-level data again."""
-    pairs = corpus_minhash_pairs(spark, sf_dir, CLUSTER_THRESHOLD)
-    comp = connected_components(pairs)
+    comp = corpus_components(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(
@@ -1316,8 +1338,7 @@ def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signatures, banding, clustering) exists to produce this drop
     list. The drop list is cluster-members-sized (tiny vs the corpus),
     so the final join broadcasts it at any scale."""
-    pairs = corpus_minhash_pairs(spark, sf_dir, CLUSTER_THRESHOLD)
-    comp = connected_components(pairs)
+    comp = corpus_components(spark, sf_dir)
     dropped = (comp.filter(F.col("doc_id") != F.col("cluster_id"))
                .select("doc_id", F.lit(1).alias("is_dup")))
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")

@@ -3626,6 +3626,14 @@ def q107_page_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_page_index=True)
         t = IndexedParquetTable(spark, d, ["o_orderkey", "cents"],
                                 page_index_columns=["o_orderkey"])
+        # files-mode agreement is a one-time proof of the fixture +
+        # page tier (ranges are a refinement, not a semantic) — run it
+        # when the fixture builds, not as an assert-only extra scan job
+        # on every warm re-entry (guide §1.2)
+        proof_pred = (xcol("o_orderkey") >= 100) \
+            & (xcol("o_orderkey") <= 300)
+        assert (t.query(proof_pred, mode="files").count()
+                == t.query(proof_pred, mode="rowgroups").count())
         memo[sf_dir] = t
     pred = (xcol("o_orderkey") >= 100) & (xcol("o_orderkey") <= 300)
     dec = t.plan_scan(pred)
@@ -3638,8 +3646,6 @@ def q107_page_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sum_cents"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key")).head()
-    # files mode must agree (ranges are a refinement, not a semantic)
-    assert t.query(pred, mode="files").count() == agg["n_match"]
     return spark.createDataFrame(
         [(agg["n_match"], agg["sum_cents"],
           agg["min_key"], agg["max_key"])],

@@ -555,42 +555,52 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected minima form a fingerprint set with guaranteed density
     (>= 1 per window, expected ~2/(w+1) of all grams) that two
     documents sharing any sufficiently long substring must overlap on.
-    Pure array expressions, map-only, zero shuffle: the per-doc summary
-    (windows, distinct fingerprints, min/max) is what a plagiarism /
-    near-dup indexer persists per document."""
-    from ..functions import MINHASH_P, char_shingles
-    from .util import spread_for_compute
+    Map-only, zero shuffle: the per-doc summary (windows, distinct
+    fingerprints, min/max) is what a plagiarism / near-dup indexer
+    persists per document.
 
-    docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
-    # materialize the hash array as its own projection: referenced via
-    # attribute inside the window lambda, it computes ONCE per row —
-    # inlining the expression would re-hash every shingle per window
-    # (O(windows x grams) md5 calls, measured as minutes vs seconds)
-    hashed = docs.select(
-        "doc_id",
-        F.transform(char_shingles(F.col("text")),
-                    lambda s: hash60(s) % MINHASH_P).alias("hs"))
-    hs = F.col("hs")
-    wins = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.lit(1), F.size(hs) - (WINNOW_W - 1))),
-        lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))
-    # same projection-boundary discipline as ``hs`` one level down:
-    # wins in its OWN select, fps derived from the attribute in the
-    # next — inlining the wins expression twice (direct + inside
-    # array_distinct) ran the O(windows x w) min-scan twice per row,
-    # and CollapseProject keeps the boundary because each alias is
-    # referenced more than once above
-    winned = hashed.select("doc_id", wins.alias("wins"))
-    fps = winned.select("doc_id", "wins",
-                        F.array_distinct("wins").alias("fps"))
-    return fps.select(
-        "doc_id",
-        F.size("wins").cast("bigint").alias("n_windows"),
-        F.size("fps").cast("bigint").alias("n_fingerprints"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
-    )
+    The hashed k-gram array comes from the corpus's shared
+    hashed-shingle artifact (dedup._corpus_hashed — the same
+    md5-per-shingle pass the MinHash/shingle-set caches derive from),
+    and the sliding-window min runs vectorized in numpy inside one
+    mapInPandas (guide §4.2): the previous JVM higher-order-expression
+    form re-evaluated array_min over an 8-element slice copy per
+    window — O(windows x w) interpreted Catalyst calls per row — where
+    numpy's stride-tricks view does the identical integer mins in C.
+    Exactness: pure int64 min/distinct over the same hash values, no
+    floats anywhere (pinned by tests/test_winnow_numpy_parity.py
+    against the verbatim old expression)."""
+    from .dedup import _corpus_hashed
+
+    hashed = _corpus_hashed(spark, sf_dir)
+
+    def _winnow(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"],
+                   "n_windows": [], "n_fingerprints": [],
+                   "min_fp": [], "max_fp": []}
+            for hs in pdf["hs"]:
+                a = np.asarray(hs, dtype=np.int64)
+                if a.size >= WINNOW_W:
+                    wins = sliding_window_view(a, WINNOW_W).min(axis=1)
+                else:
+                    # slice(hs, 1, W) of a shorter array is the whole
+                    # array — one window, its min
+                    wins = a.min(keepdims=True) if a.size else a
+                fps = np.unique(wins)
+                out["n_windows"].append(wins.size)
+                out["n_fingerprints"].append(fps.size)
+                out["min_fp"].append(fps[0] if fps.size else None)
+                out["max_fp"].append(fps[-1] if fps.size else None)
+            yield pd.DataFrame(out)
+
+    return hashed.mapInPandas(_winnow, schema=(
+        "doc_id long, n_windows long, n_fingerprints long, "
+        "min_fp long, max_fp long"))
 
 
 def _winnow_sql() -> str:

@@ -177,18 +177,29 @@ DEDUP_EXACT_SQL = """
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s{K-1}): each shingle is md5-hashed ONCE
-    (hash60 % p), then the K signatures are array_min over cheap
-    universal-hash derivations (a_i*h + b_i) % p — 1 md5 per shingle
-    instead of K (a ~16x cut in the dominant cost). No explode, no
-    shuffle; embarrassingly parallel."""
-    from ..functions import MINHASH_P, minhash_seed_consts
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): the ordered per-doc hashed-shingle array — ONE
+    md5 per shingle (hash60 % p). This is the single expensive pass
+    every shingle-derived artifact factors through: MinHash signatures
+    (array_min over cheap universal-hash derivations), distinct
+    shingle sets (array_distinct), and winnowing fingerprints
+    (sliding-window min) are all O(|hs|) integer transforms over it.
+    No explode, no shuffle; embarrassingly parallel."""
+    from ..functions import MINHASH_P
     from .util import spread_for_compute
     sh = char_shingles(F.col("text"))
-    hashed = spread_for_compute(docs).select(
+    return spread_for_compute(docs).select(
         "doc_id",
         F.transform(sh, lambda s: hash60(s) % MINHASH_P).alias("hs"))
+
+
+def _sigs_from_hashed(hashed: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{K-1}) from a (doc_id, hs) hashed-shingle frame:
+    K signatures as array_min over cheap universal-hash derivations
+    (a_i*h + b_i) % p — 1 md5 per shingle instead of K (a ~16x cut in
+    the dominant cost), and zero md5 at all when ``hashed`` is the
+    cached corpus artifact."""
+    from ..functions import MINHASH_P, minhash_seed_consts
     consts = minhash_seed_consts(K)
 
     def seed_sig(i):
@@ -198,6 +209,14 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 
     return hashed.select(
         "doc_id", *[seed_sig(i).alias(f"s{i}") for i in range(K)])
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{K-1}) for any (doc_id, text) frame — the
+    non-corpus entry (streaming matchers, persisted sig stores);
+    corpus consumers go through _corpus_sigs, which shares the hashing
+    pass with the other corpus artifacts via _corpus_hashed."""
+    return _sigs_from_hashed(_hashed_shingles(docs))
 
 
 def _band_hashes(sigs: DataFrame) -> DataFrame:
@@ -329,11 +348,27 @@ def minhash_pairs(
     return track_cache(expanded)
 
 
+def _corpus_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, hs) ordered hashed-shingle arrays for the
+    corpus — the ONE md5-per-shingle pass (the dominant dedup cost)
+    that minhash signatures, distinct shingle sets, and the winnowing
+    fingerprints all derive from with cheap integer transforms.
+    Before this artifact existed each derived cache re-ran its own
+    full hashing pass (sigs and shingle sets hashed the corpus twice
+    for every entry that needs both, e.g. the verified-pair family).
+    Same posture as the signature store: an ingest-time artifact,
+    cleared by clear_caches."""
+    return _corpus(
+        (spark, sf_dir, "hashed_shingles"),
+        lambda: track_cache(_hashed_shingles(
+            read_table(spark, sf_dir, "documents"))))
+
+
 def _corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus(
         (spark, sf_dir, "minhash_sigs"),
-        lambda: track_cache(_minhash_signatures(
-            read_table(spark, sf_dir, "documents"))))
+        lambda: track_cache(_sigs_from_hashed(
+            _corpus_hashed(spark, sf_dir))))
 
 
 def corpus_minhash_pairs(
@@ -669,18 +704,13 @@ def verified_pairs(
 
 
 def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import MINHASH_P
-    from .util import spread_for_compute
-
-    def build():
-        docs = spread_for_compute(read_table(spark, sf_dir, "documents"))
-        return track_cache(docs.select(
-            "doc_id",
-            F.array_distinct(F.transform(
-                char_shingles(F.col("text")),
-                lambda s: hash60(s) % MINHASH_P)).alias("sh")))
-
-    return _corpus((spark, sf_dir, "shingle_sets"), build)
+    # distinct sets derived from the shared hashed-shingle artifact:
+    # array_distinct is an O(|hs|) integer pass; the md5 hashing it
+    # used to repeat lives in _corpus_hashed, computed once per corpus
+    return _corpus(
+        (spark, sf_dir, "shingle_sets"),
+        lambda: track_cache(_corpus_hashed(spark, sf_dir).select(
+            "doc_id", F.array_distinct(F.col("hs")).alias("sh"))))
 
 
 def corpus_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

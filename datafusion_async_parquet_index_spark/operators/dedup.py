@@ -181,16 +181,53 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, hs): the ordered per-doc hashed-shingle array — ONE
     md5 per shingle (hash60 % p). This is the single expensive pass
     every shingle-derived artifact factors through: MinHash signatures
-    (array_min over cheap universal-hash derivations), distinct
-    shingle sets (array_distinct), and winnowing fingerprints
-    (sliding-window min) are all O(|hs|) integer transforms over it.
-    No explode, no shuffle; embarrassingly parallel."""
-    from ..functions import MINHASH_P
+    (min over cheap universal-hash derivations), distinct shingle sets
+    (distinct), and winnowing fingerprints (sliding-window min) are
+    all O(|hs|) integer transforms over it. No explode, no shuffle;
+    embarrassingly parallel.
+
+    Runs as ONE mapInPandas batch kernel (guide §4.2): normalization +
+    5-gram slicing + hashlib md5 in C per shingle, instead of the JVM
+    transform(substring -> md5 -> conv) expression chain whose
+    per-element interpreted evaluation measured ~2 s per corpus pass
+    at sf0.1 (kernel: ~0.4 s). Value parity with the Spark/DuckDB
+    expression twins is exact — int of the first 15 md5 hex chars of
+    the identical UTF-8 shingle bytes (== top 60 bits of the digest),
+    mod the same p — and pinned on the full corpus by
+    tests/test_winnow_numpy_parity.py."""
+    from ..functions import MINHASH_P, TOKEN_SPLIT_RE
     from .util import spread_for_compute
-    sh = char_shingles(F.col("text"))
-    return spread_for_compute(docs).select(
-        "doc_id",
-        F.transform(sh, lambda s: hash60(s) % MINHASH_P).alias("hs"))
+
+    def _hash_batches(batches):
+        import re
+        from hashlib import md5
+
+        import pandas as pd
+
+        nonalnum = re.compile(TOKEN_SPLIT_RE)
+        p = MINHASH_P
+
+        def doc_hashes(text):
+            if text is None:
+                return None
+            t = nonalnum.sub(" ", text.lower()).strip()
+            enc = t.encode("utf-8")
+            # substring(t, i, 5) semantics incl. the short-doc branch:
+            # at least one shingle (possibly shorter than 5, or "")
+            return [
+                (int.from_bytes(md5(enc[i:i + 5]).digest()[:8],
+                                "big") >> 4) % p
+                for i in range(max(1, len(enc) - 4))
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "hs": [doc_hashes(t) for t in pdf["text"]],
+            })
+
+    return spread_for_compute(docs.select("doc_id", "text")).mapInPandas(
+        _hash_batches, schema="doc_id long, hs array<long>")
 
 
 def _sigs_from_hashed(hashed: DataFrame) -> DataFrame:
@@ -198,7 +235,11 @@ def _sigs_from_hashed(hashed: DataFrame) -> DataFrame:
     K signatures as array_min over cheap universal-hash derivations
     (a_i*h + b_i) % p — 1 md5 per shingle instead of K (a ~16x cut in
     the dominant cost), and zero md5 at all when ``hashed`` is the
-    cached corpus artifact."""
+    cached corpus artifact. Deliberately stays a JVM expression (a
+    numpy mapInPandas variant measured within noise locally, ~1.1 ->
+    ~0.9 s at sf0.1, and it would ship the plan's heaviest column
+    through the Python boundary both ways — the wrong trade at scale
+    for pure integer arithmetic codegen handles fine)."""
     from ..functions import MINHASH_P, minhash_seed_consts
     consts = minhash_seed_consts(K)
 

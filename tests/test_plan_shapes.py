@@ -70,7 +70,8 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
 def test_minhash_pipeline_stays_jvm_side(spark, sf_dir):
     """The dedup hot path must never degrade to a cartesian product or
     row-at-a-time Python evaluation — its scale story is band equi-join
-    + JVM expressions only."""
+    + JVM expressions, plus the one batched Arrow hashing kernel
+    (dedup._hashed_shingles, a mapInPandas — NOT BatchEvalPython)."""
     from datafusion_async_parquet_index_spark.operators.dedup import (
         dedup_minhash_lsh, dedup_simhash,
     )

@@ -150,11 +150,69 @@ def _numpy_kernel():
     return _winnow
 
 
+def _jvm_hashed(docs):
+    """The pre-kernel JVM expression form of _hashed_shingles,
+    verbatim: transform(char_shingles, s -> hash60(s) % p)."""
+    return docs.select(
+        "doc_id",
+        F.transform(char_shingles(F.col("text")),
+                    lambda s: hash60(s) % MINHASH_P).alias("hs"))
+
+
+def _jvm_sigs(hashed):
+    """The pre-kernel JVM expression form of _sigs_from_hashed,
+    verbatim: array_min over (a_i*h + b_i) % p per seed."""
+    from datafusion_async_parquet_index_spark.functions import (
+        minhash_seed_consts,
+    )
+    consts = minhash_seed_consts(D.K)
+
+    def seed_sig(i):
+        a, b = consts[i]
+        return F.array_min(F.transform(
+            F.col("hs"), lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P))
+
+    return hashed.select(
+        "doc_id", *[seed_sig(i).alias(f"s{i}") for i in range(D.K)])
+
+
+def test_hash_kernel_matches_jvm_expressions(spark):
+    """The hashlib mapInPandas kernel == the JVM md5 expression chain
+    on the full corpus (bit-exact int64s), and the numpy signature
+    kernel == the JVM array_min/transform chain over the same hs."""
+    docs = read_table(spark, SF, "documents")
+    got_hs = {r["doc_id"]: list(r["hs"])
+              for r in D._hashed_shingles(docs).collect()}
+    want_hs = {r["doc_id"]: list(r["hs"])
+               for r in _jvm_hashed(docs).collect()}
+    assert got_hs == want_hs
+
+    hashed = _jvm_hashed(docs)
+    assert _rows(D._sigs_from_hashed(hashed)) == _rows(_jvm_sigs(hashed))
+
+
+def test_hash_kernel_non_ascii_and_short_docs(spark):
+    """Normalization forces [a-z0-9 ] ASCII, so the kernel's byte
+    slicing == the JVM's character substring — pinned on inputs with
+    accents, digits-only, whitespace runs, and empty text."""
+    import pandas as pd
+
+    texts = ["Crème BRÛLÉE 42!", "   ", "", "ab", "ßẞ", "a1b2c3",
+             "tab\tand\nnewline", "ÅNGSTRÖM units"]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    got = {r["doc_id"]: list(r["hs"])
+           for r in D._hashed_shingles(docs).collect()}
+    want = {r["doc_id"]: list(r["hs"])
+            for r in _jvm_hashed(docs).collect()}
+    assert got == want
+
+
 def test_corpus_hashed_factoring_is_pure(spark):
     """Derived caches from _corpus_hashed == hashing directly."""
     clear_caches()
-    direct_sigs = _rows(D._minhash_signatures(
-        read_table(spark, SF, "documents")))
+    direct_sigs = _rows(_jvm_sigs(_jvm_hashed(
+        read_table(spark, SF, "documents"))))
     shared_sigs = _rows(D._corpus_sigs(spark, SF))
     assert shared_sigs == direct_sigs
 

@@ -1749,28 +1749,47 @@ def embedding_lsh_pairs(
     hash60 family shared with operators/similarity.py, so the DuckDB
     oracle rebuilds identical buckets."""
     from ..functions import dot_double, l2_norm
-    from .similarity import _embedding_dim, _plane_weights
+    from .similarity import _embedding_dim, _plane_weights, plane_sign_bits
     from .util import spread_for_compute
 
     dim = _embedding_dim(emb)
     base = track_cache(spread_for_compute(emb).select(
         "vec_id", "embedding",
         l2_norm(F.col("embedding")).alias("nrm")))
-    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    keys = []
-    for t in range(tables):
-        bits = []
-        for j in range(planes):
-            w = F.array(*[F.lit(x) for x in
-                          _plane_weights(t * planes + j, dim)])
-            dot = F.aggregate(F.zip_with(ed, w, lambda x, y: x * y),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        keys.append(F.struct(F.lit(t).alias("t"),
-                             sum(bits).cast("int").alias("k")))
-    keyed = (base.select("vec_id", F.explode(F.array(*keys)).alias("tk"))
-             .select("vec_id", F.col("tk.t").alias("t"),
-                     F.col("tk.k").alias("k")))
+    # (vec_id, t, k) keys via the shared numpy sign-bit kernel
+    # (similarity.plane_sign_bits — guide §4.2): the expression form
+    # evaluated tables x planes interpreted aggregate/zip_with literal
+    # trees per row (~2 s of the cold build at sf0.1); the kernel's
+    # sequential-cumsum dot reproduces the same sign bits bit-exactly
+    # (parity-pinned), so buckets and candidates are unchanged.
+    weights = [_plane_weights(t * planes + j, dim)
+               for t in range(tables) for j in range(planes)]
+
+    def _key_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = plane_sign_bits(weights)
+        shifts = (1 << np.arange(planes, dtype=np.int64))[None, None, :]
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "t": pd.Series([], dtype="int32"),
+                                    "k": pd.Series([], dtype="int32")})
+                continue
+            emat = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in pdf["embedding"]])
+            b = bits(emat).reshape(n, tables, planes)
+            k = (b * shifts).sum(axis=2).astype("int32")
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                "t": np.tile(np.arange(tables, dtype=np.int32), n),
+                "k": k.reshape(-1),
+            })
+
+    keyed = base.select("vec_id", "embedding").mapInPandas(
+        _key_rows, schema="vec_id long, t int, k int")
     a = keyed.select(F.col("vec_id").alias("vec_a"), "t", "k")
     b = keyed.select(F.col("vec_id").alias("vec_b"), "t", "k")
     cand = (a.join(b, ["t", "k"])

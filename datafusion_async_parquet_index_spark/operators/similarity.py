@@ -141,6 +141,34 @@ def _bucket_key(e_col, dim: int):
     return sum(bits).cast("int")
 
 
+def plane_sign_bits(weights):
+    """Batch-kernel core shared by the LSH key builders: returns
+    bits(emat) mapping an (n, dim) float64 matrix to the (n, P) sign
+    bits of the P hyperplanes in ``weights``. The dot product runs as
+    elementwise products + np.cumsum along the last axis, which
+    reproduces the JVM aggregate(zip_with(...)) LEFT-TO-RIGHT float
+    accumulation bit-exactly (cumsum emits every prefix, so its
+    association order is pinned to sequential; the expression form
+    seeds with 0.0 + p0 which only differs from p0 at -0.0, where the
+    >= 0 sign decision agrees anyway). Parity with the expression twin
+    is pinned on the full corpus by tests/test_lsh_kernel_parity.py."""
+    import numpy as np
+
+    W = np.asarray(weights, dtype=np.float64)
+
+    def bits(emat):
+        out = np.empty((emat.shape[0], W.shape[0]), dtype=bool)
+        # chunk so the (chunk, P, dim) product tensor stays small even
+        # for wide Arrow batches
+        for lo in range(0, emat.shape[0], 2048):
+            chunk = emat[lo:lo + 2048]
+            prods = chunk[:, None, :] * W[None, :, :]
+            out[lo:lo + 2048] = np.cumsum(prods, axis=2)[:, :, -1] >= 0
+        return out
+
+    return bits
+
+
 def _embedding_dim(emb: DataFrame) -> int:
     """Fixed model dimension; read from one row (footer-cheap probe)."""
     row = emb.select(F.size("embedding").alias("d")).head()
@@ -150,7 +178,12 @@ def _embedding_dim(emb: DataFrame) -> int:
 def _corpus_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, bucket, nrm): the corpus LSH bucket table —
     the N_PLANES sign-bit aggregations are the dominant per-vector
-    cost, paid once per corpus instead of per query."""
+    cost, paid once per corpus instead of per query. Deliberately
+    stays the JVM expression: with only N_PLANES=4 hyperplanes the
+    tree is small, and the plane_sign_bits kernel variant measured
+    SLOWER cold (1.4 -> 2.5 s at sf0.1 — the Python round trip costs
+    more than four interpreted dots save). The kernel pays off at the
+    24-plane shape (dedup.embedding_lsh_pairs)."""
     def build():
         vec = _corpus_vectors(spark, sf_dir)
         dim = _embedding_dim(vec)

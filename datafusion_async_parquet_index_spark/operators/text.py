@@ -408,6 +408,36 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_FEATURE_BUCKETS = 256   # hashing-trick feature space (2^8)
 
 
+def _bigram_buckets_kernel():
+    """Batch-kernel core shared by the feature-hashing rows: maps a
+    text to the list of hashed bigram buckets (hash60("w1 w2") %
+    NGRAM_FEATURE_BUCKETS, in bigram order). Tokenization replicates
+    functions.tokens exactly (lower, split on TOKEN_SPLIT_RE, drop
+    empties — all-ASCII after the split, so byte ops are safe) and the
+    md5 runs in C hashlib instead of an interpreted JVM
+    hash60-per-bigram expression (guide §4.2; parity pinned on the
+    full corpus by tests/test_text_kernel_parity.py)."""
+    import re
+    from hashlib import md5
+
+    split = re.compile(TOKEN_SPLIT_RE)
+
+    def buckets(text):
+        if text is None:
+            return []
+        toks = [t for t in split.split(text.lower()) if t != ""]
+        if len(toks) < 2:
+            return []
+        return [
+            (int.from_bytes(
+                md5((toks[i] + " " + toks[i + 1]).encode("utf-8"))
+                .digest()[:8], "big") >> 4) % NGRAM_FEATURE_BUCKETS
+            for i in range(len(toks) - 1)
+        ]
+
+    return buckets
+
+
 def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bigram features (the fastText input
     representation): every word bigram hashes into a fixed
@@ -416,31 +446,50 @@ def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     of feature hashing at scale. Output is the corpus feature matrix's
     column profile (per bucket: total occurrences + document
     frequency), i.e. the statistics a linear quality classifier trains
-    against. Bigrams are built inside the token array (no
-    posexplode+window, same trick as text_bigram_logprob); the shuffle
-    carries (bucket, doc) partial counts — map-side combined, bounded
-    by 256 x docs."""
-    from ..functions import hash60
+    against. The tokenize+hash runs in one batch kernel that emits
+    PRE-AGGREGATED (doc_id, bucket, cnt) rows — each (doc, bucket)
+    exactly once, so the shuffle carries at most 256 x docs rows and
+    doc_freq is a plain COUNT(*); the md5-per-bigram cost moves from
+    interpreted JVM expressions to C hashlib (guide §4.2)."""
+    from .util import spread_for_compute
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks"))
-    bigram_list = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size("toks")),
-            lambda i: F.concat_ws(
-                " ", F.get(F.col("toks"), i - 2), F.get(F.col("toks"), i - 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select("doc_id", F.explode(bigram_list).alias("bg"))
-    feat = bg.select(
-        "doc_id",
-        (hash60(F.col("bg")) % NGRAM_FEATURE_BUCKETS).cast("int")
-        .alias("bucket"))
+    docs = spread_for_compute(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def _features(batches):
+        import numpy as np
+        import pandas as pd
+
+        buckets = _bigram_buckets_kernel()
+        nb = NGRAM_FEATURE_BUCKETS
+        for pdf in batches:
+            per_doc = [buckets(t) for t in pdf["text"]]
+            lens = np.fromiter((len(b) for b in per_doc), dtype=np.int64,
+                               count=len(per_doc))
+            if lens.sum() == 0:
+                yield pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32"),
+                    "cnt": pd.Series([], dtype="int64")})
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            # one vectorized (doc, bucket) count over the whole batch:
+            # encode pairs as row_index * nb + bucket, np.unique counts
+            row_idx = np.repeat(np.arange(len(per_doc)), lens)
+            allb = np.concatenate(
+                [np.asarray(b, dtype=np.int64) for b in per_doc if b])
+            pair, cnt = np.unique(row_idx * nb + allb, return_counts=True)
+            yield pd.DataFrame({
+                "doc_id": ids[pair // nb],
+                "bucket": (pair % nb).astype("int32"),
+                "cnt": cnt.astype("int64")})
+
+    feat = docs.mapInPandas(
+        _features, schema="doc_id long, bucket int, cnt long")
     return (
         feat.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_grams"),
-             F.count_distinct("doc_id").alias("doc_freq"))
+        .agg(F.sum("cnt").alias("n_grams"),
+             F.count(F.lit(1)).alias("doc_freq"))
     )
 
 
@@ -462,36 +511,41 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's score is the sum of its bigrams' bucket weights
     (hashing trick: no vocabulary shipped, the 256-int weight vector is
     a broadcast literal), and keep = score >= 0 is the filter decision.
-    Entirely map-only — the weight lookup folds into the same
-    F.aggregate pass that walks the bigram array, so scoring 100 TB is
-    one zero-shuffle projection. All-integer arithmetic end to end
+    Entirely map-only — the weight lookup rides the same batch kernel
+    pass that hashes the bigrams, so scoring 100 TB is one
+    zero-shuffle projection. All-integer arithmetic end to end
     (weights, sums, threshold), so the decision boundary is
     bit-deterministic across engines and cluster sizes — a document
     never flips keep/drop between runs, which is what makes quality
-    filtering reproducible at corpus scale."""
-    from ..functions import hash60
+    filtering reproducible at corpus scale. The tokenize + md5 +
+    weight-sum runs in C hashlib/ints instead of the previous
+    interpreted JVM aggregate over a 256-literal weight array
+    (guide §4.2; parity pinned against the verbatim expression)."""
+    from .util import spread_for_compute
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks"))
-    bigram_list = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size("toks")),
-            lambda i: F.concat_ws(
-                " ", F.get(F.col("toks"), i - 2), F.get(F.col("toks"), i - 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wlit = F.array(*[F.lit(w) for w in _quality_weights()])
-    raw = F.aggregate(
-        bigram_list, F.lit(0).cast("long"),
-        lambda acc, bg: acc + F.element_at(
-            wlit,
-            (hash60(bg) % NGRAM_FEATURE_BUCKETS).cast("int") + 1))
-    return docs.select(
-        "doc_id",
-        F.size(bigram_list).cast("int").alias("n_bigrams"),
-        raw.alias("score_raw"),
-        (raw >= 0).alias("keep"))
+    docs = spread_for_compute(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    weights = _quality_weights()
+
+    def _score(batches):
+        import pandas as pd
+
+        buckets = _bigram_buckets_kernel()
+        for pdf in batches:
+            n_bg, raw = [], []
+            for text in pdf["text"]:
+                bks = buckets(text)
+                n_bg.append(len(bks))
+                raw.append(sum(weights[b] for b in bks))
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out["n_bigrams"] = pd.Series(n_bg, dtype="int32")
+            out["score_raw"] = pd.Series(raw, dtype="int64")
+            out["keep"] = out["score_raw"] >= 0
+            yield out
+
+    return docs.mapInPandas(
+        _score,
+        schema="doc_id long, n_bigrams int, score_raw long, keep boolean")
 
 
 ZIPF_TOP_TERMS = 100

@@ -86,8 +86,13 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     d_b_z = t_z.last_scan
     assert rows_b_sorted == rows_b_z and len(rows_b_z) > 0
 
-    # the a-sorted layout cannot prune on b at all...
-    assert d_b_sorted.row_groups_scanned == d_b_sorted.total_row_groups
+    # the a-sorted layout cannot meaningfully prune on b: allow a
+    # one-row-group sliver, because repartitionByRange draws its
+    # boundaries from a RANDOM sample per run, so a boundary row
+    # group's b-range occasionally happens to refute the predicate
+    # (observed 57/58 once in-suite; the claim under test is "no
+    # useful pruning", not "bit-identical boundaries")
+    assert d_b_sorted.row_groups_scanned >= d_b_sorted.total_row_groups - 1
     # ...the z-ordered layout prunes most row groups on b AND on a
     assert d_b_z.row_groups_scanned < d_b_z.total_row_groups / 2
     t_z.query(pred_a).collect()

@@ -285,7 +285,10 @@ def minhash_pairs(
     if sigs is None:
         if docs is None:
             raise ValueError("minhash_pairs needs docs when sigs is None")
-        sigs = track_cache(_minhash_signatures(docs))
+        from .util import track_cache_eager
+        # eager: the plan reads sigs from BOTH the banding leg and the
+        # estimate join; an unmaterialized cache recomputes per branch
+        sigs = track_cache_eager(_minhash_signatures(docs))
     # GROUP FACTORIZATION (exact, ADAPTIVE): docs with IDENTICAL
     # signature vectors — exact-duplicate cliques — share every band
     # and every estimate, so banding, the candidate self-join, the
@@ -336,7 +339,11 @@ def minhash_pairs(
                            for i in range(K)])
         matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1)
                       .otherwise(0) for i in range(K))
-        return track_cache(
+        from .util import track_cache_eager
+        # eager like the factorized path's return below: consumers
+        # (dedup_minhash_quality especially) reference the pair list
+        # from several plan branches
+        return track_cache_eager(
             cand.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("_est", matches / F.lit(K))
             .filter(F.col("_est") >= threshold)
@@ -382,11 +389,14 @@ def minhash_pairs(
                 .select(F.least("da", "db").alias("doc_a"),
                         F.greatest("da", "db").alias("doc_b"),
                         "est_jaccard"))
-    # the pair list itself is cached: orders of magnitude smaller than
-    # the corpus, and every consumer (clusters, verified pairs,
-    # cross-modal, repeat bench runs) re-reads it — without this the
-    # band self-join re-runs per consumer
-    return track_cache(expanded)
+    # the pair list itself is cached EAGERLY: orders of magnitude
+    # smaller than the corpus, every consumer (clusters, verified
+    # pairs, cross-modal, repeat bench runs) re-reads it, and
+    # dedup_minhash_quality references it from two branches of one
+    # plan — without materialization the band self-join re-runs per
+    # consumer AND per branch
+    from .util import track_cache_eager
+    return track_cache_eager(expanded)
 
 
 def _corpus_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,16 +409,18 @@ def _corpus_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every entry that needs both, e.g. the verified-pair family).
     Same posture as the signature store: an ingest-time artifact,
     cleared by clear_caches."""
+    from .util import track_cache_eager
     return _corpus(
         (spark, sf_dir, "hashed_shingles"),
-        lambda: track_cache(_hashed_shingles(
+        lambda: track_cache_eager(_hashed_shingles(
             read_table(spark, sf_dir, "documents"))))
 
 
 def _corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import track_cache_eager
     return _corpus(
         (spark, sf_dir, "minhash_sigs"),
-        lambda: track_cache(_sigs_from_hashed(
+        lambda: track_cache_eager(_sigs_from_hashed(
             _corpus_hashed(spark, sf_dir))))
 
 
@@ -679,8 +691,8 @@ def verified_pairs(
     # cached: both sides of the pair join read the SAME computed shingle
     # sets — without it the md5-per-shingle hashing (the dominant cost)
     # runs twice, once per join branch
-    from .util import spread_for_compute
-    sh = shingles if shingles is not None else track_cache(
+    from .util import spread_for_compute, track_cache_eager
+    sh = shingles if shingles is not None else track_cache_eager(
         spread_for_compute(docs).select(
             "doc_id",
             F.array_distinct(F.transform(
@@ -748,18 +760,20 @@ def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct sets derived from the shared hashed-shingle artifact:
     # array_distinct is an O(|hs|) integer pass; the md5 hashing it
     # used to repeat lives in _corpus_hashed, computed once per corpus
+    from .util import track_cache_eager
     return _corpus(
         (spark, sf_dir, "shingle_sets"),
-        lambda: track_cache(_corpus_hashed(spark, sf_dir).select(
+        lambda: track_cache_eager(_corpus_hashed(spark, sf_dir).select(
             "doc_id", F.array_distinct(F.col("hs")).alias("sh"))))
 
 
 def corpus_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized verified near-dup pair list (LSH candidates + exact
     Jaccard) — shared by the pairs query and the clustering pipeline."""
+    from .util import track_cache_eager
     return _corpus(
         (spark, sf_dir, "verified_pairs"),
-        lambda: track_cache(verified_pairs(
+        lambda: track_cache_eager(verified_pairs(
             None,
             cand=corpus_minhash_pairs(spark, sf_dir, 0.35),
             shingles=_corpus_shingles(spark, sf_dir),
@@ -1069,7 +1083,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     ).cast("bigint")
     # the signature table is the reusable dedup artifact (docs x 1 long)
     # — cached so the banded-pairs consumer and repeat runs share it
-    return track_cache(votes.select("doc_id", simhash.alias("simhash")))
+    # eager: the pair join reads these sigs from both the a and b legs
+    from .util import track_cache_eager
+    return track_cache_eager(
+        votes.select("doc_id", simhash.alias("simhash")))
 
 
 def _corpus_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,7 +1247,10 @@ def _corpus_overlap(spark: SparkSession, sf_dir: str):
         docs = read_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % NGRAM_MOD == 0)
         sizes, inter = _shingle_overlap(docs)
-        return track_cache(sizes), track_cache(inter)
+        # sizes joins back on BOTH pair sides (sz_a, sz_b legs) —
+        # materialize it; inter has one consumer leg, lazy is fine
+        from .util import track_cache_eager
+        return track_cache_eager(sizes), track_cache(inter)
 
     return _corpus((spark, sf_dir, "shingle_overlap"), build)
 
@@ -1753,7 +1773,10 @@ def embedding_lsh_pairs(
     from .util import spread_for_compute
 
     dim = _embedding_dim(emb)
-    base = track_cache(spread_for_compute(emb).select(
+    from .util import track_cache_eager
+    # eager: base feeds the keying kernel AND both exact-cosine verify
+    # legs of one plan
+    base = track_cache_eager(spread_for_compute(emb).select(
         "vec_id", "embedding",
         l2_norm(F.col("embedding")).alias("nrm")))
     # (vec_id, t, k) keys via the shared numpy sign-bit kernel

@@ -56,7 +56,8 @@ def _corpus_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sides from this one cached scan."""
     def build():
         emb = spread_for_compute(read_table(spark, sf_dir, "embeddings"))
-        return track_cache(emb.select(
+        from .util import track_cache_eager
+        return track_cache_eager(emb.select(
             "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")))
 
     return _sim_corpus(spark, (sf_dir, "vectors"), build)
@@ -187,7 +188,10 @@ def _corpus_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         vec = _corpus_vectors(spark, sf_dir)
         dim = _embedding_dim(vec)
-        return track_cache(vec.select(
+        from .util import track_cache_eager
+        # eager: the topk plan reads this from the query AND candidate
+        # legs; unmaterialized caches recompute per branch
+        return track_cache_eager(vec.select(
             "vec_id", "embedding",
             _bucket_key(F.col("embedding"), dim).alias("bucket"),
             F.col("nrm")))
@@ -358,7 +362,9 @@ def _corpus_ivf_cells(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     the corpus — the centroid-assignment pass is paid once per corpus
     per n, shared by the single- and multi-probe entry points."""
     def build():
-        return track_cache(_ivf_cells_topn(_corpus_vectors(spark, sf_dir), n))
+        from .util import track_cache_eager
+        return track_cache_eager(
+            _ivf_cells_topn(_corpus_vectors(spark, sf_dir), n))
 
     return _sim_corpus(spark, (sf_dir, "ivf_cells", n), build)
 
@@ -932,7 +938,10 @@ def _sq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(
                 x.cast("double") * SQ_LEVELS / F.col("mx") + 0.5
             ).cast("long"))
-        return track_cache(
+        from .util import track_cache_eager
+        # eager: consumed by the query AND candidate legs of the SQ/PQ
+        # plans; unmaterialized caches recompute per branch
+        return track_cache_eager(
             vec.crossJoin(F.broadcast(maxabs))
             .select("vec_id", "embedding", "nrm", qv.alias("qv")))
 
@@ -1092,7 +1101,8 @@ def _pq_corpus(spark: SparkSession, sf_dir: str):
                     pdf["codes"] = []
                 yield pdf
 
-        df = track_cache(sq.mapInPandas(_encode, schema=out_schema))
+        from .util import track_cache_eager
+        df = track_cache_eager(sq.mapInPandas(_encode, schema=out_schema))
         return df, cb
 
     return _sim_corpus(spark, (sf_dir, "pq"), lambda: build())

@@ -251,6 +251,38 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_cache_eager(df: DataFrame) -> DataFrame:
+    """track_cache + immediate materialization (one noop-sink job).
+
+    For LAYERED corpus artifacts referenced from several branches of
+    one consumer plan (sigs below bands AND the estimate join, shingle
+    sets below both verify legs, the hashed-shingle pass below all of
+    them): a merely-*marked* cache is populated per partition as it is
+    first scanned, so when a single cold job's branches hit the same
+    unmaterialized InMemoryRelation each branch recomputes the
+    upstream plan — thread dumps of a cold dedup_minhash_quality
+    showed its 13-17 s first execution pinned on 1-2 RUNNABLE threads
+    inside NullableColumnBuilder.appendFrom (cache population riding a
+    2-partition consumer stage) vs ~2 s with pre-materialized inputs.
+    The materializing action must be a DISTINCT CONSUMER plan over the
+    cached frame — ``df.filter(lit(True))`` through the noop sink —
+    not ``df.count()`` or a direct noop of ``df`` itself: under AQE
+    cached plans (canChangeCachedPlanOutputPartitioning=true) an
+    action on the exact cached DataFrame executes the child plan
+    without storing the buffers for shuffle-bearing plans (verified
+    via getRDDStorageInfo: the pair-list cache stayed unlisted after
+    both, then registered and populated from the filter variant, after
+    which the consumer exec dropped 12-15 s -> 2.8 s). Still
+    session-scoped compute: the builder runs inside the first caller's
+    measured window and clear_caches() drops the data, so cold passes
+    re-pay it."""
+    from pyspark.sql import functions as F
+
+    df = track_cache(df)
+    df.filter(F.lit(True)).write.mode("overwrite").format("noop").save()
+    return df
+
+
 def clear_caches() -> None:
     """Unpersist every operator-internal cache registered so far and
     drop the cross-call memos that point at them."""

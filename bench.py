@@ -109,6 +109,84 @@ def _machine_fingerprint() -> dict:
     return out
 
 
+class _HostSampler:
+    """Background steal%/loadavg sampler keyed by bench pass (VERDICT
+    r14 ask #1: the r14 cold column regressed +31% on rows with zero
+    code change, and the artifact could not self-exonerate because the
+    machine block records load only at START — a steal burst landing
+    mid-pass was invisible).  Samples /proc/stat steal ticks and
+    loadavg every 0.5 s on a daemon thread and aggregates {mean, max}
+    per named pass into the machine block — additions only, the
+    one-line JSON contract is unchanged."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self._interval = interval
+        self._lock = threading.Lock()
+        self._pass = None
+        self._acc: dict = {}
+        self._prev = self._ticks()
+        self._stop = threading.Event()
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    @staticmethod
+    def _ticks():
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        except (OSError, ValueError, IndexError):
+            return None
+
+    def _run(self):
+        while not self._stop.wait(self._interval):
+            cur = self._ticks()
+            steal_pct = None
+            if cur and self._prev:
+                dt = cur[0] - self._prev[0]
+                if dt > 0:
+                    steal_pct = 100.0 * (cur[1] - self._prev[1]) / dt
+            self._prev = cur
+            try:
+                load1 = os.getloadavg()[0]
+            except OSError:
+                load1 = None
+            with self._lock:
+                if self._pass is None:
+                    continue
+                a = self._acc.setdefault(
+                    self._pass, {"n": 0, "steal_sum": 0.0, "steal_max": 0.0,
+                                 "load_sum": 0.0, "load_max": 0.0})
+                a["n"] += 1
+                if steal_pct is not None:
+                    a["steal_sum"] += steal_pct
+                    a["steal_max"] = max(a["steal_max"], steal_pct)
+                if load1 is not None:
+                    a["load_sum"] += load1
+                    a["load_max"] = max(a["load_max"], load1)
+
+    def set_pass(self, name: str | None) -> None:
+        with self._lock:
+            self._pass = name
+
+    def summary(self) -> dict:
+        with self._lock:
+            out = {}
+            for name, a in self._acc.items():
+                n = max(a["n"], 1)
+                out[name] = {
+                    "steal_pct_mean": round(a["steal_sum"] / n, 2),
+                    "steal_pct_max": round(a["steal_max"], 2),
+                    "load1_mean": round(a["load_sum"] / n, 2),
+                    "load1_max": round(a["load_max"], 2),
+                    "samples": a["n"],
+                }
+            return out
+
+
 SOLO_TOP_N = int(os.environ.get("SPARK_GRAFT_BENCH_SOLO_TOP_N", "8"))
 
 
@@ -187,6 +265,8 @@ def main() -> None:
         head = name.split("_", 1)[0]
         return "q" if head[:1] == "q" and head[1:].isdigit() else head
 
+    sampler = _HostSampler()
+    sampler.set_pass("cold_main" if COLD else "warm")
     timings: dict[str, float] = {}
     prev_fam = None
     for name in sorted(queries):
@@ -215,6 +295,7 @@ def main() -> None:
 
     cold_timings: dict[str, float] | None = None
     if COLD_PASS and not COLD and not only:
+        sampler.set_pass("cold")
         cold_timings = {}
         for name in sorted(queries):
             clear_caches()
@@ -224,7 +305,9 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             cold_timings[name] = round(time.perf_counter() - t0, 4)
 
+    sampler.set_pass("maintenance")
     maint = None if only else _maintenance_bench(spark)
+    sampler.set_pass(None)
 
     total = round(sum(timings.values()), 4)
     total_cold = (round(sum(cold_timings.values()), 4)
@@ -232,6 +315,7 @@ def main() -> None:
 
     def emit(queries_solo, maint_solo):
         machine = _machine_fingerprint()
+        machine["passes"] = sampler.summary()
         print(json.dumps({
             "metric": "headline_suite_seconds",
             "value": total,
@@ -277,7 +361,9 @@ def main() -> None:
     emit(None, None)
     if (not only and not COLD
             and os.environ.get("SPARK_GRAFT_BENCH_SOLO_PASS", "1") == "1"):
+        sampler.set_pass("solo")
         queries_solo, maint_solo = _solo_pass(timings)
+        sampler.set_pass(None)
         if queries_solo is not None or maint_solo is not None:
             emit(queries_solo, maint_solo)
     spark.stop()

@@ -2437,6 +2437,8 @@ def q79_catalog_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole-table side always exceeds 80%, so the split is
     deterministic at every SF); the strategy can never change values; the
     oracle recomputes both joins' aggregates from flat tables."""
+    from concurrent.futures import ThreadPoolExecutor
+
     t = _cents_orders(spark, sf_dir)
     li = _read(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_quantity").cast("long").alias("qty"))
@@ -2451,16 +2453,23 @@ def q79_catalog_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert t.last_join_plan["est_rows_upper"] < total_rows
         plan1 = j1._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan1, plan1
-        a1 = j1.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("qty").alias("s")).head()
         j2 = t.join_planned(xcol("price_cents") >= 0, li,
                             "o_orderkey", "l_orderkey",
                             broadcast_max_rows=(total_rows * 4) // 5)
         assert t.last_join_plan["strategy"] == "shuffle", t.last_join_plan
         plan2 = j2._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan2, plan2
-        a2 = j2.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("qty").alias("s")).head()
+        # the two probe jobs are independent — overlap them so the
+        # broadcast probe's tail backfills under the shuffle join
+        # (guide §2.6); both actions stay inside the conf window, and
+        # each join's strategy was pinned above before submission
+        def _agg_head(j):
+            return j.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("qty").alias("s")).head()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(_agg_head, j1)
+            f2 = pool.submit(_agg_head, j2)
+            a1, a2 = f1.result(), f2.result()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return spark.createDataFrame(
@@ -3097,14 +3106,22 @@ def q97_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1 = t.snapshot()
         memo[sf_dir] = (s0, s1)
     s0, s1 = memo[sf_dir]
+    # post-gate plan memo — see q102: warm re-entries rebuild an
+    # identical lazy feed plan from immutable fixture state
+    plan_memo = session_memo(spark, "dv_cdf_plan")
+    hit = plan_memo.get(sf_dir)
+    if hit is not None:
+        return hit
     ch = t.read_changes(s0, s1)
     # idempotent probe: the same era pair always serves the same feed
     assert ch.columns[0] == "_change_type"
-    return (ch.groupBy(F.col("_change_type").alias("change_type"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("cents").alias("sum_cents"),
-                 F.sum("o_orderkey").alias("sum_key"))
-            .orderBy("change_type"))
+    out = (ch.groupBy(F.col("_change_type").alias("change_type"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+                F.sum("o_orderkey").alias("sum_key"))
+           .orderBy("change_type"))
+    plan_memo[sf_dir] = out
+    return out
 
 
 def q98_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3173,6 +3190,12 @@ def q99_incremental_agg_from_feed(spark: SparkSession, sf_dir: str
         s1 = t.snapshot()
         memo[sf_dir] = (s0, s1)
     s0, s1 = memo[sf_dir]
+    # post-gate plan memo — see q102: warm re-entries rebuild an
+    # identical lazy fold plan from immutable fixture state
+    plan_memo = session_memo(spark, "dv_feed_agg_plan")
+    hit = plan_memo.get(sf_dir)
+    if hit is not None:
+        return hit
     bucket = (F.col("cents") % 5).cast("long").alias("bucket")
     agg0 = (t.query(None, as_of=s0).select(bucket, "cents")
             .groupBy("bucket")
@@ -3194,6 +3217,7 @@ def q99_incremental_agg_from_feed(spark: SparkSession, sf_dir: str
             .select("bucket", F.col("n").cast("long").alias("n"),
                     F.col("sum_cents").cast("long").alias("sum_cents"))
             .orderBy("bucket"))
+    plan_memo[sf_dir] = incr
     return incr
 
 
@@ -3322,6 +3346,17 @@ def q102_incremental_join_view_from_feed(spark: SparkSession,
         s1 = t.snapshot()
         memo[sf_dir] = (s0, s1)
     s0, s1 = memo[sf_dir]
+    # post-gate plan memo (the sim_hybrid_rrf posture): once the gate
+    # has committed the DML, a warm re-entry only rebuilds an identical
+    # lazy plan — plan_scan + change-feed catalog arithmetic + ~0.3 s
+    # of driver py4j — so memoize the BUILT DataFrame per corpus.
+    # Never a result cache: every sink still executes the full fold
+    # from the parquet inputs; clear_caches drops it, and the fixture
+    # dir is immutable for the session after the gate (own memo_key).
+    plan_memo = session_memo(spark, "dv_feed_join_plan")
+    hit = plan_memo.get(sf_dir)
+    if hit is not None:
+        return hit
     dim = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").cast("long").alias("nationkey"))
@@ -3338,14 +3373,16 @@ def q102_incremental_join_view_from_feed(spark: SparkSession,
              .groupBy("nationkey")
              .agg(F.sum("w").alias("n"),
                   F.sum(F.col("cents") * F.col("w")).alias("sum_cents")))
-    return (view0.unionByName(delta)
-            .groupBy("nationkey")
-            .agg(F.sum("n").alias("n"),
-                 F.sum("sum_cents").alias("sum_cents"))
-            .filter(F.col("n") > 0)
-            .select("nationkey", F.col("n").cast("long").alias("n"),
-                    F.col("sum_cents").cast("long").alias("sum_cents"))
-            .orderBy("nationkey"))
+    out = (view0.unionByName(delta)
+           .groupBy("nationkey")
+           .agg(F.sum("n").alias("n"),
+                F.sum("sum_cents").alias("sum_cents"))
+           .filter(F.col("n") > 0)
+           .select("nationkey", F.col("n").cast("long").alias("n"),
+                   F.col("sum_cents").cast("long").alias("sum_cents"))
+           .orderBy("nationkey"))
+    plan_memo[sf_dir] = out
+    return out
 
 
 def q103_append(spark: SparkSession, sf_dir: str) -> DataFrame:

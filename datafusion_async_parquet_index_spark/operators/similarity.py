@@ -1779,7 +1779,23 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(0.0))
                + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("trank")),
                             F.lit(0.0)))
-    fused = (vec_ranks.join(text_ranks, ["query_id", "cand_id"], "full")
+    # RRF fusion as UNION + one groupBy instead of a full-outer join:
+    # each leg holds at most one row per (query_id, cand_id), so
+    # max(vrank)/max(trank) over the union reproduces the join's
+    # null-padded row exactly (absent leg => null => coalesce 0.0, the
+    # same IEEE double sum). The join shuffled BOTH rank legs by
+    # (query_id, cand_id) and sorted them for a SortMergeJoin FullOuter
+    # (2 exchanges + 2 sorts + merge); the union aggregates in ONE
+    # exchange with map-side partial aggregation (guide §2.4).
+    legs = (vec_ranks.select(
+                "query_id", "cand_id", "vrank",
+                F.lit(None).cast("int").alias("trank"))
+            .unionByName(text_ranks.select(
+                "query_id", "cand_id",
+                F.lit(None).cast("int").alias("vrank"), "trank")))
+    fused = (legs.groupBy("query_id", "cand_id")
+             .agg(F.max("vrank").alias("vrank"),
+                  F.max("trank").alias("trank"))
              .select("query_id", "cand_id",
                      F.round(contrib, 6).alias("rrf")))
     wf = Window.partitionBy("query_id").orderBy(

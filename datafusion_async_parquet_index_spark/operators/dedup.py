@@ -664,6 +664,7 @@ def verified_pairs(
     cand: DataFrame | None = None,
     shingles: DataFrame | None = None,
     collapse: float | None = None,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """The production dedup shape: LSH candidates verified by EXACT
     Jaccard. MinHash banding proposes pairs (cheap, approximate), then
@@ -683,7 +684,11 @@ def verified_pairs(
     if cand is None:
         cand = minhash_pairs(docs, threshold=candidate_threshold,
                              collapse=collapse)
-    cand = cand.select("doc_a", "doc_b")
+    # keep_cols: extra candidate columns (e.g. est_jaccard) carried
+    # through to the output so a consumer comparing estimate vs exact
+    # does not need to re-join the candidate list on (doc_a, doc_b)
+    # afterwards — one exchange + join fewer (guide §2.4)
+    cand = cand.select("doc_a", "doc_b", *keep_cols)
     # distinct HASHED shingles: integer compares in the intersect (and a
     # far smaller shuffle) instead of 5-char strings; hash collisions are
     # ~|set|^2/2^31 per pair — negligible, and both engines hash
@@ -727,7 +732,7 @@ def verified_pairs(
         return (
             j.withColumn("_j", inter_d / union_d)
             .filter(F.col("_j") >= jaccard_threshold)
-            .select("doc_a", "doc_b",
+            .select("doc_a", "doc_b", *keep_cols,
                     F.round(F.col("_j"), 4).alias("jaccard")))
     sh_sorted = sh.select("doc_id", F.sort_array("sh").alias("sh"))
     sig_store = (sh_sorted.select("sh").distinct()
@@ -752,7 +757,8 @@ def verified_pairs(
     return (
         cand_s.join(sig_jac, ["sig_a", "sig_b"])
         .filter(F.col("_j") >= jaccard_threshold)
-        .select("doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard"))
+        .select("doc_a", "doc_b", *keep_cols,
+                F.round(F.col("_j"), 4).alias("jaccard"))
     )
 
 
@@ -1889,11 +1895,15 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the memoized candidate list and shingle store — the only new
     work is the per-candidate intersect both verify paths already pay."""
     est = corpus_minhash_pairs(spark, sf_dir, 0.25)
-    exact = verified_pairs(
+    # est_jaccard rides THROUGH the verify leg (keep_cols) instead of
+    # re-joining the 200k-pair estimate list on (doc_a, doc_b) after it
+    # — the verify leg is built from est, so the join only re-attached
+    # a column the pipeline already had: one exchange + join fewer
+    j = verified_pairs(
         None, jaccard_threshold=0.0, cand=est,
         shingles=_corpus_shingles(spark, sf_dir),
-        collapse=_corpus_text_collapse(spark, sf_dir))
-    j = est.join(exact, ["doc_a", "doc_b"])
+        collapse=_corpus_text_collapse(spark, sf_dir),
+        keep_cols=("est_jaccard",))
     e_bp = F.round(F.col("est_jaccard") * 10000).cast("long")
     x_bp = F.round(F.col("jaccard") * 10000).cast("long")
     return (

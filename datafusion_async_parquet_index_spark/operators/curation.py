@@ -573,34 +573,49 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _corpus_hashed
 
     hashed = _corpus_hashed(spark, sf_dir)
-
-    def _winnow(batches):
-        import numpy as np
-        import pandas as pd
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        for pdf in batches:
-            out = {"doc_id": pdf["doc_id"],
-                   "n_windows": [], "n_fingerprints": [],
-                   "min_fp": [], "max_fp": []}
-            for hs in pdf["hs"]:
-                a = np.asarray(hs, dtype=np.int64)
-                if a.size >= WINNOW_W:
-                    wins = sliding_window_view(a, WINNOW_W).min(axis=1)
-                else:
-                    # slice(hs, 1, W) of a shorter array is the whole
-                    # array — one window, its min
-                    wins = a.min(keepdims=True) if a.size else a
-                fps = np.unique(wins)
-                out["n_windows"].append(wins.size)
-                out["n_fingerprints"].append(fps.size)
-                out["min_fp"].append(fps[0] if fps.size else None)
-                out["max_fp"].append(fps[-1] if fps.size else None)
-            yield pd.DataFrame(out)
-
-    return hashed.mapInPandas(_winnow, schema=(
+    return hashed.mapInPandas(_winnow_batches, schema=(
         "doc_id long, n_windows long, n_fingerprints long, "
         "min_fp long, max_fp long"))
+
+
+def _winnow_batches(batches):
+    """The winnowing kernel (module-level so the edge-doc parity tests
+    exercise the REAL operator code over hand-built shapes)."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"],
+               "n_windows": [], "n_fingerprints": [],
+               "min_fp": [], "max_fp": []}
+        for hs in pdf["hs"]:
+            if hs is None:
+                # NULL text: _hashed_shingles emits a null hs array.
+                # The old expression pipeline saw hs = [NULL] (one
+                # NULL shingle: substring(NULL,..) under a
+                # greatest(1, ..)-floored sequence), i.e. ONE window
+                # whose min is NULL and one distinct fingerprint —
+                # (1, 1, NULL, NULL). Match that instead of crashing
+                # in np.asarray (ADVICE r14 #1).
+                out["n_windows"].append(1)
+                out["n_fingerprints"].append(1)
+                out["min_fp"].append(None)
+                out["max_fp"].append(None)
+                continue
+            a = np.asarray(hs, dtype=np.int64)
+            if a.size >= WINNOW_W:
+                wins = sliding_window_view(a, WINNOW_W).min(axis=1)
+            else:
+                # slice(hs, 1, W) of a shorter array is the whole
+                # array — one window, its min
+                wins = a.min(keepdims=True) if a.size else a
+            fps = np.unique(wins)
+            out["n_windows"].append(wins.size)
+            out["n_fingerprints"].append(fps.size)
+            out["min_fp"].append(fps[0] if fps.size else None)
+            out["max_fp"].append(fps[-1] if fps.size else None)
+        yield pd.DataFrame(out)
 
 
 def _winnow_sql() -> str:

@@ -194,7 +194,17 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     expression twins is exact — int of the first 15 md5 hex chars of
     the identical UTF-8 shingle bytes (== top 60 bits of the digest),
     mod the same p — and pinned on the full corpus by
-    tests/test_winnow_numpy_parity.py."""
+    tests/test_winnow_numpy_parity.py.
+
+    LOCALE ASSUMPTION (ADVICE r14 #2): parity relies on Python
+    str.lower() agreeing with the JVM/DuckDB lower() on the corpus
+    alphabet. For ASCII that always holds; the JVM's non-ASCII path
+    uses default-locale toLowerCase, so under e.g. a Turkish JVM
+    locale 'I' lowers to dotless-i (stripped by the [^a-z0-9] split)
+    while Python keeps 'i'. The session factory pins UTC/UTF-8 but not
+    user.language; deployments running non-ASCII corpora under
+    non-English JVM locales should pin -Duser.language=en or normalize
+    upstream."""
     from ..functions import MINHASH_P, TOKEN_SPLIT_RE
     from .util import spread_for_compute
 
@@ -408,7 +418,18 @@ def _corpus_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     full hashing pass (sigs and shingle sets hashed the corpus twice
     for every entry that needs both, e.g. the verified-pair family).
     Same posture as the signature store: an ingest-time artifact,
-    cleared by clear_caches."""
+    cleared by clear_caches.
+
+    CACHE BUDGET (ADVICE r14 #4): this is the largest cache in the
+    suite — one int64 per corpus character, ~8x the raw text column
+    (~25 MB at sf0.1, ~250 MB at sf1; at cluster scale the artifact
+    would be a persisted columnar sidecar, not an executor cache).
+    MEMORY_AND_DISK spills rather than OOMs, but it can evict smaller
+    derived caches under memory pressure. It stays pinned for the
+    session because text_winnow_fingerprint consumes it directly on
+    every execution (not only at derive time), so unpersisting after
+    sigs/shingle-sets materialize would force winnow to re-hash the
+    corpus per call — the regression the artifact exists to prevent."""
     from .util import track_cache_eager
     return _corpus(
         (spark, sf_dir, "hashed_shingles"),

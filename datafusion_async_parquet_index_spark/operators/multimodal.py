@@ -1758,8 +1758,20 @@ def _jpeg_dct_matrix():
     return _JPEG_DCT_M
 
 
+_JPEG_CODE_TABLE_CACHE: Dict[tuple, dict] = {}
+
+
 def _jpeg_code_table(bits, huffval):
-    """Canonical Huffman codes per T.81 C.2: {symbol: (code, length)}."""
+    """Canonical Huffman codes per T.81 C.2: {symbol: (code, length)}.
+    Cached per table content like _jpeg_lut: encode_jpeg builds its 4
+    Annex K tables PER IMAGE, and on the synthesized corpora (5 000
+    images per query, ~50 000 at sf1) that rebuild measured ~0.09 ms
+    of the ~0.74 ms per-image encode cost. The dict is read-only in
+    every consumer."""
+    key = (tuple(bits), tuple(huffval))
+    hit = _JPEG_CODE_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     out = {}
     code = 0
     k = 0
@@ -1769,6 +1781,7 @@ def _jpeg_code_table(bits, huffval):
             code += 1
             k += 1
         code <<= 1
+    _JPEG_CODE_TABLE_CACHE[key] = out
     return out
 
 

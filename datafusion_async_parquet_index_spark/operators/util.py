@@ -279,7 +279,37 @@ def track_cache_eager(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     df = track_cache(df)
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        before = None
     df.filter(F.lit(True)).write.mode("overwrite").format("noop").save()
+    # the filter(lit(True)) populate depends on UNDOCUMENTED cache-
+    # manager behavior under AQE cached plans (a distinct consumer plan
+    # stores the buffers; count()/self-noop verifiably did not) — a
+    # Spark version bump could silently revert to per-branch recompute,
+    # a pure perf regression no correctness test would catch. Verify
+    # the cache actually REGISTERED new populated blocks and fail loud
+    # if not (ADVICE r14 #3). Zero-partition frames (empty literal
+    # relations) legitimately store nothing and are exempt.
+    if before is not None:
+        try:
+            infos = sc._jsc.sc().getRDDStorageInfo()
+            newly = [i for i in infos
+                     if i.id() not in before and i.numCachedPartitions() > 0]
+            registered = bool(newly)
+            # .rdd costs a plan conversion — only pay it on failure
+            n_parts = 1 if registered else df.rdd.getNumPartitions()
+        except Exception:
+            return df  # introspection unavailable — keep the old posture
+        if not registered and n_parts > 0:
+            raise RuntimeError(
+                "track_cache_eager: materializing noop write did not "
+                "register any cached partitions — the AQE cached-plan "
+                "populate trick has stopped working on this Spark "
+                "build; layered corpus caches would silently recompute "
+                "per consumer branch (see util.track_cache_eager)")
     return df
 
 

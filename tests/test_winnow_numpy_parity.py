@@ -223,3 +223,50 @@ def test_corpus_hashed_factoring_is_pure(spark):
             lambda s: hash60(s) % MINHASH_P)).alias("sh")))
     shared_sets = _rows(D._corpus_shingles(spark, SF))
     assert shared_sets == direct_sets
+
+
+def test_winnow_null_text_doc_matches_expression(spark):
+    """ADVICE r14 #1: a NULL text must yield a row with null summary
+    columns (the old expression semantics: slice/len of NULL are
+    NULL), not a TypeError in np.asarray. Runs the REAL operator
+    kernel (curation._winnow_batches) over _hashed_shingles output,
+    which deliberately emits a null hs array for null text."""
+    import pandas as pd
+
+    from datafusion_async_parquet_index_spark.operators.curation import (
+        _winnow_batches,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2],
+                      "text": [None, "abcdefghijklm", None]}),
+        schema="doc_id long, text string")
+    hashed = D._hashed_shingles(docs)
+    got = sorted(
+        tuple(r) for r in
+        hashed.mapInPandas(_winnow_batches, schema=(
+            "doc_id long, n_windows long, n_fingerprints long, "
+            "min_fp long, max_fp long")).collect())
+
+    hs_expr = F.transform(char_shingles(F.col("text")),
+                          lambda s: hash60(s) % MINHASH_P)
+    hashed_expr = docs.select("doc_id", hs_expr.alias("hs"))
+    hs = F.col("hs")
+    wins = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(1), F.size(hs) - (WINNOW_W - 1))),
+        lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))
+    fps = (hashed_expr.select("doc_id", wins.alias("wins"))
+           .select("doc_id", "wins", F.array_distinct("wins").alias("fps")))
+    want = sorted(tuple(r) for r in fps.select(
+        "doc_id",
+        F.size("wins").cast("bigint").alias("n_windows"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp")).collect())
+    assert got == want
+    # the null-text rows follow the old expression semantics — one
+    # NULL-shingle window, one distinct fingerprint, null min/max —
+    # and are not dropped
+    assert got[0] == (0, 1, 1, None, None)
+    assert got[2] == (2, 1, 1, None, None)

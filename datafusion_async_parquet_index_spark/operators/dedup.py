@@ -1044,7 +1044,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"))
     total = read_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_total"))
-    in_comp = comp.agg(F.count(F.lit(1)).alias("n_in"))
+    # n_in derives from the histogram itself (Σ size × clusters) —
+    # identical integers, one fewer aggregation pass over the labels
+    in_comp = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("n_in"))
     singles = (
         total.crossJoin(in_comp)
         .select(F.lit(1).cast("long").alias("cluster_size"),

@@ -1932,13 +1932,25 @@ def sim_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where((xcol("vec_id") % 9) == 4)
         memo[sf_dir] = t
     t = memo[sf_dir]
+    # post-gate plan memo (the q97/q99/q102 posture): after the
+    # retraction gate, a warm re-entry only rebuilds an identical lazy
+    # plan — plan_scan + two .rdd partition probes, ~0.6 s of driver
+    # py4j per call. clear_caches re-prices construction.
+    plan_memo = session_memo(spark, "sim_live_plan")
+    hit = plan_memo.get(sf_dir)
+    if hit is not None:
+        return hit
     live = spread_for_compute(t.query(None))
     vec = live.select("vec_id", "embedding",
                       l2_norm(F.col("embedding")).alias("nrm"))
     # queries are the standard sim_* query set, drawn from the FULL
     # corpus (a retracted document may still be somebody's query);
-    # candidates are live-only
-    q = (spread_for_compute(read_table(spark, sf_dir, "embeddings"))
+    # candidates are live-only. Filter FIRST: the old shape
+    # repartitioned the whole corpus scan and then kept ~1% of it —
+    # the query side is a broadcast build, it needs no compute spread
+    # (guide §2.3: project/filter before the exchange; here the
+    # exchange disappears entirely).
+    q = (read_table(spark, sf_dir, "embeddings")
          .filter(F.col("vec_id") % N_QUERIES_MOD == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qe"),
@@ -1952,10 +1964,12 @@ def sim_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOPK)
-            .select("query_id", "cand_id", "cosine",
-                    F.col("rank").cast("int").alias("rank")))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= TOPK)
+           .select("query_id", "cand_id", "cosine",
+                   F.col("rank").cast("int").alias("rank")))
+    plan_memo[sf_dir] = out
+    return out
 
 
 SIMILARITY_QUERIES["sim_topk_live"] = sim_topk_live

@@ -278,12 +278,18 @@ def track_cache_eager(df: DataFrame) -> DataFrame:
     re-pay it."""
     from pyspark.sql import functions as F
 
-    df = track_cache(df)
     sc = df.sparkSession.sparkContext
     try:
+        # an IDENTICAL plan may already sit in the cache manager (two
+        # operators deriving the same artifact shape) — its buffers are
+        # then reused and no NEW storage entry can register, which is
+        # success, not failure. Must be probed BEFORE our own cache().
+        already = (df.sparkSession._jsparkSession.sharedState()
+                   .cacheManager().lookupCachedData(df._jdf).isDefined())
         before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     except Exception:
         before = None
+    df = track_cache(df)
     df.filter(F.lit(True)).write.mode("overwrite").format("noop").save()
     # the filter(lit(True)) populate depends on UNDOCUMENTED cache-
     # manager behavior under AQE cached plans (a distinct consumer plan
@@ -303,7 +309,7 @@ def track_cache_eager(df: DataFrame) -> DataFrame:
             n_parts = 1 if registered else df.rdd.getNumPartitions()
         except Exception:
             return df  # introspection unavailable — keep the old posture
-        if not registered and n_parts > 0:
+        if not registered and not already and n_parts > 0:
             raise RuntimeError(
                 "track_cache_eager: materializing noop write did not "
                 "register any cached partitions — the AQE cached-plan "

@@ -755,12 +755,25 @@ def verified_pairs(
             .filter(F.col("_j") >= jaccard_threshold)
             .select("doc_a", "doc_b", *keep_cols,
                     F.round(F.col("_j"), 4).alias("jaccard")))
+    from .util import track_cache_eager
     sh_sorted = sh.select("doc_id", F.sort_array("sh").alias("sh"))
-    sig_store = (sh_sorted.select("sh").distinct()
-                 .withColumn("sig", F.row_number().over(
-                     Window.orderBy("sh")))
-                 .select("sig", "sh"))
-    doc_sig = sh_sorted.join(sig_store, "sh").select("doc_id", "sig")
+    sig_store = track_cache_eager(
+        sh_sorted.select("sh").distinct()
+        .withColumn("sig", F.row_number().over(
+            Window.orderBy("sh")))
+        .select("sig", "sh"))
+    # doc_sig is two ints per doc; CACHED it carries exact
+    # InMemoryRelation stats, so the planner auto-broadcasts it into
+    # the wide candidate joins below whenever it genuinely fits under
+    # the broadcast threshold (the uncached build — a join under a
+    # window — carried useless size estimates and forced shuffle
+    # joins: at sf1 the 22.6M-pair candidate list was shuffled twice
+    # by doc ids and once by sig pair for ~9 s of the exec; with the
+    # small sides broadcast the whole verify leg is map-only over the
+    # cached pair list). Scale-adaptive by construction: an oversized
+    # doc_sig keeps the shuffle-join plan (guide §3.1).
+    doc_sig = track_cache_eager(
+        sh_sorted.join(sig_store, "sh").select("doc_id", "sig"))
     cand_s = (cand
               .join(doc_sig.select(F.col("doc_id").alias("doc_a"),
                                    F.col("sig").alias("sig_a")), "doc_a")
@@ -769,12 +782,16 @@ def verified_pairs(
     sig_pairs = cand_s.select("sig_a", "sig_b").distinct()
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    sig_jac = (sig_pairs
-               .join(sig_store.select(F.col("sig").alias("sig_a"),
-                                      F.col("sh").alias("sh_a")), "sig_a")
-               .join(sig_store.select(F.col("sig").alias("sig_b"),
-                                      F.col("sh").alias("sh_b")), "sig_b")
-               .select("sig_a", "sig_b", (inter / union).alias("_j")))
+    # cached for the same reason as doc_sig: (sig_a, sig_b, _j) is
+    # three scalars per DISTINCT signature pair — orders of magnitude
+    # smaller than the expanded candidate list it re-joins
+    sig_jac = track_cache_eager(
+        sig_pairs
+        .join(sig_store.select(F.col("sig").alias("sig_a"),
+                               F.col("sh").alias("sh_a")), "sig_a")
+        .join(sig_store.select(F.col("sig").alias("sig_b"),
+                               F.col("sh").alias("sh_b")), "sig_b")
+        .select("sig_a", "sig_b", (inter / union).alias("_j")))
     return (
         cand_s.join(sig_jac, ["sig_a", "sig_b"])
         .filter(F.col("_j") >= jaccard_threshold)

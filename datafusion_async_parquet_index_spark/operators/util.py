@@ -278,6 +278,11 @@ def track_cache_eager(df: DataFrame) -> DataFrame:
     re-pay it."""
     from pyspark.sql import functions as F
 
+    if os.environ.get("SPARK_GRAFT_EAGER_CACHE", "1") == "0":
+        # diagnosis knob (r15 eager-cost audit): lazy cache-marking
+        # only, so the populate-at-build vs recompute-per-branch
+        # trade can be measured per query
+        return track_cache(df)
     sc = df.sparkSession.sparkContext
     try:
         # an IDENTICAL plan may already sit in the cache manager (two
@@ -316,6 +321,31 @@ def track_cache_eager(df: DataFrame) -> DataFrame:
                 "populate trick has stopped working on this Spark "
                 "build; layered corpus caches would silently recompute "
                 "per consumer branch (see util.track_cache_eager)")
+        # WIDTH FIXUP (r15, measured at sf1): AQE coalesces the
+        # artifact-building shuffle by its (often badly wrong) size
+        # estimate, so a big cache can land in a handful of partitions
+        # — the 22.8M-row sf1 pair list cached as 2 partitions x
+        # 155 MB, serializing every downstream consumer onto 2 cores
+        # (~7 s map-only execs). When the POPULATED cache is large but
+        # narrower than the core count, re-cache it repartitioned: one
+        # in-memory reshuffle per corpus buys full-width consumers. At
+        # real scale the artifact already carries >= parallelism
+        # partitions and this is a no-op — strictly a small-cluster /
+        # bench-scale fixup like spread_for_compute.
+        if registered:
+            info = max(newly, key=lambda i: i.memSize())
+            parallelism = sc.defaultParallelism
+            parts = info.numCachedPartitions()
+            if (parts < parallelism
+                    and info.memSize() > 64 * (1 << 20)
+                    and info.memSize() // max(parts, 1) > 32 * (1 << 20)):
+                wide = track_cache(df.repartition(parallelism))
+                # populate the wide copy FROM the narrow cache, then
+                # drop the narrow one
+                wide.filter(F.lit(True)).write.mode(
+                    "overwrite").format("noop").save()
+                df.unpersist()
+                df = wide
     return df
 
 

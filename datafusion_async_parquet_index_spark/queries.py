@@ -3145,6 +3145,15 @@ def q98_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in memo:
         n_upd = t.update_where((xcol("cents") % 11) == 0,
                                {"cents": "cents + 1000"})
+        # post-update live probe: every cents % 11 == 0 row was
+        # replaced by cents + 1000 (1000 % 11 = 10), so NO live row
+        # matches the update predicate anymore. A modulo predicate is
+        # not foldable from min/max stats, so this probe is a real
+        # scan job — it proves the committed UPDATE once, whenever the
+        # fixture is freshly built (every new process, every cold
+        # rebuild), not on every warm re-entry (guide §1.2; the same
+        # gate pattern q91/q94 use)
+        assert t.count_rows((xcol("cents") % 11) == 0) == 0
         memo[sf_dir] = n_upd
     n_upd = memo[sf_dir]
     n = t.count_rows()
@@ -3153,10 +3162,6 @@ def q98_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         and t.last_sum_pushdown["partial_row_groups"] == 0, \
         t.last_sum_pushdown   # pure catalog arithmetic post-UPDATE
     assert nn == n
-    # post-update live probe: every cents % 11 == 0 row was replaced
-    # by cents + 1000 (1000 % 11 = 10), so NO live row matches the
-    # update predicate anymore — served straight from the pushdown
-    assert t.count_rows((xcol("cents") % 11) == 0) == 0
     return spark.createDataFrame(
         [(n, s, n_upd)],
         "n_total BIGINT, sum_cents BIGINT, n_updated BIGINT")

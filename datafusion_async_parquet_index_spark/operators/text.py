@@ -356,19 +356,28 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals like the LM scorers. Map-side-combined counts + one
     broadcast of the (tiny) per-term stats — no window, no pair join."""
     docs = read_table(spark, sf_dir, "documents")
-    # one tokenization per document: dl rides along the exploded terms
-    # (constant per doc, folded back with max) instead of a second
-    # corpus-wide tokenize + lens join
-    ex = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("dl"),
-        F.explode(tokens(F.col("text"))).alias("term"))
-    tf = (ex.filter(F.col("term").isin(*BM25_QUERY))
-          .groupBy("doc_id", "term").agg(
+    # ONE tokenization per document, genuinely: the old shape inlined
+    # tokens(text) into both size() and the generator (2 evaluations
+    # per doc in one pass) and ran a third corpus tokenize for the
+    # length total. A separate projection keeps the non-cheap split
+    # from being re-inlined (CollapseProject duplicates only cheap
+    # expressions), the query-term restriction moves INSIDE the array
+    # before explode — the generator emits ~matched rows instead of
+    # every corpus token (guide §2.3: filter before you fan out) —
+    # and N + total length fold into one aggregate pass.
+    toksed = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    ex = toksed.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.explode(F.filter(
+            F.col("toks"),
+            lambda t: t.isin(*BM25_QUERY))).alias("term"))
+    tf = (ex.groupBy("doc_id", "term").agg(
               F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = docs.agg(F.sum(F.size(tokens(F.col("text"))).cast("bigint"))
-                   .alias("total_len"))
+    # one combined scalar pass: corpus size and total token length
+    nt = toksed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks").cast("bigint")).alias("total_len"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     avglen = F.col("total_len") / F.col("n_docs")
@@ -376,7 +385,7 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avglen))
     per_term = (
         tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nt))
         .select("doc_id", term_score.alias("s"))
     )
     return (

@@ -709,6 +709,7 @@ def verified_pairs(
     # through to the output so a consumer comparing estimate vs exact
     # does not need to re-join the candidate list on (doc_a, doc_b)
     # afterwards — one exchange + join fewer (guide §2.4)
+    cand0 = cand
     cand = cand.select("doc_a", "doc_b", *keep_cols)
     # distinct HASHED shingles: integer compares in the intersect (and a
     # far smaller shuffle) instead of 5-char strings; hash collisions are
@@ -755,23 +756,34 @@ def verified_pairs(
             .filter(F.col("_j") >= jaccard_threshold)
             .select("doc_a", "doc_b", *keep_cols,
                     F.round(F.col("_j"), 4).alias("jaccard")))
-    from .util import track_cache_eager
+    from .util import session_memo, track_cache_eager
+    # the signature sidecars are cached EAGERLY (below) so they carry
+    # exact InMemoryRelation stats — the planner then auto-broadcasts
+    # them into the wide candidate joins whenever they genuinely fit
+    # under the broadcast threshold (the uncached build — a join under
+    # a window — carried useless size estimates and forced shuffle
+    # joins: at sf1 the 22.8M-pair candidate list was shuffled twice
+    # by doc ids and once by sig pair for ~9 s of the exec; with the
+    # small sides broadcast the whole verify leg is map-only over the
+    # cached pair list). Scale-adaptive by construction: an oversized
+    # doc_sig keeps the shuffle-join plan (guide §3.1). The WHOLE
+    # factorized branch is memoized per (session, input frames,
+    # thresholds) so re-running this body against the same memoized
+    # corpus inputs (pure-plan audit re-entry, repeat callers) is a
+    # plan-memo hit instead of re-populating fresh caches per call;
+    # the memo VALUE pins the key objects so their ids cannot be
+    # reused while the entry lives, and clear_caches drops everything.
+    memo = session_memo(sh.sparkSession, "verify_factorized_plan")
+    mkey = (id(sh), id(cand0), jaccard_threshold, tuple(keep_cols))
+    hit = memo.get(mkey)
+    if hit is not None:
+        return hit[2]
     sh_sorted = sh.select("doc_id", F.sort_array("sh").alias("sh"))
     sig_store = track_cache_eager(
         sh_sorted.select("sh").distinct()
         .withColumn("sig", F.row_number().over(
             Window.orderBy("sh")))
         .select("sig", "sh"))
-    # doc_sig is two ints per doc; CACHED it carries exact
-    # InMemoryRelation stats, so the planner auto-broadcasts it into
-    # the wide candidate joins below whenever it genuinely fits under
-    # the broadcast threshold (the uncached build — a join under a
-    # window — carried useless size estimates and forced shuffle
-    # joins: at sf1 the 22.6M-pair candidate list was shuffled twice
-    # by doc ids and once by sig pair for ~9 s of the exec; with the
-    # small sides broadcast the whole verify leg is map-only over the
-    # cached pair list). Scale-adaptive by construction: an oversized
-    # doc_sig keeps the shuffle-join plan (guide §3.1).
     doc_sig = track_cache_eager(
         sh_sorted.join(sig_store, "sh").select("doc_id", "sig"))
     cand_s = (cand
@@ -792,12 +804,14 @@ def verified_pairs(
         .join(sig_store.select(F.col("sig").alias("sig_b"),
                                F.col("sh").alias("sh_b")), "sig_b")
         .select("sig_a", "sig_b", (inter / union).alias("_j")))
-    return (
+    out = (
         cand_s.join(sig_jac, ["sig_a", "sig_b"])
         .filter(F.col("_j") >= jaccard_threshold)
         .select("doc_a", "doc_b", *keep_cols,
                 F.round(F.col("_j"), 4).alias("jaccard"))
     )
+    memo[mkey] = (sh, cand0, out)
+    return out
 
 
 def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -616,8 +616,17 @@ def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(2), F.length("tok")),
             lambda i: F.col("tok").substr(i - 1, F.lit(2))),
     ).otherwise(F.array().cast("array<string>"))
-    pairs = docs.select(F.explode(pair_list).alias("pair"))
-    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    # factor through the token VOCABULARY: identical tokens contribute
+    # identical pair lists, so count tokens first (map-side combined;
+    # the shuffle carries one row per distinct token) and explode the
+    # pairs of each DISTINCT token weighted by its count — exactly the
+    # same pair totals with vocab-many substr/explode rows instead of
+    # corpus-token-many (measured 0.65 -> 0.34 s at sf0.1; worst case
+    # — an all-unique vocabulary — degrades to the original cost plus
+    # one combined groupBy)
+    vocab = docs.groupBy("tok").agg(F.count(F.lit(1)).alias("tcnt"))
+    counts = (vocab.select("tcnt", F.explode(pair_list).alias("pair"))
+              .groupBy("pair").agg(F.sum("tcnt").alias("cnt")))
     w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
     return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= BPE_PAIR_TOPK)
